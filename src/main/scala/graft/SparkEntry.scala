@@ -1,13 +1,177 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.functions.VectorFunctions._
+import graft.QueryConstants._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a same-named DuckDB oracle in `oracleSql`
+  * unless the operator is not SQL-expressible (then the driver records a
+  * rows-only check). Column names and ordering are aligned between the
+  * Spark plan and the oracle SQL (the driver hash-compares after sorting
+  * columns by name). */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
+  private def embeddings(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational surface (SURVEY.md §2.1-2.8) ---
+    "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
+    "q2_revenue_segment" -> ((s, d) => Relational.revenueBySegment(s, d)),
+    "q3_order_ranks" -> ((s, d) => Relational.orderRanks(s, d)),
+    "q4_top_orders" -> ((s, d) => Relational.topOrders(s, d)),
+    "q5_cust_no_orders" -> ((s, d) => Relational.customersWithoutOrders(s, d)),
+    "q6_order_facets" -> ((s, d) => Relational.orderFacets(s, d)),
+    "q7_nation_presence" -> ((s, d) => Relational.nationPresence(s, d)),
+    "q8_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(s, d)),
+    "q9_event_windows" -> ((s, d) => Relational.eventWindows(s, d)),
+
+    // --- vector engine: brute force (reference oracle semantics) ---
+    "v1_range_search" -> ((s, d) =>
+      BruteForce.rangeSearch(embeddings(s, d), "embedding", Q64f, Radius)
+        .select(col("vec_id")).orderBy(col("vec_id"))),
+    "v2_knn" -> ((s, d) =>
+      BruteForce.knn(embeddings(s, d), "embedding", "vec_id", Q64f, 10)
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("dist"), col("vec_id"))))
+        .select(col("rank"), col("vec_id"))
+        .orderBy(col("rank"))),
+    "v3_knn_join" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      BruteForce.knnJoin(e, "embedding", "vec_id", queries, "query_id", "qvec", 5)
+        .select(col("query_id"), col("rank"), col("vec_id"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- vector engine: per-dimension stats (A1/A4) ---
+    "v4_dim_stats" -> ((s, d) => {
+      val eav = VectorStats.explodeVectors(embeddings(s, d), "vec_id", "embedding")
+      VectorStats.dimStats(eav)
+        .select(col("idx"),
+          round(col("mean"), 6).as("mean_v"),
+          round(col("stdev"), 6).as("stdev_v"),
+          col("cnt"),
+          col("meanId").as("mean_id"))
+        .orderBy(col("idx"))
+    }),
+
+    // --- vector engine: index build + search ---
+    "v5_index_search_exact" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val index = IndexBuild.buildIndex(e, "vec_id", "embedding")
+      IndexSearch.searchExact(index, e, "vec_id", "embedding", Q64f, Radius)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+    "v6_index_leaf_count" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val index = IndexBuild.buildIndex(e, "vec_id", "embedding")
+      index.filter(col("id").isNotNull)
+        .agg(count(lit(1)).as("leaf_cnt"),
+          count_distinct(col("id")).as("distinct_ids"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_revenue_segment" ->
+      """SELECT c_mktsegment,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q3_order_ranks" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice, rn, running_spend FROM (
+        | SELECT o_orderkey, o_custkey, o_totalprice,
+        |  row_number() OVER w AS rn,
+        |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q4_top_orders" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_cust_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_order_facets" ->
+      """SELECT o_orderkey, year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+        | CASE WHEN o_totalprice > 200000 THEN 'big'
+        |      WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS bucket,
+        | upper(o_orderpriority) AS prio,
+        | length(o_orderstatus) AS status_len
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q7_nation_presence" ->
+      """SELECT nationkey, presence FROM (
+        | SELECT nationkey, 'customers_only' AS presence FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+        | UNION ALL
+        | SELECT nationkey, 'both' AS presence FROM
+        |  (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+        |) ORDER BY nationkey, presence""".stripMargin,
+    "q8_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q9_event_windows" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type,
+        | count(*) AS n, round(sum(value), 4) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "v1_range_search" ->
+      s"""SELECT vec_id FROM embeddings
+         |WHERE $DistSql <= $Radius ORDER BY vec_id""".stripMargin,
+    "v2_knn" ->
+      s"""SELECT row_number() OVER (ORDER BY $DistSql, vec_id) AS rank, vec_id
+         |FROM embeddings ORDER BY $DistSql, vec_id LIMIT 10""".stripMargin,
+    "v3_knn_join" ->
+      s"""SELECT query_id, rank, vec_id FROM (
+         | SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |   ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), e.vec_id) AS rank
+         | FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "v4_dim_stats" ->
+      """SELECT i - 1 AS idx,
+        | round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v,
+        | round(stddev_samp(CAST(embedding[i] AS DOUBLE)), 6) AS stdev_v,
+        | count(*) AS cnt,
+        | CAST(floor(sum(vec_id) / count(*)) AS BIGINT) AS mean_id
+        |FROM embeddings, generate_series(1, 64) t(i)
+        |GROUP BY i ORDER BY idx""".stripMargin,
+    "v5_index_search_exact" ->
+      s"""SELECT vec_id FROM embeddings
+         |WHERE $DistSql <= $Radius ORDER BY vec_id""".stripMargin,
+    "v6_index_leaf_count" ->
+      """SELECT count(*) AS leaf_cnt, count(DISTINCT vec_id) AS distinct_ids
+        |FROM embeddings""".stripMargin,
+  )
 }

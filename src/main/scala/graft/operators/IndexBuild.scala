@@ -1,0 +1,296 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** Space-partitioning (kd-tree-style) vector index build.
+  *
+  * Semantics reproduce the reference's two builders, which agree on the
+  * core rules (SURVEY.md §2.9 R1/R2, §7.4):
+  *  - node split: dimension with MAX stdev at even tree levels, MIN stdev
+  *    at odd levels (C# `maxBy(max ? Stdev2N : -Stdev2N)` with flag flipped
+  *    per level, VectorIndex/IndexBuilder.cs:75-79,128-129; the T-SQL twin
+  *    DDL.sql:151 is the same idea with a level-counter quirk — we follow
+  *    the C# true alternation). Ties pick the LOWEST dimension index
+  *    (C# MaxBy keeps the first maximum).
+  *  - split point: mean of that dimension (float32), pivot id =
+  *    floor(sum(id)/count) (integer division, IndexBuilder.cs:87).
+  *  - assignment: high child ⇔ value > mid ∨ (value = mid ∧ id > pivotId)
+  *    (IndexBuilder.cs:113-124 ≡ DDL.sql:160-167).
+  *  - node encoding: implicit heap ids — children of r are 2r+1 / 2r+2
+  *    (DDL.sql:195-196, IndexBuilder.cs:99-104); leaf ⇔ count==1 with
+  *    null dimension/children and ID set; internal nodes with stdev==0
+  *    null out dimension/mid (pure id-split nodes, DDL.sql:190-199).
+  *
+  * Architecture (NOT the reference's): level-synchronous distributed BFS
+  * over DataFrames for the top of the tree (each level: one per-(range,dim)
+  * aggregation with map-side partial combine, one broadcast join for
+  * reassignment — the big point set never shuffles), switching to
+  * per-subtree LOCAL in-memory builds via `mapPartitions` once an active
+  * range fits comfortably in an executor (`localBuildThreshold`). That
+  * hybrid mirrors the lesson of the reference's own history — its parallel
+  * BFS was abandoned for a locality-aware sequential walk at 10M vectors
+  * (README.md:93-100) — while keeping the top levels distributed so a
+  * 100 TB point set is split across the cluster before any single node
+  * must hold a subtree.
+  *
+  * Determinism: all stats in float64; the only cross-run nondeterminism is
+  * double-summation order inside Spark aggregates, which can flip a split
+  * only on a sub-ulp stdev near-tie — query results (search + re-check)
+  * are tree-shape independent, so oracles are stable.
+  */
+object IndexBuild {
+
+  val indexSchema: StructType = StructType(Seq(
+    StructField("rangeId", LongType, nullable = false),
+    StructField("dimension", IntegerType, nullable = true),
+    StructField("mid", FloatType, nullable = true),
+    StructField("lowRangeId", LongType, nullable = true),
+    StructField("highRangeId", LongType, nullable = true),
+    StructField("id", LongType, nullable = true)))
+
+  /** Max tree depth: rangeId overflows long at 2^62 (DDL child-id
+    * arithmetic, F3); C# guards with checked(). */
+  val MaxDepth = 62
+
+  /** Build the index for (id, vector) points.
+    *
+    * @param bucketSize leaves hold up to this many points (1 = reference
+    *   parity with singleton leaves; larger buckets bound tree depth at
+    *   scale — MemoryVectorIndex.cs:25 uses 10 for its trie).
+    * @param localBuildThreshold once an active range has <= this many
+    *   points, its whole subtree is built inside one task. 0 disables the
+    *   hybrid (pure BFS, mostly for testing the distributed path).
+    */
+  def buildIndex(points: DataFrame, idCol: String, vecCol: String,
+                 bucketSize: Int = 1,
+                 localBuildThreshold: Long = 1L << 17): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    // (rangeId, id, vector) — rangeId mutates level by level.
+    var assign = points
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vector"))
+      .withColumn("rangeId", lit(0L))
+      .localCheckpoint()
+
+    var level = 0
+    var nodeParts = List.empty[DataFrame]
+    val emptyNodes = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], indexSchema)
+
+    while (level < MaxDepth && !assign.isEmpty) {
+      val useMax = level % 2 == 0
+
+      // Per-(range, dim) stats on the exploded form. Partial aggregation
+      // collapses the d-fold row blow-up before the exchange: the shuffle
+      // carries ~(#active ranges x d) rows per task, not the data.
+      val eav = assign.select($"rangeId", $"id",
+        posexplode($"vector").as(Seq("idx", "value")))
+      val dimStats = eav.groupBy($"rangeId", $"idx").agg(
+        avg($"value").as("mean"),
+        var_pop($"value").as("variance"),
+        count(lit(1)).as("cnt"),
+        sum($"id".cast(DecimalType(38, 0))).as("sumId"))
+
+      val signed = if (useMax) $"variance" else -$"variance"
+      val rangeStats = dimStats.groupBy($"rangeId").agg(
+        max_by(struct($"idx", $"mean", $"variance"), struct(signed, -$"idx")).as("pick"),
+        max($"cnt").as("cnt"),
+        max($"sumId").as("sumId"))
+        .select($"rangeId",
+          $"pick.idx".as("dimension"),
+          $"pick.mean".cast("float").as("mid"),
+          $"pick.variance".as("variance"),
+          $"cnt",
+          floor($"sumId" / $"cnt").cast("long").as("pivotId"))
+
+      val isLeafRange = $"cnt" <= bucketSize
+      val atCap = level == MaxDepth - 1
+
+      // Emit nodes for every active range this level.
+      val internal = rangeStats.filter(!isLeafRange && !lit(atCap))
+        .filter($"cnt" > lit(localBuildThreshold).cast("long") || lit(localBuildThreshold == 0))
+        .select($"rangeId",
+          when($"variance" === 0d, lit(null)).otherwise($"dimension").cast("integer").as("dimension"),
+          when($"variance" === 0d, lit(null)).otherwise($"mid").cast("float").as("mid"),
+          ($"rangeId" * 2 + 1).as("lowRangeId"),
+          ($"rangeId" * 2 + 2).as("highRangeId"),
+          lit(null).cast("long").as("id"))
+
+      // Leaves: one row per point (singleton leaf when bucketSize=1 —
+      // exact reference shape; bucket leaves share a rangeId).
+      val leafRanges = rangeStats.filter(isLeafRange || lit(atCap))
+        .select($"rangeId".as("leafRangeId"))
+      val leaves = assign.join(broadcast(leafRanges),
+          $"rangeId" === $"leafRangeId")
+        .select($"rangeId",
+          lit(null).cast("integer").as("dimension"),
+          lit(null).cast("float").as("mid"),
+          lit(null).cast("long").as("lowRangeId"),
+          lit(null).cast("long").as("highRangeId"),
+          $"id")
+
+      // Ranges small enough for the local path: build whole subtrees
+      // inside tasks, co-locating each range's points via a hash
+      // repartition on rangeId.
+      val localRanges = rangeStats
+        .filter(!isLeafRange && !lit(atCap) &&
+          $"cnt" <= lit(localBuildThreshold).cast("long") && lit(localBuildThreshold > 0))
+        .select($"rangeId".as("localRangeId"))
+      val localNodes: DataFrame =
+        if (localBuildThreshold > 0) {
+          val localPts = assign.join(broadcast(localRanges),
+            $"rangeId" === $"localRangeId")
+          buildLocalSubtrees(localPts.select($"rangeId", $"id", $"vector"),
+            level, bucketSize)
+        } else emptyNodes
+
+      nodeParts = internal :: leaves :: localNodes :: nodeParts
+
+      // Split ranges that stay distributed.
+      val splits = rangeStats
+        .filter(!isLeafRange && !lit(atCap) &&
+          ($"cnt" > lit(localBuildThreshold).cast("long") || lit(localBuildThreshold == 0)))
+        .select($"rangeId".as("splitRangeId"), $"dimension".as("splitDim"),
+          $"mid".as("splitMid"), $"pivotId")
+
+      val nextAssign = assign.join(broadcast(splits),
+          $"rangeId" === $"splitRangeId")
+        .withColumn("v", element_at($"vector", $"splitDim" + 1))
+        .withColumn("rangeId",
+          $"rangeId" * 2 + when(
+            $"v" > $"splitMid" || ($"v" === $"splitMid" && $"id" > $"pivotId"),
+            2L).otherwise(1L))
+        .select($"rangeId", $"id", $"vector")
+        .localCheckpoint()
+
+      assign = nextAssign
+      level += 1
+    }
+
+    nodeParts.reverse.reduceOption(_ unionAll _).getOrElse(emptyNodes)
+  }
+
+  // ---------------------------------------------------------------------
+  // Local (in-task) sequential subtree build — the reference's DFS walker
+  // (IndexBuilder.cs:31-157) re-expressed over in-memory partitions.
+  // ---------------------------------------------------------------------
+
+  /** points: (rangeId, id, vector) co-located by rangeId; every rangeId
+    * group becomes an independently-built subtree whose root is that
+    * range. `level` is the tree level of the incoming rangeIds (for the
+    * max/min alternation parity). */
+  private[graft] def buildLocalSubtrees(points: DataFrame, level: Int,
+                                        bucketSize: Int): DataFrame = {
+    val spark = points.sparkSession
+    val sc = spark.sparkContext
+    val rows = points
+      .repartition(col("rangeId"))
+      .queryExecution.toRdd.mapPartitions { iter =>
+        // InternalRow → (rangeId, id, Array[Float]); group by rangeId.
+        val groups = mutable.LinkedHashMap.empty[Long, mutable.ArrayBuffer[(Long, Array[Float])]]
+        iter.foreach { r =>
+          val rangeId = r.getLong(0)
+          val id = r.getLong(1)
+          val vec = r.getArray(2).toFloatArray()
+          groups.getOrElseUpdate(rangeId, mutable.ArrayBuffer.empty) += ((id, vec))
+        }
+        groups.iterator.flatMap { case (rangeId, pts) =>
+          buildSubtree(rangeId, level, pts.toArray, bucketSize)
+        }
+      }
+    spark.createDataFrame(rows.map { case (rangeId, dim, mid, lo, hi, id) =>
+      Row(rangeId,
+        if (dim < 0) null else Int.box(dim),
+        if (dim < 0) null else Float.box(mid),
+        if (lo < 0) null else Long.box(lo),
+        if (hi < 0) null else Long.box(hi),
+        if (id < 0) null else Long.box(id))
+    }, indexSchema)
+  }
+
+  /** Sequential build of one subtree; pure function of its inputs.
+    * Encodes nulls as -1 in the tuple (schema applied by caller).
+    * Stats math matches the distributed path: Welford per dimension in
+    * float64 (exact 0 variance for constant dims), pivot id by integer
+    * division. */
+  private[graft] def buildSubtree(rootRangeId: Long, rootLevel: Int,
+      pts: Array[(Long, Array[Float])], bucketSize: Int)
+      : Iterator[(Long, Int, Float, Long, Long, Long)] = {
+    val out = mutable.ArrayBuffer.empty[(Long, Int, Float, Long, Long, Long)]
+    val stack = mutable.Stack.empty[(Long, Int, Array[(Long, Array[Float])])]
+    stack.push((rootRangeId, rootLevel, pts))
+    while (stack.nonEmpty) {
+      val (rangeId, level, p) = stack.pop()
+      if (p.nonEmpty) {
+        if (p.length <= bucketSize || level >= MaxDepth - 1) {
+          // leaf (bucket) — one row per point
+          p.foreach { case (id, _) =>
+            out += ((rangeId, -1, 0f, -1L, -1L, id))
+          }
+        } else {
+          val d = p(0)._2.length
+          // Welford per dimension (IndexBuilder.cs:159-197), float64.
+          val mean = new Array[Double](d)
+          val m2 = new Array[Double](d)
+          var sumId = BigInt(0)
+          var n = 0L
+          p.foreach { case (id, vec) =>
+            n += 1
+            sumId += id
+            var i = 0
+            while (i < d) {
+              val v = vec(i).toDouble
+              val pa = mean(i)
+              val a = pa + (v - pa) / n
+              mean(i) = a
+              m2(i) += (v - pa) * (v - a)
+              i += 1
+            }
+          }
+          val useMax = level % 2 == 0
+          var best = 0
+          var i = 1
+          while (i < d) {
+            val cur = if (useMax) m2(i) else -m2(i)
+            val b = if (useMax) m2(best) else -m2(best)
+            if (cur > b) best = i // strict: ties keep lowest index
+            i += 1
+          }
+          val mid = mean(best).toFloat
+          val pivotId = (sumId / n).toLong
+          val variance = m2(best)
+          val lowId = rangeId * 2 + 1
+          val highId = rangeId * 2 + 2
+          out += ((rangeId,
+            if (variance == 0d) -1 else best,
+            if (variance == 0d) 0f else mid,
+            lowId, highId, -1L))
+          val (high, low) = p.partition { case (id, vec) =>
+            val v = vec(best)
+            v > mid || (v == mid && id > pivotId)
+          }
+          // Degenerate guard (SURVEY.md §7.4): a split that makes no
+          // progress (float-rounded mid excludes everything from one
+          // side) falls back to a pure id split, which always progresses
+          // for >=2 distinct ids.
+          if (low.isEmpty || high.isEmpty) {
+            val all = p
+            val (h2, l2) = all.partition { case (id, _) => id > pivotId }
+            stack.push((lowId, level + 1, l2))
+            stack.push((highId, level + 1, h2))
+          } else {
+            stack.push((lowId, level + 1, low))
+            stack.push((highId, level + 1, high))
+          }
+        }
+      }
+    }
+    out.iterator
+  }
+}

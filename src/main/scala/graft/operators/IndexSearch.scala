@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import scala.collection.mutable
+
+/** Vicinity search over the space-partitioning index.
+  *
+  * Semantics = the reference's recursive search (DDL.sql:234-295):
+  * descend from rangeId 0; follow the low child when `dimension is null or
+  * mid >= q[dim] - domain`, the high child when `dimension is null or
+  * mid <= q[dim] + domain`; emit leaf ids. The pruning is an L-inf box
+  * test per split dimension, so the result is a CANDIDATE superset of the
+  * L2 ball — `searchExact` re-checks with the exact distance predicate
+  * (the caller-side re-verification of MemoryVectorIndex.cs:237-241).
+  *
+  * Physical strategy (ours, not the reference's):
+  *  - `searchBoxLocal`: collect the index to the driver once and walk it
+  *    in memory — the index is ~2N tiny rows; for N up to a few million
+  *    nodes this is a single collect + an in-memory descent, and the
+  *    result is a broadcast-able id set. This mirrors the reference's SQL
+  *    recursive CTE, which also runs on one node.
+  *  - `searchBoxDistributed`: iterative frontier loop — per level, join
+  *    the (tiny, broadcast) frontier against the index relation. Survives
+  *    indexes too large for any single node; ~depth joins, each
+  *    broadcast-hash, no large-side shuffle.
+  */
+object IndexSearch {
+
+  /** Candidate leaf ids within the box (auto local/distributed). */
+  def searchBox(index: DataFrame, q: Seq[Float], domain: Double,
+                localNodeLimit: Long = 2_000_000L): DataFrame = {
+    if (index.limit((localNodeLimit + 1).toInt).count() <= localNodeLimit)
+      searchBoxLocal(index, q, domain)
+    else
+      searchBoxDistributed(index, q, domain)
+  }
+
+  /** Exact vicinity search: box candidates re-checked with the true
+    * euclidean predicate against the points table — equals the
+    * brute-force oracle by construction (zero false pos/neg). */
+  def searchExact(index: DataFrame, points: DataFrame, idCol: String,
+                  vecCol: String, q: Seq[Float], radius: Double): DataFrame = {
+    val cands = searchBox(index, q, radius).withColumnRenamed("id", idCol)
+    points.join(cands, idCol)
+      .filter(dist(col(vecCol), floatVec(q)) <= radius)
+  }
+
+  /** Driver-local descent (index collected once). Returns one column
+    * `id` of candidate point ids. */
+  def searchBoxLocal(index: DataFrame, q: Seq[Float], domain: Double): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val nodes = index.select("rangeId", "dimension", "mid", "lowRangeId",
+        "highRangeId", "id").collect()
+    // rangeId -> (dimension|null, mid, low|null, high|null, ids)
+    final case class N(dim: Integer, mid: Float, low: java.lang.Long,
+                       high: java.lang.Long, ids: mutable.ArrayBuffer[Long],
+                       var internal: Boolean)
+    val byId = mutable.LongMap.empty[N]
+    nodes.foreach { r =>
+      val rangeId = r.getLong(0)
+      val n = byId.getOrElseUpdate(rangeId,
+        N(null, 0f, null, null, mutable.ArrayBuffer.empty, internal = false))
+      if (!r.isNullAt(5)) n.ids += r.getLong(5)
+      if (!r.isNullAt(3)) {
+        // internal row for this rangeId (bucket leaves may coexist only
+        // as separate rows; reference emits exactly one row per range)
+        val n2 = N(
+          if (r.isNullAt(1)) null else Int.box(r.getInt(1)),
+          if (r.isNullAt(2)) 0f else r.getFloat(2),
+          Long.box(r.getLong(3)),
+          if (r.isNullAt(4)) null else Long.box(r.getLong(4)),
+          n.ids, internal = true)
+        byId.update(rangeId, n2)
+      }
+    }
+    val out = mutable.ArrayBuffer.empty[Long]
+    val stack = mutable.Stack[Long](0L)
+    while (stack.nonEmpty) {
+      byId.get(stack.pop()).foreach { n =>
+        out ++= n.ids
+        if (n.internal) {
+          val (lo, hi) =
+            if (n.dim == null) (true, true)
+            else {
+              val c = q(n.dim.intValue()).toDouble
+              (n.mid.toDouble >= c - domain, n.mid.toDouble <= c + domain)
+            }
+          if (lo && n.low != null) stack.push(n.low.longValue())
+          if (hi && n.high != null) stack.push(n.high.longValue())
+        }
+      }
+    }
+    out.toSeq.toDF("id")
+  }
+
+  /** Iterative frontier-join descent for indexes too large to collect. */
+  def searchBoxDistributed(index: DataFrame, q: Seq[Float], domain: Double): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qCol = doubleVec(q.map(_.toDouble))
+    val idx = index.localCheckpoint()
+    var frontier = idx.filter($"rangeId" === 0L).localCheckpoint()
+    var leaves = List.empty[DataFrame]
+    while (!frontier.isEmpty) {
+      leaves = frontier.filter($"id".isNotNull).select($"id") :: leaves
+      val qv = element_at(qCol, $"dimension" + 1)
+      val childIds = frontier.filter($"lowRangeId".isNotNull)
+        .select(explode(array(
+          when($"dimension".isNull ||
+            $"mid".cast("double") >= qv - domain, $"lowRangeId"),
+          when($"dimension".isNull ||
+            $"mid".cast("double") <= qv + domain, $"highRangeId"))).as("childId"))
+        .filter($"childId".isNotNull)
+        .distinct()
+      frontier = idx.join(broadcast(childIds), $"rangeId" === $"childId")
+        .drop("childId")
+        .localCheckpoint()
+    }
+    leaves.reduceOption(_ unionAll _)
+      .getOrElse(spark.emptyDataset[Long].toDF("id"))
+  }
+}

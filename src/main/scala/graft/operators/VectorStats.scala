@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Per-dimension statistics over vector columns — the aggregates that drive
+  * the reference's index build:
+  *  - EAV shred (PointType rows):      DDL.sql:4-13, openjson shred DDL.sql:370-371
+  *  - per-dimension grouped stats A1:  DDL.sql:79-92 (avg, stdev, count_big, avg(ID))
+  *  - integer mean-id pivot A4:        DDL.sql:86,140; IndexBuilder.cs:87 (IdN/Count, integer division)
+  *  - min/max normalization A6:        MemoryVectorIndexTests.cs:249-303
+  *
+  * Scale: the shred multiplies rows by d — fine for the groupBy(dim) shape
+  * (map-side partial aggregation collapses it before the shuffle; the
+  * shuffle carries only (groupKeys × d) rows). The no-explode single-pass
+  * variant for the build loop lives in IndexBuild (element_at access).
+  */
+object VectorStats {
+
+  /** Explode (id, vector) into coordinate/EAV form (id, idx, value) with
+    * 0-based idx — mirrors openjson's `key` (DDL.sql:370-371). */
+  def explodeVectors(points: DataFrame, idCol: String, vecCol: String): DataFrame =
+    points.select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("idx", "value")))
+
+  /** A1: per-dimension stats. `stddev` = sample stdev (SQL `stdev`,
+    * DDL.sql:84) with the isnull(...,0) guard for single-row groups;
+    * meanId = floor(sum(id)/count) — integer division like the C#
+    * Int128/long division (IndexBuilder.cs:87). */
+  def dimStats(eav: DataFrame): DataFrame =
+    eav.groupBy(col("idx"))
+      .agg(
+        avg(col("value")).as("mean"),
+        coalesce(stddev(col("value")), lit(0.0d)).as("stdev"),
+        count(lit(1)).as("cnt"),
+        floor(sum(col("id")) / count(lit(1))).cast("long").as("meanId"))
+
+  /** A6: dataset-wide per-dimension min/max (for normalization). */
+  def dimExtent(eav: DataFrame): DataFrame =
+    eav.groupBy(col("idx"))
+      .agg(min(col("value")).as("minV"), max(col("value")).as("maxV"))
+
+  /** A6: normalize every vector to [-1, 1] with a single shared scale =
+    * max dimension extent / 2, per-dimension offset = (min+max)/2 — the
+    * reference's normalization (MemoryVectorIndexTests.cs:249-303).
+    * Returns the input with `vecCol` replaced by the normalized array
+    * (double precision). */
+  def normalize(points: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val extent = dimExtent(explodeVectors(points, idCol, vecCol))
+      .agg(
+        collect_list(struct(col("idx"), col("minV"), col("maxV"))).as("dims"),
+        max(col("maxV") - col("minV")).as("maxExtent"))
+      .select(
+        map_from_arrays(
+          transform(col("dims"), d => d("idx")),
+          transform(col("dims"), d => (d("minV") + d("maxV")) / 2.0d)).as("offsets"),
+        (col("maxExtent") / 2.0d).as("scale"))
+    // extent is one row — broadcast it as a literal-ish cross join.
+    points.crossJoin(broadcast(extent))
+      .withColumn(vecCol,
+        transform(col(vecCol),
+          (x, i) => (x.cast("double") - element_at(col("offsets"), i)) /
+            when(col("scale") === 0d, lit(1.0d)).otherwise(col("scale"))))
+      .drop("offsets", "scale")
+  }
+}

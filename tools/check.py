@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run graft.Verify on a
+scale factor, then compare every query's parquet output against its DuckDB
+oracle (columns sorted by name, rows compared in emitted order and as
+sorted multisets)."""
+import json, subprocess, sys, math
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "sf0.001"
+SFDIR = f"/root/testdata/{SF}"
+OUT = f"/tmp/verify_{SF}"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+if "--no-run" not in sys.argv:
+    r = subprocess.run(["bash", "tools/run_class.sh", "graft.Verify", SFDIR, OUT],
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stdout[-3000:]); print(r.stderr[-5000:]); sys.exit(1)
+    for line in r.stderr.splitlines():
+        if "[verify]" in line:
+            print(line)
+
+import duckdb
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SFDIR}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+                if v == -0.0: v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    return out
+
+fails = 0
+for name, sql in sorted(oracle.items()):
+    try:
+        got_rel = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
+        got_cols = [c.lower() for c in got_rel.columns]
+        got = norm(got_rel.fetchall(), got_cols)
+        exp_rel = con.sql(sql)
+        exp_cols = [c.lower() for c in exp_rel.columns]
+        exp = norm(exp_rel.fetchall(), exp_cols)
+    except Exception as e:
+        print(f"FAIL {name}: error {e}")
+        fails += 1
+        continue
+    if sorted(got_cols) != sorted(exp_cols):
+        print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(exp_cols)}")
+        fails += 1
+    elif got != exp:
+        status = "ORDER-ONLY" if sorted(got, key=repr) == sorted(exp, key=repr) else "VALUES"
+        print(f"FAIL {name}: {status} rows {len(got)} vs {len(exp)}")
+        if status == "VALUES":
+            sg, se = sorted(got, key=repr), sorted(exp, key=repr)
+            diffs = [(a, b) for a, b in zip(sg, se) if a != b][:3]
+            for a, b in diffs: print(f"   got {a}\n   exp {b}")
+            only_g = [x for x in sg if x not in se][:3]
+            only_e = [x for x in se if x not in sg][:3]
+            if only_g: print(f"   only-got {only_g}")
+            if only_e: print(f"   only-exp {only_e}")
+        fails += 1
+    else:
+        print(f"OK   {name} ({len(got)} rows)")
+print(f"\n{len(oracle) - fails}/{len(oracle)} queries match")
+sys.exit(1 if fails else 0)
