@@ -80,7 +80,82 @@ object SparkEntry {
         .agg(count(lit(1)).as("leaf_cnt"),
           count_distinct(col("id")).as("distinct_ids"))
     }),
+
+    // --- text analysis (training-data pipeline) ---
+    "t1_text_profile" -> ((s, d) =>
+      TextOps.profile(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "t2_top_terms" -> ((s, d) =>
+      TextOps.topTerms(Tables.documents(s, d), "text", 20)),
+
+    // --- deduplication family ---
+    "d1_exact_dups" -> ((s, d) =>
+      Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+    "d2_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.3)
+        .orderBy(col("a"), col("b"))),
+    "d3_minhash_lsh" -> ((s, d) =>
+      Dedup.minHashLshCandidates(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("a"), col("b"))),
+    "d4_simhash" -> ((s, d) =>
+      Dedup.simHash(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc"))),
+    "d5_simhash_pairs" -> ((s, d) =>
+      Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy(col("a"), col("b"))),
+    "d6_cosine_pairs" -> ((s, d) =>
+      Dedup.cosinePairs(embeddings(s, d), "vec_id", "embedding", 0.4)
+        .orderBy(col("a"), col("b"))),
+    "d7_keep_first" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      Dedup.keepFirst(docs, "doc_id", pairs).orderBy(col("doc_id"))
+    }),
   )
+
+  // ---- programmatically-built oracle SQL for the dedup/text family ----
+
+  private val ShingleCte =
+    """toks AS (SELECT doc_id, string_split_regex(text, '\s+') ts FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+3], ' ') AS shingle
+      |       FROM (SELECT doc_id, ts, unnest(range(greatest(len(ts)-2, 1))) AS i FROM toks))""".stripMargin
+
+  private val JaccardPairsSql =
+    s"""WITH $ShingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT a, b,
+       |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard,
+       |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS raw_jaccard
+       |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b""".stripMargin
+
+  private def simhashSumsSql: String = {
+    val sums = (0 until 16).map { j =>
+      val pos = j / 4 + 1
+      val shift = 3 - j % 4
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substring(md5(token), $pos, 1)) - 1) >> $shift) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n  ")
+    s"""tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM documents),
+       |sums AS (SELECT doc_id,
+       |  $sums
+       |FROM tok GROUP BY doc_id),
+       |sh16 AS (SELECT doc_id AS doc,
+       |  ${(0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1 << j} ELSE 0 END)").mkString(" + ")} AS simhash
+       |FROM sums)""".stripMargin
+  }
+
+  private val langCases: String = {
+    val langs = Seq("en", "de", "fr", "es", "zh")
+    def hits(l: String) = {
+      val words = TextOps.markers(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(ts, t -> t IN ($words)))"
+    }
+    val best = langs.map(hits).mkString("greatest(", ", ", ")")
+    langs.map(l => s"WHEN ${hits(l)} = $best THEN '$l'").mkString("CASE ", " ", " ELSE 'en' END")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -173,5 +248,65 @@ object SparkEntry {
     "v6_index_leaf_count" ->
       """SELECT count(*) AS leaf_cnt, count(DISTINCT vec_id) AS distinct_ids
         |FROM embeddings""".stripMargin,
+
+    "t1_text_profile" ->
+      s"""SELECT doc_id,
+         | len(string_split_regex(text, '\\s+')) AS n_tokens,
+         | len(list_filter(string_split_regex(text, '[^0-9A-Za-z]+'), x -> x != ''))
+         |   + length(regexp_replace(text, '[0-9A-Za-z\\s]+', '', 'g')) AS n_subwords,
+         | (SELECT $langCases FROM (SELECT string_split_regex(lower(t2.text), '\\s+') ts)) AS pred_lang,
+         | round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
+         |   + (CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS DOUBLE)
+         |      / greatest(len(string_split_regex(text, '\\s+')), 1)) * 0.3
+         |   + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1)) * 0.3, 6) AS quality,
+         | md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\\s+'))), ' ')) AS fingerprint
+         |FROM documents t2 ORDER BY doc_id""".stripMargin,
+    "t2_top_terms" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "d1_exact_dups" ->
+      """SELECT doc_id, md5(text) AS text_hash,
+        | min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        | count(*) OVER (PARTITION BY md5(text)) AS group_size
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "d2_ngram_jaccard" ->
+      s"""SELECT a, b, jaccard FROM ($JaccardPairsSql)
+         |WHERE raw_jaccard >= 0.3 ORDER BY a, b""".stripMargin,
+    "d3_minhash_lsh" ->
+      s"""WITH $ShingleCte,
+         |sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS sig
+         |        FROM sh, generate_series(0, 15) t(h) GROUP BY doc_id, h),
+         |bands AS (SELECT doc_id, CAST(floor(h / 4) AS BIGINT) AS band,
+         |                 md5(string_agg(sig, ',' ORDER BY h)) AS key
+         |          FROM sig GROUP BY doc_id, CAST(floor(h / 4) AS BIGINT))
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+         |ORDER BY a, b""".stripMargin,
+    "d4_simhash" ->
+      s"""WITH $simhashSumsSql
+         |SELECT doc, simhash FROM sh16 ORDER BY doc""".stripMargin,
+    "d5_simhash_pairs" ->
+      s"""WITH $simhashSumsSql
+         |SELECT x.doc AS a, y.doc AS b, bit_count(xor(x.simhash::BIGINT, y.simhash::BIGINT)) AS hamming
+         |FROM sh16 x JOIN sh16 y ON x.doc < y.doc
+         |WHERE bit_count(xor(x.simhash::BIGINT, y.simhash::BIGINT)) <= 3
+         |ORDER BY a, b""".stripMargin,
+    "d6_cosine_pairs" ->
+      """SELECT a, b, round(cos, 6) AS cos FROM (
+        | SELECT x.vec_id AS a, y.vec_id AS b,
+        |  list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
+        | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) x
+        | JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) y
+        |   ON x.vec_id < y.vec_id
+        |) WHERE cos > 0.4 ORDER BY a, b""".stripMargin,
+    "d7_keep_first" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (
+         |  SELECT b FROM ($JaccardPairsSql) WHERE raw_jaccard >= 0.6)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Cross-engine determinism: every hash is md5 (identical in Spark and
+  * DuckDB), so each operator has an exact SQL oracle. The MinHash family
+  * uses lexicographic-min of md5(seed || shingle) — a valid random
+  * permutation family without engine-specific integer hashing.
+  *
+  * Scale notes (100 TB posture):
+  *  - token shingling is a narrow map (no shuffle);
+  *  - MinHash signatures: one groupBy(doc) with map-side partial min —
+  *    the shuffle carries (docs × numHashes) small rows, never raw text;
+  *  - LSH banding turns the quadratic all-pairs problem into an
+  *    equi-join on band keys (shuffle keyed by band hash, balanced as
+  *    long as buckets stay small; cap giant buckets before the
+  *    pair-explosion with a bucket-size limit);
+  *  - exact n-gram Jaccard self-join is for verification / small inputs —
+  *    its shingle join skews on hot shingles; the LSH path is the one
+  *    that scales and the Jaccard re-check runs only on candidates.
+  */
+object Dedup {
+
+  /** Tokenize on whitespace — mirrors string_split_regex(text, '\s+'). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Word k-shingles joined by single spaces; short docs yield one
+    * shingle of all tokens (mirrors the oracle's slice semantics). */
+  def shingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    transform(
+      sequence(lit(0), greatest(size(t) - k, lit(0))),
+      i => concat_ws(" ", slice(t, i + 1, lit(k))))
+  }
+
+  /** Exact duplicate grouping on md5(text): every doc mapped to the
+    * canonical (minimum) doc id of its identical-text group, plus group
+    * size. group_size == 1 ⇔ unique. */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(col(textCol).cast("binary"))
+    val w = Window.partitionBy(h)
+    docs.select(col(idCol),
+        h.as("text_hash"),
+        min(col(idCol)).over(w).as("canonical_id"),
+        count(lit(1)).over(w).as("group_size"))
+  }
+
+  /** All pairs (a < b) with exact k-shingle Jaccard >= threshold.
+    * Distinct-shingle inverted-index self-join: |A∩B| by counting shared
+    * shingles, |A∪B| = |A|+|B|−|A∩B|. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc"),
+        explode(shingles(col(textCol), k)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature rows (doc, h, sig): sig = lexicographic min over
+    * the doc's distinct k-shingles of md5(h || ':' || shingle), for
+    * h in [0, numHashes). */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, numHashes: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc"),
+        explode(shingles(col(textCol), k)).as("shingle"))
+      .distinct()
+    sh.select(col("doc"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("h"),
+        col("shingle"))
+      .groupBy(col("doc"), col("h"))
+      .agg(min(md5(concat(col("h").cast("string"), lit(":"), col("shingle"))
+        .cast("binary"))).as("sig"))
+  }
+
+  /** LSH band keys (doc, band, key): the signature is cut into bands of
+    * `rowsPerBand` hashes; key = md5 of the concatenated band slice.
+    * Docs sharing any band key are candidate near-duplicates. */
+  def lshBandKeys(signatures: DataFrame, rowsPerBand: Int): DataFrame =
+    signatures
+      .withColumn("band", floor(col("h") / rowsPerBand))
+      .groupBy(col("doc"), col("band"))
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("h"), col("sig")))),
+          s => s.getField("sig"))).cast("binary")).as("key"))
+
+  /** Candidate pairs (a < b) from MinHash+LSH banding. */
+  def minHashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, numHashes: Int = 16,
+                           rowsPerBand: Int = 4): DataFrame = {
+    val bands = lshBandKeys(
+      minHashSignatures(docs, idCol, textCol, k, numHashes), rowsPerBand)
+    bands.as("x").join(bands.as("y"),
+        col("x.key") === col("y.key") && col("x.band") === col("y.band") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash over whitespace tokens (with multiplicity): bit j is
+    * set iff Σ_tokens (bit_j(md5(token)) ? +1 : -1) > 0, j from the first
+    * 4 hex chars of the token's md5 (most-significant first). */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc"),
+      explode(tokens(col(textCol))).as("token"))
+    val bitCols = (0 until 16).map { j =>
+      // hex digit value via position in the hex alphabet — portable to the
+      // DuckDB oracle (strpos), no engine-specific conv().
+      val digit = expr(s"instr('0123456789abcdef', substring(md5(cast(token as binary)), ${j / 4 + 1}, 1)) - 1")
+      val bit = shiftright(digit, 3 - j % 4).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val sums = tok.groupBy(col("doc")).agg(bitCols.head, bitCols.tail: _*)
+    val value = (0 until 16).map { j =>
+      when(col(s"s$j") > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    sums.select(col("doc"), value.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance (popcount of xor) <= maxDist. */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int): DataFrame = {
+    val sh = simHash(docs, idCol, textCol)
+    sh.as("x").join(sh.as("y"), col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (a < b, cosine > threshold).
+    * The small side should be broadcast by the caller at scale; this is
+    * the exact quadratic form — the LSH-bucketed path for embeddings
+    * lives in Similarity. */
+  def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
+    val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") > threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Keep-first dedup: drop every doc that has a near-dup partner with a
+    * smaller id (partner source = any candidate pair relation with
+    * columns a < b). Returns the kept ids. */
+  def keepFirst(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("b").as(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol))
+}
