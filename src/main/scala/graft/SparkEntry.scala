@@ -36,10 +36,10 @@ object SparkEntry {
 
     // --- vector engine: brute force (reference oracle semantics) ---
     "v1_range_search" -> ((s, d) =>
-      BruteForce.rangeSearch(embeddings(s, d), "embedding", Q64f, Radius)
+      BruteForce.rangeSearch(embeddings(s, d), "embedding", Q64, Radius)
         .select(col("vec_id")).orderBy(col("vec_id"))),
     "v2_knn" -> ((s, d) =>
-      BruteForce.knn(embeddings(s, d), "embedding", "vec_id", Q64f, 10)
+      BruteForce.knn(embeddings(s, d), "embedding", "vec_id", Q64, 10)
         .withColumn("rank",
           row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(col("dist"), col("vec_id"))))
@@ -70,7 +70,7 @@ object SparkEntry {
     "v5_index_search_exact" -> ((s, d) => {
       val e = embeddings(s, d)
       val index = IndexBuild.buildIndex(e, "vec_id", "embedding")
-      IndexSearch.searchExact(index, e, "vec_id", "embedding", Q64f, Radius)
+      IndexSearch.searchExact(index, e, "vec_id", "embedding", Q64, Radius)
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
     "v6_index_leaf_count" -> ((s, d) => {
@@ -112,7 +112,52 @@ object SparkEntry {
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
       Dedup.keepFirst(docs, "doc_id", pairs).orderBy(col("doc_id"))
     }),
+
+    // --- similarity search (ANN paths) ---
+    "a1_lsh_knn" -> ((s, d) =>
+      Similarity.lshKnn(embeddings(s, d), "vec_id", "embedding",
+          Planes, Q64, 10)
+        .select(col("vec_id"), col("bucket")).orderBy(col("vec_id"))),
+    "a2_ivf_knn" -> ((s, d) =>
+      Similarity.ivfKnn(embeddings(s, d), "vec_id", "embedding",
+          16, 4, Q64, 10)
+        .select(col("vec_id"), col("list_id")).orderBy(col("vec_id"))),
+    "a3_lsh_buckets" -> ((s, d) =>
+      Similarity.lshAssign(embeddings(s, d), "vec_id", "embedding", Planes)
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))),
+
+    // --- ingest / generators ---
+    "i1_json_shred" -> ((s, d) => {
+      val json = graft.sources.Ingest.toJsonVectors(
+        embeddings(s, d), "vec_id", "embedding")
+      graft.sources.Ingest.shredJsonVectors(json, "vec_id", "vector_json")
+        .orderBy(col("vec_id"), col("idx"))
+    }),
+    "i2_grid" -> ((s, d) =>
+      graft.sources.Ingest.grid(s, 32)
+        .select(col("id"), col("vector")(0).as("x"), col("vector")(1).as("y"))
+        .orderBy(col("id"))),
+    // no SQL oracle (engine-specific hash): driver rows-only check
+    "i3_random_uniform" -> ((s, d) =>
+      graft.sources.Ingest.randomUniform(s, 1000, 8)
+        .select(col("id"), col("vector")(0).as("v0"))
+        .filter(col("v0") >= -1d && col("v0") <= 1d)
+        .orderBy(col("id"))),
   )
+
+  /** LSH hyperplanes shared by queries and oracle SQL. */
+  private val Planes: Array[Array[Double]] = Similarity.hyperplanes(8, 64)
+
+  private def planeSql(p: Array[Double]): String =
+    p.mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  /** SQL expression: LSH bucket of DOUBLE[] expression `v` (mirrors
+    * Similarity.lshBucket bit for bit). */
+  private def bucketSql(v: String): String =
+    Planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN list_dot_product($v, ${planeSql(p)}) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
 
   // ---- programmatically-built oracle SQL for the dedup/text family ----
 
@@ -308,5 +353,48 @@ object SparkEntry {
          |WHERE doc_id NOT IN (
          |  SELECT b FROM ($JaccardPairsSql) WHERE raw_jaccard >= 0.6)
          |ORDER BY doc_id""".stripMargin,
+
+    "a1_lsh_knn" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, ${bucketSql("v")} AS bucket, v FROM e),
+         |qb AS (SELECT ${bucketSql(Q64Sql)} AS qbucket)
+         |SELECT vec_id, bucket FROM (
+         |  SELECT vec_id, bucket, list_distance(v, $Q64Sql) AS dist
+         |  FROM b, qb WHERE bucket = qbucket
+         |  ORDER BY dist, vec_id LIMIT 10
+         |) ORDER BY vec_id""".stripMargin,
+    "a2_ivf_knn" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS list_id, v AS centroid FROM e ORDER BY vec_id LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT e.vec_id, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(e.v, c.centroid), c.list_id) AS rn
+         |    FROM e CROSS JOIN c
+         |  ) WHERE rn = 1),
+         |probe AS (SELECT list_id FROM c
+         |  ORDER BY list_distance(centroid, $Q64Sql), list_id LIMIT 4)
+         |SELECT vec_id, list_id FROM (
+         |  SELECT a.vec_id, a.list_id, list_distance(e.v, $Q64Sql) AS dist
+         |  FROM assigned a JOIN e ON a.vec_id = e.vec_id
+         |  JOIN probe p ON a.list_id = p.list_id
+         |  ORDER BY dist, a.vec_id LIMIT 10
+         |) ORDER BY vec_id""".stripMargin,
+    "a3_lsh_buckets" ->
+      s"""SELECT bucket, count(*) AS n FROM (
+         |  SELECT ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket FROM embeddings
+         |) GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "i1_json_shred" ->
+      """SELECT vec_id, i AS idx, embedding[i + 1] AS value
+        |FROM embeddings, generate_series(0, 63) t(i)
+        |ORDER BY vec_id, idx""".stripMargin,
+    "i2_grid" ->
+      """SELECT i * 32 + j AS id,
+        | CAST((i - 15.5) / 16.0 AS FLOAT) AS x,
+        | CAST((j - 15.5) / 16.0 AS FLOAT) AS y
+        |FROM generate_series(0, 31) a(i), generate_series(0, 31) b(j)
+        |ORDER BY id""".stripMargin,
   )
 }

@@ -21,15 +21,15 @@ object BruteForce {
 
   /** All points with euclidean dist(vec, q) <= radius (exact semantics;
     * the predicate runs inside whole-stage codegen — no UDF). */
-  def rangeSearch(points: DataFrame, vecCol: String, q: Seq[Float], radius: Double): DataFrame =
-    points.filter(dist(col(vecCol), floatVec(q)) <= radius)
+  def rangeSearch(points: DataFrame, vecCol: String, q: Seq[Double], radius: Double): DataFrame =
+    points.filter(dist(col(vecCol), doubleVec(q)) <= radius)
 
   /** Top-k nearest neighbours of one query vector. Deterministic: ties on
     * distance are broken by the id column. Executes as a per-partition
     * top-k (TakeOrderedAndProject), not a global sort. */
-  def knn(points: DataFrame, vecCol: String, idCol: String, q: Seq[Float], k: Int): DataFrame =
+  def knn(points: DataFrame, vecCol: String, idCol: String, q: Seq[Double], k: Int): DataFrame =
     points
-      .withColumn("dist", dist(col(vecCol), floatVec(q)))
+      .withColumn("dist", dist(col(vecCol), doubleVec(q)))
       .orderBy(col("dist"), col(idCol))
       .limit(k)
 

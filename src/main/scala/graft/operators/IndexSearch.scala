@@ -30,7 +30,7 @@ import scala.collection.mutable
 object IndexSearch {
 
   /** Candidate leaf ids within the box (auto local/distributed). */
-  def searchBox(index: DataFrame, q: Seq[Float], domain: Double,
+  def searchBox(index: DataFrame, q: Seq[Double], domain: Double,
                 localNodeLimit: Long = 2_000_000L): DataFrame = {
     if (index.limit((localNodeLimit + 1).toInt).count() <= localNodeLimit)
       searchBoxLocal(index, q, domain)
@@ -42,15 +42,15 @@ object IndexSearch {
     * euclidean predicate against the points table — equals the
     * brute-force oracle by construction (zero false pos/neg). */
   def searchExact(index: DataFrame, points: DataFrame, idCol: String,
-                  vecCol: String, q: Seq[Float], radius: Double): DataFrame = {
+                  vecCol: String, q: Seq[Double], radius: Double): DataFrame = {
     val cands = searchBox(index, q, radius).withColumnRenamed("id", idCol)
     points.join(cands, idCol)
-      .filter(dist(col(vecCol), floatVec(q)) <= radius)
+      .filter(dist(col(vecCol), doubleVec(q)) <= radius)
   }
 
   /** Driver-local descent (index collected once). Returns one column
     * `id` of candidate point ids. */
-  def searchBoxLocal(index: DataFrame, q: Seq[Float], domain: Double): DataFrame = {
+  def searchBoxLocal(index: DataFrame, q: Seq[Double], domain: Double): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val nodes = index.select("rangeId", "dimension", "mid", "lowRangeId",
@@ -98,7 +98,7 @@ object IndexSearch {
   }
 
   /** Iterative frontier-join descent for indexes too large to collect. */
-  def searchBoxDistributed(index: DataFrame, q: Seq[Float], domain: Double): DataFrame = {
+  def searchBoxDistributed(index: DataFrame, q: Seq[Double], domain: Double): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val qCol = doubleVec(q.map(_.toDouble))

