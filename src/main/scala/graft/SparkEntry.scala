@@ -144,6 +144,39 @@ object SparkEntry {
         .select(col("id"), col("vector")(0).as("v0"))
         .filter(col("v0") >= -1d && col("v0") <= 1d)
         .orderBy(col("id"))),
+
+    // --- sessionization (batch twin of the streaming path) ---
+    "s1_sessions" -> ((s, d) =>
+      graft.streaming.StreamOps.sessionizeBatch(Tables.events(s, d))
+        .orderBy(col("user_id"), col("session_idx"))),
+
+    // --- incremental index maintenance (R4/R5) ---
+    "m1_index_remove_search" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val index = IndexBuild.buildIndex(e, "vec_id", "embedding")
+      val removed = IndexMaintain.removePoints(index,
+        e.filter(col("vec_id") % 7 === 0).select(col("vec_id")))
+      IndexSearch.searchExact(removed, e, "vec_id", "embedding", Q64, Radius)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+    "m2_index_add_search" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val base = e.filter(col("vec_id") % 3 =!= 0)
+      val adds = e.filter(col("vec_id") % 3 === 0)
+      val index = IndexBuild.buildIndex(base, "vec_id", "embedding")
+      val grown = IndexMaintain.addPoints(index, base, adds, "vec_id", "embedding")
+      IndexSearch.searchExact(grown, e, "vec_id", "embedding", Q64, Radius)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
+    // --- multimodal plumbing (stubbed codec, real schema/batching) ---
+    "m3_media_features" -> ((s, d) => {
+      val media = Multimodal.mediaFromText(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("sha"),
+          col("width"), col("height"), col("n_frames"))
+        .orderBy(col("media_id"))
+    }),
   )
 
   /** LSH hyperplanes shared by queries and oracle SQL. */
@@ -396,5 +429,44 @@ object SparkEntry {
         | CAST((j - 15.5) / 16.0 AS FLOAT) AS y
         |FROM generate_series(0, 31) a(i), generate_series(0, 31) b(j)
         |ORDER BY id""".stripMargin,
+
+    "s1_sessions" ->
+      """WITH m AS (
+        | SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |        OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |       THEN 1 ELSE 0 END AS new_session
+        | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        | SELECT user_id, ts, value,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        | FROM m)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        | min(ts) AS session_start, max(ts) AS session_end,
+        | round(sum(value), 4) AS session_value
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "m1_index_remove_search" ->
+      s"""SELECT vec_id FROM embeddings
+         |WHERE $DistSql <= $Radius AND vec_id % 7 <> 0 ORDER BY vec_id""".stripMargin,
+    "m2_index_add_search" ->
+      s"""SELECT vec_id FROM embeddings
+         |WHERE $DistSql <= $Radius ORDER BY vec_id""".stripMargin,
+    "m3_media_features" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        | octet_length(encode(text)) AS n_bytes,
+        | sha256(text) AS sha,
+        | 64 + (strpos('0123456789abcdef', substring(sha256(text), 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substring(sha256(text), 2, 1)) - 1) AS width,
+        | 64 + (strpos('0123456789abcdef', substring(sha256(text), 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substring(sha256(text), 4, 1)) - 1) AS height,
+        | CASE WHEN doc_id % 3 = 2
+        |      THEN 1 + (strpos('0123456789abcdef', substring(sha256(text), 5, 1)) - 1)
+        |      ELSE 1 END AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 }

@@ -181,10 +181,20 @@ object IndexBuild {
   // (IndexBuilder.cs:31-157) re-expressed over in-memory partitions.
   // ---------------------------------------------------------------------
 
+  /** Depth of a rangeId in the implicit heap (root 0 → depth 0):
+    * floor(log2(rangeId + 1)) — F5, IndexBuilder.cs:43-45. */
+  private[graft] def depthOf(rangeId: Long): Int =
+    63 - java.lang.Long.numberOfLeadingZeros(rangeId + 1)
+
   /** points: (rangeId, id, vector) co-located by rangeId; every rangeId
     * group becomes an independently-built subtree whose root is that
-    * range. `level` is the tree level of the incoming rangeIds (for the
-    * max/min alternation parity). */
+    * range, at the max/min alternation parity of its own depth. */
+  private[graft] def buildLocalSubtreesAtDepth(points: DataFrame,
+                                               bucketSize: Int): DataFrame =
+    buildLocalSubtrees(points, -1, bucketSize)
+
+  /** Same, with `level` fixed for all ranges (BFS path: all active ranges
+    * share a level); level = -1 derives it per range from the rangeId. */
   private[graft] def buildLocalSubtrees(points: DataFrame, level: Int,
                                         bucketSize: Int): DataFrame = {
     val spark = points.sparkSession
@@ -201,7 +211,8 @@ object IndexBuild {
           groups.getOrElseUpdate(rangeId, mutable.ArrayBuffer.empty) += ((id, vec))
         }
         groups.iterator.flatMap { case (rangeId, pts) =>
-          buildSubtree(rangeId, level, pts.toArray, bucketSize)
+          val lvl = if (level >= 0) level else depthOf(rangeId)
+          buildSubtree(rangeId, lvl, pts.toArray, bucketSize)
         }
       }
     spark.createDataFrame(rows.map { case (rangeId, dim, mid, lo, hi, id) =>

