@@ -62,44 +62,54 @@ object StreamOps {
         round(sum(col("value")), 4).as("session_value"))
   }
 
-  private case class SessionState(start: Long, last: Long, n: Long,
-                                  value: Double, idx: Long)
+  /** startUs/lastUs are epoch microseconds (full precision for output;
+    * the gap test floors to seconds, matching unix_timestamp in the
+    * batch twin). */
+  case class SessionState(startUs: Long, lastUs: Long, n: Long,
+                          value: Double, idx: Long)
   case class SessionOut(user_id: Long, session_idx: Long, n_events: Long,
                         session_start: Timestamp, session_end: Timestamp,
                         session_value: Double)
 
+  private def usToTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState: emits a session
-    * when the gap passes (event-time driven within the group; processing-
-    * time timeout flushes the tail). Semantics match sessionizeBatch when
-    * events arrive in order. */
+    * when the gap passes (event-time driven within the group; a live
+    * deployment would add a timeout to flush tails). Semantics match
+    * sessionizeBatch when events arrive in order. */
   def sessionizeStream(events: DataFrame): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
     val typed = events
-      .select(col("user_id"), col("ts").cast("long").as("tsSec"),
-        col("ts"), col("event_id"), col("value"))
-      .as[(Long, Long, Timestamp, Long, Double)]
+      .select(col("user_id"), unix_micros(col("ts")).as("tsUs"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
 
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (userId, rows, state: GroupState[List[SessionState]]) =>
-          val sorted = rows.toSeq.sortBy(r => (r._2, r._4))
+          def sec(us: Long): Long = Math.floorDiv(us, 1000000L)
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
           var sessions = state.getOption.getOrElse(Nil)
           var out = List.empty[SessionOut]
-          sorted.foreach { case (_, tsSec, _, _, v) =>
+          sorted.foreach { case (_, tsUs, _, v) =>
             sessions match {
-              case cur :: rest if tsSec - cur.last <= SessionGapMinutes * 60L =>
-                sessions = cur.copy(last = tsSec, n = cur.n + 1,
+              case cur :: rest if sec(tsUs) - sec(cur.lastUs) <= SessionGapMinutes * 60L =>
+                sessions = cur.copy(lastUs = tsUs, n = cur.n + 1,
                   value = cur.value + v) :: rest
               case cur :: rest =>
                 out ::= SessionOut(userId, cur.idx, cur.n,
-                  new Timestamp(cur.start * 1000L), new Timestamp(cur.last * 1000L),
+                  usToTimestamp(cur.startUs), usToTimestamp(cur.lastUs),
                   BigDecimal(cur.value)
                     .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-                sessions = SessionState(tsSec, tsSec, 1, v, cur.idx + 1) :: rest
+                sessions = SessionState(tsUs, tsUs, 1, v, cur.idx + 1) :: rest
               case Nil =>
-                sessions = SessionState(tsSec, tsSec, 1, v, 1) :: Nil
+                sessions = SessionState(tsUs, tsUs, 1, v, 1) :: Nil
             }
           }
           state.update(sessions)

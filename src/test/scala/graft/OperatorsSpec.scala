@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Ingest
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (2L, "the quick brown fox jumps over a lazy dog"),     // near dup
+    (3L, "completely different words entirely here now"),
+    (4L, "dog lazy the over jumps fox brown quick the")    // permutation of 0
+  ).toDF("doc_id", "text")
+
+  test("exact duplicates group by md5") {
+    val rows = Dedup.exactDuplicates(docs, "doc_id", "text")
+      .select("doc_id", "canonical_id", "group_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.contains((0L, 0L, 2L)) && rows.contains((1L, 0L, 2L)))
+    assert(rows.contains((3L, 3L, 1L)))
+  }
+
+  test("ngram jaccard finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash LSH candidates include identical docs") {
+    val cands = Dedup.minHashLshCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 1L)))
+    assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs at hamming 0; permutations share tokens") {
+    val sh = Dedup.simHash(docs, "doc_id", "text")
+      .as[(Long, Int)].collect().toMap
+    assert(sh(0L) == sh(1L))
+    assert(sh(0L) == sh(4L)) // simhash is bag-of-tokens: permutation-invariant
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", 0)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("cosine pairs and keep-first dedup") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.001f)), (2L, Seq(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosinePairs(emb, "vec_id", "embedding", 0.99)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+    val kept = Dedup.keepFirst(emb, "vec_id",
+        Dedup.cosinePairs(emb, "vec_id", "embedding", 0.99))
+      .as[Long].collect().toSet
+    assert(kept == Set(0L, 2L))
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token count, subwords, quality bounds") {
+    val df = Seq((0L, "Hello, world! This is text.")).toDF("doc_id", "text")
+    val p = TextOps.profile(df, "doc_id", "text").head()
+    assert(p.getAs[Int]("n_tokens") == 5)
+    assert(p.getAs[Int]("n_subwords") == 8) // 5 words + , ! .
+    val q = p.getAs[Double]("quality")
+    assert(q > 0 && q <= 1)
+  }
+
+  test("langId follows marker stopwords with en tie preference") {
+    val df = Seq(
+      (0L, "the cat and the dog"),
+      (1L, "der Hund und die Katze ist"),
+      (2L, "le chat et les chiens est la"),
+      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+    val langs = TextOps.profile(df, "doc_id", "text")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(langs(0L) == "en" && langs(1L) == "de" && langs(2L) == "fr" && langs(3L) == "en")
+  }
+
+  test("fingerprint is permutation/duplication invariant") {
+    val df = Seq((0L, "b a c a"), (1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val fp = TextOps.profile(df, "doc_id", "text")
+      .select("doc_id", "fingerprint").as[(Long, String)].collect().toMap
+    assert(fp(0L) == fp(1L) && fp(0L) != fp(2L))
+  }
+
+  test("topTerms ranks by count then token") {
+    val df = Seq((0L, "b b a a c")).toDF("doc_id", "text")
+    val top = TextOps.topTerms(df, "text", 2).as[(String, Long)].collect()
+    assert(top.toSeq == Seq(("a", 2L), ("b", 2L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("identical vectors share an LSH bucket; knn within bucket is exact") {
+    val planes = Similarity.hyperplanes(8, 4)
+    val emb = Seq(
+      (0L, Seq(0.5f, 0.1f, -0.2f, 0.3f)),
+      (1L, Seq(0.5f, 0.1f, -0.2f, 0.3f)),
+      (2L, Seq(-0.5f, -0.1f, 0.2f, -0.3f))).toDF("vec_id", "embedding")
+    val b = Similarity.lshAssign(emb, "vec_id", "embedding", planes)
+      .select("vec_id", "bucket").as[(Long, Int)].collect().toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(2L)) // opposite vector flips every sign bit
+    val knn = Similarity.lshKnn(emb, "vec_id", "embedding", planes,
+      Seq(0.5, 0.1, -0.2, 0.3), 2).select("vec_id").as[Long].collect().toSet
+    assert(knn == Set(0L, 1L))
+  }
+
+  test("IVF assigns to nearest centroid and probes cover the query") {
+    val emb = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)),           // centroids
+      (2L, Seq(0.1f, 0.1f)), (3L, Seq(9.9f, 10.1f))).toDF("vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(emb, "vec_id", "embedding", 2)
+      .select("vec_id", "list_id").as[(Long, Long)].collect().toMap
+    assert(assigned(2L) == 0L && assigned(3L) == 1L)
+    val knn = Similarity.ivfKnn(emb, "vec_id", "embedding", 2, 1, Seq(0.0, 0.0), 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(knn == Set(0L, 2L))
+  }
+
+  test("brute-force knnJoin ranks per query") {
+    val emb = Seq((0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(5f, 5f)))
+      .toDF("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val r = BruteForce.knnJoin(emb, "embedding", "vec_id", qs, "qid", "qv", 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    assert(r == Map(0L -> 0L, 1L -> 1L))
+  }
+}
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("json vector round trip preserves floats exactly") {
+    val emb = Tables.embeddings(spark, sf0001).limit(50)
+    val json = Ingest.toJsonVectors(emb, "vec_id", "embedding")
+    val back = Ingest.shredJsonVectors(json, "vec_id", "vector_json")
+    val orig = operators.VectorStats.explodeVectors(emb, "vec_id", "embedding")
+      .withColumnRenamed("id", "vec_id")
+    assert(back.exceptAll(orig).count() == 0)
+    assert(orig.exceptAll(back).count() == 0)
+  }
+
+  test("csv points sink round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString
+    val pts = Ingest.grid(spark, 5)
+    Ingest.writePointsCsv(pts, "id", "vector", dir)
+    val back = Ingest.readPointsCsv(spark, dir)
+    assert(back.count() == 25)
+    val a = pts.select(col("id"), col("vector")(0).as("x")).as[(Long, Float)].collect().toMap
+    val b = back.select(col("id"), col("vector")(0).as("x")).as[(Long, Float)].collect().toMap
+    assert(a == b)
+  }
+
+  test("generators are deterministic and in range") {
+    val r1 = Ingest.randomUniform(spark, 100, 8).collect()
+    val r2 = Ingest.randomUniform(spark, 100, 8).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+    val mm = Ingest.randomUniform(spark, 100, 8)
+      .select(explode(col("vector")).as("v"))
+      .agg(min("v"), max("v")).head()
+    assert(mm.getFloat(0) >= -1f && mm.getFloat(1) <= 1f)
+    assert(Ingest.oneHot(spark, 16).count() == 16)
+  }
+
+  test("normalization maps extent to [-1,1]") {
+    val pts = Seq((0L, Seq(0f, 50f)), (1L, Seq(10f, 100f)), (2L, Seq(5f, 75f)))
+      .toDF("id", "vector")
+    val norm = operators.VectorStats.normalize(pts, "id", "vector")
+    val vals = norm.select(explode(col("vector")).as("v")).agg(min("v"), max("v")).head()
+    assert(vals.getDouble(0) >= -1.0 && vals.getDouble(1) <= 1.0)
+    // widest dim (y: extent 50) spans exactly [-1, 1]
+    val y = norm.select(col("vector")(1).as("y")).as[Double].collect().sorted
+    assert(math.abs(y.head + 1.0) < 1e-12 && math.abs(y.last - 1.0) < 1e-12)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("feature extraction is deterministic with stable schema") {
+    val docs = Tables.documents(spark, sf0001).limit(30)
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text")
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.map(_.sha).toSeq == f2.map(_.sha).toSeq)
+    assert(f1.forall(f => f.width >= 64 && f.width < 320 && f.feature.length == 8))
+    assert(f1.forall(f => f.kind != "video" || f.n_frames >= 1))
+  }
+
+  test("frame sampling emits every k-th frame") {
+    val docs = Tables.documents(spark, sf0001).limit(30)
+    val feats = Multimodal.extractFeatures(
+      Multimodal.mediaFromText(docs, "doc_id", "text"))
+    val frames = Multimodal.sampleFrames(feats, 2)
+    val counts = frames.groupBy("media_id").count()
+      .join(feats.toDF().select(col("media_id"), col("n_frames")), "media_id")
+      .select(col("count"), ((col("n_frames") + 1) / 2).cast("long").as("expect"))
+      .as[(Long, Long)].collect()
+    counts.foreach { case (got, expect) => assert(got == expect) }
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamOps
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** File stream sources need a directory — stage the single parquet
+    * file into a temp dir. */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graftevents")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming windowed counts equal the batch twin") {
+    val stream = StreamOps.eventStream(spark, eventsDir)
+    val q = StreamOps.windowedCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("wc")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("wc")
+      .select("ws", "event_type", "n", "total")
+      .collect().map(_.toString).sorted
+    val want = operators.Relational.eventWindows(spark, sf0001)
+      .collect().map(_.toString).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("streaming sessionization emits exactly the closed sessions") {
+    val stream = StreamOps.eventStream(spark, eventsDir)
+    val q = StreamOps.sessionizeStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("sess")
+      .select("user_id", "session_idx", "n_events", "session_start", "session_end", "session_value")
+      .collect().map(_.toString).toSet
+
+    val batch = StreamOps.sessionizeBatch(Tables.events(spark, sf0001))
+    // the stream (NoTimeout) can't close each user's final session
+    val lastIdx = batch.groupBy("user_id")
+      .agg(max("session_idx").as("last_idx"))
+    val closed = batch.join(lastIdx, Seq("user_id"))
+      .filter(col("session_idx") < col("last_idx"))
+      .select("user_id", "session_idx", "n_events", "session_start", "session_end", "session_value")
+      .collect().map(_.toString).toSet
+    assert(got == closed)
+  }
+
+  test("foreachBatch incremental indexing keeps search exact") {
+    import java.util.concurrent.atomic.AtomicReference
+    val e = Tables.embeddings(spark, sf0001)
+    val base = e.filter(col("vec_id") >= 100).select("vec_id", "embedding")
+    val index0 = operators.IndexBuild.buildIndex(base, "vec_id", "embedding")
+    val idxRef = new AtomicReference(index0)
+    val ptsRef = new AtomicReference(base)
+
+    // drive "arrivals" as two explicit micro-batches (foreachBatch body)
+    Seq(e.filter(col("vec_id") < 50), e.filter(col("vec_id") >= 50 && col("vec_id") < 100))
+      .foreach { batch =>
+        val newIdx = operators.IndexMaintain.addPoints(
+          idxRef.get(), ptsRef.get(), batch.select("vec_id", "embedding"),
+          "vec_id", "embedding").localCheckpoint()
+        idxRef.set(newIdx)
+        ptsRef.set(ptsRef.get().unionByName(batch.select("vec_id", "embedding")).localCheckpoint())
+      }
+
+    val got = operators.IndexSearch.searchExact(idxRef.get(), e, "vec_id",
+        "embedding", QueryConstants.Q64, QueryConstants.Radius)
+      .select("vec_id").as[Long].collect().toSet
+    val want = operators.BruteForce.rangeSearch(e, "embedding",
+        QueryConstants.Q64, QueryConstants.Radius)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == want)
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): Double =
+    Seq(1).toDF("x").select(c.cast("double")).head().getDouble(0)
+
+  test("euclidean distance matches hand values") {
+    val d = one(dist(floatVec(Seq(0f, 3f)), floatVec(Seq(4f, 0f))))
+    assert(math.abs(d - 5.0) < 1e-12)
+  }
+
+  test("distSq is squared distance") {
+    val d = one(distSq(floatVec(Seq(1f, 1f)), floatVec(Seq(2f, 2f))))
+    assert(math.abs(d - 2.0) < 1e-12)
+  }
+
+  test("cosine of parallel vectors is 1, orthogonal 0, zero-norm 0") {
+    assert(math.abs(one(cosine(floatVec(Seq(1f, 2f)), floatVec(Seq(2f, 4f)))) - 1.0) < 1e-12)
+    assert(math.abs(one(cosine(floatVec(Seq(1f, 0f)), floatVec(Seq(0f, 1f))))) < 1e-12)
+    assert(one(cosine(floatVec(Seq(0f, 0f)), floatVec(Seq(1f, 1f)))) == 0.0)
+  }
+
+  test("inBox tests the L-inf window") {
+    val in = Seq(1).toDF("x")
+      .select(inBox(floatVec(Seq(0.5f, 0.5f)), floatVec(Seq(0.4f, 0.4f)), lit(0.2)).as("b"))
+      .head().getBoolean(0)
+    val out = Seq(1).toDF("x")
+      .select(inBox(floatVec(Seq(0.7f, 0.5f)), floatVec(Seq(0.4f, 0.4f)), lit(0.2)).as("b"))
+      .head().getBoolean(0)
+    assert(in && !out)
+  }
+
+  test("hasDim validates vector length") {
+    val df = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f))).toDF("id", "v")
+    assert(df.filter(hasDim(col("v"), 2)).count() == 1)
+  }
+}
