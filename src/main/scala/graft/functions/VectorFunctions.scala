@@ -18,22 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Element-wise (a-b)^2 summed: squared L2 distance, computed in double. */
-  def distSq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0d),
-      (acc, v) => acc + v)
+  /** Element-wise (a-b)^2 summed: squared L2 distance, computed in double.
+    * Native codegen'd kernel (VectorExpressions); same left-to-right
+    * float64 fold as the declarative `zip_with`+`aggregate` form. */
+  def distSq(a: Column, b: Column): Column = VectorExpressions.vecDistSq(a, b)
 
   /** Euclidean distance sqrt(sum((a_i-b_i)^2)), in double. */
   def dist(a: Column, b: Column): Column = sqrt(distSq(a, b))
 
-  /** Dot product in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d),
-      (acc, v) => acc + v)
+  /** Dot product in double (native codegen'd kernel). */
+  def dot(a: Column, b: Column): Column = VectorExpressions.vecDot(a, b)
 
   /** L2 norm in double. */
   def norm(a: Column): Column = sqrt(dot(a, a))

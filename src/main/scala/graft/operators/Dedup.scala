@@ -31,14 +31,26 @@ object Dedup {
   /** Tokenize on whitespace — mirrors string_split_regex(text, '\s+'). */
   def tokens(text: Column): Column = split(text, "\\s+")
 
-  /** Word k-shingles joined by single spaces; short docs yield one
-    * shingle of all tokens (mirrors the oracle's slice semantics). */
-  def shingles(text: Column, k: Int): Column = {
-    val t = tokens(text)
+  /** Word k-shingles from a MATERIALIZED token-array column, joined by
+    * single spaces; short docs yield one shingle of all tokens (mirrors
+    * the oracle's slice semantics).
+    *
+    * Callers must project `tokens(text)` into a column first: referencing
+    * `split(...)` directly here would re-run the regex split inside the
+    * per-shingle lambda (once per index — an O(tokens^2) trap visible in
+    * `.explain`). */
+  def shinglesOf(toks: Column, k: Int): Column =
     transform(
-      sequence(lit(0), greatest(size(t) - k, lit(0))),
-      i => concat_ws(" ", slice(t, i + 1, lit(k))))
-  }
+      sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+
+  /** (doc, shingle) rows with per-doc-distinct shingles — narrow map, no
+    * shuffle. */
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame =
+    docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"),
+        explode(array_distinct(shinglesOf(col("toks"), k))).as("shingle"))
 
   /** Exact duplicate grouping on md5(text): every doc mapped to the
     * canonical (minimum) doc id of its identical-text group, plus group
@@ -57,9 +69,7 @@ object Dedup {
     * shingles, |A∪B| = |A|+|B|−|A∩B|. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc"),
-        explode(shingles(col(textCol), k)).as("shingle"))
-      .distinct()
+    val sh = shingleRows(docs, idCol, textCol, k)
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc") < col("y.doc"))
@@ -74,20 +84,41 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature rows (doc, h, sig): sig = lexicographic min over
-    * the doc's distinct k-shingles of md5(h || ':' || shingle), for
-    * h in [0, numHashes). */
+  /** Mersenne prime 2^61-1 for the universal hash family. */
+  val MinHashP = 2305843009213693951L
+
+  /** Deterministic (a, b) parameters of the h_j(x) = (a_j·x + b_j) mod P
+    * family; a_j odd, both < 2^30 so a·x30 never overflows a signed 64-bit
+    * (ANSI-safe in Spark, error-free in DuckDB). */
+  def minHashParams(n: Int, seed: Long = 99L): Seq[(Long, Long)] = {
+    var s = seed
+    def next(): Long = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      s >>> 34 // top 30 bits
+    }
+    Seq.fill(n)((next() | 1L, next()))
+  }
+
+  /** MinHash signature rows (doc, h, sig): base integer x = md5(shingle)
+    * hex prefix (15 digits) mod 2^30, sig_h = min over the doc's distinct
+    * k-shingles of (a_h·x + b_h) mod 2^61-1.
+    *
+    * Shape: ONE codegen'd md5 per shingle (the 16 hash functions are
+    * integer ops), narrow maps into a groupBy whose min() partially
+    * aggregates map-side — the exchange carries only (docs × numHashes)
+    * rows, never the (docs × shingles × hashes) expansion. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, numHashes: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc"),
-        explode(shingles(col(textCol), k)).as("shingle"))
-      .distinct()
-    sh.select(col("doc"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("h"),
-        col("shingle"))
+    val x30 = (conv(substring(md5(col("shingle").cast("binary")), 1, 15),
+      16, 10).cast("long") % (1L << 30)).as("x30")
+    val hashes = minHashParams(numHashes).map { case (a, b) =>
+      (lit(a) * col("x30") + lit(b)) % MinHashP
+    }
+    shingleRows(docs, idCol, textCol, k)
+      .select(col("doc"), x30)
+      .select(col("doc"), posexplode(array(hashes: _*)).as(Seq("h", "hv")))
       .groupBy(col("doc"), col("h"))
-      .agg(min(md5(concat(col("h").cast("string"), lit(":"), col("shingle"))
-        .cast("binary"))).as("sig"))
+      .agg(min(col("hv")).as("sig"))
   }
 
   /** LSH band keys (doc, band, key): the signature is cut into bands of
@@ -99,7 +130,7 @@ object Dedup {
       .groupBy(col("doc"), col("band"))
       .agg(md5(concat_ws(",",
         transform(array_sort(collect_list(struct(col("h"), col("sig")))),
-          s => s.getField("sig"))).cast("binary")).as("key"))
+          s => s.getField("sig").cast("string"))).cast("binary")).as("key"))
 
   /** Candidate pairs (a < b) from MinHash+LSH banding. */
   def minHashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
@@ -150,10 +181,16 @@ object Dedup {
     * lives in Similarity. */
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
-    val a = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    // Precompute each side's norm ONCE (n rows) instead of per pair
+    // (n^2/2 rows); the pair loop then does a single codegen'd dot.
+    val a = emb.select(col(idCol).as("a"), col(vecCol).as("va"),
+      norm(col(vecCol)).as("na"))
+    val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"),
+      norm(col(vecCol)).as("nb"))
     a.join(b, col("a") < col("b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos",
+        when(col("na") * col("nb") === 0d, lit(0d))
+          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
       .filter(col("cos") > threshold)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
   }

@@ -72,11 +72,22 @@ object IndexBuild {
     import spark.implicits._
 
     // (rangeId, id, vector) — rangeId mutates level by level.
-    var assign = points
+    val prepared = points
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vector"))
       .withColumn("rangeId", lit(0L))
-      .localCheckpoint()
+
+    // Fast path: the whole point set fits one task's budget — build the
+    // entire tree in a single local job (no per-level driver loop). This
+    // is also what each leaf-subtree of the BFS phase does at scale.
+    if (localBuildThreshold > 0) {
+      val n = prepared.limit((localBuildThreshold + 1).toInt).count()
+      if (n <= localBuildThreshold)
+        return buildLocalSubtrees(
+          prepared.select($"rangeId", $"id", $"vector"), 0, bucketSize)
+    }
+
+    var assign = prepared.localCheckpoint()
 
     var level = 0
     var nodeParts = List.empty[DataFrame]

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge between public `Column`s and Catalyst `Expression`s. Spark 4
+  * moved this behind `private[sql] classic.ExpressionUtils`; a same-
+  * package shim is the standard way for an extension library to plug
+  * custom codegen expressions into the Column API. */
+object GraftSqlShim {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
