@@ -22,6 +22,9 @@ object QueryConstants {
   /** Vicinity radius (≈1-5% selectivity across sf). */
   val Radius = 1.25
 
+  /** L-inf box half-width for the box-search query (≈4% selectivity). */
+  val BoxDomain = 0.35
+
   /** DuckDB expression for euclidean distance of `embedding` to Q64 in
     * float64 — matches Spark's zip_with/aggregate fold semantics. */
   val DistSql: String = s"list_distance(CAST(embedding AS DOUBLE[]), $Q64Sql)"

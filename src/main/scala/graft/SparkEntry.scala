@@ -169,6 +169,44 @@ object SparkEntry {
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
+    // --- vector engine: normalization, box search, per-doc indexes ---
+    "v7_normalize" -> ((s, d) => {
+      val e = embeddings(s, d)
+      VectorStats.normalize(e, "vec_id", "embedding")
+        .select(col("vec_id"),
+          round(col("embedding")(0), 6).as("n0"),
+          round(col("embedding")(63), 6).as("n63"))
+        .orderBy(col("vec_id"))
+    }),
+    "v8_box_search" -> ((s, d) => {
+      // dbo.Search parity: box candidates from the index descent, then the
+      // exact L-inf window predicate (P2) — equals a full box scan.
+      val e = embeddings(s, d)
+      val index = IndexBuild.buildIndex(e, "vec_id", "embedding")
+      val cands = IndexSearch.searchBox(index, Q64, BoxDomain)
+        .withColumnRenamed("id", "vec_id")
+      e.join(cands, "vec_id")
+        .filter(inBox(col("embedding"), doubleVec(Q64), lit(BoxDomain)))
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+    "v9_multidoc_search" -> ((s, d) => {
+      // per-document trees (docId = label); search one doc + all docs
+      val e = embeddings(s, d)
+      val index = IndexBuild.buildIndexPerDoc(e, "label", "vec_id", "embedding")
+      val one = IndexSearch.searchBoxPerDoc(index, Q64, Radius, docId = Some(1L))
+      val exactOne = e.join(one.withColumnRenamed("id", "vec_id"), "vec_id")
+        .filter(dist(col("embedding"), doubleVec(Q64)) <= Radius)
+      exactOne.select(col("vec_id"), col("docId").as("doc"))
+        .orderBy(col("vec_id"))
+    }),
+    // tree-shape introspection (R6) — shape depends on float summation
+    // order, not SQL-expressible: rows-only check
+    "v10_index_depth_profile" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val index = IndexBuild.buildIndex(e, "vec_id", "embedding")
+      IndexWalk.depthProfile(index)
+    }),
+
     // --- multimodal plumbing (stubbed codec, real schema/batching) ---
     "m3_media_features" -> ((s, d) => {
       val media = Multimodal.mediaFromText(Tables.documents(s, d), "doc_id", "text")
@@ -460,6 +498,30 @@ object SparkEntry {
         | round(sum(value), 4) AS session_value
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+
+    "v7_normalize" ->
+      s"""WITH ext AS (
+         |  SELECT i, (min(e) + max(e)) / 2 AS off, max(e) - min(e) AS extent
+         |  FROM (SELECT i, CAST(embedding[i] AS DOUBLE) AS e
+         |        FROM embeddings, generate_series(1, 64) t(i))
+         |  GROUP BY i),
+         |sc AS (SELECT CASE WHEN max(extent) / 2 = 0 THEN 1.0
+         |              ELSE max(extent) / 2 END AS scale FROM ext)
+         |SELECT vec_id,
+         | round((CAST(embedding[1] AS DOUBLE) - (SELECT off FROM ext WHERE i = 1))
+         |   / (SELECT scale FROM sc), 6) AS n0,
+         | round((CAST(embedding[64] AS DOUBLE) - (SELECT off FROM ext WHERE i = 64))
+         |   / (SELECT scale FROM sc), 6) AS n63
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "v8_box_search" ->
+      s"""SELECT vec_id FROM embeddings e WHERE (
+         |  SELECT bool_and(CAST(e.embedding[i] AS DOUBLE) >= ($Q64Sql)[i] - $BoxDomain
+         |              AND CAST(e.embedding[i] AS DOUBLE) <= ($Q64Sql)[i] + $BoxDomain)
+         |  FROM generate_series(1, 64) t(i))
+         |ORDER BY vec_id""".stripMargin,
+    "v9_multidoc_search" ->
+      s"""SELECT vec_id, CAST(label AS BIGINT) AS doc FROM embeddings
+         |WHERE $DistSql <= $Radius AND label = 1 ORDER BY vec_id""".stripMargin,
 
     "m1_index_remove_search" ->
       s"""SELECT vec_id FROM embeddings

@@ -187,6 +187,48 @@ object IndexBuild {
     nodeParts.reverse.reduceOption(_ unionAll _).getOrElse(emptyNodes)
   }
 
+  /** Per-document index build — the reference's data model is one tree
+    * PER document (DDL.sql:209-227 keys the index by (DocID, RangeID);
+    * dbo.IndexDocument builds one doc at a time, DDL.sql:352-419).
+    *
+    * Spark-first formulation: all documents build IN PARALLEL — points
+    * hash-partition by document, each task builds its documents' trees
+    * with the sequential walker. Scale posture: parallelism across docs
+    * (the common case: many medium collections); a single out-sized doc
+    * should use `buildIndex` (distributed BFS + hybrid) on its own
+    * points. Output: (docId, rangeId, dimension, mid, lowRangeId,
+    * highRangeId, id). */
+  def buildIndexPerDoc(points: DataFrame, docCol: String, idCol: String,
+                       vecCol: String, bucketSize: Int = 1): DataFrame = {
+    val spark = points.sparkSession
+    val rows = points
+      .select(col(docCol).cast("long").as("docId"),
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vector"))
+      .repartition(col("docId"))
+      .queryExecution.toRdd.mapPartitions { iter =>
+        val groups = mutable.LinkedHashMap.empty[Long, mutable.ArrayBuffer[(Long, Array[Float])]]
+        iter.foreach { r =>
+          val docId = r.getLong(0)
+          groups.getOrElseUpdate(docId, mutable.ArrayBuffer.empty) +=
+            ((r.getLong(1), r.getArray(2).toFloatArray()))
+        }
+        groups.iterator.flatMap { case (docId, pts) =>
+          buildSubtree(0L, 0, pts.toArray, bucketSize).map(t => (docId, t))
+        }
+      }
+    val schema = StructType(
+      StructField("docId", LongType, nullable = false) +: indexSchema.fields.toSeq)
+    spark.createDataFrame(rows.map { case (docId, (rangeId, dim, mid, lo, hi, id)) =>
+      Row(docId, rangeId,
+        if (dim < 0) null else Int.box(dim),
+        if (dim < 0) null else Float.box(mid),
+        if (lo < 0) null else Long.box(lo),
+        if (hi < 0) null else Long.box(hi),
+        if (id < 0) null else Long.box(id))
+    }, schema)
+  }
+
   // ---------------------------------------------------------------------
   // Local (in-task) sequential subtree build — the reference's DFS walker
   // (IndexBuilder.cs:31-157) re-expressed over in-memory partitions.

@@ -97,6 +97,121 @@ object IndexSearch {
     out.toSeq.toDF("id")
   }
 
+  /** Per-document box search over a (docId, ...) index built by
+    * buildIndexPerDoc — mirrors dbo.Search's optional @docId
+    * (DDL.sql:240-241,262-263): None searches every document. Returns
+    * (docId, id) candidate rows. */
+  def searchBoxPerDoc(index: DataFrame, q: Seq[Double], domain: Double,
+                      docId: Option[Long] = None): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val filtered = docId.map(d => index.filter(col("docId") === d)).getOrElse(index)
+    val nodes = filtered.select("docId", "rangeId", "dimension", "mid",
+      "lowRangeId", "highRangeId", "id").collect()
+    val byDoc = nodes.groupBy(_.getLong(0))
+    val out = mutable.ArrayBuffer.empty[(Long, Long)]
+    byDoc.foreach { case (doc, rows) =>
+      final case class N(dim: Integer, mid: Float, low: java.lang.Long,
+                         high: java.lang.Long, ids: mutable.ArrayBuffer[Long],
+                         var internal: Boolean)
+      val byId = mutable.LongMap.empty[N]
+      rows.foreach { r =>
+        val n = byId.getOrElseUpdate(r.getLong(1),
+          N(null, 0f, null, null, mutable.ArrayBuffer.empty, internal = false))
+        if (!r.isNullAt(6)) n.ids += r.getLong(6)
+        if (!r.isNullAt(4)) {
+          byId.update(r.getLong(1), N(
+            if (r.isNullAt(2)) null else Int.box(r.getInt(2)),
+            if (r.isNullAt(3)) 0f else r.getFloat(3),
+            Long.box(r.getLong(4)),
+            if (r.isNullAt(5)) null else Long.box(r.getLong(5)),
+            n.ids, internal = true))
+        }
+      }
+      val stack = mutable.Stack[Long](0L)
+      while (stack.nonEmpty) {
+        byId.get(stack.pop()).foreach { n =>
+          n.ids.foreach(id => out += ((doc, id)))
+          if (n.internal) {
+            val (lo, hi) =
+              if (n.dim == null) (true, true)
+              else {
+                val c = q(n.dim.intValue())
+                (n.mid.toDouble >= c - domain, n.mid.toDouble <= c + domain)
+              }
+            if (lo && n.low != null) stack.push(n.low.longValue())
+            if (hi && n.high != null) stack.push(n.high.longValue())
+          }
+        }
+      }
+    }
+    out.toSeq.toDF("docId", "id")
+  }
+
+  /** Search metrics — the reference's index-quality observability
+    * (predicate calls per match, MemoryVectorIndexTests.cs:165-196). */
+  case class SearchMetrics(nodesVisited: Long, leavesEmitted: Long,
+                           candidates: Long)
+
+  /** Box search with probe accounting (driver-local walk). */
+  def searchBoxWithMetrics(index: DataFrame, q: Seq[Double], domain: Double)
+      : (DataFrame, SearchMetrics) = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val candidates = searchBoxLocal(index, q, domain)
+    // recount with instrumentation (cheap: index already materialized)
+    val nodes = index.select("rangeId", "dimension", "mid", "lowRangeId",
+      "highRangeId", "id").collect()
+    var visited = 0L
+    var leaves = 0L
+    val internal = nodes.filter(r => !r.isNullAt(3))
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) -1 else r.getInt(1)),
+        if (r.isNullAt(2)) 0f else r.getFloat(2))).toMap
+    val leafCount = nodes.filter(r => !r.isNullAt(5))
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.length.toLong }
+    val stack = mutable.Stack[Long](0L)
+    while (stack.nonEmpty) {
+      val rid = stack.pop()
+      if (internal.contains(rid) || leafCount.contains(rid)) {
+        visited += 1
+        leaves += leafCount.getOrElse(rid, 0L)
+        internal.get(rid).foreach { case (dim, mid) =>
+          val (lo, hi) =
+            if (dim < 0) (true, true)
+            else {
+              val c = q(dim)
+              (mid.toDouble >= c - domain, mid.toDouble <= c + domain)
+            }
+          if (lo) stack.push(rid * 2 + 1)
+          if (hi) stack.push(rid * 2 + 2)
+        }
+      }
+    }
+    (candidates, SearchMetrics(visited, leaves, leaves))
+  }
+
+  /** The reference's own query surface: `dbo.Search` is a recursive CTE
+    * (DDL.sql:255-294). Spark 4.1 supports WITH RECURSIVE — this is the
+    * one-statement SQL twin of the frontier loop, for SQL-surface parity.
+    * `indexView` must be a registered temp view of the index relation. */
+  def searchBoxSql(spark: SparkSession, indexView: String,
+                   q: Seq[Double], domain: Double): DataFrame = {
+    val qArr = q.mkString("array(", ", ", ")")
+    spark.sql(
+      s"""WITH RECURSIVE node AS (
+         |  SELECT * FROM $indexView WHERE rangeId = 0
+         |  UNION ALL
+         |  SELECT i.* FROM $indexView i JOIN node n
+         |    ON (n.lowRangeId IS NOT NULL AND i.rangeId = n.lowRangeId AND
+         |        (n.dimension IS NULL OR
+         |         CAST(n.mid AS DOUBLE) >= element_at($qArr, n.dimension + 1) - $domain))
+         |    OR (n.highRangeId IS NOT NULL AND i.rangeId = n.highRangeId AND
+         |        (n.dimension IS NULL OR
+         |         CAST(n.mid AS DOUBLE) <= element_at($qArr, n.dimension + 1) + $domain))
+         |)
+         |SELECT id FROM node WHERE id IS NOT NULL""".stripMargin)
+  }
+
   /** Iterative frontier-join descent for indexes too large to collect. */
   def searchBoxDistributed(index: DataFrame, q: Seq[Double], domain: Double): DataFrame = {
     val spark = index.sparkSession

@@ -34,10 +34,13 @@ object VectorStats {
         count(lit(1)).as("cnt"),
         floor(sum(col("id")) / count(lit(1))).cast("long").as("meanId"))
 
-  /** A6: dataset-wide per-dimension min/max (for normalization). */
+  /** A6: dataset-wide per-dimension min/max (for normalization). Double
+    * precision so downstream offset/scale arithmetic matches the float64
+    * oracle exactly. */
   def dimExtent(eav: DataFrame): DataFrame =
     eav.groupBy(col("idx"))
-      .agg(min(col("value")).as("minV"), max(col("value")).as("maxV"))
+      .agg(min(col("value").cast("double")).as("minV"),
+        max(col("value").cast("double")).as("maxV"))
 
   /** A6: normalize every vector to [-1, 1] with a single shared scale =
     * max dimension extent / 2, per-dimension offset = (min+max)/2 — the

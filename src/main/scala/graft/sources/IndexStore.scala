@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted index store: the reference's dbo.TextIndex table + the
+  * idempotent per-document replace of dbo.IndexDocument (`DELETE WHERE
+  * DocID=@x; INSERT ...`, DDL.sql:396-418) re-expressed as a
+  * docId-partitioned parquet relation with DYNAMIC PARTITION OVERWRITE —
+  * replacing one document's index rewrites exactly that partition, other
+  * documents' files untouched (S10).
+  *
+  * At scale, partition pruning makes per-doc search reads O(doc) —
+  * `load(docId = Some(x))` scans only that partition's files. */
+object IndexStore {
+
+  /** Write (overwriting only the docIds present in `index`). */
+  def replaceDocs(index: DataFrame, path: String): Unit = {
+    val spark = index.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    index.write
+      .mode("overwrite")
+      .partitionBy("docId")
+      .parquet(path)
+  }
+
+  /** Load the whole store or one document's partition (pruned scan). */
+  def load(spark: SparkSession, path: String, docId: Option[Long] = None): DataFrame = {
+    val df = spark.read.parquet(path)
+    docId.map(d => df.filter(col("docId") === d)).getOrElse(df)
+  }
+
+  /** End-to-end orchestration of the reference's IndexDocument proc
+    * (DDL.sql:352-419): take one document's (id, json-vector-string)
+    * rows, shred (S2), build (R1), replace its store partition (S10). */
+  def indexDocument(spark: SparkSession, texts: DataFrame, docId: Long,
+                    idCol: String, jsonVecCol: String, path: String): Unit = {
+    val points = texts
+      .filter(col("docId") === docId)
+      .select(col(idCol), Ingest.parseJsonVector(col(jsonVecCol)).as("vector"))
+    val index = graft.operators.IndexBuild.buildIndex(points, idCol, "vector")
+      .withColumn("docId", lit(docId))
+    replaceDocs(index, path)
+  }
+}

@@ -69,6 +69,51 @@ object Ingest {
         i => when(i === col("id").cast("int"), lit(1f)).otherwise(lit(0f)))
         .as("vector"))
 
+  /** S4: ARFF scan (MemoryVectorIndexTests.cs:306-339 reads the
+    * clustering-benchmark 2d-10c.arff over HTTP; zero-egress here, so the
+    * source reads local files with the same format): header `@attribute`
+    * lines declare columns, `@data` starts comma-separated rows. Numeric
+    * attributes parse to float, the rest stay strings; rows gain a
+    * sequential id. Driver-side header sniff + distributed data parse. */
+  def readArff(spark: SparkSession, path: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path)).asScala.toSeq
+    val attrs = lines.filter(_.trim.toLowerCase.startsWith("@attribute"))
+      .map { l =>
+        val parts = l.trim.split("\\s+", 3)
+        val name = parts(1)
+        val numeric = parts.lift(2).exists(t =>
+          t.equalsIgnoreCase("numeric") || t.equalsIgnoreCase("real") ||
+            t.equalsIgnoreCase("integer"))
+        (name, numeric)
+      }
+    val dataStart = lines.indexWhere(_.trim.toLowerCase.startsWith("@data")) + 1
+    val rows = lines.drop(dataStart)
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("%"))
+    val raw = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.zipWithIndex.map { case (l, i) =>
+        org.apache.spark.sql.Row(i.toLong +: l.split(",").map(_.trim): _*)
+      }),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false) +:
+        attrs.map { case (n, _) => org.apache.spark.sql.types.StructField(n,
+          org.apache.spark.sql.types.StringType, nullable = true) }))
+    attrs.foldLeft(raw) { case (df, (n, numeric)) =>
+      if (numeric) df.withColumn(n, col(n).cast("float")) else df
+    }
+  }
+
+  /** S11: dense sequential ids (the reference's `next value for`
+    * sequences, DDL.sql:328-330) — row_number over an explicit order. */
+  def withSequentialIds(df: DataFrame, orderCols: Seq[String],
+                        idName: String = "seq_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn(idName, row_number().over(w).cast("long") - 1)
+  }
+
   /** S7: n x n grid lattice, normalized to [-1,1] like the reference's
     * grid fixtures (MemoryVectorIndexTests.cs:36-49): component =
     * (i - (n-1)/2) / (n/2). id = i*n + j. */

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.{Ingest, IndexStore}
+
+class IndexExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("per-doc indexes search like per-doc brute force (one doc and all)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val index = IndexBuild.buildIndexPerDoc(e, "label", "vec_id", "embedding")
+    val q = QueryConstants.Q64
+    val r = QueryConstants.Radius
+    // one doc
+    val got1 = IndexSearch.searchBoxPerDoc(index, q, r, Some(2L))
+      .withColumnRenamed("id", "vec_id").join(e, "vec_id")
+      .filter(functions.VectorFunctions.dist(col("embedding"),
+        functions.VectorFunctions.doubleVec(q)) <= r)
+      .select("vec_id").as[Long].collect().toSet
+    val want1 = BruteForce.rangeSearch(e.filter(col("label") === 2), "embedding", q, r)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got1 == want1)
+    // all docs: candidates across every tree cover the whole set
+    val gotAll = IndexSearch.searchBoxPerDoc(index, q, r, None)
+      .withColumnRenamed("id", "vec_id").join(e, "vec_id")
+      .filter(functions.VectorFunctions.dist(col("embedding"),
+        functions.VectorFunctions.doubleVec(q)) <= r)
+      .select("vec_id").as[Long].collect().toSet
+    val wantAll = BruteForce.rangeSearch(e, "embedding", q, r)
+      .select("vec_id").as[Long].collect().toSet
+    assert(gotAll == wantAll)
+  }
+
+  test("WITH RECURSIVE SQL search matches the frontier/local descent") {
+    val g = Ingest.grid(spark, 20)
+    val index = IndexBuild.buildIndex(g, "id", "vector")
+    index.createOrReplaceTempView("grid_index")
+    val sqlIds = IndexSearch.searchBoxSql(spark, "grid_index", Seq(0.2, 0.3), 0.25)
+      .as[Long].collect().toSet
+    val localIds = IndexSearch.searchBoxLocal(index, Seq(0.2, 0.3), 0.25)
+      .as[Long].collect().toSet
+    assert(sqlIds == localIds)
+  }
+
+  test("search metrics count probes (quality observability)") {
+    val g = Ingest.grid(spark, 30)
+    val index = IndexBuild.buildIndex(g, "id", "vector")
+    val (cands, m) = IndexSearch.searchBoxWithMetrics(index, Seq(0.1, 0.1), 0.1)
+    assert(cands.count() == m.candidates)
+    assert(m.nodesVisited > 0 && m.nodesVisited < 2L * 900)
+    assert(m.leavesEmitted < 900, "pruning visits a strict subset of leaves")
+  }
+
+  test("index walk: depths, parents and subtree counts are consistent") {
+    val g = Ingest.grid(spark, 10)
+    val index = IndexBuild.buildIndex(g, "id", "vector")
+    val walk = IndexWalk.walk(index).cache()
+    val root = walk.filter(col("rangeId") === 0).head()
+    assert(root.getAs[Int]("depth") == 0)
+    assert(root.getAs[Long]("subtree_leaves") == 100L)
+    // every non-root node's parent exists
+    val ids = walk.select("rangeId").as[Long].collect().toSet
+    val parents = walk.filter(col("parentId").isNotNull)
+      .select("parentId").as[Long].collect().toSet
+    assert(parents.subsetOf(ids))
+    val prof = IndexWalk.depthProfile(index).collect()
+    assert(prof.map(_.getAs[Long]("n_leaf_rows")).sum == 100L)
+  }
+
+  test("IndexStore: per-doc partition replace is idempotent and pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graftstore").toString
+    val e = Tables.embeddings(spark, sf0001)
+    val idx = IndexBuild.buildIndexPerDoc(e, "label", "vec_id", "embedding")
+    IndexStore.replaceDocs(idx, dir)
+    val n0 = IndexStore.load(spark, dir).count()
+    // replace only doc 1 with a rebuilt (identical) tree: other docs intact
+    IndexStore.replaceDocs(idx.filter(col("docId") === 1), dir)
+    assert(IndexStore.load(spark, dir).count() == n0)
+    val one = IndexStore.load(spark, dir, Some(1L))
+    assert(one.select("docId").distinct().as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("indexDocument orchestration: shred JSON, build, store, search") {
+    val dir = java.nio.file.Files.createTempDirectory("graftdoc").toString
+    val e = Tables.embeddings(spark, sf0001)
+    val texts = e.select(lit(7L).as("docId"), col("vec_id"),
+      to_json(col("embedding")).as("vector_json"))
+    IndexStore.indexDocument(spark, texts, 7L, "vec_id", "vector_json", dir)
+    val stored = IndexStore.load(spark, dir, Some(7L)).drop("docId")
+    val got = IndexSearch.searchExact(stored, e, "vec_id", "embedding",
+        QueryConstants.Q64, QueryConstants.Radius)
+      .select("vec_id").as[Long].collect().toSet
+    val want = BruteForce.rangeSearch(e, "embedding",
+        QueryConstants.Q64, QueryConstants.Radius)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == want)
+  }
+
+  test("ARFF reader parses header, types and data rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graftarff")
+    val f = dir.resolve("t.arff")
+    java.nio.file.Files.writeString(f,
+      """% a comment
+        |@relation test
+        |@attribute x numeric
+        |@attribute y real
+        |@attribute class {a,b}
+        |@data
+        |1.5,2.5,a
+        |3.0,4.0,b
+        |% trailing comment
+        |""".stripMargin)
+    val df = Ingest.readArff(spark, f.toString)
+    assert(df.columns.toSeq == Seq("id", "x", "y", "class"))
+    val rows = df.orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getFloat(1) == 1.5f && rows(1).getString(3) == "b")
+  }
+
+  test("sequential ids are dense from 0 in the given order") {
+    val df = Seq(("c", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    val withIds = Ingest.withSequentialIds(df, Seq("k"))
+    val m = withIds.select("k", "seq_id").as[(String, Long)].collect().toMap
+    assert(m == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+}
