@@ -22,6 +22,22 @@ object Tools {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (name == "buildbench") {
+      // index-build scaling probe: n x d synthetic vectors, hybrid vs BFS
+      val n = args.lift(1).map(_.toLong).getOrElse(200000L)
+      val d = args.lift(2).map(_.toInt).getOrElse(64)
+      val pts = graft.sources.Ingest.randomUniform(spark, n, d).localCheckpoint()
+      for ((label, thr) <- Seq(("hybrid(128k-local)", 1L << 17),
+                               ("hybrid(8k-local)", 8192L),
+                               ("pure-BFS", 0L))) {
+        val t0 = System.nanoTime()
+        val idx = operators.IndexBuild.buildIndex(pts, "id", "vector",
+          localBuildThreshold = thr)
+        val leaves = idx.filter(org.apache.spark.sql.functions.col("id").isNotNull).count()
+        println(f"$label%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($leaves leaves)")
+      }
+      spark.stop(); return
+    }
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (explain) df.explain("formatted")
     else {

@@ -97,28 +97,23 @@ object IndexBuild {
     while (level < MaxDepth && !assign.isEmpty) {
       val useMax = level % 2 == 0
 
-      // Per-(range, dim) stats on the exploded form. Partial aggregation
-      // collapses the d-fold row blow-up before the exchange: the shuffle
-      // carries ~(#active ranges x d) rows per task, not the data.
-      val eav = assign.select($"rangeId", $"id",
-        posexplode($"vector").as(Seq("idx", "value")))
-      val dimStats = eav.groupBy($"rangeId", $"idx").agg(
-        avg($"value").as("mean"),
-        var_pop($"value").as("variance"),
-        count(lit(1)).as("cnt"),
-        sum($"id".cast(DecimalType(38, 0))).as("sumId"))
-
-      val signed = if (useMax) $"variance" else -$"variance"
-      val rangeStats = dimStats.groupBy($"rangeId").agg(
-        max_by(struct($"idx", $"mean", $"variance"), struct(signed, -$"idx")).as("pick"),
-        max($"cnt").as("cnt"),
-        max($"sumId").as("sumId"))
+      // Per-range per-dimension stats in ONE pass over whole vectors: the
+      // custom Welford/Chan Aggregator (A2) — no posexplode, no d-fold row
+      // blow-up; the exchange carries one (4·d doubles) buffer per
+      // (range × map task). Split-dimension selection = argmax/argmin of
+      // the M2 array via array_position (first match ⇒ lowest-index
+      // tie-break, same as C# MaxBy).
+      val vs = graft.functions.VecStatsAgg.vecStats
+      val picked = if (useMax) array_max($"vs.m2") else array_min($"vs.m2")
+      val rangeStats = assign.groupBy($"rangeId")
+        .agg(vs($"id", $"vector").as("vs"))
+        .withColumn("pos", array_position($"vs.m2", picked).cast("int"))
         .select($"rangeId",
-          $"pick.idx".as("dimension"),
-          $"pick.mean".cast("float").as("mid"),
-          $"pick.variance".as("variance"),
-          $"cnt",
-          floor($"sumId" / $"cnt").cast("long").as("pivotId"))
+          ($"pos" - 1).as("dimension"),
+          element_at($"vs.mean", $"pos").cast("float").as("mid"),
+          element_at($"vs.m2", $"pos").as("variance"),
+          $"vs.cnt".as("cnt"),
+          floor($"vs.sumId" / $"vs.cnt").cast("long").as("pivotId"))
 
       val isLeafRange = $"cnt" <= bucketSize
       val atCap = level == MaxDepth - 1
