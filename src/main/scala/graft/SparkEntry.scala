@@ -33,6 +33,9 @@ object SparkEntry {
     "q7_nation_presence" -> ((s, d) => Relational.nationPresence(s, d)),
     "q8_rollup_revenue" -> ((s, d) => Relational.rollupRevenue(s, d)),
     "q9_event_windows" -> ((s, d) => Relational.eventWindows(s, d)),
+    "q10_revenue_region" -> ((s, d) => Relational.revenueByRegion(s, d)),
+    "q11_brand_sizes" -> ((s, d) => Relational.brandSizes(s, d)),
+    "q12_big_spenders" -> ((s, d) => Relational.bigSpenders(s, d)),
 
     // --- vector engine: brute force (reference oracle semantics) ---
     "v1_range_search" -> ((s, d) =>
@@ -336,6 +339,25 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS ws, event_type,
         | count(*) AS n, round(sum(value), 4) AS total
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "q10_revenue_region" ->
+      """SELECT r_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(DISTINCT s_suppkey) AS n_suppliers
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "q11_brand_sizes" ->
+      """SELECT p_brand, count(DISTINCT p_size) AS n_sizes,
+        | round(sum(p_retailprice), 2) AS sum_price, count(*) AS n_parts
+        |FROM part GROUP BY p_brand HAVING count(DISTINCT p_size) >= 5
+        |ORDER BY p_brand""".stripMargin,
+    "q12_big_spenders" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
 
     "v1_range_search" ->
       s"""SELECT vec_id FROM embeddings

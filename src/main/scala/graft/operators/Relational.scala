@@ -128,6 +128,45 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  /** Broadcast-dim join chain lineitem→supplier→nation→region: revenue
+    * per region (classic snowflake rollup; every dim side broadcast). */
+  def revenueByRegion(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir)
+    li.join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count_distinct(col("s_suppkey")).as("n_suppliers"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Distinct aggregation + HAVING: part brands with enough distinct
+    * sizes (the group filter runs post-aggregation). */
+  def brandSizes(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+    p.groupBy(col("p_brand"))
+      .agg(count_distinct(col("p_size")).as("n_sizes"),
+        round(sum(col("p_retailprice")), 2).as("sum_price"),
+        count(lit(1)).as("n_parts"))
+      .filter(col("n_sizes") >= 5)
+      .orderBy(col("p_brand"))
+  }
+
+  /** Correlated-EXISTS semantics: customers with at least one order over
+    * a threshold (left_semi — Catalyst's EXISTS plan). */
+  def bigSpenders(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    c.join(o.filter(col("o_totalprice") > 300000d),
+        c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Event-time tumbling-window aggregation over the events table (batch
     * twin of the Structured Streaming query in streaming/StreamOps). */
   def eventWindows(spark: SparkSession, sfDir: String): DataFrame = {

@@ -1,0 +1,114 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+import graft.functions.DistSqExpr
+import graft.operators.IndexSearch
+
+import scala.collection.concurrent.TrieMap
+
+/** Access-path selection for vicinity queries — the "genuinely novel
+  * optimizer piece" of SURVEY.md §4: when a table with a registered
+  * space-partitioning index is filtered by
+  * `sqrt(vec_distsq(vecCol, <literal query>)) <= <literal radius>`,
+  * rewrite the filter to prune by the index's candidate id set first:
+  *
+  *   Filter(dist <= r, scan)
+  *     ==>  Filter(id INSET candidates && dist <= r, scan)
+  *
+  * The candidate set comes from the index descent (box semantics — a
+  * SUPERSET of the L2 ball, so conjoining it never changes results);
+  * the exact predicate still re-checks, exactly like the library-level
+  * `searchExact`. The IN-set participates in data skipping (parquet
+  * row-group stats on the id column) and short-circuits the expensive
+  * distance kernel to candidate rows only.
+  *
+  * Users opt in per table: `VectorIndexCatalog.register(path, idCol,
+  * index)`; sessions opt in via `.withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+object VectorIndexCatalog {
+  case class Entry(idCol: String, index: DataFrame)
+
+  private val entries = TrieMap.empty[String, Entry]
+
+  private def norm(p: String): String =
+    p.stripPrefix("file:").stripSuffix("/")
+
+  def register(path: String, idCol: String, index: DataFrame): Unit =
+    entries.put(norm(path), Entry(idCol, index))
+
+  def unregister(path: String): Unit = entries.remove(norm(path))
+
+  def lookup(path: String): Option[Entry] = entries.get(norm(path))
+
+  def clear(): Unit = entries.clear()
+}
+
+case class IndexedVicinityRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def queryVec(e: Expression): Option[Seq[Double]] = e match {
+    case Literal(a: ArrayData, ArrayType(DoubleType, _)) =>
+      Some(a.toDoubleArray().toSeq)
+    case Literal(a: ArrayData, ArrayType(FloatType, _)) =>
+      Some(a.toFloatArray().toSeq.map(_.toDouble))
+    case CreateArray(elems, _) if elems.forall(_.foldable) =>
+      Some(elems.map(x => x.eval() match {
+        case d: java.lang.Double => d.doubleValue()
+        case f: java.lang.Float => f.doubleValue()
+        case n: java.lang.Number => n.doubleValue()
+      }))
+    case _ => None
+  }
+
+  /** Match dist(vec, q) <= r in either sqrt or squared form. */
+  private def distPredicate(e: Expression): Option[(AttributeReference, Seq[Double], Double)] =
+    e match {
+      case LessThanOrEqual(Sqrt(DistSqExpr(a: AttributeReference, qv)), Literal(r: Double, DoubleType)) =>
+        queryVec(qv).map(q => (a, q, r))
+      case LessThanOrEqual(DistSqExpr(a: AttributeReference, qv), Literal(r2: Double, DoubleType)) if r2 >= 0 =>
+        queryVec(qv).map(q => (a, q, math.sqrt(r2)))
+      case And(l, r) => distPredicate(l).orElse(distPredicate(r))
+      case _ => None
+    }
+
+  private def entryFor(rel: LogicalRelation): Option[VectorIndexCatalog.Entry] =
+    rel.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.iterator
+          .flatMap(p => VectorIndexCatalog.lookup(p.toString))
+          .nextOption()
+      case _ => None
+    }
+
+  private def rewrite(cond: Expression, rel: LogicalRelation): Option[Expression] =
+    for {
+      entry <- entryFor(rel)
+      if !cond.exists(_.isInstanceOf[InSet]) // already rewritten
+      (vecAttr, q, r) <- distPredicate(cond)
+      idAttr <- rel.output.find(_.name == entry.idCol)
+    } yield {
+      val ids = IndexSearch
+        .searchBoxLocal(entry.index, q, r)
+        .collect().map(row => Long.box(row.getLong(0))).toSet[Any]
+      And(InSet(idAttr, ids), cond)
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, rel: LogicalRelation) =>
+      rewrite(cond, rel).map(c => Filter(c, rel)).getOrElse(f)
+    case f @ Filter(cond, p @ Project(_, rel: LogicalRelation)) =>
+      rewrite(cond, rel).map(c => Filter(c, p)).getOrElse(f)
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(IndexedVicinityRule)
+}

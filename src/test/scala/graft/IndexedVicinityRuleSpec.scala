@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.InSet
+import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+import graft.operators.{BruteForce, IndexBuild}
+import graft.plans.{GraftExtensions, VectorIndexCatalog}
+
+class IndexedVicinityRuleSpec extends SparkSpec {
+
+  /** A session with the graft extensions on the shared context. */
+  private lazy val extSpark: SparkSession = {
+    TestSpark.spark // ensure context exists
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s
+  }
+
+  test("distance filter over an indexed table is rewritten to index probe + re-check") {
+    val path = s"$sf0001/embeddings.parquet"
+    val e = Tables.embeddings(extSpark, sf0001)
+    val index = IndexBuild.buildIndex(e, "vec_id", "embedding").localCheckpoint()
+    VectorIndexCatalog.register(path, "vec_id", index)
+    try {
+      val q = BruteForce.rangeSearch(
+        extSpark.read.parquet(path), "embedding",
+        QueryConstants.Q64, QueryConstants.Radius)
+
+      val optimized = q.queryExecution.optimizedPlan
+      val hasInSet = optimized.collect {
+        case f: Filter if f.condition.exists(_.isInstanceOf[InSet]) => f
+      }.nonEmpty
+      assert(hasInSet, s"expected InSet rewrite in:\n$optimized")
+
+      // candidate pruning is sound: same rows as the unindexed plan
+      val got = q.select("vec_id").collect().map(_.getLong(0)).toSet
+      VectorIndexCatalog.clear()
+      val want = BruteForce.rangeSearch(
+          extSpark.read.parquet(path), "embedding",
+          QueryConstants.Q64, QueryConstants.Radius)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got == want)
+
+      // box candidates are a sound superset (high-d + wide radius ⇒ the
+      // L-inf box may cover everything — SURVEY §7.4; soundness is what
+      // matters here, selectivity is asserted on the 2-D case below)
+      val inSetSizes = optimized.collect {
+        case f: Filter => f.condition.collect { case s: InSet => s.hset.size }
+      }.flatten
+      assert(inSetSizes.headOption.exists(sz => sz <= 500 && sz >= want.size))
+    } finally {
+      VectorIndexCatalog.clear()
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(TestSpark.spark)
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+
+  test("low-dimensional probe is selective (grid, small radius)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftgrid").toString
+    graft.sources.Ingest.grid(extSpark, 50).write.mode("overwrite").parquet(dir)
+    val g = extSpark.read.parquet(dir)
+    val index = IndexBuild.buildIndex(g, "id", "vector").localCheckpoint()
+    VectorIndexCatalog.register(dir, "id", index)
+    try {
+      val q = BruteForce.rangeSearch(g, "vector", Seq(0.1, 0.1), 0.05)
+      val sizes = q.queryExecution.optimizedPlan.collect {
+        case f: Filter => f.condition.collect { case s: InSet => s.hset.size }
+      }.flatten
+      assert(sizes.nonEmpty && sizes.head < 250,
+        s"expected selective candidate set, got $sizes of 2500")
+      val got = q.select("id").collect().map(_.getLong(0)).toSet
+      VectorIndexCatalog.clear()
+      val want = BruteForce.rangeSearch(g, "vector", Seq(0.1, 0.1), 0.05)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == want)
+    } finally {
+      VectorIndexCatalog.clear()
+      SparkSession.setDefaultSession(TestSpark.spark)
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+
+  test("tables without a registered index are untouched") {
+    VectorIndexCatalog.clear()
+    val q = BruteForce.rangeSearch(
+      extSpark.read.parquet(s"$sf0001/embeddings.parquet"), "embedding",
+      QueryConstants.Q64, QueryConstants.Radius)
+    val hasInSet = q.queryExecution.optimizedPlan.collect {
+      case f: Filter if f.condition.exists(_.isInstanceOf[InSet]) => f
+    }.nonEmpty
+    assert(!hasInSet)
+    SparkSession.setDefaultSession(TestSpark.spark)
+    SparkSession.setActiveSession(TestSpark.spark)
+  }
+}
