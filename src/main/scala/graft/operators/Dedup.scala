@@ -66,10 +66,27 @@ object Dedup {
 
   /** All pairs (a < b) with exact k-shingle Jaccard >= threshold.
     * Distinct-shingle inverted-index self-join: |A∩B| by counting shared
-    * shingles, |A∪B| = |A|+|B|−|A∩B|. */
+    * shingles, |A∪B| = |A|+|B|−|A∩B|.
+    *
+    * Skew note for 100 TB: the self-join explodes quadratically on
+    * hot shingles (stop-phrase 3-grams can appear in millions of docs).
+    * `maxShingleDf = Some(f)` drops shingles with document frequency
+    * above f before the join — the standard near-dup mitigation (hot
+    * shingles carry no discriminating signal). Default None keeps exact
+    * reference semantics (and the exact SQL oracle); the LSH path (d3)
+    * is the primary scale route either way. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, k)
+                        k: Int, threshold: Double,
+                        maxShingleDf: Option[Long] = None): DataFrame = {
+    val allSh = shingleRows(docs, idCol, textCol, k)
+    val sh = maxShingleDf match {
+      case Some(f) =>
+        val rare = allSh.groupBy(col("shingle"))
+          .agg(count(lit(1)).as("df")).filter(col("df") <= f)
+          .select(col("shingle"))
+        allSh.join(rare, Seq("shingle"), "left_semi")
+      case None => allSh
+    }
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc") < col("y.doc"))
@@ -165,14 +182,34 @@ object Dedup {
     sums.select(col("doc"), value.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: hamming distance (popcount of xor) <= maxDist. */
+  /** SimHash near-dup pairs: hamming distance (popcount of xor) <= maxDist.
+    *
+    * EXACT result, computed without the quadratic all-pairs join: the 16
+    * bits split into (maxDist+1) bands — any pair within maxDist differs
+    * in at most maxDist bands, so by pigeonhole it matches on at least
+    * one band. The equi-join on (band, bandBits) generates the candidate
+    * pairs; the exact hamming predicate re-checks. At scale this is a
+    * keyed shuffle instead of a cross join (same trick generalizes to
+    * 64-bit simhash with more bands). */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int): DataFrame = {
+    require(maxDist < 16, "16-bit simhash supports maxDist < 16")
     val sh = simHash(docs, idCol, textCol)
-    sh.as("x").join(sh.as("y"), col("x.doc") < col("y.doc"))
+    val numBands = maxDist + 1
+    val width = (16 + numBands - 1) / numBands
+    val banded = sh.select(col("doc"), col("simhash"),
+      posexplode(array((0 until numBands).map { j =>
+        shiftright(col("simhash"), j * width)
+          .bitwiseAND(lit((1 << width) - 1))
+      }: _*)).as(Seq("band", "bandBits")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bandBits") === col("y.bandBits") &&
+          col("x.doc") < col("y.doc"))
       .select(col("x.doc").as("a"), col("y.doc").as("b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 
   /** Embedding-cosine near-duplicate pairs (a < b, cosine > threshold).
