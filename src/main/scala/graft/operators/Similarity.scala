@@ -82,6 +82,32 @@ object Similarity {
       .drop("centroid", "cdist", "rn")
   }
 
+  /** Persist embeddings partitioned by their LSH bucket: an ANN probe
+    * then reads exactly one (or a few, multi-probe) partitions —
+    * partition-pruned parquet, no shuffle, no full scan. This is the
+    * 100 TB serving layout for the LSH path. */
+  def writeBucketed(emb: DataFrame, idCol: String, vecCol: String,
+                    planes: Array[Array[Double]], path: String): Unit =
+    lshAssign(emb, idCol, vecCol, planes)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Probe a bucketed store: top-k within the query's bucket. The bucket
+    * filter prunes at the partition level (visible as PartitionFilters
+    * in the scan). */
+  def probeBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+                    idCol: String, vecCol: String,
+                    planes: Array[Array[Double]], q: Seq[Double], k: Int): DataFrame = {
+    val qBucket = planes.zipWithIndex.map { case (p, j) =>
+      val d = p.indices.map(i => q(i) * p(i)).sum
+      if (d > 0) 1 << j else 0
+    }.sum
+    spark.read.parquet(path)
+      .filter(col("bucket") === qBucket)
+      .withColumn("dist", dist(col(vecCol), doubleVec(q)))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF ANN top-k: probe the `nprobe` centroid lists nearest to the
     * query, rank their members exactly. */
   def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
