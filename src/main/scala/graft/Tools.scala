@@ -27,9 +27,12 @@ object Tools {
       val n = args.lift(1).map(_.toLong).getOrElse(200000L)
       val d = args.lift(2).map(_.toInt).getOrElse(64)
       val pts = graft.sources.Ingest.randomUniform(spark, n, d).localCheckpoint()
-      for ((label, thr) <- Seq(("hybrid(128k-local)", 1L << 17),
-                               ("hybrid(8k-local)", 8192L),
-                               ("pure-BFS", 0L))) {
+      val configs =
+        if (args.contains("hybrid-only")) Seq(("hybrid(128k-local)", 1L << 17))
+        else Seq(("hybrid(128k-local)", 1L << 17),
+          ("hybrid(8k-local)", 8192L),
+          ("pure-BFS", 0L))
+      for ((label, thr) <- configs) {
         val t0 = System.nanoTime()
         val idx = operators.IndexBuild.buildIndex(pts, "id", "vector",
           localBuildThreshold = thr)

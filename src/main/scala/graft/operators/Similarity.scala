@@ -108,6 +108,24 @@ object Similarity {
       .limit(k)
   }
 
+  /** Multi-probe variant: also visit every bucket at hamming distance 1
+    * from the query's (one flipped sign bit) — the standard recall boost;
+    * still a partition-pruned IN-filter read of numPlanes+1 buckets. */
+  def probeBucketedMulti(spark: org.apache.spark.sql.SparkSession, path: String,
+                         idCol: String, vecCol: String,
+                         planes: Array[Array[Double]], q: Seq[Double], k: Int): DataFrame = {
+    val qBucket = planes.zipWithIndex.map { case (p, j) =>
+      val d = p.indices.map(i => q(i) * p(i)).sum
+      if (d > 0) 1 << j else 0
+    }.sum
+    val buckets = qBucket +: planes.indices.map(j => qBucket ^ (1 << j))
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*))
+      .withColumn("dist", dist(col(vecCol), doubleVec(q)))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
   /** IVF ANN top-k: probe the `nprobe` centroid lists nearest to the
     * query, rank their members exactly. */
   def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,

@@ -122,6 +122,16 @@ object StreamOps {
   def windowedCountsBatchTwin(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Relational.eventWindows(spark, sfDir)
 
+  /** Streaming exact dedup: keep the first document per canonical
+    * fingerprint (TextOps.fingerprint) across the stream — the streaming
+    * twin of Dedup.exactDuplicates/keepFirst, state keyed by the tiny
+    * fingerprint hash. In production add a watermark on an event-time
+    * column to bound state. */
+  def streamingDedup(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("fingerprint",
+        graft.operators.TextOps.fingerprint(col(textCol)))
+      .dropDuplicates("fingerprint")
+
   /** Incremental index maintenance from a stream: every micro-batch of
     * new points is routed + merged into the index via
     * IndexMaintain.addPoints (foreachBatch — the reference's add path

@@ -24,6 +24,22 @@ class ScaleSpec extends SparkSpec {
     assert(got.sorted == want.sorted)
   }
 
+  test("multi-probe LSH recall >= single-probe, still pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graftlshm").toString
+    val e = Tables.embeddings(spark, sf0001)
+    val planes = Similarity.hyperplanes(8, 64)
+    Similarity.writeBucketed(e, "vec_id", "embedding", planes, dir)
+    val single = Similarity.probeBucketed(spark, dir, "vec_id", "embedding",
+      planes, QueryConstants.Q64, 10).select("vec_id").as[Long].collect().toSet
+    val multi = Similarity.probeBucketedMulti(spark, dir, "vec_id", "embedding",
+      planes, QueryConstants.Q64, 10).select("vec_id").as[Long].collect().toSet
+    val exact = BruteForce.knn(e, "embedding", "vec_id", QueryConstants.Q64, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(multi.size >= single.size || multi == single)
+    // multi-probe recall vs exact top-10 is at least single-probe recall
+    assert((multi & exact).size >= (single & exact).size)
+  }
+
   test("salted join equals plain join (hot-key split)") {
     val big = spark.range(10000)
       .select((col("id") % 3).as("k"), col("id").as("v")) // heavy skew: 3 keys

@@ -55,6 +55,29 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == closed)
   }
 
+  test("streaming dedup keeps one doc per fingerprint") {
+    // stage the documents parquet TWICE (two files => duplicate stream)
+    val dir = java.nio.file.Files.createTempDirectory("graftdup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      dir.resolve("b.parquet"))
+    val schema = Tables.documents(spark, sf0001).schema
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = StreamOps.streamingDedup(stream, "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("dedup").count()
+    val want = Tables.documents(spark, sf0001)
+      .select(graft.operators.TextOps.fingerprint(col("text")))
+      .distinct().count()
+    assert(got == want)
+  }
+
   test("foreachBatch incremental indexing keeps search exact") {
     import java.util.concurrent.atomic.AtomicReference
     val e = Tables.embeddings(spark, sf0001)
