@@ -24,14 +24,19 @@ object Tools {
     spark.sparkContext.setLogLevel("WARN")
     if (name == "buildbench") {
       // index-build scaling probe: n x d synthetic vectors, hybrid vs BFS
-      val n = args.lift(1).map(_.toLong).getOrElse(200000L)
-      val d = args.lift(2).map(_.toInt).getOrElse(64)
+      val nums = args.drop(1).filter(_.forall(_.isDigit))
+      val n = nums.headOption.map(_.toLong).getOrElse(200000L)
+      val d = nums.lift(1).map(_.toInt).getOrElse(64)
+      val thrOverride = nums.lift(2).map(_.toLong)
       val pts = graft.sources.Ingest.randomUniform(spark, n, d).localCheckpoint()
-      val configs =
-        if (args.contains("hybrid-only")) Seq(("hybrid(128k-local)", 1L << 17))
-        else Seq(("hybrid(128k-local)", 1L << 17),
+      val configs = thrOverride match {
+        case Some(t) => Seq((s"hybrid($t-local)", t))
+        case None if args.contains("hybrid-only") =>
+          Seq(("hybrid(128k-local)", 1L << 17))
+        case None => Seq(("hybrid(128k-local)", 1L << 17),
           ("hybrid(8k-local)", 8192L),
           ("pure-BFS", 0L))
+      }
       for ((label, thr) <- configs) {
         val t0 = System.nanoTime()
         val idx = operators.IndexBuild.buildIndex(pts, "id", "vector",

@@ -67,7 +67,7 @@ object IndexBuild {
     */
   def buildIndex(points: DataFrame, idCol: String, vecCol: String,
                  bucketSize: Int = 1,
-                 localBuildThreshold: Long = 1L << 17): DataFrame = {
+                 localBuildThreshold: Long = 1L << 19): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
 
@@ -105,6 +105,9 @@ object IndexBuild {
       // tie-break, same as C# MaxBy).
       val vs = graft.functions.VecStatsAgg.vecStats
       val picked = if (useMax) array_max($"vs.m2") else array_min($"vs.m2")
+      // localCheckpoint: the stats job runs ONCE per level (four downstream
+      // plans consume it), and the lineage break lets the previous level's
+      // assignment be unpersisted below.
       val rangeStats = assign.groupBy($"rangeId")
         .agg(vs($"id", $"vector").as("vs"))
         .withColumn("pos", array_position($"vs.m2", picked).cast("int"))
@@ -114,6 +117,7 @@ object IndexBuild {
           element_at($"vs.m2", $"pos").as("variance"),
           $"vs.cnt".as("cnt"),
           floor($"vs.sumId" / $"vs.cnt").cast("long").as("pivotId"))
+        .localCheckpoint()
 
       val isLeafRange = $"cnt" <= bucketSize
       val atCap = level == MaxDepth - 1
@@ -156,7 +160,12 @@ object IndexBuild {
             level, bucketSize)
         } else emptyNodes
 
-      nodeParts = internal :: leaves :: localNodes :: nodeParts
+      // Materialize this level's node rows now so the previous assignment
+      // can be dropped (otherwise every level's 10M-row checkpoint stays
+      // pinned in storage memory until the final union).
+      val levelNodes = internal.unionAll(leaves).unionAll(localNodes)
+        .localCheckpoint()
+      nodeParts = levelNodes :: nodeParts
 
       // Split ranges that stay distributed.
       val splits = rangeStats
@@ -175,6 +184,10 @@ object IndexBuild {
         .select($"rangeId", $"id", $"vector")
         .localCheckpoint()
 
+      // levelNodes + nextAssign are materialized with truncated lineage —
+      // the old assignment's blocks are no longer reachable.
+      freeCheckpoint(assign)
+      freeCheckpoint(rangeStats)
       assign = nextAssign
       level += 1
     }
@@ -228,6 +241,16 @@ object IndexBuild {
   // Local (in-task) sequential subtree build — the reference's DFS walker
   // (IndexBuilder.cs:31-157) re-expressed over in-memory partitions.
   // ---------------------------------------------------------------------
+
+  /** Release the storage blocks behind a localCheckpoint'ed DataFrame —
+    * `Dataset.unpersist` only touches CacheManager entries, not the
+    * checkpoint's underlying RDD. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Depth of a rangeId in the implicit heap (root 0 → depth 0):
     * floor(log2(rangeId + 1)) — F5, IndexBuilder.cs:43-45. */

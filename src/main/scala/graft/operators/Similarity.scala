@@ -51,14 +51,19 @@ object Similarity {
                 planes: Array[Array[Double]]): DataFrame =
     emb.withColumn("bucket", lshBucket(col(vecCol), planes))
 
+  /** Driver-side bucket of a query vector — MUST stay in lockstep with
+    * lshBucket's `dot > 0` sign convention. */
+  def queryBucket(planes: Array[Array[Double]], q: Seq[Double]): Int =
+    planes.zipWithIndex.map { case (p, j) =>
+      val d = p.indices.map(i => q(i) * p(i)).sum
+      if (d > 0) 1 << j else 0
+    }.sum
+
   /** ANN top-k: rank (exactly) only the vectors in the query's bucket.
     * Recall < 1 by construction; the candidate set is deterministic. */
   def lshKnn(emb: DataFrame, idCol: String, vecCol: String,
              planes: Array[Array[Double]], q: Seq[Double], k: Int): DataFrame = {
-    val qBucket = planes.zipWithIndex.map { case (p, j) =>
-      val d = p.indices.map(i => q(i).toDouble * p(i)).sum
-      if (d > 0) 1 << j else 0
-    }.sum
+    val qBucket = queryBucket(planes, q)
     lshAssign(emb, idCol, vecCol, planes)
       .filter(col("bucket") === qBucket)
       .withColumn("dist", dist(col(vecCol), doubleVec(q)))
@@ -91,22 +96,24 @@ object Similarity {
     lshAssign(emb, idCol, vecCol, planes)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
-  /** Probe a bucketed store: top-k within the query's bucket. The bucket
+  /** Probe a bucketed store: top-k within the given buckets. The bucket
     * filter prunes at the partition level (visible as PartitionFilters
     * in the scan). */
-  def probeBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
-                    idCol: String, vecCol: String,
-                    planes: Array[Array[Double]], q: Seq[Double], k: Int): DataFrame = {
-    val qBucket = planes.zipWithIndex.map { case (p, j) =>
-      val d = p.indices.map(i => q(i) * p(i)).sum
-      if (d > 0) 1 << j else 0
-    }.sum
+  private def probeBuckets(spark: org.apache.spark.sql.SparkSession, path: String,
+                           idCol: String, vecCol: String, buckets: Seq[Int],
+                           q: Seq[Double], k: Int): DataFrame =
     spark.read.parquet(path)
-      .filter(col("bucket") === qBucket)
+      .filter(col("bucket").isin(buckets: _*))
       .withColumn("dist", dist(col(vecCol), doubleVec(q)))
       .orderBy(col("dist"), col(idCol))
       .limit(k)
-  }
+
+  /** Top-k within the query's own bucket. */
+  def probeBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+                    idCol: String, vecCol: String,
+                    planes: Array[Array[Double]], q: Seq[Double], k: Int): DataFrame =
+    probeBuckets(spark, path, idCol, vecCol,
+      Seq(queryBucket(planes, q)), q, k)
 
   /** Multi-probe variant: also visit every bucket at hamming distance 1
     * from the query's (one flipped sign bit) — the standard recall boost;
@@ -114,16 +121,9 @@ object Similarity {
   def probeBucketedMulti(spark: org.apache.spark.sql.SparkSession, path: String,
                          idCol: String, vecCol: String,
                          planes: Array[Array[Double]], q: Seq[Double], k: Int): DataFrame = {
-    val qBucket = planes.zipWithIndex.map { case (p, j) =>
-      val d = p.indices.map(i => q(i) * p(i)).sum
-      if (d > 0) 1 << j else 0
-    }.sum
-    val buckets = qBucket +: planes.indices.map(j => qBucket ^ (1 << j))
-    spark.read.parquet(path)
-      .filter(col("bucket").isin(buckets: _*))
-      .withColumn("dist", dist(col(vecCol), doubleVec(q)))
-      .orderBy(col("dist"), col(idCol))
-      .limit(k)
+    val qBucket = queryBucket(planes, q)
+    probeBuckets(spark, path, idCol, vecCol,
+      qBucket +: planes.indices.map(j => qBucket ^ (1 << j)), q, k)
   }
 
   /** IVF ANN top-k: probe the `nprobe` centroid lists nearest to the

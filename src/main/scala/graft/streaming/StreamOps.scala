@@ -122,15 +122,18 @@ object StreamOps {
   def windowedCountsBatchTwin(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Relational.eventWindows(spark, sfDir)
 
-  /** Streaming exact dedup: keep the first document per canonical
-    * fingerprint (TextOps.fingerprint) across the stream — the streaming
-    * twin of Dedup.exactDuplicates/keepFirst, state keyed by the tiny
-    * fingerprint hash. In production add a watermark on an event-time
-    * column to bound state. */
+  /** Streaming exact dedup: keep ONE document per canonical fingerprint
+    * (TextOps.fingerprint) across the stream, state keyed by the tiny
+    * fingerprint hash. Note the retained representative is the first to
+    * ARRIVE (dropDuplicates semantics), not the min-id canonical the
+    * batch Dedup.keepFirst picks — in a replayable pipeline feed the
+    * stream in id order if that distinction matters. In production add a
+    * watermark on an event-time column to bound state. */
   def streamingDedup(docs: DataFrame, textCol: String): DataFrame =
-    docs.withColumn("fingerprint",
+    docs.withColumn("_fingerprint",
         graft.operators.TextOps.fingerprint(col(textCol)))
-      .dropDuplicates("fingerprint")
+      .dropDuplicates("_fingerprint")
+      .drop("_fingerprint")
 
   /** Incremental index maintenance from a stream: every micro-batch of
     * new points is routed + merged into the index via

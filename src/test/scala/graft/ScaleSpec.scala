@@ -35,7 +35,7 @@ class ScaleSpec extends SparkSpec {
       planes, QueryConstants.Q64, 10).select("vec_id").as[Long].collect().toSet
     val exact = BruteForce.knn(e, "embedding", "vec_id", QueryConstants.Q64, 10)
       .select("vec_id").as[Long].collect().toSet
-    assert(multi.size >= single.size || multi == single)
+    assert(multi.size >= single.size)
     // multi-probe recall vs exact top-10 is at least single-probe recall
     assert((multi & exact).size >= (single & exact).size)
   }
