@@ -48,33 +48,30 @@ object IndexSearch {
       .filter(dist(col(vecCol), doubleVec(q)) <= radius)
   }
 
-  /** Driver-local descent (index collected once). Returns one column
-    * `id` of candidate point ids. */
-  def searchBoxLocal(index: DataFrame, q: Seq[Double], domain: Double): DataFrame = {
-    val spark = index.sparkSession
-    import spark.implicits._
-    val nodes = index.select("rangeId", "dimension", "mid", "lowRangeId",
-        "highRangeId", "id").collect()
-    // rangeId -> (dimension|null, mid, low|null, high|null, ids)
+  /** In-memory descent over one tree's collected node rows; `off` is the
+    * column offset of rangeId within each Row (rows after it must be
+    * dimension, mid, lowRangeId, highRangeId, id — the index schema).
+    * Shared by the single-index and per-document local walks. */
+  private[graft] def walkTree(rows: Iterable[org.apache.spark.sql.Row],
+                              off: Int, q: Seq[Double], domain: Double): Seq[Long] = {
     final case class N(dim: Integer, mid: Float, low: java.lang.Long,
                        high: java.lang.Long, ids: mutable.ArrayBuffer[Long],
                        var internal: Boolean)
     val byId = mutable.LongMap.empty[N]
-    nodes.foreach { r =>
-      val rangeId = r.getLong(0)
+    rows.foreach { r =>
+      val rangeId = r.getLong(off)
       val n = byId.getOrElseUpdate(rangeId,
         N(null, 0f, null, null, mutable.ArrayBuffer.empty, internal = false))
-      if (!r.isNullAt(5)) n.ids += r.getLong(5)
-      if (!r.isNullAt(3)) {
-        // internal row for this rangeId (bucket leaves may coexist only
-        // as separate rows; reference emits exactly one row per range)
-        val n2 = N(
-          if (r.isNullAt(1)) null else Int.box(r.getInt(1)),
-          if (r.isNullAt(2)) 0f else r.getFloat(2),
-          Long.box(r.getLong(3)),
-          if (r.isNullAt(4)) null else Long.box(r.getLong(4)),
-          n.ids, internal = true)
-        byId.update(rangeId, n2)
+      if (!r.isNullAt(off + 5)) n.ids += r.getLong(off + 5)
+      if (!r.isNullAt(off + 3)) {
+        // internal row for this rangeId (leaf rows may share the rangeId
+        // only under bucket leaves; the ids buffer is carried over)
+        byId.update(rangeId, N(
+          if (r.isNullAt(off + 1)) null else Int.box(r.getInt(off + 1)),
+          if (r.isNullAt(off + 2)) 0f else r.getFloat(off + 2),
+          Long.box(r.getLong(off + 3)),
+          if (r.isNullAt(off + 4)) null else Long.box(r.getLong(off + 4)),
+          n.ids, internal = true))
       }
     }
     val out = mutable.ArrayBuffer.empty[Long]
@@ -86,7 +83,7 @@ object IndexSearch {
           val (lo, hi) =
             if (n.dim == null) (true, true)
             else {
-              val c = q(n.dim.intValue()).toDouble
+              val c = q(n.dim.intValue())
               (n.mid.toDouble >= c - domain, n.mid.toDouble <= c + domain)
             }
           if (lo && n.low != null) stack.push(n.low.longValue())
@@ -94,7 +91,17 @@ object IndexSearch {
         }
       }
     }
-    out.toSeq.toDF("id")
+    out.toSeq
+  }
+
+  /** Driver-local descent (index collected once). Returns one column
+    * `id` of candidate point ids. */
+  def searchBoxLocal(index: DataFrame, q: Seq[Double], domain: Double): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val nodes = index.select("rangeId", "dimension", "mid", "lowRangeId",
+      "highRangeId", "id").collect()
+    walkTree(nodes, 0, q, domain).toDF("id")
   }
 
   /** Per-document box search over a (docId, ...) index built by
@@ -108,44 +115,9 @@ object IndexSearch {
     val filtered = docId.map(d => index.filter(col("docId") === d)).getOrElse(index)
     val nodes = filtered.select("docId", "rangeId", "dimension", "mid",
       "lowRangeId", "highRangeId", "id").collect()
-    val byDoc = nodes.groupBy(_.getLong(0))
-    val out = mutable.ArrayBuffer.empty[(Long, Long)]
-    byDoc.foreach { case (doc, rows) =>
-      final case class N(dim: Integer, mid: Float, low: java.lang.Long,
-                         high: java.lang.Long, ids: mutable.ArrayBuffer[Long],
-                         var internal: Boolean)
-      val byId = mutable.LongMap.empty[N]
-      rows.foreach { r =>
-        val n = byId.getOrElseUpdate(r.getLong(1),
-          N(null, 0f, null, null, mutable.ArrayBuffer.empty, internal = false))
-        if (!r.isNullAt(6)) n.ids += r.getLong(6)
-        if (!r.isNullAt(4)) {
-          byId.update(r.getLong(1), N(
-            if (r.isNullAt(2)) null else Int.box(r.getInt(2)),
-            if (r.isNullAt(3)) 0f else r.getFloat(3),
-            Long.box(r.getLong(4)),
-            if (r.isNullAt(5)) null else Long.box(r.getLong(5)),
-            n.ids, internal = true))
-        }
-      }
-      val stack = mutable.Stack[Long](0L)
-      while (stack.nonEmpty) {
-        byId.get(stack.pop()).foreach { n =>
-          n.ids.foreach(id => out += ((doc, id)))
-          if (n.internal) {
-            val (lo, hi) =
-              if (n.dim == null) (true, true)
-              else {
-                val c = q(n.dim.intValue())
-                (n.mid.toDouble >= c - domain, n.mid.toDouble <= c + domain)
-              }
-            if (lo && n.low != null) stack.push(n.low.longValue())
-            if (hi && n.high != null) stack.push(n.high.longValue())
-          }
-        }
-      }
-    }
-    out.toSeq.toDF("docId", "id")
+    nodes.groupBy(_.getLong(0)).toSeq.flatMap { case (doc, rows) =>
+      walkTree(rows, 1, q, domain).map(id => (doc, id))
+    }.toDF("docId", "id")
   }
 
   /** Search metrics — the reference's index-quality observability
