@@ -202,6 +202,17 @@ object SparkEntry {
       exactOne.select(col("vec_id"), col("docId").as("doc"))
         .orderBy(col("vec_id"))
     }),
+    "v11_index_range_join" -> ((s, d) => {
+      // index-accelerated similarity join: pinned-tree candidates per
+      // query row, exact re-check — equals the brute cross-join filter
+      val e = embeddings(s, d)
+      val index = IndexBuild.buildIndex(e, "vec_id", "embedding")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      PinnedIndex.searchJoin(PinnedIndex.pin(index), e, "vec_id", "embedding",
+          queries, "qid", "qv", 1.2)
+        .orderBy(col("qid"), col("vec_id"))
+    }),
     // tree-shape introspection (R6) — shape depends on float summation
     // order, not SQL-expressible: rows-only check
     "v10_index_depth_profile" -> ((s, d) => {
@@ -544,6 +555,13 @@ object SparkEntry {
     "v9_multidoc_search" ->
       s"""SELECT vec_id, CAST(label AS BIGINT) AS doc FROM embeddings
          |WHERE $DistSql <= $Radius AND label = 1 ORDER BY vec_id""".stripMargin,
+
+    "v11_index_range_join" ->
+      """SELECT q.vec_id AS qid, e.vec_id AS vec_id
+        |FROM embeddings e
+        |CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+        |WHERE list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) <= 1.2
+        |ORDER BY qid, vec_id""".stripMargin,
 
     "m1_index_remove_search" ->
       s"""SELECT vec_id FROM embeddings

@@ -98,6 +98,31 @@ class IndexExtrasSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("pinned index answers repeated queries and batch search joins exactly") {
+    val e = Tables.embeddings(spark, sf0001)
+    val index = IndexBuild.buildIndex(e, "vec_id", "embedding")
+    val pinned = PinnedIndex.pin(index)
+    assert(pinned.nodeCount > 0)
+    // repeated single queries: candidates superset of exact matches
+    val q = QueryConstants.Q64
+    val exact = BruteForce.rangeSearch(e, "embedding", q, QueryConstants.Radius)
+      .select("vec_id").as[Long].collect().toSet
+    val cands = pinned.candidates(q, QueryConstants.Radius).toSet
+    assert(exact.subsetOf(cands))
+
+    // batch search join == brute distance join
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = PinnedIndex.searchJoin(pinned, e, "vec_id", "embedding",
+        queries, "qid", "qv", 1.2)
+      .as[(Long, Long)].collect().toSet
+    val want = BruteForce.distanceJoin(
+        queries.withColumnRenamed("qv", "v1"), "v1",
+        e.select(col("vec_id"), col("embedding").as("v2")), "v2", 1.2)
+      .select(col("qid"), col("vec_id")).as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("ARFF reader parses header, types and data rows") {
     val dir = java.nio.file.Files.createTempDirectory("graftarff")
     val f = dir.resolve("t.arff")
