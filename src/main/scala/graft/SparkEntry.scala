@@ -36,6 +36,9 @@ object SparkEntry {
     "q10_revenue_region" -> ((s, d) => Relational.revenueByRegion(s, d)),
     "q11_brand_sizes" -> ((s, d) => Relational.brandSizes(s, d)),
     "q12_big_spenders" -> ((s, d) => Relational.bigSpenders(s, d)),
+    "q13_cube_revenue" -> ((s, d) => Relational.cubeRevenue(s, d)),
+    "q14_event_pivot" -> ((s, d) => Relational.eventPivot(s, d)),
+    "q15_asof_click_view" -> ((s, d) => Relational.clickAfterView(s, d)),
 
     // --- vector engine: brute force (reference oracle semantics) ---
     "v1_range_search" -> ((s, d) =>
@@ -90,6 +93,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "t2_top_terms" -> ((s, d) =>
       TextOps.topTerms(Tables.documents(s, d), "text", 20)),
+    "t3_tfidf" -> ((s, d) =>
+      TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")
+        .filter(col("doc") < 20)
+        .orderBy(col("doc"), col("token"))),
+    "v12_l2_normalize" -> ((s, d) =>
+      VectorStats.l2Normalize(embeddings(s, d), "embedding")
+        .select(col("vec_id"),
+          round(col("embedding")(0), 6).as("u0"),
+          round(col("embedding")(63), 6).as("u63"))
+        .orderBy(col("vec_id"))),
 
     // --- deduplication family ---
     "d1_exact_dups" -> ((s, d) =>
@@ -370,6 +383,28 @@ object SparkEntry {
         |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
         |ORDER BY c_custkey""".stripMargin,
 
+    "q13_cube_revenue" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | round(sum(o_totalprice), 2) AS total, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q14_event_pivot" ->
+      """SELECT user_id,
+        | count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q15_asof_click_view" ->
+      """SELECT user_id, click_id, click_ts, last_view_ts FROM (
+        | SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+        |  (SELECT max(v.ts) FROM events v
+        |   WHERE v.user_id = c.user_id AND v.event_type = 'view' AND v.ts <= c.ts) AS last_view_ts
+        | FROM events c WHERE c.event_type = 'click'
+        |) WHERE last_view_ts IS NOT NULL
+        |ORDER BY user_id, click_id""".stripMargin,
+
     "v1_range_search" ->
       s"""SELECT vec_id FROM embeddings
          |WHERE $DistSql <= $Radius ORDER BY vec_id""".stripMargin,
@@ -415,6 +450,26 @@ object SparkEntry {
       """SELECT token, count(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "t3_tfidf" ->
+      """WITH tok AS (SELECT doc_id AS doc, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+        |tf AS (SELECT doc, token, count(*) AS tf FROM tok GROUP BY doc, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc, tf.token, tf, df,
+        | round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS tfidf
+        |FROM tf JOIN df USING (token), n
+        |WHERE doc < 20 ORDER BY doc, tf.token""".stripMargin,
+    "v12_l2_normalize" ->
+      """SELECT vec_id,
+        | round(CASE WHEN nrm = 0 THEN CAST(embedding[1] AS DOUBLE)
+        |        ELSE CAST(embedding[1] AS DOUBLE) / nrm END, 6) AS u0,
+        | round(CASE WHEN nrm = 0 THEN CAST(embedding[64] AS DOUBLE)
+        |        ELSE CAST(embedding[64] AS DOUBLE) / nrm END, 6) AS u63
+        |FROM (SELECT vec_id, embedding,
+        |      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |      FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
 
     "d1_exact_dups" ->
       """SELECT doc_id, md5(text) AS text_hash,

@@ -59,4 +59,8 @@ object VectorFunctions {
 
   /** Vector length validation (MemoryVectorIndex.cs:105-108). */
   def hasDim(vec: Column, d: Int): Column = size(vec) === d
+
+  // L2 unit-normalization lives in VectorStats.l2Normalize (DataFrame
+  // level): the norm must be projected into a column BEFORE the per-
+  // element lambda, or it re-evaluates O(d) work per element.
 }

@@ -167,6 +167,48 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** CUBE multi-level aggregate over two dimensions. */
+  def cubeRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** Pivot: event counts per user spread across event-type columns
+    * (compiles to conditional aggregation — the oracle states it as CASE
+    * sums, which is exactly what Catalyst lowers pivot to). */
+  def eventPivot(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    e.groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+  }
+
+  /** As-of join (no built-in in Spark): for every 'click' event, the most
+    * recent 'view' of the same user at or before it. Implemented with the
+    * union + windowed last_value(ignoreNulls) pattern — a single
+    * partitioned sort, no range-join explosion; DuckDB's native ASOF JOIN
+    * is the oracle. */
+  def clickAfterView(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val tagged = e.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"),
+      when(col("event_type") === "view", col("ts")).as("view_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "click" && col("last_view_ts").isNotNull)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"), col("last_view_ts"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
   /** Event-time tumbling-window aggregation over the events table (batch
     * twin of the Structured Streaming query in streaming/StreamOps). */
   def eventWindows(spark: SparkSession, sfDir: String): DataFrame = {

@@ -78,6 +78,22 @@ object TextOps {
       qualityScore(col(textCol)).as("quality"),
       fingerprint(col(textCol)).as("fingerprint"))
 
+  /** TF-IDF scores: for every (doc, token), tf * ln(N / df) with raw
+    * term counts and document frequency over the corpus. Two narrow
+    * aggregations (token counts per doc; df per token) joined on token —
+    * the df side is small (vocabulary) and broadcast. */
+  def tfidf(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc"),
+      explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col("doc"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    tf.join(broadcast(df), "token")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .select(col("doc"), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
+
   /** Corpus term frequencies: top-k tokens by count (ties broken by
     * token text) — explode + count, map-side combined. */
   def topTerms(docs: DataFrame, textCol: String, k: Int): DataFrame =

@@ -42,6 +42,20 @@ object VectorStats {
       .agg(min(col("value").cast("double")).as("minV"),
         max(col("value").cast("double")).as("maxV"))
 
+  /** L2 unit-normalization of a vector column (double result; zero
+    * vectors pass through unchanged). The norm is projected into its own
+    * column first so the per-element division doesn't re-run the O(d)
+    * dot product per element. */
+  def l2Normalize(points: DataFrame, vecCol: String): DataFrame = {
+    import graft.functions.VectorFunctions.norm
+    points
+      .withColumn("_l2n", norm(col(vecCol)))
+      .withColumn(vecCol,
+        when(col("_l2n") === 0d, transform(col(vecCol), x => x.cast("double")))
+          .otherwise(transform(col(vecCol), x => x.cast("double") / col("_l2n"))))
+      .drop("_l2n")
+  }
+
   /** A6: normalize every vector to [-1, 1] with a single shared scale =
     * max dimension extent / 2, per-dimension offset = (min+max)/2 — the
     * reference's normalization (MemoryVectorIndexTests.cs:249-303).
