@@ -15,15 +15,18 @@ import org.apache.spark.sql.expressions.Aggregator
   * Int128 accumulator (Stats.cs:26).
   */
 case class VecStatsBuf(var cnt: Long, var sumId: java.math.BigDecimal,
-                       var mean: Array[Double], var m2: Array[Double])
+                       var mean: Array[Double], var m2: Array[Double],
+                       var mn: Array[Double], var mx: Array[Double])
 
 case class VecStats(cnt: Long, sumId: java.math.BigDecimal,
-                    mean: Array[Double], m2: Array[Double])
+                    mean: Array[Double], m2: Array[Double],
+                    mn: Array[Double], mx: Array[Double])
 
 class VecStatsAgg extends Aggregator[(Long, Seq[Float]), VecStatsBuf, VecStats] {
 
   override def zero: VecStatsBuf =
-    VecStatsBuf(0L, java.math.BigDecimal.ZERO, Array.empty, Array.empty)
+    VecStatsBuf(0L, java.math.BigDecimal.ZERO, Array.empty, Array.empty,
+      Array.empty, Array.empty)
 
   override def reduce(b: VecStatsBuf, in: (Long, Seq[Float])): VecStatsBuf = {
     val (id, vec) = in
@@ -31,6 +34,8 @@ class VecStatsAgg extends Aggregator[(Long, Seq[Float]), VecStatsBuf, VecStats] 
     if (b.cnt == 0L) {
       b.mean = new Array[Double](d)
       b.m2 = new Array[Double](d)
+      b.mn = Array.fill(d)(Double.PositiveInfinity)
+      b.mx = Array.fill(d)(Double.NegativeInfinity)
     }
     b.cnt += 1
     b.sumId = b.sumId.add(java.math.BigDecimal.valueOf(id))
@@ -42,6 +47,8 @@ class VecStatsAgg extends Aggregator[(Long, Seq[Float]), VecStatsBuf, VecStats] 
       val a = pa + (v - pa) / n
       b.mean(i) = a
       b.m2(i) += (v - pa) * (v - a)
+      if (v < b.mn(i)) b.mn(i) = v
+      if (v > b.mx(i)) b.mx(i) = v
       i += 1
     }
     b
@@ -59,6 +66,8 @@ class VecStatsAgg extends Aggregator[(Long, Seq[Float]), VecStatsBuf, VecStats] 
         val delta = y.mean(i) - x.mean(i)
         x.m2(i) += y.m2(i) + delta * delta * x.cnt * y.cnt / n
         x.mean(i) += delta * y.cnt / n
+        if (y.mn(i) < x.mn(i)) x.mn(i) = y.mn(i)
+        if (y.mx(i) > x.mx(i)) x.mx(i) = y.mx(i)
         i += 1
       }
       x.cnt = n
@@ -68,7 +77,7 @@ class VecStatsAgg extends Aggregator[(Long, Seq[Float]), VecStatsBuf, VecStats] 
   }
 
   override def finish(b: VecStatsBuf): VecStats =
-    VecStats(b.cnt, b.sumId, b.mean, b.m2)
+    VecStats(b.cnt, b.sumId, b.mean, b.m2, b.mn, b.mx)
 
   override def bufferEncoder: Encoder[VecStatsBuf] = Encoders.product[VecStatsBuf]
   override def outputEncoder: Encoder[VecStats] = Encoders.product[VecStats]

@@ -81,7 +81,8 @@ object IndexBuild {
     // entire tree in a single local job (no per-level driver loop). This
     // is also what each leaf-subtree of the BFS phase does at scale.
     if (localBuildThreshold > 0) {
-      val n = prepared.limit((localBuildThreshold + 1).toInt).count()
+      val probe = math.min(localBuildThreshold + 1, Int.MaxValue.toLong - 1).toInt
+      val n = prepared.limit(probe).count()
       if (n <= localBuildThreshold)
         return buildLocalSubtrees(
           prepared.select($"rangeId", $"id", $"vector"), 0, bucketSize)
@@ -115,8 +116,17 @@ object IndexBuild {
           ($"pos" - 1).as("dimension"),
           element_at($"vs.mean", $"pos").cast("float").as("mid"),
           element_at($"vs.m2", $"pos").as("variance"),
+          element_at($"vs.mn", $"pos").as("minD"),
+          element_at($"vs.mx", $"pos").as("maxD"),
           $"vs.cnt".as("cnt"),
           floor($"vs.sumId" / $"vs.cnt").cast("long").as("pivotId"))
+        // Degenerate-split guard (SURVEY §7.4): if the float-rounded mid
+        // can't strictly separate values (mid outside (min, max)), a
+        // value split may leave one child empty and loop; fall back to a
+        // pure id split, which always progresses for >= 2 distinct ids.
+        // Constant dims (variance 0) are subsumed (min == mid == max).
+        .withColumn("degenerate",
+          $"mid".cast("double") >= $"maxD" || $"mid".cast("double") <= $"minD")
         .localCheckpoint()
 
       val isLeafRange = $"cnt" <= bucketSize
@@ -126,8 +136,8 @@ object IndexBuild {
       val internal = rangeStats.filter(!isLeafRange && !lit(atCap))
         .filter($"cnt" > lit(localBuildThreshold).cast("long") || lit(localBuildThreshold == 0))
         .select($"rangeId",
-          when($"variance" === 0d, lit(null)).otherwise($"dimension").cast("integer").as("dimension"),
-          when($"variance" === 0d, lit(null)).otherwise($"mid").cast("float").as("mid"),
+          when($"degenerate", lit(null)).otherwise($"dimension").cast("integer").as("dimension"),
+          when($"degenerate", lit(null)).otherwise($"mid").cast("float").as("mid"),
           ($"rangeId" * 2 + 1).as("lowRangeId"),
           ($"rangeId" * 2 + 2).as("highRangeId"),
           lit(null).cast("long").as("id"))
@@ -172,14 +182,16 @@ object IndexBuild {
         .filter(!isLeafRange && !lit(atCap) &&
           ($"cnt" > lit(localBuildThreshold).cast("long") || lit(localBuildThreshold == 0)))
         .select($"rangeId".as("splitRangeId"), $"dimension".as("splitDim"),
-          $"mid".as("splitMid"), $"pivotId")
+          $"mid".as("splitMid"), $"pivotId", $"degenerate")
 
       val nextAssign = assign.join(broadcast(splits),
           $"rangeId" === $"splitRangeId")
         .withColumn("v", element_at($"vector", $"splitDim" + 1))
         .withColumn("rangeId",
           $"rangeId" * 2 + when(
-            $"v" > $"splitMid" || ($"v" === $"splitMid" && $"id" > $"pivotId"),
+            when($"degenerate", $"id" > $"pivotId")
+              .otherwise($"v" > $"splitMid" ||
+                ($"v" === $"splitMid" && $"id" > $"pivotId")),
             2L).otherwise(1L))
         .select($"rangeId", $"id", $"vector")
         .localCheckpoint()
@@ -245,7 +257,7 @@ object IndexBuild {
   /** Release the storage blocks behind a localCheckpoint'ed DataFrame —
     * `Dataset.unpersist` only touches CacheManager entries, not the
     * checkpoint's underlying RDD. */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[graft] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
@@ -265,25 +277,49 @@ object IndexBuild {
     buildLocalSubtrees(points, -1, bucketSize)
 
   /** Same, with `level` fixed for all ranges (BFS path: all active ranges
-    * share a level); level = -1 derives it per range from the rangeId. */
+    * share a level); level = -1 derives it per range from the rangeId.
+    *
+    * Memory: rows arrive SORTED by rangeId within each partition, so only
+    * ONE range's points are buffered at a time — co-partitioned ranges
+    * (several per task when active ranges > shuffle partitions) don't
+    * stack up in the heap together. */
   private[graft] def buildLocalSubtrees(points: DataFrame, level: Int,
                                         bucketSize: Int): DataFrame = {
     val spark = points.sparkSession
-    val sc = spark.sparkContext
     val rows = points
       .repartition(col("rangeId"))
+      .sortWithinPartitions(col("rangeId"))
       .queryExecution.toRdd.mapPartitions { iter =>
-        // InternalRow → (rangeId, id, Array[Float]); group by rangeId.
-        val groups = mutable.LinkedHashMap.empty[Long, mutable.ArrayBuffer[(Long, Array[Float])]]
-        iter.foreach { r =>
-          val rangeId = r.getLong(0)
-          val id = r.getLong(1)
-          val vec = r.getArray(2).toFloatArray()
-          groups.getOrElseUpdate(rangeId, mutable.ArrayBuffer.empty) += ((id, vec))
-        }
-        groups.iterator.flatMap { case (rangeId, pts) =>
-          val lvl = if (level >= 0) level else depthOf(rangeId)
-          buildSubtree(rangeId, lvl, pts.toArray, bucketSize)
+        // InternalRow → (rangeId, id, Array[Float]); stream one sorted
+        // rangeId group at a time.
+        new Iterator[(Long, Int, Float, Long, Long, Long)] {
+          private var nextRow: Option[(Long, Long, Array[Float])] = fetch()
+          private var current: Iterator[(Long, Int, Float, Long, Long, Long)] =
+            Iterator.empty
+
+          private def fetch(): Option[(Long, Long, Array[Float])] =
+            if (iter.hasNext) {
+              val r = iter.next()
+              Some((r.getLong(0), r.getLong(1), r.getArray(2).toFloatArray()))
+            } else None
+
+          private def advance(): Unit = {
+            while (!current.hasNext && nextRow.isDefined) {
+              val rangeId = nextRow.get._1
+              val buf = mutable.ArrayBuffer.empty[(Long, Array[Float])]
+              while (nextRow.exists(_._1 == rangeId)) {
+                buf += ((nextRow.get._2, nextRow.get._3))
+                nextRow = fetch()
+              }
+              val lvl = if (level >= 0) level else depthOf(rangeId)
+              current = buildSubtree(rangeId, lvl, buf.toArray, bucketSize)
+            }
+          }
+
+          override def hasNext: Boolean = { advance(); current.hasNext }
+          override def next(): (Long, Int, Float, Long, Long, Long) = {
+            advance(); current.next()
+          }
         }
       }
     spark.createDataFrame(rows.map { case (rangeId, dim, mid, lo, hi, id) =>
@@ -317,9 +353,12 @@ object IndexBuild {
           }
         } else {
           val d = p(0)._2.length
-          // Welford per dimension (IndexBuilder.cs:159-197), float64.
+          // Welford per dimension (IndexBuilder.cs:159-197), float64,
+          // plus min/max for the degenerate-split guard.
           val mean = new Array[Double](d)
           val m2 = new Array[Double](d)
+          val mn = Array.fill(d)(Double.PositiveInfinity)
+          val mx = Array.fill(d)(Double.NegativeInfinity)
           var sumId = BigInt(0)
           var n = 0L
           p.foreach { case (id, vec) =>
@@ -332,6 +371,8 @@ object IndexBuild {
               val a = pa + (v - pa) / n
               mean(i) = a
               m2(i) += (v - pa) * (v - a)
+              if (v < mn(i)) mn(i) = v
+              if (v > mx(i)) mx(i) = v
               i += 1
             }
           }
@@ -346,30 +387,26 @@ object IndexBuild {
           }
           val mid = mean(best).toFloat
           val pivotId = (sumId / n).toLong
-          val variance = m2(best)
+          // Degenerate-split guard (SURVEY §7.4), same rule as the BFS
+          // path: a float-rounded mid outside (min, max) cannot strictly
+          // separate values — split purely by id (always progresses for
+          // >= 2 distinct ids). Constant dims (variance 0) are subsumed.
+          val degenerate = mid.toDouble >= mx(best) || mid.toDouble <= mn(best)
           val lowId = rangeId * 2 + 1
           val highId = rangeId * 2 + 2
           out += ((rangeId,
-            if (variance == 0d) -1 else best,
-            if (variance == 0d) 0f else mid,
+            if (degenerate) -1 else best,
+            if (degenerate) 0f else mid,
             lowId, highId, -1L))
           val (high, low) = p.partition { case (id, vec) =>
-            val v = vec(best)
-            v > mid || (v == mid && id > pivotId)
+            if (degenerate) id > pivotId
+            else {
+              val v = vec(best)
+              v > mid || (v == mid && id > pivotId)
+            }
           }
-          // Degenerate guard (SURVEY.md §7.4): a split that makes no
-          // progress (float-rounded mid excludes everything from one
-          // side) falls back to a pure id split, which always progresses
-          // for >=2 distinct ids.
-          if (low.isEmpty || high.isEmpty) {
-            val all = p
-            val (h2, l2) = all.partition { case (id, _) => id > pivotId }
-            stack.push((lowId, level + 1, l2))
-            stack.push((highId, level + 1, h2))
-          } else {
-            stack.push((lowId, level + 1, low))
-            stack.push((highId, level + 1, high))
-          }
+          stack.push((lowId, level + 1, low))
+          stack.push((highId, level + 1, high))
         }
       }
     }

@@ -32,7 +32,8 @@ object IndexSearch {
   /** Candidate leaf ids within the box (auto local/distributed). */
   def searchBox(index: DataFrame, q: Seq[Double], domain: Double,
                 localNodeLimit: Long = 2_000_000L): DataFrame = {
-    if (index.limit((localNodeLimit + 1).toInt).count() <= localNodeLimit)
+    val probe = math.min(localNodeLimit + 1, Int.MaxValue.toLong - 1).toInt
+    if (index.limit(probe).count() <= localNodeLimit)
       searchBoxLocal(index, q, domain)
     else
       searchBoxDistributed(index, q, domain)
@@ -52,8 +53,10 @@ object IndexSearch {
     * column offset of rangeId within each Row (rows after it must be
     * dimension, mid, lowRangeId, highRangeId, id — the index schema).
     * Shared by the single-index and per-document local walks. */
+  private[graft] final case class WalkResult(ids: Seq[Long], nodesVisited: Long)
+
   private[graft] def walkTree(rows: Iterable[org.apache.spark.sql.Row],
-                              off: Int, q: Seq[Double], domain: Double): Seq[Long] = {
+                              off: Int, q: Seq[Double], domain: Double): WalkResult = {
     final case class N(dim: Integer, mid: Float, low: java.lang.Long,
                        high: java.lang.Long, ids: mutable.ArrayBuffer[Long],
                        var internal: Boolean)
@@ -75,9 +78,11 @@ object IndexSearch {
       }
     }
     val out = mutable.ArrayBuffer.empty[Long]
+    var visited = 0L
     val stack = mutable.Stack[Long](0L)
     while (stack.nonEmpty) {
       byId.get(stack.pop()).foreach { n =>
+        visited += 1
         out ++= n.ids
         if (n.internal) {
           val (lo, hi) =
@@ -91,7 +96,7 @@ object IndexSearch {
         }
       }
     }
-    out.toSeq
+    WalkResult(out.toSeq, visited)
   }
 
   /** Driver-local descent (index collected once). Returns one column
@@ -101,7 +106,7 @@ object IndexSearch {
     import spark.implicits._
     val nodes = index.select("rangeId", "dimension", "mid", "lowRangeId",
       "highRangeId", "id").collect()
-    walkTree(nodes, 0, q, domain).toDF("id")
+    walkTree(nodes, 0, q, domain).ids.toDF("id")
   }
 
   /** Per-document box search over a (docId, ...) index built by
@@ -116,7 +121,7 @@ object IndexSearch {
     val nodes = filtered.select("docId", "rangeId", "dimension", "mid",
       "lowRangeId", "highRangeId", "id").collect()
     nodes.groupBy(_.getLong(0)).toSeq.flatMap { case (doc, rows) =>
-      walkTree(rows, 1, q, domain).map(id => (doc, id))
+      walkTree(rows, 1, q, domain).ids.map(id => (doc, id))
     }.toDF("docId", "id")
   }
 
@@ -125,41 +130,18 @@ object IndexSearch {
   case class SearchMetrics(nodesVisited: Long, leavesEmitted: Long,
                            candidates: Long)
 
-  /** Box search with probe accounting (driver-local walk). */
+  /** Box search with probe accounting: one collect, one instrumented
+    * walk (the same walkTree the plain local search uses). */
   def searchBoxWithMetrics(index: DataFrame, q: Seq[Double], domain: Double)
       : (DataFrame, SearchMetrics) = {
     val spark = index.sparkSession
     import spark.implicits._
-    val candidates = searchBoxLocal(index, q, domain)
-    // recount with instrumentation (cheap: index already materialized)
     val nodes = index.select("rangeId", "dimension", "mid", "lowRangeId",
       "highRangeId", "id").collect()
-    var visited = 0L
-    var leaves = 0L
-    val internal = nodes.filter(r => !r.isNullAt(3))
-      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) -1 else r.getInt(1)),
-        if (r.isNullAt(2)) 0f else r.getFloat(2))).toMap
-    val leafCount = nodes.filter(r => !r.isNullAt(5))
-      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.length.toLong }
-    val stack = mutable.Stack[Long](0L)
-    while (stack.nonEmpty) {
-      val rid = stack.pop()
-      if (internal.contains(rid) || leafCount.contains(rid)) {
-        visited += 1
-        leaves += leafCount.getOrElse(rid, 0L)
-        internal.get(rid).foreach { case (dim, mid) =>
-          val (lo, hi) =
-            if (dim < 0) (true, true)
-            else {
-              val c = q(dim)
-              (mid.toDouble >= c - domain, mid.toDouble <= c + domain)
-            }
-          if (lo) stack.push(rid * 2 + 1)
-          if (hi) stack.push(rid * 2 + 2)
-        }
-      }
-    }
-    (candidates, SearchMetrics(visited, leaves, leaves))
+    val result = walkTree(nodes, 0, q, domain)
+    (result.ids.toDF("id"),
+      SearchMetrics(result.nodesVisited, result.ids.size.toLong,
+        result.ids.size.toLong))
   }
 
   /** The reference's own query surface: `dbo.Search` is a recursive CTE
@@ -191,9 +173,14 @@ object IndexSearch {
     val qCol = doubleVec(q.map(_.toDouble))
     val idx = index.localCheckpoint()
     var frontier = idx.filter($"rangeId" === 0L).localCheckpoint()
+    // per-level leaf ids are checkpointed (they ARE the result, so their
+    // blocks live until the caller is done) — which lets every frontier
+    // checkpoint be released as soon as its successor is materialized
+    // (no storage-block leak across levels)
     var leaves = List.empty[DataFrame]
     while (!frontier.isEmpty) {
-      leaves = frontier.filter($"id".isNotNull).select($"id") :: leaves
+      leaves = frontier.filter($"id".isNotNull).select($"id")
+        .localCheckpoint() :: leaves
       val qv = element_at(qCol, $"dimension" + 1)
       val childIds = frontier.filter($"lowRangeId".isNotNull)
         .select(explode(array(
@@ -203,10 +190,14 @@ object IndexSearch {
             $"mid".cast("double") <= qv + domain, $"highRangeId"))).as("childId"))
         .filter($"childId".isNotNull)
         .distinct()
-      frontier = idx.join(broadcast(childIds), $"rangeId" === $"childId")
+      val next = idx.join(broadcast(childIds), $"rangeId" === $"childId")
         .drop("childId")
         .localCheckpoint()
+      IndexBuild.freeCheckpoint(frontier)
+      frontier = next
     }
+    IndexBuild.freeCheckpoint(frontier)
+    IndexBuild.freeCheckpoint(idx)
     leaves.reduceOption(_ unionAll _)
       .getOrElse(spark.emptyDataset[Long].toDF("id"))
   }

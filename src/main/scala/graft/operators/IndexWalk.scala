@@ -14,10 +14,14 @@ object IndexWalk {
   private val ancestorsOfRange = expr(
     "filter(transform(sequence(0, 62), k -> shiftright(rangeId + 1, k) - 1), a -> a >= 0)")
 
-  /** Node metadata: depth, parentId (null for root). */
+  /** Node metadata: depth, parentId (null for root). Depth = bit length
+    * of (rangeId+1) minus 1 — exact integer arithmetic (a double log2
+    * misrounds near powers of two past 2^53), matching
+    * IndexBuild.depthOf. */
   def nodes(index: DataFrame): DataFrame =
     index
-      .withColumn("depth", expr("cast(floor(log2(rangeId + 1)) as int)"))
+      .withColumn("depth",
+        (length(conv(col("rangeId") + 1, 10, 2)) - 1).cast("int"))
       .withColumn("parentId",
         when(col("rangeId") === 0, lit(null).cast("long"))
           .otherwise(expr("(rangeId - 1) div 2")))

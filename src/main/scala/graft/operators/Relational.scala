@@ -198,8 +198,13 @@ object Relational {
     val tagged = e.select(col("user_id"), col("ts"), col("event_id"),
       col("event_type"),
       when(col("event_type") === "view", col("ts")).as("view_ts"))
+    // views sort BEFORE other events at an equal timestamp so "at or
+    // before" includes a view tied with the click (matches the oracle's
+    // v.ts <= c.ts semantics regardless of event_id order)
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts"),
+        when(col("event_type") === "view", lit(0)).otherwise(lit(1)),
+        col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("last_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))

@@ -75,10 +75,17 @@ object Similarity {
     * smallest ids (deterministic coarse quantizer); every vector joins its
     * nearest centroid (ties → lowest centroid id). Returns emb + `list_id`.
     * The centroid side is broadcast — the big side never shuffles. */
+  /** The deterministic coarse-centroid relation shared by assignment and
+    * probing (one definition — no drift, no duplicate top-N job when the
+    * caller reuses it). */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                   numLists: Int): DataFrame =
+    emb.orderBy(col(idCol)).limit(numLists)
+      .select(col(idCol).as("list_id"), col(vecCol).as("centroid"))
+
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
                 numLists: Int): DataFrame = {
-    val centroids = emb.orderBy(col(idCol)).limit(numLists)
-      .select(col(idCol).as("list_id"), col(vecCol).as("centroid"))
+    val centroids = ivfCentroids(emb, idCol, vecCol, numLists)
     val joined = emb.crossJoin(broadcast(centroids))
       .withColumn("cdist", dist(col(vecCol), col("centroid")))
     val w = Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("list_id"))
@@ -130,9 +137,15 @@ object Similarity {
     * query, rank their members exactly. */
   def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
              numLists: Int, nprobe: Int, q: Seq[Double], k: Int): DataFrame = {
-    val assigned = ivfAssign(emb, idCol, vecCol, numLists)
-    val probeLists = emb.orderBy(col(idCol)).limit(numLists)
-      .select(col(idCol).as("list_id"), col(vecCol).as("centroid"))
+    val centroids = ivfCentroids(emb, idCol, vecCol, numLists)
+      .localCheckpoint() // one top-N job feeds both assignment and probing
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .withColumn("cdist", dist(col(vecCol), col("centroid")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("list_id"))))
+      .filter(col("rn") === 1)
+      .drop("centroid", "cdist", "rn")
+    val probeLists = centroids
       .withColumn("qdist", dist(col("centroid"), doubleVec(q)))
       .orderBy(col("qdist"), col("list_id"))
       .limit(nprobe)

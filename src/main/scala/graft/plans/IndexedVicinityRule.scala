@@ -34,15 +34,16 @@ import scala.collection.concurrent.TrieMap
   * or `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 object VectorIndexCatalog {
-  case class Entry(idCol: String, index: DataFrame)
+  case class Entry(idCol: String, vecCol: String, index: DataFrame)
 
   private val entries = TrieMap.empty[String, Entry]
 
   private def norm(p: String): String =
     p.stripPrefix("file:").stripSuffix("/")
 
-  def register(path: String, idCol: String, index: DataFrame): Unit =
-    entries.put(norm(path), Entry(idCol, index))
+  def register(path: String, idCol: String, index: DataFrame,
+               vecCol: String = "embedding"): Unit =
+    entries.put(norm(path), Entry(idCol, vecCol, index))
 
   def unregister(path: String): Unit = entries.remove(norm(path))
 
@@ -92,7 +93,12 @@ case class IndexedVicinityRule(spark: SparkSession) extends Rule[LogicalPlan] {
       entry <- entryFor(rel)
       if !cond.exists(_.isInstanceOf[InSet]) // already rewritten
       (vecAttr, q, r) <- distPredicate(cond)
-      idAttr <- rel.output.find(_.name == entry.idCol)
+      // the predicate must target the column the index was built on —
+      // and the id column must be a Long (InSet of boxed Longs)
+      if vecAttr.name == entry.vecCol
+      idAttr <- rel.output.find(a =>
+        a.name == entry.idCol &&
+          a.dataType == org.apache.spark.sql.types.LongType)
     } yield {
       val ids = IndexSearch
         .searchBoxLocal(entry.index, q, r)
@@ -104,7 +110,11 @@ case class IndexedVicinityRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case f @ Filter(cond, rel: LogicalRelation) =>
       rewrite(cond, rel).map(c => Filter(c, rel)).getOrElse(f)
     case f @ Filter(cond, p @ Project(_, rel: LogicalRelation)) =>
-      rewrite(cond, rel).map(c => Filter(c, p)).getOrElse(f)
+      // only sound if the projection forwards the id attribute the
+      // injected InSet references
+      rewrite(cond, rel)
+        .filter(c => c.references.subsetOf(p.outputSet))
+        .map(c => Filter(c, p)).getOrElse(f)
   }
 }
 

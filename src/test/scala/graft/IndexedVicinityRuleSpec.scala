@@ -69,7 +69,7 @@ class IndexedVicinityRuleSpec extends SparkSpec {
     graft.sources.Ingest.grid(extSpark, 50).write.mode("overwrite").parquet(dir)
     val g = extSpark.read.parquet(dir)
     val index = IndexBuild.buildIndex(g, "id", "vector").localCheckpoint()
-    VectorIndexCatalog.register(dir, "id", index)
+    VectorIndexCatalog.register(dir, "id", index, vecCol = "vector")
     try {
       val q = BruteForce.rangeSearch(g, "vector", Seq(0.1, 0.1), 0.05)
       val sizes = q.queryExecution.optimizedPlan.collect {
