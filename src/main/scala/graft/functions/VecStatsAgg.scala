@@ -22,13 +22,13 @@ case class VecStats(cnt: Long, sumId: java.math.BigDecimal,
                     mean: Array[Double], m2: Array[Double],
                     mn: Array[Double], mx: Array[Double])
 
-class VecStatsAgg extends Aggregator[(Long, Seq[Float]), VecStatsBuf, VecStats] {
+class VecStatsAgg extends Aggregator[(Long, Array[Float]), VecStatsBuf, VecStats] {
 
   override def zero: VecStatsBuf =
     VecStatsBuf(0L, java.math.BigDecimal.ZERO, Array.empty, Array.empty,
       Array.empty, Array.empty)
 
-  override def reduce(b: VecStatsBuf, in: (Long, Seq[Float])): VecStatsBuf = {
+  override def reduce(b: VecStatsBuf, in: (Long, Array[Float])): VecStatsBuf = {
     val (id, vec) = in
     val d = vec.length
     if (b.cnt == 0L) {
@@ -87,5 +87,5 @@ object VecStatsAgg {
   /** Untyped column form: vec_stats(idCol, vecCol) usable in groupBy.agg. */
   lazy val vecStats: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new VecStatsAgg,
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Float])]())
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Array[Float])]())
 }

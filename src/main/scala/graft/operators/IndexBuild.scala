@@ -236,6 +236,8 @@ object IndexBuild {
         groups.iterator.flatMap { case (docId, pts) =>
           buildSubtree(0L, 0, pts.toArray, bucketSize).map(t => (docId, t))
         }
+        // (per-doc groups stay mapped; docs are assumed task-sized —
+        // out-sized single docs go through buildIndex instead)
       }
     val schema = StructType(
       StructField("docId", LongType, nullable = false) +: indexSchema.fields.toSeq)
@@ -306,13 +308,16 @@ object IndexBuild {
           private def advance(): Unit = {
             while (!current.hasNext && nextRow.isDefined) {
               val rangeId = nextRow.get._1
-              val buf = mutable.ArrayBuffer.empty[(Long, Array[Float])]
+              val idsB = mutable.ArrayBuilder.make[Long]
+              val vecsB = mutable.ArrayBuilder.make[Array[Float]]
               while (nextRow.exists(_._1 == rangeId)) {
-                buf += ((nextRow.get._2, nextRow.get._3))
+                idsB += nextRow.get._2
+                vecsB += nextRow.get._3
                 nextRow = fetch()
               }
               val lvl = if (level >= 0) level else depthOf(rangeId)
-              current = buildSubtree(rangeId, lvl, buf.toArray, bucketSize)
+              current = IndexBuildLocal.buildSubtree(rangeId, lvl,
+                idsB.result(), vecsB.result(), bucketSize)
             }
           }
 
@@ -332,84 +337,20 @@ object IndexBuild {
     }, indexSchema)
   }
 
-  /** Sequential build of one subtree; pure function of its inputs.
-    * Encodes nulls as -1 in the tuple (schema applied by caller).
-    * Stats math matches the distributed path: Welford per dimension in
-    * float64 (exact 0 variance for constant dims), pivot id by integer
-    * division. */
+  /** Sequential build of one subtree; tuple-array adapter over the
+    * optimized IndexBuildLocal.buildSubtree (parallel arrays, reused
+    * scratch buffers — see that file for the rules + engineering). */
   private[graft] def buildSubtree(rootRangeId: Long, rootLevel: Int,
       pts: Array[(Long, Array[Float])], bucketSize: Int)
       : Iterator[(Long, Int, Float, Long, Long, Long)] = {
-    val out = mutable.ArrayBuffer.empty[(Long, Int, Float, Long, Long, Long)]
-    val stack = mutable.Stack.empty[(Long, Int, Array[(Long, Array[Float])])]
-    stack.push((rootRangeId, rootLevel, pts))
-    while (stack.nonEmpty) {
-      val (rangeId, level, p) = stack.pop()
-      if (p.nonEmpty) {
-        if (p.length <= bucketSize || level >= MaxDepth - 1) {
-          // leaf (bucket) — one row per point
-          p.foreach { case (id, _) =>
-            out += ((rangeId, -1, 0f, -1L, -1L, id))
-          }
-        } else {
-          val d = p(0)._2.length
-          // Welford per dimension (IndexBuilder.cs:159-197), float64,
-          // plus min/max for the degenerate-split guard.
-          val mean = new Array[Double](d)
-          val m2 = new Array[Double](d)
-          val mn = Array.fill(d)(Double.PositiveInfinity)
-          val mx = Array.fill(d)(Double.NegativeInfinity)
-          var sumId = BigInt(0)
-          var n = 0L
-          p.foreach { case (id, vec) =>
-            n += 1
-            sumId += id
-            var i = 0
-            while (i < d) {
-              val v = vec(i).toDouble
-              val pa = mean(i)
-              val a = pa + (v - pa) / n
-              mean(i) = a
-              m2(i) += (v - pa) * (v - a)
-              if (v < mn(i)) mn(i) = v
-              if (v > mx(i)) mx(i) = v
-              i += 1
-            }
-          }
-          val useMax = level % 2 == 0
-          var best = 0
-          var i = 1
-          while (i < d) {
-            val cur = if (useMax) m2(i) else -m2(i)
-            val b = if (useMax) m2(best) else -m2(best)
-            if (cur > b) best = i // strict: ties keep lowest index
-            i += 1
-          }
-          val mid = mean(best).toFloat
-          val pivotId = (sumId / n).toLong
-          // Degenerate-split guard (SURVEY §7.4), same rule as the BFS
-          // path: a float-rounded mid outside (min, max) cannot strictly
-          // separate values — split purely by id (always progresses for
-          // >= 2 distinct ids). Constant dims (variance 0) are subsumed.
-          val degenerate = mid.toDouble >= mx(best) || mid.toDouble <= mn(best)
-          val lowId = rangeId * 2 + 1
-          val highId = rangeId * 2 + 2
-          out += ((rangeId,
-            if (degenerate) -1 else best,
-            if (degenerate) 0f else mid,
-            lowId, highId, -1L))
-          val (high, low) = p.partition { case (id, vec) =>
-            if (degenerate) id > pivotId
-            else {
-              val v = vec(best)
-              v > mid || (v == mid && id > pivotId)
-            }
-          }
-          stack.push((lowId, level + 1, low))
-          stack.push((highId, level + 1, high))
-        }
-      }
+    val ids = new Array[Long](pts.length)
+    val vecs = new Array[Array[Float]](pts.length)
+    var j = 0
+    while (j < pts.length) {
+      ids(j) = pts(j)._1
+      vecs(j) = pts(j)._2
+      j += 1
     }
-    out.iterator
+    IndexBuildLocal.buildSubtree(rootRangeId, rootLevel, ids, vecs, bucketSize)
   }
 }
