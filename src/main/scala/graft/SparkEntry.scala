@@ -301,15 +301,16 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // decimal sums mirror Relational.money/frac: exact, order-independent
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        | round(avg(l_quantity), 4) AS avg_qty,
-        | round(avg(l_extendedprice), 4) AS avg_price,
-        | round(avg(l_discount), 4) AS avg_disc,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
+        | round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price,
+        | round(CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -317,7 +318,7 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q2_revenue_segment" ->
       """SELECT c_mktsegment,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -326,13 +327,13 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice, rn, running_spend FROM (
         | SELECT o_orderkey, o_custkey, o_totalprice,
         |  row_number() OVER w AS rn,
-        |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         | FROM orders
         | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "q4_top_orders" ->
       """SELECT l_orderkey,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY l_orderkey
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_cust_no_orders" ->
@@ -356,17 +357,17 @@ object SparkEntry {
         |) ORDER BY nationkey, presence""".stripMargin,
     "q8_rollup_revenue" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q9_event_windows" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type,
-        | count(*) AS n, round(sum(value), 4) AS total
+        | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
 
     "q10_revenue_region" ->
       """SELECT r_name,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
         | count(DISTINCT s_suppkey) AS n_suppliers
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         | JOIN nation ON s_nationkey = n_nationkey
@@ -374,7 +375,7 @@ object SparkEntry {
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "q11_brand_sizes" ->
       """SELECT p_brand, count(DISTINCT p_size) AS n_sizes,
-        | round(sum(p_retailprice), 2) AS sum_price, count(*) AS n_parts
+        | CAST(sum(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, count(*) AS n_parts
         |FROM part GROUP BY p_brand HAVING count(DISTINCT p_size) >= 5
         |ORDER BY p_brand""".stripMargin,
     "q12_big_spenders" ->
@@ -385,7 +386,7 @@ object SparkEntry {
 
     "q13_cube_revenue" ->
       """SELECT o_orderstatus, o_orderpriority,
-        | round(sum(o_totalprice), 2) AS total, count(*) AS n
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q14_event_pivot" ->
@@ -583,7 +584,7 @@ object SparkEntry {
         | FROM m)
         |SELECT user_id, session_idx, count(*) AS n_events,
         | min(ts) AS session_start, max(ts) AS session_end,
-        | round(sum(value), 4) AS session_value
+        | CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS session_value
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
 

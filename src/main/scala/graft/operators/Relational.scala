@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,21 +20,34 @@ import graft.Tables
   */
 object Relational {
 
+  /** Money/measure columns in the driver data carry exactly 2 decimals
+    * (stored as double). Summing raw doubles is order-nondeterministic —
+    * partial-aggregate merge order varies run to run, and a sum landing
+    * near a rounding half-boundary flips the emitted value (the observed
+    * s1 flake class). Casting each value to an exact DECIMAL first makes
+    * the sum exact and order-independent while keeping map-side partial
+    * aggregation (unlike sort-and-fold workarounds), then any rounding
+    * happens in exact decimal space before the final cast to double. */
+  private def money(c: Column): Column = c.cast("decimal(12,2)")
+  private def frac(c: Column): Column = c.cast("decimal(3,2)")
+  private val OneD = lit(1).cast("decimal(3,2)")
+
   /** A1-style grouped aggregation (TPC-H Q1 shape): scan → filter →
     * groupBy → 8 aggregates → sort. Filter + column pruning push to
     * parquet. */
   def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
+    val discPrice = money(col("l_extendedprice")) * (OneD - frac(col("l_discount")))
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(money(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        round(sum(discPrice), 2).cast("double").as("sum_disc_price"),
+        round(sum(discPrice * (OneD + frac(col("l_tax")))), 2).cast("double").as("sum_charge"),
+        round(sum(money(col("l_quantity"))).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(money(col("l_extendedprice"))).cast("double") / count(lit(1)), 4).as("avg_price"),
+        round(sum(frac(col("l_discount"))).cast("double") / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -49,7 +62,8 @@ object Relational {
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        round(sum(money(col("l_extendedprice")) * (OneD - frac(col("l_discount")))), 2)
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("c_mktsegment"))
   }
@@ -61,8 +75,8 @@ object Relational {
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     o.withColumn("rn", row_number().over(w))
       .withColumn("running_spend",
-        round(sum(col("o_totalprice")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        sum(money(col("o_totalprice"))).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
       .withColumn("o_totalprice", round(col("o_totalprice"), 2))
       .filter(col("rn") <= 3)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -75,7 +89,8 @@ object Relational {
   def topOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     li.groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(money(col("l_extendedprice")) * (OneD - frac(col("l_discount")))), 2)
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -123,7 +138,7 @@ object Relational {
   def rollupRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     li.rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+      .agg(sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
@@ -139,7 +154,8 @@ object Relational {
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(round(sum(money(col("l_extendedprice")) * (OneD - frac(col("l_discount")))), 2)
+        .cast("double").as("revenue"),
         count_distinct(col("s_suppkey")).as("n_suppliers"))
       .orderBy(col("r_name"))
   }
@@ -150,7 +166,7 @@ object Relational {
     val p = Tables.part(spark, sfDir)
     p.groupBy(col("p_brand"))
       .agg(count_distinct(col("p_size")).as("n_sizes"),
-        round(sum(col("p_retailprice")), 2).as("sum_price"),
+        sum(money(col("p_retailprice"))).cast("double").as("sum_price"),
         count(lit(1)).as("n_parts"))
       .filter(col("n_sizes") >= 5)
       .orderBy(col("p_brand"))
@@ -171,7 +187,8 @@ object Relational {
   def cubeRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     o.cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("n"))
+      .agg(sum(money(col("o_totalprice"))).cast("double").as("total"),
+        count(lit(1)).as("n"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
   }
@@ -221,7 +238,8 @@ object Relational {
     e.groupBy(
         window(col("ts"), "1 hour").as("w"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,4)")).cast("double").as("total"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total"))
       .orderBy(col("ws"), col("event_type"))
   }

@@ -33,7 +33,9 @@ object StreamOps {
     events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .agg(count(lit(1)).as("n"),
+        // exact decimal sum: order-independent (see Relational.money)
+        sum(col("value").cast("decimal(14,4)")).cast("double").as("total"))
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total"))
 
   // ------------------------------------------------------------------
@@ -59,14 +61,18 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"),
-        round(sum(col("value")), 4).as("session_value"))
+        // decimal sum: the double-sum + round(…,4) form was the one
+        // run-to-run hash flake of round 1 (partial-agg merge order)
+        sum(col("value").cast("decimal(14,4)")).cast("double").as("session_value"))
   }
 
   /** startUs/lastUs are epoch microseconds (full precision for output;
     * the gap test floors to seconds, matching unix_timestamp in the
-    * batch twin). */
+    * batch twin). `value` accumulates as an exact BigDecimal (scale 4)
+    * so the stream emits bit-identical session_value to the batch twin's
+    * decimal sum regardless of arrival batching. */
   case class SessionState(startUs: Long, lastUs: Long, n: Long,
-                          value: Double, idx: Long)
+                          value: BigDecimal, idx: Long)
   case class SessionOut(user_id: Long, session_idx: Long, n_events: Long,
                         session_start: Timestamp, session_end: Timestamp,
                         session_value: Double)
@@ -94,6 +100,11 @@ object StreamOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (userId, rows, state: GroupState[List[SessionState]]) =>
           def sec(us: Long): Long = Math.floorDiv(us, 1000000L)
+          // per-value scale-4 decimal, matching cast(value as decimal(14,4))
+          // in the batch twin (Spark's double→decimal uses the shortest
+          // decimal representation, which BigDecimal(v) mirrors)
+          def dec(v: Double): BigDecimal =
+            BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
           val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
           var sessions = state.getOption.getOrElse(Nil)
           var out = List.empty[SessionOut]
@@ -101,15 +112,14 @@ object StreamOps {
             sessions match {
               case cur :: rest if sec(tsUs) - sec(cur.lastUs) <= SessionGapMinutes * 60L =>
                 sessions = cur.copy(lastUs = tsUs, n = cur.n + 1,
-                  value = cur.value + v) :: rest
+                  value = cur.value + dec(v)) :: rest
               case cur :: rest =>
                 out ::= SessionOut(userId, cur.idx, cur.n,
                   usToTimestamp(cur.startUs), usToTimestamp(cur.lastUs),
-                  BigDecimal(cur.value)
-                    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-                sessions = SessionState(tsUs, tsUs, 1, v, cur.idx + 1) :: rest
+                  cur.value.toDouble)
+                sessions = SessionState(tsUs, tsUs, 1, dec(v), cur.idx + 1) :: rest
               case Nil =>
-                sessions = SessionState(tsUs, tsUs, 1, v, 1) :: Nil
+                sessions = SessionState(tsUs, tsUs, 1, dec(v), 1) :: Nil
             }
           }
           state.update(sessions)
