@@ -39,14 +39,35 @@ object IndexSearch {
       searchBoxDistributed(index, q, domain)
   }
 
-  /** Exact vicinity search: box candidates re-checked with the true
-    * euclidean predicate against the points table — equals the
-    * brute-force oracle by construction (zero false pos/neg). */
+  /** Exact vicinity search: candidate ids from the L2 budget descent
+    * (strictly tighter than the box test for ball queries), re-checked
+    * with the true euclidean predicate against the points table — equals
+    * the brute-force oracle by construction (zero false pos/neg). */
   def searchExact(index: DataFrame, points: DataFrame, idCol: String,
                   vecCol: String, q: Seq[Double], radius: Double): DataFrame = {
-    val cands = searchBox(index, q, radius).withColumnRenamed("id", idCol)
+    val cands = searchBall(index, q, radius).withColumnRenamed("id", idCol)
     points.join(cands, idCol)
       .filter(dist(col(vecCol), doubleVec(q)) <= radius)
+  }
+
+  /** Candidate leaf ids for an L2 ball query: the local path uses the
+    * reference's squared-distance-budget pruning
+    * (MemoryVectorIndex.cs:259-344) — budget starts at r² and tightens by
+    * the squared offset each split adds on the non-query side; a subtree
+    * is pruned when the budget goes negative. Still a candidate SUPERSET
+    * of the true ball (the bound is a lower bound on the real distance),
+    * so searchExact's re-check stays exact. Indexes too large to collect
+    * fall back to the distributed box descent (a looser superset). */
+  def searchBall(index: DataFrame, q: Seq[Double], radius: Double,
+                 localNodeLimit: Long = 2_000_000L): DataFrame = {
+    val probe = math.min(localNodeLimit + 1, Int.MaxValue.toLong - 1).toInt
+    if (index.limit(probe).count() <= localNodeLimit) {
+      val spark = index.sparkSession
+      import spark.implicits._
+      val nodes = index.select("rangeId", "dimension", "mid", "lowRangeId",
+        "highRangeId", "id").collect()
+      walkTree(nodes, 0, q, radius, l2 = true).ids.toDF("id")
+    } else searchBoxDistributed(index, q, radius)
   }
 
   /** In-memory descent over one tree's collected node rows; `off` is the
@@ -56,7 +77,8 @@ object IndexSearch {
   private[graft] final case class WalkResult(ids: Seq[Long], nodesVisited: Long)
 
   private[graft] def walkTree(rows: Iterable[org.apache.spark.sql.Row],
-                              off: Int, q: Seq[Double], domain: Double): WalkResult = {
+                              off: Int, q: Seq[Double], domain: Double,
+                              l2: Boolean = false): WalkResult = {
     final case class N(dim: Integer, mid: Float, low: java.lang.Long,
                        high: java.lang.Long, ids: mutable.ArrayBuffer[Long],
                        var internal: Boolean)
@@ -79,20 +101,58 @@ object IndexSearch {
     }
     val out = mutable.ArrayBuffer.empty[Long]
     var visited = 0L
-    val stack = mutable.Stack[Long](0L)
-    while (stack.nonEmpty) {
-      byId.get(stack.pop()).foreach { n =>
-        visited += 1
-        out ++= n.ids
-        if (n.internal) {
-          val (lo, hi) =
-            if (n.dim == null) (true, true)
-            else {
-              val c = q(n.dim.intValue())
-              (n.mid.toDouble >= c - domain, n.mid.toDouble <= c + domain)
+    if (l2) {
+      // Squared-distance budget descent (MemoryVectorIndex.cs:259-344):
+      // budget = r² − Σ_d offs(d)², where offs(d) is the known minimum
+      // |q(d) − p(d)| for any point p in the current subtree (the low
+      // child's region is v ≤ mid, the high child's v ≥ mid — F10 tie
+      // split keeps mid on both sides, so the bound max(±(q−mid), 0) is
+      // valid). Tighten on descent, restore on backtrack, prune at < 0.
+      val offs = new Array[Double](q.length)
+      def visit(rid: Long, budget: Double): Unit =
+        byId.get(rid).foreach { n =>
+          visited += 1
+          out ++= n.ids
+          if (n.internal) {
+            if (n.dim == null) {
+              // id-split node: no spatial narrowing
+              if (n.low != null) visit(n.low.longValue(), budget)
+              if (n.high != null) visit(n.high.longValue(), budget)
+            } else {
+              val d = n.dim.intValue()
+              val c = q(d)
+              val m = n.mid.toDouble
+              val old = offs(d)
+              if (n.low != null) {
+                val nb = math.max(math.max(c - m, 0d), old)
+                val b = budget + old * old - nb * nb
+                if (b >= 0) { offs(d) = nb; visit(n.low.longValue(), b); offs(d) = old }
+              }
+              if (n.high != null) {
+                val nb = math.max(math.max(m - c, 0d), old)
+                val b = budget + old * old - nb * nb
+                if (b >= 0) { offs(d) = nb; visit(n.high.longValue(), b); offs(d) = old }
+              }
             }
-          if (lo && n.low != null) stack.push(n.low.longValue())
-          if (hi && n.high != null) stack.push(n.high.longValue())
+          }
+        }
+      visit(0L, domain * domain)
+    } else {
+      val stack = mutable.Stack[Long](0L)
+      while (stack.nonEmpty) {
+        byId.get(stack.pop()).foreach { n =>
+          visited += 1
+          out ++= n.ids
+          if (n.internal) {
+            val (lo, hi) =
+              if (n.dim == null) (true, true)
+              else {
+                val c = q(n.dim.intValue())
+                (n.mid.toDouble >= c - domain, n.mid.toDouble <= c + domain)
+              }
+            if (lo && n.low != null) stack.push(n.low.longValue())
+            if (hi && n.high != null) stack.push(n.high.longValue())
+          }
         }
       }
     }
@@ -130,15 +190,16 @@ object IndexSearch {
   case class SearchMetrics(nodesVisited: Long, leavesEmitted: Long,
                            candidates: Long)
 
-  /** Box search with probe accounting: one collect, one instrumented
-    * walk (the same walkTree the plain local search uses). */
-  def searchBoxWithMetrics(index: DataFrame, q: Seq[Double], domain: Double)
+  /** Box (or L2-budget) search with probe accounting: one collect, one
+    * instrumented walk (the same walkTree the plain local search uses). */
+  def searchBoxWithMetrics(index: DataFrame, q: Seq[Double], domain: Double,
+                           l2: Boolean = false)
       : (DataFrame, SearchMetrics) = {
     val spark = index.sparkSession
     import spark.implicits._
     val nodes = index.select("rangeId", "dimension", "mid", "lowRangeId",
       "highRangeId", "id").collect()
-    val result = walkTree(nodes, 0, q, domain)
+    val result = walkTree(nodes, 0, q, domain, l2)
     (result.ids.toDF("id"),
       SearchMetrics(result.nodesVisited, result.ids.size.toLong,
         result.ids.size.toLong))

@@ -41,6 +41,42 @@ final class PinnedIndex private (
     out.toSeq
   }
 
+  /** Candidate ids for an L2 ball query via the reference's
+    * squared-distance-budget pruning (MemoryVectorIndex.cs:259-344):
+    * budget = r² − Σ_d offs(d)² tightens per split on the non-query side
+    * and prunes at < 0 — a strictly tighter candidate superset than the
+    * box test for ball queries (exactness comes from the caller's
+    * re-check, same contract as `candidates`). */
+  def candidatesL2(q: Seq[Double], radius: Double): Seq[Long] = {
+    val out = mutable.ArrayBuffer.empty[Long]
+    val offs = new Array[Double](q.length)
+    def visit(rid: Long, budget: Double): Unit = {
+      leaves.get(rid).foreach(out ++= _)
+      internal.get(rid).foreach { n =>
+        if (n.dim < 0) {
+          if (n.low >= 0) visit(n.low, budget)
+          if (n.high >= 0) visit(n.high, budget)
+        } else {
+          val c = q(n.dim)
+          val m = n.mid.toDouble
+          val old = offs(n.dim)
+          if (n.low >= 0) {
+            val nb = math.max(math.max(c - m, 0d), old)
+            val b = budget + old * old - nb * nb
+            if (b >= 0) { offs(n.dim) = nb; visit(n.low, b); offs(n.dim) = old }
+          }
+          if (n.high >= 0) {
+            val nb = math.max(math.max(m - c, 0d), old)
+            val b = budget + old * old - nb * nb
+            if (b >= 0) { offs(n.dim) = nb; visit(n.high, b); offs(n.dim) = old }
+          }
+        }
+      }
+    }
+    visit(0L, radius * radius)
+    out.toSeq
+  }
+
   def nodeCount: Int = internal.size + leaves.size
 }
 
@@ -85,7 +121,7 @@ object PinnedIndex {
       .as[(Long, Array[Float])]
       .flatMap { case (qid, qv) =>
         val q = qv.map(_.toDouble).toSeq
-        pinB.value.candidates(q, radius).map(id => (qid, id))
+        pinB.value.candidatesL2(q, radius).map(id => (qid, id))
       }
       .toDF(queryIdCol, idCol)
     cands

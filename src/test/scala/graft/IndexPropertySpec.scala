@@ -49,6 +49,55 @@ class IndexPropertySpec extends SparkSpec {
     }
   }
 
+  test("property: L2 budget candidates are a subset of box candidates") {
+    samples(queryGen, 8, 555L).foreach { case (q, r) =>
+      val ball = IndexSearch.searchBall(index, q, r)
+        .select("id").as[Long].collect().toSet
+      val box = IndexSearch.searchBox(index, q, r)
+        .select("id").as[Long].collect().toSet
+      assert(ball.subsetOf(box), s"q=$q r=$r")
+      // no false negatives: every true match is still a candidate
+      val want = BruteForce.rangeSearch(pts, "vector", q, r)
+        .select("id").as[Long].collect().toSet
+      assert(want.subsetOf(ball), s"q=$q r=$r")
+    }
+  }
+
+  test("property: pinned candidatesL2 ⊆ candidates, no false negatives") {
+    val pinned = PinnedIndex.pin(index)
+    samples(queryGen, 8, 919L).foreach { case (q, r) =>
+      val l2 = pinned.candidatesL2(q, r).toSet
+      val box = pinned.candidates(q, r).toSet
+      assert(l2.subsetOf(box), s"q=$q r=$r")
+      val want = BruteForce.rangeSearch(pts, "vector", q, r)
+        .select("id").as[Long].collect().toSet
+      assert(want.subsetOf(l2), s"q=$q r=$r")
+    }
+  }
+
+  test("budget pruning visits strictly fewer nodes than box on 2-D grids") {
+    // the reference's own search tests prove pruning on low-d grids
+    // (MemoryVectorIndexTests.cs) — the budget walk must beat the box
+    // walk there (corner subtrees of the box lie outside the L2 ball)
+    val grid = Ingest.grid(spark, 32).localCheckpoint()
+    val gidx = IndexBuild.buildIndex(grid, "id", "vector").localCheckpoint()
+    var strictlyFewer = 0
+    val queries = Seq((Seq(0.1, 0.1), 0.1), (Seq(-0.4, 0.3), 0.15),
+      (Seq(0.0, 0.0), 0.2))
+    queries.foreach { case (q, r) =>
+      val (_, mBox) = IndexSearch.searchBoxWithMetrics(gidx, q, r)
+      val (ids, mL2) = IndexSearch.searchBoxWithMetrics(gidx, q, r, l2 = true)
+      assert(mL2.nodesVisited <= mBox.nodesVisited, s"q=$q r=$r")
+      if (mL2.nodesVisited < mBox.nodesVisited) strictlyFewer += 1
+      // candidates still complete vs brute force
+      val want = BruteForce.rangeSearch(grid, "vector", q, r)
+        .select("id").as[Long].collect().toSet
+      val got = ids.select("id").as[Long].collect().toSet
+      assert(want.subsetOf(got), s"q=$q r=$r")
+    }
+    assert(strictlyFewer > 0, "budget never pruned beyond the box test")
+  }
+
   test("property: children partition the parent (walk invariant)") {
     val walk = IndexWalk.walk(index).cache()
     val bySelf = walk.select("rangeId", "subtree_leaves")
