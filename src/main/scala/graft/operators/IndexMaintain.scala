@@ -55,40 +55,29 @@ object IndexMaintain {
   /** Batch insert: route `newPoints` (idCol, vecCol) through the tree to
     * leaf positions, then rebuild each touched subtree from its combined
     * old + new points. `points` must be the current indexed point set
-    * (needed to re-split the touched leaves). */
+    * (needed to re-split the touched leaves).
+    *
+    * Routing auto-switches like searchBox: trees up to `localNodeLimit`
+    * internal nodes are collected into a COMPACT primitive map (one Long
+    * per node: dim in the high 32 bits, mid float bits in the low 32 —
+    * no boxed Map, ~16 bytes/node in the broadcast) and walked per point
+    * in one distributed map; larger trees are routed by the per-level
+    * frontier join, which never materializes the tree anywhere. */
   def addPoints(index: DataFrame, points: DataFrame, newPoints: DataFrame,
-                idCol: String, vecCol: String, bucketSize: Int = 1): DataFrame = {
+                idCol: String, vecCol: String, bucketSize: Int = 1,
+                localNodeLimit: Long = 2_000_000L): DataFrame = {
     val spark = index.sparkSession
-    import spark.implicits._
 
-    // (rangeId, dim|-1, mid, hasLow, hasHigh) for internal nodes
-    val tree: Map[Long, (Int, Float, Boolean, Boolean)] = index
-      .filter(col("id").isNull)
-      .select("rangeId", "dimension", "mid", "lowRangeId", "highRangeId")
-      .collect()
-      .map { r =>
-        r.getLong(0) -> ((if (r.isNullAt(1)) -1 else r.getInt(1)),
-          if (r.isNullAt(2)) 0f else r.getFloat(2),
-          !r.isNullAt(3), !r.isNullAt(4))
-      }.toMap
-    val treeB = spark.sparkContext.broadcast(tree)
-
-    // Route every new point to its destination rangeId (a leaf of the
-    // current tree, or an empty child slot).
-    val routed = newPoints
+    val internal = index.filter(col("id").isNull)
+    val newPts = newPoints
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vector"))
-      .as[(Long, Array[Float])]
-      .map { case (id, vec) =>
-        val t = treeB.value
-        var r = 0L
-        while (t.contains(r)) {
-          val (dim, mid, _, _) = t(r)
-          val goHigh = dim >= 0 && vec(dim) > mid
-          r = r * 2 + (if (goHigh) 2 else 1)
-        }
-        (r, id, vec)
-      }.toDF("rangeId", "id", "vector")
+    val probe = math.min(localNodeLimit + 1, Int.MaxValue.toLong - 1).toInt
+    val routed =
+      if (internal.limit(probe).count() <= localNodeLimit)
+        routeLocal(internal, newPts)
+      else
+        routeDistributed(internal, newPts)
 
     // Touched destinations + the old points already sitting there.
     val touched = routed.select(col("rangeId").as("leafRangeId")).distinct()
@@ -106,5 +95,78 @@ object IndexMaintain {
     val untouched = index.join(broadcast(touched),
       index("rangeId") === touched("leafRangeId"), "left_anti")
     untouched.unionByName(rebuilt)
+  }
+
+  /** Collected-tree routing: one distributed map over the batch, the
+    * tree broadcast as a primitive LongMap[Long] (rangeId → packed
+    * (dim, midBits)). Routing ties (value == mid) go LOW — see the
+    * object Scaladoc. */
+  private def routeLocal(internal: DataFrame, newPts: DataFrame): DataFrame = {
+    val spark = internal.sparkSession
+    import spark.implicits._
+    val packed = mutable.LongMap.empty[Long]
+    internal.select("rangeId", "dimension", "mid")
+      .collect()
+      .foreach { r =>
+        val dim = if (r.isNullAt(1)) -1 else r.getInt(1)
+        val mid = if (r.isNullAt(2)) 0f else r.getFloat(2)
+        packed.update(r.getLong(0),
+          (dim.toLong << 32) | (java.lang.Float.floatToRawIntBits(mid) & 0xffffffffL))
+      }
+    val treeB = spark.sparkContext.broadcast(packed)
+    newPts.as[(Long, Array[Float])]
+      .map { case (id, vec) =>
+        val t = treeB.value
+        var r = 0L
+        while (t.contains(r)) {
+          val v = t(r)
+          val dim = (v >> 32).toInt
+          val mid = java.lang.Float.intBitsToFloat(v.toInt)
+          val goHigh = dim >= 0 && vec(dim) > mid
+          r = r * 2 + (if (goHigh) 2 else 1)
+        }
+        (r, id, vec)
+      }.toDF("rangeId", "id", "vector")
+  }
+
+  /** Frontier-join routing for trees too large to collect anywhere: per
+    * level, inner-join the (broadcast, batch-sized) in-flight points
+    * against the internal-node relation on rangeId and step to the
+    * chosen child; points whose current rangeId is no longer internal
+    * have arrived. The tree relation streams through each join — it is
+    * never collected, boxed, or broadcast. ~depth joins total. */
+  private def routeDistributed(internal: DataFrame, newPts: DataFrame): DataFrame = {
+    val spark = internal.sparkSession
+    val nodes = internal
+      .select(col("rangeId"),
+        coalesce(col("dimension"), lit(-1)).as("dim"),
+        coalesce(col("mid"), lit(0f)).as("mid"))
+      .localCheckpoint()
+    var inFlight = newPts
+      .select(lit(0L).as("rangeId"), col("id"), col("vector"))
+      .localCheckpoint()
+    var arrived = List.empty[DataFrame]
+    while (!inFlight.isEmpty) {
+      // step: child = 2r+1 (low) or 2r+2 (high); ties (v == mid) go LOW
+      val stepped = nodes.join(broadcast(inFlight), Seq("rangeId"))
+        .select(
+          (col("rangeId") * 2 + when(col("dim") >= 0 &&
+            element_at(col("vector"), col("dim") + 1) > col("mid"), 2L)
+            .otherwise(1L)).as("rangeId"),
+          col("id"), col("vector"))
+        .localCheckpoint()
+      val done = inFlight.join(broadcast(stepped.select(col("id").as("sid"))),
+          col("id") === col("sid"), "left_anti")
+        .localCheckpoint()
+      if (!done.isEmpty) arrived ::= done
+      IndexBuild.freeCheckpoint(inFlight)
+      inFlight = stepped
+    }
+    IndexBuild.freeCheckpoint(inFlight)
+    IndexBuild.freeCheckpoint(nodes)
+    arrived.reduceOption(_ unionAll _)
+      .getOrElse(spark.emptyDataFrame
+        .select(lit(0L).as("rangeId"), lit(0L).as("id"),
+          lit(null).cast("array<float>").as("vector")).limit(0))
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -71,28 +70,36 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF coarse assignment: centroid set = the `numLists` vectors with the
-    * smallest ids (deterministic coarse quantizer); every vector joins its
-    * nearest centroid (ties → lowest centroid id). Returns emb + `list_id`.
-    * The centroid side is broadcast — the big side never shuffles. */
-  /** The deterministic coarse-centroid relation shared by assignment and
-    * probing (one definition — no drift, no duplicate top-N job when the
-    * caller reuses it). */
+  /** The deterministic coarse-centroid set shared by assignment and
+    * probing: the `numLists` vectors with the smallest ids (a Lloyd
+    * refinement would keep the same plumbing). Collected to the driver —
+    * numLists × dim doubles, a few KB — so assignment can be a map-only
+    * projection. */
   def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
-                   numLists: Int): DataFrame =
+                   numLists: Int): Array[(Long, Array[Double])] =
     emb.orderBy(col(idCol)).limit(numLists)
-      .select(col(idCol).as("list_id"), col(vecCol).as("centroid"))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
-  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
-                numLists: Int): DataFrame = {
-    val centroids = ivfCentroids(emb, idCol, vecCol, numLists)
-    val joined = emb.crossJoin(broadcast(centroids))
-      .withColumn("cdist", dist(col(vecCol), col("centroid")))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("list_id"))
-    joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("centroid", "cdist", "rn")
+  /** Nearest-centroid column for a vector column: per-centroid codegen
+    * distances + argmin via array_min over (cdist, list_id) structs
+    * (lexicographic struct ordering = min distance, ties → lowest list
+    * id). A pure projection — no n×C row expansion, no shuffle, no
+    * aggregate; the previous form ranked the crossJoin through a
+    * row_number window, shuffling n×numLists rows. */
+  def ivfListId(vec: Column, centroids: Array[(Long, Array[Double])]): Column = {
+    val pairs = centroids.map { case (lid, cv) =>
+      struct(dist(vec, doubleVec(cv.toSeq)).as("cdist"), lit(lid).as("list_id"))
+    }
+    array_min(array(pairs.toIndexedSeq: _*)).getField("list_id")
   }
+
+  /** IVF coarse assignment: emb + `list_id` of the nearest centroid. */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                numLists: Int): DataFrame =
+    emb.withColumn("list_id",
+      ivfListId(col(vecCol), ivfCentroids(emb, idCol, vecCol, numLists)))
 
   /** Persist embeddings partitioned by their LSH bucket: an ANN probe
     * then reads exactly one (or a few, multi-probe) partitions —
@@ -133,24 +140,61 @@ object Similarity {
       qBucket +: planes.indices.map(j => qBucket ^ (1 << j)), q, k)
   }
 
+  /** The `nprobe` centroid lists nearest to a query — computed on the
+    * driver from the collected centroid set (no Spark job). */
+  def ivfProbeLists(centroids: Array[(Long, Array[Double])], q: Seq[Double],
+                    nprobe: Int): Seq[Long] =
+    centroids.map { case (lid, cv) =>
+      val d2 = cv.indices.foldLeft(0d) { (acc, i) =>
+        val diff = q(i) - cv(i); acc + diff * diff
+      }
+      (d2, lid)
+    }.sorted.take(nprobe).map(_._2).toSeq
+
   /** IVF ANN top-k: probe the `nprobe` centroid lists nearest to the
-    * query, rank their members exactly. */
+    * query, rank their members exactly. One centroid collect feeds the
+    * map-only assignment, the driver-side probe selection, and the final
+    * pruned ranking (scan → project → filter → TakeOrdered: no shuffle
+    * before the top-k). */
   def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
              numLists: Int, nprobe: Int, q: Seq[Double], k: Int): DataFrame = {
     val centroids = ivfCentroids(emb, idCol, vecCol, numLists)
-      .localCheckpoint() // one top-N job feeds both assignment and probing
-    val assigned = emb.crossJoin(broadcast(centroids))
-      .withColumn("cdist", dist(col(vecCol), col("centroid")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("list_id"))))
-      .filter(col("rn") === 1)
-      .drop("centroid", "cdist", "rn")
-    val probeLists = centroids
-      .withColumn("qdist", dist(col("centroid"), doubleVec(q)))
-      .orderBy(col("qdist"), col("list_id"))
-      .limit(nprobe)
-      .select(col("list_id"))
-    assigned.join(broadcast(probeLists), "list_id")
+    val probe = ivfProbeLists(centroids, q, nprobe)
+    emb.withColumn("list_id", ivfListId(col(vecCol), centroids))
+      .filter(col("list_id").isin(probe: _*))
+      .withColumn("dist", dist(col(vecCol), doubleVec(q)))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** Persist embeddings partitioned by IVF list (the 100 TB serving
+    * layout for the IVF path, mirroring writeBucketed): a probe reads
+    * only its nprobe list partitions. The centroid set is persisted
+    * next to the store so probes don't need the original table. */
+  def writeIvf(emb: DataFrame, idCol: String, vecCol: String,
+               numLists: Int, path: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = ivfCentroids(emb, idCol, vecCol, numLists)
+    emb.withColumn("list_id", ivfListId(col(vecCol), centroids))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    centroids.map { case (lid, cv) => (lid, cv.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path + ".centroids")
+  }
+
+  /** Probe an IVF store: top-k within the nprobe nearest lists — a
+    * partition-pruned read (PartitionFilters on list_id), no shuffle. */
+  def probeIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+               idCol: String, vecCol: String, q: Seq[Double],
+               nprobe: Int, k: Int): DataFrame = {
+    val centroids = spark.read.parquet(path + ".centroids")
+      .select(col("list_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probe = ivfProbeLists(centroids, q, nprobe)
+    spark.read.parquet(path)
+      .filter(col("list_id").isin(probe: _*))
       .withColumn("dist", dist(col(vecCol), doubleVec(q)))
       .orderBy(col("dist"), col(idCol))
       .limit(k)

@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Similarity, Skew, BruteForce}
+import graft.operators.{BruteForce, IndexBuild, IndexMaintain, IndexSearch, Similarity, Skew}
+import graft.sources.Ingest
 
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
@@ -38,6 +39,54 @@ class ScaleSpec extends SparkSpec {
     assert(multi.size >= single.size)
     // multi-probe recall vs exact top-10 is at least single-probe recall
     assert((multi & exact).size >= (single & exact).size)
+  }
+
+  test("IVF store: probe is partition-pruned and matches in-memory ivfKnn") {
+    val dir = java.nio.file.Files.createTempDirectory("graftivf").toString + "/store"
+    val e = Tables.embeddings(spark, sf0001)
+    Similarity.writeIvf(e, "vec_id", "embedding", 16, dir)
+    val probe = Similarity.probeIvf(spark, dir, "vec_id", "embedding",
+      QueryConstants.Q64, 4, 10)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("list_id#"),
+      "expected partition filter in plan")
+    val got = probe.select("vec_id").as[Long].collect().toSeq
+    val want = Similarity.ivfKnn(e, "vec_id", "embedding", 16, 4,
+      QueryConstants.Q64, 10).select("vec_id").as[Long].collect().toSeq
+    assert(got.sorted == want.sorted)
+  }
+
+  test("IVF assignment plan is a pure projection (no exchange, no window)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", 16)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+  }
+
+  test("distributed frontier routing == local-walk routing for addPoints") {
+    val pts = Ingest.randomUniform(spark, 3000, 6, seed = 42L).localCheckpoint()
+    val base = pts.filter(col("id") % 5 =!= 0)
+    val adds = pts.filter(col("id") % 5 === 0)
+    val index = IndexBuild.buildIndex(base, "id", "vector").localCheckpoint()
+    // localNodeLimit = 0 forces the frontier-join path (no tree collect)
+    val distIdx = IndexMaintain.addPoints(index, base, adds, "id", "vector",
+      localNodeLimit = 0L).localCheckpoint()
+    val localIdx = IndexMaintain.addPoints(index, base, adds, "id", "vector")
+      .localCheckpoint()
+    // identical trees: same routing ties, same rebuild rules
+    val cols = Seq("rangeId", "dimension", "mid", "lowRangeId", "highRangeId", "id")
+    assert(distIdx.select(cols.map(col): _*).except(
+      localIdx.select(cols.map(col): _*)).isEmpty)
+    assert(localIdx.select(cols.map(col): _*).except(
+      distIdx.select(cols.map(col): _*)).isEmpty)
+    // and search over the grown index equals brute force
+    val q = Seq(0.2, -0.1, 0.3, 0.0, -0.2, 0.1)
+    val got = IndexSearch.searchExact(distIdx, pts, "id", "vector", q, 0.8)
+      .select("id").as[Long].collect().toSet
+    val want = BruteForce.rangeSearch(pts, "vector", q, 0.8)
+      .select("id").as[Long].collect().toSet
+    assert(got == want)
   }
 
   test("salted join equals plain join (hot-key split)") {
