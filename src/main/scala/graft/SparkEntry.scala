@@ -124,10 +124,16 @@ object SparkEntry {
       Dedup.cosinePairs(embeddings(s, d), "vec_id", "embedding", 0.4)
         .orderBy(col("a"), col("b"))),
     "d7_keep_first" -> ((s, d) => {
+      // production-shaped path: LSH candidates + exact Jaccard re-check
+      // on candidates only (no quadratic hot-shingle self-join); the
+      // oracle mirrors the same pipeline
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      val pairs = Dedup.lshVerifiedPairs(docs, "doc_id", "text", 3, 0.6)
       Dedup.keepFirst(docs, "doc_id", pairs).orderBy(col("doc_id"))
     }),
+    "d8_lsh_verified" -> ((s, d) =>
+      Dedup.lshVerifiedPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.3)
+        .orderBy(col("a"), col("b"))),
 
     // --- similarity search (ANN paths) ---
     "a1_lsh_knn" -> ((s, d) =>
@@ -274,6 +280,50 @@ object SparkEntry {
        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard,
        |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS raw_jaccard
        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b""".stripMargin
+
+  /** CTE chain ending in `cands(a, b)` = the MinHash+LSH candidate pairs
+    * (mirrors Dedup.minHashLshCandidates at the given band shape; shared
+    * by d3 at 4×4 and d7/d8 at 8×2). */
+  private def MinHashCandCtes(rowsPerBand: Int): String = {
+    val params = Dedup.minHashParams(16)
+    val numBands = 16 / rowsPerBand
+    val sigCols = params.zipWithIndex.map { case ((a, b), j) =>
+      s"min(($a * x30 + $b) % ${Dedup.MinHashP}) AS s$j"
+    }.mkString(",\n  ")
+    val bandRows = (0 until numBands).map { band =>
+      val parts = (0 until rowsPerBand)
+        .map(r => s"CAST(s${band * rowsPerBand + r} AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $band AS band, md5($parts) AS key FROM sig"
+    }.mkString("\n UNION ALL\n ")
+    s"""$ShingleCte,
+       |xs AS (SELECT doc_id,
+       |  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741824 AS x30
+       |  FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       |FROM xs GROUP BY doc_id),
+       |bands AS (
+       | $bandRows),
+       |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       | FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
+  /** CTE `verified(a, b, raw_jaccard)`: exact Jaccard computed ONLY on
+    * the LSH candidate pairs (mirrors Dedup.lshVerifiedPairs; requires
+    * MinHashCandCtes before it). */
+  private val LshVerifiedCtes: String =
+    """sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |cinter AS (SELECT c.a, c.b, count(*) AS inter
+      |  FROM cands c
+      |  JOIN sh x ON x.doc_id = c.a
+      |  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+      |  GROUP BY c.a, c.b),
+      |verified AS (SELECT a, b,
+      |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS raw_jaccard
+      |  FROM cinter JOIN sizes sa ON sa.doc_id = a
+      |  JOIN sizes sb ON sb.doc_id = b)""".stripMargin
 
   private def simhashSumsSql: String = {
     val sums = (0 until 16).map { j =>
@@ -480,30 +530,20 @@ object SparkEntry {
     "d2_ngram_jaccard" ->
       s"""SELECT a, b, jaccard FROM ($JaccardPairsSql)
          |WHERE raw_jaccard >= 0.3 ORDER BY a, b""".stripMargin,
-    "d3_minhash_lsh" -> {
-      val params = Dedup.minHashParams(16)
-      val sigCols = params.zipWithIndex.map { case ((a, b), j) =>
-        s"min(($a * x30 + $b) % ${Dedup.MinHashP}) AS s$j"
-      }.mkString(",\n  ")
-      val bandRows = (0 until 4).map { band =>
-        val parts = (0 until 4).map(r => s"CAST(s${band * 4 + r} AS VARCHAR)")
-          .mkString(" || ',' || ")
-        s"SELECT doc_id, $band AS band, md5($parts) AS key FROM sig"
-      }.mkString("\n UNION ALL\n ")
-      s"""WITH $ShingleCte,
-         |xs AS (SELECT doc_id,
-         |  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741824 AS x30
-         |  FROM sh),
-         |sig AS (SELECT doc_id,
-         |  $sigCols
-         |FROM xs GROUP BY doc_id),
-         |bands AS (
-         | $bandRows)
-         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |FROM bands x JOIN bands y
-         |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
-         |ORDER BY a, b""".stripMargin
-    },
+    "d3_minhash_lsh" ->
+      s"""WITH ${MinHashCandCtes(4)}
+         |SELECT a, b FROM cands ORDER BY a, b""".stripMargin,
+    "d7_keep_first" ->
+      s"""WITH ${MinHashCandCtes(2)},
+         |$LshVerifiedCtes
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT b FROM verified WHERE raw_jaccard >= 0.6)
+         |ORDER BY doc_id""".stripMargin,
+    "d8_lsh_verified" ->
+      s"""WITH ${MinHashCandCtes(2)},
+         |$LshVerifiedCtes
+         |SELECT a, b, round(raw_jaccard, 6) AS jaccard FROM verified
+         |WHERE raw_jaccard >= 0.3 ORDER BY a, b""".stripMargin,
     "d4_simhash" ->
       s"""WITH $simhashSumsSql
          |SELECT doc, simhash FROM sh16 ORDER BY doc""".stripMargin,
@@ -521,11 +561,6 @@ object SparkEntry {
         | JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) y
         |   ON x.vec_id < y.vec_id
         |) WHERE cos > 0.4 ORDER BY a, b""".stripMargin,
-    "d7_keep_first" ->
-      s"""SELECT doc_id FROM documents
-         |WHERE doc_id NOT IN (
-         |  SELECT b FROM ($JaccardPairsSql) WHERE raw_jaccard >= 0.6)
-         |ORDER BY doc_id""".stripMargin,
 
     "a1_lsh_knn" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -149,12 +149,31 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("h"), col("sig")))),
           s => s.getField("sig").cast("string"))).cast("binary")).as("key"))
 
+  /** Drop rows whose bucket (the given key columns) holds more than
+    * `cap` members — the giant-bucket guard before a bucket self-join.
+    * A giant bucket is a mutually-near-identical cluster: its quadratic
+    * pairs are real but useless (handle such clusters with exact dedup
+    * first); at 100 TB one mega-cluster would otherwise explode the
+    * join. None = no cap (exact oracle parity). */
+  private def capBuckets(rows: DataFrame, keys: Seq[String],
+                         cap: Option[Long]): DataFrame = cap match {
+    case Some(c) =>
+      val small = rows.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n")).filter(col("n") <= c)
+        .select(keys.map(col): _*)
+      rows.join(small, keys, "left_semi")
+    case None => rows
+  }
+
   /** Candidate pairs (a < b) from MinHash+LSH banding. */
   def minHashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
                            k: Int = 3, numHashes: Int = 16,
-                           rowsPerBand: Int = 4): DataFrame = {
-    val bands = lshBandKeys(
-      minHashSignatures(docs, idCol, textCol, k, numHashes), rowsPerBand)
+                           rowsPerBand: Int = 4,
+                           maxBucket: Option[Long] = None): DataFrame = {
+    val bands = capBuckets(
+      lshBandKeys(
+        minHashSignatures(docs, idCol, textCol, k, numHashes), rowsPerBand),
+      Seq("band", "key"), maxBucket)
     bands.as("x").join(bands.as("y"),
         col("x.key") === col("y.key") && col("x.band") === col("y.band") &&
           col("x.doc") < col("y.doc"))
@@ -162,16 +181,48 @@ object Dedup {
       .distinct()
   }
 
+  /** The production near-dup pipeline: MinHash+LSH candidate pairs, then
+    * the EXACT k-shingle Jaccard re-check on candidates only. Same
+    * per-pair semantics as ngramJaccardPairs but the join is keyed by
+    * band buckets instead of shared shingles — no quadratic hot-shingle
+    * explosion. Precision is exact (the re-check); recall is the LSH
+    * family's 1-(1-s^r)^b — the default 8 bands × 2 rows gives ~0.97 at
+    * s=0.6 (the 4×4 default of the candidates query is tuned for
+    * near-identical pairs and misses mid-similarity ones). */
+  def lshVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, threshold: Double,
+                       numHashes: Int = 16, rowsPerBand: Int = 2,
+                       maxBucket: Option[Long] = None): DataFrame = {
+    val cands = minHashLshCandidates(docs, idCol, textCol, k, numHashes,
+      rowsPerBand, maxBucket)
+    val sets = shingleRows(docs, idCol, textCol, k)
+      .groupBy(col("doc")).agg(collect_set(col("shingle")).as("sh"))
+    val sa = sets.select(col("doc").as("a"), col("sh").as("sha"))
+    val sb = sets.select(col("doc").as("b"), col("sh").as("shb"))
+    cands.join(sa, "a").join(sb, "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** 16-bit SimHash over whitespace tokens (with multiplicity): bit j is
     * set iff Σ_tokens (bit_j(md5(token)) ? +1 : -1) > 0, j from the first
-    * 4 hex chars of the token's md5 (most-significant first). */
+    * 4 hex chars of the token's md5 (most-significant first).
+    *
+    * The md5 hex is PROJECTED once per token row; the 16 per-bit
+    * aggregates only do digit extraction on that column (embedding
+    * md5(token) in each aggregate would hash every token up to 16×,
+    * which dominated d5's bench time). */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol).as("doc"),
-      explode(tokens(col(textCol))).as("token"))
+        explode(tokens(col(textCol))).as("token"))
+      .select(col("doc"), md5(col("token").cast("binary")).as("hex"))
     val bitCols = (0 until 16).map { j =>
       // hex digit value via position in the hex alphabet — portable to the
       // DuckDB oracle (strpos), no engine-specific conv().
-      val digit = expr(s"instr('0123456789abcdef', substring(md5(cast(token as binary)), ${j / 4 + 1}, 1)) - 1")
+      val digit = expr(s"instr('0123456789abcdef', substring(hex, ${j / 4 + 1}, 1)) - 1")
       val bit = shiftright(digit, 3 - j % 4).bitwiseAND(lit(1))
       sum(when(bit === 1, 1).otherwise(-1)).as(s"s$j")
     }
@@ -192,16 +243,24 @@ object Dedup {
     * keyed shuffle instead of a cross join (same trick generalizes to
     * 64-bit simhash with more bands). */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int): DataFrame = {
+                   maxDist: Int, maxBucket: Option[Long] = None): DataFrame = {
     require(maxDist < 16, "16-bit simhash supports maxDist < 16")
     val sh = simHash(docs, idCol, textCol)
     val numBands = maxDist + 1
-    val width = (16 + numBands - 1) / numBands
-    val banded = sh.select(col("doc"), col("simhash"),
+    // uneven floor/ceil widths so EVERY band covers >= 1 real bit: a
+    // uniform ceil width can leave a trailing band with zero bits (e.g.
+    // maxDist=4: 5 bands of 4 start at shift 16), which is constant 0
+    // for every doc and silently equi-joins all docs against all docs.
+    val base = 16 / numBands
+    val rem = 16 % numBands
+    val widths = Seq.tabulate(numBands)(i => base + (if (i < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val banded0 = sh.select(col("doc"), col("simhash"),
       posexplode(array((0 until numBands).map { j =>
-        shiftright(col("simhash"), j * width)
-          .bitwiseAND(lit((1 << width) - 1))
+        shiftright(col("simhash"), offsets(j))
+          .bitwiseAND(lit((1 << widths(j)) - 1))
       }: _*)).as(Seq("band", "bandBits")))
+    val banded = capBuckets(banded0, Seq("band", "bandBits"), maxBucket)
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") &&
           col("x.bandBits") === col("y.bandBits") &&

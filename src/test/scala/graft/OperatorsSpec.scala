@@ -49,6 +49,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("simhash pairs: uneven bands stay exact for every maxDist") {
+    // maxDist=4 used to produce a zero-bit fifth band (all-pairs join);
+    // verify banded pairs == brute-force hamming pairs for several dists
+    val sh = Dedup.simHash(docs, "doc_id", "text")
+      .as[(Long, Int)].collect().toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+    } yield (a, b, Integer.bitCount(sh(a) ^ sh(b)))).toSet
+    Seq(0, 2, 4, 7).foreach { d =>
+      val got = Dedup.simHashPairs(docs, "doc_id", "text", d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == brute.filter(_._3 <= d), s"maxDist=$d")
+    }
+  }
+
+  test("lshVerifiedPairs: exact precision, finds identical docs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val verified = Dedup.lshVerifiedPairs(docs, "doc_id", "text", 3, 0.3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // the re-check guarantees no false positives; recall is the LSH
+    // family's (probabilistic — identical docs are always caught)
+    assert(verified.subsetOf(exact))
+    assert(verified.contains((0L, 1L)))
+    assert(!verified.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("cosine pairs and keep-first dedup") {
     val emb = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.001f)), (2L, Seq(0f, 1f))

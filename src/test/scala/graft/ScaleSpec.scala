@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{BruteForce, IndexBuild, IndexMaintain, IndexSearch, Similarity, Skew}
+import graft.operators.{BruteForce, Dedup, IndexBuild, IndexMaintain, IndexSearch, Similarity, Skew}
 import graft.sources.Ingest
 
 class ScaleSpec extends SparkSpec {
@@ -87,6 +87,40 @@ class ScaleSpec extends SparkSpec {
     val want = BruteForce.rangeSearch(pts, "vector", q, 0.8)
       .select("id").as[Long].collect().toSet
     assert(got == want)
+  }
+
+  test("LSH+re-check pipeline: exact precision, >=90% recall vs quadratic") {
+    val docs = Tables.documents(spark, sf0001)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val verified = Dedup.lshVerifiedPairs(docs, "doc_id", "text", 3, 0.6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(verified.subsetOf(exact),
+      s"false positives: ${(verified -- exact).take(5)}")
+    assert(verified.size >= (exact.size * 9) / 10,
+      s"recall ${verified.size}/${exact.size}, missed=${(exact -- verified).take(5)}")
+  }
+
+  test("giant-bucket cap bounds the candidate explosion") {
+    // 400 near-identical docs = one mega-cluster: every band bucket holds
+    // all 400 docs -> uncapped LSH candidates are ~80k pairs; the cap
+    // drops those buckets so the join stays bounded. Distinct tail docs
+    // remain pairable.
+    val cluster = (0L until 400L).map(i => (i, "aaa bbb ccc ddd eee fff ggg hhh"))
+    // identical tail docs: all bands match — the pair survives iff the
+    // cap leaves small buckets alone (no LSH luck involved)
+    val tail = Seq((1000L, "xxx yyy zzz www vvv uuu ttt sss"),
+      (1001L, "xxx yyy zzz www vvv uuu ttt sss"))
+    val docs = (cluster ++ tail).toDF("doc_id", "text")
+    val capped = Dedup.minHashLshCandidates(docs, "doc_id", "text",
+      rowsPerBand = 2, maxBucket = Some(10L))
+    assert(capped.count() < 1000L)
+    val pairs = capped.select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1000L, 1001L)), "tail pair lost to the cap")
+    // simhash banded pairs with the same cap also stay bounded
+    val shCapped = Dedup.simHashPairs(docs, "doc_id", "text", 2,
+      maxBucket = Some(10L))
+    assert(shCapped.count() < 1000L)
   }
 
   test("salted join equals plain join (hot-key split)") {
