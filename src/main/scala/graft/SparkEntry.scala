@@ -160,12 +160,11 @@ object SparkEntry {
       graft.sources.Ingest.grid(s, 32)
         .select(col("id"), col("vector")(0).as("x"), col("vector")(1).as("y"))
         .orderBy(col("id"))),
-    // no SQL oracle (engine-specific hash): driver rows-only check
+    // md5-portable generator: the oracle recomputes every value exactly
     "i3_random_uniform" -> ((s, d) =>
-      graft.sources.Ingest.randomUniform(s, 1000, 8)
-        .select(col("id"), col("vector")(0).as("v0"))
-        .filter(col("v0") >= -1d && col("v0") <= 1d)
-        .orderBy(col("id"))),
+      graft.sources.Ingest.randomUniformPortable(s, 1000, 8)
+        .select(col("id"), posexplode(col("vector")).as(Seq("idx", "value")))
+        .orderBy(col("id"), col("idx"))),
 
     // --- sessionization (batch twin of the streaming path) ---
     "s1_sessions" -> ((s, d) =>
@@ -232,15 +231,35 @@ object SparkEntry {
           queries, "qid", "qv", 1.2)
         .orderBy(col("qid"), col("vec_id"))
     }),
-    // tree-shape introspection (R6) — shape depends on float summation
-    // order, not SQL-expressible: rows-only check
+    // tree-shape introspection (R6): the exact per-depth profile depends
+    // on float summation order, so the driver query emits the SHAPE
+    // INVARIANTS every valid build must satisfy — all SQL-predictable
     "v10_index_depth_profile" -> ((s, d) => {
       val e = embeddings(s, d)
       val index = IndexBuild.buildIndex(e, "vec_id", "embedding")
-      IndexWalk.depthProfile(index)
+      IndexWalk.depthProfile(index).agg(
+        sum(col("n_leaf_rows")).as("total_leaf_rows"),
+        sum(when(col("depth") === 0, col("n_nodes"))).as("root_nodes"),
+        sum(expr("int(n_nodes > shiftleft(1L, depth))")).as("overfull_depths"),
+        sum(when(col("depth") > 62, 1).otherwise(0)).as("overdeep_depths"))
     }),
 
-    // --- multimodal plumbing (stubbed codec, real schema/batching) ---
+    // --- multimodal: REAL image decode (javax.imageio) over generated
+    // PNGs whose dimensions/colors are closed-form in the id, so the SQL
+    // oracle predicts the decoded round trip exactly ---
+    "m4_image_decode" -> ((s, d) => {
+      val feats = Multimodal.extractFeatures(Multimodal.imageTable(s, 500)).toDF()
+      feats.select(col("media_id"), col("width").cast("long"),
+          col("height").cast("long"),
+          round(col("feature")(0) * 255).cast("long").as("r"),
+          round(col("feature")(1) * 255).cast("long").as("g"),
+          round(col("feature")(2) * 255).cast("long").as("b"),
+          round(col("feature")(7).cast("double"), 6).as("aspect"))
+        .orderBy(col("media_id"))
+    }),
+
+    // --- multimodal plumbing (stubbed audio/video codec, real image
+    // decode, real schema/batching) ---
     "m3_media_features" -> ((s, d) => {
       val media = Multimodal.mediaFromText(Tables.documents(s, d), "doc_id", "text")
       Multimodal.extractFeatures(media).toDF()
@@ -604,6 +623,16 @@ object SparkEntry {
         | CAST((j - 15.5) / 16.0 AS FLOAT) AS y
         |FROM generate_series(0, 31) a(i), generate_series(0, 31) b(j)
         |ORDER BY id""".stripMargin,
+    "i3_random_uniform" ->
+      """SELECT id, i AS idx,
+        | CAST((CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '_' || CAST(i AS VARCHAR) || '_42'), 1, 15)) AS BIGINT) AS DOUBLE)
+        |   / 1152921504606846976.0) * 2 - 1 AS FLOAT) AS value
+        |FROM range(1000) t(id), range(8) s(i)
+        |ORDER BY id, idx""".stripMargin,
+    "v10_index_depth_profile" ->
+      """SELECT count(*) AS total_leaf_rows, 1 AS root_nodes,
+        | 0 AS overfull_depths, 0 AS overdeep_depths
+        |FROM embeddings""".stripMargin,
 
     "s1_sessions" ->
       """WITH m AS (
@@ -660,6 +689,15 @@ object SparkEntry {
     "m2_index_add_search" ->
       s"""SELECT vec_id FROM embeddings
          |WHERE $DistSql <= $Radius ORDER BY vec_id""".stripMargin,
+    "m4_image_decode" ->
+      """SELECT i AS media_id,
+        | 16 + i % 32 AS width,
+        | 16 + (3 * i) % 32 AS height,
+        | (7 * i) % 256 AS r,
+        | (13 * i) % 256 AS g,
+        | (29 * i) % 256 AS b,
+        | round(CAST(CAST(16 + i % 32 AS FLOAT) / CAST(16 + (3 * i) % 32 AS FLOAT) AS DOUBLE), 6) AS aspect
+        |FROM range(500) t(i) ORDER BY media_id""".stripMargin,
     "m3_media_features" ->
       """SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -11,11 +11,13 @@ import java.security.MessageDigest
   * (the JVM analog of pandas-batch UDFs: one codec instance per
   * partition, rows streamed through it).
   *
-  * The actual codec is STUBBED (no image/audio libraries in this
-  * environment): `decodeStub` derives deterministic pseudo-features from
-  * the payload's SHA-256, so the Spark-side plumbing — schema, partition
-  * batching, feature shape, join-back — is real and testable end-to-end,
-  * and a real decoder drops into `decode` without touching the plan. */
+  * Image decode is REAL: `decodeImage` parses PNG/BMP/JPEG bytes with
+  * javax.imageio (in every JVM) and extracts dimensions + mean-color /
+  * quadrant-luma features. Audio/video stay STUBBED (`decodeStub`
+  * derives deterministic pseudo-features from the payload's SHA-256 — no
+  * codec libraries in this environment); the Spark-side plumbing —
+  * schema, partition batching, feature shape, join-back — is identical
+  * for both, so real codecs drop in without touching the plan. */
 object Multimodal {
 
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
@@ -43,6 +45,65 @@ object Multimodal {
       frames, feature)
   }
 
+  /** REAL image decode: parse the payload with javax.imageio. Feature
+    * layout (8 floats): mean R, G, B in [0,1]; mean luma of the 4
+    * quadrants (TL, TR, BL, BR) scaled to [0,1]; width/height aspect.
+    * Returns None when the bytes aren't a decodable image. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sr = 0L; var sg = 0L; var sb = 0L
+        val quad = new Array[Long](4)
+        val qcnt = new Array[Long](4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            sr += r; sg += g; sb += b
+            val qi = (if (y * 2 >= h) 2 else 0) + (if (x * 2 >= w) 1 else 0)
+            quad(qi) += (r + g + b)
+            qcnt(qi) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        val feature = Array(
+          (sr.toDouble / n / 255d).toFloat,
+          (sg.toDouble / n / 255d).toFloat,
+          (sb.toDouble / n / 255d).toFloat,
+          (quad(0).toDouble / math.max(qcnt(0), 1) / 765d).toFloat,
+          (quad(1).toDouble / math.max(qcnt(1), 1) / 765d).toFloat,
+          (quad(2).toDouble / math.max(qcnt(2), 1) / 765d).toFloat,
+          (quad(3).toDouble / math.max(qcnt(3), 1) / 765d).toFloat,
+          w.toFloat / h.toFloat)
+        Some((w, h, feature))
+      }
+    } catch { case _: Exception => None }
+
+  /** Decode one media row: images go through the real imageio decoder
+    * (falling back to the stub if the bytes aren't an image); audio and
+    * video use the stub (no codec libraries here). */
+  def decode(id: Long, kind: String, payload: Array[Byte]): MediaFeatures =
+    if (kind == "image")
+      decodeImage(payload) match {
+        case Some((w, h, feature)) =>
+          val md = MessageDigest.getInstance("SHA-256")
+          val sha = md.digest(payload).map("%02x".format(_)).mkString
+          MediaFeatures(id, kind, payload.length.toLong, sha, w, h, 1, feature)
+        case None => decodeStub(id, kind, payload)
+      }
+    else decodeStub(id, kind, payload)
+
   /** Batch feature extraction over a media table: mapPartitions keeps one
     * decoder per partition; input batches stream through it. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
@@ -50,7 +111,35 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       // per-partition decoder init would go here (codec handles, model…)
-      rows.map(r => decodeStub(r.media_id, r.kind, r.payload))
+      rows.map(r => decode(r.media_id, r.kind, r.payload))
+    }
+  }
+
+  /** Deterministic solid-color PNG table (REAL bytes, real decode
+    * targets), generated distributively: id → (16 + id mod 32) ×
+    * (16 + 3·id mod 32) pixels, RGB = (7·id, 13·id, 29·id) mod 256.
+    * The closed-form rule is what an SQL oracle can predict — decoding
+    * these through imageio proves the decoder round-trips real PNGs. */
+  def imageTable(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = 16 + (id % 32).toInt
+        val h = 16 + ((3 * id) % 32).toInt
+        val rgb = (((7 * id) % 256).toInt << 16) |
+          (((13 * id) % 256).toInt << 8) | ((29 * id) % 256).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRow(id, "image", bos.toByteArray)
+      }
     }
   }
 

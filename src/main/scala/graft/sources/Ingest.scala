@@ -61,6 +61,20 @@ object Ingest {
           .cast("float")
       }).as("vector"))
 
+  /** S5-portable: the same seeded uniform generator expressed over md5 —
+    * bit-for-bit reproducible in ANY engine with md5 (the DuckDB oracle
+    * recomputes it exactly), value = 2·(60-bit md5 prefix)/2^60 − 1.
+    * xxhash64 (`randomUniform`) stays the cheaper in-engine default. */
+  def randomUniformPortable(spark: SparkSession, n: Long, dim: Int,
+                            seed: Long = 42L): DataFrame =
+    spark.range(n).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)), i => {
+        val key = concat_ws("_", col("id"), i, lit(seed))
+        val x = conv(substring(md5(key.cast("binary")), 1, 15), 16, 10)
+          .cast("long")
+        ((x.cast("double") / lit((1L << 60).toDouble)) * 2d - 1d).cast("float")
+      }).as("vector"))
+
   /** S6: d one-hot basis vectors e_i (adversarial: every dim has
     * near-zero stdev). */
   def oneHot(spark: SparkSession, dim: Int): DataFrame =

@@ -218,6 +218,31 @@ class IngestSpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("real PNG decode round-trips generated dimensions and colors") {
+    val feats = Multimodal.extractFeatures(Multimodal.imageTable(spark, 64))
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 64)
+    feats.foreach { f =>
+      val id = f.media_id
+      assert(f.width == 16 + (id % 32).toInt, s"id=$id width")
+      assert(f.height == 16 + ((3 * id) % 32).toInt, s"id=$id height")
+      // solid color: mean channel * 255 reconstructs the fill exactly
+      assert(math.round(f.feature(0) * 255) == (7 * id) % 256, s"id=$id r")
+      assert(math.round(f.feature(1) * 255) == (13 * id) % 256, s"id=$id g")
+      assert(math.round(f.feature(2) * 255) == (29 * id) % 256, s"id=$id b")
+      // all four quadrant lumas equal the global mean for a solid fill
+      val luma = (f.feature(0) + f.feature(1) + f.feature(2)) / 3f
+      (3 to 6).foreach(q => assert(math.abs(f.feature(q) - luma) < 1e-4f))
+    }
+  }
+
+  test("non-image bytes fall back to the stub decoder") {
+    val junk = Seq(Multimodal.MediaRow(1L, "image", "not a png".getBytes("UTF-8")))
+      .toDS()
+    val f = Multimodal.extractFeatures(junk).collect().head
+    assert(f.width >= 64 && f.width < 320) // stub range, not a decode crash
+  }
+
   test("feature extraction is deterministic with stable schema") {
     val docs = Tables.documents(spark, sf0001).limit(30)
     val media = Multimodal.mediaFromText(docs, "doc_id", "text")
