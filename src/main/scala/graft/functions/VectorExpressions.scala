@@ -46,7 +46,10 @@ abstract class VectorBinaryFold extends BinaryExpression {
     val b = r.asInstanceOf[ArrayData]
     val la = elemIsFloat(left.dataType)
     val rb = elemIsFloat(right.dataType)
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"vector length mismatch: ${a.numElements()} vs ${b.numElements()}")
+    val n = a.numElements()
     var sum = 0.0d
     var i = 0
     while (i < n) {
@@ -68,7 +71,11 @@ abstract class VectorBinaryFold extends BinaryExpression {
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        if ($a.numElements() != $b.numElements()) {
+          throw new IllegalArgumentException(
+            "vector length mismatch: " + $a.numElements() + " vs " + $b.numElements());
+        }
+        int $n = $a.numElements();
         double $sum = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           double $x = (double) $a.$aGet($i);

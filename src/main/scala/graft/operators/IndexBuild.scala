@@ -119,7 +119,11 @@ object IndexBuild {
           element_at($"vs.mn", $"pos").as("minD"),
           element_at($"vs.mx", $"pos").as("maxD"),
           $"vs.cnt".as("cnt"),
-          floor($"vs.sumId" / $"vs.cnt").cast("long").as("pivotId"))
+          // integral divide (truncation toward zero) — matches the local
+          // builder's sumIdL / n and the C# reference's (long)(IdN/Count)
+          // (IndexBuilder.cs:87); floor() would disagree for negative id
+          // sums and fork the two build paths' tree shapes
+          expr("vs.sumId div vs.cnt").as("pivotId"))
         // Degenerate-split guard (SURVEY §7.4): if the float-rounded mid
         // can't strictly separate values (mid outside (min, max)), a
         // value split may leave one child empty and loop; fall back to a

@@ -60,11 +60,13 @@ case class IndexedVicinityRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case Literal(a: ArrayData, ArrayType(FloatType, _)) =>
       Some(a.toFloatArray().toSeq.map(_.toDouble))
     case CreateArray(elems, _) if elems.forall(_.foldable) =>
-      Some(elems.map(x => x.eval() match {
-        case d: java.lang.Double => d.doubleValue()
-        case f: java.lang.Float => f.doubleValue()
-        case n: java.lang.Number => n.doubleValue()
-      }))
+      // a foldable null / non-numeric element must NOT throw inside the
+      // optimizer — return None so the rule skips the rewrite and the
+      // query runs unoptimized
+      val vals = elems.map(_.eval())
+      if (vals.forall(_.isInstanceOf[java.lang.Number]))
+        Some(vals.map(_.asInstanceOf[java.lang.Number].doubleValue()))
+      else None
     case _ => None
   }
 

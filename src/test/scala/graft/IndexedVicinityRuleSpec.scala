@@ -89,6 +89,28 @@ class IndexedVicinityRuleSpec extends SparkSpec {
     }
   }
 
+  test("foldable null array element skips the rewrite instead of crashing") {
+    val path = s"$sf0001/embeddings.parquet"
+    val e = Tables.embeddings(extSpark, sf0001)
+    val index = IndexBuild.buildIndex(e, "vec_id", "embedding").localCheckpoint()
+    VectorIndexCatalog.register(path, "vec_id", index)
+    try {
+      import org.apache.spark.sql.functions.{array, col, lit, sqrt}
+      import graft.functions.VectorFunctions.distSq
+      val qArr = array((Seq.fill(63)(lit(0.0d)) :+
+        lit(null).cast("double")): _*)
+      // MatchError inside the optimizer rule would fail the whole query;
+      // the rule must fall back to the unrewritten plan
+      val out = extSpark.read.parquet(path)
+        .filter(sqrt(distSq(col("embedding"), qArr)) <= lit(0.5d))
+      assert(out.count() == 0) // null query vec matches nothing; no crash
+    } finally {
+      VectorIndexCatalog.clear()
+      SparkSession.setDefaultSession(TestSpark.spark)
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+
   test("tables without a registered index are untouched") {
     VectorIndexCatalog.clear()
     val q = BruteForce.rangeSearch(

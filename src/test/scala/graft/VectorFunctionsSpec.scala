@@ -39,4 +39,16 @@ class VectorFunctionsSpec extends SparkSpec {
     val df = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f))).toDF("id", "v")
     assert(df.filter(hasDim(col("v"), 2)).count() == 1)
   }
+
+  test("dist/dot raise on mismatched vector lengths") {
+    // the reference validates vector size (MemoryVectorIndex.cs:105-108);
+    // silent truncation would return a wrong distance
+    val df = Seq((1L, Seq(1f, 2f, 3f))).toDF("id", "v")
+    val ex = intercept[Exception] {
+      df.select(dist(col("v"), floatVec(Seq(1f, 2f))).as("d")).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: causes(t.getCause)
+    assert(causes(ex).exists(m => m != null && m.contains("length mismatch")))
+  }
 }
