@@ -83,47 +83,72 @@ object StreamOps {
     t
   }
 
-  /** Streaming sessionization via flatMapGroupsWithState: emits a session
-    * when the gap passes (event-time driven within the group; a live
-    * deployment would add a timeout to flush tails). Semantics match
+  /** Streaming sessionization via flatMapGroupsWithState with an
+    * EVENT-TIME TIMEOUT: a gap inside the group closes a session inline;
+    * the per-user TAIL session flushes when the watermark passes its
+    * last event + gap (an event at exactly lastSec+gap still extends the
+    * session, so the timeout arms one second later). Semantics match
     * sessionizeBatch when events arrive in order. */
-  def sessionizeStream(events: DataFrame): Dataset[SessionOut] = {
+  def sessionizeStream(events: DataFrame,
+                       watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // the watermark-tagged ts column must reach the stateful operator
+    // itself (projecting it away drops the tag and EventTimeTimeout is
+    // rejected) — convert to epoch-µs inside the lambda instead
     val typed = events
-      .select(col("user_id"), unix_micros(col("ts")).as("tsUs"),
-        col("event_id"), col("value"))
-      .as[(Long, Long, Long, Double)]
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
 
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, rows, state: GroupState[List[SessionState]]) =>
+          def us(t: java.sql.Timestamp): Long = {
+            val i = t.toInstant
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          }
           def sec(us: Long): Long = Math.floorDiv(us, 1000000L)
           // per-value scale-4 decimal, matching cast(value as decimal(14,4))
           // in the batch twin (Spark's double→decimal uses the shortest
           // decimal representation, which BigDecimal(v) mirrors)
           def dec(v: Double): BigDecimal =
             BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
-          var sessions = state.getOption.getOrElse(Nil)
-          var out = List.empty[SessionOut]
-          sorted.foreach { case (_, tsUs, _, v) =>
-            sessions match {
-              case cur :: rest if sec(tsUs) - sec(cur.lastUs) <= SessionGapMinutes * 60L =>
-                sessions = cur.copy(lastUs = tsUs, n = cur.n + 1,
-                  value = cur.value + dec(v)) :: rest
-              case cur :: rest =>
-                out ::= SessionOut(userId, cur.idx, cur.n,
-                  usToTimestamp(cur.startUs), usToTimestamp(cur.lastUs),
-                  cur.value.toDouble)
-                sessions = SessionState(tsUs, tsUs, 1, dec(v), cur.idx + 1) :: rest
-              case Nil =>
-                sessions = SessionState(tsUs, tsUs, 1, dec(v), 1) :: Nil
+          def emit(s: SessionState): SessionOut =
+            SessionOut(userId, s.idx, s.n, usToTimestamp(s.startUs),
+              usToTimestamp(s.lastUs), s.value.toDouble)
+          if (state.hasTimedOut) {
+            // watermark passed lastUs + gap: the tail session is closed
+            val out = state.getOption.getOrElse(Nil).map(emit)
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.map(r => (r._1, us(r._2), r._3, r._4))
+              .sortBy(r => (r._2, r._3))
+            var sessions = state.getOption.getOrElse(Nil)
+            var out = List.empty[SessionOut]
+            sorted.foreach { case (_, tsUs, _, v) =>
+              sessions match {
+                case cur :: rest if sec(tsUs) - sec(cur.lastUs) <= SessionGapMinutes * 60L =>
+                  sessions = cur.copy(lastUs = tsUs, n = cur.n + 1,
+                    value = cur.value + dec(v)) :: rest
+                case cur :: rest =>
+                  out ::= emit(cur)
+                  sessions = SessionState(tsUs, tsUs, 1, dec(v), cur.idx + 1) :: rest
+                case Nil =>
+                  sessions = SessionState(tsUs, tsUs, 1, dec(v), 1) :: Nil
+              }
             }
+            state.update(sessions)
+            sessions.headOption.foreach { cur =>
+              val flushAtMs = (sec(cur.lastUs) + SessionGapMinutes * 60L + 1L) * 1000L
+              // never arm behind the current watermark (Spark rejects it)
+              state.setTimeoutTimestamp(
+                math.max(flushAtMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.reverseIterator
           }
-          state.update(sessions)
-          out.reverseIterator
       }
   }
 

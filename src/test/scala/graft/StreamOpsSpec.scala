@@ -33,7 +33,7 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
-  test("streaming sessionization emits exactly the closed sessions") {
+  test("streaming sessionization emits closed sessions + watermark-flushed tails") {
     val stream = StreamOps.eventStream(spark, eventsDir)
     val q = StreamOps.sessionizeStream(stream)
       .writeStream.outputMode("append")
@@ -44,15 +44,28 @@ class StreamOpsSpec extends SparkSpec {
       .select("user_id", "session_idx", "n_events", "session_start", "session_end", "session_value")
       .collect().map(_.toString).toSet
 
-    val batch = StreamOps.sessionizeBatch(Tables.events(spark, sf0001))
-    // the stream (NoTimeout) can't close each user's final session
-    val lastIdx = batch.groupBy("user_id")
-      .agg(max("session_idx").as("last_idx"))
-    val closed = batch.join(lastIdx, Seq("user_id"))
-      .filter(col("session_idx") < col("last_idx"))
+    val events = Tables.events(spark, sf0001)
+    val batch = StreamOps.sessionizeBatch(events)
+    val all = batch
       .select("user_id", "session_idx", "n_events", "session_start", "session_end", "session_value")
       .collect().map(_.toString).toSet
-    assert(got == closed)
+
+    // EventTimeTimeout flushes a tail session once the final watermark
+    // (max event time, ms) passes lastSec + gap + 1s (strict <); only
+    // tails newer than that may legitimately still be open
+    val wmMs = events.agg(max(unix_micros(col("ts")))).head().getLong(0) / 1000L
+    val lastIdx = batch.groupBy("user_id").agg(max("session_idx").as("last_idx"))
+    val flushable = batch.join(lastIdx, Seq("user_id"))
+      .filter(col("session_idx") < col("last_idx") ||
+        (floor(unix_micros(col("session_end")) / 1000000L) +
+          StreamOps.SessionGapMinutes * 60L + 1L) * 1000L < wmMs)
+      .select("user_id", "session_idx", "n_events", "session_start", "session_end", "session_value")
+      .collect().map(_.toString).toSet
+    assert(got.subsetOf(all), s"stream emitted rows absent from batch: ${(got -- all).take(3)}")
+    assert(got == flushable,
+      s"missing=${(flushable -- got).take(3)} extra=${(got -- flushable).take(3)}")
+    // the flush actually fires: tails ARE emitted for old sessions
+    assert((all -- got).size < all.size / 10, "no tails were flushed")
   }
 
   test("streaming dedup keeps one doc per fingerprint") {
