@@ -134,6 +134,10 @@ object SparkEntry {
     "d8_lsh_verified" -> ((s, d) =>
       Dedup.lshVerifiedPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.3)
         .orderBy(col("a"), col("b"))),
+    "d9_cosine_lsh" -> ((s, d) =>
+      Dedup.cosineLshPairs(embeddings(s, d), "vec_id", "embedding",
+          Planes, 0.4)
+        .orderBy(col("a"), col("b"))),
 
     // --- similarity search (ANN paths) ---
     "a1_lsh_knn" -> ((s, d) =>
@@ -581,6 +585,20 @@ object SparkEntry {
         |   ON x.vec_id < y.vec_id
         |) WHERE cos > 0.4 ORDER BY a, b""".stripMargin,
 
+    "d9_cosine_lsh" -> {
+      val flips = (Seq("bucket") ++ Planes.indices.map(j =>
+        s"xor(bucket, ${1 << j})")).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+         |  ${bucketSql("v")} AS bucket FROM e),
+         |px AS (SELECT vec_id, v, nrm, unnest($flips) AS bucket FROM b)
+         |SELECT DISTINCT a, b, round(cos, 6) AS cos FROM (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |   CASE WHEN x.nrm * y.nrm = 0 THEN 0
+         |        ELSE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) END AS cos
+         |  FROM px x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |WHERE cos > 0.4 ORDER BY a, b""".stripMargin
+    },
     "a1_lsh_knn" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, ${bucketSql("v")} AS bucket, v FROM e),

@@ -116,38 +116,41 @@ object Dedup {
     Seq.fill(n)((next() | 1L, next()))
   }
 
-  /** MinHash signature rows (doc, h, sig): base integer x = md5(shingle)
-    * hex prefix (15 digits) mod 2^30, sig_h = min over the doc's distinct
-    * k-shingles of (a_h·x + b_h) mod 2^61-1.
+  /** WIDE MinHash signatures (doc, s0..s{n-1}): base integer x =
+    * md5(shingle) hex prefix (15 digits) mod 2^30, sig_j = min over the
+    * doc's distinct k-shingles of (a_j·x + b_j) mod 2^61-1.
     *
-    * Shape: ONE codegen'd md5 per shingle (the 16 hash functions are
-    * integer ops), narrow maps into a groupBy whose min() partially
-    * aggregates map-side — the exchange carries only (docs × numHashes)
-    * rows, never the (docs × shingles × hashes) expansion. */
+    * Shape: ONE codegen'd md5 per shingle (the hash functions are
+    * integer ops), then a single groupBy(doc) computing all n mins as
+    * map-side-partial aggregates over ONE row per shingle — the exchange
+    * carries one wide row per (doc × map task), never a posexplode'd
+    * (shingles × hashes) expansion. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, numHashes: Int): DataFrame = {
     val x30 = (conv(substring(md5(col("shingle").cast("binary")), 1, 15),
       16, 10).cast("long") % (1L << 30)).as("x30")
-    val hashes = minHashParams(numHashes).map { case (a, b) =>
-      (lit(a) * col("x30") + lit(b)) % MinHashP
+    val mins = minHashParams(numHashes).zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("x30") + lit(b)) % MinHashP).as(s"s$j")
     }
     shingleRows(docs, idCol, textCol, k)
       .select(col("doc"), x30)
-      .select(col("doc"), posexplode(array(hashes: _*)).as(Seq("h", "hv")))
-      .groupBy(col("doc"), col("h"))
-      .agg(min(col("hv")).as("sig"))
+      .groupBy(col("doc"))
+      .agg(mins.head, mins.tail: _*)
   }
 
-  /** LSH band keys (doc, band, key): the signature is cut into bands of
-    * `rowsPerBand` hashes; key = md5 of the concatenated band slice.
-    * Docs sharing any band key are candidate near-duplicates. */
-  def lshBandKeys(signatures: DataFrame, rowsPerBand: Int): DataFrame =
-    signatures
-      .withColumn("band", floor(col("h") / rowsPerBand))
-      .groupBy(col("doc"), col("band"))
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("h"), col("sig")))),
-          s => s.getField("sig").cast("string"))).cast("binary")).as("key"))
+  /** LSH band keys (doc, band, key) from a wide signature: key = md5 of
+    * the comma-joined band slice — a pure projection (no collect_list /
+    * array_sort aggregation). Docs sharing any band key are candidate
+    * near-duplicates. */
+  def lshBandKeys(signatures: DataFrame, numHashes: Int,
+                  rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    signatures.select(col("doc"),
+      posexplode(array((0 until numBands).map { band =>
+        md5(concat_ws(",", (0 until rowsPerBand).map(r =>
+          col(s"s${band * rowsPerBand + r}").cast("string")): _*).cast("binary"))
+      }: _*)).as(Seq("band", "key")))
+  }
 
   /** Drop rows whose bucket (the given key columns) holds more than
     * `cap` members — the giant-bucket guard before a bucket self-join.
@@ -172,7 +175,8 @@ object Dedup {
                            maxBucket: Option[Long] = None): DataFrame = {
     val bands = capBuckets(
       lshBandKeys(
-        minHashSignatures(docs, idCol, textCol, k, numHashes), rowsPerBand),
+        minHashSignatures(docs, idCol, textCol, k, numHashes),
+        numHashes, rowsPerBand),
       Seq("band", "key"), maxBucket)
     bands.as("x").join(bands.as("y"),
         col("x.key") === col("y.key") && col("x.band") === col("y.band") &&
@@ -289,6 +293,93 @@ object Dedup {
           .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
       .filter(col("cos") > threshold)
       .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** 64-bit SimHash (the scale variant of `simHash`): bit j from hex
+    * digit j/4 of md5(token), one md5 projection per token, 64 per-bit
+    * sign sums in a single groupBy. 64 bits make the pigeonhole bands
+    * 16 bits wide (65k key values) instead of 4 (16 values) — the
+    * candidate buckets stay selective at corpus scale. */
+  def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc"),
+        explode(tokens(col(textCol))).as("token"))
+      .select(col("doc"), md5(col("token").cast("binary")).as("hex"))
+    val bitCols = (0 until 64).map { j =>
+      val digit = expr(s"instr('0123456789abcdef', substring(hex, ${j / 4 + 1}, 1)) - 1")
+      val bit = shiftright(digit, 3 - j % 4).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val sums = tok.groupBy(col("doc")).agg(bitCols.head, bitCols.tail: _*)
+    val value = (0 until 64).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _) // OR, not +: bit 63 is Long.MinValue
+    sums.select(col("doc"), value.as("simhash"))
+  }
+
+  /** 64-bit SimHash near-dup pairs: EXACT hamming <= maxDist via the
+    * same pigeonhole banding as simHashPairs, over 64 bits. */
+  def simHash64Pairs(docs: DataFrame, idCol: String, textCol: String,
+                     maxDist: Int, maxBucket: Option[Long] = None): DataFrame = {
+    require(maxDist < 64, "64-bit simhash supports maxDist < 64")
+    val sh = simHash64(docs, idCol, textCol)
+    val numBands = maxDist + 1
+    val base = 64 / numBands
+    val rem = 64 % numBands
+    val widths = Seq.tabulate(numBands)(i => base + (if (i < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val banded0 = sh.select(col("doc"), col("simhash"),
+      posexplode(array((0 until numBands).map { j =>
+        val mask = if (widths(j) == 64) -1L else (1L << widths(j)) - 1L
+        shiftrightunsigned(col("simhash"), offsets(j))
+          .bitwiseAND(lit(mask))
+      }: _*)).as(Seq("band", "bandBits")))
+    val banded = capBuckets(banded0, Seq("band", "bandBits"), maxBucket)
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bandBits") === col("y.bandBits") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct()
+  }
+
+  /** Embedding near-dup at scale: hyperplane-LSH bucket equi-join +
+    * exact cosine re-check on bucket-collided pairs only (the scale
+    * route for cosinePairs' inherent all-pairs form). Sign-hash LSH:
+    * cos-similar vectors agree on most hyperplane signs, so probing the
+    * exact bucket (plus optional 1-bit neighbours via `multiProbe`)
+    * catches high-threshold pairs; precision is exact via the re-check.
+    * Every join is keyed by bucket — no n² pair expansion. */
+  def cosineLshPairs(emb: DataFrame, idCol: String, vecCol: String,
+                     planes: Array[Array[Double]], threshold: Double,
+                     multiProbe: Boolean = true,
+                     maxBucket: Option[Long] = None): DataFrame = {
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      graft.functions.VectorFunctions.norm(col(vecCol)).as("nrm"),
+      Similarity.lshBucket(col(vecCol), planes).as("bucket"))
+    // probe rows: the vector listed under its own bucket and (multi-
+    // probe) every bucket at hamming distance 1 — candidate pairs are
+    // vectors whose buckets differ by <= 1 sign bit
+    val probes =
+      if (multiProbe)
+        base.select(col("id"), col("v"), col("nrm"),
+          explode(array(col("bucket") +: planes.indices.map(j =>
+            col("bucket").bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
+      else base
+    val capped = capBuckets(probes, Seq("bucket"), maxBucket)
+    val x = capped.select(col("bucket"), col("id").as("a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val y = base.select(col("bucket"), col("id").as("b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    x.join(y, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos",
+        when(col("na") * col("nb") === 0d, lit(0d))
+          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .filter(col("cos") > threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("cos"))
+      .distinct()
   }
 
   /** Keep-first dedup: drop every doc that has a near-dup partner with a

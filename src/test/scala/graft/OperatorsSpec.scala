@@ -76,6 +76,34 @@ class DedupSpec extends SparkSpec {
     assert(!verified.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("simHash64 pairs == brute-force hamming (scale variant)") {
+    val sh = Dedup.simHash64(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) == sh(1L) && sh(0L) == sh(4L))
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+    } yield (a, b, java.lang.Long.bitCount(sh(a) ^ sh(b)))).toSet
+    Seq(0, 3, 10).foreach { d =>
+      val got = Dedup.simHash64Pairs(docs, "doc_id", "text", d)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got == brute.filter(_._3 <= d), s"maxDist=$d")
+    }
+  }
+
+  test("cosineLshPairs: exact precision, catches near-parallel vectors") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0.999f, 0.01f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f)), (3L, Seq(-1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(6, 4)
+    val exact = Dedup.cosinePairs(emb, "vec_id", "embedding", 0.99)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val got = Dedup.cosineLshPairs(emb, "vec_id", "embedding", planes, 0.99)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exact))
+    assert(got.contains((0L, 1L))) // near-parallel: same sign pattern
+  }
+
   test("cosine pairs and keep-first dedup") {
     val emb = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.001f)), (2L, Seq(0f, 1f))
