@@ -235,6 +235,19 @@ object SparkEntry {
           queries, "qid", "qv", 1.2)
         .orderBy(col("qid"), col("vec_id"))
     }),
+    "v13_trie_join" -> ((s, d) => {
+      // the trie-variant index (MemoryVectorIndex twin): one trie per
+      // partition, budget-pruned probes, exact re-check — equals the
+      // brute cross-join filter
+      import s.implicits._
+      val e = embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+        .as[(Long, Array[Float])].collect()
+      graft.operators.TrieIndex.searchJoin(e, "vec_id", "embedding", queries, 1.2)
+        .orderBy(col("qid"), col("vec_id"))
+    }),
+
     // tree-shape introspection (R6): the exact per-depth profile depends
     // on float summation order, so the driver query emits the SHAPE
     // INVARIANTS every valid build must satisfy — all SQL-predictable
@@ -695,6 +708,12 @@ object SparkEntry {
          |WHERE $DistSql <= $Radius AND label = 1 ORDER BY vec_id""".stripMargin,
 
     "v11_index_range_join" ->
+      """SELECT q.vec_id AS qid, e.vec_id AS vec_id
+        |FROM embeddings e
+        |CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+        |WHERE list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) <= 1.2
+        |ORDER BY qid, vec_id""".stripMargin,
+    "v13_trie_join" ->
       """SELECT q.vec_id AS qid, e.vec_id AS vec_id
         |FROM embeddings e
         |CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
