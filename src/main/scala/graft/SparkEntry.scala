@@ -138,6 +138,9 @@ object SparkEntry {
       Dedup.cosineLshPairs(embeddings(s, d), "vec_id", "embedding",
           Planes, 0.4)
         .orderBy(col("a"), col("b"))),
+    "d10_simhash64_pairs" -> ((s, d) =>
+      Dedup.simHash64Pairs(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy(col("a"), col("b"))),
 
     // --- similarity search (ANN paths) ---
     "a1_lsh_knn" -> ((s, d) =>
@@ -376,6 +379,25 @@ object SparkEntry {
        |FROM sums)""".stripMargin
   }
 
+  /** 64-bit simhash CTE (`sh64(doc, simhash)`) — 64 per-bit sign sums,
+    * OR-composed (bit 63 is BIGINT min, so + would overflow). */
+  private def simhash64SumsSql: String = {
+    val sums = (0 until 64).map { j =>
+      val pos = j / 4 + 1
+      val shift = 3 - j % 4
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substring(md5(token), $pos, 1)) - 1) >> $shift) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(",\n  ")
+    val value = (0 until 64).map { j =>
+      val bit = if (j == 63) "((-9223372036854775807) - 1)" else s"CAST(${1L << j} AS BIGINT)"
+      s"(CASE WHEN s$j > 0 THEN $bit ELSE 0 END)"
+    }.mkString(" | ")
+    s"""tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM documents),
+       |sums AS (SELECT doc_id,
+       |  $sums
+       |FROM tok GROUP BY doc_id),
+       |sh64 AS (SELECT doc_id AS doc, $value AS simhash FROM sums)""".stripMargin
+  }
+
   private val langCases: String = {
     val langs = Seq("en", "de", "fr", "es", "zh")
     def hits(l: String) = {
@@ -588,6 +610,12 @@ object SparkEntry {
          |SELECT x.doc AS a, y.doc AS b, bit_count(xor(x.simhash::BIGINT, y.simhash::BIGINT)) AS hamming
          |FROM sh16 x JOIN sh16 y ON x.doc < y.doc
          |WHERE bit_count(xor(x.simhash::BIGINT, y.simhash::BIGINT)) <= 3
+         |ORDER BY a, b""".stripMargin,
+    "d10_simhash64_pairs" ->
+      s"""WITH $simhash64SumsSql
+         |SELECT x.doc AS a, y.doc AS b, bit_count(xor(x.simhash, y.simhash)) AS hamming
+         |FROM sh64 x JOIN sh64 y ON x.doc < y.doc
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY a, b""".stripMargin,
     "d6_cosine_pairs" ->
       """SELECT a, b, round(cos, 6) AS cos FROM (

@@ -140,6 +140,59 @@ object Similarity {
       qBucket +: planes.indices.map(j => qBucket ^ (1 << j)), q, k)
   }
 
+  /** Lloyd's k-means refinement of the IVF coarse quantizer: start from
+    * the deterministic first-C seed, then `iters` rounds of map-only
+    * assignment (ivfListId — no shuffle of the points beyond the
+    * per-list mean aggregation, which reuses the single-pass Welford
+    * aggregator over whole vectors). Lists that lose every member keep
+    * their previous centroid. The refined set drops into ivfAssign /
+    * ivfKnnWith / writeIvf unchanged. */
+  def ivfTrain(emb: DataFrame, idCol: String, vecCol: String,
+               numLists: Int, iters: Int): Array[(Long, Array[Double])] = {
+    var cents = ivfCentroids(emb, idCol, vecCol, numLists)
+    val vs = graft.functions.VecStatsAgg.vecStats
+    for (_ <- 0 until iters) {
+      val means = emb
+        .select(ivfListId(col(vecCol), cents).as("list_id"),
+          col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<float>").as("vector"))
+        .groupBy(col("list_id"))
+        .agg(vs(col("id"), col("vector")).as("vs"))
+        .select(col("list_id"), col("vs.mean"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .toMap
+      cents = cents.map { case (lid, old) => (lid, means.getOrElse(lid, old)) }
+    }
+    cents
+  }
+
+  /** Mean squared distance of every vector to its assigned centroid —
+    * the k-means cost (for monitoring ivfTrain convergence). */
+  def ivfCost(emb: DataFrame, vecCol: String,
+              centroids: Array[(Long, Array[Double])]): Double = {
+    val pairs = centroids.map { case (lid, cv) =>
+      struct(dist(col(vecCol), doubleVec(cv.toSeq)).as("cdist"),
+        lit(lid).as("list_id"))
+    }
+    emb.select(pow(array_min(array(pairs.toIndexedSeq: _*))
+        .getField("cdist"), 2).as("d2"))
+      .agg(avg(col("d2"))).head().getDouble(0)
+  }
+
+  /** IVF top-k against an explicit (possibly Lloyd-refined) centroid
+    * set — the ivfKnn body, shared. */
+  def ivfKnnWith(emb: DataFrame, idCol: String, vecCol: String,
+                 centroids: Array[(Long, Array[Double])], nprobe: Int,
+                 q: Seq[Double], k: Int): DataFrame = {
+    val probe = ivfProbeLists(centroids, q, nprobe)
+    emb.withColumn("list_id", ivfListId(col(vecCol), centroids))
+      .filter(col("list_id").isin(probe: _*))
+      .withColumn("dist", dist(col(vecCol), doubleVec(q)))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
   /** The `nprobe` centroid lists nearest to a query — computed on the
     * driver from the collected centroid set (no Spark job). */
   def ivfProbeLists(centroids: Array[(Long, Array[Double])], q: Seq[Double],
@@ -157,15 +210,9 @@ object Similarity {
     * pruned ranking (scan → project → filter → TakeOrdered: no shuffle
     * before the top-k). */
   def ivfKnn(emb: DataFrame, idCol: String, vecCol: String,
-             numLists: Int, nprobe: Int, q: Seq[Double], k: Int): DataFrame = {
-    val centroids = ivfCentroids(emb, idCol, vecCol, numLists)
-    val probe = ivfProbeLists(centroids, q, nprobe)
-    emb.withColumn("list_id", ivfListId(col(vecCol), centroids))
-      .filter(col("list_id").isin(probe: _*))
-      .withColumn("dist", dist(col(vecCol), doubleVec(q)))
-      .orderBy(col("dist"), col(idCol))
-      .limit(k)
-  }
+             numLists: Int, nprobe: Int, q: Seq[Double], k: Int): DataFrame =
+    ivfKnnWith(emb, idCol, vecCol,
+      ivfCentroids(emb, idCol, vecCol, numLists), nprobe, q, k)
 
   /** Persist embeddings partitioned by IVF list (the 100 TB serving
     * layout for the IVF path, mirroring writeBucketed): a probe reads

@@ -56,6 +56,22 @@ class ScaleSpec extends SparkSpec {
     assert(got.sorted == want.sorted)
   }
 
+  test("Lloyd-refined IVF centroids do not increase the k-means cost") {
+    val e = Tables.embeddings(spark, sf0001)
+    val seed = Similarity.ivfCentroids(e, "vec_id", "embedding", 8)
+    val trained = Similarity.ivfTrain(e, "vec_id", "embedding", 8, 3)
+    val c0 = Similarity.ivfCost(e, "embedding", seed)
+    val c3 = Similarity.ivfCost(e, "embedding", trained)
+    assert(c3 <= c0 + 1e-9, s"cost rose: $c0 -> $c3")
+    // refined quantizer still serves exact ranking within probed lists
+    val knn = Similarity.ivfKnnWith(e, "vec_id", "embedding", trained, 8,
+      QueryConstants.Q64, 5)
+    val exact = BruteForce.knn(e, "embedding", "vec_id", QueryConstants.Q64, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    // nprobe == numLists probes everything -> equals exact top-k
+    assert(knn.select("vec_id").as[Long].collect().toSeq.sorted == exact.sorted)
+  }
+
   test("IVF assignment plan is a pure projection (no exchange, no window)") {
     val e = Tables.embeddings(spark, sf0001)
     val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", 16)
