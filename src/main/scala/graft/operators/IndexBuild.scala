@@ -104,7 +104,7 @@ object IndexBuild {
       // (range × map task). Split-dimension selection = argmax/argmin of
       // the M2 array via array_position (first match ⇒ lowest-index
       // tie-break, same as C# MaxBy).
-      val vs = graft.functions.VecStatsAgg.vecStats
+      val vs = graft.functions.VecStatsNative.vecStats _
       val picked = if (useMax) array_max($"vs.m2") else array_min($"vs.m2")
       // localCheckpoint: the stats job runs ONCE per level (four downstream
       // plans consume it), and the lineage break lets the previous level's

@@ -150,7 +150,7 @@ object Similarity {
   def ivfTrain(emb: DataFrame, idCol: String, vecCol: String,
                numLists: Int, iters: Int): Array[(Long, Array[Double])] = {
     var cents = ivfCentroids(emb, idCol, vecCol, numLists)
-    val vs = graft.functions.VecStatsAgg.vecStats
+    val vs = graft.functions.VecStatsNative.vecStats _
     for (_ <- 0 until iters) {
       val means = emb
         .select(ivfListId(col(vecCol), cents).as("list_id"),
