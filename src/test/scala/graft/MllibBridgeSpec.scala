@@ -31,3 +31,26 @@ class MllibBridgeSpec extends SparkSpec {
     assert(bad == 0)
   }
 }
+
+class VecStatsNativeSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("native TypedImperativeAggregate == Aggregator udaf, bit for bit") {
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("id"), col("embedding").cast("array<float>").as("vector"))
+      .repartition(8) // force partial buffers + merge() on both paths
+      .withColumn("g", col("id") % 7)
+    val nat = e.groupBy("g")
+      .agg(graft.functions.VecStatsNative.vecStats(col("id"), col("vector")).as("vs"))
+      .select(col("g"), col("vs.cnt"), col("vs.sumId").cast("string"),
+        col("vs.mean"), col("vs.m2"), col("vs.mn"), col("vs.mx"))
+      .collect().map(_.toString).sorted.toSeq
+    val agg = graft.functions.VecStatsAgg.vecStats
+    val old = e.groupBy("g")
+      .agg(agg(col("id"), col("vector")).as("vs"))
+      .select(col("g"), col("vs.cnt"), col("vs.sumId").cast("string"),
+        col("vs.mean"), col("vs.m2"), col("vs.mn"), col("vs.mx"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(nat == old)
+  }
+}
