@@ -238,6 +238,19 @@ object SparkEntry {
           queries, "qid", "qv", 1.2)
         .orderBy(col("qid"), col("vec_id"))
     }),
+    "v14_pinned_knn" -> ((s, d) => {
+      // serving-mode exact kNN: branch-and-bound over the pinned tree
+      // (budget lower bounds), ties by id — equals brute top-k (v2 oracle)
+      import s.implicits._
+      val e = embeddings(s, d)
+      val index = IndexBuild.buildIndex(e, "vec_id", "embedding")
+      val (pinned, vecs) = PinnedIndex.pinWithVectors(index, e, "vec_id", "embedding")
+      pinned.knn(Q64, 10, vecs).zipWithIndex
+        .map { case ((id, _), i) => (i + 1, id) }
+        .toDF("rank", "vec_id")
+        .orderBy(col("rank"))
+    }),
+
     "v13_trie_join" -> ((s, d) => {
       // the trie-variant index (MemoryVectorIndex twin): one trie per
       // partition, budget-pruned probes, exact re-check — equals the
@@ -518,6 +531,9 @@ object SparkEntry {
       s"""SELECT vec_id FROM embeddings
          |WHERE $DistSql <= $Radius ORDER BY vec_id""".stripMargin,
     "v2_knn" ->
+      s"""SELECT row_number() OVER (ORDER BY $DistSql, vec_id) AS rank, vec_id
+         |FROM embeddings ORDER BY $DistSql, vec_id LIMIT 10""".stripMargin,
+    "v14_pinned_knn" ->
       s"""SELECT row_number() OVER (ORDER BY $DistSql, vec_id) AS rank, vec_id
          |FROM embeddings ORDER BY $DistSql, vec_id LIMIT 10""".stripMargin,
     "v3_knn_join" ->

@@ -78,6 +78,67 @@ final class PinnedIndex private (
   }
 
   def nodeCount: Int = internal.size + leaves.size
+
+  /** Exact k-nearest-neighbours via branch-and-bound: depth-first,
+    * nearer child first, pruning subtrees whose squared lower bound
+    * (Σ per-dim offs² — the same budget math as candidatesL2) exceeds
+    * the current k-th best distance. `vecOf` supplies point vectors
+    * (see PinnedIndex.pinWithVectors). Ties at the k-th boundary break
+    * toward the smaller id. Returns (id, distance) sorted by
+    * (distance, id). */
+  def knn(q: Seq[Double], k: Int, vecOf: Long => Array[Float]): Seq[(Long, Double)] = {
+    if (k <= 0) return Nil
+    // max-heap of the current best k (d2, id): head = worst kept, i.e.
+    // the largest distance and, among ties, the largest id (the one a
+    // smaller-id tie should evict — matching the brute (dist, id) order)
+    val heap = mutable.PriorityQueue.empty[(Double, Long)](
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+    def kth: Double = if (heap.size < k) Double.PositiveInfinity else heap.head._1
+    def offer(id: Long): Unit = {
+      val v = vecOf(id)
+      var d2 = 0d
+      var i = 0
+      while (i < v.length) {
+        val d = v(i).toDouble - q(i); d2 += d * d; i += 1
+      }
+      if (heap.size < k) heap.enqueue((d2, id))
+      else if (d2 < heap.head._1 ||
+        (d2 == heap.head._1 && id < heap.head._2)) {
+        heap.dequeue(); heap.enqueue((d2, id))
+      }
+    }
+    val offs = new Array[Double](q.length)
+    def visit(rid: Long, bound: Double): Unit = {
+      if (bound > kth) return
+      leaves.get(rid).foreach(_.foreach(offer))
+      internal.get(rid).foreach { n =>
+        if (n.dim < 0) {
+          if (n.low >= 0) visit(n.low, bound)
+          if (n.high >= 0) visit(n.high, bound)
+        } else {
+          val c = q(n.dim)
+          val m = n.mid.toDouble
+          val old = offs(n.dim)
+          val nbLow = math.max(math.max(c - m, 0d), old)
+          val nbHigh = math.max(math.max(m - c, 0d), old)
+          val bLow = bound - old * old + nbLow * nbLow
+          val bHigh = bound - old * old + nbHigh * nbHigh
+          val order =
+            if (c <= m) Seq((n.low, bLow, nbLow), (n.high, bHigh, nbHigh))
+            else Seq((n.high, bHigh, nbHigh), (n.low, bLow, nbLow))
+          order.foreach { case (child, b, nb) =>
+            if (child >= 0 && b <= kth) {
+              offs(n.dim) = nb; visit(child, b); offs(n.dim) = old
+            }
+          }
+        }
+      }
+    }
+    visit(0L, 0d)
+    heap.toSeq
+      .map { case (d2, id) => (id, math.sqrt(d2)) }
+      .sortBy { case (id, d) => (d, id) }
+  }
 }
 
 object PinnedIndex {
@@ -102,6 +163,19 @@ object PinnedIndex {
       }
     buf.foreach { case (k, v) => leaves.update(k, v.toArray) }
     new PinnedIndex(internal, leaves)
+  }
+
+  /** Pin the tree AND the point vectors (serving-mode kNN needs both;
+    * ~(2N tiny rows + N·d floats) — the same footprint the reference's
+    * always-in-memory index carries). */
+  def pinWithVectors(index: DataFrame, points: DataFrame, idCol: String,
+                     vecCol: String): (PinnedIndex, mutable.LongMap[Array[Float]]) = {
+    val pinned = pin(index)
+    val vecs = mutable.LongMap.empty[Array[Float]]
+    points.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect()
+      .foreach(r => vecs.update(r.getLong(0), r.getSeq[Float](1).toArray))
+    (pinned, vecs)
   }
 
   /** Index-accelerated similarity (range) join: for every row of

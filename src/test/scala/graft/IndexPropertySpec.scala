@@ -98,6 +98,18 @@ class IndexPropertySpec extends SparkSpec {
     assert(strictlyFewer > 0, "budget never pruned beyond the box test")
   }
 
+  test("property: pinned kNN equals brute-force top-k for random queries") {
+    val (pinned, vecs) = PinnedIndex.pinWithVectors(index, pts, "id", "vector")
+    val qGen = Gen.listOfN(8, Gen.chooseNum(-1.0, 1.0))
+    samples(Gen.zip(qGen, Gen.chooseNum(1, 25)), 8, 4242L).foreach {
+      case (q, k) =>
+        val got = pinned.knn(q.toSeq, k, vecs).map(_._1)
+        val want = BruteForce.knn(pts, "vector", "id", q.toSeq, k)
+          .select("id").as[Long].collect().toSeq
+        assert(got == want, s"q=$q k=$k")
+    }
+  }
+
   test("property: children partition the parent (walk invariant)") {
     val walk = IndexWalk.walk(index).cache()
     val bySelf = walk.select("rangeId", "subtree_leaves")
