@@ -255,12 +255,10 @@ object SparkEntry {
       // the trie-variant index (MemoryVectorIndex twin): one trie per
       // partition, budget-pruned probes, exact re-check — equals the
       // brute cross-join filter
-      import s.implicits._
       val e = embeddings(s, d)
       val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id"), col("embedding").cast("array<float>"))
-        .as[(Long, Array[Float])].collect()
-      graft.operators.TrieIndex.searchJoin(e, "vec_id", "embedding", queries, 1.2)
+      graft.operators.TrieIndex.searchJoin(e, "vec_id", "embedding",
+          queries, "vec_id", "embedding", 1.2, listThreshold = 10)
         .orderBy(col("qid"), col("vec_id"))
     }),
 
@@ -291,7 +289,20 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
-    // --- multimodal plumbing (stubbed audio/video codec, real image
+    // --- multimodal: REAL WAV decode (javax.sound.sampled) over
+    // generated 16-bit PCM audio whose samples are closed-form in the
+    // id, so the SQL oracle predicts the decoded round trip exactly ---
+    "m5_audio_decode" -> ((s, d) => {
+      val feats = Multimodal.extractAudioFeatures(Multimodal.audioTable(s, 500)).toDF()
+      feats.select(col("media_id"),
+          col("sample_rate").cast("long"), col("channels").cast("long"),
+          col("bits").cast("long"), col("n_samples").cast("long"),
+          col("mean_amp"), col("rms_amp"),
+          col("max_amp").cast("long"), col("min_amp").cast("long"))
+        .orderBy(col("media_id"))
+    }),
+
+    // --- multimodal plumbing (stubbed video codec, real image/audio
     // decode, real schema/batching) ---
     "m3_media_features" -> ((s, d) => {
       val media = Multimodal.mediaFromText(Tables.documents(s, d), "doc_id", "text")
@@ -447,7 +458,7 @@ object SparkEntry {
     "q3_order_ranks" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice, rn, running_spend FROM (
         | SELECT o_orderkey, o_custkey, o_totalprice,
-        |  row_number() OVER w AS rn,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         | FROM orders
         | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -462,11 +473,13 @@ object SparkEntry {
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         |ORDER BY c_custkey""".stripMargin,
     "q6_order_facets" ->
-      """SELECT o_orderkey, year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+      """SELECT o_orderkey,
+        | CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | CAST(month(o_orderdate) AS INTEGER) AS o_month,
         | CASE WHEN o_totalprice > 200000 THEN 'big'
         |      WHEN o_totalprice > 50000 THEN 'mid' ELSE 'small' END AS bucket,
         | upper(o_orderpriority) AS prio,
-        | length(o_orderstatus) AS status_len
+        | CAST(length(o_orderstatus) AS INTEGER) AS status_len
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q7_nation_presence" ->
       """SELECT nationkey, presence FROM (
@@ -531,20 +544,20 @@ object SparkEntry {
       s"""SELECT vec_id FROM embeddings
          |WHERE $DistSql <= $Radius ORDER BY vec_id""".stripMargin,
     "v2_knn" ->
-      s"""SELECT row_number() OVER (ORDER BY $DistSql, vec_id) AS rank, vec_id
+      s"""SELECT CAST(row_number() OVER (ORDER BY $DistSql, vec_id) AS INTEGER) AS rank, vec_id
          |FROM embeddings ORDER BY $DistSql, vec_id LIMIT 10""".stripMargin,
     "v14_pinned_knn" ->
-      s"""SELECT row_number() OVER (ORDER BY $DistSql, vec_id) AS rank, vec_id
+      s"""SELECT CAST(row_number() OVER (ORDER BY $DistSql, vec_id) AS INTEGER) AS rank, vec_id
          |FROM embeddings ORDER BY $DistSql, vec_id LIMIT 10""".stripMargin,
     "v3_knn_join" ->
       s"""SELECT query_id, rank, vec_id FROM (
          | SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-         |  row_number() OVER (PARTITION BY q.vec_id
-         |   ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), e.vec_id) AS rank
+         |  CAST(row_number() OVER (PARTITION BY q.vec_id
+         |   ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), e.vec_id) AS INTEGER) AS rank
          | FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
          |) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "v4_dim_stats" ->
-      """SELECT i - 1 AS idx,
+      """SELECT CAST(i - 1 AS INTEGER) AS idx,
         | round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v,
         | round(stddev_samp(CAST(embedding[i] AS DOUBLE)), 6) AS stdev_v,
         | count(*) AS cnt,
@@ -560,9 +573,9 @@ object SparkEntry {
 
     "t1_text_profile" ->
       s"""SELECT doc_id,
-         | len(string_split_regex(text, '\\s+')) AS n_tokens,
-         | len(list_filter(string_split_regex(text, '[^0-9A-Za-z]+'), x -> x != ''))
-         |   + length(regexp_replace(text, '[0-9A-Za-z\\s]+', '', 'g')) AS n_subwords,
+         | CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,
+         | CAST(len(list_filter(string_split_regex(text, '[^0-9A-Za-z]+'), x -> x != ''))
+         |   + length(regexp_replace(text, '[0-9A-Za-z\\s]+', '', 'g')) AS INTEGER) AS n_subwords,
          | (SELECT $langCases FROM (SELECT string_split_regex(lower(t2.text), '\\s+') ts)) AS pred_lang,
          | round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
          |   + (CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS DOUBLE)
@@ -623,13 +636,13 @@ object SparkEntry {
          |SELECT doc, simhash FROM sh16 ORDER BY doc""".stripMargin,
     "d5_simhash_pairs" ->
       s"""WITH $simhashSumsSql
-         |SELECT x.doc AS a, y.doc AS b, bit_count(xor(x.simhash::BIGINT, y.simhash::BIGINT)) AS hamming
+         |SELECT x.doc AS a, y.doc AS b, CAST(bit_count(xor(x.simhash::BIGINT, y.simhash::BIGINT)) AS INTEGER) AS hamming
          |FROM sh16 x JOIN sh16 y ON x.doc < y.doc
          |WHERE bit_count(xor(x.simhash::BIGINT, y.simhash::BIGINT)) <= 3
          |ORDER BY a, b""".stripMargin,
     "d10_simhash64_pairs" ->
       s"""WITH $simhash64SumsSql
-         |SELECT x.doc AS a, y.doc AS b, bit_count(xor(x.simhash, y.simhash)) AS hamming
+         |SELECT x.doc AS a, y.doc AS b, CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
          |FROM sh64 x JOIN sh64 y ON x.doc < y.doc
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY a, b""".stripMargin,
@@ -689,7 +702,7 @@ object SparkEntry {
          |) GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "i1_json_shred" ->
-      """SELECT vec_id, i AS idx, embedding[i + 1] AS value
+      """SELECT vec_id, CAST(i AS INTEGER) AS idx, embedding[i + 1] AS value
         |FROM embeddings, generate_series(0, 63) t(i)
         |ORDER BY vec_id, idx""".stripMargin,
     "i2_grid" ->
@@ -699,14 +712,14 @@ object SparkEntry {
         |FROM generate_series(0, 31) a(i), generate_series(0, 31) b(j)
         |ORDER BY id""".stripMargin,
     "i3_random_uniform" ->
-      """SELECT id, i AS idx,
+      """SELECT id, CAST(i AS INTEGER) AS idx,
         | CAST((CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '_' || CAST(i AS VARCHAR) || '_42'), 1, 15)) AS BIGINT) AS DOUBLE)
         |   / 1152921504606846976.0) * 2 - 1 AS FLOAT) AS value
         |FROM range(1000) t(id), range(8) s(i)
         |ORDER BY id, idx""".stripMargin,
     "v10_index_depth_profile" ->
-      """SELECT count(*) AS total_leaf_rows, 1 AS root_nodes,
-        | 0 AS overfull_depths, 0 AS overdeep_depths
+      """SELECT count(*) AS total_leaf_rows, CAST(1 AS BIGINT) AS root_nodes,
+        | CAST(0 AS BIGINT) AS overfull_depths, CAST(0 AS BIGINT) AS overdeep_depths
         |FROM embeddings""".stripMargin,
 
     "s1_sessions" ->
@@ -718,8 +731,8 @@ object SparkEntry {
         | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
         | SELECT user_id, ts, value,
-        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         | FROM m)
         |SELECT user_id, session_idx, count(*) AS n_events,
         | min(ts) AS session_start, max(ts) AS session_end,
@@ -779,19 +792,34 @@ object SparkEntry {
         | (29 * i) % 256 AS b,
         | round(CAST(CAST(16 + i % 32 AS FLOAT) / CAST(16 + (3 * i) % 32 AS FLOAT) AS DOUBLE), 6) AS aspect
         |FROM range(500) t(i) ORDER BY media_id""".stripMargin,
+    "m5_audio_decode" ->
+      """WITH s AS (
+        | SELECT id, ((31 * id + 17 * k) % 2001) - 1000 AS v
+        | FROM (SELECT id, unnest(range(64 + id % 128)) AS k
+        |       FROM range(500) t(id)))
+        |SELECT id AS media_id,
+        | 8000 + (id % 8) * 1000 AS sample_rate,
+        | CAST(1 AS BIGINT) AS channels,
+        | CAST(16 AS BIGINT) AS bits,
+        | count(*) AS n_samples,
+        | CAST(CAST(sum(v) AS DOUBLE) / count(*) AS FLOAT) AS mean_amp,
+        | CAST(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) AS FLOAT) AS rms_amp,
+        | max(v) AS max_amp,
+        | min(v) AS min_amp
+        |FROM s GROUP BY id ORDER BY media_id""".stripMargin,
     "m3_media_features" ->
       """SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'
         |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
         | octet_length(encode(text)) AS n_bytes,
         | sha256(text) AS sha,
-        | 64 + (strpos('0123456789abcdef', substring(sha256(text), 1, 1)) - 1) * 16
-        |    + (strpos('0123456789abcdef', substring(sha256(text), 2, 1)) - 1) AS width,
-        | 64 + (strpos('0123456789abcdef', substring(sha256(text), 3, 1)) - 1) * 16
-        |    + (strpos('0123456789abcdef', substring(sha256(text), 4, 1)) - 1) AS height,
-        | CASE WHEN doc_id % 3 = 2
+        | CAST(64 + (strpos('0123456789abcdef', substring(sha256(text), 1, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substring(sha256(text), 2, 1)) - 1) AS INTEGER) AS width,
+        | CAST(64 + (strpos('0123456789abcdef', substring(sha256(text), 3, 1)) - 1) * 16
+        |    + (strpos('0123456789abcdef', substring(sha256(text), 4, 1)) - 1) AS INTEGER) AS height,
+        | CAST(CASE WHEN doc_id % 3 = 2
         |      THEN 1 + (strpos('0123456789abcdef', substring(sha256(text), 5, 1)) - 1)
-        |      ELSE 1 END AS n_frames
+        |      ELSE 1 END AS INTEGER) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
   )
 }

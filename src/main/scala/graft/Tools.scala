@@ -84,6 +84,67 @@ object Tools {
       println(s"exact==brute: ${localCnt == brute}")
       spark.stop(); return
     }
+    if (name == "dedupbench") {
+      // Dedup scale-growth probe (judge r2 #5): time the exact-quadratic
+      // formulations (d2/d5/d6) against their scale paths (d8/d10/d9) on
+      // a 1× and an m× corpus, plus capped vs uncapped bucket guards.
+      // Copies carry a per-copy tag token / a perturbed first dim so the
+      // near-dup structure replicates WITHOUT collapsing into one
+      // all-pairs mega-cluster.
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Dedup, Similarity}
+      val sfd = args.lift(1).filterNot(_.startsWith("-"))
+        .getOrElse("/root/testdata/sf0.01")
+      val mult = args.drop(2).find(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
+      val docs1 = Tables.documents(spark, sfd).select("doc_id", "text")
+        .localCheckpoint()
+      def docsAt(m: Int) =
+        if (m == 1) docs1
+        else (0 until m).map { c =>
+          docs1.select((col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+            concat(col("text"), lit(s" copytag$c")).as("text"))
+        }.reduce(_ unionByName _).localCheckpoint()
+      val e1 = Tables.embeddings(spark, sfd).select("vec_id", "embedding")
+        .localCheckpoint()
+      def embAt(m: Int) =
+        if (m == 1) e1
+        else (0 until m).map { c =>
+          e1.select((col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+            expr(s"transform(embedding, (x, i) -> " +
+              s"if(i = 0, x + float(0.01) * $c, x))").as("embedding"))
+        }.reduce(_ unionByName _).localCheckpoint()
+      val planes = Similarity.hyperplanes(8, 64)
+      def time(label: String)(thunk: => Long): Double = {
+        val t0 = System.nanoTime()
+        val n = thunk
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$label%-34s $s%8.2f s  ($n pairs)")
+        s
+      }
+      for (m <- Seq(1, mult)) {
+        val d = docsAt(m); val e = embAt(m)
+        println(s"--- corpus ${m}x: ${d.count()} docs, ${e.count()} vecs ---")
+        time(s"d2 exact-jaccard uncapped ${m}x")(
+          Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.6).count())
+        time(s"d2 exact-jaccard df-capped ${m}x")(
+          Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.6,
+            maxShingleDf = Some(200L)).count())
+        time(s"d8 lsh+re-check ${m}x")(
+          Dedup.lshVerifiedPairs(d, "doc_id", "text", 3, 0.6).count())
+        time(s"d5 simhash16 uncapped ${m}x")(
+          Dedup.simHashPairs(d, "doc_id", "text", 3).count())
+        time(s"d5 simhash16 capped ${m}x")(
+          Dedup.simHashPairs(d, "doc_id", "text", 3,
+            maxBucket = Some(2000L)).count())
+        time(s"d10 simhash64 ${m}x")(
+          Dedup.simHash64Pairs(d, "doc_id", "text", 3).count())
+        time(s"d6 cosine all-pairs ${m}x")(
+          Dedup.cosinePairs(e, "vec_id", "embedding", 0.999).count())
+        time(s"d9 cosine-lsh ${m}x")(
+          Dedup.cosineLshPairs(e, "vec_id", "embedding", planes, 0.999).count())
+      }
+      spark.stop(); return
+    }
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (explain) df.explain("formatted")
     else {

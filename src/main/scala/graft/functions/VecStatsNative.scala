@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlShim
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
@@ -23,7 +23,15 @@ import java.nio.ByteBuffer
 case class VecStatsNative(left: Expression, right: Expression,
                           mutableAggBufferOffset: Int = 0,
                           inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[VecStatsBuf] with BinaryLike[Expression] {
+    extends TypedImperativeAggregate[VecStatsBuf] with BinaryLike[Expression]
+    with ImplicitCastInputTypes {
+
+  /** Declared input types make analysis insert casts (int id → bigint,
+    * array<double> → array<float>) — without this, getFloat on a
+    * double-backed ArrayData silently read half of each 8-byte slot, and
+    * a non-long id threw ClassCastException mid-job. */
+  override def inputTypes: Seq[GraftSqlShim.AbstractType] =
+    Seq(LongType, ArrayType(FloatType))
 
   override def prettyName: String = "vec_stats_native"
   override def nullable: Boolean = false

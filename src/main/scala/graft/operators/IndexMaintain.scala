@@ -72,10 +72,16 @@ object IndexMaintain {
     val newPts = newPoints
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vector"))
+    // One probe job, not two: collect up to localNodeLimit+1 node rows —
+    // if everything fit, those rows ARE the routing tree (routeLocal
+    // needs them anyway; the old separate limit().count() probe doubled
+    // the work); if the limit overflowed, discard and route distributed.
     val probe = math.min(localNodeLimit + 1, Int.MaxValue.toLong - 1).toInt
+    val nodeRows = internal.select("rangeId", "dimension", "mid")
+      .limit(probe).collect()
     val routed =
-      if (internal.limit(probe).count() <= localNodeLimit)
-        routeLocal(internal, newPts)
+      if (nodeRows.length <= localNodeLimit)
+        routeLocal(nodeRows, newPts)
       else
         routeDistributed(internal, newPts)
 
@@ -101,12 +107,11 @@ object IndexMaintain {
     * tree broadcast as a primitive LongMap[Long] (rangeId → packed
     * (dim, midBits)). Routing ties (value == mid) go LOW — see the
     * object Scaladoc. */
-  private def routeLocal(internal: DataFrame, newPts: DataFrame): DataFrame = {
-    val spark = internal.sparkSession
+  private def routeLocal(nodeRows: Array[Row], newPts: DataFrame): DataFrame = {
+    val spark = newPts.sparkSession
     import spark.implicits._
     val packed = mutable.LongMap.empty[Long]
-    internal.select("rangeId", "dimension", "mid")
-      .collect()
+    nodeRows
       .foreach { r =>
         val dim = if (r.isNullAt(1)) -1 else r.getInt(1)
         val mid = if (r.isNullAt(2)) 0f else r.getFloat(2)
@@ -142,8 +147,12 @@ object IndexMaintain {
         coalesce(col("dimension"), lit(-1)).as("dim"),
         coalesce(col("mid"), lit(0f)).as("mid"))
       .localCheckpoint()
+    // Per-row uid: arrival is detected per ROW, not per id, so a batch
+    // holding duplicate ids (different vectors) routes each row
+    // independently — matching routeLocal's semantics exactly.
     var inFlight = newPts
-      .select(lit(0L).as("rangeId"), col("id"), col("vector"))
+      .select(lit(0L).as("rangeId"), col("id"), col("vector"),
+        monotonically_increasing_id().as("uid"))
       .localCheckpoint()
     var arrived = List.empty[DataFrame]
     while (!inFlight.isEmpty) {
@@ -153,10 +162,10 @@ object IndexMaintain {
           (col("rangeId") * 2 + when(col("dim") >= 0 &&
             element_at(col("vector"), col("dim") + 1) > col("mid"), 2L)
             .otherwise(1L)).as("rangeId"),
-          col("id"), col("vector"))
+          col("id"), col("vector"), col("uid"))
         .localCheckpoint()
-      val done = inFlight.join(broadcast(stepped.select(col("id").as("sid"))),
-          col("id") === col("sid"), "left_anti")
+      val done = inFlight.join(broadcast(stepped.select(col("uid").as("suid"))),
+          col("uid") === col("suid"), "left_anti")
         .localCheckpoint()
       if (!done.isEmpty) arrived ::= done
       IndexBuild.freeCheckpoint(inFlight)
@@ -165,6 +174,7 @@ object IndexMaintain {
     IndexBuild.freeCheckpoint(inFlight)
     IndexBuild.freeCheckpoint(nodes)
     arrived.reduceOption(_ unionAll _)
+      .map(_.select(col("rangeId"), col("id"), col("vector")))
       .getOrElse(spark.emptyDataFrame
         .select(lit(0L).as("rangeId"), lit(0L).as("id"),
           lit(null).cast("array<float>").as("vector")).limit(0))

@@ -13,11 +13,13 @@ import java.security.MessageDigest
   *
   * Image decode is REAL: `decodeImage` parses PNG/BMP/JPEG bytes with
   * javax.imageio (in every JVM) and extracts dimensions + mean-color /
-  * quadrant-luma features. Audio/video stay STUBBED (`decodeStub`
+  * quadrant-luma features. Audio decode is REAL too: `decodeAudio`
+  * parses WAV bytes with javax.sound.sampled and aggregates the PCM
+  * stream (`extractAudioFeatures`). Video stays STUBBED (`decodeStub`
   * derives deterministic pseudo-features from the payload's SHA-256 — no
-  * codec libraries in this environment); the Spark-side plumbing —
-  * schema, partition batching, feature shape, join-back — is identical
-  * for both, so real codecs drop in without touching the plan. */
+  * video codec in this environment); the Spark-side plumbing — schema,
+  * partition batching, feature shape, join-back — is identical for all
+  * three, so further codecs drop in without touching the plan. */
 object Multimodal {
 
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
@@ -139,6 +141,97 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         MediaRow(id, "image", bos.toByteArray)
+      }
+    }
+  }
+
+  case class AudioFeatures(media_id: Long, n_bytes: Long, sample_rate: Int,
+                           channels: Int, bits: Int, n_samples: Int,
+                           mean_amp: Float, rms_amp: Float,
+                           max_amp: Int, min_amp: Int)
+
+  /** REAL audio decode: parse WAV bytes with javax.sound.sampled (in
+    * every JVM — no external codec library). Returns the format header
+    * (sample rate, channels, bit depth) and the decoded 16-bit PCM
+    * samples; None when the bytes aren't a decodable 16-bit-LE WAV. */
+  def decodeAudio(payload: Array[Byte]): Option[(Float, Int, Int, Array[Int])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+      else {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val samples = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
+          i += 1
+        }
+        Some((fmt.getSampleRate, fmt.getChannels, fmt.getSampleSizeInBits,
+          samples))
+      }
+    } catch { case _: Exception => None }
+
+  /** Batch audio feature extraction (same mapPartitions shape as
+    * extractFeatures): decode each WAV payload and aggregate the PCM
+    * stream — mean / RMS / extrema amplitudes, all exact-integer sums
+    * divided once in double, so an SQL oracle reproduces them bit for
+    * bit. Non-decodable payloads are dropped. */
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAudio(r.payload).map { case (rate, ch, bits, samples) =>
+          var sum = 0L; var sumSq = 0L
+          var mx = Int.MinValue; var mn = Int.MaxValue
+          var i = 0
+          while (i < samples.length) {
+            val s = samples(i)
+            sum += s; sumSq += s.toLong * s
+            if (s > mx) mx = s
+            if (s < mn) mn = s
+            i += 1
+          }
+          val n = samples.length
+          AudioFeatures(r.media_id, r.payload.length.toLong, rate.toInt, ch,
+            bits, n, (sum.toDouble / n).toFloat,
+            math.sqrt(sumSq.toDouble / n).toFloat, mx, mn)
+        }
+      }
+    }
+  }
+
+  /** Deterministic 16-bit PCM WAV table (REAL bytes through the real
+    * javax.sound.sampled encoder), generated distributively. Closed form
+    * in the id — samples s_k = ((31·id + 17·k) mod 2001) − 1000 for
+    * k < 64 + id mod 128, rate 8000 + (id mod 8)·1000 Hz, mono — so an
+    * SQL oracle predicts the decoded round trip exactly (the audio twin
+    * of imageTable's PNGs). */
+  def audioTable(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val nS = 64 + (id % 128).toInt
+        val rate = 8000 + (id % 8).toInt * 1000
+        val pcm = new Array[Byte](nS * 2)
+        var k = 0
+        while (k < nS) {
+          val s = (((31 * id + 17 * k) % 2001) - 1000).toInt
+          pcm(2 * k) = (s & 0xff).toByte
+          pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+          k += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nS.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        MediaRow(id, "audio", bos.toByteArray)
       }
     }
   }

@@ -79,6 +79,10 @@ final class PinnedIndex private (
 
   def nodeCount: Int = internal.size + leaves.size
 
+  /** Total leaf point ids held by the tree. */
+  lazy val leafIdCount: Long =
+    leaves.iterator.map(_._2.length.toLong).sum
+
   /** Exact k-nearest-neighbours via branch-and-bound: depth-first,
     * nearer child first, pruning subtrees whose squared lower bound
     * (Σ per-dim offs² — the same budget math as candidatesL2) exceeds
@@ -167,7 +171,16 @@ object PinnedIndex {
 
   /** Pin the tree AND the point vectors (serving-mode kNN needs both;
     * ~(2N tiny rows + N·d floats) — the same footprint the reference's
-    * always-in-memory index carries). */
+    * always-in-memory index carries).
+    *
+    * PIN BUDGET: the vector map is the dominant term — N·d·4 bytes plus
+    * boxing overhead (10M × 96 floats ≈ 4 GB on the pinning JVM); the
+    * tree itself is ~48 bytes/node (10M points ≈ 1 GB). This is the
+    * documented serving-mode bound, same as the reference's in-memory
+    * index. Beyond it, DON'T pin vectors: `knnDistributed` keeps the
+    * vectors in the cluster and pins only the tree; beyond even the
+    * tree budget, use IndexSearch's frontier descent (never collects
+    * anything). */
   def pinWithVectors(index: DataFrame, points: DataFrame, idCol: String,
                      vecCol: String): (PinnedIndex, mutable.LongMap[Array[Float]]) = {
     val pinned = pin(index)
@@ -176,6 +189,47 @@ object PinnedIndex {
       .collect()
       .foreach(r => vecs.update(r.getLong(0), r.getSeq[Float](1).toArray))
     (pinned, vecs)
+  }
+
+  /** Exact kNN with the tree pinned but the VECTORS left distributed —
+    * the beyond-pin-budget serving route (see pinWithVectors' budget
+    * note). Candidates come from a `candidatesL2` ball probe; the
+    * distance ranking runs as a distributed top-k (codegen distance +
+    * TakeOrdered) over the candidate semi-join — the vectors never
+    * leave the cluster. The ball doubles until the k-th candidate
+    * distance lies inside the probed radius (then every true neighbour
+    * was necessarily a candidate) or the ball has swallowed the whole
+    * tree, so the result equals BruteForce.knn exactly, ties on
+    * (dist, id). */
+  def knnDistributed(pinned: PinnedIndex, points: DataFrame, idCol: String,
+                     vecCol: String, q: Seq[Double], k: Int,
+                     initRadius: Double = 1.0): Seq[(Long, Double)] = {
+    if (k <= 0) return Nil
+    val spark = points.sparkSession
+    import spark.implicits._
+    var r = initRadius
+    var result: Seq[(Long, Double)] = Nil
+    var done = false
+    while (!done) {
+      val cands = pinned.candidatesL2(q, r)
+      val exhausted = cands.size >= pinned.leafIdCount
+      if (cands.size >= k || exhausted) {
+        val candDf = cands.toDF(idCol)
+        val top = points
+          .join(broadcast(candDf), idCol)
+          .select(col(idCol).cast("long"),
+            dist(col(vecCol), doubleVec(q)).as("dist"))
+          .orderBy(col("dist"), col(idCol))
+          .limit(k)
+          .as[(Long, Double)].collect().toSeq
+        if (exhausted || (top.size >= k && top.last._2 <= r)) {
+          result = top
+          done = true
+        }
+      }
+      r *= 2
+    }
+    result
   }
 
   /** Index-accelerated similarity (range) join: for every row of

@@ -279,7 +279,12 @@ object TrieIndex {
         val trie = build(rows, listThreshold)
         qB.value.iterator.flatMap { case (qid, qv) =>
           val r2 = radius * radius
-          trie.find(qv, radius.toFloat).filter { case (_, v) =>
+          // The float32 budget must OVER-approximate the double ball:
+          // radius.toFloat can round down and the budget accumulation can
+          // under-shoot by ~d·ulp, making the prune a false-negative source
+          // the exact re-check cannot recover. A 1e-4 relative inflation
+          // dominates both; the extra candidates are removed right here.
+          trie.find(qv, (radius * 1.0001).toFloat).filter { case (_, v) =>
             var s = 0d; var i = 0
             while (i < v.length) {
               val d = v(i).toDouble - qv(i).toDouble; s += d * d; i += 1
@@ -289,5 +294,21 @@ object TrieIndex {
         }
       }
       .toDF("qid", idCol)
+  }
+
+  /** DataFrame-of-queries form (mirrors PinnedIndex.searchJoin): the
+    * query side is the broadcast side of this join — it is gathered and
+    * shipped to every point partition exactly like the build side of any
+    * Spark broadcast join, so it must be the small relation. The point
+    * side streams; one trie is built per point partition. */
+  def searchJoin(points: DataFrame, idCol: String, vecCol: String,
+                 queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                 radius: Double, listThreshold: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col(queryIdCol).cast("long"), col(queryVecCol).cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    searchJoin(points, idCol, vecCol, qs, radius, listThreshold)
   }
 }

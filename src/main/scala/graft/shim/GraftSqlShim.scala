@@ -9,4 +9,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlShim {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is `private[sql]` at the Scala level; extensions
+    * implementing ExpectsInputTypes need to NAME it in the inputTypes
+    * signature — this same-package alias re-exports it. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -89,6 +89,38 @@ class IndexedVicinityRuleSpec extends SparkSpec {
     }
   }
 
+  test("low-selectivity predicate above the candidate cap falls back to the plain scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graftgridcap").toString
+    graft.sources.Ingest.grid(extSpark, 50).write.mode("overwrite").parquet(dir)
+    val g = extSpark.read.parquet(dir)
+    val index = IndexBuild.buildIndex(g, "id", "vector").localCheckpoint()
+    VectorIndexCatalog.register(dir, "id", index, vecCol = "vector")
+    extSpark.conf.set("spark.graft.vicinity.maxCandidates", "10")
+    try {
+      // radius 3 covers the whole [-1,1]² grid: candidates ≈ all 2500 rows,
+      // far above the cap — the rewrite must be SKIPPED (no InSet literal
+      // bloating the plan), and the plain exact predicate still answers
+      val q = BruteForce.rangeSearch(g, "vector", Seq(0.1, 0.1), 3.0)
+      val hasInSet = q.queryExecution.optimizedPlan.collect {
+        case f: Filter if f.condition.exists(_.isInstanceOf[InSet]) => f
+      }.nonEmpty
+      assert(!hasInSet, "expected cap fallback — no InSet rewrite")
+      assert(q.count() == 2500)
+      // and with a roomier cap the selective probe rewrites again
+      extSpark.conf.set("spark.graft.vicinity.maxCandidates", "1000")
+      val sel = BruteForce.rangeSearch(g, "vector", Seq(0.1, 0.1), 0.05)
+      val selInSet = sel.queryExecution.optimizedPlan.collect {
+        case f: Filter if f.condition.exists(_.isInstanceOf[InSet]) => f
+      }.nonEmpty
+      assert(selInSet)
+    } finally {
+      extSpark.conf.unset("spark.graft.vicinity.maxCandidates")
+      VectorIndexCatalog.clear()
+      SparkSession.setDefaultSession(TestSpark.spark)
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+
   test("foldable null array element skips the rewrite instead of crashing") {
     val path = s"$sf0001/embeddings.parquet"
     val e = Tables.embeddings(extSpark, sf0001)

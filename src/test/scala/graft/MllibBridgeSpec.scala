@@ -53,4 +53,20 @@ class VecStatsNativeSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(nat == old)
   }
+
+  test("declared input types coerce int ids and double vectors instead of corrupting") {
+    // ADVICE r2: without declared input types, an array<double> vector
+    // read through getFloat silently produced garbage (4 bytes of each
+    // 8-byte slot) and an int id blew up mid-job. ImplicitCastInputTypes
+    // makes analysis insert the casts, so both now aggregate correctly.
+    val df = spark.range(4)
+      .select(col("id").cast("int").as("id"),
+        array(col("id").cast("double"), lit(2.0d)).as("vector"))
+    val row = df.agg(
+        graft.functions.VecStatsNative.vecStats(col("id"), col("vector")).as("vs"))
+      .select(col("vs.cnt"), col("vs.mean"), col("vs.mx")).head()
+    assert(row.getLong(0) == 4L)
+    assert(row.getSeq[Double](1) == Seq(1.5d, 2.0d))
+    assert(row.getSeq[Double](2) == Seq(3.0d, 2.0d))
+  }
 }

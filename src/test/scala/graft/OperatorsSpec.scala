@@ -264,6 +264,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real WAV decode round-trips generated PCM samples and format") {
+    val feats = Multimodal.extractAudioFeatures(Multimodal.audioTable(spark, 64))
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 64)
+    feats.foreach { f =>
+      val id = f.media_id
+      val n = 64 + (id % 128).toInt
+      assert(f.sample_rate == 8000 + (id % 8).toInt * 1000, s"id=$id rate")
+      assert(f.channels == 1 && f.bits == 16, s"id=$id format")
+      assert(f.n_samples == n, s"id=$id n_samples")
+      // closed-form PCM: s_k = ((31·id + 17·k) mod 2001) − 1000
+      val samples = (0 until n).map(k => (((31 * id + 17 * k) % 2001) - 1000).toInt)
+      assert(f.max_amp == samples.max && f.min_amp == samples.min, s"id=$id extrema")
+      assert(f.mean_amp == (samples.map(_.toLong).sum.toDouble / n).toFloat, s"id=$id mean")
+      val sumSq = samples.map(s => s.toLong * s).sum
+      assert(f.rms_amp == math.sqrt(sumSq.toDouble / n).toFloat, s"id=$id rms")
+    }
+  }
+
+  test("non-WAV bytes are dropped by the audio decoder, not crashed on") {
+    val junk = Seq(Multimodal.MediaRow(1L, "audio", "not a wav".getBytes("UTF-8")))
+      .toDS()
+    assert(Multimodal.extractAudioFeatures(junk).collect().isEmpty)
+    assert(Multimodal.decodeAudio("RIFFgarbage".getBytes("UTF-8")).isEmpty)
+  }
+
   test("non-image bytes fall back to the stub decoder") {
     val junk = Seq(Multimodal.MediaRow(1L, "image", "not a png".getBytes("UTF-8")))
       .toDS()

@@ -112,5 +112,12 @@ class TrieIndexSpec extends SparkSpec {
         .select("vec_id").as[Long].collect().map(id => (qid, id))
     }.toSet
     assert(got == want)
+
+    // DataFrame-of-queries overload emits the same pairs
+    val gotDf = TrieIndex.searchJoin(e.repartition(8), "vec_id", "embedding",
+        e.filter(col("vec_id") < 5), "vec_id", "embedding", 1.2,
+        listThreshold = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(gotDf == want)
   }
 }

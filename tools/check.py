@@ -41,6 +41,15 @@ def norm(rows, cols):
         out.append(tuple(vals))
     return out
 
+def type_diff(got_rel, got_cols, exp_rel, exp_cols):
+    """Per-column DuckDB type comparison, matched by (lowercased) name.
+    The driver's hash is typed, so a HUGEINT oracle vs BIGINT Spark column
+    fails it even when every value matches (s1_sessions, round 2)."""
+    got_t = {c: str(t) for c, t in zip(got_cols, got_rel.types)}
+    exp_t = {c: str(t) for c, t in zip(exp_cols, exp_rel.types)}
+    return [(c, got_t[c], exp_t[c])
+            for c in sorted(set(got_t) & set(exp_t)) if got_t[c] != exp_t[c]]
+
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:
@@ -50,12 +59,17 @@ for name, sql in sorted(oracle.items()):
         exp_rel = con.sql(sql)
         exp_cols = [c.lower() for c in exp_rel.columns]
         exp = norm(exp_rel.fetchall(), exp_cols)
+        tdiff = type_diff(got_rel, got_cols, exp_rel, exp_cols)
     except Exception as e:
         print(f"FAIL {name}: error {e}")
         fails += 1
         continue
     if sorted(got_cols) != sorted(exp_cols):
         print(f"FAIL {name}: columns {sorted(got_cols)} vs {sorted(exp_cols)}")
+        fails += 1
+    elif tdiff:
+        for c, g, e in tdiff:
+            print(f"FAIL {name}: TYPE {c}: spark={g} oracle={e}")
         fails += 1
     elif got != exp:
         status = "ORDER-ONLY" if sorted(got, key=repr) == sorted(exp, key=repr) else "VALUES"
