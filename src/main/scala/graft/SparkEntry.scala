@@ -103,6 +103,13 @@ object SparkEntry {
           round(col("embedding")(0), 6).as("u0"),
           round(col("embedding")(63), 6).as("u63"))
         .orderBy(col("vec_id"))),
+    "v15_quantize" -> ((s, d) =>
+      // per-dimension int8 scalar quantization (embedding storage path):
+      // floor codes are bit-deterministic, so the oracle predicts them
+      VectorStats.quantize(embeddings(s, d), "vec_id", "embedding", "q", 256)
+        .select(col("vec_id"), col("q")(0).as("q1"),
+          col("q")(31).as("q32"), col("q")(63).as("q64"))
+        .orderBy(col("vec_id"))),
 
     // --- deduplication family ---
     "d1_exact_dups" -> ((s, d) =>
@@ -140,6 +147,13 @@ object SparkEntry {
         .orderBy(col("a"), col("b"))),
     "d10_simhash64_pairs" -> ((s, d) =>
       Dedup.simHash64Pairs(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy(col("a"), col("b"))),
+    "d11_winnow_pairs" -> ((s, d) =>
+      // winnowing (MOSS) fingerprint dedup: k-gram hashes, sliding-window
+      // min selection, keyed fingerprint join — deterministic pipeline,
+      // oracle mirrors it end to end
+      Dedup.winnowPairs(Tables.documents(s, d), "doc_id", "text",
+          k = 3, w = 4, minShared = 2L, maxFpDf = Some(100L))
         .orderBy(col("a"), col("b"))),
 
     // --- similarity search (ANN paths) ---
@@ -318,6 +332,14 @@ object SparkEntry {
 
   private def planeSql(p: Array[Double]): String =
     p.mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  /** SQL expression: per-dim scalar-quantization code of embedding dim
+    * `i` (1-based) — mirrors VectorStats.quantize bit for bit (floor of
+    * one division + one multiply, clamped to 255; constant dims → 0). */
+  private def quantSql(i: Int): String =
+    s"CAST(least(CAST(floor(CASE WHEN (SELECT ex FROM ext WHERE i = $i) = 0 THEN 0.0 " +
+      s"ELSE (CAST(embedding[$i] AS DOUBLE) - (SELECT mn FROM ext WHERE i = $i)) " +
+      s"/ (SELECT ex FROM ext WHERE i = $i) * 256 END) AS INTEGER), 255) AS INTEGER)"
 
   /** SQL expression: LSH bucket of DOUBLE[] expression `v` (mirrors
     * Similarity.lshBucket bit for bit). */
@@ -608,6 +630,16 @@ object SparkEntry {
         |      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
         |      FROM embeddings)
         |ORDER BY vec_id""".stripMargin,
+    "v15_quantize" ->
+      s"""WITH ext AS (
+         | SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+         |  max(CAST(embedding[i] AS DOUBLE)) - min(CAST(embedding[i] AS DOUBLE)) AS ex
+         | FROM embeddings, generate_series(1, 64) t(i) GROUP BY i)
+         |SELECT vec_id,
+         | ${quantSql(1)} AS q1,
+         | ${quantSql(32)} AS q32,
+         | ${quantSql(64)} AS q64
+         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "d1_exact_dups" ->
       """SELECT doc_id, md5(text) AS text_hash,
@@ -646,6 +678,26 @@ object SparkEntry {
          |FROM sh64 x JOIN sh64 y ON x.doc < y.doc
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
          |ORDER BY a, b""".stripMargin,
+    "d11_winnow_pairs" ->
+      """WITH toks AS (
+        | SELECT doc_id AS doc, string_split_regex(text, '\s+') ts FROM documents),
+        |g AS (
+        | SELECT doc, i AS pos, greatest(len(ts) - 3, 0) + 1 AS ng,
+        |  ('0x' || substr(md5(array_to_string(ts[i+1:i+3], ' ')), 1, 15))::BIGINT AS h
+        | FROM (SELECT doc, ts, unnest(range(greatest(len(ts) - 3, 0) + 1)) AS i
+        |       FROM toks)),
+        |wm AS (
+        | SELECT doc, pos, ng,
+        |  min(h) OVER (PARTITION BY doc ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        | FROM g),
+        |fps AS (SELECT DISTINCT doc, fp FROM wm WHERE pos <= greatest(ng - 4, 0)),
+        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+        |ff AS (SELECT f.doc, f.fp FROM fps f JOIN rare r ON f.fp = r.fp)
+        |SELECT x.doc AS a, y.doc AS b, count(*) AS n_shared
+        |FROM ff x JOIN ff y ON x.fp = y.fp AND x.doc < y.doc
+        |GROUP BY a, b HAVING count(*) >= 2
+        |ORDER BY a, b""".stripMargin,
     "d6_cosine_pairs" ->
       """SELECT a, b, round(cos, 6) AS cos FROM (
         | SELECT x.vec_id AS a, y.vec_id AS b,

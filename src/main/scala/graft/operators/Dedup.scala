@@ -101,6 +101,56 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Winnowing fingerprints (the MOSS scheme — Schleimer, Wilkerson,
+    * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003): hash every k-gram in document order, slide a w-gram
+    * window, keep each window's MINIMUM hash. Guarantees every shared
+    * run of ≥ k+w−1 tokens yields a shared fingerprint, while storing
+    * only ~2/(w+1) of the gram hashes. Documents shorter than w grams
+    * keep the minimum of all their gram hashes (≥ 1 fingerprint per
+    * non-empty doc). Narrow maps + one keyed window — no shuffle wider
+    * than (doc, gram) rows. Returns distinct (doc, fp) rows; the hash
+    * is the engine-portable md5-prefix (same family as MinHash). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"),
+        transform(shinglesOf(col("toks"), k),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("hs"))
+    val win = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    grams
+      .select(col("doc"), size(col("hs")).as("ng"),
+        posexplode(col("hs")).as(Seq("pos", "h")))
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("pos") <= greatest(col("ng") - w, lit(0)))
+      .select(col("doc"), col("fp")).distinct()
+  }
+
+  /** Near-dup candidate pairs sharing ≥ `minShared` winnowing
+    * fingerprints. The fingerprint equi-join is keyed exactly like LSH
+    * banding (scale-safe); `maxFpDf` drops fingerprints whose document
+    * frequency exceeds the cap (hot fingerprints are boilerplate
+    * phrases with no discriminating signal) — a DETERMINISTIC filter,
+    * so an SQL oracle can mirror the whole pipeline. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, w: Int = 4, minShared: Long = 2L,
+                  maxFpDf: Option[Long] = None): DataFrame = {
+    val all = winnowFingerprints(docs, idCol, textCol, k, w)
+    val fps = maxFpDf match {
+      case Some(f) =>
+        val rare = all.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= f).select(col("fp"))
+        all.join(rare, Seq("fp"), "left_semi")
+      case None => all
+    }
+    fps.as("x").join(fps.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc") < col("y.doc"))
+      .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Mersenne prime 2^61-1 for the universal hash family. */
   val MinHashP = 2305843009213693951L
 

@@ -56,6 +56,38 @@ object VectorStats {
       .drop("_l2n")
   }
 
+  /** Per-dimension scalar quantization to `levels` integer codes — the
+    * int8 embedding-storage path of a serving pipeline:
+    * code = floor((v − min_d) / (max_d − min_d) · levels), clamped to
+    * levels−1 (so v = max_d lands in the top bucket); constant
+    * dimensions quantize to 0. `floor` (not round) keeps every code
+    * bit-deterministic across engines — the division and multiply are
+    * single IEEE ops in a fixed order. The extent relation is one row,
+    * broadcast; the quantization itself is a pure projection (no
+    * shuffle beyond the extent aggregation). Returns the input plus an
+    * `array<int>` column `qCol`. */
+  def quantize(points: DataFrame, idCol: String, vecCol: String,
+               qCol: String, levels: Int = 256): DataFrame = {
+    val extent = dimExtent(explodeVectors(points, idCol, vecCol))
+      .agg(collect_list(struct(col("idx"), col("minV"), col("maxV"))).as("dims"))
+      .select(
+        map_from_arrays(
+          transform(col("dims"), d => d("idx")),
+          transform(col("dims"), d => d("minV"))).as("_qmins"),
+        map_from_arrays(
+          transform(col("dims"), d => d("idx")),
+          transform(col("dims"), d => d("maxV") - d("minV"))).as("_qexts"))
+    points.crossJoin(broadcast(extent))
+      .withColumn(qCol,
+        transform(col(vecCol), (x, i) =>
+          least(
+            floor(when(element_at(col("_qexts"), i) === 0d, lit(0.0d))
+              .otherwise((x.cast("double") - element_at(col("_qmins"), i)) /
+                element_at(col("_qexts"), i) * levels)).cast("int"),
+            lit(levels - 1))))
+      .drop("_qmins", "_qexts")
+  }
+
   /** A6: normalize every vector to [-1, 1] with a single shared scale =
     * max dimension extent / 2, per-dimension offset = (min+max)/2 — the
     * reference's normalization (MemoryVectorIndexTests.cs:249-303).

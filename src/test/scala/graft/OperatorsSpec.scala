@@ -104,6 +104,30 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((0L, 1L))) // near-parallel: same sign pattern
   }
 
+  test("winnowing fingerprints: guarantee, determinism, and pair join") {
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text", 3, 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    // identical docs → identical fingerprint sets; every doc has ≥ 1
+    assert(fps(0L) == fps(1L))
+    (0L to 4L).foreach(d => assert(fps(d).nonEmpty, s"doc $d"))
+    // winnowing selects a subset of the gram hashes (density ~2/(w+1))
+    val nGrams = 9 - 3 + 1
+    assert(fps(0L).size < nGrams)
+    // the MOSS guarantee: docs 0 and 2 share the 7-token run
+    // "the quick brown fox jumps over" + "lazy dog" tail — a shared run
+    // of ≥ k+w−1 = 6 tokens must yield ≥ 1 shared fingerprint
+    assert((fps(0L) & fps(2L)).nonEmpty)
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", 3, 4, minShared = 1L)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // maxFpDf = 1 drops every fingerprint shared by ≥ 2 docs → no pairs
+    val capped = Dedup.winnowPairs(docs, "doc_id", "text", 3, 4,
+      minShared = 1L, maxFpDf = Some(1L))
+    assert(capped.isEmpty)
+  }
+
   test("cosine pairs and keep-first dedup") {
     val emb = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.001f)), (2L, Seq(0f, 1f))
@@ -240,6 +264,25 @@ class IngestSpec extends SparkSpec {
     // widest dim (y: extent 50) spans exactly [-1, 1]
     val y = norm.select(col("vector")(1).as("y")).as[Double].collect().sorted
     assert(math.abs(y.head + 1.0) < 1e-12 && math.abs(y.last - 1.0) < 1e-12)
+  }
+
+  test("scalar quantization: exact codes, clamping, constant dims") {
+    // dim 0 extent [0,10] → codes floor(v/10·4) clamped to 3 at v=max;
+    // dim 1 constant → 0; levels = 4 keeps the arithmetic enumerable
+    val pts = Seq((0L, Seq(0f, 7f)), (1L, Seq(2.5f, 7f)),
+      (2L, Seq(5f, 7f)), (3L, Seq(10f, 7f))).toDF("id", "vector")
+    val q = operators.VectorStats.quantize(pts, "id", "vector", "q", 4)
+      .select(col("id"), col("q")(0), col("q")(1))
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(q == Seq((0L, 0, 0), (1L, 1, 0), (2L, 2, 0), (3L, 3, 0)))
+    // monotone: larger values never get smaller codes (random data)
+    val e = Tables.embeddings(spark, sf0001).limit(100)
+    val codes = operators.VectorStats
+      .quantize(e, "vec_id", "embedding", "q", 256)
+      .select(col("embedding")(0).cast("double").as("v"), col("q")(0).as("c"))
+      .as[(Double, Int)].collect().sortBy(_._1)
+    assert(codes.zip(codes.tail).forall { case ((_, c1), (_, c2)) => c1 <= c2 })
+    assert(codes.forall { case (_, c) => c >= 0 && c <= 255 })
   }
 }
 
