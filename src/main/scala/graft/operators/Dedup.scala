@@ -118,13 +118,15 @@ object Dedup {
       .select(col("doc"),
         transform(shinglesOf(col("toks"), k),
           g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("hs"))
-    val win = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
-    grams
-      .select(col("doc"), size(col("hs")).as("ng"),
-        posexplode(col("hs")).as(Seq("pos", "h")))
-      .withColumn("fp", min(col("h")).over(win))
-      .filter(col("pos") <= greatest(col("ng") - w, lit(0)))
-      .select(col("doc"), col("fp")).distinct()
+    // The w-window sliding min runs per DOC as an array expression —
+    // no gram explode through an exchange, no doc-partitioned sort, no
+    // global distinct (array_distinct is per-doc by construction). The
+    // whole selection is a narrow map; only the ~2/(w+1)-dense
+    // fingerprints ever leave the row.
+    grams.select(col("doc"),
+      explode(array_distinct(expr(
+        s"transform(sequence(0, greatest(size(hs) - $w, 0)), " +
+          s"p -> array_min(slice(hs, p + 1, $w)))"))).as("fp"))
   }
 
   /** Near-dup candidate pairs sharing ≥ `minShared` winnowing
