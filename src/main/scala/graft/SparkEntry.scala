@@ -97,6 +97,12 @@ object SparkEntry {
       TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")
         .filter(col("doc") < 20)
         .orderBy(col("doc"), col("token"))),
+    "t4_pii_scan" -> ((s, d) =>
+      // real regex engine over a generated corpus whose planted PII
+      // counts are closed-form in the id — the oracle predicts what
+      // regexp_count must find
+      TextOps.piiProfile(TextOps.piiCorpus(s, 500), "doc_id", "text")
+        .orderBy(col("doc_id"))),
     "v12_l2_normalize" -> ((s, d) =>
       VectorStats.l2Normalize(embeddings(s, d), "embedding")
         .select(col("vec_id"),
@@ -620,6 +626,13 @@ object SparkEntry {
         | round(tf * ln(CAST(n.n AS DOUBLE) / df), 6) AS tfidf
         |FROM tf JOIN df USING (token), n
         |WHERE doc < 20 ORDER BY doc, tf.token""".stripMargin,
+    "t4_pii_scan" ->
+      """SELECT id AS doc_id,
+        | id % 3 AS n_emails,
+        | id % 4 AS n_urls,
+        | id % 5 AS n_phones,
+        | 2 * (id % 3) + 2 * (id % 4) + 3 * (id % 5) + 1 AS n_digit_runs
+        |FROM range(500) t(id) ORDER BY doc_id""".stripMargin,
     "v12_l2_normalize" ->
       """SELECT vec_id,
         | round(CASE WHEN nrm = 0 THEN CAST(embedding[1] AS DOUBLE)

@@ -94,6 +94,52 @@ object TextOps {
       .select(col("doc"), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** PII detection patterns (the scrubbing pass of a training-data
+    * pipeline). Simple character-class regexes on purpose: they behave
+    * identically in Java regex (Spark) and RE2 (DuckDB), and the
+    * pii corpus oracle verifies the MATCH COUNTS closed-form. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val DigitRunRe = "[0-9]+"
+
+  /** Per-document PII scan: counts of emails, URLs, phone numbers, and
+    * maximal digit runs — a pure codegen projection (regexp_count over
+    * the text column, no shuffle). */
+  def piiProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(UrlRe)).cast("long").as("n_urls"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_count(col(textCol), lit(DigitRunRe)).cast("long").as("n_digit_runs"))
+
+  /** PII redaction: replace every email/URL/phone match with a typed
+    * placeholder token (order matters — URLs first so an email regex
+    * can't nibble a URL's userinfo-free host, phones last). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlRe, "[URL]"),
+        EmailRe, "[EMAIL]"),
+      PhoneRe, "[PHONE]")
+
+  /** Deterministic PII-bearing corpus (the text twin of the PNG/WAV
+    * generators): doc id plants id%3 emails, id%4 URLs, id%5 phone
+    * numbers and one standalone number into digit-free filler, so every
+    * regex match count is closed-form in the id — the oracle predicts
+    * what the real regex engine must find (emails carry 2 digit runs
+    * each, URLs 2, phones 3, the trailing number 1). */
+  def piiCorpus(spark: org.apache.spark.sql.SparkSession, n: Int): DataFrame =
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(
+        expr("repeat(concat('contact a', id, '@ex', id % 7, '.com '), int(id % 3))"),
+        lit("plain filler words here "),
+        expr("repeat(concat('visit http://h', id, '.example/p', id, ' '), int(id % 4))"),
+        expr("repeat('call 555-867-5309 ', int(id % 5))"),
+        expr("concat('num ', id * 37, ' end')")).as("text"))
+
   /** Corpus term frequencies: top-k tokens by count (ties broken by
     * token text) — explode + count, map-side combined. */
   def topTerms(docs: DataFrame, textCol: String, k: Int): DataFrame =

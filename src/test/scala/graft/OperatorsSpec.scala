@@ -177,6 +177,30 @@ class TextOpsSpec extends SparkSpec {
     val top = TextOps.topTerms(df, "text", 2).as[(String, Long)].collect()
     assert(top.toSeq == Seq(("a", 2L), ("b", 2L)))
   }
+
+  test("PII scan counts planted matches; redaction removes every match") {
+    val df = Seq(
+      (0L, "mail me at jo.doe+x@sub.example.org or visit https://a.example/p?q=1 then call 555-867-5309 ok"),
+      (1L, "no pii here at all")).toDF("doc_id", "text")
+    val p = TextOps.piiProfile(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(p(0L) == ((1L, 1L, 1L)))
+    assert(p(1L) == ((0L, 0L, 0L)))
+    val red = df.select(TextOps.redactPii(col("text")).as("t"))
+    val counts = TextOps.piiProfile(red.withColumn("doc_id", lit(0L)), "doc_id", "t")
+      .agg(sum("n_emails"), sum("n_urls"), sum("n_phones")).head()
+    assert((0 to 2).forall(i => counts.getLong(i) == 0L), s"residual PII: $counts")
+    assert(red.as[String].collect().exists(_.contains("[EMAIL]")))
+
+    // the generated corpus plants exactly the closed-form counts
+    val corpus = TextOps.piiCorpus(spark, 60)
+    val got = TextOps.piiProfile(corpus, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    got.foreach { case (id, e, u, ph, dr) =>
+      assert(e == id % 3 && u == id % 4 && ph == id % 5, s"id=$id")
+      assert(dr == 2 * (id % 3) + 2 * (id % 4) + 3 * (id % 5) + 1, s"id=$id runs")
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
