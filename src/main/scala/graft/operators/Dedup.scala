@@ -353,13 +353,21 @@ object Dedup {
     * 16 bits wide (65k key values) instead of 4 (16 values) — the
     * candidate buckets stay selective at corpus scale. */
   def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Parse the hex ONCE per token into two 32-bit halves (digits 0-7 /
+    // 8-15, big-endian); each per-bit aggregate is then a shift + mask
+    // on a long instead of a substring + alphabet scan — same bit
+    // values (the digit-wise DuckDB oracle is the cross-check), ~2×
+    // cheaper per token at 64 bits.
     val tok = docs.select(col(idCol).as("doc"),
         explode(tokens(col(textCol))).as("token"))
       .select(col("doc"), md5(col("token").cast("binary")).as("hex"))
+      .select(col("doc"),
+        expr("cast(conv(substring(hex, 1, 8), 16, 10) as bigint)").as("hi"),
+        expr("cast(conv(substring(hex, 9, 8), 16, 10) as bigint)").as("lo"))
     val bitCols = (0 until 64).map { j =>
-      val digit = expr(s"instr('0123456789abcdef', substring(hex, ${j / 4 + 1}, 1)) - 1")
-      val bit = shiftright(digit, 3 - j % 4).bitwiseAND(lit(1))
-      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$j")
+      val (src, sh) = if (j < 32) (col("hi"), 31 - j) else (col("lo"), 63 - j)
+      val bit = shiftrightunsigned(src, sh).bitwiseAND(lit(1L))
+      sum(when(bit === 1L, 1).otherwise(-1)).as(s"s$j")
     }
     val sums = tok.groupBy(col("doc")).agg(bitCols.head, bitCols.tail: _*)
     val value = (0 until 64).map { j =>
