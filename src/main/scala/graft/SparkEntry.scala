@@ -103,6 +103,30 @@ object SparkEntry {
       // regexp_count must find
       TextOps.piiProfile(TextOps.piiCorpus(s, 500), "doc_id", "text")
         .orderBy(col("doc_id"))),
+
+    // --- dataset assembly: deterministic sampling / splits / packing ---
+    "p1_sample_split" -> ((s, d) => {
+      // hash-keyed stratified sampling + train/val/test assignment:
+      // membership depends only on (id, salt) — reproducible across
+      // runs, engines, and repartitioning. Dyadic rates/bounds keep the
+      // double comparisons bit-identical in both engines.
+      val strat = Tables.documents(s, d)
+        .withColumn("stratum", col("doc_id") % 3)
+      val kept = Pipeline.stratifiedSample(strat, "doc_id", "stratum",
+        Map(0L -> 0.25), defaultRate = 0.5, salt = "s1")
+      Pipeline.splitAssign(kept, "doc_id",
+          Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)), salt = "sp")
+        .select(col("doc_id"), col("stratum"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+    "p2_token_pack" -> ((s, d) =>
+      // greedy sequential packing via per-shard running token sums —
+      // the concat-and-chunk LM pretraining layout as one keyed window
+      Pipeline.packSequences(Tables.documents(s, d), "doc_id", "text",
+          capacity = 512, numShards = 8)
+        .select(col("doc_id"), col("shard"),
+          col("n_tokens").cast("long").as("n_tokens"), col("bin"))
+        .orderBy(col("doc_id"))),
     "v12_l2_normalize" -> ((s, d) =>
       VectorStats.l2Normalize(embeddings(s, d), "embedding")
         .select(col("vec_id"),
@@ -633,6 +657,30 @@ object SparkEntry {
         | id % 5 AS n_phones,
         | 2 * (id % 3) + 2 * (id % 4) + 3 * (id % 5) + 1 AS n_digit_runs
         |FROM range(500) t(id) ORDER BY doc_id""".stripMargin,
+    "p1_sample_split" ->
+      """WITH u AS (
+        | SELECT doc_id, doc_id % 3 AS stratum,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_s1'), 1, 15)) AS BIGINT) AS DOUBLE)
+        |    / 1152921504606846976.0 AS us,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_sp'), 1, 15)) AS BIGINT) AS DOUBLE)
+        |    / 1152921504606846976.0 AS up
+        | FROM documents)
+        |SELECT doc_id, stratum,
+        | CASE WHEN up < 0.75 THEN 'train'
+        |      WHEN up < 0.875 THEN 'val' ELSE 'test' END AS split
+        |FROM u
+        |WHERE us < CASE WHEN stratum = 0 THEN 0.25 ELSE 0.5 END
+        |ORDER BY doc_id""".stripMargin,
+    "p2_token_pack" ->
+      """WITH t AS (
+        | SELECT doc_id, doc_id % 8 AS shard,
+        |  len(string_split_regex(text, '\s+')) AS n_tokens
+        | FROM documents)
+        |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | CAST(floor((CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   - n_tokens) / 512) AS BIGINT) AS bin
+        |FROM t ORDER BY doc_id""".stripMargin,
     "v12_l2_normalize" ->
       """SELECT vec_id,
         | round(CASE WHEN nrm = 0 THEN CAST(embedding[1] AS DOUBLE)

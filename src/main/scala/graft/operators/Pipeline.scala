@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators for training-data pipelines: deterministic
+  * sampling, train/val/test splitting, and sequence packing. Everything
+  * is a pure projection or a keyed window — no shuffle wider than the
+  * data requires — and every decision derives from an md5-based uniform
+  * hash, so results are reproducible run-to-run, engine-portable (the
+  * DuckDB oracles recompute the identical uniforms — same construction
+  * the i3 generator oracle uses), and stable under repartitioning:
+  * membership depends only on (id, salt), never on row order or
+  * partition placement — the property rand()/sample() lacks at scale. */
+object Pipeline {
+
+  /** Deterministic uniform in [0, 1): the first 15 hex digits of
+    * md5(id || '_' || salt) as an integer over 2^60. */
+  def hashUniform(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit("_" + salt))), 1, 15),
+      16, 10).cast("long").cast("double") / 1152921504606846976.0d
+
+  /** Bernoulli sample at `rate`, keyed by the hash uniform — the
+    * deterministic replacement for df.sample at pipeline scale. */
+  def sample(df: DataFrame, idCol: String, rate: Double,
+             salt: String): DataFrame =
+    df.filter(hashUniform(col(idCol), salt) < rate)
+
+  /** Per-stratum sampling rates (stratified downsampling — e.g. cap an
+    * over-represented language). `rates` maps stratum value → rate;
+    * strata not listed keep `defaultRate`. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[Long, Double], defaultRate: Double,
+                       salt: String): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(hashUniform(col(idCol), salt) < rate)
+  }
+
+  /** Train/val/test split assignment from cumulative weight thresholds:
+    * weights (name, w) with Σw = 1; a row lands in the first split whose
+    * cumulative upper bound exceeds its uniform. Disjoint and exhaustive
+    * by construction, stable across runs and engines. */
+  def splitAssign(df: DataFrame, idCol: String,
+                  weights: Seq[(String, Double)], salt: String): DataFrame = {
+    val u = hashUniform(col(idCol), salt)
+    val bounds = weights.scanLeft(0.0d) { case (acc, (_, w)) => acc + w }.tail
+    val assign = weights.zip(bounds).init.foldRight(lit(weights.last._1)) {
+      case (((name, _), bound), acc) => when(u < bound, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assign)
+  }
+
+  /** Sequential sequence packing: within each shard (idCol mod
+    * `numShards`), documents are processed in id order and a document's
+    * bin is floor(cumulative-tokens-before-it / capacity) — the
+    * running-sum formulation of greedy concat-and-chunk packing (the
+    * standard LM pretraining layout). One keyed window per shard; no
+    * global sort, no driver loop. Returns (id, shard, n_tokens, bin). */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    capacity: Int, numShards: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), (col(idCol) % numShards).as("shard"),
+        TextOps.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("bin",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
+          capacity).cast("long"))
+  }
+}

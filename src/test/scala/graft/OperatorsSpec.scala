@@ -203,6 +203,59 @@ class TextOpsSpec extends SparkSpec {
   }
 }
 
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash sampling is deterministic, rate-nested, and order-independent") {
+    val docs = Tables.documents(spark, sf0001)
+    val a = Pipeline.sample(docs, "doc_id", 0.25, "x")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Pipeline.sample(docs, "doc_id", 0.25, "x")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // same salt, higher rate → strict superset (uniforms are shared)
+    val wide = Pipeline.sample(docs, "doc_id", 0.5, "x")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(wide) && wide.size > a.size)
+    // membership survives repartitioning (hash of id, not row position)
+    val shuffled = Pipeline.sample(docs.repartition(13), "doc_id", 0.25, "x")
+      .select("doc_id").as[Long].collect().toSet
+    assert(shuffled == a)
+    // ~rate fraction kept (500 docs, generous tolerance)
+    assert(math.abs(a.size / 500.0 - 0.25) < 0.08)
+  }
+
+  test("split assignment is disjoint, exhaustive, and near the weights") {
+    val docs = Tables.documents(spark, sf0001)
+    val splits = Pipeline.splitAssign(docs, "doc_id",
+        Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)), "sp")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(splits.values.sum == 500L)
+    assert(math.abs(splits("train") / 500.0 - 0.75) < 0.08)
+    assert(splits.keySet == Set("train", "val", "test"))
+  }
+
+  test("sequence packing bins equal the per-shard prefix-sum formula") {
+    val docs = Tables.documents(spark, sf0001)
+    val got = Pipeline.packSequences(docs, "doc_id", "text", 512, 8)
+      .select("doc_id", "shard", "n_tokens", "bin")
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._1)
+    // recompute sequentially per shard
+    val cum = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    got.foreach { case (id, shard, n, bin) =>
+      assert(shard == id % 8)
+      assert(bin == cum(shard) / 512, s"doc $id")
+      cum(shard) += n
+    }
+    // bins are contiguous from 0 within each shard
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      val bins = rows.map(_._4).distinct.sorted.toSeq
+      assert(bins == (bins.head to bins.last).toSeq)
+      assert(bins.head == 0L)
+    }
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
