@@ -144,6 +144,27 @@ case class IndexedVicinityRule(spark: SparkSession) extends Rule[LogicalPlan] {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import graft.functions.{DistSqExpr, DotProductExpr, VecStatsNative}
+
+  /** SQL surface for the engine's kernels (the reference is T-SQL-first,
+    * so spark.sql users get the same functions the Column API exposes):
+    * `vec_distsq(a, b)`, `vec_dot(a, b)`, `vec_stats(id, vec)`. */
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(IndexedVicinityRule)
+    ext.injectFunction((
+      FunctionIdentifier("vec_distsq"),
+      new ExpressionInfo(classOf[DistSqExpr].getName, "vec_distsq"),
+      (args: Seq[Expression]) => DistSqExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "vec_dot"),
+      (args: Seq[Expression]) => DotProductExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_stats"),
+      new ExpressionInfo(classOf[VecStatsNative].getName, "vec_stats"),
+      (args: Seq[Expression]) =>
+        VecStatsNative(args(0), args(1)).toAggregateExpression()))
+  }
 }

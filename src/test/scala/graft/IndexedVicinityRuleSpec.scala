@@ -143,6 +143,28 @@ class IndexedVicinityRuleSpec extends SparkSpec {
     }
   }
 
+  test("SQL surface: vec_distsq / vec_dot / vec_stats resolve in spark.sql") {
+    val path = s"$sf0001/embeddings.parquet"
+    extSpark.read.parquet(path).createOrReplaceTempView("emb")
+    try {
+      val row = extSpark.sql(
+        """SELECT vec_id,
+          |  sqrt(vec_distsq(embedding, embedding)) AS d,
+          |  vec_dot(embedding, embedding) AS n2
+          |FROM emb ORDER BY vec_id LIMIT 1""".stripMargin).head()
+      assert(row.getDouble(1) == 0.0d && row.getDouble(2) > 0.0d)
+      val stats = extSpark.sql(
+        """SELECT vs.cnt, size(vs.mean) AS d FROM (
+          |  SELECT vec_stats(vec_id, embedding) AS vs FROM emb)""".stripMargin)
+        .head()
+      assert(stats.getLong(0) == 500L && stats.getInt(1) == 64)
+    } finally {
+      extSpark.catalog.dropTempView("emb")
+      SparkSession.setDefaultSession(TestSpark.spark)
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+
   test("tables without a registered index are untouched") {
     VectorIndexCatalog.clear()
     val q = BruteForce.rangeSearch(
