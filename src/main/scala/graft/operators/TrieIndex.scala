@@ -278,18 +278,21 @@ object TrieIndex {
       .mapPartitions { rows =>
         val trie = build(rows, listThreshold)
         qB.value.iterator.flatMap { case (qid, qv) =>
-          val r2 = radius * radius
           // The float32 budget must OVER-approximate the double ball:
           // radius.toFloat can round down and the budget accumulation can
           // under-shoot by ~d·ulp, making the prune a false-negative source
           // the exact re-check cannot recover. A 1e-4 relative inflation
           // dominates both; the extra candidates are removed right here.
+          // The re-check compares sqrt(s) <= radius (NOT s <= radius²):
+          // for a boundary point whose distance IS the radius, radius²
+          // rounds below the exact squared sum and the squared compare
+          // drops it — sqrt matches BruteForce.rangeSearch bit for bit.
           trie.find(qv, (radius * 1.0001).toFloat).filter { case (_, v) =>
             var s = 0d; var i = 0
             while (i < v.length) {
               val d = v(i).toDouble - qv(i).toDouble; s += d * d; i += 1
             }
-            s <= r2
+            math.sqrt(s) <= radius
           }.map { case (id, _) => (qid, id) }
         }
       }

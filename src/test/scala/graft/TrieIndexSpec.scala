@@ -120,4 +120,31 @@ class TrieIndexSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(gotDf == want)
   }
+
+  test("boundary radius: a point at exactly the query distance is found") {
+    // ADVICE r2 regression: radius.toFloat could round DOWN, making the
+    // float trie budget under-approximate the double ball — a false
+    // negative the exact re-check can't recover. Use radii EQUAL to
+    // true point distances, where that rounding bites hardest.
+    import graft.functions.VectorFunctions.{dist, doubleVec}
+    val e = Tables.embeddings(spark, sf0001)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<float>"))
+      .as[Array[Float]].head()
+    val dists = e.filter(col("vec_id").between(1, 12))
+      .select(col("vec_id"),
+        dist(col("embedding"), doubleVec(qv.map(_.toDouble).toSeq)).as("d"))
+      .as[(Long, Double)].collect()
+    dists.foreach { case (pid, r) =>
+      val got = TrieIndex.searchJoin(e.repartition(4), "vec_id", "embedding",
+          Array((0L, qv)), r)
+        .select(col("vec_id")).as[Long].collect().toSet
+      assert(got.contains(pid), s"boundary point $pid missing at r=$r")
+      // and equals brute force at this radius
+      val want = BruteForce.rangeSearch(e, "embedding",
+          qv.map(_.toDouble).toSeq, r)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got == want, s"r=$r")
+    }
+  }
 }
