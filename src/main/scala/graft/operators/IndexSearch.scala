@@ -136,7 +136,12 @@ object IndexSearch {
             }
           }
         }
-      visit(0L, domain * domain)
+      // 1e-9 relative inflation: r² rounds below the exact squared sum
+      // for a point at EXACTLY distance r, and the budget's add/subtract
+      // chain drifts by ~d·ulp — either could prune a boundary match the
+      // exact re-check can't recover. The inflation dominates both; the
+      // few extra candidates are removed by the re-check.
+      visit(0L, domain * domain * 1.000000001d)
     } else {
       val stack = mutable.Stack[Long](0L)
       while (stack.nonEmpty) {

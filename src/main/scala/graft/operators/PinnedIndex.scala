@@ -73,7 +73,9 @@ final class PinnedIndex private (
         }
       }
     }
-    visit(0L, radius * radius)
+    // 1e-9 inflation: see IndexSearch.walkTree — keeps boundary-distance
+    // points (and budget-drift victims) in the candidate superset.
+    visit(0L, radius * radius * 1.000000001d)
     out.toSeq
   }
 
@@ -112,8 +114,13 @@ final class PinnedIndex private (
       }
     }
     val offs = new Array[Double](q.length)
+    // Prune with a 1e-9 relative slack: the bound's add/subtract chain
+    // drifts by ~d·ulp vs the left-to-right fold `offer` uses, so an
+    // exact-boundary subtree could otherwise be cut. Slack only ADMITS
+    // subtrees — the heap's exact distances keep the result exact.
+    def kthSlack: Double = kth * 1.000000001d
     def visit(rid: Long, bound: Double): Unit = {
-      if (bound > kth) return
+      if (bound > kthSlack) return
       leaves.get(rid).foreach(_.foreach(offer))
       internal.get(rid).foreach { n =>
         if (n.dim < 0) {
@@ -131,7 +138,7 @@ final class PinnedIndex private (
             if (c <= m) Seq((n.low, bLow, nbLow), (n.high, bHigh, nbHigh))
             else Seq((n.high, bHigh, nbHigh), (n.low, bLow, nbLow))
           order.foreach { case (child, b, nb) =>
-            if (child >= 0 && b <= kth) {
+            if (child >= 0 && b <= kthSlack) {
               offs(n.dim) = nb; visit(child, b); offs(n.dim) = old
             }
           }

@@ -138,6 +138,34 @@ class ScaleSpec extends SparkSpec {
       assert(math.abs(gd - wd) < 1e-12) }
   }
 
+  test("boundary radius: budget descents keep exact-distance points") {
+    // radii set to TRUE point distances — r² rounds below the exact
+    // squared sum there, and an uninflated budget prunes the match
+    import graft.functions.VectorFunctions.{dist, doubleVec}
+    val e = Tables.embeddings(spark, sf0001)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<float>"))
+      .as[Array[Float]].head()
+    val q = qv.map(_.toDouble).toSeq
+    val dists = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id"), dist(col("embedding"), doubleVec(q)).as("d"))
+      .as[(Long, Double)].collect()
+    val index = IndexBuild.buildIndex(e, "vec_id", "embedding").localCheckpoint()
+    val pinned = operators.PinnedIndex.pin(index)
+    dists.foreach { case (pid, r) =>
+      val tree = IndexSearch.searchExact(index, e, "vec_id", "embedding", q, r)
+        .select("vec_id").as[Long].collect().toSet
+      assert(tree.contains(pid), s"searchExact missed boundary point $pid")
+      assert(pinned.candidatesL2(q, r).contains(pid),
+        s"candidatesL2 pruned boundary point $pid")
+      val knnd = operators.PinnedIndex.knnDistributed(pinned, e, "vec_id",
+        "embedding", q, k = 3, initRadius = r)
+      val brute = BruteForce.knn(e, "embedding", "vec_id", q, 3)
+        .select(col("vec_id"), col("dist")).as[(Long, Double)].collect().toSeq
+      assert(knnd.map(_._1) == brute.map(_._1), s"knnDistributed at r=$r")
+    }
+  }
+
   test("LSH+re-check pipeline: exact precision, >=90% recall vs quadratic") {
     val docs = Tables.documents(spark, sf0001)
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.6)
