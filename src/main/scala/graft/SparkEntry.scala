@@ -39,6 +39,18 @@ object SparkEntry {
     "q13_cube_revenue" -> ((s, d) => Relational.cubeRevenue(s, d)),
     "q14_event_pivot" -> ((s, d) => Relational.eventPivot(s, d)),
     "q15_asof_click_view" -> ((s, d) => Relational.clickAfterView(s, d)),
+    "q16_percentiles" -> ((s, d) =>
+      // exact linear-interpolated percentiles (Spark `percentile` and
+      // DuckDB `quantile_cont` share the lower+(upper-lower)·frac
+      // formula on the same doubles; l_quantity is integral so the
+      // interpolation arithmetic is exact)
+      Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"))
+        .orderBy(col("l_returnflag"))),
 
     // --- vector engine: brute force (reference oracle semantics) ---
     "v1_range_search" -> ((s, d) =>
@@ -591,6 +603,14 @@ object SparkEntry {
         | FROM events c WHERE c.event_type = 'click'
         |) WHERE last_view_ts IS NOT NULL
         |ORDER BY user_id, click_id""".stripMargin,
+    "q16_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        | round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        | round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        | round(quantile_cont(l_quantity, 0.95), 6) AS p95
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "v1_range_search" ->
       s"""SELECT vec_id FROM embeddings
