@@ -138,6 +138,9 @@ object Tools {
             maxBucket = Some(2000L)).count())
         time(s"d10 simhash64 ${m}x")(
           Dedup.simHash64Pairs(d, "doc_id", "text", 3).count())
+        time(s"d11 winnow pairs ${m}x")(
+          Dedup.winnowPairs(d, "doc_id", "text", 3, 4, minShared = 2L,
+            maxFpDf = Some(100L)).count())
         time(s"d6 cosine all-pairs ${m}x")(
           Dedup.cosinePairs(e, "vec_id", "embedding", 0.999).count())
         time(s"d9 cosine-lsh ${m}x")(

@@ -117,4 +117,29 @@ class StreamOpsSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(got == want)
   }
+
+  test("stateless pipeline ops run unchanged on streams (sample → pii profile)") {
+    // hash sampling and regex profiling are pure projections/filters, so
+    // the SAME operator code drives readStream without modification —
+    // and (unlike rand()-based sampling) keeps identical membership
+    val docsDir = java.nio.file.Files.createTempDirectory("graftdocs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val schema = spark.read.parquet(docsDir.toString).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir.toString)
+    val q = operators.TextOps.piiProfile(
+        operators.Pipeline.sample(stream, "doc_id", 0.25, "x"),
+        "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("pp").collect().map(_.toString).sorted.toSeq
+    val want = operators.TextOps.piiProfile(
+        operators.Pipeline.sample(spark.read.parquet(docsDir.toString),
+          "doc_id", 0.25, "x"), "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
