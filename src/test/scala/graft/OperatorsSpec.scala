@@ -128,6 +128,33 @@ class DedupSpec extends SparkSpec {
     assert(capped.isEmpty)
   }
 
+  test("winnowing MOSS guarantee holds on randomized docs (property)") {
+    // property: if two docs share a contiguous token run of length
+    // ≥ k+w−1 (k=3, w=4 ⇒ 6), they MUST share ≥ 1 fingerprint —
+    // the selection-window argument of the MOSS paper. 40 randomized
+    // pairs with the shared run spliced at random offsets, one job.
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = ('a' to 'z').map(_.toString)
+    def doc(n: Int): Seq[String] = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+    val rows = (0 until 40).flatMap { i =>
+      val run = doc(6 + rnd.nextInt(4))
+      def splice(body: Seq[String]): String = {
+        val at = rnd.nextInt(body.size + 1)
+        (body.take(at) ++ run ++ body.drop(at)).mkString(" ")
+      }
+      Seq((2L * i, splice(doc(10 + rnd.nextInt(30)))),
+        (2L * i + 1, splice(doc(10 + rnd.nextInt(30)))))
+    }
+    val fps = Dedup.winnowFingerprints(rows.toDF("doc_id", "text"),
+        "doc_id", "text", 3, 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    (0 until 40).foreach { i =>
+      val shared = fps(2L * i) & fps(2L * i + 1)
+      assert(shared.nonEmpty, s"pair $i shares a ≥6-token run but no fingerprint")
+    }
+  }
+
   test("cosine pairs and keep-first dedup") {
     val emb = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.001f)), (2L, Seq(0f, 1f))
