@@ -49,7 +49,8 @@ object IndexMaintain {
       .distinct()
     val keptInternal = internal.join(alive,
       internal("rangeId") === alive("aliveId"), "left_semi")
-    keptInternal.unionByName(survivors.select(keptInternal.columns.map(col): _*))
+    keptInternal.unionByName(
+      survivors.select(keptInternal.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Batch insert: route `newPoints` (idCol, vecCol) through the tree to

@@ -42,7 +42,7 @@ object Similarity {
     * bit j set ⇔ dot(v, plane_j) > 0. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, j) =>
-      when(dot(vec, doubleVec(p)) > 0d, lit(1 << j)).otherwise(lit(0))
+      when(dot(vec, doubleVec(p.toIndexedSeq)) > 0d, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** Assign every vector its LSH bucket. */

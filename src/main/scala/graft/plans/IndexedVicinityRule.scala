@@ -152,7 +152,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * so spark.sql users get the same functions the Column API exposes):
     * `vec_distsq(a, b)`, `vec_dot(a, b)`, `vec_stats(id, vec)`. */
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectOptimizerRule(IndexedVicinityRule)
+    ext.injectOptimizerRule(IndexedVicinityRule.apply)
     ext.injectFunction((
       FunctionIdentifier("vec_distsq"),
       new ExpressionInfo(classOf[DistSqExpr].getName, "vec_distsq"),

@@ -107,7 +107,8 @@ object Ingest {
       .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("%"))
     val raw = spark.createDataFrame(
       spark.sparkContext.parallelize(rows.zipWithIndex.map { case (l, i) =>
-        org.apache.spark.sql.Row(i.toLong +: l.split(",").map(_.trim): _*)
+        org.apache.spark.sql.Row(
+          (i.toLong +: l.split(",").map(_.trim).toIndexedSeq): _*)
       }),
       org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField("id",
