@@ -93,9 +93,12 @@ object Tools {
       // all-pairs mega-cluster.
       import org.apache.spark.sql.functions._
       import graft.operators.{Dedup, Similarity}
-      val sfd = args.lift(1).filterNot(_.startsWith("-"))
+      // the dir arg must look like a path — `dedupbench 20` means
+      // "default dir, multiplier 20", not a directory named 20
+      val sfd = args.lift(1).filter(_.startsWith("/"))
         .getOrElse("/root/testdata/sf0.01")
-      val mult = args.drop(2).find(_.forall(_.isDigit)).map(_.toInt).getOrElse(10)
+      val mult = args.drop(1).find(a => a.nonEmpty && a.forall(_.isDigit))
+        .map(_.toInt).getOrElse(10)
       val docs1 = Tables.documents(spark, sfd).select("doc_id", "text")
         .localCheckpoint()
       def docsAt(m: Int) =

@@ -184,7 +184,10 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        decodeAudio(r.payload).map { case (rate, ch, bits, samples) =>
+        // a decodable WAV with an empty data chunk would divide by zero
+        // below (NaN mean/rms, Int.MinValue extrema) — such payloads are
+        // dropped like non-decodable ones, per the documented contract
+        decodeAudio(r.payload).filter(_._4.nonEmpty).map { case (rate, ch, bits, samples) =>
           var sum = 0L; var sumSq = 0L
           var mx = Int.MinValue; var mn = Int.MaxValue
           var i = 0

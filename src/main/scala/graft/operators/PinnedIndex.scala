@@ -212,6 +212,9 @@ object PinnedIndex {
                      vecCol: String, q: Seq[Double], k: Int,
                      initRadius: Double = 1.0): Seq[(Long, Double)] = {
     if (k <= 0) return Nil
+    // a non-positive (or NaN) start radius would never grow under r *= 2
+    // — the loop below would spin forever on the driver
+    require(initRadius > 0d, s"initRadius must be positive, got $initRadius")
     val spark = points.sparkSession
     import spark.implicits._
     var r = initRadius

@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
   * partition placement — the property rand()/sample() lacks at scale. */
 object Pipeline {
 
-  /** Deterministic uniform in [0, 1): the first 15 hex digits of
-    * md5(id || '_' || salt) as an integer over 2^60. */
+  /** Deterministic uniform in [0, 1): the shared md5-prefix uniform
+    * ([[graft.functions.PortableHash.md5Uniform]]) keyed by
+    * id || '_' || salt. */
   def hashUniform(id: Column, salt: String): Column =
-    conv(substring(md5(concat(id.cast("string"), lit("_" + salt))), 1, 15),
-      16, 10).cast("long").cast("double") / 1152921504606846976.0d
+    graft.functions.PortableHash.md5Uniform(
+      concat(id.cast("string"), lit("_" + salt)))
 
   /** Bernoulli sample at `rate`, keyed by the hash uniform — the
     * deterministic replacement for df.sample at pipeline scale. */

@@ -129,7 +129,8 @@ case class IndexedVicinityRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def maxCandidates: Int =
     spark.conf.getOption("spark.graft.vicinity.maxCandidates")
-      .map(_.toInt).getOrElse(IndexedVicinityRule.DefaultMaxCandidates)
+      .flatMap(_.toIntOption) // malformed conf must not throw inside the
+      .getOrElse(IndexedVicinityRule.DefaultMaxCandidates) // optimizer
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, rel: LogicalRelation) =>

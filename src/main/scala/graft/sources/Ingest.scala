@@ -70,9 +70,7 @@ object Ingest {
     spark.range(n).select(col("id"),
       transform(sequence(lit(0), lit(dim - 1)), i => {
         val key = concat_ws("_", col("id"), i, lit(seed))
-        val x = conv(substring(md5(key.cast("binary")), 1, 15), 16, 10)
-          .cast("long")
-        ((x.cast("double") / lit((1L << 60).toDouble)) * 2d - 1d).cast("float")
+        (graft.functions.PortableHash.md5Uniform(key) * 2d - 1d).cast("float")
       }).as("vector"))
 
   /** S6: d one-hot basis vectors e_i (adversarial: every dim has
