@@ -207,6 +207,17 @@ object SparkEntry {
       Similarity.ivfKnn(embeddings(s, d), "vec_id", "embedding",
           16, 4, Q64, 10)
         .select(col("vec_id"), col("list_id")).orderBy(col("vec_id"))),
+    "a4_pq_codes" -> ((s, d) => {
+      // product quantization assignment with the deterministic seed
+      // codebook (first 16 ids' sub-vectors) — the oracle recomputes
+      // the per-subspace argmin with identical fold order + (d2, code)
+      // tie-break, so every code matches exactly
+      val e = embeddings(s, d)
+      val cb = ProductQuant.pqTrain(e, "vec_id", "embedding", 8, 16, iters = 0)
+      ProductQuant.pqAssign(e, "embedding", cb)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+        .orderBy(col("vec_id"), col("j"))
+    }),
     "a3_lsh_buckets" -> ((s, d) =>
       Similarity.lshAssign(embeddings(s, d), "vec_id", "embedding", Planes)
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
@@ -374,6 +385,28 @@ object SparkEntry {
 
   private def planeSql(p: Array[Double]): String =
     p.mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  /** SQL: subspace-j squared distance between e.embedding and
+    * w.embedding, unrolled left-to-right — the exact fold order of the
+    * codegen DistSqExpr, so the PQ argmin comparisons agree bit for
+    * bit (no sqrt: two d2 within 1 ulp must not collapse). */
+  private def pqD2Sql(j: Int): String = (1 to 8).map { i =>
+    val a = s"CAST(e.embedding[${j * 8 + i}] AS DOUBLE)"
+    val b = s"CAST(w.embedding[${j * 8 + i}] AS DOUBLE)"
+    s"(($a - $b) * ($a - $b))"
+  }.mkString(" + ")
+
+  private def pqCodesSql: String = {
+    val perJ = (0 until 8).map { j =>
+      s"""SELECT e.vec_id, $j AS j, w.vec_id AS code,
+         | row_number() OVER (PARTITION BY e.vec_id
+         |   ORDER BY ${pqD2Sql(j)}, w.vec_id) AS rn
+         |FROM embeddings e
+         |CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 16) w""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""SELECT vec_id, CAST(j AS INTEGER) AS j, CAST(code AS INTEGER) AS code
+       |FROM ($perJ) WHERE rn = 1 ORDER BY vec_id, j""".stripMargin
+  }
 
   /** SQL expression: per-dim scalar-quantization code of embedding dim
     * `i` (1-based) — mirrors VectorStats.quantize bit for bit (floor of
@@ -833,6 +866,7 @@ object SparkEntry {
       s"""SELECT bucket, count(*) AS n FROM (
          |  SELECT ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket FROM embeddings
          |) GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "a4_pq_codes" -> pqCodesSql,
 
     "i1_json_shred" ->
       """SELECT vec_id, CAST(i AS INTEGER) AS idx, embedding[i + 1] AS value

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{dist, distSq, doubleVec}
+
+/** Product quantization for ANN search (Jégou, Douze, Schmid, "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011 — public
+  * method, no reference counterpart): split d dims into m subspaces,
+  * k-means each subspace to k codewords, store each vector as m small
+  * codes (m·log2(k) bits, e.g. 8 bytes for m=8, k=256 vs 256 bytes for
+  * float64×32), and rank by asymmetric distance (ADC): the query
+  * precomputes an m×k table of exact sub-distances and a row's
+  * approximate distance is m table lookups — no float math per row.
+  *
+  * Spark shapes: training is `iters` jobs of ONE fused shuffle each
+  * (explode m subspaces → per-(subspace, code) mean — n·m skinny rows,
+  * map-side combined); assignment and ADC ranking are pure codegen
+  * projections over the scan (the codebook and the query's distance
+  * table embed as literals, like the IVF centroids); the exact re-rank
+  * touches only the topN ADC candidates. At 100 TB the codes column is
+  * what you persist/scan — 30–60× narrower than the vectors. */
+object ProductQuant {
+
+  /** codebook(j)(c) = codeword c of subspace j (length d/m, float64). */
+  type Codebook = Array[Array[Array[Double]]]
+
+  /** 1-based slice of subspace j from a (float-castable) vector col. */
+  private def subCol(vecCol: Column, j: Int, dsub: Int): Column =
+    slice(vecCol, j * dsub + 1, dsub)
+
+  /** Codegen argmin over subspace j's codewords for a sub-vector col:
+    * array_min over (distSq, code) structs — ties to the lower code. */
+  private def codeExpr(sub: Column, words: Array[Array[Double]]): Column =
+    array_min(array(words.zipWithIndex.map { case (w, c) =>
+      struct(distSq(sub, doubleVec(w.toIndexedSeq)).as("d2"),
+        lit(c).as("c"))
+    }.toIndexedSeq: _*)).getField("c")
+
+  /** Train a codebook: deterministic seeds (the first k ids' sub-vectors)
+    * + `iters` Lloyd rounds, all m subspaces fused into one shuffle per
+    * round. Codewords that lose every member keep their previous value
+    * (same rule as ivfTrain). */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, iters: Int): Codebook = {
+    val d = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    val seeds = emb
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .orderBy(col("id")).limit(k).collect()
+      .map(_.getSeq[Float](1).toArray)
+    var cb: Codebook = Array.tabulate(m) { j =>
+      seeds.map(v => v.slice(j * dsub, (j + 1) * dsub).map(_.toDouble))
+    }
+    val vs = graft.functions.VecStatsNative.vecStats _
+    for (_ <- 0 until iters) {
+      val vec = col(vecCol).cast("array<float>")
+      val subStruct = array((0 until m).map { j =>
+        struct(lit(j).as("j"),
+          subCol(vec, j, dsub).as("sub"),
+          codeExpr(subCol(vec, j, dsub), cb(j)).as("code"))
+      }: _*)
+      val means = emb
+        .select(explode(subStruct).as("s"))
+        .groupBy(col("s.j"), col("s.code"))
+        .agg(vs(lit(0L), col("s.sub")).as("st"))
+        .select(col("j"), col("code"), col("st.mean"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+        .toMap
+      cb = Array.tabulate(m) { j =>
+        Array.tabulate(k)(c => means.getOrElse((j, c), cb(j)(c)))
+      }
+    }
+    cb
+  }
+
+  /** Assign PQ codes: one `array<int>` column of length m — a pure
+    * codegen projection (the codebook embeds as literals). */
+  def pqAssign(emb: DataFrame, vecCol: String, cb: Codebook,
+               codesCol: String = "codes"): DataFrame = {
+    val dsub = cb(0)(0).length
+    val vec = col(vecCol).cast("array<float>")
+    emb.withColumn(codesCol,
+      array(cb.indices.map(j => codeExpr(subCol(vec, j, dsub), cb(j))): _*))
+  }
+
+  /** ADC approximate distance: the query's m×k table of exact
+    * sub-distances embeds as literal arrays; a row's score is m
+    * `element_at` lookups summed — no per-row float math. */
+  def adcScore(codesCol: Column, cb: Codebook, q: Seq[Double]): Column = {
+    val dsub = cb(0)(0).length
+    val table: Array[Array[Double]] = cb.zipWithIndex.map { case (words, j) =>
+      words.map { w =>
+        w.indices.foldLeft(0d) { (acc, i) =>
+          val diff = q(j * dsub + i) - w(i); acc + diff * diff
+        }
+      }
+    }
+    cb.indices.map { j =>
+      element_at(array(table(j).map(lit).toIndexedSeq: _*),
+        element_at(codesCol, j + 1) + 1)
+    }.reduce(_ + _)
+  }
+
+  /** PQ ANN top-k: ADC-rank all rows (projection + TakeOrdered topN),
+    * then exact re-rank the topN candidates — two pruned top-k's, no
+    * shuffle. Recall grows with topN (exact over the candidate set). */
+  def pqKnn(emb: DataFrame, idCol: String, vecCol: String, cb: Codebook,
+            q: Seq[Double], topN: Int, k: Int): DataFrame = {
+    val cands = pqAssign(emb, vecCol, cb)
+      .withColumn("approx", adcScore(col("codes"), cb, q))
+      .orderBy(col("approx"), col(idCol))
+      .limit(topN)
+    cands
+      .withColumn("dist", dist(col(vecCol), doubleVec(q)))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .drop("codes", "approx")
+  }
+
+  /** Mean squared sub-distance to assigned codewords — the PQ training
+    * cost (monitor convergence like ivfCost). */
+  def pqCost(emb: DataFrame, vecCol: String, cb: Codebook): Double = {
+    val dsub = cb(0)(0).length
+    val vec = col(vecCol).cast("array<float>")
+    val total = cb.indices.map { j =>
+      array_min(array(cb(j).map(w =>
+        distSq(subCol(vec, j, dsub), doubleVec(w.toIndexedSeq))).toIndexedSeq: _*))
+    }.reduce(_ + _)
+    emb.select(avg(total).as("c")).head().getDouble(0)
+  }
+}

@@ -324,6 +324,43 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class ProductQuantSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PQ: codes bounded, Lloyd cost non-increasing, ADC knn recall") {
+    val e = Tables.embeddings(spark, sf0001)
+    val seed = ProductQuant.pqTrain(e, "vec_id", "embedding", 8, 16, iters = 0)
+    val cb = ProductQuant.pqTrain(e, "vec_id", "embedding", 8, 16, iters = 2)
+    assert(cb.length == 8 && cb.forall(_.length == 16)
+      && cb.forall(_.forall(_.length == 8)))
+    // training can only reduce the quantization cost
+    val c0 = ProductQuant.pqCost(e, "embedding", seed)
+    val c2 = ProductQuant.pqCost(e, "embedding", cb)
+    assert(c2 <= c0 + 1e-9, s"cost rose: $c0 -> $c2")
+    // every code in [0, k)
+    val mm = ProductQuant.pqAssign(e, "embedding", cb)
+      .select(explode(col("codes")).as("c")).agg(min("c"), max("c")).head()
+    assert(mm.getInt(0) >= 0 && mm.getInt(1) < 16)
+    // ADC candidates + exact re-rank: decent recall at topN=100, and the
+    // returned distances are EXACT (match brute for every shared id)
+    val got = ProductQuant.pqKnn(e, "vec_id", "embedding", cb,
+        QueryConstants.Q64, topN = 100, k = 10)
+      .select(col("vec_id"), col("dist")).as[(Long, Double)].collect().toSeq
+    val brute = BruteForce.knn(e, "embedding", "vec_id", QueryConstants.Q64, 10)
+      .select(col("vec_id"), col("dist")).as[(Long, Double)].collect().toSeq
+    val bruteMap = brute.toMap
+    val recall = got.map(_._1).count(bruteMap.contains) / 10.0
+    assert(recall >= 0.5, s"recall $recall")
+    got.foreach { case (id, dv) =>
+      bruteMap.get(id).foreach(bd => assert(math.abs(dv - bd) < 1e-12)) }
+    // deterministic end to end
+    val again = ProductQuant.pqKnn(e, "vec_id", "embedding", cb,
+        QueryConstants.Q64, topN = 100, k = 10)
+      .select(col("vec_id")).as[Long].collect().toSeq
+    assert(again == got.map(_._1))
+  }
+}
+
 class IngestSpec extends SparkSpec {
   import spark.implicits._
 
