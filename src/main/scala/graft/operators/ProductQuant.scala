@@ -122,6 +122,50 @@ object ProductQuant {
       .drop("codes", "approx")
   }
 
+  /** Persist the PQ serving layout: the (id, codes) relation — m small
+    * ints per vector, the thing searches SCAN — plus the codebook as a
+    * side table (mirrors writeIvf's store + .centroids shape). Returns
+    * the trained codebook. */
+  def writePq(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, iters: Int, path: String): Codebook = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cb = pqTrain(emb, idCol, vecCol, m, k, iters)
+    pqAssign(emb, vecCol, cb)
+      .select(col(idCol), col("codes"))
+      .write.mode("overwrite").parquet(path)
+    cb.zipWithIndex.flatMap { case (words, j) =>
+      words.zipWithIndex.map { case (w, c) => (j, c, w.toSeq) }
+    }.toSeq.toDF("j", "code", "word")
+      .coalesce(1).write.mode("overwrite").parquet(path + ".codebook")
+    cb
+  }
+
+  /** Probe a PQ store: ADC-rank the narrow codes relation (the only
+    * full scan — m ints/row), then fetch vectors for just the topN
+    * candidates (keyed join) and re-rank exactly. `vectors` is the
+    * original (id, vector) table; only topN rows of it are read past
+    * the join. */
+  def probePq(spark: org.apache.spark.sql.SparkSession, path: String,
+              vectors: DataFrame, idCol: String, vecCol: String,
+              q: Seq[Double], topN: Int, k: Int): DataFrame = {
+    val cb: Codebook = spark.read.parquet(path + ".codebook")
+      .select(col("j"), col("code"), col("word"))
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+    val cands = spark.read.parquet(path)
+      .withColumn("approx", adcScore(col("codes"), cb, q))
+      .orderBy(col("approx"), col(idCol))
+      .limit(topN)
+    vectors.select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .withColumn("dist", dist(col(vecCol), doubleVec(q)))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .drop("codes", "approx")
+  }
+
   /** Mean squared sub-distance to assigned codewords — the PQ training
     * cost (monitor convergence like ivfCost). */
   def pqCost(emb: DataFrame, vecCol: String, cb: Codebook): Double = {

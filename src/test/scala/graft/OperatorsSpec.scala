@@ -359,6 +359,23 @@ class ProductQuantSpec extends SparkSpec {
       .select(col("vec_id")).as[Long].collect().toSeq
     assert(again == got.map(_._1))
   }
+
+  test("PQ store: probe scans only (id, codes) and equals in-memory pqKnn") {
+    val dir = java.nio.file.Files.createTempDirectory("graftpq").toString + "/store"
+    val e = Tables.embeddings(spark, sf0001)
+    val cb = ProductQuant.writePq(e, "vec_id", "embedding", 8, 16, 2, dir)
+    val probe = ProductQuant.probePq(spark, dir, e, "vec_id", "embedding",
+      QueryConstants.Q64, topN = 100, k = 10)
+    // the ADC scan reads the narrow codes relation, never the vectors
+    val codeScan = probe.queryExecution.executedPlan.toString
+    assert(codeScan.contains("codes"), "expected codes store scan")
+    val got = probe.select(col("vec_id"), col("dist"))
+      .as[(Long, Double)].collect().toSeq
+    val want = ProductQuant.pqKnn(e, "vec_id", "embedding", cb,
+        QueryConstants.Q64, topN = 100, k = 10)
+      .select(col("vec_id"), col("dist")).as[(Long, Double)].collect().toSeq
+    assert(got == want)
+  }
 }
 
 class IngestSpec extends SparkSpec {
