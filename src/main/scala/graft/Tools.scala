@@ -95,6 +95,10 @@ object Tools {
       import graft.operators.{Dedup, Similarity}
       // the dir arg must look like a path — `dedupbench 20` means
       // "default dir, multiplier 20", not a directory named 20
+      args.lift(1).foreach { a =>
+        require(a.startsWith("/") || (a.nonEmpty && a.forall(_.isDigit)),
+          s"dedupbench arg '$a' is neither an absolute dir nor a multiplier")
+      }
       val sfd = args.lift(1).filter(_.startsWith("/"))
         .getOrElse("/root/testdata/sf0.01")
       val mult = args.drop(1).find(a => a.nonEmpty && a.forall(_.isDigit))

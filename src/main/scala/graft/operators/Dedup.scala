@@ -444,8 +444,76 @@ object Dedup {
 
   /** Keep-first dedup: drop every doc that has a near-dup partner with a
     * smaller id (partner source = any candidate pair relation with
-    * columns a < b). Returns the kept ids. */
+    * columns a < b). Returns the kept ids.
+    *
+    * NON-TRANSITIVE: decisions are pair-by-pair, so a doc whose only
+    * recorded partner was itself dropped still survives (A–C and B–C
+    * pairs drop C but keep both A and B even though they share a
+    * cluster). Use [[keepFirstByCluster]] when one representative per
+    * connected near-dup cluster is the requirement. */
   def keepFirst(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("b").as(idCol)), Seq(idCol), "left_anti")
       .select(col(idCol))
+
+  /** Connected-component cluster ids over a candidate-pair relation
+    * (columns a, b): every node that appears in a pair, mapped to the
+    * MINIMUM id reachable through the pair graph — the transitive
+    * closure that pair-by-pair keep-first lacks.
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each round
+    * (1) lowers a node's label to the min over its neighbourhood's
+    * labels (keyed join + map-side-combined min agg), then (2) jumps
+    * lab → label(lab) (a keyed self-join on the label relation) — the
+    * doubling step that collapses long chains in O(log n) rounds
+    * instead of O(diameter). Labels only decrease, so the fixpoint is
+    * exact and order-independent. Per-round `localCheckpoint` breaks
+    * lineage and frees the previous round's blocks (same loop
+    * discipline as [[IndexBuild]]); every join is keyed by node id —
+    * nothing graph-shaped ever reaches the driver. Returns
+    * (node, cluster). */
+  def clusterIds(pairs: DataFrame): DataFrame = {
+    val half = pairs.select(col("a").cast("long").as("x"),
+      col("b").cast("long").as("y"))
+    val edges = half.union(half.select(col("y"), col("x"))).localCheckpoint()
+    var labels = edges.select(col("x").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+      .localCheckpoint()
+    var done = false
+    while (!done) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("y"), col("lab").as("ylab")),
+          Seq("y"))
+        .groupBy(col("x")).agg(min(col("ylab")).as("nlab"))
+        .select(col("x").as("node"), col("nlab"))
+      val stepped = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+      // pointer jump: follow the label one hop (labels are node ids, so
+      // every lab resolves; min keeps it exact)
+      val next = stepped
+        .join(stepped.select(col("node").as("lab"), col("lab").as("lab2")),
+          Seq("lab"), "left")
+        .select(col("node"), coalesce(col("lab2"), col("lab")).as("lab"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.lab") =!= col("o.lab")).count()
+      IndexBuild.freeCheckpoint(labels)
+      labels = next
+      done = changed == 0
+    }
+    IndexBuild.freeCheckpoint(edges)
+    labels.select(col("node"), col("lab").as("cluster"))
+  }
+
+  /** Cluster-aware dedup: keep exactly one representative — the minimum
+    * id — per connected near-dup cluster (and every unpaired doc).
+    * Transitive where [[keepFirst]] is not: with pairs A–C and B–C
+    * (A<B<C), keep-first keeps both A and B; this keeps only A. */
+  def keepFirstByCluster(docs: DataFrame, idCol: String,
+                         pairs: DataFrame): DataFrame = {
+    val dropped = clusterIds(pairs)
+      .filter(col("node") =!= col("cluster"))
+      .select(col("node").as(idCol))
+    docs.join(dropped, Seq(idCol), "left_anti").select(col(idCol))
+  }
 }

@@ -235,9 +235,16 @@ object PinnedIndex {
         if (exhausted || (top.size >= k && top.last._2 <= r)) {
           result = top
           done = true
+        } else if (top.size >= k) {
+          // The candidate set is a subset of all points, so this top-k's
+          // k-th distance upper-bounds the true one: probing at exactly
+          // that radius provably captures every true neighbour, and the
+          // next pass's check (top.last._2 <= r) must succeed — one extra
+          // pass instead of O(log(range)) doublings from a tiny initRadius.
+          r = math.max(r, top.last._2)
         }
       }
-      r *= 2
+      if (!done) r *= 2
     }
     result
   }

@@ -46,6 +46,9 @@ object Pipeline {
     * by construction, stable across runs and engines. */
   def splitAssign(df: DataFrame, idCol: String,
                   weights: Seq[(String, Double)], salt: String): DataFrame = {
+    require(weights.nonEmpty, "splitAssign needs at least one split")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${weights.map(_._2).sum}")
     val u = hashUniform(col(idCol), salt)
     val bounds = weights.scanLeft(0.0d) { case (acc, (_, w)) => acc + w }.tail
     val assign = weights.zip(bounds).init.foldRight(lit(weights.last._1)) {
@@ -59,14 +62,20 @@ object Pipeline {
     * bin is floor(cumulative-tokens-before-it / capacity) — the
     * running-sum formulation of greedy concat-and-chunk packing (the
     * standard LM pretraining layout). One keyed window per shard; no
-    * global sort, no driver loop. Returns (id, shard, n_tokens, bin). */
+    * global sort, no driver loop. Returns (id, shard, n_tokens, bin).
+    *
+    * `count` is the token-counting column (default whitespace tokens,
+    * [[TextOps.tokenCount]]); pass [[TextOps.subwordCount]] (or any
+    * tokenizer-faithful counter) when packing must match the training
+    * tokenizer's unit rather than whitespace words. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
-                    capacity: Int, numShards: Int): DataFrame = {
+                    capacity: Int, numShards: Int,
+                    count: Column => Column = TextOps.tokenCount): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col(idCol), (col(idCol) % numShards).as("shard"),
-        TextOps.tokenCount(col(textCol)).as("n_tokens"))
+        count(col(textCol)).as("n_tokens"))
       .withColumn("bin",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
           capacity).cast("long"))

@@ -52,6 +52,8 @@ object ProductQuant {
         col(vecCol).cast("array<float>").as("v"))
       .orderBy(col("id")).limit(k).collect()
       .map(_.getSeq[Float](1).toArray)
+    require(seeds.length == k,
+      s"pqTrain needs at least k=$k rows to seed the codebook; got ${seeds.length}")
     var cb: Codebook = Array.tabulate(m) { j =>
       seeds.map(v => v.slice(j * dsub, (j + 1) * dsub).map(_.toDouble))
     }

@@ -42,13 +42,17 @@ def norm(rows, cols):
     return out
 
 def type_diff(got_rel, got_cols, exp_rel, exp_cols):
-    """Per-column DuckDB type comparison, matched by (lowercased) name.
+    """Per-column DuckDB type comparison on sorted (name, type) pairs —
+    positional after sorting by name, so duplicate column names don't
+    collapse into a dict and mask a mismatch on one of the duplicates.
     The driver's hash is typed, so a HUGEINT oracle vs BIGINT Spark column
     fails it even when every value matches (s1_sessions, round 2)."""
-    got_t = {c: str(t) for c, t in zip(got_cols, got_rel.types)}
-    exp_t = {c: str(t) for c, t in zip(exp_cols, exp_rel.types)}
-    return [(c, got_t[c], exp_t[c])
-            for c in sorted(set(got_t) & set(exp_t)) if got_t[c] != exp_t[c]]
+    got_t = sorted(zip(got_cols, (str(t) for t in got_rel.types)))
+    exp_t = sorted(zip(exp_cols, (str(t) for t in exp_rel.types)))
+    if len(got_t) != len(exp_t):
+        return [("<arity>", str(len(got_t)), str(len(exp_t)))]
+    return [(gc, gt, et) for (gc, gt), (ec, et) in zip(got_t, exp_t)
+            if gc == ec and gt != et]
 
 fails = 0
 for name, sql in sorted(oracle.items()):
