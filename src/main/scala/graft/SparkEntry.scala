@@ -190,6 +190,14 @@ object SparkEntry {
     "d10_simhash64_pairs" -> ((s, d) =>
       Dedup.simHash64Pairs(Tables.documents(s, d), "doc_id", "text", 3)
         .orderBy(col("a"), col("b"))),
+    "d12_dup_clusters" -> ((s, d) => {
+      // transitive dedup clusters: min-label propagation + pointer
+      // jumping over the LSH-verified pair graph (same pair source as
+      // d7); oracle recomputes the closure with a recursive CTE
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.lshVerifiedPairs(docs, "doc_id", "text", 3, 0.6)
+      Dedup.clusterIds(pairs).orderBy(col("node"))
+    }),
     "d11_winnow_pairs" -> ((s, d) =>
       // winnowing (MOSS) fingerprint dedup: k-gram hashes, sliding-window
       // min selection, keyed fingerprint join — deterministic pipeline,
@@ -777,6 +785,18 @@ object SparkEntry {
          |$LshVerifiedCtes
          |SELECT a, b, round(raw_jaccard, 6) AS jaccard FROM verified
          |WHERE raw_jaccard >= 0.3 ORDER BY a, b""".stripMargin,
+    "d12_dup_clusters" ->
+      s"""WITH RECURSIVE ${MinHashCandCtes(2)},
+         |$LshVerifiedCtes,
+         |dpairs AS (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6),
+         |dedges AS (SELECT a AS x, b AS y FROM dpairs
+         |  UNION ALL SELECT b, a FROM dpairs),
+         |reach(node, r) AS (
+         |  SELECT x, y FROM dedges
+         |  UNION
+         |  SELECT reach.node, e.y FROM reach JOIN dedges e ON e.x = reach.r)
+         |SELECT node, least(node, min(r)) AS cluster
+         |FROM reach GROUP BY node ORDER BY node""".stripMargin,
     "d4_simhash" ->
       s"""WITH $simhashSumsSql
          |SELECT doc, simhash FROM sh16 ORDER BY doc""".stripMargin,

@@ -485,20 +485,28 @@ object Dedup {
           Seq("y"))
         .groupBy(col("x")).agg(min(col("ylab")).as("nlab"))
         .select(col("x").as("node"), col("nlab"))
+      // checkpointed: `stepped` feeds BOTH sides of the pointer-jump
+      // self-join below — without the checkpoint the neighbour-min
+      // join+agg would be computed twice per round
       val stepped = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("lab").as("olab"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .localCheckpoint()
       // pointer jump: follow the label one hop (labels are node ids, so
-      // every lab resolves; min keeps it exact)
+      // every lab resolves; min keeps it exact). The round's STARTING
+      // label rides along as olab so convergence detection is a plain
+      // filter+count over next's cached blocks — no second join against
+      // the previous labels relation.
       val next = stepped
         .join(stepped.select(col("node").as("lab"), col("lab").as("lab2")),
           Seq("lab"), "left")
-        .select(col("node"), coalesce(col("lab2"), col("lab")).as("lab"))
+        .select(col("node"), col("olab"),
+          coalesce(col("lab2"), col("lab")).as("lab"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), "node")
-        .filter(col("n.lab") =!= col("o.lab")).count()
+      val changed = next.filter(col("lab") =!= col("olab")).count()
+      IndexBuild.freeCheckpoint(stepped)
       IndexBuild.freeCheckpoint(labels)
-      labels = next
+      labels = next.select(col("node"), col("lab"))
       done = changed == 0
     }
     IndexBuild.freeCheckpoint(edges)

@@ -167,6 +167,43 @@ class DedupSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(kept == Set(0L, 2L))
   }
+
+  test("clusterIds computes the transitive closure of the pair graph") {
+    // chain 10-11-12-13, triangle-by-shared-partner 1-3 / 2-3, pair 20-21
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L),
+      (1L, 3L), (2L, 3L), (20L, 21L)).toDF("a", "b")
+    val got = Dedup.clusterIds(pairs)
+      .as[(Long, Long)].collect().toMap
+    // oracle: brute-force transitive closure on the collected edges
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 13L),
+      (1L, 3L), (2L, 3L), (20L, 21L))
+    val adj = (edges ++ edges.map(_.swap)).groupMap(_._1)(_._2)
+    def component(start: Long): Set[Long] = {
+      var seen = Set(start); var frontier = Set(start)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Nil)).diff(seen)
+        seen ++= frontier
+      }
+      seen
+    }
+    val want = adj.keySet.map(n => n -> component(n).min).toMap
+    assert(got == want)
+    assert(got(13L) == 10L && got(2L) == 1L && got(21L) == 20L)
+  }
+
+  test("keepFirstByCluster keeps one rep per cluster, subset of keepFirst") {
+    val docs = Seq(1L, 2L, 3L, 20L, 21L, 99L).toDF("doc_id")
+    // A-C and B-C: pairwise keep-first keeps both 1 and 2; cluster
+    // keep-first keeps only the component minimum
+    val pairs = Seq((1L, 3L), (2L, 3L), (20L, 21L)).toDF("a", "b")
+    val byCluster = Dedup.keepFirstByCluster(docs, "doc_id", pairs)
+      .as[Long].collect().toSet
+    val pairwise = Dedup.keepFirst(docs, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(byCluster == Set(1L, 20L, 99L))
+    assert(pairwise == Set(1L, 2L, 20L, 99L))
+    assert(byCluster.subsetOf(pairwise))
+  }
 }
 
 class TextOpsSpec extends SparkSpec {

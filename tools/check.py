@@ -47,8 +47,14 @@ def type_diff(got_rel, got_cols, exp_rel, exp_cols):
     collapse into a dict and mask a mismatch on one of the duplicates.
     The driver's hash is typed, so a HUGEINT oracle vs BIGINT Spark column
     fails it even when every value matches (s1_sessions, round 2)."""
-    got_t = sorted(zip(got_cols, (str(t) for t in got_rel.types)))
-    exp_t = sorted(zip(exp_cols, (str(t) for t in exp_rel.types)))
+    # sort by name ONLY (stable): duplicate-name groups keep emitted
+    # positional order, so a type permutation WITHIN a duplicate-name
+    # group still surfaces (sorting full (name, type) pairs would align
+    # permuted types and mask it)
+    got_t = sorted(zip(got_cols, (str(t) for t in got_rel.types)),
+                   key=lambda p: p[0])
+    exp_t = sorted(zip(exp_cols, (str(t) for t in exp_rel.types)),
+                   key=lambda p: p[0])
     if len(got_t) != len(exp_t):
         return [("<arity>", str(len(got_t)), str(len(exp_t)))]
     return [(gc, gt, et) for (gc, gt), (ec, et) in zip(got_t, exp_t)
