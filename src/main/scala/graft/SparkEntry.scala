@@ -226,6 +226,20 @@ object SparkEntry {
         .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
         .orderBy(col("vec_id"), col("j"))
     }),
+    "a5_ivfpq" -> ((s, d) => {
+      // IVFADC: coarse-assign to the deterministic first-16 centroids,
+      // PQ-encode the float64 residuals with the deterministic first-16
+      // residual seed codebook (iters=0) — the oracle recomputes both
+      // argmins with identical fold order and (d2, code) tie-breaks
+      val e = embeddings(s, d)
+      val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 16)
+      val cb = IvfPq.trainResidual(e, "vec_id", "embedding", cents,
+        8, 16, iters = 0)
+      IvfPq.assign(e, "embedding", cents, cb)
+        .select(col("vec_id"), col("list_id"),
+          posexplode(col("codes")).as(Seq("j", "code")))
+        .orderBy(col("vec_id"), col("j"))
+    }),
     "a3_lsh_buckets" -> ((s, d) =>
       Similarity.lshAssign(embeddings(s, d), "vec_id", "embedding", Planes)
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
@@ -413,6 +427,44 @@ object SparkEntry {
          |CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 16) w""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""SELECT vec_id, CAST(j AS INTEGER) AS j, CAST(code AS INTEGER) AS code
+       |FROM ($perJ) WHERE rn = 1 ORDER BY vec_id, j""".stripMargin
+  }
+
+  /** a5 oracle: IVFADC codes. Coarse assignment mirrors a2's (sqrt
+    * distance, lowest-list tie-break); residual elements are exact IEEE
+    * float64 subtractions on both sides; the per-subspace argmin unrolls
+    * the residual-vs-residual-codeword d2 in DistSqExpr's fold order
+    * with the (d2, code) tie-break. Codeword c of subspace j is the
+    * residual of seed vector c (iters=0, ids contiguous from 0). */
+  private def ivfPqCodesSql: String = {
+    def d2(j: Int): String = (1 to 8).map { i =>
+      val idx = j * 8 + i
+      val a = s"(CAST(e.embedding[$idx] AS DOUBLE) - ce.centroid[$idx])"
+      val b = s"(CAST(w.embedding[$idx] AS DOUBLE) - cw.centroid[$idx])"
+      s"(($a - $b) * ($a - $b))"
+    }.mkString(" + ")
+    val perJ = (0 until 8).map { j =>
+      s"""SELECT e.vec_id, ae.list_id, $j AS j, w.vec_id AS code,
+         | row_number() OVER (PARTITION BY e.vec_id
+         |   ORDER BY ${d2(j)}, w.vec_id) AS rn
+         |FROM embeddings e
+         |JOIN assigned ae ON ae.vec_id = e.vec_id
+         |JOIN c ce ON ce.list_id = ae.list_id
+         |JOIN (SELECT s.vec_id, s.embedding, sa.list_id FROM embeddings s
+         |      JOIN assigned sa ON sa.vec_id = s.vec_id
+         |      WHERE s.vec_id < 16) w ON true
+         |JOIN c cw ON cw.list_id = w.list_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS list_id, v AS centroid FROM e2 ORDER BY vec_id LIMIT 16),
+       |assigned AS (
+       |  SELECT vec_id, list_id FROM (
+       |    SELECT e2.vec_id, c.list_id,
+       |      row_number() OVER (PARTITION BY e2.vec_id
+       |        ORDER BY list_distance(e2.v, c.centroid), c.list_id) AS rn
+       |    FROM e2 CROSS JOIN c
+       |  ) WHERE rn = 1)
+       |SELECT vec_id, list_id, CAST(j AS INTEGER) AS j, CAST(code AS INTEGER) AS code
        |FROM ($perJ) WHERE rn = 1 ORDER BY vec_id, j""".stripMargin
   }
 
@@ -887,6 +939,7 @@ object SparkEntry {
          |  SELECT ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket FROM embeddings
          |) GROUP BY bucket ORDER BY bucket""".stripMargin,
     "a4_pq_codes" -> pqCodesSql,
+    "a5_ivfpq" -> ivfPqCodesSql,
 
     "i1_json_shred" ->
       """SELECT vec_id, CAST(i AS INTEGER) AS idx, embedding[i + 1] AS value

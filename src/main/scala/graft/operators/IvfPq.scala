@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{dist, doubleVec}
+import graft.operators.ProductQuant.Codebook
+
+/** IVF-PQ (IVFADC): the standard composition of the IVF coarse quantizer
+  * with product-quantized RESIDUALS (Jégou, Douze, Schmid, TPAMI 2011,
+  * §IV — public method, no reference counterpart). Vectors are assigned
+  * to their nearest coarse centroid; the residual v − c(v) is PQ-encoded;
+  * the serving store persists only (id, codes) partitioned by list. A
+  * probe visits the nprobe nearest lists, ADC-ranks their codes against
+  * the QUERY's residual for that list (a per-list m×k lookup table), and
+  * exactly re-ranks the topN survivors via a keyed join.
+  *
+  * Scale shape (the 100 TB layout): the full-scan surface is m bytes-ish
+  * per row of codes in nprobe/numLists of the data — a partition-pruned
+  * parquet read (PartitionFilters on list_id, asserted in ScaleSpec), no
+  * shuffle before the top-k; centroids and codebook are KB-sized
+  * sidecars; the wide vector table is touched only through a broadcast
+  * keyed join on the topN candidate ids.
+  *
+  * Determinism: residuals stay float64 end-to-end (pqTrain/pqAssign
+  * asFloat=false — a float32 round-trip would truncate them); with
+  * iters=0 both quantizers are exact functions of the first-C / first-k
+  * rows, which is what the a5_ivfpq DuckDB oracle recomputes. */
+object IvfPq {
+
+  /** Element-wise residual v − centroid(list_id) as float64: the
+    * centroid set embeds as a literal map keyed by list id, so this is
+    * a pure codegen projection (no join, no shuffle). */
+  def residualCol(vec: Column, listId: Column,
+                  centroids: Array[(Long, Array[Double])]): Column = {
+    val cmap = map_from_arrays(
+      array(centroids.map(c => lit(c._1)).toIndexedSeq: _*),
+      array(centroids.map(c => doubleVec(c._2.toIndexedSeq)).toIndexedSeq: _*))
+    zip_with(vec.cast("array<double>"), element_at(cmap, listId),
+      (a, b) => a - b)
+  }
+
+  /** Train the residual codebook against a fixed coarse-centroid set:
+    * assign lists (map-only), form residuals, PQ-train in float64.
+    * Lloyd refinement of the coarse set itself is Similarity.ivfTrain;
+    * pass its output as `centroids`. */
+  def trainResidual(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[(Long, Array[Double])],
+                    m: Int, k: Int, iters: Int): Codebook = {
+    val resid = emb
+      .withColumn("list_id", Similarity.ivfListId(col(vecCol), centroids))
+      .withColumn("resid", residualCol(col(vecCol), col("list_id"), centroids))
+    ProductQuant.pqTrain(resid, idCol, "resid", m, k, iters, asFloat = false)
+  }
+
+  /** Assign (list_id, codes) to every vector — one codegen projection:
+    * coarse argmin, residual, per-subspace PQ argmin. */
+  def assign(emb: DataFrame, vecCol: String,
+             centroids: Array[(Long, Array[Double])], cb: Codebook,
+             codesCol: String = "codes"): DataFrame = {
+    val withResid = emb
+      .withColumn("list_id", Similarity.ivfListId(col(vecCol), centroids))
+      .withColumn("resid", residualCol(col(vecCol), col("list_id"), centroids))
+    ProductQuant.pqAssign(withResid, "resid", cb, codesCol, asFloat = false)
+      .drop("resid")
+  }
+
+  /** Persist the IVFADC serving layout: narrow (id, codes) rows
+    * partitioned by list_id, with the centroid set and codebook as
+    * KB-sized sidecar tables (mirrors writeIvf/writePq). Returns the
+    * trained (centroids, codebook). */
+  def write(emb: DataFrame, idCol: String, vecCol: String,
+            numLists: Int, coarseIters: Int, m: Int, k: Int, pqIters: Int,
+            path: String): (Array[(Long, Array[Double])], Codebook) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centroids = Similarity.ivfTrain(emb, idCol, vecCol, numLists, coarseIters)
+    val cb = trainResidual(emb, idCol, vecCol, centroids, m, k, pqIters)
+    assign(emb, vecCol, centroids, cb)
+      .select(col(idCol), col("list_id"), col("codes"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    centroids.map { case (lid, cv) => (lid, cv.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path + ".centroids")
+    cb.zipWithIndex.flatMap { case (words, j) =>
+      words.zipWithIndex.map { case (w, c) => (j, c, w.toSeq) }
+    }.toSeq.toDF("j", "code", "word")
+      .coalesce(1).write.mode("overwrite").parquet(path + ".codebook")
+    (centroids, cb)
+  }
+
+  /** Probe an IVFADC store: read ONLY the nprobe nearest list partitions
+    * (PartitionFilters on list_id), ADC-score each row against the
+    * query's residual FOR ITS OWN LIST (a when-chain over the probed
+    * lists — each list gets its own literal m×k table), take the topN by
+    * approximate distance, then fetch those vectors by keyed broadcast
+    * join and re-rank exactly. */
+  def probe(spark: SparkSession, path: String, vectors: DataFrame,
+            idCol: String, vecCol: String, q: Seq[Double],
+            nprobe: Int, topN: Int, k: Int): DataFrame = {
+    val centroids = spark.read.parquet(path + ".centroids")
+      .select(col("list_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cb: Codebook = spark.read.parquet(path + ".codebook")
+      .select(col("j"), col("code"), col("word"))
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+    val byList = centroids.toMap
+    val probeLists = Similarity.ivfProbeLists(centroids, q, nprobe)
+    val score = probeLists.map { lid =>
+      val c = byList(lid)
+      val qRes = q.indices.map(i => q(i) - c(i))
+      (lid, ProductQuant.adcScore(col("codes"), cb, qRes))
+    }.foldLeft(lit(Double.MaxValue)) { case (acc, (lid, s)) =>
+      when(col("list_id") === lid, s).otherwise(acc)
+    }
+    val cands = spark.read.parquet(path)
+      .filter(col("list_id").isin(probeLists: _*))
+      .withColumn("approx", score)
+      .orderBy(col("approx"), col(idCol))
+      .limit(topN)
+    vectors.select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .withColumn("dist", dist(col(vecCol), doubleVec(q)))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .drop("codes", "approx")
+  }
+}

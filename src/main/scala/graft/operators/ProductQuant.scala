@@ -43,23 +43,25 @@ object ProductQuant {
     * round. Codewords that lose every member keep their previous value
     * (same rule as ivfTrain). */
   def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
-              m: Int, k: Int, iters: Int): Codebook = {
+              m: Int, k: Int, iters: Int, asFloat: Boolean = true): Codebook = {
     val d = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
     val dsub = d / m
+    val vecType = if (asFloat) "array<float>" else "array<double>"
     val seeds = emb
       .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<float>").as("v"))
+        col(vecCol).cast(vecType).as("v"))
       .orderBy(col("id")).limit(k).collect()
-      .map(_.getSeq[Float](1).toArray)
+      .map(r => if (asFloat) r.getSeq[Float](1).map(_.toDouble).toArray
+                else r.getSeq[Double](1).toArray)
     require(seeds.length == k,
       s"pqTrain needs at least k=$k rows to seed the codebook; got ${seeds.length}")
     var cb: Codebook = Array.tabulate(m) { j =>
-      seeds.map(v => v.slice(j * dsub, (j + 1) * dsub).map(_.toDouble))
+      seeds.map(v => v.slice(j * dsub, (j + 1) * dsub))
     }
     val vs = graft.functions.VecStatsNative.vecStats _
     for (_ <- 0 until iters) {
-      val vec = col(vecCol).cast("array<float>")
+      val vec = col(vecCol).cast(vecType)
       val subStruct = array((0 until m).map { j =>
         struct(lit(j).as("j"),
           subCol(vec, j, dsub).as("sub"),
@@ -83,9 +85,9 @@ object ProductQuant {
   /** Assign PQ codes: one `array<int>` column of length m — a pure
     * codegen projection (the codebook embeds as literals). */
   def pqAssign(emb: DataFrame, vecCol: String, cb: Codebook,
-               codesCol: String = "codes"): DataFrame = {
+               codesCol: String = "codes", asFloat: Boolean = true): DataFrame = {
     val dsub = cb(0)(0).length
-    val vec = col(vecCol).cast("array<float>")
+    val vec = col(vecCol).cast(if (asFloat) "array<float>" else "array<double>")
     emb.withColumn(codesCol,
       array(cb.indices.map(j => codeExpr(subCol(vec, j, dsub), cb(j))): _*))
   }

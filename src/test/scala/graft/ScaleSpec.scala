@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{BruteForce, Dedup, IndexBuild, IndexMaintain, IndexSearch, Similarity, Skew}
+import graft.operators.{BruteForce, Dedup, IndexBuild, IndexMaintain, IndexSearch, IvfPq, Similarity, Skew}
 import graft.sources.Ingest
 
 class ScaleSpec extends SparkSpec {
@@ -54,6 +54,31 @@ class ScaleSpec extends SparkSpec {
     val want = Similarity.ivfKnn(e, "vec_id", "embedding", 16, 4,
       QueryConstants.Q64, 10).select("vec_id").as[Long].collect().toSeq
     assert(got.sorted == want.sorted)
+  }
+
+  test("IVFADC store: probe is partition-pruned; full probe equals brute top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("graftivfpq").toString + "/store"
+    val e = Tables.embeddings(spark, sf0001)
+    IvfPq.write(e, "vec_id", "embedding", numLists = 16, coarseIters = 0,
+      m = 8, k = 16, pqIters = 0, dir)
+    val probe = IvfPq.probe(spark, dir, e, "vec_id", "embedding",
+      QueryConstants.Q64, nprobe = 4, topN = 50, k = 10)
+    // the codes scan reads only the nprobe list partitions
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("list_id#"),
+      "expected partition filter on the IVFADC codes scan")
+    // pruned probe: k exact-ranked rows, ascending distance
+    val got = probe.select(col("vec_id"), col("dist"))
+      .as[(Long, Double)].collect().toSeq
+    assert(got.length == 10)
+    assert(got.map(_._2) == got.map(_._2).sorted)
+    // probing every list with topN >= n degenerates to exact brute top-k
+    val full = IvfPq.probe(spark, dir, e, "vec_id", "embedding",
+        QueryConstants.Q64, nprobe = 16, topN = 1000, k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = BruteForce.knn(e, "embedding", "vec_id", QueryConstants.Q64, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == brute)
   }
 
   test("Lloyd-refined IVF centroids do not increase the k-means cost") {
