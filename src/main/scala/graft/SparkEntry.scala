@@ -327,6 +327,23 @@ object SparkEntry {
           queries, "qid", "qv", 1.2)
         .orderBy(col("qid"), col("vec_id"))
     }),
+    "v16_knn_distributed" -> ((s, d) => {
+      // beyond-pin serving route: tree pinned, vectors never collected —
+      // candidates from a doubling/bounded ball probe, ranking as a
+      // distributed top-k. initRadius deliberately tiny so the k-th-
+      // distance radius bump (one extra pass, not O(log range)
+      // doublings) is on the gated path. Equals brute top-k (v2 oracle).
+      import s.implicits._
+      val e = embeddings(s, d)
+      val index = IndexBuild.buildIndex(e, "vec_id", "embedding")
+      val pinned = PinnedIndex.pin(index)
+      PinnedIndex.knnDistributed(pinned, e, "vec_id", "embedding",
+          Q64, 10, initRadius = 0.05)
+        .zipWithIndex
+        .map { case ((id, _), i) => (i + 1, id) }
+        .toDF("rank", "vec_id")
+        .orderBy(col("rank"))
+    }),
     "v14_pinned_knn" -> ((s, d) => {
       // serving-mode exact kNN: branch-and-bound over the pinned tree
       // (budget lower bounds), ties by id — equals brute top-k (v2 oracle)
@@ -712,6 +729,9 @@ object SparkEntry {
       s"""SELECT CAST(row_number() OVER (ORDER BY $DistSql, vec_id) AS INTEGER) AS rank, vec_id
          |FROM embeddings ORDER BY $DistSql, vec_id LIMIT 10""".stripMargin,
     "v14_pinned_knn" ->
+      s"""SELECT CAST(row_number() OVER (ORDER BY $DistSql, vec_id) AS INTEGER) AS rank, vec_id
+         |FROM embeddings ORDER BY $DistSql, vec_id LIMIT 10""".stripMargin,
+    "v16_knn_distributed" ->
       s"""SELECT CAST(row_number() OVER (ORDER BY $DistSql, vec_id) AS INTEGER) AS rank, vec_id
          |FROM embeddings ORDER BY $DistSql, vec_id LIMIT 10""".stripMargin,
     "v3_knn_join" ->

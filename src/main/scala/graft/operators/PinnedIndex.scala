@@ -223,6 +223,7 @@ object PinnedIndex {
     while (!done) {
       val cands = pinned.candidatesL2(q, r)
       val exhausted = cands.size >= pinned.leafIdCount
+      var bumped = false
       if (cands.size >= k || exhausted) {
         val candDf = cands.toDF(idCol)
         val top = points
@@ -241,10 +242,13 @@ object PinnedIndex {
           // that radius provably captures every true neighbour, and the
           // next pass's check (top.last._2 <= r) must succeed — one extra
           // pass instead of O(log(range)) doublings from a tiny initRadius.
+          // The bump REPLACES the doubling (bumped flag): the next probe
+          // runs at exactly the bound, not twice it.
           r = math.max(r, top.last._2)
+          bumped = true
         }
       }
-      if (!done) r *= 2
+      if (!done && !bumped) r *= 2
     }
     result
   }
