@@ -177,17 +177,66 @@ object IndexSearch {
   /** Per-document box search over a (docId, ...) index built by
     * buildIndexPerDoc — mirrors dbo.Search's optional @docId
     * (DDL.sql:240-241,262-263): None searches every document. Returns
-    * (docId, id) candidate rows. */
+    * (docId, id) candidate rows.
+    *
+    * Scale guard (mirrors searchBox): the selected documents' trees are
+    * collected and walked locally only while they fit `localNodeLimit`;
+    * past it — the many-document `docId = None` case at corpus scale —
+    * the descent runs as a distributed frontier loop keyed on
+    * (docId, rangeId), so no tree ever reaches the driver. */
   def searchBoxPerDoc(index: DataFrame, q: Seq[Double], domain: Double,
-                      docId: Option[Long] = None): DataFrame = {
+                      docId: Option[Long] = None,
+                      localNodeLimit: Long = 2_000_000L): DataFrame = {
     val spark = index.sparkSession
     import spark.implicits._
     val filtered = docId.map(d => index.filter(col("docId") === d)).getOrElse(index)
-    val nodes = filtered.select("docId", "rangeId", "dimension", "mid",
-      "lowRangeId", "highRangeId", "id").collect()
-    nodes.groupBy(_.getLong(0)).toSeq.flatMap { case (doc, rows) =>
-      walkTree(rows, 1, q, domain).ids.map(id => (doc, id))
-    }.toDF("docId", "id")
+    val probe = math.min(localNodeLimit + 1, Int.MaxValue.toLong - 1).toInt
+    if (filtered.limit(probe).count() <= localNodeLimit) {
+      val nodes = filtered.select("docId", "rangeId", "dimension", "mid",
+        "lowRangeId", "highRangeId", "id").collect()
+      nodes.groupBy(_.getLong(0)).toSeq.flatMap { case (doc, rows) =>
+        walkTree(rows, 1, q, domain).ids.map(id => (doc, id))
+      }.toDF("docId", "id")
+    } else searchBoxPerDocDistributed(filtered, q, domain)
+  }
+
+  /** Frontier-join descent over MANY documents' trees at once: every
+    * doc's root enters the frontier; each level joins the surviving
+    * (docId, childId) pairs back against the index on the COMPOSITE key,
+    * so documents descend independently in the same jobs. No broadcast
+    * hint on the child join — the frontier is O(docs × branching) wide
+    * and AQE picks broadcast only when it actually fits. */
+  private[graft] def searchBoxPerDocDistributed(index: DataFrame, q: Seq[Double],
+                                                domain: Double): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val qCol = doubleVec(q.map(_.toDouble))
+    val idx = index.localCheckpoint()
+    var frontier = idx.filter($"rangeId" === 0L).localCheckpoint()
+    var leaves = List.empty[DataFrame]
+    while (!frontier.isEmpty) {
+      leaves = frontier.filter($"id".isNotNull).select($"docId", $"id")
+        .localCheckpoint() :: leaves
+      val qv = element_at(qCol, $"dimension" + 1)
+      val childIds = frontier.filter($"lowRangeId".isNotNull)
+        .select($"docId".as("cdoc"), explode(array(
+          when($"dimension".isNull ||
+            $"mid".cast("double") >= qv - domain, $"lowRangeId"),
+          when($"dimension".isNull ||
+            $"mid".cast("double") <= qv + domain, $"highRangeId"))).as("childId"))
+        .filter($"childId".isNotNull)
+        .distinct()
+      val next = idx.join(childIds,
+          $"rangeId" === $"childId" && $"docId" === $"cdoc")
+        .drop("childId", "cdoc")
+        .localCheckpoint()
+      IndexBuild.freeCheckpoint(frontier)
+      frontier = next
+    }
+    IndexBuild.freeCheckpoint(frontier)
+    IndexBuild.freeCheckpoint(idx)
+    leaves.reduceOption(_ unionAll _)
+      .getOrElse(spark.emptyDataset[(Long, Long)].toDF("docId", "id"))
   }
 
   /** Search metrics — the reference's index-quality observability
