@@ -42,21 +42,51 @@ object VectorIndexCatalog {
     * point index ≈ 1 GB) — beyond it, don't register: use the library
     * search path (`IndexSearch.searchExact` / frontier descent). */
   case class Entry(idCol: String, vecCol: String, index: DataFrame,
-                   nodes: Array[org.apache.spark.sql.Row])
+                   nodes: Array[org.apache.spark.sql.Row],
+                   indexSources: Set[String])
 
   private val entries = TrieMap.empty[String, Entry]
 
   private def norm(p: String): String =
     p.stripPrefix("file:").stripSuffix("/")
 
+  /** File roots backing the index DataFrame (empty for a purely
+    * in-memory index). Recorded so a store rewrite can invalidate the
+    * pins that were read from it — see invalidateStore. */
+  private def sourcePaths(index: DataFrame): Set[String] =
+    index.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation =>
+          h.location.rootPaths.map(p => norm(p.toString)).toSeq
+        case _ => Nil
+      }
+    }.flatten.toSet
+
+  /** Pin `index` for vicinity queries against the table at `path`.
+    *
+    * STALENESS CONTRACT: the pinned node set is a snapshot. Pins read
+    * from an IndexStore are invalidated automatically when
+    * IndexStore.replaceDocs rewrites that store; any OTHER mutation —
+    * IndexMaintain.addPoints / removePoints outputs, an in-memory
+    * rebuild, a rewrite of the data table itself — must be followed by
+    * re-register (or unregister), or queries keep pruning by the old
+    * snapshot. */
   def register(path: String, idCol: String, index: DataFrame,
                vecCol: String = "embedding"): Unit = {
     val nodes = index.select("rangeId", "dimension", "mid", "lowRangeId",
       "highRangeId", "id").collect()
-    entries.put(norm(path), Entry(idCol, vecCol, index, nodes))
+    entries.put(norm(path), Entry(idCol, vecCol, index, nodes, sourcePaths(index)))
   }
 
   def unregister(path: String): Unit = entries.remove(norm(path))
+
+  /** Drop every registration whose pinned nodes were read from the
+    * store at `storePath` — called by IndexStore.replaceDocs so a store
+    * rewrite can never leave a stale InSet answering queries. */
+  def invalidateStore(storePath: String): Unit = {
+    val p = norm(storePath)
+    entries.filterInPlace { case (_, e) => !e.indexSources.contains(p) }
+  }
 
   def lookup(path: String): Option[Entry] = entries.get(norm(path))
 

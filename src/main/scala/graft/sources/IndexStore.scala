@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   * `load(docId = Some(x))` scans only that partition's files. */
 object IndexStore {
 
-  /** Write (overwriting only the docIds present in `index`). */
+  /** Write (overwriting only the docIds present in `index`). Any
+    * VectorIndexCatalog pin that was read from this store is dropped —
+    * a rewrite must never leave a stale candidate snapshot answering
+    * vicinity queries (re-register after the write to re-pin). */
   def replaceDocs(index: DataFrame, path: String): Unit = {
     val spark = index.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -22,6 +25,7 @@ object IndexStore {
       .mode("overwrite")
       .partitionBy("docId")
       .parquet(path)
+    graft.plans.VectorIndexCatalog.invalidateStore(path)
   }
 
   /** Load the whole store or one document's partition (pruned scan). */

@@ -121,6 +121,62 @@ class IndexedVicinityRuleSpec extends SparkSpec {
     }
   }
 
+  test("store rewrite invalidates pins read from it — no stale-InSet answer") {
+    import org.apache.spark.sql.functions.lit
+    import extSpark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graftstale").toString
+    val dataPath = s"$base/data.parquet"
+    val storePath = s"$base/idxstore"
+    // v1 data: a 30x30 grid; index persisted through the store
+    graft.sources.Ingest.grid(extSpark, 30).write.parquet(dataPath)
+    val d1 = extSpark.read.parquet(dataPath)
+    graft.sources.IndexStore.replaceDocs(
+      IndexBuild.buildIndex(d1, "id", "vector").withColumn("docId", lit(0L)),
+      storePath)
+    VectorIndexCatalog.register(dataPath, "id",
+      graft.sources.IndexStore.load(extSpark, storePath), vecCol = "vector")
+    try {
+      val q1 = BruteForce.rangeSearch(extSpark.read.parquet(dataPath),
+        "vector", Seq(0.1, 0.1), 0.05)
+      assert(q1.queryExecution.optimizedPlan.collect {
+        case f: Filter if f.condition.exists(_.isInstanceOf[InSet]) => f
+      }.nonEmpty, "expected the pinned rewrite before the mutation")
+
+      // v2: append-style mutation — new data appended to the table, the
+      // index REBUILT and the store REWRITTEN without re-registration
+      val extra = Seq((90000L, Array(0.1f, 0.1f))).toDF("id", "vector")
+      extra.write.mode("append").parquet(dataPath)
+      val d2 = extSpark.read.parquet(dataPath)
+      graft.sources.IndexStore.replaceDocs(
+        IndexBuild.buildIndex(d2, "id", "vector").withColumn("docId", lit(0L)),
+        storePath)
+
+      // the stale pin is GONE: the query runs unrewritten and finds the
+      // new point (a stale InSet would have wrongly excluded id 90000)
+      val q2 = BruteForce.rangeSearch(extSpark.read.parquet(dataPath),
+        "vector", Seq(0.1, 0.1), 0.05)
+      assert(q2.queryExecution.optimizedPlan.collect {
+        case f: Filter if f.condition.exists(_.isInstanceOf[InSet]) => f
+      }.isEmpty, "stale pin survived the store rewrite")
+      val ids = q2.select("id").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(90000L), "mutated row missing from the answer")
+
+      // re-registering the REWRITTEN store re-pins with fresh nodes
+      VectorIndexCatalog.register(dataPath, "id",
+        graft.sources.IndexStore.load(extSpark, storePath), vecCol = "vector")
+      val q3 = BruteForce.rangeSearch(extSpark.read.parquet(dataPath),
+        "vector", Seq(0.1, 0.1), 0.05)
+      assert(q3.queryExecution.optimizedPlan.collect {
+        case f: Filter if f.condition.exists(_.isInstanceOf[InSet]) => f
+      }.nonEmpty)
+      assert(q3.select("id").collect().map(_.getLong(0)).toSet.contains(90000L))
+    } finally {
+      VectorIndexCatalog.clear()
+      org.apache.spark.sql.SparkSession.setDefaultSession(TestSpark.spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+
   test("foldable null array element skips the rewrite instead of crashing") {
     val path = s"$sf0001/embeddings.parquet"
     val e = Tables.embeddings(extSpark, sf0001)
