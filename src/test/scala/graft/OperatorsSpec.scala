@@ -318,6 +318,34 @@ class PipelineSpec extends SparkSpec {
       assert(bins.head == 0L)
     }
   }
+
+  test("packing with the subword counter packs by subwords, not words") {
+    // "a-b." = 1 whitespace token but 4 subwords (a, b, -, .): with the
+    // subword counter plugged in, n_tokens and therefore the bin edges
+    // must follow TextOps.subwordCount
+    val docs = (0L until 20L).map(i => (i, "a-b. c,d! e"))
+      .toDF("doc_id", "text")
+    val subPer = docs.select(TextOps.subwordCount(col("text")).as("n"))
+      .head().getInt(0)
+    val wsPer = docs.select(TextOps.tokenCount(col("text")).as("n"))
+      .head().getInt(0)
+    assert(subPer == 9 && wsPer == 3) // a,b,e + c,d + '-','.',',','!'
+    val got = Pipeline.packSequences(docs, "doc_id", "text", 20, 1,
+        count = TextOps.subwordCount)
+      .select("doc_id", "n_tokens", "bin")
+      .as[(Long, Int, Long)].collect().sortBy(_._1)
+    var cum = 0L
+    got.foreach { case (id, n, bin) =>
+      assert(n == subPer, s"doc $id counted $n, want subword count $subPer")
+      assert(bin == cum / 20, s"doc $id")
+      cum += n
+    }
+    // capacity 20 / 9 subwords => 3 docs per bin; whitespace counting
+    // would have packed 6 per bin (20/3) — bins must differ
+    val wsBins = Pipeline.packSequences(docs, "doc_id", "text", 20, 1)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    assert(got.map(r => (r._1, r._3)).toMap != wsBins)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
