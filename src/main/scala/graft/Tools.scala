@@ -152,6 +152,12 @@ object Tools {
           Dedup.cosinePairs(e, "vec_id", "embedding", 0.999).count())
         time(s"d9 cosine-lsh ${m}x")(
           Dedup.cosineLshPairs(e, "vec_id", "embedding", planes, 0.999).count())
+        // d12: transitive closure over the d8 pair graph — the growth of
+        // the O(log n)-round min-label/pointer-jump loop itself
+        val pairs12 = Dedup.lshVerifiedPairs(d, "doc_id", "text", 3, 0.6)
+          .localCheckpoint()
+        time(s"d12 cluster ids ${m}x")(
+          Dedup.clusterIds(pairs12).count())
       }
       spark.stop(); return
     }

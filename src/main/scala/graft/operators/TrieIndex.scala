@@ -261,11 +261,40 @@ object TrieIndex {
     t
   }
 
+  /** Probe one trie for every query with the float-budget inflation and
+    * exact re-check — shared by the per-call and the prepared paths.
+    *
+    * The float32 budget must OVER-approximate the double ball:
+    * radius.toFloat can round down and the budget accumulation can
+    * under-shoot by ~d·ulp, making the prune a false-negative source
+    * the exact re-check cannot recover. A 1e-4 relative inflation
+    * dominates both; the extra candidates are removed right here.
+    * The re-check compares sqrt(s) <= radius (NOT s <= radius²):
+    * for a boundary point whose distance IS the radius, radius²
+    * rounds below the exact squared sum and the squared compare
+    * drops it — sqrt matches BruteForce.rangeSearch bit for bit. */
+  private def probeTrie(trie: TrieVectorIndex,
+                        queries: Array[(Long, Array[Float])],
+                        radius: Double): Iterator[(Long, Long)] =
+    queries.iterator.flatMap { case (qid, qv) =>
+      trie.find(qv, (radius * 1.0001).toFloat).filter { case (_, v) =>
+        var s = 0d; var i = 0
+        while (i < v.length) {
+          val d = v(i).toDouble - qv(i).toDouble; s += d * d; i += 1
+        }
+        math.sqrt(s) <= radius
+      }.map { case (id, _) => (qid, id) }
+    }
+
   /** Distributed vicinity join with NO global index: one trie per
     * partition, built where the data lives inside mapPartitions, probed
     * for every (broadcast) query, exact re-check inline. Equals the
     * brute-force distance join; the per-partition trie turns each
-    * partition's scan into a budget-pruned probe. */
+    * partition's scan into a budget-pruned probe.
+    *
+    * Each call rebuilds the partition tries (one scan). For REPEATED
+    * query batches against the same points, `prepare` +
+    * `searchJoinPrepared` amortizes the build across calls. */
   def searchJoin(points: DataFrame, idCol: String, vecCol: String,
                  queries: Array[(Long, Array[Float])], radius: Double,
                  listThreshold: Int = 10): DataFrame = {
@@ -276,26 +305,41 @@ object TrieIndex {
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .mapPartitions { rows =>
-        val trie = build(rows, listThreshold)
-        qB.value.iterator.flatMap { case (qid, qv) =>
-          // The float32 budget must OVER-approximate the double ball:
-          // radius.toFloat can round down and the budget accumulation can
-          // under-shoot by ~d·ulp, making the prune a false-negative source
-          // the exact re-check cannot recover. A 1e-4 relative inflation
-          // dominates both; the extra candidates are removed right here.
-          // The re-check compares sqrt(s) <= radius (NOT s <= radius²):
-          // for a boundary point whose distance IS the radius, radius²
-          // rounds below the exact squared sum and the squared compare
-          // drops it — sqrt matches BruteForce.rangeSearch bit for bit.
-          trie.find(qv, (radius * 1.0001).toFloat).filter { case (_, v) =>
-            var s = 0d; var i = 0
-            while (i < v.length) {
-              val d = v(i).toDouble - qv(i).toDouble; s += d * d; i += 1
-            }
-            math.sqrt(s) <= radius
-          }.map { case (id, _) => (qid, id) }
-        }
+        probeTrie(build(rows, listThreshold), qB.value, radius)
       }
+      .toDF("qid", idCol)
+  }
+
+  /** Build the per-partition tries ONCE and cache them (the trie
+    * objects stay where their partition's data lives — deserialized in
+    * executor memory, spilling serialized to disk under pressure): every
+    * subsequent `searchJoinPrepared` batch probes the cached tries
+    * instead of rebuilding them, amortizing the build across query
+    * batches. Call `.unpersist()` on the returned RDD when done. */
+  def prepare(points: DataFrame, idCol: String, vecCol: String,
+              listThreshold: Int = 10)
+      : org.apache.spark.rdd.RDD[TrieVectorIndex] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val tries = points
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .rdd
+      .mapPartitions(rows => Iterator.single(build(rows, listThreshold)))
+    tries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tries
+  }
+
+  /** Probe tries cached by `prepare` — identical semantics to
+    * searchJoin, minus the per-call build scan. */
+  def searchJoinPrepared(points: DataFrame, idCol: String,
+                         tries: org.apache.spark.rdd.RDD[TrieVectorIndex],
+                         queries: Array[(Long, Array[Float])],
+                         radius: Double): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val qB = spark.sparkContext.broadcast(queries)
+    tries.flatMap(trie => probeTrie(trie, qB.value, radius))
       .toDF("qid", idCol)
   }
 

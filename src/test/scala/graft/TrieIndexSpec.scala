@@ -121,6 +121,25 @@ class TrieIndexSpec extends SparkSpec {
     assert(gotDf == want)
   }
 
+  test("prepared tries answer repeated query batches like per-call builds") {
+    val e = Tables.embeddings(spark, sf0001).repartition(8)
+    val tries = TrieIndex.prepare(e, "vec_id", "embedding")
+    try {
+      assert(tries.getStorageLevel.useMemory, "tries must be cached")
+      // two batches at two radii against the SAME cached tries
+      for ((lo, hi, r) <- Seq((0L, 5L, 1.2), (5L, 10L, 0.9))) {
+        val queries = e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .select(col("vec_id"), col("embedding").cast("array<float>"))
+          .as[(Long, Array[Float])].collect()
+        val got = TrieIndex.searchJoinPrepared(e, "vec_id", tries, queries, r)
+          .as[(Long, Long)].collect().toSet
+        val want = TrieIndex.searchJoin(e, "vec_id", "embedding", queries, r)
+          .as[(Long, Long)].collect().toSet
+        assert(got == want, s"batch [$lo,$hi) at r=$r")
+      }
+    } finally tries.unpersist(blocking = false)
+  }
+
   test("boundary radius: a point at exactly the query distance is found") {
     // ADVICE r2 regression: radius.toFloat could round DOWN, making the
     // float trie budget under-approximate the double ball — a false
