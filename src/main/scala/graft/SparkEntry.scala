@@ -139,6 +139,15 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"),
           col("n_tokens").cast("long").as("n_tokens"), col("bin"))
         .orderBy(col("doc_id"))),
+    "p3_curate" -> ((s, d) =>
+      // the composed curation pipeline: exact dedup -> transitive
+      // near-dup clusters -> quality gate -> split assign -> per-split
+      // packing; the oracle recomputes all five stages, recursive
+      // closure included
+      Pipeline.curate(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("quality"), col("split"), col("shard"),
+          col("n_tokens").cast("long").as("n_tokens"), col("bin"))
+        .orderBy(col("doc_id"))),
     "v12_l2_normalize" -> ((s, d) =>
       VectorStats.l2Normalize(embeddings(s, d), "embedding")
         .select(col("vec_id"),
@@ -502,10 +511,24 @@ object SparkEntry {
 
   // ---- programmatically-built oracle SQL for the dedup/text family ----
 
-  private val ShingleCte =
-    """toks AS (SELECT doc_id, string_split_regex(text, '\s+') ts FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+3], ' ') AS shingle
-      |       FROM (SELECT doc_id, ts, unnest(range(greatest(len(ts)-2, 1))) AS i FROM toks))""".stripMargin
+  /** SQL twin of TextOps.qualityScore (rounded 6dp) over a `text`
+    * column — shared by t1 and the p3 curation gate. */
+  private val QualitySql: String =
+    """round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
+      |   + (CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE)
+      |      / greatest(len(string_split_regex(text, '\s+')), 1)) * 0.3
+      |   + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |      / greatest(length(text), 1)) * 0.3, 6)""".stripMargin
+
+  /** Shingle CTE chain ending in `sh(doc_id, shingle)`; `src` is the
+    * (doc_id, text) relation to shingle — "documents" for the d-family,
+    * a narrowing CTE (e.g. p3's exact-kept set) elsewhere. */
+  private def ShingleCteFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split_regex(text, '\\s+') ts FROM $src),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+3], ' ') AS shingle
+       |       FROM (SELECT doc_id, ts, unnest(range(greatest(len(ts)-2, 1))) AS i FROM toks))""".stripMargin
+
+  private val ShingleCte = ShingleCteFrom("documents")
 
   private val JaccardPairsSql =
     s"""WITH $ShingleCte,
@@ -521,7 +544,8 @@ object SparkEntry {
   /** CTE chain ending in `cands(a, b)` = the MinHash+LSH candidate pairs
     * (mirrors Dedup.minHashLshCandidates at the given band shape; shared
     * by d3 at 4×4 and d7/d8 at 8×2). */
-  private def MinHashCandCtes(rowsPerBand: Int): String = {
+  private def MinHashCandCtes(rowsPerBand: Int,
+                              src: String = "documents"): String = {
     val params = Dedup.minHashParams(16)
     val numBands = 16 / rowsPerBand
     val sigCols = params.zipWithIndex.map { case ((a, b), j) =>
@@ -533,7 +557,7 @@ object SparkEntry {
         .mkString(" || ',' || ")
       s"SELECT doc_id, $band AS band, md5($parts) AS key FROM sig"
     }.mkString("\n UNION ALL\n ")
-    s"""$ShingleCte,
+    s"""${ShingleCteFrom(src)},
        |xs AS (SELECT doc_id,
        |  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741824 AS x30
        |  FROM sh),
@@ -762,11 +786,7 @@ object SparkEntry {
          | CAST(len(list_filter(string_split_regex(text, '[^0-9A-Za-z]+'), x -> x != ''))
          |   + length(regexp_replace(text, '[0-9A-Za-z\\s]+', '', 'g')) AS INTEGER) AS n_subwords,
          | (SELECT $langCases FROM (SELECT string_split_regex(lower(t2.text), '\\s+') ts)) AS pred_lang,
-         | round(least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
-         |   + (CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS DOUBLE)
-         |      / greatest(len(string_split_regex(text, '\\s+')), 1)) * 0.3
-         |   + (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-         |      / greatest(length(text), 1)) * 0.3, 6) AS quality,
+         | $QualitySql AS quality,
          | md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\\s+'))), ' ')) AS fingerprint
          |FROM documents t2 ORDER BY doc_id""".stripMargin,
     "t2_top_terms" ->
@@ -814,6 +834,40 @@ object SparkEntry {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |   - n_tokens) / 512) AS BIGINT) AS bin
         |FROM t ORDER BY doc_id""".stripMargin,
+    "p3_curate" ->
+      s"""WITH RECURSIVE ek AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+         |    FROM documents) WHERE doc_id = canon),
+         |${MinHashCandCtes(2, "ek")},
+         |$LshVerifiedCtes,
+         |dpairs AS (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6),
+         |dedges AS (SELECT a AS x, b AS y FROM dpairs
+         |  UNION ALL SELECT b, a FROM dpairs),
+         |reach(node, r) AS (
+         |  SELECT x, y FROM dedges
+         |  UNION
+         |  SELECT reach.node, e.y FROM reach JOIN dedges e ON e.x = reach.r),
+         |cl AS (SELECT node, least(node, min(r)) AS cluster
+         |  FROM reach GROUP BY node),
+         |qf AS (SELECT doc_id, text, $QualitySql AS quality FROM ek
+         |  WHERE doc_id NOT IN (SELECT node FROM cl WHERE node <> cluster)
+         |    AND $QualitySql >= 0.5),
+         |sp AS (SELECT doc_id, quality, text,
+         |  CASE WHEN up < 0.75 THEN 'train'
+         |       WHEN up < 0.875 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT *,
+         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_cu'), 1, 15)) AS BIGINT) AS DOUBLE)
+         |      / 1152921504606846976.0 AS up FROM qf)),
+         |t AS (SELECT doc_id, quality, split, doc_id % 8 AS shard,
+         |  len(string_split_regex(text, '\\s+')) AS n_tokens FROM sp)
+         |SELECT doc_id, quality, split, shard,
+         | CAST(n_tokens AS BIGINT) AS n_tokens,
+         | CAST(floor((CAST(sum(n_tokens) OVER (PARTITION BY split, shard
+         |   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |   - n_tokens) / 512) AS BIGINT) AS bin
+         |FROM t ORDER BY doc_id""".stripMargin,
     "v12_l2_normalize" ->
       """SELECT vec_id,
         | round(CASE WHEN nrm = 0 THEN CAST(embedding[1] AS DOUBLE)

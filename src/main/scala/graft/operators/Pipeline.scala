@@ -67,17 +67,62 @@ object Pipeline {
     * `count` is the token-counting column (default whitespace tokens,
     * [[TextOps.tokenCount]]); pass [[TextOps.subwordCount]] (or any
     * tokenizer-faithful counter) when packing must match the training
-    * tokenizer's unit rather than whitespace words. */
+    * tokenizer's unit rather than whitespace words.
+    *
+    * `packKeys` prepends extra partition keys to the shard (pack within
+    * split, within source, ...); `carry` columns are forwarded to the
+    * output untouched. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     capacity: Int, numShards: Int,
-                    count: Column => Column = TextOps.tokenCount): DataFrame = {
-    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+                    count: Column => Column = TextOps.tokenCount,
+                    packKeys: Seq[String] = Nil,
+                    carry: Seq[String] = Nil): DataFrame = {
+    val w = Window
+      .partitionBy((packKeys.map(col) :+ col("shard")): _*)
+      .orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .select(col(idCol), (col(idCol) % numShards).as("shard"),
-        count(col(textCol)).as("n_tokens"))
+      .select((packKeys ++ carry).distinct.map(col) ++ Seq(
+        col(idCol), (col(idCol) % numShards).as("shard"),
+        count(col(textCol)).as("n_tokens")): _*)
       .withColumn("bin",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
           capacity).cast("long"))
+  }
+
+  /** End-to-end corpus curation — the composed training-data pipeline,
+    * every stage one of this library's gated operators:
+    *  1. exact dedup: keep the minimum id per md5(text) group;
+    *  2. near-dup dedup: LSH candidates + exact-Jaccard re-check
+    *     ([[Dedup.lshVerifiedPairs]]), then ONE representative per
+    *     connected near-dup cluster ([[Dedup.keepFirstByCluster]] —
+    *     transitive, unlike pairwise keep-first);
+    *  3. quality gate: [[TextOps.qualityScore]] >= minQuality;
+    *  4. deterministic split assignment ([[splitAssign]]);
+    *  5. sequence packing per (split, shard) ([[packSequences]]).
+    * Returns (split, quality, id, shard, n_tokens, bin). Every stage is
+    * keyed/bucketed — the widest shuffle is the LSH band join — and the
+    * whole flow is engine-portable (p3 DuckDB oracle recomputes it
+    * end to end, transitive closure included). */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             jaccard: Double = 0.6, minQuality: Double = 0.5,
+             splits: Seq[(String, Double)] =
+               Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)),
+             salt: String = "cu",
+             capacity: Int = 512, numShards: Int = 8): DataFrame = {
+    val byHash = Window.partitionBy(col("_h"))
+    val exactKept = docs
+      .withColumn("_h", md5(col(textCol)))
+      .withColumn("_canon", min(col(idCol)).over(byHash))
+      .filter(col(idCol) === col("_canon"))
+      .drop("_h", "_canon")
+    val pairs = Dedup.lshVerifiedPairs(exactKept, idCol, textCol, 3, jaccard)
+    val kept = Dedup.keepFirstByCluster(exactKept, idCol, pairs)
+    val scored = exactKept.join(kept, Seq(idCol))
+      .withColumn("quality", TextOps.qualityScore(col(textCol)))
+      .filter(col("quality") >= minQuality)
+    val assigned = splitAssign(scored, idCol, splits, salt)
+    packSequences(assigned, idCol, textCol, capacity, numShards,
+      packKeys = Seq("split"), carry = Seq("quality"))
   }
 }
