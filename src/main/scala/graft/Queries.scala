@@ -28,4 +28,16 @@ object QueryConstants {
   /** DuckDB expression for euclidean distance of `embedding` to Q64 in
     * float64 — matches Spark's zip_with/aggregate fold semantics. */
   val DistSql: String = s"list_distance(CAST(embedding AS DOUBLE[]), $Q64Sql)"
+
+  /** Target language mixture for p4_rebalance. DYADIC shares: decimal →
+    * double conversion is exact in both engines, so the derived
+    * per-domain keep rates (target·K/count) are bit-identical. */
+  val RebalanceTargets: Seq[(String, Double)] = Seq(
+    "en" -> 0.25, "de" -> 0.25, "fr" -> 0.1875, "es" -> 0.1875,
+    "zh" -> 0.125)
+
+  /** The same targets as a DuckDB VALUES list. */
+  val RebalanceTargetsSql: String = RebalanceTargets
+    .map { case (l, t) => s"('$l', CAST($t AS DOUBLE))" }
+    .mkString(", ")
 }

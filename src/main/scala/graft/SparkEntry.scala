@@ -115,6 +115,12 @@ object SparkEntry {
       // regexp_count must find
       TextOps.piiProfile(TextOps.piiCorpus(s, 500), "doc_id", "text")
         .orderBy(col("doc_id"))),
+    "t5_repetition" -> ((s, d) =>
+      // Gopher-style repetition quality metrics: duplicate-token
+      // fraction, top-bigram occupancy, repeated-trigram coverage —
+      // two (doc, gram) keyed aggs, oracle recomputes all three
+      TextOps.repetitionProfile(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc"))),
 
     // --- dataset assembly: deterministic sampling / splits / packing ---
     "p1_sample_split" -> ((s, d) => {
@@ -147,6 +153,15 @@ object SparkEntry {
       Pipeline.curate(Tables.documents(s, d), "doc_id", "text")
         .select(col("doc_id"), col("quality"), col("split"), col("shard"),
           col("n_tokens").cast("long").as("n_tokens"), col("bin"))
+        .orderBy(col("doc_id"))),
+    "p4_rebalance" -> ((s, d) =>
+      // domain rebalancing to target language proportions: dyadic
+      // targets, md5-uniform membership, downsample-only rates
+      // target·K/count with K = min(count/target) — the oracle
+      // recomputes the rates with identical IEEE operation order
+      Pipeline.rebalance(Tables.documents(s, d), "doc_id", "lang",
+          RebalanceTargets, salt = "rb")
+        .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
     "v12_l2_normalize" -> ((s, d) =>
       VectorStats.l2Normalize(embeddings(s, d), "embedding")
@@ -207,6 +222,23 @@ object SparkEntry {
       val pairs = Dedup.lshVerifiedPairs(docs, "doc_id", "text", 3, 0.6)
       Dedup.clusterIds(pairs).orderBy(col("node"))
     }),
+    "d13_decontam" -> ((s, d) => {
+      // benchmark decontamination: per-training-doc count of distinct
+      // 3-shingles shared with the (id % 23 == 0) eval slice; eval
+      // shingle set broadcast, train side map-only probe
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationProfile(
+          docs.filter(col("doc_id") % 23 =!= 0),
+          docs.filter(col("doc_id") % 23 === 0),
+          "doc_id", "text", 3)
+        .orderBy(col("doc"))
+    }),
+    "d14_semdedup" -> ((s, d) =>
+      // SemDeDup: IVF-cluster embeddings (deterministic first-16
+      // centroids), drop the larger id of every intra-cluster pair
+      // with cosine > 0.4 — pair join keyed by cluster, not all-pairs
+      Dedup.semDedup(embeddings(s, d), "vec_id", "embedding", 16, 0.4)
+        .orderBy(col("vec_id"))),
     "d11_winnow_pairs" -> ((s, d) =>
       // winnowing (MOSS) fingerprint dedup: k-gram hashes, sliding-window
       // min selection, keyed fingerprint join — deterministic pipeline,
@@ -810,6 +842,23 @@ object SparkEntry {
         | id % 5 AS n_phones,
         | 2 * (id % 3) + 2 * (id % 4) + 3 * (id % 5) + 1 AS n_digit_runs
         |FROM range(500) t(id) ORDER BY doc_id""".stripMargin,
+    "t5_repetition" ->
+      """WITH toks AS (SELECT doc_id AS doc, string_split_regex(text, '\s+') AS ts FROM documents),
+        |b AS (SELECT doc, array_to_string(ts[i+1:i+2], ' ') AS g
+        |  FROM (SELECT doc, ts, unnest(range(greatest(len(ts) - 2, 0) + 1)) AS i FROM toks)),
+        |bs AS (SELECT doc, max(c) AS top2, sum(c) AS n2
+        |  FROM (SELECT doc, g, count(*) AS c FROM b GROUP BY doc, g) GROUP BY doc),
+        |t3 AS (SELECT doc, array_to_string(ts[i+1:i+3], ' ') AS g
+        |  FROM (SELECT doc, ts, unnest(range(greatest(len(ts) - 3, 0) + 1)) AS i FROM toks)),
+        |ts3 AS (SELECT doc, sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup3, sum(c) AS n3
+        |  FROM (SELECT doc, g, count(*) AS c FROM t3 GROUP BY doc, g) GROUP BY doc)
+        |SELECT toks.doc,
+        | CAST(len(ts) AS INTEGER) AS n_tokens,
+        | round(CAST(len(ts) - len(list_distinct(ts)) AS DOUBLE) / CAST(len(ts) AS DOUBLE), 6) AS dup_token_frac,
+        | round(CAST(top2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS top_bigram_frac,
+        | round(CAST(dup3 AS DOUBLE) / CAST(n3 AS DOUBLE), 6) AS dup_trigram_frac
+        |FROM toks JOIN bs ON bs.doc = toks.doc JOIN ts3 ON ts3.doc = toks.doc
+        |ORDER BY toks.doc""".stripMargin,
     "p1_sample_split" ->
       """WITH u AS (
         | SELECT doc_id, doc_id % 3 AS stratum,
@@ -868,6 +917,15 @@ object SparkEntry {
          |   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |   - n_tokens) / 512) AS BIGINT) AS bin
          |FROM t ORDER BY doc_id""".stripMargin,
+    "p4_rebalance" ->
+      s"""WITH tgt(lang, tw) AS (VALUES $RebalanceTargetsSql),
+         |cnt AS (SELECT lang, count(*) AS c FROM documents JOIN tgt USING (lang) GROUP BY lang),
+         |k AS (SELECT min(CAST(c AS DOUBLE) / tw) AS kv FROM cnt JOIN tgt USING (lang)),
+         |r AS (SELECT lang, tw * k.kv / CAST(c AS DOUBLE) AS rate FROM cnt JOIN tgt USING (lang), k)
+         |SELECT doc_id, lang FROM documents JOIN r USING (lang)
+         |WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_rb'), 1, 15)) AS BIGINT) AS DOUBLE)
+         |  / 1152921504606846976.0 < rate
+         |ORDER BY doc_id""".stripMargin,
     "v12_l2_normalize" ->
       """SELECT vec_id,
         | round(CASE WHEN nrm = 0 THEN CAST(embedding[1] AS DOUBLE)
@@ -958,6 +1016,35 @@ object SparkEntry {
         |FROM ff x JOIN ff y ON x.fp = y.fp AND x.doc < y.doc
         |GROUP BY a, b HAVING count(*) >= 2
         |ORDER BY a, b""".stripMargin,
+    "d13_decontam" ->
+      """WITH toks AS (SELECT doc_id AS doc, string_split_regex(text, '\s+') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc, array_to_string(ts[i+1:i+3], ' ') AS s
+        |  FROM (SELECT doc, ts, unnest(range(greatest(len(ts) - 3, 0) + 1)) AS i FROM toks)),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc % 23 = 0),
+        |hits AS (SELECT doc, count(*) AS n FROM sh
+        |  WHERE doc % 23 <> 0 AND s IN (SELECT s FROM ev) GROUP BY doc)
+        |SELECT t.doc, CAST(coalesce(h.n, 0) AS BIGINT) AS n_shared
+        |FROM (SELECT doc_id AS doc FROM documents WHERE doc_id % 23 <> 0) t
+        |LEFT JOIN hits h ON h.doc = t.doc
+        |ORDER BY t.doc""".stripMargin,
+    "d14_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS list_id, v AS centroid FROM e ORDER BY vec_id LIMIT 16),
+        |assigned AS (
+        |  SELECT vec_id, list_id, v FROM (
+        |    SELECT e.vec_id, c.list_id, e.v,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_distance(e.v, c.centroid), c.list_id) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1),
+        |n AS (SELECT vec_id, list_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM assigned),
+        |dropped AS (
+        |  SELECT DISTINCT y.vec_id FROM n x JOIN n y
+        |    ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+        |  WHERE CASE WHEN x.nrm * y.nrm = 0 THEN 0
+        |        ELSE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) END > 0.4)
+        |SELECT vec_id, list_id FROM assigned
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
     "d6_cosine_pairs" ->
       """SELECT a, b, round(cos, 6) AS cos FROM (
         | SELECT x.vec_id AS a, y.vec_id AS b,

@@ -524,4 +524,79 @@ object Dedup {
       .select(col("node").as(idCol))
     docs.join(dropped, Seq(idCol), "left_anti").select(col(idCol))
   }
+
+  // ------------------------------------------------------------------
+  // Benchmark decontamination (test-set overlap removal)
+  // ------------------------------------------------------------------
+
+  /** Per-training-doc contamination profile against an evaluation set:
+    * `n_shared` = how many of the doc's DISTINCT word k-shingles occur
+    * anywhere in `eval` (the n-gram-overlap decontamination check every
+    * pretraining pipeline runs before training — GPT-3 §C / PaLM style,
+    * with word shingles standing in for tokenizer n-grams).
+    *
+    * Scale shape: benchmark suites are KB–MB against a 100 TB corpus, so
+    * the eval shingle set is built once, deduplicated, and BROADCAST —
+    * the training side is a map-only semi-join probe (no shuffle of the
+    * corpus), followed by one count keyed by doc id. */
+  def contaminationProfile(train: DataFrame, eval: DataFrame,
+                           idCol: String, textCol: String,
+                           k: Int): DataFrame = {
+    val evalSh = shingleRows(eval, idCol, textCol, k)
+      .select(col("shingle")).distinct()
+    val hits = shingleRows(train, idCol, textCol, k)
+      .join(broadcast(evalSh), Seq("shingle"))
+      .groupBy(col("doc")).agg(count(lit(1)).as("hits"))
+    train.select(col(idCol).as("doc"))
+      .join(hits, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("hits"), lit(0L)).as("n_shared"))
+  }
+
+  /** Decontaminated training set: drop every doc sharing at least
+    * `maxShared` distinct k-shingles with the eval set (left-anti on the
+    * flagged ids — train columns pass through untouched). */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, k: Int,
+                    maxShared: Long = 1L): DataFrame = {
+    val flagged = contaminationProfile(train, eval, idCol, textCol, k)
+      .filter(col("n_shared") >= maxShared)
+      .select(col("doc").as(idCol))
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  // ------------------------------------------------------------------
+  // SemDeDup (semantic dedup via embedding clusters)
+  // ------------------------------------------------------------------
+
+  /** SemDeDup (Abbas et al. 2023): cluster embeddings to the first-
+    * `numClusters` deterministic centroids ([[Similarity.ivfAssign]] —
+    * swap in Lloyd-trained centroids at production scale), then within
+    * each cluster drop the larger id of every pair with cosine >
+    * `tau`, keeping one representative per intra-cluster near-dup
+    * group. Returns kept (id, list_id).
+    *
+    * Scale shape: the pair join is keyed by `list_id`, so the quadratic
+    * blow-up is bounded per cluster (raise `numClusters` so lists stay
+    * ~constant-size as the corpus grows — the paper's configuration);
+    * norms are precomputed per ROW before the join (the d6 plan-shape
+    * lesson). Near-dups split across two clusters are missed — the
+    * documented SemDeDup recall trade, priced against the exact
+    * quadratic [[cosinePairs]]. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               numClusters: Int, tau: Double): DataFrame = {
+    val assigned = Similarity.ivfAssign(emb, idCol, vecCol, numClusters)
+    def side(i: String, v: String, n: String) =
+      assigned.select(col(idCol).as(i), col("list_id"),
+        col(vecCol).as(v), norm(col(vecCol)).as(n))
+    val dropped = side("a", "va", "na")
+      .join(side("b", "vb", "nb"), Seq("list_id"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos",
+        when(col("na") * col("nb") === 0d, lit(0d))
+          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .filter(col("cos") > tau)
+      .select(col("b").as(idCol))
+    assigned.select(col(idCol), col("list_id"))
+      .join(dropped, Seq(idCol), "left_anti")
+  }
 }

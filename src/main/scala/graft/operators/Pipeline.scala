@@ -90,6 +90,41 @@ object Pipeline {
           capacity).cast("long"))
   }
 
+  /** Domain rebalancing: deterministic, downsample-only resampling
+    * toward target domain proportions (the data-mixture step of a
+    * pretraining pipeline — e.g. rebalance a crawl that is 44% English
+    * to a 25% target). `targets` maps domain value → target share
+    * (Σ = 1); rows outside the listed domains are dropped.
+    *
+    * The kept set is the largest proportional corpus the data can
+    * supply without upsampling: K = min over domains of count/target,
+    * and each domain keeps rate = target·K/count of its rows (the
+    * limiting domain keeps everything, rate exactly 1.0). Membership is
+    * the md5 uniform keyed by (id, salt) — reproducible, engine-
+    * portable, repartition-stable. One bounded count aggregation
+    * (#domains rows to the driver) plus a map-only filter — no shuffle
+    * of the data itself. Dyadic targets keep the rate threshold
+    * bit-identical across engines (the oracle recomputes it with the
+    * same IEEE operation order). */
+  def rebalance(df: DataFrame, idCol: String, domainCol: String,
+                targets: Seq[(String, Double)], salt: String): DataFrame = {
+    require(targets.nonEmpty, "rebalance needs at least one target domain")
+    require(targets.forall(_._2 > 0), "target shares must be positive")
+    require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+      s"target shares must sum to 1, got ${targets.map(_._2).sum}")
+    val inScope = df.filter(col(domainCol).isin(targets.map(_._1): _*))
+    val counts = inScope.groupBy(col(domainCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.foreach { case (dom, _) =>
+      require(counts.contains(dom), s"target domain '$dom' has no rows") }
+    val kTotal = targets.map { case (dom, t) => counts(dom).toDouble / t }.min
+    val rate = targets.foldLeft(lit(0.0d)) { case (acc, (dom, t)) =>
+      when(col(domainCol) === dom,
+        lit(t * kTotal / counts(dom).toDouble)).otherwise(acc)
+    }
+    inScope.filter(hashUniform(col(idCol), salt) < rate)
+  }
+
   /** End-to-end corpus curation — the composed training-data pipeline,
     * every stage one of this library's gated operators:
     *  1. exact dedup: keep the minimum id per md5(text) group;

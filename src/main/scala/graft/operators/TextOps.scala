@@ -140,6 +140,46 @@ object TextOps {
         expr("repeat('call 555-867-5309 ', int(id % 5))"),
         expr("concat('num ', id * 37, ' end')")).as("text"))
 
+  /** Gopher-style repetition metrics (Rae et al. 2021, appendix A —
+    * scaled to whitespace tokens since the synthetic corpus has no line
+    * structure): duplicate-token fraction, the most frequent bigram's
+    * share of all bigram positions, and the fraction of trigram
+    * positions covered by trigrams that occur more than once. High
+    * values flag boilerplate and degenerate machine text — the standard
+    * pretraining quality gate alongside [[qualityScore]].
+    *
+    * Shape: two (doc, gram) keyed aggregations (map-side combined,
+    * shuffle keyed by doc — same plan family as [[tfidf]]) plus a
+    * narrow per-doc projection; n-gram arrays reuse
+    * [[Dedup.shinglesOf]] slice semantics so the DuckDB oracle mirrors
+    * them exactly. */
+  def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"), col("toks"),
+        Dedup.shinglesOf(col("toks"), 2).as("g2"),
+        Dedup.shinglesOf(col("toks"), 3).as("g3"))
+    def gramCounts(c: String) =
+      base.select(col("doc"), explode(col(c)).as("g"))
+        .groupBy(col("doc"), col("g")).agg(count(lit(1)).as("c"))
+    val g2 = gramCounts("g2").groupBy(col("doc"))
+      .agg(max(col("c")).as("top2"), sum(col("c")).as("n2"))
+    val g3 = gramCounts("g3").groupBy(col("doc"))
+      .agg(sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup3"),
+        sum(col("c")).as("n3"))
+    base
+      .select(col("doc"), size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"))
+      .join(g2, Seq("doc")).join(g3, Seq("doc"))
+      .select(col("doc"), col("n_tokens"),
+        round((col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens").cast("double"), 6).as("dup_token_frac"),
+        round(col("top2").cast("double") / col("n2").cast("double"), 6)
+          .as("top_bigram_frac"),
+        round(col("dup3").cast("double") / col("n3").cast("double"), 6)
+          .as("dup_trigram_frac"))
+  }
+
   /** Corpus term frequencies: top-k tokens by count (ties broken by
     * token text) — explode + count, map-side combined. */
   def topTerms(docs: DataFrame, textCol: String, k: Int): DataFrame =
