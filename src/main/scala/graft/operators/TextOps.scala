@@ -148,29 +148,41 @@ object TextOps {
     * values flag boilerplate and degenerate machine text — the standard
     * pretraining quality gate alongside [[qualityScore]].
     *
-    * Shape: two (doc, gram) keyed aggregations (map-side combined,
-    * shuffle keyed by doc — same plan family as [[tfidf]]) plus a
-    * narrow per-doc projection; n-gram arrays reuse
-    * [[Dedup.shinglesOf]] slice semantics so the DuckDB oracle mirrors
-    * them exactly. */
+    * Shape: ONE explode pass over both gram families (each gram tagged
+    * with its size n in a struct), so the text is scanned and tokenized
+    * once and there is a single (doc, n, gram) count aggregation plus
+    * one per-doc rollup — two keyed shuffles total, both map-side
+    * combined. n_tokens / n_distinct ride along the exploded rows (two
+    * ints, constant per doc) instead of a third plan branch re-reading
+    * the source. n-gram arrays reuse [[Dedup.shinglesOf]] slice
+    * semantics so the DuckDB oracle mirrors them exactly — including
+    * the short-doc clamp: a doc with fewer than n tokens emits ONE
+    * truncated shingle, so a 1-token doc scores top_bigram_frac = 1.0
+    * (maximally repetitive). Filter such docs upstream if that gate is
+    * unwanted. */
   def repetitionProfile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val base = docs
+    val tagged = docs
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
-      .select(col("doc"), col("toks"),
-        Dedup.shinglesOf(col("toks"), 2).as("g2"),
-        Dedup.shinglesOf(col("toks"), 3).as("g3"))
-    def gramCounts(c: String) =
-      base.select(col("doc"), explode(col(c)).as("g"))
-        .groupBy(col("doc"), col("g")).agg(count(lit(1)).as("c"))
-    val g2 = gramCounts("g2").groupBy(col("doc"))
-      .agg(max(col("c")).as("top2"), sum(col("c")).as("n2"))
-    val g3 = gramCounts("g3").groupBy(col("doc"))
-      .agg(sum(when(col("c") >= 2, col("c")).otherwise(lit(0L))).as("dup3"),
-        sum(col("c")).as("n3"))
-    base
       .select(col("doc"), size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_distinct"))
-      .join(g2, Seq("doc")).join(g3, Seq("doc"))
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        explode(concat(
+          transform(Dedup.shinglesOf(col("toks"), 2),
+            g => struct(lit(2).as("n"), g.as("g"))),
+          transform(Dedup.shinglesOf(col("toks"), 3),
+            g => struct(lit(3).as("n"), g.as("g"))))).as("gram"))
+    tagged
+      .groupBy(col("doc"), col("gram.n").as("n"), col("gram.g").as("g"))
+      .agg(count(lit(1)).as("c"),
+        max(col("n_tokens")).as("n_tokens"),
+        max(col("n_distinct")).as("n_distinct"))
+      .groupBy(col("doc"))
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        max(col("n_distinct")).as("n_distinct"),
+        max(when(col("n") === 2, col("c"))).as("top2"),
+        sum(when(col("n") === 2, col("c")).otherwise(lit(0L))).as("n2"),
+        sum(when(col("n") === 3 && col("c") >= 2, col("c"))
+          .otherwise(lit(0L))).as("dup3"),
+        sum(when(col("n") === 3, col("c")).otherwise(lit(0L))).as("n3"))
       .select(col("doc"), col("n_tokens"),
         round((col("n_tokens") - col("n_distinct")).cast("double") /
           col("n_tokens").cast("double"), 6).as("dup_token_frac"),
