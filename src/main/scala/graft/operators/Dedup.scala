@@ -538,13 +538,21 @@ object Dedup {
     * Scale shape: benchmark suites are KB–MB against a 100 TB corpus, so
     * the eval shingle set is built once, deduplicated, and BROADCAST —
     * the training side is a map-only semi-join probe (no shuffle of the
-    * corpus), followed by one count keyed by doc id. */
+    * corpus), followed by one count keyed by doc id.
+    *
+    * Short-doc clamp (shared with every shingle operator here): a doc
+    * with fewer than k tokens emits ONE truncated shingle, so a 2-token
+    * train doc can match a truncated eval "k-gram". Both engines agree
+    * (the oracle mirrors the slice semantics); filter short docs
+    * upstream if that sensitivity is unwanted. */
   def contaminationProfile(train: DataFrame, eval: DataFrame,
                            idCol: String, textCol: String,
-                           k: Int): DataFrame = {
-    val evalSh = shingleRows(eval, idCol, textCol, k)
+                           k: Int, normalize: Boolean = false): DataFrame = {
+    val evalSh = shingleRows(normText(eval, textCol, normalize),
+        idCol, textCol, k)
       .select(col("shingle")).distinct()
-    val hits = shingleRows(train, idCol, textCol, k)
+    val hits = shingleRows(normText(train, textCol, normalize),
+        idCol, textCol, k)
       .join(broadcast(evalSh), Seq("shingle"))
       .groupBy(col("doc")).agg(count(lit(1)).as("hits"))
     train.select(col(idCol).as("doc"))
@@ -552,13 +560,27 @@ object Dedup {
       .select(col("doc"), coalesce(col("hits"), lit(0L)).as("n_shared"))
   }
 
+  /** GPT-3 §C decontamination normalization: lowercase and strip
+    * punctuation (every char outside [0-9a-z\s]) before tokenizing, so
+    * casing/punctuation variants of an eval answer still match. The
+    * character-class regex behaves identically in Java regex and RE2. */
+  private def normText(docs: DataFrame, textCol: String,
+                       enabled: Boolean): DataFrame =
+    if (!enabled) docs
+    else docs.withColumn(textCol,
+      regexp_replace(lower(col(textCol)), "[^0-9a-z\\s]", ""))
+
   /** Decontaminated training set: drop every doc sharing at least
     * `maxShared` distinct k-shingles with the eval set (left-anti on the
-    * flagged ids — train columns pass through untouched). */
+    * flagged ids — train columns pass through untouched). `normalize`
+    * applies the GPT-3 §C lowercase/strip-punctuation canonicalization
+    * to BOTH sides before shingling. */
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
                     textCol: String, k: Int,
-                    maxShared: Long = 1L): DataFrame = {
-    val flagged = contaminationProfile(train, eval, idCol, textCol, k)
+                    maxShared: Long = 1L,
+                    normalize: Boolean = false): DataFrame = {
+    val flagged = contaminationProfile(train, eval, idCol, textCol, k,
+        normalize)
       .filter(col("n_shared") >= maxShared)
       .select(col("doc").as(idCol))
     train.join(flagged, Seq(idCol), "left_anti")
@@ -571,20 +593,57 @@ object Dedup {
   /** SemDeDup (Abbas et al. 2023): cluster embeddings to the first-
     * `numClusters` deterministic centroids ([[Similarity.ivfAssign]] —
     * swap in Lloyd-trained centroids at production scale), then within
-    * each cluster drop the larger id of every pair with cosine >
-    * `tau`, keeping one representative per intra-cluster near-dup
-    * group. Returns kept (id, list_id).
+    * each cluster drop ANY id having a smaller-id neighbor with cosine
+    * > `tau`. Returns kept (id, list_id).
+    *
+    * Drop decisions are pair-by-pair, not grouped: with edges 1–3 and
+    * 2–3 both 1 and 2 survive (3 is dropped for its smaller-id
+    * neighbors even though those two were never compared), so the kept
+    * set can hold more than one member of a transitive near-dup chain —
+    * the same non-transitivity documented on [[keepFirst]]. Route the
+    * pair relation through [[keepFirstByCluster]] when exactly one
+    * representative per connected group is required.
     *
     * Scale shape: the pair join is keyed by `list_id`, so the quadratic
     * blow-up is bounded per cluster (raise `numClusters` so lists stay
-    * ~constant-size as the corpus grows — the paper's configuration);
-    * norms are precomputed per ROW before the join (the d6 plan-shape
-    * lesson). Near-dups split across two clusters are missed — the
-    * documented SemDeDup recall trade, priced against the exact
-    * quadratic [[cosinePairs]]. */
+    * ~constant-size as the corpus grows — the paper's configuration;
+    * [[semDedupAuto]] picks that C from a target list size); norms are
+    * precomputed per ROW before the join (the d6 plan-shape lesson).
+    * Near-dups split across two clusters are missed — the documented
+    * SemDeDup recall trade, priced against the exact quadratic
+    * [[cosinePairs]]. */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
-               numClusters: Int, tau: Double): DataFrame = {
-    val assigned = Similarity.ivfAssign(emb, idCol, vecCol, numClusters)
+               numClusters: Int, tau: Double): DataFrame =
+    semDedupWith(emb, idCol, vecCol,
+      Similarity.ivfCentroids(emb, idCol, vecCol, numClusters), tau)
+
+  /** The paper's production configuration: C = ceil(N / targetListSize)
+    * clusters (one count job), so per-cluster pair work stays bounded as
+    * the corpus grows — total pair volume ~ N·targetListSize, LINEAR in
+    * N at fixed list size instead of N²/C at fixed C. `lloydIters` > 0
+    * refines the deterministic first-C seed with k-means rounds
+    * ([[Similarity.ivfTrain]] — map-only assignment + one per-list mean
+    * agg per round), tightening clusters so fewer near-dup pairs straddle
+    * a boundary. */
+  def semDedupAuto(emb: DataFrame, idCol: String, vecCol: String,
+                   targetListSize: Long, tau: Double,
+                   lloydIters: Int = 2): DataFrame = {
+    require(targetListSize > 0, "targetListSize must be positive")
+    val c = math.max(1L, math.ceil(
+      emb.count().toDouble / targetListSize).toLong).toInt
+    val cents =
+      if (lloydIters > 0) Similarity.ivfTrain(emb, idCol, vecCol, c, lloydIters)
+      else Similarity.ivfCentroids(emb, idCol, vecCol, c)
+    semDedupWith(emb, idCol, vecCol, cents, tau)
+  }
+
+  /** [[semDedup]] body against an explicit (e.g. Lloyd-trained) centroid
+    * set. */
+  def semDedupWith(emb: DataFrame, idCol: String, vecCol: String,
+                   centroids: Array[(Long, Array[Double])],
+                   tau: Double): DataFrame = {
+    val assigned = emb.withColumn("list_id",
+      Similarity.ivfListId(col(vecCol), centroids))
     def side(i: String, v: String, n: String) =
       assigned.select(col(idCol).as(i), col("list_id"),
         col(vecCol).as(v), norm(col(vecCol)).as(n))

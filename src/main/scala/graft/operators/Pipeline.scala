@@ -105,7 +105,12 @@ object Pipeline {
     * (#domains rows to the driver) plus a map-only filter — no shuffle
     * of the data itself. Dyadic targets keep the rate threshold
     * bit-identical across engines (the oracle recomputes it with the
-    * same IEEE operation order). */
+    * same IEEE operation order).
+    *
+    * A target domain with ZERO rows makes K = min(count/target) = 0, so
+    * the kept set is empty — the data cannot supply any corpus at the
+    * requested mixture. That limit is returned as an empty DataFrame
+    * (same schema), not a job abort. */
   def rebalance(df: DataFrame, idCol: String, domainCol: String,
                 targets: Seq[(String, Double)], salt: String): DataFrame = {
     require(targets.nonEmpty, "rebalance needs at least one target domain")
@@ -115,14 +120,64 @@ object Pipeline {
     val inScope = df.filter(col(domainCol).isin(targets.map(_._1): _*))
     val counts = inScope.groupBy(col(domainCol)).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    targets.foreach { case (dom, _) =>
-      require(counts.contains(dom), s"target domain '$dom' has no rows") }
-    val kTotal = targets.map { case (dom, t) => counts(dom).toDouble / t }.min
-    val rate = targets.foldLeft(lit(0.0d)) { case (acc, (dom, t)) =>
-      when(col(domainCol) === dom,
-        lit(t * kTotal / counts(dom).toDouble)).otherwise(acc)
+    if (targets.exists { case (dom, _) => !counts.contains(dom) })
+      inScope.filter(lit(false))
+    else {
+      val kTotal = targets.map { case (dom, t) => counts(dom).toDouble / t }.min
+      val rate = targets.foldLeft(lit(0.0d)) { case (acc, (dom, t)) =>
+        when(col(domainCol) === dom,
+          lit(t * kTotal / counts(dom).toDouble)).otherwise(acc)
+      }
+      inScope.filter(hashUniform(col(idCol), salt) < rate)
     }
-    inScope.filter(hashUniform(col(idCol), salt) < rate)
+  }
+
+  /** Upsampling rebalance — the other half of data-mixture practice:
+    * instead of shrinking to what the scarcest domain can supply
+    * ([[rebalance]]), REPEAT scarce-domain rows (bounded by `maxRepeat`
+    * epochs, the standard cap before repetition hurts — e.g. Muennighoff
+    * et al. 2023 find ~4 epochs of repeated data near-free) so the output
+    * hits the target mixture at the largest size the cap allows:
+    * K = min over domains of count·maxRepeat/target, each domain
+    * contributing ≈ target·K rows.
+    *
+    * Per-row copy counts are deterministic: a domain needing n = rate·
+    * count rows (rate = target·K/count, may exceed 1) gives every row
+    * floor(rate) copies plus one more iff its md5 uniform < frac(rate) —
+    * the same (id, salt)-keyed uniform as every sampler here, so the
+    * output is reproducible and repartition-stable. A pure projection +
+    * one explode (no shuffle); rows surviving with c copies emit `rep` =
+    * 0..c−1 alongside the original columns. Domains with zero rows make
+    * K = 0 → empty output, mirroring [[rebalance]]. */
+  def rebalanceRepeat(df: DataFrame, idCol: String, domainCol: String,
+                      targets: Seq[(String, Double)], maxRepeat: Int,
+                      salt: String): DataFrame = {
+    require(targets.nonEmpty, "rebalanceRepeat needs at least one target domain")
+    require(targets.forall(_._2 > 0), "target shares must be positive")
+    require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
+      s"target shares must sum to 1, got ${targets.map(_._2).sum}")
+    require(maxRepeat >= 1, "maxRepeat must be at least 1")
+    val inScope = df.filter(col(domainCol).isin(targets.map(_._1): _*))
+    val counts = inScope.groupBy(col(domainCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (targets.exists { case (dom, _) => !counts.contains(dom) })
+      inScope.filter(lit(false)).withColumn("rep", lit(0L))
+    else {
+      val kTotal = targets.map { case (dom, t) =>
+        counts(dom).toDouble * maxRepeat / t }.min
+      val rate = targets.foldLeft(lit(0.0d)) { case (acc, (dom, t)) =>
+        when(col(domainCol) === dom,
+          lit(t * kTotal / counts(dom).toDouble)).otherwise(acc)
+      }
+      inScope
+        .withColumn("_copies",
+          floor(rate).cast("long") +
+            when(hashUniform(col(idCol), salt) < rate - floor(rate), 1L)
+              .otherwise(0L))
+        .filter(col("_copies") > 0)
+        .withColumn("rep", explode(sequence(lit(0L), col("_copies") - 1)))
+        .drop("_copies")
+    }
   }
 
   /** End-to-end corpus curation — the composed training-data pipeline,

@@ -191,6 +191,90 @@ class DedupSpec extends SparkSpec {
     assert(got(13L) == 10L && got(2L) == 1L && got(21L) == 20L)
   }
 
+  test("decontaminate drops exactly the profile-flagged docs") {
+    // eval 3-shingles: "alpha beta gamma", "beta gamma phi";
+    // doc0 shares both, doc2 shares one, doc1/doc3 none
+    val train = Seq(
+      (0L, "alpha beta gamma phi psi"),
+      (1L, "epsilon zeta eta theta"),
+      (2L, "alpha beta gamma iota"),
+      (3L, "unique words only here")).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma phi")).toDF("doc_id", "text")
+    val prof = Dedup.contaminationProfile(train, eval, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(prof == Map(0L -> 2L, 1L -> 0L, 2L -> 1L, 3L -> 0L))
+    // the user-facing API ≡ anti-join of the flagged profile, for
+    // maxShared 1 (drop 0 and 2) and 2 (drop only 0)
+    Seq(1L, 2L).foreach { ms =>
+      val kept = Dedup.decontaminate(train, eval, "doc_id", "text", 3, ms)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == prof.filter(_._2 < ms).keySet, s"maxShared=$ms")
+    }
+    // train columns pass through untouched
+    val cols = Dedup.decontaminate(train, eval, "doc_id", "text", 3).columns
+    assert(cols.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("decontamination normalization catches case/punctuation variants") {
+    val train = Seq(
+      (0L, "The Quick, Brown Fox!"),
+      (1L, "entirely unrelated words here")).toDF("doc_id", "text")
+    val eval = Seq((9L, "the quick brown fox")).toDF("doc_id", "text")
+    val raw = Dedup.contaminationProfile(train, eval, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(raw == Map(0L -> 0L, 1L -> 0L)) // casing/punct defeat raw match
+    val norm = Dedup.contaminationProfile(train, eval, "doc_id", "text", 3,
+        normalize = true)
+      .as[(Long, Long)].collect().toMap
+    assert(norm == Map(0L -> 2L, 1L -> 0L))
+    val kept = Dedup.decontaminate(train, eval, "doc_id", "text", 3,
+        normalize = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L))
+  }
+
+  test("semDedup drops ids with a smaller-id same-cluster neighbor above tau") {
+    // centroids = first-2 ids: cluster 0 at (1,0) holds {0,2,3}, cluster
+    // 1 at (-1,0) holds {1}. Angles: id0 at 0°, id2 at 36°, id3 at 18°
+    // → cos(0,3) ≈ cos(2,3) ≈ .951 > τ drops 3; cos(0,2) ≈ .809 ≤ τ
+    // keeps BOTH 0 and 2 — pairwise drops, not one-rep-per-group
+    val emb = Seq(
+      (0L, Seq(1f, 0f)),
+      (1L, Seq(-1f, 0f)),
+      (2L, Seq(0.809f, 0.588f)),
+      (3L, Seq(0.951f, 0.309f))).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(emb, "vec_id", "embedding", 2, 0.9)
+      .select("vec_id", "list_id").as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L) == 0L && out(2L) == 0L && out(1L) == 1L)
+    // τ above every cosine → nothing dropped (output = input)
+    val all = Dedup.semDedup(emb, "vec_id", "embedding", 2, 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all == Set(0L, 1L, 2L, 3L))
+  }
+
+  test("semDedupAuto sizes C from the corpus and matches the explicit path") {
+    val e = Tables.embeddings(spark, sf0001)
+    val n = e.count()
+    val target = 50L
+    val auto = Dedup.semDedupAuto(e, "vec_id", "embedding", target, 0.4,
+        lloydIters = 1)
+      .select("vec_id").as[Long].collect().toSet
+    val c = math.ceil(n.toDouble / target).toInt
+    val cents = Similarity.ivfTrain(e, "vec_id", "embedding", c, 1)
+    assert(cents.length == c)
+    val manual = Dedup.semDedupWith(e, "vec_id", "embedding", cents, 0.4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(auto == manual)
+    // kept ⊆ input ids; deterministic across runs
+    val ids = e.select(col("vec_id")).as[Long].collect().toSet
+    assert(auto.subsetOf(ids) && auto.nonEmpty)
+    val again = Dedup.semDedupAuto(e, "vec_id", "embedding", target, 0.4,
+        lloydIters = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == auto)
+  }
+
   test("keepFirstByCluster keeps one rep per cluster, subset of keepFirst") {
     val docs = Seq(1L, 2L, 3L, 20L, 21L, 99L).toDF("doc_id")
     // A-C and B-C: pairwise keep-first keeps both 1 and 2; cluster
@@ -234,6 +318,31 @@ class TextOpsSpec extends SparkSpec {
     val fp = TextOps.profile(df, "doc_id", "text")
       .select("doc_id", "fingerprint").as[(Long, String)].collect().toMap
     assert(fp(0L) == fp(1L) && fp(0L) != fp(2L))
+  }
+
+  test("repetitionProfile closed forms") {
+    val df = Seq(
+      (0L, "x x x x"),     // one repeated token
+      (1L, "a b c d"),     // all distinct
+      (2L, "a b a b a"),   // alternating
+      (3L, "solo")         // short-doc clamp: 1 truncated shingle
+    ).toDF("doc_id", "text")
+    val p = TextOps.repetitionProfile(df, "doc_id", "text")
+      .select("doc", "n_tokens", "dup_token_frac", "top_bigram_frac",
+        "dup_trigram_frac")
+      .as[(Long, Int, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // n tokens of one value: dup_token = (n−1)/n, every gram the same
+    assert(p(0L) == ((4, 0.75, 1.0, 1.0)))
+    // all distinct: no dup tokens, 3 distinct bigrams (top = 1/3), both
+    // trigrams unique (dup coverage 0)
+    assert(p(1L) == ((4, 0.0, 0.333333, 0.0)))
+    // a b a b a: dup 3/5; bigrams {ab×2, ba×2} top 2/4; trigrams
+    // {aba×2, bab×1} dup coverage 2/3
+    assert(p(2L) == ((5, 0.6, 0.5, 0.666667)))
+    // 1-token doc emits ONE truncated shingle per gram size → maximally
+    // "repetitive" bigram share (the documented clamp)
+    assert(p(3L) == ((1, 0.0, 1.0, 0.0)))
   }
 
   test("topTerms ranks by count then token") {
@@ -317,6 +426,71 @@ class PipelineSpec extends SparkSpec {
       assert(bins == (bins.head to bins.last).toSeq)
       assert(bins.head == 0L)
     }
+  }
+
+  test("rebalance keeps the limiting domain at rate exactly 1.0") {
+    // a: 8 rows, b: 4 rows, targets 50/50 → K = min(8/.5, 4/.5) = 8;
+    // b is limiting: rate = .5·8/4 = 1.0 exactly (uniform ∈ [0,1) < 1.0
+    // always) — every b row kept; a keeps ≈ half
+    val df = ((0L until 8L).map((_, "a")) ++ (8L until 12L).map((_, "b")))
+      .toDF("id", "dom")
+    val kept = Pipeline.rebalance(df, "id", "dom",
+      Seq(("a", 0.5), ("b", 0.5)), "s")
+    val byDom = kept.groupBy("dom").count()
+      .as[(String, Long)].collect().toMap
+    assert(byDom.getOrElse("b", 0L) == 4L, s"limiting domain lost rows: $byDom")
+    assert(byDom.getOrElse("a", 0L) <= 8L)
+    // deterministic
+    val again = Pipeline.rebalance(df, "id", "dom",
+      Seq(("a", 0.5), ("b", 0.5)), "s")
+    assert(kept.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+  }
+
+  test("rebalance validation and the zero-row-domain limit") {
+    val df = Seq((0L, "a"), (1L, "b")).toDF("id", "dom")
+    intercept[IllegalArgumentException] {
+      Pipeline.rebalance(df, "id", "dom", Seq.empty, "s") }
+    intercept[IllegalArgumentException] {
+      Pipeline.rebalance(df, "id", "dom", Seq(("a", -0.5), ("b", 1.5)), "s") }
+    intercept[IllegalArgumentException] {
+      Pipeline.rebalance(df, "id", "dom", Seq(("a", 0.5), ("b", 0.25)), "s") }
+    // a target domain with no rows: K = 0 → empty kept set (the
+    // mathematically consistent limit), NOT a job abort
+    val empty = Pipeline.rebalance(df, "id", "dom",
+      Seq(("a", 0.5), ("zz", 0.5)), "s")
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == Seq("id", "dom"))
+  }
+
+  test("rebalanceRepeat upsamples scarce domains up to maxRepeat epochs") {
+    // a: 10 rows, b: 2 rows, targets 50/50, maxRepeat 3
+    // → K = min(10·3/.5, 2·3/.5) = 12: b rate 3.0 (every row exactly 3
+    // copies), a rate 0.6 (each row 0 or 1 copies)
+    val df = ((0L until 10L).map((_, "a")) ++ (100L until 102L).map((_, "b")))
+      .toDF("id", "dom")
+    val out = Pipeline.rebalanceRepeat(df, "id", "dom",
+        Seq(("a", 0.5), ("b", 0.5)), maxRepeat = 3, "s")
+      .select("id", "dom", "rep").as[(Long, String, Long)].collect()
+    val copies = out.groupBy(_._1).view.mapValues(_.length).toMap
+    Seq(100L, 101L).foreach { b =>
+      assert(copies(b) == 3, s"b row $b copies=${copies.get(b)}")
+      assert(out.filter(_._1 == b).map(_._3).sorted.toSeq == Seq(0L, 1L, 2L))
+    }
+    assert(copies.values.max <= 3)
+    (0L until 10L).foreach(a => assert(copies.getOrElse(a, 0) <= 1))
+    // deterministic
+    val again = Pipeline.rebalanceRepeat(df, "id", "dom",
+        Seq(("a", 0.5), ("b", 0.5)), maxRepeat = 3, "s")
+      .select("id", "dom", "rep").as[(Long, String, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._3)).toSeq ==
+      again.sortBy(r => (r._1, r._3)).toSeq)
+    // zero-row target domain → empty, same limit as rebalance
+    val empty = Pipeline.rebalanceRepeat(df, "id", "dom",
+      Seq(("a", 0.5), ("zz", 0.5)), 3, "s")
+    assert(empty.count() == 0L)
+    intercept[IllegalArgumentException] {
+      Pipeline.rebalanceRepeat(df, "id", "dom", Seq(("a", 1.0)), 0, "s") }
   }
 
   test("packing with the subword counter packs by subwords, not words") {
