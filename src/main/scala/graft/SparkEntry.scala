@@ -239,6 +239,13 @@ object SparkEntry {
       // with cosine > 0.4 — pair join keyed by cluster, not all-pairs
       Dedup.semDedup(embeddings(s, d), "vec_id", "embedding", 16, 0.4)
         .orderBy(col("vec_id"))),
+    "d15_dup_spans" -> ((s, d) =>
+      // substring-level duplicate spans (Lee et al. 2021): k-gram hash
+      // postings, corpus-wide duplicated grams, per-doc gaps-and-islands
+      // run merge — the oracle mirrors postings + window merge in SQL
+      Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
+          k = 5, minCount = 2L)
+        .orderBy(col("doc"), col("span_start"))),
     "d11_winnow_pairs" -> ((s, d) =>
       // winnowing (MOSS) fingerprint dedup: k-gram hashes, sliding-window
       // min selection, keyed fingerprint join — deterministic pipeline,
@@ -1016,6 +1023,25 @@ object SparkEntry {
         |FROM ff x JOIN ff y ON x.fp = y.fp AND x.doc < y.doc
         |GROUP BY a, b HAVING count(*) >= 2
         |ORDER BY a, b""".stripMargin,
+    "d15_dup_spans" ->
+      """WITH toks AS (SELECT doc_id AS doc, string_split_regex(text, '\s+') AS ts FROM documents),
+        |g AS (SELECT doc, len(ts) AS nt, i AS pos,
+        |  ('0x' || substr(md5(array_to_string(ts[i+1:i+5], ' ')), 1, 15))::BIGINT AS h
+        | FROM (SELECT doc, ts, unnest(range(greatest(len(ts) - 5, 0) + 1)) AS i FROM toks)),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |p AS (SELECT doc, nt, pos FROM g WHERE h IN (SELECT h FROM dup)),
+        |brk AS (SELECT doc, nt, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc ORDER BY pos) > 5
+        |      THEN 1 ELSE 0 END AS b
+        | FROM p),
+        |isl AS (SELECT doc, nt, pos,
+        |  sum(b) OVER (PARTITION BY doc ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        | FROM brk)
+        |SELECT doc, CAST(min(pos) AS BIGINT) AS span_start,
+        | CAST(least(max(pos) + 4, nt - 1) AS BIGINT) AS span_end,
+        | count(*) AS n_grams
+        |FROM isl GROUP BY doc, nt, island
+        |ORDER BY doc, span_start""".stripMargin,
     "d13_decontam" ->
       """WITH toks AS (SELECT doc_id AS doc, string_split_regex(text, '\s+') AS ts FROM documents),
         |sh AS (SELECT DISTINCT doc, array_to_string(ts[i+1:i+3], ' ') AS s

@@ -153,6 +153,64 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Substring-level duplicate spans (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): the maximal token
+    * spans of each document whose k-token grams occur at least
+    * `minCount` times corpus-wide — the duplicate-SPAN detection that
+    * sits between exact whole-doc dedup ([[exactDuplicates]]) and
+    * near-dup pairing ([[lshVerifiedPairs]]) in a pretraining pipeline
+    * (the paper removes the spans, not the documents).
+    *
+    * Postings formulation of the paper's suffix array: hash every
+    * overlapping k-gram in document order; one count agg keyed by gram
+    * hash finds the duplicated grams (>= minCount occurrences anywhere,
+    * within- or cross-document); a semi-join keeps each doc's duplicated
+    * positions; per doc, positions whose k-token windows overlap or
+    * touch (gap <= k) merge into maximal runs via one
+    * gaps-and-islands window. Returns (doc, span_start, span_end,
+    * n_grams) with 0-based inclusive token indices; span_end clamps to
+    * the last token for sub-k docs (whose single truncated gram follows
+    * the [[shinglesOf]] slice semantics shared by every operator here).
+    *
+    * Scale shape: the gram rows carry (doc, pos, 15-hex-digit hash) —
+    * never text. The duplicated-gram relation reduces map-side to
+    * (hash, count) partials before its exchange and joins back broadcast
+    * while it fits (hash-keyed semi-join beyond that); the only
+    * full-width shuffle is the per-doc window, whose partitioning the
+    * span aggregation reuses (one exchange feeds both, verified in the
+    * plan). `maxGramDf` drops grams above an occurrence cap (boilerplate
+    * phrases — same guard as [[winnowPairs]]) so one stop-phrase cannot
+    * flood the postings at corpus scale. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 5, minCount: Long = 2L,
+                     maxGramDf: Option[Long] = None): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"), size(col("toks")).as("nt"),
+        posexplode(transform(shinglesOf(col("toks"), k),
+          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
+          .as(Seq("pos", "h")))
+    val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val dup = maxGramDf.map(c => counts.filter(col("n") <= c))
+      .getOrElse(counts).select(col("h"))
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    grams.join(dup, Seq("h"), "left_semi")
+      // island breaks where the gap to the previous duplicated gram
+      // exceeds k (their k-token windows neither overlap nor touch);
+      // lag is NULL on the first row -> no break, island 0
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > k, 1).otherwise(0))
+      .withColumn("island", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc"), col("nt"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        least(max(col("pos")) + lit(k - 1), col("nt") - 1).cast("long")
+          .as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
   /** Mersenne prime 2^61-1 for the universal hash family. */
   val MinHashP = 2305843009213693951L
 

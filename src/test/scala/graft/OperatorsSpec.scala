@@ -155,6 +155,91 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicateSpans closed forms: cross-doc run, within-doc repeat, gap break, sub-k clamp") {
+    // k=3, minCount=2. Planted structure:
+    //  docs 1&2 share the 4-token run "a b c d" → grams "a b c"/"b c d"
+    //    duplicated → one merged span each;
+    //  doc 3 repeats "p q r s" → dup positions {0,1,4,5}, gap 4−1=3 ≤ k
+    //    → ONE span covering the whole doc;
+    //  doc 4 repeats "m n o" at positions 0 and 8, gap 8 > k → TWO spans;
+    //  docs 6&7 are identical 2-token docs (< k) → the truncated gram is
+    //    duplicated, span end clamps to the last token;
+    //  doc 5 shares nothing → no rows.
+    val docs = Seq(
+      (1L, "x1 a b c d x2 x3"),
+      (2L, "y1 y2 a b c d y3"),
+      (3L, "p q r s p q r s"),
+      (4L, "m n o g1 g2 g3 g4 g5 m n o"),
+      (5L, "unique tokens here nothing shared ever"),
+      (6L, "a b"),
+      (7L, "a b"),
+      (8L, "z z z z z z z z")).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, "doc_id", "text", k = 3, minCount = 2L)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq).toMap
+    assert(got(1L) == Seq((1L, 4L, 2L)))
+    assert(got(2L) == Seq((2L, 5L, 2L)))
+    assert(got(3L) == Seq((0L, 7L, 4L)))
+    assert(got(4L) == Seq((0L, 2L, 1L), (8L, 10L, 1L)))
+    assert(!got.contains(5L))
+    assert(got(6L) == Seq((0L, 1L, 1L)) && got(7L) == Seq((0L, 1L, 1L)))
+    // doc 8: "z z z" at every position 0..5 (count 6) → one whole-doc span
+    assert(got(8L) == Seq((0L, 7L, 6L)))
+    // hot-gram cap: maxGramDf=4 drops the count-6 boilerplate gram while
+    // the count-2 planted runs survive
+    val capped = Dedup.duplicateSpans(docs, "doc_id", "text", k = 3,
+        minCount = 2L, maxGramDf = Some(4L))
+      .select("doc").as[Long].collect().toSet
+    assert(!capped.contains(8L) && capped.contains(1L) && capped.contains(4L))
+  }
+
+  test("duplicateSpans matches a brute-force postings oracle (property)") {
+    // randomized docs over a tiny vocab (dense duplicate structure);
+    // oracle recomputes postings + run merge in plain Scala
+    val k = 3
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = Seq("aa", "bb", "cc", "dd", "ee", "ff")
+    val rows = (0 until 15).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val grams = rows.flatMap { case (id, text) =>
+      val ts = text.split("\\s+").toSeq
+      (0 to math.max(ts.size - k, 0)).map(i =>
+        (id, i, ts.slice(i, i + k).mkString(" "), ts.size))
+    }
+    val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val want = grams.filter(g => counts(g._3) >= 2).groupBy(_._1).map {
+      case (id, gs) =>
+        val nt = gs.head._4
+        val poss = gs.map(_._2).sorted
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var start = poss.head; var last = poss.head; var cnt = 0
+        def emit(): Unit = spans +=
+          ((start.toLong, math.min(last + k - 1, nt - 1).toLong, cnt.toLong))
+        for (p <- poss) {
+          if (p - last > k) { emit(); start = p; cnt = 0 }
+          last = p; cnt += 1
+        }
+        emit()
+        id -> spans.toSeq
+    }
+    val got = Dedup.duplicateSpans(rows.toDF("doc_id", "text"), "doc_id",
+        "text", k = k, minCount = 2L)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq).toMap
+    assert(got == want)
+    // spans within a doc are sorted and non-overlapping
+    got.values.foreach { spans =>
+      spans.sliding(2).foreach {
+        case Seq((_, e1, _), (s2, _, _)) => assert(s2 > e1)
+        case _ =>
+      }
+    }
+  }
+
   test("cosine pairs and keep-first dedup") {
     val emb = Seq(
       (0L, Seq(1f, 0f)), (1L, Seq(1f, 0.001f)), (2L, Seq(0f, 1f))
