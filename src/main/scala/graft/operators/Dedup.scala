@@ -602,7 +602,10 @@ object Dedup {
     * with fewer than k tokens emits ONE truncated shingle, so a 2-token
     * train doc can match a truncated eval "k-gram". Both engines agree
     * (the oracle mirrors the slice semantics); filter short docs
-    * upstream if that sensitivity is unwanted. */
+    * upstream if that sensitivity is unwanted. With `normalize`, docs
+    * whose normalized text is empty are excluded from shingling on both
+    * sides (they report n_shared = 0, never a spurious ''-shingle
+    * match). */
   def contaminationProfile(train: DataFrame, eval: DataFrame,
                            idCol: String, textCol: String,
                            k: Int, normalize: Boolean = false): DataFrame = {
@@ -618,15 +621,26 @@ object Dedup {
       .select(col("doc"), coalesce(col("hits"), lit(0L)).as("n_shared"))
   }
 
-  /** GPT-3 §C decontamination normalization: lowercase and strip
-    * punctuation (every char outside [0-9a-z\s]) before tokenizing, so
-    * casing/punctuation variants of an eval answer still match. The
-    * character-class regex behaves identically in Java regex and RE2. */
+  /** GPT-3 §C decontamination normalization: lowercase, strip every
+    * char that is not a letter/digit/whitespace, then collapse runs of
+    * whitespace and trim — so casing/punctuation variants of an eval
+    * answer still match WITHOUT standalone punctuation ("— ", " / ")
+    * leaving empty tokens that shift the shingle frame. The class is
+    * Unicode-aware ([^\p{L}\p{N}\s]): non-Latin letters (CJK, accented)
+    * survive normalization instead of being deleted wholesale; \p{L}
+    * and \p{N} behave identically in Java regex and RE2. Docs that
+    * normalize to the empty string (punctuation-only or symbol-only
+    * text) are DROPPED from shingling by the callers — a '' doc would
+    * otherwise emit one truncated '' shingle that spuriously matches
+    * every other such doc. */
   private def normText(docs: DataFrame, textCol: String,
                        enabled: Boolean): DataFrame =
     if (!enabled) docs
     else docs.withColumn(textCol,
-      regexp_replace(lower(col(textCol)), "[^0-9a-z\\s]", ""))
+      trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^\\p{L}\\p{N}\\s]", ""),
+        "\\s+", " ")))
+      .filter(length(col(textCol)) > 0)
 
   /** Decontaminated training set: drop every doc sharing at least
     * `maxShared` distinct k-shingles with the eval set (left-anti on the
@@ -682,13 +696,23 @@ object Dedup {
     * refines the deterministic first-C seed with k-means rounds
     * ([[Similarity.ivfTrain]] — map-only assignment + one per-list mean
     * agg per round), tightening clusters so fewer near-dup pairs straddle
-    * a boundary. */
+    * a boundary.
+    *
+    * Cache contract: this convenience reads `emb` 2 + lloydIters times —
+    * the sizing `count()`, one pass per Lloyd round, and the assignment —
+    * so callers at corpus scale should `emb.persist()` first (or, with N
+    * already known, compute C themselves and call [[semDedupWith]] with
+    * pre-trained centroids: one pass). The collected centroid array is
+    * C × dim doubles on the driver — C is required to fit an Int and is
+    * effectively bounded by driver memory long before that. */
   def semDedupAuto(emb: DataFrame, idCol: String, vecCol: String,
                    targetListSize: Long, tau: Double,
                    lloydIters: Int = 2): DataFrame = {
     require(targetListSize > 0, "targetListSize must be positive")
-    val c = math.max(1L, math.ceil(
-      emb.count().toDouble / targetListSize).toLong).toInt
+    val cRaw = math.max(1.0, math.ceil(emb.count().toDouble / targetListSize))
+    require(cRaw <= Int.MaxValue,
+      s"computed cluster count $cRaw exceeds Int range — raise targetListSize")
+    val c = cRaw.toInt
     val cents =
       if (lloydIters > 0) Similarity.ivfTrain(emb, idCol, vecCol, c, lloydIters)
       else Similarity.ivfCentroids(emb, idCol, vecCol, c)

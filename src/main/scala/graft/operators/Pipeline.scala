@@ -15,6 +15,21 @@ import org.apache.spark.sql.functions._
   * partition placement — the property rand()/sample() lacks at scale. */
 object Pipeline {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Empty-result limit shared by the rebalancers: a target domain with
+    * zero rows means the data cannot supply ANY corpus at the requested
+    * mixture (K = 0). Returned as an empty frame rather than a job
+    * abort, but LOUDLY — a typo'd domain name would otherwise produce
+    * an empty training corpus with no signal. */
+  private def emptyMixture(inScope: DataFrame, op: String,
+                           missing: Seq[String]): DataFrame = {
+    log.warn(s"$op: target domain(s) ${missing.mkString(", ")} have zero " +
+      "rows; the requested mixture is unsatisfiable, returning an EMPTY " +
+      "result (check for misspelled domain names)")
+    inScope.filter(lit(false))
+  }
+
   /** Deterministic uniform in [0, 1): the shared md5-prefix uniform
     * ([[graft.functions.PortableHash.md5Uniform]]) keyed by
     * id || '_' || salt. */
@@ -120,8 +135,8 @@ object Pipeline {
     val inScope = df.filter(col(domainCol).isin(targets.map(_._1): _*))
     val counts = inScope.groupBy(col(domainCol)).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (targets.exists { case (dom, _) => !counts.contains(dom) })
-      inScope.filter(lit(false))
+    val missing = targets.collect { case (dom, _) if !counts.contains(dom) => dom }
+    if (missing.nonEmpty) emptyMixture(inScope, "rebalance", missing)
     else {
       val kTotal = targets.map { case (dom, t) => counts(dom).toDouble / t }.min
       val rate = targets.foldLeft(lit(0.0d)) { case (acc, (dom, t)) =>
@@ -160,8 +175,9 @@ object Pipeline {
     val inScope = df.filter(col(domainCol).isin(targets.map(_._1): _*))
     val counts = inScope.groupBy(col(domainCol)).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (targets.exists { case (dom, _) => !counts.contains(dom) })
-      inScope.filter(lit(false)).withColumn("rep", lit(0L))
+    val missing = targets.collect { case (dom, _) if !counts.contains(dom) => dom }
+    if (missing.nonEmpty)
+      emptyMixture(inScope, "rebalanceRepeat", missing).withColumn("rep", lit(0L))
     else {
       val kTotal = targets.map { case (dom, t) =>
         counts(dom).toDouble * maxRepeat / t }.min

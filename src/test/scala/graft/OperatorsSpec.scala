@@ -303,19 +303,29 @@ class DedupSpec extends SparkSpec {
   test("decontamination normalization catches case/punctuation variants") {
     val train = Seq(
       (0L, "The Quick, Brown Fox!"),
-      (1L, "entirely unrelated words here")).toDF("doc_id", "text")
-    val eval = Seq((9L, "the quick brown fox")).toDF("doc_id", "text")
+      (1L, "entirely unrelated words here"),
+      (2L, "— the quick / brown … fox —"),  // standalone punct must not shift the shingle frame
+      (3L, "!!! ??? …"),                    // punctuation-only: normalizes to '' → never flagged
+      (4L, "你好 世界 测试 数据")).toDF("doc_id", "text") // non-Latin letters survive \p{L}
+    val eval = Seq(
+      (9L, "the quick brown fox"),
+      (10L, "你好 世界 测试"),
+      (11L, "?! ?!")).toDF("doc_id", "text") // punct-only eval doc contributes nothing
     val raw = Dedup.contaminationProfile(train, eval, "doc_id", "text", 3)
       .as[(Long, Long)].collect().toMap
-    assert(raw == Map(0L -> 0L, 1L -> 0L)) // casing/punct defeat raw match
+    assert(raw(0L) == 0L && raw(1L) == 0L) // casing/punct defeat raw match
     val norm = Dedup.contaminationProfile(train, eval, "doc_id", "text", 3,
         normalize = true)
       .as[(Long, Long)].collect().toMap
-    assert(norm == Map(0L -> 2L, 1L -> 0L))
+    // doc 0 and the punctuation-framed doc 2 both share the 2 trigrams;
+    // punctuation-only doc 3 reports 0 (no ''-shingle false positive
+    // against the punctuation-only eval doc); the CJK doc matches its
+    // eval trigram instead of being deleted by normalization
+    assert(norm == Map(0L -> 2L, 1L -> 0L, 2L -> 2L, 3L -> 0L, 4L -> 1L))
     val kept = Dedup.decontaminate(train, eval, "doc_id", "text", 3,
         normalize = true)
       .select("doc_id").as[Long].collect().toSet
-    assert(kept == Set(1L))
+    assert(kept == Set(1L, 3L))
   }
 
   test("semDedup drops ids with a smaller-id same-cluster neighbor above tau") {
