@@ -203,19 +203,37 @@ object Pipeline {
     *     ([[Dedup.lshVerifiedPairs]]), then ONE representative per
     *     connected near-dup cluster ([[Dedup.keepFirstByCluster]] —
     *     transitive, unlike pairwise keep-first);
-    *  3. quality gate: [[TextOps.qualityScore]] >= minQuality;
-    *  4. deterministic split assignment ([[splitAssign]]);
-    *  5. sequence packing per (split, shard) ([[packSequences]]).
-    * Returns (split, quality, id, shard, n_tokens, bin). Every stage is
-    * keyed/bucketed — the widest shuffle is the LSH band join — and the
-    * whole flow is engine-portable (p3 DuckDB oracle recomputes it
-    * end to end, transitive closure included). */
+    *  3. benchmark decontamination (when `evalDocs` is given): drop
+    *     every surviving doc sharing >= `maxShared` distinct
+    *     `decontamK`-shingles with the eval set
+    *     ([[Dedup.decontaminate]] — eval shingles broadcast, corpus
+    *     side map-only);
+    *  4. quality gate: [[TextOps.qualityScore]] >= minQuality;
+    *  5. deterministic split assignment ([[splitAssign]]);
+    *  6. domain rebalancing (when `rebalanceTargets` is non-empty):
+    *     downsample to the target mixture over `domainCol`
+    *     ([[rebalance]], salt `salt + "_rb"`) — after splitting so the
+    *     mixture holds within every split (membership is id-keyed,
+    *     independent of the split uniform);
+    *  7. sequence packing per (split, shard) ([[packSequences]]).
+    * Returns (split, quality[, domain], id, shard, n_tokens, bin).
+    * Every stage is keyed/bucketed — the widest shuffle is the LSH band
+    * join; decontam adds a broadcast probe, rebalance one bounded
+    * count agg — and the whole flow is engine-portable (the p3/p5
+    * DuckDB oracles recompute it end to end, transitive closure
+    * included). */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              jaccard: Double = 0.6, minQuality: Double = 0.5,
              splits: Seq[(String, Double)] =
                Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)),
              salt: String = "cu",
-             capacity: Int = 512, numShards: Int = 8): DataFrame = {
+             capacity: Int = 512, numShards: Int = 8,
+             evalDocs: Option[DataFrame] = None,
+             decontamK: Int = 3, maxShared: Long = 1L,
+             domainCol: Option[String] = None,
+             rebalanceTargets: Seq[(String, Double)] = Nil): DataFrame = {
+    require(rebalanceTargets.isEmpty || domainCol.nonEmpty,
+      "rebalanceTargets needs domainCol")
     val byHash = Window.partitionBy(col("_h"))
     val exactKept = docs
       .withColumn("_h", md5(col(textCol)))
@@ -224,11 +242,18 @@ object Pipeline {
       .drop("_h", "_canon")
     val pairs = Dedup.lshVerifiedPairs(exactKept, idCol, textCol, 3, jaccard)
     val kept = Dedup.keepFirstByCluster(exactKept, idCol, pairs)
-    val scored = exactKept.join(kept, Seq(idCol))
+    val deduped = exactKept.join(kept, Seq(idCol))
+    val clean = evalDocs.fold(deduped)(ev =>
+      Dedup.decontaminate(deduped, ev, idCol, textCol, decontamK, maxShared))
+    val scored = clean
       .withColumn("quality", TextOps.qualityScore(col(textCol)))
       .filter(col("quality") >= minQuality)
     val assigned = splitAssign(scored, idCol, splits, salt)
-    packSequences(assigned, idCol, textCol, capacity, numShards,
-      packKeys = Seq("split"), carry = Seq("quality"))
+    val mixed =
+      if (rebalanceTargets.isEmpty) assigned
+      else rebalance(assigned, idCol, domainCol.get, rebalanceTargets,
+        salt + "_rb")
+    packSequences(mixed, idCol, textCol, capacity, numShards,
+      packKeys = Seq("split"), carry = Seq("quality") ++ domainCol.toSeq)
   }
 }

@@ -588,6 +588,37 @@ class PipelineSpec extends SparkSpec {
       Pipeline.rebalanceRepeat(df, "id", "dom", Seq(("a", 1.0)), 0, "s") }
   }
 
+  test("curate composes decontamination and rebalancing stages") {
+    // 6 en + 6 de docs of distinct text; the eval set reuses doc 0's
+    // text, so decontamination must drop exactly doc 0; rebalancing to
+    // 50/50 then makes the 5-doc en side limiting (rate exactly 1.0 —
+    // every surviving en doc kept)
+    def mk(i: Long) = s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"
+    val docs = ((0L until 6L).map(i => (i, "en", mk(i))) ++
+      (10L until 16L).map(i => (i, "de", mk(i))))
+      .toDF("doc_id", "lang", "text")
+    val eval = Seq((900L, mk(0))).toDF("doc_id", "text")
+    val out = Pipeline.curate(docs, "doc_id", "text",
+      evalDocs = Some(eval), domainCol = Some("lang"),
+      rebalanceTargets = Seq(("en", 0.5), ("de", 0.5)))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(0L), "contaminated doc survived decontamination")
+    assert((1L until 6L).forall(ids.contains),
+      s"limiting-domain en docs must all survive rebalance, got $ids")
+    assert(out.columns.toSeq ==
+      Seq("split", "quality", "lang", "doc_id", "shard", "n_tokens", "bin"))
+    // the same corpus without evalDocs/rebalance keeps doc 0 (the p3
+    // shape is unchanged by the new optional stages)
+    val base = Pipeline.curate(docs, "doc_id", "text")
+    assert(base.select("doc_id").as[Long].collect().toSet.contains(0L))
+    assert(base.columns.toSeq ==
+      Seq("split", "quality", "doc_id", "shard", "n_tokens", "bin"))
+    // rebalanceTargets without domainCol is a usage error
+    intercept[IllegalArgumentException] {
+      Pipeline.curate(docs, "doc_id", "text",
+        rebalanceTargets = Seq(("en", 1.0))) }
+  }
+
   test("packing with the subword counter packs by subwords, not words") {
     // "a-b." = 1 whitespace token but 4 subwords (a, b, -, .): with the
     // subword counter plugged in, n_tokens and therefore the bin edges
