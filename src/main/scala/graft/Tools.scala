@@ -175,6 +175,11 @@ object Tools {
           time(s"d14 semdedup auto(L=125) ${m}x")(
             Dedup.semDedupAuto(ep, "vec_id", "embedding",
               targetListSize = 125L, tau = 0.999).count())
+          // the corpus-scale configuration: two-level routed assignment,
+          // O(sqrt C) per row instead of O(C)
+          time(s"d14 semdedup routed(L=125) ${m}x")(
+            Dedup.semDedupAuto(ep, "vec_id", "embedding",
+              targetListSize = 125L, tau = 0.999, routed = true).count())
           // d14 anti-pattern: FIXED C — per-cluster lists grow with the
           // corpus, so pair volume grows ~N²/C (the shape semDedupAuto
           // exists to avoid)

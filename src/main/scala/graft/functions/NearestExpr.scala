@@ -1,0 +1,288 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+
+/** Native nearest-centroid argmin over a CONSTANT centroid table.
+  *
+  * The declarative form (`array_min` over per-centroid distance structs,
+  * previously built by `Similarity.ivfListId` / `ProductQuant.codeExpr`)
+  * unrolls every centroid into the expression tree: O(C) generated code
+  * that overflows janino's 64KB method limit past C ≈ 256 and falls back
+  * to interpreted evaluation — measured in the round-8 `ivfpqbench`
+  * (lists=256 write) and the d14 semDedupAuto growth probe (C=160,
+  * 30.7 s at 10×). Here the table rides along as ONE reference object
+  * (`ctx.addReferenceObj`) and the generated code is a fixed-size tight
+  * loop: O(1) code size for ANY C, fully inside whole-stage codegen.
+  *
+  * Semantics are IDENTICAL to the struct-argmin form so every DuckDB
+  * oracle still hash-matches: distances accumulate left-to-right in
+  * float64; `sqrtCompare` compares sqrt'd distances (the IVF form —
+  * DuckDB's `list_distance` is euclidean, and two distinct squared
+  * distances can round to the same sqrt, where the lowest id must win)
+  * vs raw squared (the PQ codeword form); ties go to the EARLIEST table
+  * entry, so callers pass tables sorted by id ascending — lowest id on
+  * ties, exactly `array_min`'s lexicographic struct order. */
+case class NearestIdExpr(child: Expression, ids: Array[Long],
+                         cents: Array[Array[Double]], sqrtCompare: Boolean)
+    extends UnaryExpression {
+  require(ids.length == cents.length && ids.nonEmpty,
+    "NearestIdExpr needs one id per centroid")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_nearest"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a float/double array input")
+  }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    NearestIdExpr.nearest(v, elemIsFloat, ids, cents, sqrtCompare)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val idsRef = ctx.addReferenceObj("nearestIds", ids, "long[]")
+    val centsRef = ctx.addReferenceObj("nearestCents", cents, "double[][]")
+    val cd = if (sqrtCompare) "java.lang.Math.sqrt(acc)" else "acc"
+    nullSafeCodeGen(ctx, ev, v => {
+      val best = ctx.freshName("best")
+      val bestId = ctx.freshName("bestId")
+      val ci = ctx.freshName("ci")
+      val k = ctx.freshName("k")
+      s"""
+        double $best = Double.POSITIVE_INFINITY;
+        long $bestId = 0L;
+        for (int $ci = 0; $ci < $centsRef.length; $ci++) {
+          double[] cv = $centsRef[$ci];
+          if ($v.numElements() != cv.length) {
+            throw new IllegalArgumentException(
+              "vector length mismatch: " + $v.numElements() + " vs " + cv.length);
+          }
+          double acc = 0.0;
+          for (int $k = 0; $k < cv.length; $k++) {
+            double diff = (double) $v.$get($k) - cv[$k];
+            acc += diff * diff;
+          }
+          double cd = $cd;
+          if (cd < $best) { $best = cd; $bestId = $idsRef[$ci]; }
+        }
+        ${ev.value} = $bestId;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object NearestIdExpr {
+  /** Shared interpreted kernel (also the routed expression's inner
+    * loop): earliest entry wins ties, matching sorted-by-id tables. */
+  private[functions] def nearest(v: ArrayData, isFloat: Boolean,
+                                 ids: Array[Long], cents: Array[Array[Double]],
+                                 sqrtCompare: Boolean): Long = {
+    var best = Double.PositiveInfinity
+    var bestId = 0L
+    var ci = 0
+    while (ci < cents.length) {
+      val cv = cents(ci)
+      if (v.numElements() != cv.length)
+        throw new IllegalArgumentException(
+          s"vector length mismatch: ${v.numElements()} vs ${cv.length}")
+      var acc = 0.0d
+      var k = 0
+      while (k < cv.length) {
+        val diff = (if (isFloat) v.getFloat(k).toDouble else v.getDouble(k)) - cv(k)
+        acc += diff * diff
+        k += 1
+      }
+      val cd = if (sqrtCompare) math.sqrt(acc) else acc
+      if (cd < best) { best = cd; bestId = ids(ci) }
+      ci += 1
+    }
+    bestId
+  }
+
+  /** Index (NOT id) of the nearest row in `cents` — the routing step. */
+  private[functions] def nearestIdx(v: ArrayData, isFloat: Boolean,
+                                    cents: Array[Array[Double]]): Int = {
+    var best = Double.PositiveInfinity
+    var bestIdx = 0
+    var ci = 0
+    while (ci < cents.length) {
+      val cv = cents(ci)
+      var acc = 0.0d
+      var k = 0
+      while (k < cv.length) {
+        val diff = (if (isFloat) v.getFloat(k).toDouble else v.getDouble(k)) - cv(k)
+        acc += diff * diff
+        k += 1
+      }
+      if (acc < best) { best = acc; bestIdx = ci }
+      ci += 1
+    }
+    bestIdx
+  }
+}
+
+/** Two-level ROUTED nearest-centroid assignment for corpus-scale
+  * centroid counts: route to the nearest of S "super" centroids, then
+  * exact argmin over only that super's member centroids — O(S + C/S)
+  * distance evaluations per row instead of O(C), with S ≈ √C. The
+  * result is approximate (a vector whose true nearest centroid lives
+  * under a different super gets its routed super's best member — the
+  * standard hierarchical-k-means trade, cf. IVF-HNSW / two-level
+  * quantizers in the Jégou line of work); it is EXACT whenever the
+  * routed super's members contain the true nearest centroid, and it is
+  * deterministic for fixed tables. Tie-breaks mirror NearestIdExpr:
+  * earliest super / lowest member id. */
+case class NearestRoutedExpr(child: Expression,
+                             superCents: Array[Array[Double]],
+                             memberIds: Array[Array[Long]],
+                             memberCents: Array[Array[Array[Double]]],
+                             sqrtCompare: Boolean)
+    extends UnaryExpression {
+  require(superCents.length == memberIds.length &&
+    memberIds.length == memberCents.length && superCents.nonEmpty,
+    "NearestRoutedExpr needs aligned super/member tables")
+  require(memberIds.forall(_.nonEmpty), "every super needs at least one member")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_nearest_routed"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a float/double array input")
+  }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val s = NearestIdExpr.nearestIdx(v, elemIsFloat, superCents)
+    NearestIdExpr.nearest(v, elemIsFloat, memberIds(s), memberCents(s),
+      sqrtCompare)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val supersRef = ctx.addReferenceObj("routedSupers", superCents, "double[][]")
+    val idsRef = ctx.addReferenceObj("routedMemberIds", memberIds, "long[][]")
+    val centsRef = ctx.addReferenceObj("routedMemberCents", memberCents,
+      "double[][][]")
+    val cd = if (sqrtCompare) "java.lang.Math.sqrt(acc)" else "acc"
+    nullSafeCodeGen(ctx, ev, v => {
+      val sBest = ctx.freshName("sBest")
+      val sIdx = ctx.freshName("sIdx")
+      val si = ctx.freshName("si")
+      val best = ctx.freshName("best")
+      val bestId = ctx.freshName("bestId")
+      val ci = ctx.freshName("ci")
+      val k = ctx.freshName("k")
+      s"""
+        double $sBest = Double.POSITIVE_INFINITY;
+        int $sIdx = 0;
+        for (int $si = 0; $si < $supersRef.length; $si++) {
+          double[] sv = $supersRef[$si];
+          double acc = 0.0;
+          for (int $k = 0; $k < sv.length; $k++) {
+            double diff = (double) $v.$get($k) - sv[$k];
+            acc += diff * diff;
+          }
+          if (acc < $sBest) { $sBest = acc; $sIdx = $si; }
+        }
+        long[] mids = $idsRef[$sIdx];
+        double[][] mcents = $centsRef[$sIdx];
+        double $best = Double.POSITIVE_INFINITY;
+        long $bestId = 0L;
+        for (int $ci = 0; $ci < mcents.length; $ci++) {
+          double[] cv = mcents[$ci];
+          if ($v.numElements() != cv.length) {
+            throw new IllegalArgumentException(
+              "vector length mismatch: " + $v.numElements() + " vs " + cv.length);
+          }
+          double acc = 0.0;
+          for (int $k = 0; $k < cv.length; $k++) {
+            double diff = (double) $v.$get($k) - cv[$k];
+            acc += diff * diff;
+          }
+          double cd = $cd;
+          if (cd < $best) { $best = cd; $bestId = mids[$ci]; }
+        }
+        ${ev.value} = $bestId;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object NearestExpr {
+  import GraftSqlShim.{toColumn, toExpression}
+
+  /** Nearest-id column over a constant (id, centroid) table; the table
+    * is sorted by id here so ties resolve to the lowest id. */
+  def nearestId(vec: Column, table: Array[(Long, Array[Double])],
+                sqrtCompare: Boolean): Column = {
+    val sorted = table.sortBy(_._1)
+    toColumn(NearestIdExpr(toExpression(vec), sorted.map(_._1),
+      sorted.map(_._2), sqrtCompare))
+  }
+
+  /** Routed nearest-id column: supers are a stride sample of the
+    * id-sorted table (deterministic), members are each table row routed
+    * to its nearest super (driver-side, C·S flops once). `fanout` 0
+    * picks S = ceil(√C). */
+  def nearestIdRouted(vec: Column, table: Array[(Long, Array[Double])],
+                      sqrtCompare: Boolean, fanout: Int = 0): Column = {
+    val sorted = table.sortBy(_._1)
+    val c = sorted.length
+    val s = if (fanout > 0) math.min(fanout, c)
+            else math.max(1, math.ceil(math.sqrt(c.toDouble)).toInt)
+    val step = math.max(1, math.ceil(c.toDouble / s).toInt)
+    val supers = sorted.indices.by(step).map(sorted(_)._2).toArray
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0d; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val routed = Array.fill(supers.length)(
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])])
+    sorted.foreach { case (lid, cv) =>
+      var bestIdx = 0; var best = Double.PositiveInfinity; var si = 0
+      while (si < supers.length) {
+        val dd = d2(cv, supers(si))
+        if (dd < best) { best = dd; bestIdx = si }
+        si += 1
+      }
+      routed(bestIdx) += ((lid, cv))
+    }
+    // a super whose list went empty (possible when the stride sample is
+    // skewed) gets its own sample vector as the sole member — the id of
+    // that sample row, found by reference equality on the stride pick
+    val filled = routed.zipWithIndex.map { case (buf, si) =>
+      if (buf.nonEmpty) buf.toArray
+      else Array(sorted(math.min(si * step, c - 1)))
+    }
+    toColumn(NearestRoutedExpr(toExpression(vec), supers,
+      filled.map(_.map(_._1)), filled.map(_.map(_._2)), sqrtCompare))
+  }
+}

@@ -707,25 +707,37 @@ object Dedup {
     * effectively bounded by driver memory long before that. */
   def semDedupAuto(emb: DataFrame, idCol: String, vecCol: String,
                    targetListSize: Long, tau: Double,
-                   lloydIters: Int = 2): DataFrame = {
+                   lloydIters: Int = 2,
+                   routed: Boolean = false): DataFrame = {
     require(targetListSize > 0, "targetListSize must be positive")
     val cRaw = math.max(1.0, math.ceil(emb.count().toDouble / targetListSize))
     require(cRaw <= Int.MaxValue,
       s"computed cluster count $cRaw exceeds Int range — raise targetListSize")
     val c = cRaw.toInt
+    val assign: (org.apache.spark.sql.Column, Array[(Long, Array[Double])]) =>
+        org.apache.spark.sql.Column =
+      if (routed) Similarity.ivfListIdRouted(_, _) else Similarity.ivfListId
     val cents =
-      if (lloydIters > 0) Similarity.ivfTrain(emb, idCol, vecCol, c, lloydIters)
+      if (lloydIters > 0)
+        Similarity.ivfTrain(emb, idCol, vecCol, c, lloydIters, assign)
       else Similarity.ivfCentroids(emb, idCol, vecCol, c)
-    semDedupWith(emb, idCol, vecCol, cents, tau)
+    semDedupWith(emb, idCol, vecCol, cents, tau, routed)
   }
 
   /** [[semDedup]] body against an explicit (e.g. Lloyd-trained) centroid
-    * set. */
+    * set. `routed` swaps the exact O(C)-per-row assignment for the
+    * two-level O(√C) [[Similarity.ivfListIdRouted]] — the corpus-scale
+    * configuration, where C = N/targetListSize makes even a tight flat
+    * argmin loop the dominant cost (round-8 growth row); clustering
+    * then becomes approximate at super boundaries, which SemDeDup
+    * tolerates (clusters are a bucketing device, and near-dups split
+    * across clusters were already the documented recall trade). */
   def semDedupWith(emb: DataFrame, idCol: String, vecCol: String,
                    centroids: Array[(Long, Array[Double])],
-                   tau: Double): DataFrame = {
+                   tau: Double, routed: Boolean = false): DataFrame = {
     val assigned = emb.withColumn("list_id",
-      Similarity.ivfListId(col(vecCol), centroids))
+      if (routed) Similarity.ivfListIdRouted(col(vecCol), centroids)
+      else Similarity.ivfListId(col(vecCol), centroids))
     def side(i: String, v: String, n: String) =
       assigned.select(col(idCol).as(i), col("list_id"),
         col(vecCol).as(v), norm(col(vecCol)).as(n))

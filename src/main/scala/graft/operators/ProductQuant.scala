@@ -31,12 +31,15 @@ object ProductQuant {
     slice(vecCol, j * dsub + 1, dsub)
 
   /** Codegen argmin over subspace j's codewords for a sub-vector col:
-    * array_min over (distSq, code) structs — ties to the lower code. */
+    * the native constant-table argmin ([[graft.functions.NearestIdExpr]],
+    * raw squared distances — the PQ convention), ties to the lower code.
+    * Replaces the unrolled array_min-over-structs form whose m×k
+    * generated branches dominated a5's wall time with codegen compile
+    * (round-7 plan-audit note) — same semantics, O(1) code size. */
   private def codeExpr(sub: Column, words: Array[Array[Double]]): Column =
-    array_min(array(words.zipWithIndex.map { case (w, c) =>
-      struct(distSq(sub, doubleVec(w.toIndexedSeq)).as("d2"),
-        lit(c).as("c"))
-    }.toIndexedSeq: _*)).getField("c")
+    graft.functions.NearestExpr.nearestId(sub,
+      words.zipWithIndex.map { case (w, c) => (c.toLong, w) },
+      sqrtCompare = false).cast("int")
 
   /** Train a codebook: deterministic seeds (the first k ids' sub-vectors)
     * + `iters` Lloyd rounds, all m subspaces fused into one shuffle per

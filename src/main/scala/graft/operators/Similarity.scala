@@ -82,18 +82,29 @@ object Similarity {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
 
-  /** Nearest-centroid column for a vector column: per-centroid codegen
-    * distances + argmin via array_min over (cdist, list_id) structs
-    * (lexicographic struct ordering = min distance, ties → lowest list
-    * id). A pure projection — no n×C row expansion, no shuffle, no
-    * aggregate; the previous form ranked the crossJoin through a
-    * row_number window, shuffling n×numLists rows. */
-  def ivfListId(vec: Column, centroids: Array[(Long, Array[Double])]): Column = {
-    val pairs = centroids.map { case (lid, cv) =>
-      struct(dist(vec, doubleVec(cv.toSeq)).as("cdist"), lit(lid).as("list_id"))
-    }
-    array_min(array(pairs.toIndexedSeq: _*)).getField("list_id")
-  }
+  /** Nearest-centroid column for a vector column: a native constant-
+    * table argmin ([[graft.functions.NearestIdExpr]]) — one tight
+    * codegen loop over the centroid table held as a reference object,
+    * O(1) generated-code size for ANY C. A pure projection — no n×C row
+    * expansion, no shuffle, no aggregate. Semantics identical to the
+    * previous array_min-over-structs form (sqrt'd float64 distances,
+    * ties → lowest list id — what the DuckDB oracles recompute); that
+    * form unrolled every centroid into the plan, overflowing janino's
+    * 64KB method limit past C ≈ 256 (round-8 ivfpqbench finding). */
+  def ivfListId(vec: Column, centroids: Array[(Long, Array[Double])]): Column =
+    graft.functions.NearestExpr.nearestId(vec, centroids, sqrtCompare = true)
+
+  /** Two-level ROUTED assignment for corpus-scale centroid counts
+    * (C ≫ 10³, where even a tight O(C)-per-row loop dominates): route
+    * to the nearest of ~√C stride-sampled super-centroids, exact argmin
+    * within the routed super's members — O(√C) work per row,
+    * deterministic, approximate at super boundaries (the hierarchical
+    * k-means trade). Opt-in: callers that need the exact argmin (every
+    * oracle-gated query) keep [[ivfListId]]. */
+  def ivfListIdRouted(vec: Column, centroids: Array[(Long, Array[Double])],
+                      fanout: Int = 0): Column =
+    graft.functions.NearestExpr.nearestIdRouted(vec, centroids,
+      sqrtCompare = true, fanout)
 
   /** IVF coarse assignment: emb + `list_id` of the nearest centroid. */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
@@ -148,12 +159,14 @@ object Similarity {
     * their previous centroid. The refined set drops into ivfAssign /
     * ivfKnnWith / writeIvf unchanged. */
   def ivfTrain(emb: DataFrame, idCol: String, vecCol: String,
-               numLists: Int, iters: Int): Array[(Long, Array[Double])] = {
+               numLists: Int, iters: Int,
+               assign: (Column, Array[(Long, Array[Double])]) => Column =
+                 ivfListId): Array[(Long, Array[Double])] = {
     var cents = ivfCentroids(emb, idCol, vecCol, numLists)
     val vs = graft.functions.VecStatsNative.vecStats _
     for (_ <- 0 until iters) {
       val means = emb
-        .select(ivfListId(col(vecCol), cents).as("list_id"),
+        .select(assign(col(vecCol), cents).as("list_id"),
           col(idCol).cast("long").as("id"),
           col(vecCol).cast("array<float>").as("vector"))
         .groupBy(col("list_id"))

@@ -687,6 +687,49 @@ class SimilaritySpec extends SparkSpec {
       .select("qid", "vec_id").as[(Long, Long)].collect().toMap
     assert(r == Map(0L -> 0L, 1L -> 1L))
   }
+
+  test("routed assignment equals exact argmin on separated clusters") {
+    // the property SemDeDup actually needs from the routed assignment is
+    // NOT agreement with the exact argmin (routing is approximate by
+    // contract) but CO-ROUTING: near-duplicate vectors — near-identical
+    // distances to every super — must land in the SAME list so the pair
+    // join still compares them. Check with ε-perturbed twins of the real
+    // sf0.001 embeddings.
+    val e = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.ivfCentroids(e, "vec_id", "embedding", 64)
+    val twin = e.select(col("vec_id"),
+      expr("transform(embedding, x -> x + float(1e-6))").as("embedding"))
+    def routeOf(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      Similarity.ivfListIdRouted(col("embedding"), cents).as("l"))
+    val diverged = routeOf(e).join(
+        routeOf(twin).withColumnRenamed("l", "l2"), Seq("vec_id"))
+      .filter(col("l") =!= col("l2")).count()
+    assert(diverged <= e.count() / 100,
+      s"$diverged near-dup twins routed to different lists")
+    // hierarchically-separated fixture: two super-groups far apart
+    // (offsets 0 vs 10000), two sub-clusters within each (±10) —
+    // centroids are one member per sub-cluster, the stride-2 supers are
+    // sub-clusters 0 and 2, and every vector's true nearest centroid is
+    // a member of its routed super -> routed == exact everywhere
+    val offs = Seq(0f, 10f, 10000f, 10010f)
+    val sep = (0L until 40L).map { i =>
+      val c = (i % 4).toInt
+      (i, Seq.tabulate(8)(d => offs(c) + d + (i % 10).toFloat * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val sepCents = Similarity.ivfCentroids(sep, "vec_id", "embedding", 4)
+    val mismatch = sep.select(
+        Similarity.ivfListId(col("embedding"), sepCents).as("exact"),
+        Similarity.ivfListIdRouted(col("embedding"), sepCents, fanout = 2)
+          .as("routed"))
+      .filter(col("exact") =!= col("routed")).count()
+    assert(mismatch == 0L)
+    // deterministic run to run
+    val a = e.select(Similarity.ivfListIdRouted(col("embedding"), cents)
+      .as("l")).as[Long].collect().toSeq
+    val b = e.select(Similarity.ivfListIdRouted(col("embedding"), cents)
+      .as("l")).as[Long].collect().toSeq
+    assert(a == b)
+  }
 }
 
 class ProductQuantSpec extends SparkSpec {
