@@ -198,6 +198,32 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "assignbench") {
+      // pure nearest-centroid assignment cost, flat O(C) vs routed
+      // O(sqrt C) per row — the term that dominates semDedupAuto and
+      // IVF writes once C reaches corpus scale (C = N/listSize).
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      val nums = args.drop(1).filter(_.forall(_.isDigit))
+      val n = nums.headOption.map(_.toLong).getOrElse(200000L)
+      val d = nums.lift(1).map(_.toInt).getOrElse(64)
+      val pts = graft.sources.Ingest.randomUniform(spark, n, d)
+        .withColumnRenamed("vector", "embedding").localCheckpoint()
+      for (c <- Seq(256, 2048, 16384)) {
+        val cents = Similarity.ivfCentroids(pts, "id", "embedding", c)
+        def run(label: String, assignCol: org.apache.spark.sql.Column): Unit = {
+          // warm once (codegen/JIT), then time 2 passes over all rows
+          pts.select(assignCol.as("l")).agg(max("l")).collect()
+          val t0 = System.nanoTime()
+          (1 to 2).foreach(_ =>
+            pts.select(assignCol.as("l")).agg(max("l")).collect())
+          println(f"$label C=$c%-6d ${(System.nanoTime() - t0) / 2e9}%8.2f s/pass")
+        }
+        run("flat  ", Similarity.ivfListId(col("embedding"), cents))
+        run("routed", Similarity.ivfListIdRouted(col("embedding"), cents))
+      }
+      spark.stop(); return
+    }
     if (name == "ivfpqbench") {
       // IVFADC serving-latency probe at scale (judge r6 #5 / r7 #3):
       // write the narrow (id, codes) store once over n x d synthetic
