@@ -188,6 +188,22 @@ object SparkEntry {
           RebalanceTargets, maxRepeat = 3, salt = "rr")
         .select(col("doc_id"), col("lang"), col("rep"))
         .orderBy(col("doc_id"), col("rep"))),
+    "p7_curate_upsampled" -> ((s, d) => {
+      // the composed pipeline in its UPSAMPLING configuration: same
+      // seven stages as p5 but scarce domains repeat up to 3 epochs
+      // (rebalanceRepeat) and packing orders by (doc_id, rep) so the
+      // repeated rows bin deterministically — the oracle predicts every
+      // (doc_id, rep) row and its bin
+      val docs = Tables.documents(s, d)
+      Pipeline.curate(docs, "doc_id", "text",
+          evalDocs = Some(docs.filter(col("doc_id") % 23 === 0)),
+          domainCol = Some("lang"), rebalanceTargets = RebalanceTargets,
+          maxRepeat = 3)
+        .select(col("doc_id"), col("rep"), col("lang"), col("quality"),
+          col("split"), col("shard"),
+          col("n_tokens").cast("long").as("n_tokens"), col("bin"))
+        .orderBy(col("doc_id"), col("rep"))
+    }),
     "v12_l2_normalize" -> ((s, d) =>
       VectorStats.l2Normalize(embeddings(s, d), "embedding")
         .select(col("vec_id"),
@@ -650,6 +666,57 @@ object SparkEntry {
       |  FROM cinter JOIN sizes sa ON sa.doc_id = a
       |  JOIN sizes sb ON sb.doc_id = b)""".stripMargin
 
+  /** Shared CTE chain of the p5/p7 composed-curation oracles, ending in
+    * `sp(doc_id, lang, quality, text, split)` (exact dedup → near-dup
+    * closure → decontam vs the doc_id%23 eval slice → quality gate →
+    * split assign) plus the rebalance preamble `tgt`/`cnt`/`kv` (counts
+    * LEFT-JOINed so an absent domain collapses to the empty mixture in
+    * both engines). Callers append the downsample (p5) or upsample (p7)
+    * tail. */
+  private def CurateCommonCtes(kvExpr: String): String =
+    s"""ek AS (
+       |  SELECT doc_id, lang, text FROM (
+       |    SELECT doc_id, lang, text,
+       |      min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+       |    FROM documents) WHERE doc_id = canon),
+       |${MinHashCandCtes(2, "ek")},
+       |$LshVerifiedCtes,
+       |dpairs AS (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6),
+       |dedges AS (SELECT a AS x, b AS y FROM dpairs
+       |  UNION ALL SELECT b, a FROM dpairs),
+       |reach(node, r) AS (
+       |  SELECT x, y FROM dedges
+       |  UNION
+       |  SELECT reach.node, e.y FROM reach JOIN dedges e ON e.x = reach.r),
+       |cl AS (SELECT node, least(node, min(r)) AS cluster
+       |  FROM reach GROUP BY node),
+       |dd AS (SELECT doc_id, lang, text FROM ek
+       |  WHERE doc_id NOT IN (SELECT node FROM cl WHERE node <> cluster)),
+       |etoks AS (SELECT string_split_regex(text, '\\s+') ts FROM documents
+       |  WHERE doc_id % 23 = 0),
+       |evs AS (SELECT DISTINCT array_to_string(ts[i+1:i+3], ' ') AS shingle
+       |  FROM (SELECT ts, unnest(range(greatest(len(ts)-2, 1))) AS i FROM etoks)),
+       |contam AS (SELECT DISTINCT s.doc_id FROM sh s
+       |  JOIN evs e ON e.shingle = s.shingle),
+       |qf AS (SELECT doc_id, lang, text, $QualitySql AS quality FROM dd
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+       |    AND $QualitySql >= 0.5),
+       |sp AS (SELECT doc_id, lang, quality, text,
+       |  CASE WHEN up < 0.75 THEN 'train'
+       |       WHEN up < 0.875 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT *,
+       |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_cu'), 1, 15)) AS BIGINT) AS DOUBLE)
+       |      / 1152921504606846976.0 AS up FROM qf)),
+       |tgt(lang, tw) AS (VALUES $RebalanceTargetsSql),
+       |cnt AS (SELECT tgt.lang, tgt.tw, count(sp.doc_id) AS c
+       |  FROM tgt LEFT JOIN sp ON sp.lang = tgt.lang GROUP BY tgt.lang, tgt.tw),
+       |kv AS (SELECT min($kvExpr) AS k FROM cnt)""".stripMargin
+
+  /** The p5/p7 rebalance uniform (salt `cu_rb`) as a SQL expression. */
+  private val CurateRbUniformSql: String =
+    """CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_cu_rb'), 1, 15)) AS BIGINT) AS DOUBLE)
+      |    / 1152921504606846976.0""".stripMargin
+
   private def simhashSumsSql: String = {
     val sums = (0 until 16).map { j =>
       val pos = j / 4 + 1
@@ -959,47 +1026,10 @@ object SparkEntry {
          |  / 1152921504606846976.0 < rate
          |ORDER BY doc_id""".stripMargin,
     "p5_curate_full" ->
-      s"""WITH RECURSIVE ek AS (
-         |  SELECT doc_id, lang, text FROM (
-         |    SELECT doc_id, lang, text,
-         |      min(doc_id) OVER (PARTITION BY md5(text)) AS canon
-         |    FROM documents) WHERE doc_id = canon),
-         |${MinHashCandCtes(2, "ek")},
-         |$LshVerifiedCtes,
-         |dpairs AS (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6),
-         |dedges AS (SELECT a AS x, b AS y FROM dpairs
-         |  UNION ALL SELECT b, a FROM dpairs),
-         |reach(node, r) AS (
-         |  SELECT x, y FROM dedges
-         |  UNION
-         |  SELECT reach.node, e.y FROM reach JOIN dedges e ON e.x = reach.r),
-         |cl AS (SELECT node, least(node, min(r)) AS cluster
-         |  FROM reach GROUP BY node),
-         |dd AS (SELECT doc_id, lang, text FROM ek
-         |  WHERE doc_id NOT IN (SELECT node FROM cl WHERE node <> cluster)),
-         |etoks AS (SELECT string_split_regex(text, '\\s+') ts FROM documents
-         |  WHERE doc_id % 23 = 0),
-         |evs AS (SELECT DISTINCT array_to_string(ts[i+1:i+3], ' ') AS shingle
-         |  FROM (SELECT ts, unnest(range(greatest(len(ts)-2, 1))) AS i FROM etoks)),
-         |contam AS (SELECT DISTINCT s.doc_id FROM sh s
-         |  JOIN evs e ON e.shingle = s.shingle),
-         |qf AS (SELECT doc_id, lang, text, $QualitySql AS quality FROM dd
-         |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
-         |    AND $QualitySql >= 0.5),
-         |sp AS (SELECT doc_id, lang, quality, text,
-         |  CASE WHEN up < 0.75 THEN 'train'
-         |       WHEN up < 0.875 THEN 'val' ELSE 'test' END AS split
-         |  FROM (SELECT *,
-         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_cu'), 1, 15)) AS BIGINT) AS DOUBLE)
-         |      / 1152921504606846976.0 AS up FROM qf)),
-         |tgt(lang, tw) AS (VALUES $RebalanceTargetsSql),
-         |cnt AS (SELECT tgt.lang, tgt.tw, count(sp.doc_id) AS c
-         |  FROM tgt LEFT JOIN sp ON sp.lang = tgt.lang GROUP BY tgt.lang, tgt.tw),
-         |kv AS (SELECT min(CAST(c AS DOUBLE) / tw) AS k FROM cnt),
+      s"""WITH RECURSIVE ${CurateCommonCtes("CAST(c AS DOUBLE) / tw")},
          |rr AS (SELECT lang, tw * kv.k / CAST(c AS DOUBLE) AS rate FROM cnt, kv WHERE c > 0),
          |mx AS (SELECT sp.* FROM sp JOIN rr USING (lang)
-         |  WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_cu_rb'), 1, 15)) AS BIGINT) AS DOUBLE)
-         |    / 1152921504606846976.0 < rate),
+         |  WHERE $CurateRbUniformSql < rate),
          |t AS (SELECT doc_id, lang, quality, split, doc_id % 8 AS shard,
          |  len(string_split_regex(text, '\\s+')) AS n_tokens FROM mx)
          |SELECT doc_id, lang, quality, split, shard,
@@ -1008,6 +1038,25 @@ object SparkEntry {
          |   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |   - n_tokens) / 512) AS BIGINT) AS bin
          |FROM t ORDER BY doc_id""".stripMargin,
+    "p7_curate_upsampled" ->
+      s"""WITH RECURSIVE ${CurateCommonCtes("CAST(c AS DOUBLE) * 3 / tw")},
+         |rr AS (SELECT lang, tw * kv.k / CAST(c AS DOUBLE) AS rate FROM cnt, kv WHERE c > 0),
+         |cp AS (SELECT sp.*,
+         |  CAST(floor(rate) AS BIGINT) +
+         |    (CASE WHEN $CurateRbUniformSql < rate - floor(rate)
+         |      THEN 1 ELSE 0 END) AS copies
+         |  FROM sp JOIN rr USING (lang)),
+         |ex AS (SELECT doc_id, lang, quality, split, text,
+         |  CAST(unnest(range(copies)) AS BIGINT) AS rep
+         |  FROM cp WHERE copies > 0),
+         |t AS (SELECT doc_id, rep, lang, quality, split, doc_id % 8 AS shard,
+         |  len(string_split_regex(text, '\\s+')) AS n_tokens FROM ex)
+         |SELECT doc_id, rep, lang, quality, split, shard,
+         | CAST(n_tokens AS BIGINT) AS n_tokens,
+         | CAST(floor((CAST(sum(n_tokens) OVER (PARTITION BY split, shard
+         |   ORDER BY doc_id, rep ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |   - n_tokens) / 512) AS BIGINT) AS bin
+         |FROM t ORDER BY doc_id, rep""".stripMargin,
     "p6_rebalance_repeat" ->
       s"""WITH tgt(lang, tw) AS (VALUES $RebalanceTargetsSql),
          |cnt AS (SELECT tgt.lang, tgt.tw, count(d.doc_id) AS c

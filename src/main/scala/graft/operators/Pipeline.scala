@@ -86,18 +86,28 @@ object Pipeline {
     *
     * `packKeys` prepends extra partition keys to the shard (pack within
     * split, within source, ...); `carry` columns are forwarded to the
-    * output untouched. */
+    * output untouched.
+    *
+    * `orderCols` (default just `idCol`) is the in-shard packing order
+    * and MUST be a row-unique key: with duplicate order values the
+    * running sum over ties is partition-placement-dependent and bins go
+    * nondeterministic. Upsampled corpora ([[rebalanceRepeat]] output,
+    * where doc_id repeats per epoch) pack with
+    * `orderCols = Seq(idCol, "rep")`. */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
                     capacity: Int, numShards: Int,
                     count: Column => Column = TextOps.tokenCount,
                     packKeys: Seq[String] = Nil,
-                    carry: Seq[String] = Nil): DataFrame = {
+                    carry: Seq[String] = Nil,
+                    orderCols: Seq[String] = Nil): DataFrame = {
+    val order = if (orderCols.nonEmpty) orderCols else Seq(idCol)
     val w = Window
       .partitionBy((packKeys.map(col) :+ col("shard")): _*)
-      .orderBy(col(idCol))
+      .orderBy(order.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
-      .select((packKeys ++ carry).distinct.map(col) ++ Seq(
+      .select((packKeys ++ carry ++ order.filterNot(_ == idCol))
+        .distinct.map(col) ++ Seq(
         col(idCol), (col(idCol) % numShards).as("shard"),
         count(col(textCol)).as("n_tokens")): _*)
       .withColumn("bin",
@@ -214,9 +224,13 @@ object Pipeline {
     *     downsample to the target mixture over `domainCol`
     *     ([[rebalance]], salt `salt + "_rb"`) — after splitting so the
     *     mixture holds within every split (membership is id-keyed,
-    *     independent of the split uniform);
-    *  7. sequence packing per (split, shard) ([[packSequences]]).
-    * Returns (split, quality[, domain], id, shard, n_tokens, bin).
+    *     independent of the split uniform); `maxRepeat` > 1 upsamples
+    *     instead ([[rebalanceRepeat]] — scarce domains repeat up to
+    *     maxRepeat epochs, rows gain a `rep` column);
+    *  7. sequence packing per (split, shard) ([[packSequences]] —
+    *     ordered by (id, rep) when upsampled so repeated rows pack
+    *     deterministically).
+    * Returns (split, quality[, domain][, rep], id, shard, n_tokens, bin).
     * Every stage is keyed/bucketed — the widest shuffle is the LSH band
     * join; decontam adds a broadcast probe, rebalance one bounded
     * count agg — and the whole flow is engine-portable (the p3/p5
@@ -231,7 +245,8 @@ object Pipeline {
              evalDocs: Option[DataFrame] = None,
              decontamK: Int = 3, maxShared: Long = 1L,
              domainCol: Option[String] = None,
-             rebalanceTargets: Seq[(String, Double)] = Nil): DataFrame = {
+             rebalanceTargets: Seq[(String, Double)] = Nil,
+             maxRepeat: Int = 1): DataFrame = {
     require(rebalanceTargets.isEmpty || domainCol.nonEmpty,
       "rebalanceTargets needs domainCol")
     val byHash = Window.partitionBy(col("_h"))
@@ -249,11 +264,16 @@ object Pipeline {
       .withColumn("quality", TextOps.qualityScore(col(textCol)))
       .filter(col("quality") >= minQuality)
     val assigned = splitAssign(scored, idCol, splits, salt)
+    val upsampled = rebalanceTargets.nonEmpty && maxRepeat > 1
     val mixed =
       if (rebalanceTargets.isEmpty) assigned
+      else if (upsampled)
+        rebalanceRepeat(assigned, idCol, domainCol.get, rebalanceTargets,
+          maxRepeat, salt + "_rb")
       else rebalance(assigned, idCol, domainCol.get, rebalanceTargets,
         salt + "_rb")
     packSequences(mixed, idCol, textCol, capacity, numShards,
-      packKeys = Seq("split"), carry = Seq("quality") ++ domainCol.toSeq)
+      packKeys = Seq("split"), carry = Seq("quality") ++ domainCol.toSeq,
+      orderCols = if (upsampled) Seq(idCol, "rep") else Nil)
   }
 }

@@ -619,6 +619,33 @@ class PipelineSpec extends SparkSpec {
         rebalanceTargets = Seq(("en", 1.0))) }
   }
 
+  test("packing an upsampled corpus orders by (id, rep) deterministically") {
+    // 3 copies of every doc (same doc_id => same shard, same n_tokens):
+    // without a tie-breaking order column the running sum over the
+    // repeated rows is partition-placement-dependent; with
+    // orderCols = (id, rep) each copy's bin is the exact prefix-sum slot
+    val docs = (0L until 12L).flatMap(i => (0L until 3L).map(r =>
+      (i, r, "tok " * 100)))  // 100-token docs, capacity 128
+      .toDF("doc_id", "rep", "text")
+    val got = Pipeline.packSequences(docs, "doc_id", "text", 128, 4,
+        orderCols = Seq("doc_id", "rep"))
+      .select("doc_id", "rep", "shard", "n_tokens", "bin")
+      .as[(Long, Long, Long, Int, Long)].collect()
+      .sortBy(r => (r._3, r._1, r._2))
+    val cum = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    got.foreach { case (id, rep, shard, n, bin) =>
+      assert(bin == cum(shard) / 128, s"doc $id rep $rep")
+      cum(shard) += n
+    }
+    // run-to-run identical
+    val again = Pipeline.packSequences(docs, "doc_id", "text", 128, 4,
+        orderCols = Seq("doc_id", "rep"))
+      .select("doc_id", "rep", "shard", "n_tokens", "bin")
+      .as[(Long, Long, Long, Int, Long)].collect()
+      .sortBy(r => (r._3, r._1, r._2))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("packing with the subword counter packs by subwords, not words") {
     // "a-b." = 1 whitespace token but 4 subwords (a, b, -, .): with the
     // subword counter plugged in, n_tokens and therefore the bin edges
