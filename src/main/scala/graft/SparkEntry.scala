@@ -666,6 +666,12 @@ object SparkEntry {
       |  FROM cinter JOIN sizes sa ON sa.doc_id = a
       |  JOIN sizes sb ON sb.doc_id = b)""".stripMargin
 
+  /** The engine-portable md5-prefix uniform in [0,1) keyed by
+    * doc_id and `salt`, as DuckDB SQL — the single source for every
+    * oracle that recomputes Pipeline.hashUniform. */
+  private def uniformSql(salt: String): String =
+    s"CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_$salt'), 1, 15)) AS BIGINT) AS DOUBLE) / 1152921504606846976.0"
+
   /** Shared CTE chain of the p5/p7 composed-curation oracles, ending in
     * `sp(doc_id, lang, quality, text, split)` (exact dedup → near-dup
     * closure → decontam vs the doc_id%23 eval slice → quality gate →
@@ -704,18 +710,14 @@ object SparkEntry {
        |sp AS (SELECT doc_id, lang, quality, text,
        |  CASE WHEN up < 0.75 THEN 'train'
        |       WHEN up < 0.875 THEN 'val' ELSE 'test' END AS split
-       |  FROM (SELECT *,
-       |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_cu'), 1, 15)) AS BIGINT) AS DOUBLE)
-       |      / 1152921504606846976.0 AS up FROM qf)),
+       |  FROM (SELECT *, ${uniformSql("cu")} AS up FROM qf)),
        |tgt(lang, tw) AS (VALUES $RebalanceTargetsSql),
        |cnt AS (SELECT tgt.lang, tgt.tw, count(sp.doc_id) AS c
        |  FROM tgt LEFT JOIN sp ON sp.lang = tgt.lang GROUP BY tgt.lang, tgt.tw),
        |kv AS (SELECT min($kvExpr) AS k FROM cnt)""".stripMargin
 
   /** The p5/p7 rebalance uniform (salt `cu_rb`) as a SQL expression. */
-  private val CurateRbUniformSql: String =
-    """CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_cu_rb'), 1, 15)) AS BIGINT) AS DOUBLE)
-      |    / 1152921504606846976.0""".stripMargin
+  private def CurateRbUniformSql: String = uniformSql("cu_rb")
 
   private def simhashSumsSql: String = {
     val sums = (0 until 16).map { j =>
@@ -959,12 +961,10 @@ object SparkEntry {
         |FROM toks JOIN bs ON bs.doc = toks.doc JOIN ts3 ON ts3.doc = toks.doc
         |ORDER BY toks.doc""".stripMargin,
     "p1_sample_split" ->
-      """WITH u AS (
+      s"""WITH u AS (
         | SELECT doc_id, doc_id % 3 AS stratum,
-        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_s1'), 1, 15)) AS BIGINT) AS DOUBLE)
-        |    / 1152921504606846976.0 AS us,
-        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_sp'), 1, 15)) AS BIGINT) AS DOUBLE)
-        |    / 1152921504606846976.0 AS up
+        |  ${uniformSql("s1")} AS us,
+        |  ${uniformSql("sp")} AS up
         | FROM documents)
         |SELECT doc_id, stratum,
         | CASE WHEN up < 0.75 THEN 'train'
@@ -1005,9 +1005,7 @@ object SparkEntry {
          |sp AS (SELECT doc_id, quality, text,
          |  CASE WHEN up < 0.75 THEN 'train'
          |       WHEN up < 0.875 THEN 'val' ELSE 'test' END AS split
-         |  FROM (SELECT *,
-         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_cu'), 1, 15)) AS BIGINT) AS DOUBLE)
-         |      / 1152921504606846976.0 AS up FROM qf)),
+         |  FROM (SELECT *, ${uniformSql("cu")} AS up FROM qf)),
          |t AS (SELECT doc_id, quality, split, doc_id % 8 AS shard,
          |  len(string_split_regex(text, '\\s+')) AS n_tokens FROM sp)
          |SELECT doc_id, quality, split, shard,
@@ -1022,8 +1020,7 @@ object SparkEntry {
          |k AS (SELECT min(CAST(c AS DOUBLE) / tw) AS kv FROM cnt JOIN tgt USING (lang)),
          |r AS (SELECT lang, tw * k.kv / CAST(c AS DOUBLE) AS rate FROM cnt JOIN tgt USING (lang), k)
          |SELECT doc_id, lang FROM documents JOIN r USING (lang)
-         |WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_rb'), 1, 15)) AS BIGINT) AS DOUBLE)
-         |  / 1152921504606846976.0 < rate
+         |WHERE ${uniformSql("rb")} < rate
          |ORDER BY doc_id""".stripMargin,
     "p5_curate_full" ->
       s"""WITH RECURSIVE ${CurateCommonCtes("CAST(c AS DOUBLE) / tw")},
@@ -1067,8 +1064,7 @@ object SparkEntry {
          |  FROM cnt, kv WHERE c > 0),
          |cp AS (SELECT doc_id, lang,
          |  CAST(floor(rate) AS BIGINT) +
-         |    (CASE WHEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_rr'), 1, 15)) AS BIGINT) AS DOUBLE)
-         |      / 1152921504606846976.0 < rate - floor(rate) THEN 1 ELSE 0 END) AS copies
+         |    (CASE WHEN ${uniformSql("rr")} < rate - floor(rate) THEN 1 ELSE 0 END) AS copies
          |  FROM documents JOIN r USING (lang))
          |SELECT doc_id, lang, CAST(unnest(range(copies)) AS BIGINT) AS rep
          |FROM cp WHERE copies > 0

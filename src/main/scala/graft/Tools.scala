@@ -96,8 +96,9 @@ object Tools {
       // the dir arg must look like a path — `dedupbench 20` means
       // "default dir, multiplier 20", not a directory named 20
       args.lift(1).foreach { a =>
-        require(a.startsWith("/") || (a.nonEmpty && a.forall(_.isDigit)),
-          s"dedupbench arg '$a' is neither an absolute dir nor a multiplier")
+        require(a.startsWith("/") || a.startsWith("only=") ||
+          (a.nonEmpty && a.forall(_.isDigit)),
+          s"dedupbench arg '$a' is neither an absolute dir, a multiplier, nor only=")
       }
       val sfd = args.lift(1).filter(_.startsWith("/"))
         .getOrElse("/root/testdata/sf0.01")
@@ -134,9 +135,16 @@ object Tools {
         println(f"$label%-34s $s%8.2f s  ($n pairs)")
         s
       }
+      // build only the corpora the selected cases touch — the 10x
+      // unions are eagerly checkpointed and cost real minutes
+      val needDocs = Seq("d2", "d5", "d8", "d10", "d11", "d12", "d15")
+        .exists(want)
+      val needEmb = Seq("d6", "d9", "d14").exists(want)
       for (m <- Seq(1, mult)) {
-        val d = docsAt(m); val e = embAt(m)
-        println(s"--- corpus ${m}x: ${d.count()} docs, ${e.count()} vecs ---")
+        lazy val d = docsAt(m); lazy val e = embAt(m)
+        println(s"--- corpus ${m}x: " +
+          (if (needDocs) s"${d.count()} docs " else "") +
+          (if (needEmb) s"${e.count()} vecs" else "") + "---")
         time(s"d2 exact-jaccard uncapped ${m}x")(
           Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.6).count())
         time(s"d2 exact-jaccard df-capped ${m}x")(

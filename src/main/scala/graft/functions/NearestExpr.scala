@@ -26,7 +26,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * distances can round to the same sqrt, where the lowest id must win)
   * vs raw squared (the PQ codeword form); ties go to the EARLIEST table
   * entry, so callers pass tables sorted by id ascending — lowest id on
-  * ties, exactly `array_min`'s lexicographic struct order. */
+  * ties, exactly `array_min`'s lexicographic struct order. A row whose
+  * every distance is NaN (NaN inputs) resolves to the first (lowest-id)
+  * entry, matching array_min's NaN ordering. */
 case class NearestIdExpr(child: Expression, ids: Array[Long],
                          cents: Array[Array[Double]], sqrtCompare: Boolean)
     extends UnaryExpression {
@@ -64,7 +66,7 @@ case class NearestIdExpr(child: Expression, ids: Array[Long],
       val k = ctx.freshName("k")
       s"""
         double $best = Double.POSITIVE_INFINITY;
-        long $bestId = 0L;
+        long $bestId = $idsRef[0];
         for (int $ci = 0; $ci < $centsRef.length; $ci++) {
           double[] cv = $centsRef[$ci];
           if ($v.numElements() != cv.length) {
@@ -95,7 +97,7 @@ object NearestIdExpr {
                                  ids: Array[Long], cents: Array[Array[Double]],
                                  sqrtCompare: Boolean): Long = {
     var best = Double.PositiveInfinity
-    var bestId = 0L
+    var bestId = ids(0)
     var ci = 0
     while (ci < cents.length) {
       val cv = cents(ci)
@@ -196,6 +198,8 @@ case class NearestRoutedExpr(child: Expression,
       val bestId = ctx.freshName("bestId")
       val ci = ctx.freshName("ci")
       val k = ctx.freshName("k")
+      val mids = ctx.freshName("mids")
+      val mcents = ctx.freshName("mcents")
       s"""
         double $sBest = Double.POSITIVE_INFINITY;
         int $sIdx = 0;
@@ -208,12 +212,12 @@ case class NearestRoutedExpr(child: Expression,
           }
           if (acc < $sBest) { $sBest = acc; $sIdx = $si; }
         }
-        long[] mids = $idsRef[$sIdx];
-        double[][] mcents = $centsRef[$sIdx];
+        long[] $mids = $idsRef[$sIdx];
+        double[][] $mcents = $centsRef[$sIdx];
         double $best = Double.POSITIVE_INFINITY;
-        long $bestId = 0L;
-        for (int $ci = 0; $ci < mcents.length; $ci++) {
-          double[] cv = mcents[$ci];
+        long $bestId = $mids[0];
+        for (int $ci = 0; $ci < $mcents.length; $ci++) {
+          double[] cv = $mcents[$ci];
           if ($v.numElements() != cv.length) {
             throw new IllegalArgumentException(
               "vector length mismatch: " + $v.numElements() + " vs " + cv.length);
@@ -224,7 +228,7 @@ case class NearestRoutedExpr(child: Expression,
             acc += diff * diff;
           }
           double cd = $cd;
-          if (cd < $best) { $best = cd; $bestId = mids[$ci]; }
+          if (cd < $best) { $best = cd; $bestId = $mids[$ci]; }
         }
         ${ev.value} = $bestId;
       """
@@ -249,8 +253,11 @@ object NearestExpr {
 
   /** Routed nearest-id column: supers are a stride sample of the
     * id-sorted table (deterministic), members are each table row routed
-    * to its nearest super (driver-side, C·S flops once). `fanout` 0
-    * picks S = ceil(√C). */
+    * to its nearest super. `fanout` 0 picks S = ceil(√C). Building the
+    * routed tables is O(C·S·dim) serial driver work PER CENTROID SET
+    * (each Lloyd round trains new centroids, so per-round rebuilds are
+    * inherent); at C beyond ~10⁵ route the centroids with a Spark job
+    * before constructing the expression. */
   def nearestIdRouted(vec: Column, table: Array[(Long, Array[Double])],
                       sqrtCompare: Boolean, fanout: Int = 0): Column = {
     val sorted = table.sortBy(_._1)

@@ -249,6 +249,8 @@ object Pipeline {
              maxRepeat: Int = 1): DataFrame = {
     require(rebalanceTargets.isEmpty || domainCol.nonEmpty,
       "rebalanceTargets needs domainCol")
+    require(maxRepeat == 1 || rebalanceTargets.nonEmpty,
+      "maxRepeat > 1 needs rebalanceTargets (upsampling is a rebalance mode)")
     val byHash = Window.partitionBy(col("_h"))
     val exactKept = docs
       .withColumn("_h", md5(col(textCol)))
