@@ -658,6 +658,44 @@ object Dedup {
     train.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Distinct k-shingles of an eval set, collected to the driver — the
+    * literal-side input of [[decontaminateStateless]]. Benchmark suites
+    * are KB–MB against a 100 TB corpus, so this is a bounded collect of
+    * the SMALL side only. */
+  def evalShingleSet(eval: DataFrame, idCol: String, textCol: String,
+                     k: Int, normalize: Boolean = false): Array[String] =
+    shingleRows(normText(eval, textCol, normalize), idCol, textCol, k)
+      .select(col("shingle")).distinct()
+      .collect().map(_.getString(0)).sorted
+
+  /** STATELESS decontamination: the eval shingle set embeds as one array
+    * literal and a row is kept iff its distinct k-shingles intersect it
+    * in fewer than `maxShared` elements — a pure per-row filter with no
+    * join, no aggregation, no state. Identical keep-set to
+    * [[decontaminate]] for the same inputs (spec-asserted), and because
+    * it is stateless it runs UNCHANGED on `readStream` sources — the
+    * streaming-ingest decontamination path (StreamOpsSpec asserts
+    * stream ≡ batch). Docs whose normalized text is empty share nothing
+    * and are kept, mirroring the batch operator. */
+  def decontaminateStateless(train: DataFrame, evalShingles: Array[String],
+                             textCol: String, k: Int,
+                             maxShared: Long = 1L,
+                             normalize: Boolean = false): DataFrame = {
+    require(maxShared >= 1, "maxShared must be at least 1")
+    val normCol =
+      if (!normalize) col(textCol)
+      else trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^\\p{L}\\p{N}\\s]", ""),
+        "\\s+", " "))
+    val shared = size(array_intersect(
+      array_distinct(shinglesOf(col("_graft_toks"), k)),
+      typedlit(evalShingles)))
+    train
+      .withColumn("_graft_toks", tokens(normCol))
+      .filter(shared < maxShared)
+      .drop("_graft_toks")
+  }
+
   // ------------------------------------------------------------------
   // SemDeDup (semantic dedup via embedding clusters)
   // ------------------------------------------------------------------

@@ -118,6 +118,37 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming decontamination equals the batch anti-join operator") {
+    // the eval shingle set embeds as one literal, so decontamination is
+    // a stateless per-row filter that drives readStream unchanged; the
+    // keep-set must equal Dedup.decontaminate's broadcast-join form
+    val docsDir = java.nio.file.Files.createTempDirectory("graftdecon")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val batch = Tables.documents(spark, sf0001)
+    val eval = batch.filter(col("doc_id") % 23 === 0)
+    val evalSh = operators.Dedup.evalShingleSet(eval, "doc_id", "text", 3)
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(docsDir.toString)
+    val q = operators.Dedup.decontaminateStateless(stream, evalSh, "text", 3)
+      .select("doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("decon")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("decon").as[Long].collect().toSet
+    val want = operators.Dedup.decontaminate(batch, eval, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // the stateless form also matches batch-on-batch at maxShared = 2
+    val got2 = operators.Dedup.decontaminateStateless(batch, evalSh,
+        "text", 3, maxShared = 2).select("doc_id").as[Long].collect().toSet
+    val want2 = operators.Dedup.decontaminate(batch, eval, "doc_id", "text",
+        3, maxShared = 2).select("doc_id").as[Long].collect().toSet
+    assert(got2 == want2)
+  }
+
   test("stateless pipeline ops run unchanged on streams (sample → pii profile)") {
     // hash sampling and regex profiling are pure projections/filters, so
     // the SAME operator code drives readStream without modification —
