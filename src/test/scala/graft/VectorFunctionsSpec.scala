@@ -51,4 +51,43 @@ class VectorFunctionsSpec extends SparkSpec {
       if (t == null) Nil else t.getMessage +: causes(t.getCause)
     assert(causes(ex).exists(m => m != null && m.contains("length mismatch")))
   }
+
+  test("NearestIdExpr matches a reference argmin on random tables, ties, NaN") {
+    // randomized cross-check of the native constant-table argmin against
+    // a driver-side reference: sqrt'd compare (the IVF form), ties to the
+    // lowest id, NaN rows resolve to the FIRST (lowest-id) entry
+    val rnd = new scala.util.Random(42)
+    val dim = 6
+    val table: Array[(Long, Array[Double])] = Array.tabulate(37) { i =>
+      ((i * 3 + 5).toLong, Array.fill(dim)(rnd.nextDouble() * 4 - 2))
+    }
+    // duplicate one centroid under a HIGHER id: ties must keep the lower
+    val dupTable = table :+ (999L, table(7)._2.clone)
+    def ref(v: Array[Double], t: Array[(Long, Array[Double])]): Long = {
+      var best = Double.PositiveInfinity; var bid = t.head._1
+      t.sortBy(_._1).foreach { case (lid, cv) =>
+        val d = math.sqrt(cv.indices.foldLeft(0d) { (a, i) =>
+          val x = v(i) - cv(i); a + x * x })
+        if (d < best) { best = d; bid = lid }
+      }
+      bid
+    }
+    val rows = Seq.tabulate(300)(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 4 - 2))) ++
+      // exact centroid hits (distance-0 rows) and one NaN row
+      Seq((300L, table(7)._2.toSeq), (301L, table(0)._2.toSeq),
+        (302L, Seq.fill(dim)(Double.NaN)))
+    val df = rows.toDF("id", "v")
+    val got = df.select(col("id"),
+        graft.functions.NearestExpr.nearestId(col("v"), dupTable,
+          sqrtCompare = true).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, v) =>
+      if (id == 302L) assert(got(id) == dupTable.map(_._1).min,
+        s"NaN row must resolve to the lowest id, got ${got(id)}")
+      else assert(got(id) == ref(v.toArray, dupTable), s"row $id")
+    }
+    // the duplicated centroid keeps the LOWER id on the exact hit
+    assert(got(300L) == table(7)._1)
+  }
 }
