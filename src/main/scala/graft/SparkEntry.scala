@@ -287,6 +287,16 @@ object SparkEntry {
       Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
           k = 5, minCount = 2L)
         .orderBy(col("doc"), col("span_start"))),
+    "d16_semdedup_routed" -> ((s, d) =>
+      // SemDeDup under the two-level ROUTED assignment (the corpus-scale
+      // O(sqrt C) path): stride-sampled supers, raw-d2 routing (ties ->
+      // earliest super), sqrt-compare member argmin (ties -> lowest id)
+      // — fully deterministic, so the oracle recomputes the routing
+      // exactly in SQL
+      Dedup.semDedupWith(embeddings(s, d), "vec_id", "embedding",
+          Similarity.ivfCentroids(embeddings(s, d), "vec_id", "embedding", 16),
+          0.4, routed = true)
+        .orderBy(col("vec_id"))),
     "d11_winnow_pairs" -> ((s, d) =>
       // winnowing (MOSS) fingerprint dedup: k-gram hashes, sliding-window
       // min selection, keyed fingerprint join — deterministic pipeline,
@@ -1198,6 +1208,41 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY e.vec_id
         |        ORDER BY list_distance(e.v, c.centroid), c.list_id) AS rn
         |    FROM e CROSS JOIN c) WHERE rn = 1),
+        |n AS (SELECT vec_id, list_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM assigned),
+        |dropped AS (
+        |  SELECT DISTINCT y.vec_id FROM n x JOIN n y
+        |    ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+        |  WHERE CASE WHEN x.nrm * y.nrm = 0 THEN 0
+        |        ELSE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) END > 0.4)
+        |SELECT vec_id, list_id FROM assigned
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        |ORDER BY vec_id""".stripMargin,
+    "d16_semdedup_routed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS list_id, v AS centroid,
+        |    row_number() OVER (ORDER BY vec_id) - 1 AS idx
+        |  FROM e ORDER BY vec_id LIMIT 16),
+        |sup AS (SELECT idx // 4 AS sidx, centroid AS scent FROM c WHERE idx % 4 = 0),
+        |crt AS (SELECT list_id, centroid, sidx FROM (
+        |  SELECT list_id, centroid, sidx,
+        |    row_number() OVER (PARTITION BY list_id
+        |      ORDER BY list_sum(list_transform(range(1, 65),
+        |        i -> (cc[i] - ss[i]) * (cc[i] - ss[i]))), sidx) AS rn
+        |  FROM (SELECT c.list_id, c.centroid, s.sidx,
+        |          c.centroid AS cc, s.scent AS ss
+        |        FROM c CROSS JOIN sup s)) WHERE rn = 1),
+        |rsup AS (SELECT vec_id, v, sidx FROM (
+        |  SELECT vec_id, v, sidx,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY list_sum(list_transform(range(1, 65),
+        |        i -> (vv[i] - ss[i]) * (vv[i] - ss[i]))), sidx) AS rn
+        |  FROM (SELECT e.vec_id, e.v, s.sidx, e.v AS vv, s.scent AS ss
+        |        FROM e CROSS JOIN sup s)) WHERE rn = 1),
+        |assigned AS (SELECT vec_id, list_id, v FROM (
+        |  SELECT r.vec_id, m.list_id, r.v,
+        |    row_number() OVER (PARTITION BY r.vec_id
+        |      ORDER BY list_distance(r.v, m.centroid), m.list_id) AS rn
+        |  FROM rsup r JOIN crt m ON m.sidx = r.sidx) WHERE rn = 1),
         |n AS (SELECT vec_id, list_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM assigned),
         |dropped AS (
         |  SELECT DISTINCT y.vec_id FROM n x JOIN n y
