@@ -188,6 +188,19 @@ object SparkEntry {
           RebalanceTargets, maxRepeat = 3, salt = "rr")
         .select(col("doc_id"), col("lang"), col("rep"))
         .orderBy(col("doc_id"), col("rep"))),
+    "p8_temperature_mix" -> ((s, d) => {
+      // alpha-temperature mixture (mT5/XLM-R style): targets proportional
+      // to sqrt(count) over the observed language counts, fed into the
+      // gated downsample rebalance. sqrt is correctly rounded by IEEE in
+      // both engines and the share denominator is an ORDERED fold (sorted
+      // by lang), so the oracle reproduces every rate bit-for-bit
+      val docs = Tables.documents(s, d)
+      val targets = Pipeline.temperatureTargets(
+        Pipeline.domainCounts(docs, "lang"), alpha = 0.5)
+      Pipeline.rebalance(docs, "doc_id", "lang", targets, salt = "tm")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
     "p7_curate_upsampled" -> ((s, d) => {
       // the composed pipeline in its UPSAMPLING configuration: same
       // seven stages as p5 but scarce domains repeat up to 3 epochs
@@ -1045,6 +1058,15 @@ object SparkEntry {
          |   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |   - n_tokens) / 512) AS BIGINT) AS bin
          |FROM t ORDER BY doc_id""".stripMargin,
+    "p8_temperature_mix" ->
+      s"""WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+         |tot AS (SELECT list_sum(list(sqrt(CAST(c AS DOUBLE)) ORDER BY lang)) AS t FROM cnt),
+         |tgt AS (SELECT lang, sqrt(CAST(c AS DOUBLE)) / tot.t AS tw, c FROM cnt, tot),
+         |k AS (SELECT min(CAST(c AS DOUBLE) / tw) AS kv FROM tgt),
+         |r AS (SELECT lang, tw * k.kv / CAST(c AS DOUBLE) AS rate FROM tgt, k)
+         |SELECT doc_id, lang FROM documents JOIN r USING (lang)
+         |WHERE ${uniformSql("tm")} < rate
+         |ORDER BY doc_id""".stripMargin,
     "p7_curate_upsampled" ->
       s"""WITH RECURSIVE ${CurateCommonCtes("CAST(c AS DOUBLE) * 3 / tw")},
          |rr AS (SELECT lang, tw * kv.k / CAST(c AS DOUBLE) AS rate FROM cnt, kv WHERE c > 0),

@@ -157,6 +157,36 @@ object Pipeline {
     }
   }
 
+  /** Observed per-domain row counts, collected (bounded: #domains
+    * rows) — the input to [[temperatureTargets]]. */
+  def domainCounts(df: DataFrame, domainCol: String): Map[String, Long] =
+    df.groupBy(col(domainCol)).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Temperature-flattened mixture targets from observed domain counts
+    * (the mT5 / XLM-R sampling rule): share_d ∝ count_d^alpha, alpha ∈
+    * (0, 1] — alpha 1 keeps natural proportions, smaller alpha flattens
+    * toward uniform so low-resource domains are seen more often.
+    * Deterministic: domains processed in sorted order (the float sum
+    * order is fixed), shares sum to 1 within the [[rebalance]]
+    * tolerance. alpha = 0.5 uses `sqrt` explicitly — correctly rounded
+    * by IEEE in every engine, so a DuckDB oracle can reproduce the
+    * shares bit-for-bit (`pow` carries no such guarantee across libm
+    * implementations). */
+  def temperatureTargets(counts: Map[String, Long],
+                         alpha: Double): Seq[(String, Double)] = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(counts.nonEmpty, "temperatureTargets needs at least one domain")
+    require(counts.values.forall(_ > 0), "domain counts must be positive")
+    val powed = counts.toSeq.sortBy(_._1).map { case (d, n) =>
+      (d, if (alpha == 0.5) math.sqrt(n.toDouble)
+          else if (alpha == 1.0) n.toDouble
+          else math.pow(n.toDouble, alpha))
+    }
+    val tot = powed.map(_._2).sum
+    powed.map { case (d, p) => (d, p / tot) }
+  }
+
   /** Upsampling rebalance — the other half of data-mixture practice:
     * instead of shrinking to what the scarcest domain can supply
     * ([[rebalance]]), REPEAT scarce-domain rows (bounded by `maxRepeat`

@@ -588,6 +588,33 @@ class PipelineSpec extends SparkSpec {
       Pipeline.rebalanceRepeat(df, "id", "dom", Seq(("a", 1.0)), 0, "s") }
   }
 
+  test("temperature targets flatten toward uniform as alpha shrinks") {
+    val counts = Map("en" -> 1000000L, "de" -> 10000L, "sw" -> 100L)
+    val nat = Pipeline.temperatureTargets(counts, 1.0).toMap
+    val t05 = Pipeline.temperatureTargets(counts, 0.5).toMap
+    val t01 = Pipeline.temperatureTargets(counts, 0.1).toMap
+    // shares sum to 1 within the rebalance tolerance, all alphas
+    Seq(nat, t05, t01).foreach(t =>
+      assert(math.abs(t.values.sum - 1.0) < 1e-9))
+    // alpha = 1 is the natural mixture
+    assert(math.abs(nat("en") - 1000000.0 / 1010100.0) < 1e-12)
+    // smaller alpha -> low-resource share strictly grows, dominant shrinks
+    assert(t05("sw") > nat("sw") && t01("sw") > t05("sw"))
+    assert(t05("en") < nat("en") && t01("en") < t05("en"))
+    // the targets drive the gated rebalance directly (requires pass)
+    val df = ((0L until 90L).map((_, "en")) ++ (90L until 100L).map((_, "sw")))
+      .toDF("id", "dom")
+    val tg = Pipeline.temperatureTargets(Pipeline.domainCounts(df, "dom"), 0.5)
+    val kept = Pipeline.rebalance(df, "id", "dom", tg, "s")
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    // sw (scarce) is the limiting domain at alpha 0.5: kept entirely
+    assert(kept.getOrElse("sw", 0L) == 10L)
+    intercept[IllegalArgumentException] {
+      Pipeline.temperatureTargets(counts, 0.0) }
+    intercept[IllegalArgumentException] {
+      Pipeline.temperatureTargets(Map("a" -> 0L), 0.5) }
+  }
+
   test("curate composes decontamination and rebalancing stages") {
     // 6 en + 6 de docs of distinct text; the eval set reuses doc 0's
     // text, so decontamination must drop exactly doc 0; rebalancing to
