@@ -300,6 +300,17 @@ object SparkEntry {
       Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
           k = 5, minCount = 2L)
         .orderBy(col("doc"), col("span_start"))),
+    "d17_eval_contamination" -> ((s, d) => {
+      // benchmark-integrity report (reverse of d13): per eval item, the
+      // count of distinct training docs sharing >= 1 3-shingle — items
+      // with hits get discarded from the evaluation, GPT-3 §C style
+      val docs = Tables.documents(s, d)
+      Dedup.evalContamination(
+          docs.filter(col("doc_id") % 23 =!= 0),
+          docs.filter(col("doc_id") % 23 === 0),
+          "doc_id", "text", 3)
+        .orderBy(col("eval_doc"))
+    }),
     "d16_semdedup_routed" -> ((s, d) =>
       // SemDeDup under the two-level ROUTED assignment (the corpus-scale
       // O(sqrt C) path): stride-sampled supers, raw-d2 routing (ties ->
@@ -1221,6 +1232,18 @@ object SparkEntry {
         |FROM (SELECT doc_id AS doc FROM documents WHERE doc_id % 23 <> 0) t
         |LEFT JOIN hits h ON h.doc = t.doc
         |ORDER BY t.doc""".stripMargin,
+    "d17_eval_contamination" ->
+      """WITH toks AS (SELECT doc_id AS doc, string_split_regex(text, '\s+') AS ts FROM documents),
+        |sh AS (SELECT DISTINCT doc, array_to_string(ts[i+1:i+3], ' ') AS s
+        |  FROM (SELECT doc, ts, unnest(range(greatest(len(ts)-2, 1))) AS i FROM toks)),
+        |pairs AS (SELECT DISTINCT e.doc AS eval_doc, t.doc AS train_doc
+        |  FROM sh e JOIN sh t ON e.s = t.s
+        |  WHERE e.doc % 23 = 0 AND t.doc % 23 <> 0),
+        |hits AS (SELECT eval_doc, count(*) AS n FROM pairs GROUP BY eval_doc)
+        |SELECT ev.eval_doc, CAST(coalesce(h.n, 0) AS BIGINT) AS n_train_docs
+        |FROM (SELECT doc_id AS eval_doc FROM documents WHERE doc_id % 23 = 0) ev
+        |LEFT JOIN hits h ON h.eval_doc = ev.eval_doc
+        |ORDER BY ev.eval_doc""".stripMargin,
     "d14_semdedup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c AS (SELECT vec_id AS list_id, v AS centroid FROM e ORDER BY vec_id LIMIT 16),

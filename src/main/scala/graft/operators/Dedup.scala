@@ -658,6 +658,31 @@ object Dedup {
     train.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Per-EVAL-item contamination report — the reverse direction of
+    * [[contaminationProfile]]: for every eval doc, how many DISTINCT
+    * training docs share at least one k-shingle with it (the benchmark-
+    * integrity view: eval items with hits must be discarded from the
+    * evaluation, per the GPT-3 §C protocol). Scale shape mirrors d13:
+    * the eval (shingle → doc) relation is tiny and BROADCAST; the
+    * corpus side is one map-only probe, then a distinct + count keyed by
+    * the eval doc — no shuffle of the corpus. */
+  def evalContamination(train: DataFrame, eval: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int, normalize: Boolean = false): DataFrame = {
+    val evalSh = shingleRows(normText(eval, textCol, normalize),
+        idCol, textCol, k)
+      .select(col("doc").as("eval_doc"), col("shingle"))
+    val pairs = shingleRows(normText(train, textCol, normalize),
+        idCol, textCol, k)
+      .join(broadcast(evalSh), Seq("shingle"))
+      .select(col("eval_doc"), col("doc")).distinct()
+      .groupBy(col("eval_doc")).agg(count(lit(1)).as("n_train_docs"))
+    eval.select(col(idCol).as("eval_doc"))
+      .join(pairs, Seq("eval_doc"), "left")
+      .select(col("eval_doc"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+  }
+
   /** Distinct k-shingles of an eval set, collected to the driver — the
     * literal-side input of [[decontaminateStateless]]. Benchmark suites
     * are KB–MB against a 100 TB corpus, so this is a bounded collect of
