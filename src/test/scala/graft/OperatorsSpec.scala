@@ -274,6 +274,18 @@ class DedupSpec extends SparkSpec {
     val want = adj.keySet.map(n => n -> component(n).min).toMap
     assert(got == want)
     assert(got(13L) == 10L && got(2L) == 1L && got(21L) == 20L)
+    // the driver union-find fast path and the distributed pointer-jump
+    // loop are the same contract: identical labels on a random graph
+    val rnd = new scala.util.Random(7)
+    val randPairs = Seq.fill(120)((rnd.nextInt(60).toLong,
+      rnd.nextInt(60).toLong)).filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .toDF("a", "b")
+    val local = Dedup.clusterIds(randPairs)
+      .as[(Long, Long)].collect().toMap
+    val distributed = Dedup.clusterIds(randPairs, localBudget = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == distributed)
   }
 
   test("decontaminate drops exactly the profile-flagged docs") {
