@@ -540,12 +540,14 @@ object Dedup {
   def clusterIds(pairs: DataFrame, localBudget: Long = 100000L): DataFrame = {
     val half = pairs.select(col("a").cast("long").as("x"),
       col("b").cast("long").as("y"))
-    if (localBudget > 0) {
+    // the local path needs budget+1 to fit a bounded limit().collect(),
+    // so a budget beyond ~2e9 clamps (still far past any driver heap)
+    val budget = math.min(localBudget, 2000000000L)
+    if (budget > 0) {
       // bounded probe: fetch at most budget+1 rows — never the full
       // relation — to learn whether the local path applies
-      val probe = half.limit(math.min(localBudget + 1, Int.MaxValue).toInt)
-        .collect()
-      if (probe.length <= localBudget) {
+      val probe = half.limit((budget + 1).toInt).collect()
+      if (probe.length <= budget) {
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -672,11 +674,17 @@ object Dedup {
   private def normText(docs: DataFrame, textCol: String,
                        enabled: Boolean): DataFrame =
     if (!enabled) docs
-    else docs.withColumn(textCol,
-      trim(regexp_replace(
-        regexp_replace(lower(col(textCol)), "[^\\p{L}\\p{N}\\s]", ""),
-        "\\s+", " ")))
+    else docs.withColumn(textCol, normTextCol(col(textCol)))
       .filter(length(col(textCol)) > 0)
+
+  /** The normalization Column itself — shared by [[normText]] (which
+    * additionally drops empty-normalized rows) and the stateless
+    * per-row path in [[decontaminateStateless]], so the rule cannot
+    * drift between the batch and streaming operators. */
+  private def normTextCol(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", ""),
+      "\\s+", " "))
 
   /** Decontaminated training set: drop every doc sharing at least
     * `maxShared` distinct k-shingles with the eval set (left-anti on the
@@ -744,10 +752,7 @@ object Dedup {
                              normalize: Boolean = false): DataFrame = {
     require(maxShared >= 1, "maxShared must be at least 1")
     val normCol =
-      if (!normalize) col(textCol)
-      else trim(regexp_replace(
-        regexp_replace(lower(col(textCol)), "[^\\p{L}\\p{N}\\s]", ""),
-        "\\s+", " "))
+      if (!normalize) col(textCol) else normTextCol(col(textCol))
     val shared = size(array_intersect(
       array_distinct(shinglesOf(col("_graft_toks"), k)),
       typedlit(evalShingles)))

@@ -143,8 +143,7 @@ object Pipeline {
     require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
       s"target shares must sum to 1, got ${targets.map(_._2).sum}")
     val inScope = df.filter(col(domainCol).isin(targets.map(_._1): _*))
-    val counts = inScope.groupBy(col(domainCol)).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = domainCounts(inScope, domainCol)
     val missing = targets.collect { case (dom, _) if !counts.contains(dom) => dom }
     if (missing.nonEmpty) emptyMixture(inScope, "rebalance", missing)
     else {
@@ -158,9 +157,13 @@ object Pipeline {
   }
 
   /** Observed per-domain row counts, collected (bounded: #domains
-    * rows) — the input to [[temperatureTargets]]. */
+    * rows) — the input to [[temperatureTargets]] and the internal
+    * count step of the rebalancers. Rows with a NULL domain are
+    * excluded (they can never be mixture targets — the rebalancers'
+    * isin scope drops them too). */
   def domainCounts(df: DataFrame, domainCol: String): Map[String, Long] =
-    df.groupBy(col(domainCol)).agg(count(lit(1)).as("c"))
+    df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Temperature-flattened mixture targets from observed domain counts
@@ -213,8 +216,7 @@ object Pipeline {
       s"target shares must sum to 1, got ${targets.map(_._2).sum}")
     require(maxRepeat >= 1, "maxRepeat must be at least 1")
     val inScope = df.filter(col(domainCol).isin(targets.map(_._1): _*))
-    val counts = inScope.groupBy(col(domainCol)).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = domainCounts(inScope, domainCol)
     val missing = targets.collect { case (dom, _) if !counts.contains(dom) => dom }
     if (missing.nonEmpty)
       emptyMixture(inScope, "rebalanceRepeat", missing).withColumn("rep", lit(0L))
