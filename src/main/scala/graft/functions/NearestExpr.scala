@@ -256,10 +256,14 @@ object NearestExpr {
     * to its nearest super. `fanout` 0 picks S = ceil(√C). Building the
     * routed tables is O(C·S·dim) serial driver work PER CENTROID SET
     * (each Lloyd round trains new centroids, so per-round rebuilds are
-    * inherent); at C beyond ~10⁵ route the centroids with a Spark job
-    * before constructing the expression. */
+    * inherent); at C beyond ~10⁴–10⁵ pass `routePrep` — a function
+    * computing the member routing with a Spark job instead
+    * ([[graft.operators.Similarity.routeCentroids]]) — identical
+    * results, cluster-parallel prep. */
   def nearestIdRouted(vec: Column, table: Array[(Long, Array[Double])],
-                      sqrtCompare: Boolean, fanout: Int = 0): Column = {
+                      sqrtCompare: Boolean, fanout: Int = 0,
+                      routePrep: Option[(Array[(Long, Array[Double])],
+                        Array[Array[Double]]) => Array[Int]] = None): Column = {
     val sorted = table.sortBy(_._1)
     val c = sorted.length
     val s = if (fanout > 0) math.min(fanout, c)
@@ -271,17 +275,24 @@ object NearestExpr {
       while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
       acc
     }
+    // super index per table row: serial driver loop by default, or the
+    // caller-supplied (Spark-job) routing — same contract: nearest super
+    // by raw d2, ties to the earliest super
+    val superOf: Array[Int] = routePrep match {
+      case Some(prep) => prep(sorted, supers)
+      case None => sorted.map { case (_, cv) =>
+        var bestIdx = 0; var best = Double.PositiveInfinity; var si = 0
+        while (si < supers.length) {
+          val dd = d2(cv, supers(si))
+          if (dd < best) { best = dd; bestIdx = si }
+          si += 1
+        }
+        bestIdx
+      }
+    }
     val routed = Array.fill(supers.length)(
       scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])])
-    sorted.foreach { case (lid, cv) =>
-      var bestIdx = 0; var best = Double.PositiveInfinity; var si = 0
-      while (si < supers.length) {
-        val dd = d2(cv, supers(si))
-        if (dd < best) { best = dd; bestIdx = si }
-        si += 1
-      }
-      routed(bestIdx) += ((lid, cv))
-    }
+    sorted.zip(superOf).foreach { case (entry, si) => routed(si) += entry }
     // a super whose list went empty (possible when the stride sample is
     // skewed) gets its own sample vector as the sole member — the id of
     // that sample row, found by reference equality on the stride pick

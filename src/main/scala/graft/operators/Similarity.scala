@@ -102,9 +102,33 @@ object Similarity {
     * k-means trade). Opt-in: callers that need the exact argmin (every
     * oracle-gated query) keep [[ivfListId]]. */
   def ivfListIdRouted(vec: Column, centroids: Array[(Long, Array[Double])],
-                      fanout: Int = 0): Column =
+                      fanout: Int = 0,
+                      routeSpark: Option[org.apache.spark.sql.SparkSession] = None): Column =
     graft.functions.NearestExpr.nearestIdRouted(vec, centroids,
-      sqrtCompare = true, fanout)
+      sqrtCompare = true, fanout,
+      routePrep = routeSpark.map(sp => routeCentroids(sp) _))
+
+  /** Member routing for the two-level assignment computed as a SPARK
+    * JOB instead of the serial driver loop — same contract bit-for-bit
+    * (raw-d2 nearest super via [[graft.functions.NearestIdExpr]], ties
+    * to the earliest super): the O(C·S·dim) routing work distributes
+    * across the cluster, leaving the driver only the C-row result.
+    * Pass via `routeSpark` once C reaches ~10⁴–10⁵, where the serial
+    * prep would take minutes. */
+  def routeCentroids(spark: org.apache.spark.sql.SparkSession)(
+      sorted: Array[(Long, Array[Double])],
+      supers: Array[Array[Double]]): Array[Int] = {
+    import spark.implicits._
+    val superTable = supers.zipWithIndex.map { case (sv, i) => (i.toLong, sv) }
+    val routed = spark
+      .createDataset(sorted.toSeq.map { case (lid, cv) => (lid, cv.toSeq) })
+      .toDF("lid", "cv")
+      .select(col("lid"), graft.functions.NearestExpr.nearestId(
+        col("cv").cast("array<double>"), superTable,
+        sqrtCompare = false).as("sidx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    sorted.map { case (lid, _) => routed(lid) }
+  }
 
   /** IVF coarse assignment: emb + `list_id` of the nearest centroid. */
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,

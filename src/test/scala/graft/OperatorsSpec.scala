@@ -795,6 +795,12 @@ class SimilaritySpec extends SparkSpec {
     val b = e.select(Similarity.ivfListIdRouted(col("embedding"), cents)
       .as("l")).as[Long].collect().toSeq
     assert(a == b)
+    // the Spark-job member routing (corpus-scale prep path) produces
+    // the IDENTICAL expression: same list id on every row
+    val viaJob = e.select(Similarity.ivfListIdRouted(col("embedding"),
+        cents, routeSpark = Some(spark)).as("l"))
+      .as[Long].collect().toSeq
+    assert(viaJob == a)
   }
 }
 
