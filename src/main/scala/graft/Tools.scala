@@ -93,14 +93,16 @@ object Tools {
       // all-pairs mega-cluster.
       import org.apache.spark.sql.functions._
       import graft.operators.{Dedup, Similarity}
-      // the dir arg must look like a path — `dedupbench 20` means
-      // "default dir, multiplier 20", not a directory named 20
-      args.lift(1).foreach { a =>
+      // every trailing arg must be an absolute dir, a multiplier, or
+      // only= — and each is located positionally-independently, so
+      // `dedupbench only=d14 /some/dir` resolves the dir instead of
+      // silently benchmarking the default corpus
+      args.drop(1).foreach { a =>
         require(a.startsWith("/") || a.startsWith("only=") ||
           (a.nonEmpty && a.forall(_.isDigit)),
           s"dedupbench arg '$a' is neither an absolute dir, a multiplier, nor only=")
       }
-      val sfd = args.lift(1).filter(_.startsWith("/"))
+      val sfd = args.drop(1).find(_.startsWith("/"))
         .getOrElse("/root/testdata/sf0.01")
       val mult = args.drop(1).find(a => a.nonEmpty && a.forall(_.isDigit))
         .map(_.toInt).getOrElse(10)

@@ -126,6 +126,12 @@ object NearestIdExpr {
     var ci = 0
     while (ci < cents.length) {
       val cv = cents(ci)
+      // same guard as the member loop: without it a short input would
+      // read past its UnsafeArrayData buffer before the member-loop
+      // check ever runs
+      if (v.numElements() != cv.length)
+        throw new IllegalArgumentException(
+          s"vector length mismatch: ${v.numElements()} vs ${cv.length}")
       var acc = 0.0d
       var k = 0
       while (k < cv.length) {
@@ -205,6 +211,10 @@ case class NearestRoutedExpr(child: Expression,
         int $sIdx = 0;
         for (int $si = 0; $si < $supersRef.length; $si++) {
           double[] sv = $supersRef[$si];
+          if ($v.numElements() != sv.length) {
+            throw new IllegalArgumentException(
+              "vector length mismatch: " + $v.numElements() + " vs " + sv.length);
+          }
           double acc = 0.0;
           for (int $k = 0; $k < sv.length; $k++) {
             double diff = (double) $v.$get($k) - sv[$k];

@@ -538,14 +538,19 @@ object Dedup {
     *    join is keyed by node id — nothing beyond the budget probe
     *    ever reaches the driver. Returns (node, cluster). */
   def clusterIds(pairs: DataFrame, localBudget: Long = 100000L): DataFrame = {
+    // checkpoint the pair relation ONCE up front: the upstream lineage is
+    // typically an expensive LSH-verify pipeline, and without this the
+    // bounded probe below would compute it a first time and an over-budget
+    // fallback (plus the edges union's two branches) would recompute it
+    // from scratch — over-budget callers paid the pair computation twice
     val half = pairs.select(col("a").cast("long").as("x"),
-      col("b").cast("long").as("y"))
+      col("b").cast("long").as("y")).localCheckpoint()
     // the local path needs budget+1 to fit a bounded limit().collect(),
     // so a budget beyond ~2e9 clamps (still far past any driver heap)
     val budget = math.min(localBudget, 2000000000L)
     if (budget > 0) {
       // bounded probe: fetch at most budget+1 rows — never the full
-      // relation — to learn whether the local path applies
+      // relation — off the checkpointed blocks, not the raw lineage
       val probe = half.limit((budget + 1).toInt).collect()
       if (probe.length <= budget) {
         val parent = scala.collection.mutable.Map.empty[Long, Long]
@@ -566,11 +571,13 @@ object Dedup {
         }
         val spark = pairs.sparkSession
         import spark.implicits._
+        IndexBuild.freeCheckpoint(half)
         return parent.keys.toSeq.sorted.map(n => (n, find(n)))
           .toDF("node", "cluster")
       }
     }
     val edges = half.union(half.select(col("y"), col("x"))).localCheckpoint()
+    IndexBuild.freeCheckpoint(half)
     var labels = edges.select(col("x").as("node")).distinct()
       .select(col("node"), col("node").as("lab"))
       .localCheckpoint()
@@ -756,9 +763,13 @@ object Dedup {
     val shared = size(array_intersect(
       array_distinct(shinglesOf(col("_graft_toks"), k)),
       typedlit(evalShingles)))
+    // null text shares nothing: tokens(null) is null, which would make
+    // `shared` null and silently DROP the row — the batch anti-join keeps
+    // null-text rows (no shingles, never flagged), so coalesce to 0 to
+    // preserve the stream ≡ batch contract
     train
       .withColumn("_graft_toks", tokens(normCol))
-      .filter(shared < maxShared)
+      .filter(coalesce(shared, lit(0)) < maxShared)
       .drop("_graft_toks")
   }
 

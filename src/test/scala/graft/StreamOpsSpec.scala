@@ -147,6 +147,16 @@ class StreamOpsSpec extends SparkSpec {
     val want2 = operators.Dedup.decontaminate(batch, eval, "doc_id", "text",
         3, maxShared = 2).select("doc_id").as[Long].collect().toSet
     assert(got2 == want2)
+    // null text shares nothing: BOTH forms must keep the row (the batch
+    // anti-join never flags it; the stateless filter must not let a null
+    // intersection size drop it)
+    val batchN = batch.select("doc_id", "text").unionByName(
+      Seq((-1L, Option.empty[String])).toDF("doc_id", "text"))
+    val got3 = operators.Dedup.decontaminateStateless(batchN, evalSh,
+        "text", 3).select("doc_id").as[Long].collect().toSet
+    val want3 = operators.Dedup.decontaminate(batchN, eval, "doc_id", "text",
+        3).select("doc_id").as[Long].collect().toSet
+    assert(got3 == want3 && got3.contains(-1L))
   }
 
   test("stateless pipeline ops run unchanged on streams (sample → pii profile)") {

@@ -90,4 +90,20 @@ class VectorFunctionsSpec extends SparkSpec {
     // the duplicated centroid keeps the LOWER id on the exact hit
     assert(got(300L) == table(7)._1)
   }
+
+  test("NearestRoutedExpr raises on short vectors before the member loop") {
+    // the super-routing pass must carry the same numElements guard as the
+    // member loop — otherwise a short UnsafeArrayData input silently
+    // reads past its buffer during routing
+    val table: Array[(Long, Array[Double])] =
+      Array.tabulate(9)(i => (i.toLong, Array(i * 1.0, 0.0, 0.0)))
+    val df = Seq((1L, Seq(1f))).toDF("id", "v")
+    val ex = intercept[Exception] {
+      df.select(graft.functions.NearestExpr.nearestIdRouted(col("v"), table,
+        sqrtCompare = false).as("l")).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: causes(t.getCause)
+    assert(causes(ex).exists(m => m != null && m.contains("length mismatch")))
+  }
 }
