@@ -201,6 +201,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    "p9_curate_temperature" -> ((s, d) => {
+      // the composed pipeline with a TEMPERATURE-DERIVED mixture: the
+      // rebalance targets come from the post-quality post-split corpus
+      // counts at alpha = 0.5 (share ∝ sqrt(count) — mT5/XLM-R rule;
+      // sqrt is IEEE-portable so the oracle recomputes every share and
+      // rate bit-for-bit), then the gated downsample rebalance
+      val docs = Tables.documents(s, d)
+      Pipeline.curate(docs, "doc_id", "text",
+          evalDocs = Some(docs.filter(col("doc_id") % 23 === 0)),
+          domainCol = Some("lang"), mixtureAlpha = Some(0.5))
+        .select(col("doc_id"), col("lang"), col("quality"), col("split"),
+          col("shard"), col("n_tokens").cast("long").as("n_tokens"),
+          col("bin"))
+        .orderBy(col("doc_id"))
+    }),
     "p7_curate_upsampled" -> ((s, d) => {
       // the composed pipeline in its UPSAMPLING configuration: same
       // seven stages as p5 but scarce domains repeat up to 3 epochs
@@ -712,8 +727,12 @@ object SparkEntry {
     * split assign) plus the rebalance preamble `tgt`/`cnt`/`kv` (counts
     * LEFT-JOINed so an absent domain collapses to the empty mixture in
     * both engines). Callers append the downsample (p5) or upsample (p7)
-    * tail. */
-  private def CurateCommonCtes(kvExpr: String): String =
+    * tail; `tgtCtes` overrides the target-share CTE (default: the fixed
+    * VALUES mixture) — p9 derives `tgt` from sp's own counts with the
+    * temperature rule instead. */
+  private def CurateCommonCtes(kvExpr: String,
+      tgtCtes: String = s"tgt(lang, tw) AS (VALUES $RebalanceTargetsSql)")
+      : String =
     s"""ek AS (
        |  SELECT doc_id, lang, text FROM (
        |    SELECT doc_id, lang, text,
@@ -745,7 +764,7 @@ object SparkEntry {
        |  CASE WHEN up < 0.75 THEN 'train'
        |       WHEN up < 0.875 THEN 'val' ELSE 'test' END AS split
        |  FROM (SELECT *, ${uniformSql("cu")} AS up FROM qf)),
-       |tgt(lang, tw) AS (VALUES $RebalanceTargetsSql),
+       |$tgtCtes,
        |cnt AS (SELECT tgt.lang, tgt.tw, count(sp.doc_id) AS c
        |  FROM tgt LEFT JOIN sp ON sp.lang = tgt.lang GROUP BY tgt.lang, tgt.tw),
        |kv AS (SELECT min($kvExpr) AS k FROM cnt)""".stripMargin
@@ -1078,6 +1097,23 @@ object SparkEntry {
          |SELECT doc_id, lang FROM documents JOIN r USING (lang)
          |WHERE ${uniformSql("tm")} < rate
          |ORDER BY doc_id""".stripMargin,
+    "p9_curate_temperature" ->
+      s"""WITH RECURSIVE ${CurateCommonCtes("CAST(c AS DOUBLE) / tw",
+           """dcnt AS (SELECT lang, count(*) AS dc FROM sp
+             |  WHERE lang IS NOT NULL GROUP BY lang),
+             |dtot AS (SELECT list_sum(list(sqrt(CAST(dc AS DOUBLE)) ORDER BY lang)) AS t FROM dcnt),
+             |tgt AS (SELECT lang, sqrt(CAST(dc AS DOUBLE)) / dtot.t AS tw FROM dcnt, dtot)""".stripMargin)},
+         |rr AS (SELECT lang, tw * kv.k / CAST(c AS DOUBLE) AS rate FROM cnt, kv WHERE c > 0),
+         |mx AS (SELECT sp.* FROM sp JOIN rr USING (lang)
+         |  WHERE $CurateRbUniformSql < rate),
+         |t AS (SELECT doc_id, lang, quality, split, doc_id % 8 AS shard,
+         |  len(string_split_regex(text, '\\s+')) AS n_tokens FROM mx)
+         |SELECT doc_id, lang, quality, split, shard,
+         | CAST(n_tokens AS BIGINT) AS n_tokens,
+         | CAST(floor((CAST(sum(n_tokens) OVER (PARTITION BY split, shard
+         |   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |   - n_tokens) / 512) AS BIGINT) AS bin
+         |FROM t ORDER BY doc_id""".stripMargin,
     "p7_curate_upsampled" ->
       s"""WITH RECURSIVE ${CurateCommonCtes("CAST(c AS DOUBLE) * 3 / tw")},
          |rr AS (SELECT lang, tw * kv.k / CAST(c AS DOUBLE) AS rate FROM cnt, kv WHERE c > 0),

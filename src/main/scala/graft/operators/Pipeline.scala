@@ -238,13 +238,39 @@ object Pipeline {
     }
   }
 
+  /** Exact-dedup stage of [[curate]]: keep the minimum id per md5(text)
+    * group — one keyed window, no join. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val byHash = Window.partitionBy(col("_h"))
+    docs
+      .withColumn("_h", md5(col(textCol)))
+      .withColumn("_canon", min(col(idCol)).over(byHash))
+      .filter(col(idCol) === col("_canon"))
+      .drop("_h", "_canon")
+  }
+
+  /** The shareable near-dup artifact of [[curate]]: the verified
+    * candidate-pair relation (columns a, b) over the EXACT-DEDUPED
+    * corpus — exactly what [[curate]] computes internally. The MinHash
+    * signatures, LSH band join, and Jaccard re-check are the expensive
+    * stages of every composed pipeline; compute this ONCE (and
+    * `localCheckpoint` it), then feed any number of [[curateWith]]
+    * configurations — different eval sets, mixtures, or packing — so a
+    * multi-configuration run pays one LSH pass instead of one per
+    * configuration (A/B'd in BASELINE.md). */
+  def curatePairs(docs: DataFrame, idCol: String, textCol: String,
+                  jaccard: Double = 0.6): DataFrame =
+    Dedup.lshVerifiedPairs(exactDedup(docs, idCol, textCol), idCol, textCol,
+      3, jaccard)
+
   /** End-to-end corpus curation — the composed training-data pipeline,
     * every stage one of this library's gated operators:
-    *  1. exact dedup: keep the minimum id per md5(text) group;
+    *  1. exact dedup: keep the minimum id per md5(text) group
+    *     ([[exactDedup]]);
     *  2. near-dup dedup: LSH candidates + exact-Jaccard re-check
     *     ([[Dedup.lshVerifiedPairs]]), then ONE representative per
-    *     connected near-dup cluster ([[Dedup.keepFirstByCluster]] —
-    *     transitive, unlike pairwise keep-first);
+    *     connected near-dup cluster (transitive closure via
+    *     [[Dedup.clusterIds]], unlike pairwise keep-first);
     *  3. benchmark decontamination (when `evalDocs` is given): drop
     *     every surviving doc sharing >= `maxShared` distinct
     *     `decontamK`-shingles with the eval set
@@ -258,14 +284,19 @@ object Pipeline {
     *     mixture holds within every split (membership is id-keyed,
     *     independent of the split uniform); `maxRepeat` > 1 upsamples
     *     instead ([[rebalanceRepeat]] — scarce domains repeat up to
-    *     maxRepeat epochs, rows gain a `rep` column);
+    *     maxRepeat epochs, rows gain a `rep` column). Passing
+    *     `mixtureAlpha` instead of explicit targets derives them from
+    *     the post-quality post-split corpus with the mT5/XLM-R
+    *     temperature rule ([[temperatureTargets]] over
+    *     [[domainCounts]]) — alpha 0.5 keeps the shares IEEE-portable
+    *     (sqrt), so the p9 oracle recomputes them bit-for-bit;
     *  7. sequence packing per (split, shard) ([[packSequences]] —
     *     ordered by (id, rep) when upsampled so repeated rows pack
     *     deterministically).
     * Returns (split, quality[, domain][, rep], id, shard, n_tokens, bin).
     * Every stage is keyed/bucketed — the widest shuffle is the LSH band
     * join; decontam adds a broadcast probe, rebalance one bounded
-    * count agg — and the whole flow is engine-portable (the p3/p5
+    * count agg — and the whole flow is engine-portable (the p3/p5/p9
     * DuckDB oracles recompute it end to end, transitive closure
     * included). */
   def curate(docs: DataFrame, idCol: String, textCol: String,
@@ -278,34 +309,92 @@ object Pipeline {
              decontamK: Int = 3, maxShared: Long = 1L,
              domainCol: Option[String] = None,
              rebalanceTargets: Seq[(String, Double)] = Nil,
-             maxRepeat: Int = 1): DataFrame = {
+             maxRepeat: Int = 1,
+             mixtureAlpha: Option[Double] = None): DataFrame =
+    curateImpl(docs, idCol, textCol, jaccard, minQuality, splits, salt,
+      capacity, numShards, evalDocs, decontamK, maxShared, domainCol,
+      rebalanceTargets, maxRepeat, mixtureAlpha, None, None)
+
+  /** [[curate]] over a PRECOMPUTED near-dup artifact: `pairs` is the
+    * verified candidate-pair relation over the exact-deduped corpus
+    * ([[curatePairs]] — same ngram/jaccard contract), and `clusters`
+    * (optional) the transitive closure over those pairs
+    * ([[Dedup.clusterIds]] output) when several configurations should
+    * also share the one closure pass. Output is IDENTICAL to the
+    * self-computing [[curate]] for the same inputs (spec-asserted);
+    * what changes is that a multi-configuration run — p3/p5/p7-style
+    * pipelines over one corpus — computes signatures, band join,
+    * Jaccard re-check, and closure once instead of per configuration. */
+  def curateWith(docs: DataFrame, idCol: String, textCol: String,
+                 pairs: DataFrame,
+                 clusters: Option[DataFrame] = None,
+                 minQuality: Double = 0.5,
+                 splits: Seq[(String, Double)] =
+                   Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)),
+                 salt: String = "cu",
+                 capacity: Int = 512, numShards: Int = 8,
+                 evalDocs: Option[DataFrame] = None,
+                 decontamK: Int = 3, maxShared: Long = 1L,
+                 domainCol: Option[String] = None,
+                 rebalanceTargets: Seq[(String, Double)] = Nil,
+                 maxRepeat: Int = 1,
+                 mixtureAlpha: Option[Double] = None): DataFrame =
+    curateImpl(docs, idCol, textCol, 0.6, minQuality, splits, salt,
+      capacity, numShards, evalDocs, decontamK, maxShared, domainCol,
+      rebalanceTargets, maxRepeat, mixtureAlpha, Some(pairs), clusters)
+
+  private def curateImpl(docs: DataFrame, idCol: String, textCol: String,
+                         jaccard: Double, minQuality: Double,
+                         splits: Seq[(String, Double)], salt: String,
+                         capacity: Int, numShards: Int,
+                         evalDocs: Option[DataFrame],
+                         decontamK: Int, maxShared: Long,
+                         domainCol: Option[String],
+                         rebalanceTargets: Seq[(String, Double)],
+                         maxRepeat: Int,
+                         mixtureAlpha: Option[Double],
+                         precomputedPairs: Option[DataFrame],
+                         precomputedClusters: Option[DataFrame]): DataFrame = {
     require(rebalanceTargets.isEmpty || domainCol.nonEmpty,
       "rebalanceTargets needs domainCol")
-    require(maxRepeat == 1 || rebalanceTargets.nonEmpty,
-      "maxRepeat > 1 needs rebalanceTargets (upsampling is a rebalance mode)")
-    val byHash = Window.partitionBy(col("_h"))
-    val exactKept = docs
-      .withColumn("_h", md5(col(textCol)))
-      .withColumn("_canon", min(col(idCol)).over(byHash))
-      .filter(col(idCol) === col("_canon"))
-      .drop("_h", "_canon")
-    val pairs = Dedup.lshVerifiedPairs(exactKept, idCol, textCol, 3, jaccard)
-    val kept = Dedup.keepFirstByCluster(exactKept, idCol, pairs)
-    val deduped = exactKept.join(kept, Seq(idCol))
+    require(mixtureAlpha.isEmpty || domainCol.nonEmpty,
+      "mixtureAlpha needs domainCol")
+    require(mixtureAlpha.isEmpty || rebalanceTargets.isEmpty,
+      "pass explicit rebalanceTargets OR mixtureAlpha, not both")
+    require(maxRepeat == 1 || rebalanceTargets.nonEmpty || mixtureAlpha.nonEmpty,
+      "maxRepeat > 1 needs rebalanceTargets or mixtureAlpha (upsampling is a rebalance mode)")
+    val exactKept = exactDedup(docs, idCol, textCol)
+    val clusters = precomputedClusters.getOrElse {
+      Dedup.clusterIds(precomputedPairs.getOrElse(
+        Dedup.lshVerifiedPairs(exactKept, idCol, textCol, 3, jaccard)))
+    }
+    val dropped = clusters
+      .filter(col("node") =!= col("cluster"))
+      .select(col("node").as(idCol))
+    val deduped = exactKept.join(dropped, Seq(idCol), "left_anti")
     val clean = evalDocs.fold(deduped)(ev =>
       Dedup.decontaminate(deduped, ev, idCol, textCol, decontamK, maxShared))
     val scored = clean
       .withColumn("quality", TextOps.qualityScore(col(textCol)))
       .filter(col("quality") >= minQuality)
-    val assigned = splitAssign(scored, idCol, splits, salt)
-    val upsampled = rebalanceTargets.nonEmpty && maxRepeat > 1
+    // temperature-derived mixtures read the corpus once for counts and
+    // once more inside rebalance — checkpoint so the dedup lineage
+    // (the LSH pipeline) isn't recomputed for each action
+    val assigned0 = splitAssign(scored, idCol, splits, salt)
+    val assigned =
+      if (mixtureAlpha.isDefined) assigned0.localCheckpoint() else assigned0
+    val targets =
+      if (rebalanceTargets.nonEmpty) rebalanceTargets
+      else mixtureAlpha.map(a =>
+        temperatureTargets(domainCounts(assigned, domainCol.get), a))
+        .getOrElse(Nil)
+    val upsampled = targets.nonEmpty && maxRepeat > 1
     val mixed =
-      if (rebalanceTargets.isEmpty) assigned
+      if (targets.isEmpty) assigned
       else if (upsampled)
-        rebalanceRepeat(assigned, idCol, domainCol.get, rebalanceTargets,
+        rebalanceRepeat(assigned, idCol, domainCol.get, targets,
           maxRepeat, salt + "_rb")
-      else rebalance(assigned, idCol, domainCol.get, rebalanceTargets,
-        salt + "_rb")
+      else rebalance(assigned, idCol, domainCol.get, targets, salt + "_rb")
     packSequences(mixed, idCol, textCol, capacity, numShards,
       packKeys = Seq("split"), carry = Seq("quality") ++ domainCol.toSeq,
       orderCols = if (upsampled) Seq(idCol, "rep") else Nil)

@@ -658,6 +658,44 @@ class PipelineSpec extends SparkSpec {
         rebalanceTargets = Seq(("en", 1.0))) }
   }
 
+  test("curateWith over precomputed pairs/clusters equals the self-computing curate") {
+    // the pair-reuse API: compute the verified pair relation (and the
+    // transitive closure) ONCE, feed three differently-configured
+    // pipelines — every output must be row-identical to the
+    // self-computing path
+    val docs = Tables.documents(spark, sf0001).select("doc_id", "lang", "text")
+    val pairs = Pipeline.curatePairs(docs, "doc_id", "text").localCheckpoint()
+    val clusters = Dedup.clusterIds(pairs).localCheckpoint()
+    val eval = docs.filter(col("doc_id") % 23 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "split", "shard", "bin")
+        .as[(Long, String, Long, Long)].collect().toSet
+    // p3 shape (no decontam/rebalance)
+    assert(rows(Pipeline.curateWith(docs, "doc_id", "text", pairs)) ==
+      rows(Pipeline.curate(docs, "doc_id", "text")))
+    // p5 shape (decontam + explicit mixture), sharing pairs AND clusters
+    val cfg5self = Pipeline.curate(docs, "doc_id", "text",
+      evalDocs = Some(eval), domainCol = Some("lang"),
+      rebalanceTargets = Seq(("en", 0.5), ("de", 0.25), ("fr", 0.25)))
+    val cfg5shared = Pipeline.curateWith(docs, "doc_id", "text", pairs,
+      clusters = Some(clusters), evalDocs = Some(eval),
+      domainCol = Some("lang"),
+      rebalanceTargets = Seq(("en", 0.5), ("de", 0.25), ("fr", 0.25)))
+    assert(rows(cfg5shared) == rows(cfg5self) && rows(cfg5self).nonEmpty)
+    // temperature-mixture shape shared too
+    assert(rows(Pipeline.curateWith(docs, "doc_id", "text", pairs,
+        clusters = Some(clusters), domainCol = Some("lang"),
+        mixtureAlpha = Some(0.5))) ==
+      rows(Pipeline.curate(docs, "doc_id", "text",
+        domainCol = Some("lang"), mixtureAlpha = Some(0.5))))
+    // mixtureAlpha and explicit targets are mutually exclusive
+    intercept[IllegalArgumentException] {
+      Pipeline.curate(docs, "doc_id", "text", domainCol = Some("lang"),
+        rebalanceTargets = Seq(("en", 1.0)), mixtureAlpha = Some(0.5)) }
+    intercept[IllegalArgumentException] {
+      Pipeline.curate(docs, "doc_id", "text", mixtureAlpha = Some(0.5)) }
+  }
+
   test("packing an upsampled corpus orders by (id, rep) deterministically") {
     // 3 copies of every doc (same doc_id => same shard, same n_tokens):
     // without a tie-breaking order column the running sum over the
