@@ -208,6 +208,53 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "curatebench") {
+      // pair-reuse A/B (multi-configuration curation): three composed
+      // pipeline configurations (the p3/p5/p7 shapes) over one corpus —
+      // self-computing (each runs its own LSH + closure pass) vs shared
+      // (curatePairs + clusterIds computed once, curateWith after).
+      // Outputs are row-identical (PipelineSpec asserts it); this
+      // measures the wall-clock difference.
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Dedup, Pipeline}
+      val sfd = args.drop(1).find(_.startsWith("/"))
+        .getOrElse("/root/testdata/sf0.1")
+      val docs = Tables.documents(spark, sfd).select("doc_id", "lang", "text")
+        .localCheckpoint()
+      val eval = docs.filter(col("doc_id") % 23 === 0)
+      val tg = QueryConstants.RebalanceTargets
+      def timeIt(label: String)(thunk: => Long): Double = {
+        val t0 = System.nanoTime(); val n = thunk
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$label%-28s $s%8.2f s  ($n rows)"); s
+      }
+      val selfTotal =
+        timeIt("self p3")(Pipeline.curate(docs, "doc_id", "text").count()) +
+        timeIt("self p5")(Pipeline.curate(docs, "doc_id", "text",
+          evalDocs = Some(eval), domainCol = Some("lang"),
+          rebalanceTargets = tg).count()) +
+        timeIt("self p7")(Pipeline.curate(docs, "doc_id", "text",
+          evalDocs = Some(eval), domainCol = Some("lang"),
+          rebalanceTargets = tg, maxRepeat = 3).count())
+      val t0p = System.nanoTime()
+      val pairs = Pipeline.curatePairs(docs, "doc_id", "text").localCheckpoint()
+      val clusters = Dedup.clusterIds(pairs).localCheckpoint()
+      val prep = (System.nanoTime() - t0p) / 1e9
+      println(f"shared prep (pairs+closure)  $prep%8.2f s")
+      val sharedTotal = prep +
+        timeIt("shared p3")(Pipeline.curateWith(docs, "doc_id", "text",
+          pairs, clusters = Some(clusters)).count()) +
+        timeIt("shared p5")(Pipeline.curateWith(docs, "doc_id", "text",
+          pairs, clusters = Some(clusters), evalDocs = Some(eval),
+          domainCol = Some("lang"), rebalanceTargets = tg).count()) +
+        timeIt("shared p7")(Pipeline.curateWith(docs, "doc_id", "text",
+          pairs, clusters = Some(clusters), evalDocs = Some(eval),
+          domainCol = Some("lang"), rebalanceTargets = tg,
+          maxRepeat = 3).count())
+      println(f"TOTAL self $selfTotal%.2f s vs shared $sharedTotal%.2f s " +
+        f"(x${selfTotal / sharedTotal}%.2f)")
+      spark.stop(); return
+    }
     if (name == "assignbench") {
       // pure nearest-centroid assignment cost, flat O(C) vs routed
       // O(sqrt C) per row — the term that dominates semDedupAuto and
