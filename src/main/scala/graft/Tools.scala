@@ -208,6 +208,73 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "recallbench") {
+      // ANN quality curves (the reference's own unmet qdrant-style
+      // aspiration, README.md:102): recall@10 vs brute force AND warm
+      // probe latency for every ANN family at n x d synthetic vectors.
+      // Queries are dataset vectors (stride-sampled ids), so ground
+      // truth is well-defined and the distributions match.
+      import org.apache.spark.sql.functions._
+      import graft.operators._
+      val nums = args.drop(1).filter(_.forall(_.isDigit))
+      val n = nums.headOption.map(_.toLong).getOrElse(1000000L)
+      val d = nums.lift(1).map(_.toInt).getOrElse(64)
+      val nq = nums.lift(2).map(_.toInt).getOrElse(20)
+      val kTop = 10
+      val pts = graft.sources.Ingest.randomUniform(spark, n, d)
+        .withColumnRenamed("vector", "embedding").localCheckpoint()
+      val queries: Seq[(Long, Seq[Double])] = pts
+        .filter(col("id") % lit(n / nq) === 7)
+        .orderBy(col("id")).limit(nq)
+        .select(col("id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      println(s"n=$n d=$d queries=${queries.size} k=$kTop")
+      val truth: Map[Long, Set[Long]] = queries.map { case (qid, q) =>
+        qid -> BruteForce.knn(pts, "embedding", "id", q, kTop)
+          .select("id").collect().map(_.getLong(0)).toSet
+      }.toMap
+      // serving stores, written once each
+      val planes = Similarity.hyperplanes(8, d)
+      val lshPath = s"/tmp/graft-recall-lsh-$n-$d"
+      val ivfPath = s"/tmp/graft-recall-ivf-$n-$d"
+      val pqPath = s"/tmp/graft-recall-pq-$n-$d"
+      val ivfpqPath = s"/tmp/graft-recall-ivfpq-$n-$d"
+      Similarity.writeBucketed(pts, "id", "embedding", planes, lshPath)
+      Similarity.writeIvf(pts, "id", "embedding", 256, ivfPath)
+      ProductQuant.writePq(pts, "id", "embedding", 8, 16, 1, pqPath)
+      IvfPq.write(pts, "id", "embedding", 256, coarseIters = 2,
+        m = 8, k = 16, pqIters = 1, path = ivfpqPath)
+      def measure(label: String)(
+          probe: Seq[Double] => org.apache.spark.sql.DataFrame): Unit = {
+        // warm once (plan + codegen), then one timed probe per query
+        probe(queries.head._2).select("id").collect()
+        var hits = 0L; var secs = 0.0
+        queries.foreach { case (qid, q) =>
+          val t0 = System.nanoTime()
+          val got = probe(q).select("id").collect().map(_.getLong(0)).toSet
+          secs += (System.nanoTime() - t0) / 1e9
+          hits += got.intersect(truth(qid)).size
+        }
+        val recall = hits.toDouble / (queries.size * kTop)
+        println(f"$label%-34s recall@10 ${recall}%6.3f   ${secs / queries.size}%7.3f s/probe")
+      }
+      measure("brute force (exact baseline)")(q =>
+        BruteForce.knn(pts, "embedding", "id", q, kTop))
+      measure("a1 LSH bucket (8 planes)")(q =>
+        Similarity.probeBucketed(spark, lshPath, "id", "embedding", planes, q, kTop))
+      measure("a1 LSH multi-probe (1-bit)")(q =>
+        Similarity.probeBucketedMulti(spark, lshPath, "id", "embedding", planes, q, kTop))
+      for (np <- Seq(1, 4, 16))
+        measure(s"a2 IVF lists=256 nprobe=$np")(q =>
+          Similarity.probeIvf(spark, ivfPath, "id", "embedding", q, np, kTop))
+      for (topN <- Seq(100, 1000))
+        measure(s"a4 PQ ADC m=8 k=16 topN=$topN")(q =>
+          ProductQuant.probePq(spark, pqPath, pts, "id", "embedding", q, topN, kTop))
+      for (np <- Seq(1, 4, 16))
+        measure(s"a5 IVFADC nprobe=$np topN=100")(q =>
+          IvfPq.probe(spark, ivfpqPath, pts, "id", "embedding", q, np, 100, kTop))
+      spark.stop(); return
+    }
     if (name == "curatebench") {
       // pair-reuse A/B (multi-configuration curation): three composed
       // pipeline configurations (the p3/p5/p7 shapes) over one corpus —

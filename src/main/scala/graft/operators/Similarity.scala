@@ -114,7 +114,11 @@ object Similarity {
     * to the earliest super): the O(C·S·dim) routing work distributes
     * across the cluster, leaving the driver only the C-row result.
     * Pass via `routeSpark` once C reaches ~10⁴–10⁵, where the serial
-    * prep would take minutes. */
+    * prep would take minutes. BOUNDED COLLECT: the result (and the
+    * routed map built from it) is C ints + the C×dim centroid table the
+    * caller already holds — driver memory is bounded by the existing
+    * centroid-table contract (KBs at C=10³, ~1 GB at C=10⁶×dim 96),
+    * never by the corpus. */
   def routeCentroids(spark: org.apache.spark.sql.SparkSession)(
       sorted: Array[(Long, Array[Double])],
       supers: Array[Array[Double]]): Array[Int] = {

@@ -28,6 +28,10 @@ class IndexedVicinityRuleSpec extends SparkSpec {
     val e = Tables.embeddings(extSpark, sf0001)
     val index = IndexBuild.buildIndex(e, "vec_id", "embedding").localCheckpoint()
     VectorIndexCatalog.register(path, "vec_id", index)
+    // at 64-d this radius's L-inf box covers most leaves, so the cost
+    // model would (correctly) skip; disable it here — this test asserts
+    // SOUNDNESS of the rewrite itself, selectivity is covered below
+    extSpark.conf.set("spark.graft.vicinity.maxSelectivity", "1.0")
     try {
       val q = BruteForce.rangeSearch(
         extSpark.read.parquet(path), "embedding",
@@ -56,6 +60,7 @@ class IndexedVicinityRuleSpec extends SparkSpec {
       }.flatten
       assert(inSetSizes.headOption.exists(sz => sz <= 500 && sz >= want.size))
     } finally {
+      extSpark.conf.unset("spark.graft.vicinity.maxSelectivity")
       VectorIndexCatalog.clear()
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
@@ -115,6 +120,43 @@ class IndexedVicinityRuleSpec extends SparkSpec {
       assert(selInSet)
     } finally {
       extSpark.conf.unset("spark.graft.vicinity.maxCandidates")
+      VectorIndexCatalog.clear()
+      SparkSession.setDefaultSession(TestSpark.spark)
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+
+  test("near-full-scan candidate estimate skips the rewrite (cost model)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftgridsel").toString
+    graft.sources.Ingest.grid(extSpark, 50).write.mode("overwrite").parquet(dir)
+    val g = extSpark.read.parquet(dir)
+    val index = IndexBuild.buildIndex(g, "id", "vector").localCheckpoint()
+    VectorIndexCatalog.register(dir, "id", index, vecCol = "vector")
+    try {
+      // radius 1.9 on the [-1,1]² grid: the walked candidate set covers
+      // nearly every leaf (under the absolute cap, but ≈ full scan) —
+      // the cost model must SKIP the rewrite even though the cap allows
+      // it, because an IN-set of ~all ids prunes nothing
+      val q = BruteForce.rangeSearch(g, "vector", Seq(0.0, 0.0), 1.9)
+      val hasInSet = q.queryExecution.optimizedPlan.collect {
+        case f: Filter if f.condition.exists(_.isInstanceOf[InSet]) => f
+      }.nonEmpty
+      assert(!hasInSet, "expected selectivity skip — no InSet rewrite")
+      // no correctness change: the plain predicate answers exactly
+      val got = q.select("id").collect().map(_.getLong(0)).toSet
+      VectorIndexCatalog.clear()
+      val want = BruteForce.rangeSearch(g, "vector", Seq(0.0, 0.0), 1.9)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got == want && got.nonEmpty)
+      // selectivity 1.0 disables the cost model: the same query rewrites
+      VectorIndexCatalog.register(dir, "id", index, vecCol = "vector")
+      extSpark.conf.set("spark.graft.vicinity.maxSelectivity", "1.0")
+      val q2 = BruteForce.rangeSearch(g, "vector", Seq(0.0, 0.0), 1.9)
+      assert(q2.queryExecution.optimizedPlan.collect {
+        case f: Filter if f.condition.exists(_.isInstanceOf[InSet]) => f
+      }.nonEmpty, "maxSelectivity=1.0 must disable the skip")
+    } finally {
+      extSpark.conf.unset("spark.graft.vicinity.maxSelectivity")
       VectorIndexCatalog.clear()
       SparkSession.setDefaultSession(TestSpark.spark)
       SparkSession.setActiveSession(TestSpark.spark)
