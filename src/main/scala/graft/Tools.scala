@@ -208,6 +208,35 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "docbench") {
+      // multi-document serving-build A/B: D docs × (n/D) points × d dims,
+      // sequential indexDocument loop (D × filter+build+write jobs) vs
+      // the one-wave indexAllDocuments (one build job, one write).
+      import org.apache.spark.sql.functions._
+      val nums = args.drop(1).filter(_.forall(_.isDigit))
+      val docs = nums.headOption.map(_.toInt).getOrElse(100)
+      val n = nums.lift(1).map(_.toLong).getOrElse(500000L)
+      val d = nums.lift(2).map(_.toInt).getOrElse(32)
+      val texts = graft.sources.Ingest.randomUniform(spark, n, d)
+        .select((col("id") % docs).as("docId"), col("id").as("vec_id"),
+          to_json(col("vector")).as("vector_json"))
+        .localCheckpoint()
+      val allDir = s"/tmp/graft-docbench-all-$docs-$n"
+      var t0 = System.nanoTime()
+      graft.sources.IndexStore.indexAllDocuments(
+        spark, texts, "vec_id", "vector_json", allDir)
+      println(f"one-wave indexAllDocuments($docs docs, $n pts): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val seqDir = s"/tmp/graft-docbench-seq-$docs-$n"
+      t0 = System.nanoTime()
+      (0L until docs.toLong).foreach(doc =>
+        graft.sources.IndexStore.indexDocument(
+          spark, texts, doc, "vec_id", "vector_json", seqDir))
+      println(f"sequential indexDocument × $docs: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val a = spark.read.parquet(allDir).filter(col("id").isNotNull).count()
+      val b = spark.read.parquet(seqDir).filter(col("id").isNotNull).count()
+      println(s"leaves one-wave=$a sequential=$b equal=${a == b}")
+      spark.stop(); return
+    }
     if (name == "recallbench") {
       // ANN quality curves (the reference's own unmet qdrant-style
       // aspiration, README.md:102): recall@10 vs brute force AND warm
@@ -221,8 +250,27 @@ object Tools {
       val d = nums.lift(1).map(_.toInt).getOrElse(64)
       val nq = nums.lift(2).map(_.toInt).getOrElse(20)
       val kTop = 10
-      val pts = graft.sources.Ingest.randomUniform(spark, n, d)
-        .withColumnRenamed("vector", "embedding").localCheckpoint()
+      // `clustered` plants n points around 1000 uniform centers (noise
+      // scale 0.15) — the realistic regime where neighbours are real;
+      // the default uniform dataset is the ADVERSARIAL regime (64-d
+      // distance concentration: nearest neighbours are near-arbitrary,
+      // the floor for any ANN structure)
+      val clustered = args.contains("clustered")
+      val base = graft.sources.Ingest.randomUniform(spark, n, d)
+      val pts0 =
+        if (!clustered) base
+        else {
+          val cNum = 1000
+          val centers = graft.sources.Ingest
+            .randomUniform(spark, cNum, d, seed = 99L)
+            .select(col("id").as("cid"), col("vector").as("cvec"))
+          base.withColumn("cid", col("id") % cNum)
+            .join(broadcast(centers), "cid")
+            .select(col("id"), zip_with(col("vector"), col("cvec"),
+              (a, b) => (a * lit(0.15d) + b).cast("float")).as("vector"))
+        }
+      val tag = if (clustered) "c" else "u"
+      val pts = pts0.withColumnRenamed("vector", "embedding").localCheckpoint()
       val queries: Seq[(Long, Seq[Double])] = pts
         .filter(col("id") % lit(n / nq) === 7)
         .orderBy(col("id")).limit(nq)
@@ -235,10 +283,10 @@ object Tools {
       }.toMap
       // serving stores, written once each
       val planes = Similarity.hyperplanes(8, d)
-      val lshPath = s"/tmp/graft-recall-lsh-$n-$d"
-      val ivfPath = s"/tmp/graft-recall-ivf-$n-$d"
-      val pqPath = s"/tmp/graft-recall-pq-$n-$d"
-      val ivfpqPath = s"/tmp/graft-recall-ivfpq-$n-$d"
+      val lshPath = s"/tmp/graft-recall-lsh-$n-$d-$tag"
+      val ivfPath = s"/tmp/graft-recall-ivf-$n-$d-$tag"
+      val pqPath = s"/tmp/graft-recall-pq-$n-$d-$tag"
+      val ivfpqPath = s"/tmp/graft-recall-ivfpq-$n-$d-$tag"
       Similarity.writeBucketed(pts, "id", "embedding", planes, lshPath)
       Similarity.writeIvf(pts, "id", "embedding", 256, ivfPath)
       ProductQuant.writePq(pts, "id", "embedding", 8, 16, 1, pqPath)
@@ -320,6 +368,42 @@ object Tools {
           maxRepeat = 3).count())
       println(f"TOTAL self $selfTotal%.2f s vs shared $sharedTotal%.2f s " +
         f"(x${selfTotal / sharedTotal}%.2f)")
+      spark.stop(); return
+    }
+    if (name == "routebench") {
+      // routed-assignment PREP cost at corpus-scale C: building the
+      // two-level routing tables is O(C·S·dim) — a serial driver loop
+      // by default, a Spark job via routeSpark (Similarity.routeCentroids).
+      // This measures both at the C where the serial loop stops being
+      // viable, and cross-checks the resulting assignments bit-for-bit.
+      import org.apache.spark.sql.functions._
+      import graft.operators.Similarity
+      val nums = args.drop(1).filter(_.forall(_.isDigit))
+      val d = nums.headOption.map(_.toInt).getOrElse(64)
+      val pts = graft.sources.Ingest.randomUniform(spark, 100000L, d)
+        .withColumnRenamed("vector", "embedding").localCheckpoint()
+      for (c <- Seq(16384, 65536, 262144)) {
+        val cents: Array[(Long, Array[Double])] = graft.sources.Ingest
+          .randomUniform(spark, c.toLong, d, seed = 5L)
+          .select(col("id"), col("vector").cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        def prep(label: String,
+                 mk: () => org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val t0 = System.nanoTime()
+          val col = mk()
+          println(f"$label C=$c%-7d prep ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+          col
+        }
+        val serial = prep("serial ", () => Similarity.ivfListIdRouted(
+          col("embedding"), cents))
+        val dist = prep("spark  ", () => Similarity.ivfListIdRouted(
+          col("embedding"), cents, routeSpark = Some(spark)))
+        // identical routing contract: same assignment for every row
+        val diff = pts.select(serial.as("a"), dist.as("b"))
+          .filter(col("a") =!= col("b")).count()
+        println(s"assignment diff rows: $diff (must be 0)")
+      }
       spark.stop(); return
     }
     if (name == "assignbench") {

@@ -46,4 +46,24 @@ object IndexStore {
       .withColumn("docId", lit(docId))
     replaceDocs(index, path)
   }
+
+  /** ONE-WAVE orchestration of [[indexDocument]] for every document in
+    * `texts`: shred all rows, build every document's tree in one job
+    * ([[graft.operators.IndexBuild.buildIndexPerDoc]] — points
+    * hash-partition by document, each task runs the sequential walker
+    * over its documents), and replace all touched store partitions with
+    * ONE dynamic-partition-overwrite write. A serving layout with D
+    * documents pays O(1) Spark jobs instead of D × (filter + build loop
+    * + write) — same store contents per document (spec-asserted), same
+    * staleness contract as [[replaceDocs]]. A single out-sized document
+    * should still go through [[indexDocument]] (distributed BFS). */
+  def indexAllDocuments(spark: SparkSession, texts: DataFrame,
+                        idCol: String, jsonVecCol: String, path: String,
+                        bucketSize: Int = 1): Unit = {
+    val points = texts.select(col("docId"), col(idCol),
+      Ingest.parseJsonVector(col(jsonVecCol)).as("vector"))
+    val index = graft.operators.IndexBuild.buildIndexPerDoc(
+      points, "docId", idCol, "vector", bucketSize)
+    replaceDocs(index, path)
+  }
 }

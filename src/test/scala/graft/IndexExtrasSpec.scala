@@ -124,6 +124,39 @@ class IndexExtrasSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("indexAllDocuments one-wave build equals sequential indexDocument stores") {
+    val seqDir = java.nio.file.Files.createTempDirectory("graftseq").toString
+    val allDir = java.nio.file.Files.createTempDirectory("graftall").toString
+    val e = Tables.embeddings(spark, sf0001)
+    // 4 documents from the label column, JSON-vector text rows
+    val texts = e.select(col("label").cast("long").as("docId"), col("vec_id"),
+      to_json(col("embedding")).as("vector_json")).localCheckpoint()
+    val docIds = texts.select("docId").distinct().as[Long].collect().sorted
+    docIds.foreach(d =>
+      IndexStore.indexDocument(spark, texts, d, "vec_id", "vector_json", seqDir))
+    IndexStore.indexAllDocuments(spark, texts, "vec_id", "vector_json", allDir)
+    // identical store CONTENTS per doc: leaf sets match exactly; node
+    // counts match (tree shapes agree — both paths implement the same
+    // split rules; the sequential path used buildIndex's local fast path
+    // at this size, i.e. the same walker)
+    def leaves(dir: String) = IndexStore.load(spark, dir)
+      .filter(col("id").isNotNull)
+      .select("docId", "rangeId", "id").as[(Long, Long, Long)].collect().toSet
+    assert(leaves(allDir) == leaves(seqDir) && leaves(allDir).nonEmpty)
+    assert(IndexStore.load(spark, allDir).count() ==
+      IndexStore.load(spark, seqDir).count())
+    // and the one-wave store answers searches exactly (per doc)
+    val stored = IndexStore.load(spark, allDir, Some(docIds.head)).drop("docId")
+    val scope = e.filter(col("label") === docIds.head)
+    val got = IndexSearch.searchExact(stored, scope, "vec_id", "embedding",
+        QueryConstants.Q64, QueryConstants.Radius)
+      .select("vec_id").as[Long].collect().toSet
+    val want = BruteForce.rangeSearch(scope, "embedding",
+        QueryConstants.Q64, QueryConstants.Radius)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == want)
+  }
+
   test("pinned index answers repeated queries and batch search joins exactly") {
     val e = Tables.embeddings(spark, sf0001)
     val index = IndexBuild.buildIndex(e, "vec_id", "embedding")

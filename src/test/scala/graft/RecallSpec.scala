@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** ANN quality floors (the qdrant-style benchmark the reference aspired
+  * to, `/root/reference/README.md:102`): recall@10 vs the brute-force
+  * oracle on a planted-cluster fixture — the regime where neighbours are
+  * real (same cluster) and an ANN structure has something to find. The
+  * 1M-scale curves live in BASELINE.md (`Tools recallbench`); these
+  * floors gate the same configurations at spec scale. */
+class RecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 10
+
+  /** 4000 points in 16-d around 20 planted uniform centers, noise 0.15×
+    * uniform — same construction as `recallbench clustered`. */
+  private lazy val pts = {
+    val base = graft.sources.Ingest.randomUniform(spark, 4000, 16)
+    val centers = graft.sources.Ingest.randomUniform(spark, 20, 16, seed = 99L)
+      .select(col("id").as("cid"), col("vector").as("cvec"))
+    base.withColumn("cid", col("id") % 20)
+      .join(broadcast(centers), "cid")
+      .select(col("id"), zip_with(col("vector"), col("cvec"),
+        (a, b) => (a * lit(0.15d) + b).cast("float")).as("embedding"))
+      .localCheckpoint()
+  }
+
+  private lazy val queries: Seq[Seq[Double]] = pts
+    .filter(col("id") % 500 === 3).orderBy(col("id"))
+    .select(col("embedding").cast("array<double>")).collect()
+    .map(_.getSeq[Double](0).toSeq).toSeq
+
+  private lazy val truth: Map[Int, Set[Long]] = queries.zipWithIndex.map {
+    case (q, i) =>
+      i -> BruteForce.knn(pts, "embedding", "id", q, K)
+        .select("id").as[Long].collect().toSet
+  }.toMap
+
+  private def recallOf(probe: Seq[Double] => org.apache.spark.sql.DataFrame): Double = {
+    val hits = queries.zipWithIndex.map { case (q, i) =>
+      probe(q).select("id").as[Long].collect().toSet.intersect(truth(i)).size
+    }.sum
+    hits.toDouble / (queries.size * K)
+  }
+
+  test("a2 IVF recall@10 meets the floor on clustered data") {
+    val cents = Similarity.ivfTrain(pts, "id", "embedding", 20, iters = 2)
+    val r4 = recallOf(q => Similarity.ivfKnnWith(pts, "id", "embedding",
+      cents, nprobe = 4, q, K))
+    assert(r4 >= 0.8, s"IVF nprobe=4 recall@10 $r4 below floor 0.8")
+    // monotone in nprobe; nprobe = numLists is exhaustive = exact
+    val rAll = recallOf(q => Similarity.ivfKnnWith(pts, "id", "embedding",
+      cents, nprobe = 20, q, K))
+    assert(rAll == 1.0, s"exhaustive nprobe must be exact, got $rAll")
+  }
+
+  test("a4 PQ ADC + exact re-rank recall@10 meets the floor") {
+    val cb = ProductQuant.pqTrain(pts, "id", "embedding", m = 4, k = 16,
+      iters = 1)
+    val r = recallOf(q => ProductQuant.pqKnn(pts, "id", "embedding", cb, q,
+      topN = 200, K))
+    assert(r >= 0.8, s"PQ topN=200 recall@10 $r below floor 0.8")
+    // recall grows with the re-rank budget (exact over candidates)
+    val rBig = recallOf(q => ProductQuant.pqKnn(pts, "id", "embedding", cb, q,
+      topN = 1000, K))
+    assert(rBig >= r, s"topN=1000 recall $rBig regressed below topN=200 $r")
+  }
+
+  test("a5 IVFADC probe recall@10 meets the floor") {
+    val dir = java.nio.file.Files.createTempDirectory("graftrecall").toString
+    IvfPq.write(pts, "id", "embedding", numLists = 20, coarseIters = 2,
+      m = 4, k = 16, pqIters = 1, path = s"$dir/store")
+    val r = recallOf(q => IvfPq.probe(spark, s"$dir/store", pts, "id",
+      "embedding", q, nprobe = 4, topN = 200, K))
+    assert(r >= 0.7, s"IVFADC nprobe=4 topN=200 recall@10 $r below floor 0.7")
+  }
+
+  test("a1 LSH multi-probe recall@10 meets the floor") {
+    val planes = Similarity.hyperplanes(6, 16)
+    val dir = java.nio.file.Files.createTempDirectory("graftrecalllsh").toString
+    Similarity.writeBucketed(pts, "id", "embedding", planes, s"$dir/store")
+    val r = recallOf(q => Similarity.probeBucketedMulti(spark, s"$dir/store",
+      "id", "embedding", planes, q, K))
+    assert(r >= 0.5, s"LSH multi-probe recall@10 $r below floor 0.5")
+  }
+}
