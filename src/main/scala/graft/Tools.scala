@@ -382,7 +382,9 @@ object Tools {
       val d = nums.headOption.map(_.toInt).getOrElse(64)
       val pts = graft.sources.Ingest.randomUniform(spark, 100000L, d)
         .withColumnRenamed("vector", "embedding").localCheckpoint()
-      for (c <- Seq(16384, 65536, 262144)) {
+      val cs = if (args.contains("big")) Seq(262144, 1048576)
+               else Seq(16384, 65536, 262144)
+      for (c <- cs) {
         val cents: Array[(Long, Array[Double])] = graft.sources.Ingest
           .randomUniform(spark, c.toLong, d, seed = 5L)
           .select(col("id"), col("vector").cast("array<double>"))

@@ -110,27 +110,46 @@ object Similarity {
 
   /** Member routing for the two-level assignment computed as a SPARK
     * JOB instead of the serial driver loop — same contract bit-for-bit
-    * (raw-d2 nearest super via [[graft.functions.NearestIdExpr]], ties
-    * to the earliest super): the O(C·S·dim) routing work distributes
-    * across the cluster, leaving the driver only the C-row result.
-    * Pass via `routeSpark` once C reaches ~10⁴–10⁵, where the serial
-    * prep would take minutes. BOUNDED COLLECT: the result (and the
-    * routed map built from it) is C ints + the C×dim centroid table the
-    * caller already holds — driver memory is bounded by the existing
-    * centroid-table contract (KBs at C=10³, ~1 GB at C=10⁶×dim 96),
-    * never by the corpus. */
+    * (raw-d2 left-to-right float64 accumulation, ties to the earliest
+    * super — exactly the serial loop's operations): the O(C·S·dim)
+    * routing work distributes across the cluster, leaving the driver
+    * only the C-row result. Plumbing is a raw RDD over the centroid
+    * array with the supers broadcast once — double arrays ship via
+    * cheap Java serialization, not per-row SQL encoders (the encoder
+    * form measured SLOWER than the serial loop up to C=10⁶). Pass via
+    * `routeSpark` once C reaches ~10⁵–10⁶, where the serial prep takes
+    * minutes. BOUNDED COLLECT: the result (and the routed map built
+    * from it) is C ints + the C×dim centroid table the caller already
+    * holds — driver memory is bounded by the existing centroid-table
+    * contract (KBs at C=10³, ~1 GB at C=10⁶×dim 96), never by the
+    * corpus. */
   def routeCentroids(spark: org.apache.spark.sql.SparkSession)(
       sorted: Array[(Long, Array[Double])],
       supers: Array[Array[Double]]): Array[Int] = {
-    import spark.implicits._
-    val superTable = supers.zipWithIndex.map { case (sv, i) => (i.toLong, sv) }
-    val routed = spark
-      .createDataset(sorted.toSeq.map { case (lid, cv) => (lid, cv.toSeq) })
-      .toDF("lid", "cv")
-      .select(col("lid"), graft.functions.NearestExpr.nearestId(
-        col("cv").cast("array<double>"), superTable,
-        sqrtCompare = false).as("sidx"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    val sc = spark.sparkContext
+    val supB = sc.broadcast(supers)
+    val parts = math.max(sc.defaultParallelism,
+      math.min(1024, sorted.length / 2048)).max(1)
+    val routed = sc.parallelize(sorted.toIndexedSeq, parts)
+      .map { case (lid, cv) =>
+        val sup = supB.value
+        var bestIdx = 0
+        var best = Double.PositiveInfinity
+        var si = 0
+        while (si < sup.length) {
+          val sv = sup(si)
+          var acc = 0.0d
+          var i = 0
+          while (i < cv.length) {
+            val diff = cv(i) - sv(i); acc += diff * diff; i += 1
+          }
+          if (acc < best) { best = acc; bestIdx = si }
+          si += 1
+        }
+        (lid, bestIdx)
+      }
+      .collect().toMap
+    supB.destroy()
     sorted.map { case (lid, _) => routed(lid) }
   }
 
