@@ -287,11 +287,19 @@ object Tools {
       val ivfPath = s"/tmp/graft-recall-ivf-$n-$d-$tag"
       val pqPath = s"/tmp/graft-recall-pq-$n-$d-$tag"
       val ivfpqPath = s"/tmp/graft-recall-ivfpq-$n-$d-$tag"
-      Similarity.writeBucketed(pts, "id", "embedding", planes, lshPath)
-      Similarity.writeIvf(pts, "id", "embedding", 256, ivfPath)
-      ProductQuant.writePq(pts, "id", "embedding", 8, 16, 1, pqPath)
-      IvfPq.write(pts, "id", "embedding", 256, coarseIters = 2,
-        m = 8, k = 16, pqIters = 1, path = ivfpqPath)
+      // stores are deterministic functions of (n, d, dataset tag):
+      // reuse across runs so probe-only sweeps don't pay the writes
+      def ensure(path: String)(write: => Unit): Unit =
+        if (!new java.io.File(path + "/_SUCCESS").exists) write
+      ensure(lshPath)(
+        Similarity.writeBucketed(pts, "id", "embedding", planes, lshPath))
+      ensure(ivfPath)(
+        Similarity.writeIvf(pts, "id", "embedding", 256, ivfPath))
+      ensure(pqPath)(
+        ProductQuant.writePq(pts, "id", "embedding", 8, 16, 1, pqPath))
+      ensure(ivfpqPath)(
+        IvfPq.write(pts, "id", "embedding", 256, coarseIters = 2,
+          m = 8, k = 16, pqIters = 1, path = ivfpqPath))
       def measure(label: String)(
           probe: Seq[Double] => org.apache.spark.sql.DataFrame): Unit = {
         // warm once (plan + codegen), then one timed probe per query
@@ -318,9 +326,9 @@ object Tools {
       for (topN <- Seq(100, 1000))
         measure(s"a4 PQ ADC m=8 k=16 topN=$topN")(q =>
           ProductQuant.probePq(spark, pqPath, pts, "id", "embedding", q, topN, kTop))
-      for (np <- Seq(1, 4, 16))
-        measure(s"a5 IVFADC nprobe=$np topN=100")(q =>
-          IvfPq.probe(spark, ivfpqPath, pts, "id", "embedding", q, np, 100, kTop))
+      for (np <- Seq(1, 4, 16); topN <- Seq(100, 1000))
+        measure(s"a5 IVFADC nprobe=$np topN=$topN")(q =>
+          IvfPq.probe(spark, ivfpqPath, pts, "id", "embedding", q, np, topN, kTop))
       spark.stop(); return
     }
     if (name == "curatebench") {

@@ -688,6 +688,17 @@ class PipelineSpec extends SparkSpec {
         mixtureAlpha = Some(0.5))) ==
       rows(Pipeline.curate(docs, "doc_id", "text",
         domainCol = Some("lang"), mixtureAlpha = Some(0.5))))
+    // temperature mixture composes with UPSAMPLING too (rep column,
+    // deterministic copies), shared artifact still identical
+    def rowsRep(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "rep", "split", "shard", "bin")
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+    val up = Pipeline.curate(docs, "doc_id", "text",
+      domainCol = Some("lang"), mixtureAlpha = Some(0.5), maxRepeat = 3)
+    assert(up.columns.contains("rep"))
+    assert(rowsRep(Pipeline.curateWith(docs, "doc_id", "text", pairs,
+        clusters = Some(clusters), domainCol = Some("lang"),
+        mixtureAlpha = Some(0.5), maxRepeat = 3)) == rowsRep(up))
     // mixtureAlpha and explicit targets are mutually exclusive
     intercept[IllegalArgumentException] {
       Pipeline.curate(docs, "doc_id", "text", domainCol = Some("lang"),
