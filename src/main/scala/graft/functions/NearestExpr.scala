@@ -146,6 +146,85 @@ object NearestIdExpr {
   }
 }
 
+/** Minimum SQUARED euclidean distance to any row of a constant centroid
+  * table — the k-means cost kernel (Similarity.ivfCost monitoring):
+  * same O(1)-generated-code-size loop as [[NearestIdExpr]] (the
+  * declarative array_min-over-structs form unrolls O(C) code and drops
+  * out of whole-stage codegen past C ≈ 256 — the round-8 janino
+  * finding, which applies to the cost probe exactly as it did to
+  * assignment). */
+case class NearestDistSqExpr(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  require(cents.nonEmpty, "NearestDistSqExpr needs at least one centroid")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_nearest_distsq"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a float/double array input")
+  }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isFloat = elemIsFloat
+    var best = Double.PositiveInfinity
+    var ci = 0
+    while (ci < cents.length) {
+      val cv = cents(ci)
+      if (v.numElements() != cv.length)
+        throw new IllegalArgumentException(
+          s"vector length mismatch: ${v.numElements()} vs ${cv.length}")
+      var acc = 0.0d
+      var k = 0
+      while (k < cv.length) {
+        val diff = (if (isFloat) v.getFloat(k).toDouble else v.getDouble(k)) - cv(k)
+        acc += diff * diff
+        k += 1
+      }
+      if (acc < best) best = acc
+      ci += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val centsRef = ctx.addReferenceObj("nearestCostCents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val best = ctx.freshName("best")
+      val ci = ctx.freshName("ci")
+      val k = ctx.freshName("k")
+      s"""
+        double $best = Double.POSITIVE_INFINITY;
+        for (int $ci = 0; $ci < $centsRef.length; $ci++) {
+          double[] cv = $centsRef[$ci];
+          if ($v.numElements() != cv.length) {
+            throw new IllegalArgumentException(
+              "vector length mismatch: " + $v.numElements() + " vs " + cv.length);
+          }
+          double acc = 0.0;
+          for (int $k = 0; $k < cv.length; $k++) {
+            double diff = (double) $v.$get($k) - cv[$k];
+            acc += diff * diff;
+          }
+          if (acc < $best) { $best = acc; }
+        }
+        ${ev.value} = $best;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Two-level ROUTED nearest-centroid assignment for corpus-scale
   * centroid counts: route to the nearest of S "super" centroids, then
   * exact argmin over only that super's member centroids — O(S + C/S)
@@ -260,6 +339,10 @@ object NearestExpr {
     toColumn(NearestIdExpr(toExpression(vec), sorted.map(_._1),
       sorted.map(_._2), sqrtCompare))
   }
+
+  /** Min squared distance to any centroid (the k-means cost term). */
+  def nearestDistSq(vec: Column, cents: Array[Array[Double]]): Column =
+    toColumn(NearestDistSqExpr(toExpression(vec), cents))
 
   /** Routed nearest-id column: supers are a stride sample of the
     * id-sorted table (deterministic), members are each table row routed

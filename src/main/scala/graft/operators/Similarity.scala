@@ -228,17 +228,16 @@ object Similarity {
   }
 
   /** Mean squared distance of every vector to its assigned centroid —
-    * the k-means cost (for monitoring ivfTrain convergence). */
+    * the k-means cost (for monitoring ivfTrain convergence). Native
+    * constant-table kernel ([[graft.functions.NearestDistSqExpr]]): the
+    * previous array_min-over-structs form unrolled O(C) generated code
+    * and fell out of codegen past C ≈ 256, exactly like the old
+    * assignment expression. */
   def ivfCost(emb: DataFrame, vecCol: String,
-              centroids: Array[(Long, Array[Double])]): Double = {
-    val pairs = centroids.map { case (lid, cv) =>
-      struct(dist(col(vecCol), doubleVec(cv.toSeq)).as("cdist"),
-        lit(lid).as("list_id"))
-    }
-    emb.select(pow(array_min(array(pairs.toIndexedSeq: _*))
-        .getField("cdist"), 2).as("d2"))
+              centroids: Array[(Long, Array[Double])]): Double =
+    emb.select(graft.functions.NearestExpr.nearestDistSq(
+        col(vecCol), centroids.map(_._2)).as("d2"))
       .agg(avg(col("d2"))).head().getDouble(0)
-  }
 
   /** IVF top-k against an explicit (possibly Lloyd-refined) centroid
     * set — the ivfKnn body, shared. */
