@@ -174,13 +174,15 @@ object ProductQuant {
   }
 
   /** Mean squared sub-distance to assigned codewords — the PQ training
-    * cost (monitor convergence like ivfCost). */
+    * cost (monitor convergence like ivfCost). Native per-subspace
+    * min-distance kernel ([[graft.functions.NearestDistSqExpr]]) — the
+    * unrolled array_min form generated O(m·k) code and would drop out
+    * of codegen at k ≈ 256 codewords, the round-8 janino class. */
   def pqCost(emb: DataFrame, vecCol: String, cb: Codebook): Double = {
     val dsub = cb(0)(0).length
     val vec = col(vecCol).cast("array<float>")
     val total = cb.indices.map { j =>
-      array_min(array(cb(j).map(w =>
-        distSq(subCol(vec, j, dsub), doubleVec(w.toIndexedSeq))).toIndexedSeq: _*))
+      graft.functions.NearestExpr.nearestDistSq(subCol(vec, j, dsub), cb(j))
     }.reduce(_ + _)
     emb.select(avg(total).as("c")).head().getDouble(0)
   }
