@@ -263,6 +263,35 @@ object Pipeline {
     Dedup.lshVerifiedPairs(exactDedup(docs, idCol, textCol), idCol, textCol,
       3, jaccard)
 
+  /** The STATELESS prefix of [[curate]] for streaming ingest: every
+    * stage is a pure per-row projection/filter — decontamination
+    * against a precollected eval shingle set ([[Dedup.evalShingleSet]]
+    * → [[Dedup.decontaminateStateless]], shingles embed as one
+    * literal), the quality gate, and split assignment (id-keyed md5
+    * uniform) — so the SAME code drives `readStream` sources unchanged
+    * (StreamOpsSpec asserts stream ≡ batch row-for-row). Deduplication,
+    * rebalancing, and packing need cross-row state: run those
+    * batch-side on the accumulated corpus ([[curate]] /
+    * [[curateWith]]); this prefix is the ingest-time filter that keeps
+    * contaminated and low-quality rows out of the stored corpus in the
+    * first place. Returns the input columns + (quality, split). */
+  def curateStateless(docs: DataFrame, idCol: String, textCol: String,
+                      evalShingles: Array[String] = Array.empty,
+                      decontamK: Int = 3, maxShared: Long = 1L,
+                      minQuality: Double = 0.5,
+                      splits: Seq[(String, Double)] =
+                        Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)),
+                      salt: String = "cu"): DataFrame = {
+    val clean =
+      if (evalShingles.isEmpty) docs
+      else Dedup.decontaminateStateless(docs, evalShingles, textCol,
+        decontamK, maxShared)
+    val scored = clean
+      .withColumn("quality", TextOps.qualityScore(col(textCol)))
+      .filter(col("quality") >= minQuality)
+    splitAssign(scored, idCol, splits, salt)
+  }
+
   /** End-to-end corpus curation — the composed training-data pipeline,
     * every stage one of this library's gated operators:
     *  1. exact dedup: keep the minimum id per md5(text) group

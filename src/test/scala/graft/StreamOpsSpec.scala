@@ -183,4 +183,43 @@ class StreamOpsSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(got == want && got.nonEmpty)
   }
+
+  test("curateStateless drives streaming ingest: stream ≡ batch, stages ≡ library ops") {
+    // the stateless curate prefix (decontam literal + quality gate +
+    // split assign) is pure per-row work — identical output on
+    // readStream and on the same data as a batch frame
+    val docsDir = java.nio.file.Files.createTempDirectory("graftcurst")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val batch = spark.read.parquet(docsDir.toString)
+    val eval = batch.filter(col("doc_id") % 23 === 0)
+    val evalSh = operators.Dedup.evalShingleSet(eval, "doc_id", "text", 3)
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(docsDir.toString)
+    val q = operators.Pipeline.curateStateless(stream, "doc_id", "text",
+        evalShingles = evalSh)
+      .select("doc_id", "quality", "split")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("curst")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("curst").as[(Long, Double, String)]
+      .collect().toSet
+    val want = operators.Pipeline.curateStateless(batch, "doc_id", "text",
+        evalShingles = evalSh)
+      .select("doc_id", "quality", "split")
+      .as[(Long, Double, String)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // and the prefix IS curate's stages 3-5: decontaminate → quality →
+    // splitAssign composed from the library ops gives the same rows
+    val manual = operators.Pipeline.splitAssign(
+        operators.Dedup.decontaminate(batch, eval, "doc_id", "text", 3)
+          .withColumn("quality", operators.TextOps.qualityScore(col("text")))
+          .filter(col("quality") >= 0.5),
+        "doc_id", Seq(("train", 0.75), ("val", 0.125), ("test", 0.125)), "cu")
+      .select("doc_id", "quality", "split")
+      .as[(Long, Double, String)].collect().toSet
+    assert(got == manual)
+  }
 }
