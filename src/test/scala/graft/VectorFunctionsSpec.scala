@@ -91,6 +91,34 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got(300L) == table(7)._1)
   }
 
+  test("NearestDistSqExpr matches a reference min-d2 on random tables") {
+    val rnd = new scala.util.Random(7)
+    val dim = 5
+    val cents = Array.fill(23)(Array.fill(dim)(rnd.nextDouble() * 4 - 2))
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 4 - 2))) :+
+      (200L, cents(11).toSeq) // exact centroid hit: distance 0
+    def ref(v: Seq[Double]): Double = cents.map { cv =>
+      cv.indices.foldLeft(0d) { (a, i) => val x = v(i) - cv(i); a + x * x }
+    }.min
+    val got = rows.toDF("id", "v")
+      .select(col("id"), graft.functions.NearestExpr.nearestDistSq(
+        col("v"), cents).as("d2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, v) =>
+      assert(math.abs(got(id) - ref(v)) < 1e-12, s"row $id") }
+    assert(got(200L) == 0.0d)
+    // short input raises instead of reading out of bounds
+    val ex = intercept[Exception] {
+      Seq((1L, Seq(1f))).toDF("id", "v")
+        .select(graft.functions.NearestExpr.nearestDistSq(col("v"), cents))
+        .collect()
+    }
+    def causes2(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: causes2(t.getCause)
+    assert(causes2(ex).exists(m => m != null && m.contains("length mismatch")))
+  }
+
   test("NearestRoutedExpr raises on short vectors before the member loop") {
     // the super-routing pass must carry the same numElements guard as the
     // member loop — otherwise a short UnsafeArrayData input silently
