@@ -47,6 +47,31 @@ object IndexStore {
     replaceDocs(index, path)
   }
 
+  /** Store-level incremental maintenance — the serving analog of the
+    * reference's in-memory add/remove (MemoryVectorIndex.cs:86-228,
+    * :358-489): apply a batch REMOVE (ids) and/or ADD (new points) to
+    * ONE document's persisted index. Loads only that document's
+    * partition (pruned read), runs the set-oriented maintenance
+    * ([[graft.operators.IndexMaintain.removePoints]] then `addPoints` —
+    * O(changed subtrees), never a full rebuild), and replaces exactly
+    * that partition (other documents' files untouched). `points` is the
+    * document's CURRENT full point relation (post-mutation membership
+    * is keyed by surviving leaf ids, so a superset containing removed
+    * ids is fine); it feeds the touched-leaf subtree rebuilds on add. */
+  def maintainDocument(spark: SparkSession, path: String, docId: Long,
+                       points: DataFrame, idCol: String, vecCol: String,
+                       add: Option[DataFrame] = None,
+                       remove: Option[DataFrame] = None,
+                       bucketSize: Int = 1): Unit = {
+    val idx0 = load(spark, path, Some(docId)).drop("docId")
+    val removed = remove.fold(idx0)(ids =>
+      graft.operators.IndexMaintain.removePoints(idx0, ids))
+    val added = add.fold(removed)(np =>
+      graft.operators.IndexMaintain.addPoints(removed, points, np,
+        idCol, vecCol, bucketSize))
+    replaceDocs(added.withColumn("docId", lit(docId)), path)
+  }
+
   /** ONE-WAVE orchestration of [[indexDocument]] for every document in
     * `texts`: shred all rows, build every document's tree in one job
     * ([[graft.operators.IndexBuild.buildIndexPerDoc]] — points

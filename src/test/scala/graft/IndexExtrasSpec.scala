@@ -157,6 +157,47 @@ class IndexExtrasSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("maintainDocument: store-level add+remove keeps per-doc search exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graftmaint").toString
+    val e = Tables.embeddings(spark, sf0001)
+    val texts = e.select(col("label").cast("long").as("docId"), col("vec_id"),
+      to_json(col("embedding")).as("vector_json")).localCheckpoint()
+    IndexStore.indexAllDocuments(spark, texts, "vec_id", "vector_json", dir)
+    val doc = texts.select("docId").distinct().as[Long].collect().min
+    val scope0 = e.filter(col("label") === doc)
+    // mutate: remove the doc's 5 smallest ids, add 5 new points (shifted
+    // copies under fresh ids)
+    val dropIds = scope0.orderBy(col("vec_id")).limit(5).select("vec_id")
+      .localCheckpoint()
+    val newPts = scope0.orderBy(col("vec_id").desc).limit(5)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        expr("transform(embedding, x -> float(x * 0.9))").as("embedding"))
+      .localCheckpoint()
+    val mutated = scope0.join(dropIds, Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding").unionByName(newPts).localCheckpoint()
+    val otherBefore = IndexStore.load(spark, dir)
+      .filter(col("docId") =!= doc).count()
+    IndexStore.maintainDocument(spark, dir, doc, mutated, "vec_id",
+      "embedding", add = Some(newPts), remove = Some(dropIds))
+    // per-doc search over the maintained store equals brute force over
+    // the mutated membership
+    val stored = IndexStore.load(spark, dir, Some(doc)).drop("docId")
+    val got = IndexSearch.searchExact(stored, mutated, "vec_id", "embedding",
+        QueryConstants.Q64, QueryConstants.Radius)
+      .select("vec_id").as[Long].collect().toSet
+    val want = BruteForce.rangeSearch(mutated, "embedding",
+        QueryConstants.Q64, QueryConstants.Radius)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == want)
+    // leaf membership is exactly the mutated point set
+    val leafIds = stored.filter(col("id").isNotNull)
+      .select("id").as[Long].collect().toSet
+    assert(leafIds == mutated.select("vec_id").as[Long].collect().toSet)
+    // untouched documents' partitions are intact
+    assert(IndexStore.load(spark, dir).filter(col("docId") =!= doc).count()
+      == otherBefore)
+  }
+
   test("pinned index answers repeated queries and batch search joins exactly") {
     val e = Tables.embeddings(spark, sf0001)
     val index = IndexBuild.buildIndex(e, "vec_id", "embedding")
