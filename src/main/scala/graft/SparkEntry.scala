@@ -353,6 +353,20 @@ object SparkEntry {
       Similarity.ivfKnn(embeddings(s, d), "vec_id", "embedding",
           16, 4, Q64, 10)
         .select(col("vec_id"), col("list_id")).orderBy(col("vec_id"))),
+    "a6_ivf_knn_join" -> ((s, d) => {
+      // batch IVF kNN JOIN (the similarity-join scale path): every
+      // query row (the vec_id % 100 slice) probes its own nprobe=2
+      // nearest of 16 lists; one scan of the big side, broadcast
+      // (qid, list) join, per-query window top-5 — the oracle
+      // recomputes assignment, per-query probe lists, and the ranked
+      // join with identical fold order and (dist, id) tie-breaks
+      val e = embeddings(s, d)
+      val queries = e.filter(col("vec_id") % 100 === 0)
+      Similarity.ivfKnnJoin(e, "vec_id", "embedding",
+          queries, "vec_id", "embedding", 16, 2, 5)
+        .select(col("qid"), col("vec_id"))
+        .orderBy(col("qid"), col("vec_id"))
+    }),
     "a4_pq_codes" -> ((s, d) => {
       // product quantization assignment with the deterministic seed
       // codebook (first 16 ids' sub-vectors) — the oracle recomputes
@@ -1387,6 +1401,35 @@ object SparkEntry {
       s"""SELECT bucket, count(*) AS n FROM (
          |  SELECT ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket FROM embeddings
          |) GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "a6_ivf_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS list_id, v AS centroid FROM e ORDER BY vec_id LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT e.vec_id, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(e.v, c.centroid), c.list_id) AS rn
+         |    FROM e CROSS JOIN c
+         |  ) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |probe AS (
+         |  SELECT qid, list_id FROM (
+         |    SELECT q.qid, c.list_id,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY list_distance(q.qv, c.centroid), c.list_id) AS rn
+         |    FROM q CROSS JOIN c
+         |  ) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT q.qid, a.vec_id, list_distance(e.v, q.qv) AS dist
+         |  FROM assigned a
+         |  JOIN e ON a.vec_id = e.vec_id
+         |  JOIN probe p ON a.list_id = p.list_id
+         |  JOIN q ON q.qid = p.qid)
+         |SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+         |  FROM cand
+         |) WHERE rn <= 5 ORDER BY qid, vec_id""".stripMargin,
     "a4_pq_codes" -> pqCodesSql,
     "a5_ivfpq" -> ivfPqCodesSql,
 

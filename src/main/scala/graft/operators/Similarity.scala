@@ -273,6 +273,46 @@ object Similarity {
     ivfKnnWith(emb, idCol, vecCol,
       ivfCentroids(emb, idCol, vecCol, numLists), nprobe, q, k)
 
+  /** Batch IVF kNN JOIN — the similarity-join scale path (the ANN
+    * analog of [[BruteForce.knnJoin]]): every row of a SMALL query
+    * relation gets its own `nprobe` nearest lists, the big side is
+    * scanned ONCE with the map-only assignment projection, candidates
+    * form by a broadcast equi-join on list_id (each store row meets
+    * only the queries probing its list — candidate rows ≈
+    * Σ_q |probed lists|/numLists of the store, not Q×N), and one
+    * per-query window takes the exact top-k. Per-query probe lists are
+    * a Q×C explode over the literal centroid table — Q and C both
+    * bounded (the centroid-table contract); at corpus C use the routed
+    * assignment for the store side and a coarser probe table. Returns
+    * (qid, id, dist). */
+  def ivfKnnJoin(emb: DataFrame, idCol: String, vecCol: String,
+                 queries: DataFrame, qIdCol: String, qVecCol: String,
+                 numLists: Int, nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = ivfCentroids(emb, idCol, vecCol, numLists)
+    val centStructs = array(cents.sortBy(_._1).map { case (lid, cv) =>
+      struct(lit(lid).as("list_id"), doubleVec(cv.toIndexedSeq).as("cv"))
+    }.toIndexedSeq: _*)
+    val qProbe = queries
+      .select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).cast("array<double>").as("qv"))
+      .withColumn("c", explode(centStructs))
+      .select(col("qid"), col("qv"), col("c.list_id").as("list_id"),
+        dist(col("qv"), col("c.cv")).as("cd"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cd"), col("list_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("list_id"))
+    emb
+      .withColumn("list_id", ivfListId(col(vecCol), cents))
+      .join(broadcast(qProbe), Seq("list_id"))
+      .withColumn("dist", dist(col(vecCol), col("qv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("dist"))
+  }
+
   /** Persist embeddings partitioned by IVF list (the 100 TB serving
     * layout for the IVF path, mirroring writeBucketed): a probe reads
     * only its nprobe list partitions. The centroid set is persisted

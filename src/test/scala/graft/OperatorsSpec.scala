@@ -853,6 +853,31 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class IvfKnnJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.operators.{BruteForce, Similarity}
+
+  test("ivfKnnJoin with exhaustive nprobe equals the brute kNN join") {
+    val e = Tables.embeddings(spark, sf0001)
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid0"), col("embedding").as("qv0"))
+    val got = Similarity.ivfKnnJoin(e, "vec_id", "embedding",
+        queries, "qid0", "qv0", numLists = 16, nprobe = 16, k = 7)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val want = BruteForce.knnJoin(e, "embedding", "vec_id",
+        queries, "qid0", "qv0", 7)
+      .select(col("qid0"), col("vec_id")).as[(Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // pruned nprobe returns k rows per query (candidates ⊇ k here) and
+    // is a subset-quality approximation of the exact join
+    val pruned = Similarity.ivfKnnJoin(e, "vec_id", "embedding",
+        queries, "qid0", "qv0", numLists = 16, nprobe = 2, k = 7)
+      .groupBy("qid").count().as[(Long, Long)].collect().toMap
+    assert(pruned.values.forall(_ == 7L))
+  }
+}
+
 class ProductQuantSpec extends SparkSpec {
   import spark.implicits._
 
