@@ -353,6 +353,18 @@ object SparkEntry {
       Similarity.ivfKnn(embeddings(s, d), "vec_id", "embedding",
           16, 4, Q64, 10)
         .select(col("vec_id"), col("list_id")).orderBy(col("vec_id"))),
+    "a7_lsh_knn_join" -> ((s, d) => {
+      // batch LSH kNN join (the bucket-path twin of a6): queries meet
+      // exactly their bucket's rows via a broadcast equi-join, per-query
+      // window top-5 — the oracle recomputes buckets and the ranked
+      // join with identical sign convention and (dist, id) tie-breaks
+      val e = embeddings(s, d)
+      val queries = e.filter(col("vec_id") % 100 === 0)
+      Similarity.lshKnnJoin(e, "vec_id", "embedding",
+          queries, "vec_id", "embedding", Planes, 5)
+        .select(col("qid"), col("vec_id"), col("bucket"))
+        .orderBy(col("qid"), col("vec_id"))
+    }),
     "a6_ivf_knn_join" -> ((s, d) => {
       // batch IVF kNN JOIN (the similarity-join scale path): every
       // query row (the vec_id % 100 slice) probes its own nprobe=2
@@ -1401,6 +1413,16 @@ object SparkEntry {
       s"""SELECT bucket, count(*) AS n FROM (
          |  SELECT ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket FROM embeddings
          |) GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "a7_lsh_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id % 100 = 0)
+         |SELECT qid, vec_id, bucket FROM (
+         |  SELECT q.qid, b.vec_id, b.bucket,
+         |    row_number() OVER (PARTITION BY q.qid
+         |      ORDER BY list_distance(b.v, q.qv), b.vec_id) AS rn
+         |  FROM b JOIN q USING (bucket)
+         |) WHERE rn <= 5 ORDER BY qid, vec_id""".stripMargin,
     "a6_ivf_knn_join" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |c AS (SELECT vec_id AS list_id, v AS centroid FROM e ORDER BY vec_id LIMIT 16),

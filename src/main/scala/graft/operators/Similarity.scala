@@ -70,6 +70,29 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch LSH kNN JOIN — the bucket-path twin of [[ivfKnnJoin]]: every
+    * query row meets exactly the store rows sharing its sign-bit
+    * bucket (broadcast equi-join on the bucket key — the store side is
+    * one map-only assignment scan, never Q×N), then one per-query
+    * window ranks candidates exactly. Recall < 1 by construction (the
+    * single-bucket trade); candidates are deterministic. Returns
+    * (qid, id, bucket, dist). */
+  def lshKnnJoin(emb: DataFrame, idCol: String, vecCol: String,
+                 queries: DataFrame, qIdCol: String, qVecCol: String,
+                 planes: Array[Array[Double]], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qB = queries
+      .select(col(qIdCol).cast("long").as("qid"), col(qVecCol).as("qv"))
+      .withColumn("bucket", lshBucket(col("qv"), planes))
+    lshAssign(emb, idCol, vecCol, planes)
+      .join(broadcast(qB), Seq("bucket"))
+      .withColumn("dist", dist(col(vecCol), col("qv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("bucket"), col("dist"))
+  }
+
   /** The deterministic coarse-centroid set shared by assignment and
     * probing: the `numLists` vectors with the smallest ids (a Lloyd
     * refinement would keep the same plumbing). Collected to the driver —

@@ -876,6 +876,25 @@ class IvfKnnJoinSpec extends SparkSpec {
       .groupBy("qid").count().as[(Long, Long)].collect().toMap
     assert(pruned.values.forall(_ == 7L))
   }
+
+  test("lshKnnJoin equals the single-query lshKnn per query") {
+    val e = Tables.embeddings(spark, sf0001)
+    val planes = Similarity.hyperplanes(8, 64)
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid0"), col("embedding").as("qv0"))
+    val got = Similarity.lshKnnJoin(e, "vec_id", "embedding",
+        queries, "qid0", "qv0", planes, 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val qVecs = queries.select(col("qid0"),
+        col("qv0").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+    qVecs.foreach { case (qid, qv) =>
+      val want = Similarity.lshKnn(e, "vec_id", "embedding", planes, qv, 5)
+        .select("vec_id").as[Long].collect().toSet
+      assert(got.getOrElse(qid, Set.empty) == want, s"query $qid")
+    }
+  }
 }
 
 class ProductQuantSpec extends SparkSpec {
