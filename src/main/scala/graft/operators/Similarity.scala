@@ -368,4 +368,49 @@ object Similarity {
       .orderBy(col("dist"), col(idCol))
       .limit(k)
   }
+
+  /** BATCH probe of a persisted IVF store — [[ivfKnnJoin]] against the
+    * serving layout: each query row of a SMALL relation computes its
+    * own nprobe nearest lists (explode over the store's persisted
+    * centroid sidecar + per-query window), the store read is pruned to
+    * the UNION of probed list partitions (PartitionFilters on
+    * list_id — at most Q·nprobe of numLists partitions touched), the
+    * broadcast (qid, list) join narrows each row to the queries that
+    * probed its list, and one per-query window takes the exact top-k.
+    * Returns (qid, id, dist). */
+  def probeIvfBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                    idCol: String, vecCol: String,
+                    queries: DataFrame, qIdCol: String, qVecCol: String,
+                    nprobe: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = spark.read.parquet(path + ".centroids")
+      .select(col("list_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val centStructs = array(centroids.sortBy(_._1).map { case (lid, cv) =>
+      struct(lit(lid).as("list_id"), doubleVec(cv.toIndexedSeq).as("cv"))
+    }.toIndexedSeq: _*)
+    val qProbe = queries
+      .select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).cast("array<double>").as("qv"))
+      .withColumn("c", explode(centStructs))
+      .select(col("qid"), col("qv"), col("c.list_id").as("list_id"),
+        dist(col("qv"), col("c.cv")).as("cd"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cd"), col("list_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("list_id"))
+      .localCheckpoint()
+    // the touched-list union prunes the parquet read at partition level
+    val lists = qProbe.select("list_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(path)
+      .filter(col("list_id").isin(lists: _*))
+      .join(broadcast(qProbe), Seq("list_id"))
+      .withColumn("dist", dist(col(vecCol), col("qv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("dist"))
+  }
 }

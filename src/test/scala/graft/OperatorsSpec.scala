@@ -877,6 +877,21 @@ class IvfKnnJoinSpec extends SparkSpec {
     assert(pruned.values.forall(_ == 7L))
   }
 
+  test("probeIvfBatch against the persisted store equals ivfKnnJoin") {
+    val e = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graftivfb").toString
+    Similarity.writeIvf(e, "vec_id", "embedding", 16, s"$dir/store")
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid0"), col("embedding").as("qv0"))
+    val got = Similarity.probeIvfBatch(spark, s"$dir/store", "vec_id",
+        "embedding", queries, "qid0", "qv0", nprobe = 2, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val want = Similarity.ivfKnnJoin(e, "vec_id", "embedding",
+        queries, "qid0", "qv0", numLists = 16, nprobe = 2, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("lshKnnJoin equals the single-query lshKnn per query") {
     val e = Tables.embeddings(spark, sf0001)
     val planes = Similarity.hyperplanes(8, 64)
