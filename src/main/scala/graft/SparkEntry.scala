@@ -216,6 +216,16 @@ object SparkEntry {
           col("bin"))
         .orderBy(col("doc_id"))
     }),
+    "p10_chunk_docs" -> ((s, d) =>
+      // long-document chunking: overlapping 64-token windows, stride 56
+      // (overlap 8) — integer-arithmetic chunk counts and 1-based token
+      // slices are bit-identical across engines, so the oracle predicts
+      // every chunk boundary and chunk text exactly
+      Pipeline.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+          maxTokens = 64, overlap = 8)
+        .select(col("doc_id"), col("chunk"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk"))),
     "p7_curate_upsampled" -> ((s, d) => {
       // the composed pipeline in its UPSAMPLING configuration: same
       // seven stages as p5 but scarce domains repeat up to 3 epochs
@@ -1140,6 +1150,16 @@ object SparkEntry {
          |   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |   - n_tokens) / 512) AS BIGINT) AS bin
          |FROM t ORDER BY doc_id""".stripMargin,
+    "p10_chunk_docs" ->
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM documents),
+         |n AS (SELECT doc_id, ts,
+         |  greatest((len(ts) - 8 + 55) // 56, 1) AS nc FROM toks),
+         |ex AS (SELECT doc_id, ts,
+         |  CAST(unnest(range(nc)) AS BIGINT) AS chunk FROM n)
+         |SELECT doc_id, chunk,
+         |  CAST(len(ts[chunk * 56 + 1 : chunk * 56 + 64]) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(ts[chunk * 56 + 1 : chunk * 56 + 64], ' ')) AS chunk_md5
+         |FROM ex ORDER BY doc_id, chunk""".stripMargin,
     "p7_curate_upsampled" ->
       s"""WITH RECURSIVE ${CurateCommonCtes("CAST(c AS DOUBLE) * 3 / tw")},
          |rr AS (SELECT lang, tw * kv.k / CAST(c AS DOUBLE) AS rate FROM cnt, kv WHERE c > 0),

@@ -263,6 +263,43 @@ object Pipeline {
     Dedup.lshVerifiedPairs(exactDedup(docs, idCol, textCol), idCol, textCol,
       3, jaccard)
 
+  /** Split long documents into overlapping token-window CHUNKS — the
+    * long-document step that precedes packing in an LM pipeline (a
+    * 200k-token document can't ride one sequence; it becomes
+    * ceil((n−overlap)/stride) chunks of up to `maxTokens` whitespace
+    * tokens, consecutive chunks sharing `overlap` tokens so no context
+    * is lost at boundaries). Chunk i covers tokens [i·stride,
+    * i·stride + maxTokens) with stride = maxTokens − overlap; every doc
+    * yields at least one chunk (short docs pass through whole). A pure
+    * projection + one explode — no shuffle, stateless, so it runs
+    * unchanged on streams like the other per-row ops. Deterministic and
+    * engine-portable (the p10 oracle recomputes every chunk boundary).
+    * Returns the input columns + (chunk, chunk_text, n_chunk_tokens). */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap of $maxTokens")
+    val stride = maxTokens - overlap
+    val toks = TextOps.tokens(col(textCol))
+    // integer-arithmetic chunk count: ceil((n - overlap) / stride) with
+    // a floor of 1 — identical in both engines (no float rounding)
+    val nChunks = greatest(
+      expr(s"(size(_graft_ts) - $overlap + ${stride - 1}) div $stride")
+        .cast("long"),
+      lit(1L))
+    docs
+      .withColumn("_graft_ts", toks)
+      .withColumn("chunk", explode(sequence(lit(0L), nChunks - 1)))
+      .withColumn("chunk_text",
+        array_join(slice(col("_graft_ts"),
+          (col("chunk") * stride + 1).cast("int"), lit(maxTokens)), " "))
+      .withColumn("n_chunk_tokens",
+        size(slice(col("_graft_ts"),
+          (col("chunk") * stride + 1).cast("int"), lit(maxTokens))).cast("long"))
+      .drop("_graft_ts")
+  }
+
   /** The STATELESS prefix of [[curate]] for streaming ingest: every
     * stage is a pure per-row projection/filter — decontamination
     * against a precollected eval shingle set ([[Dedup.evalShingleSet]]

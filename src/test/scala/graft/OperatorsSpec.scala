@@ -707,6 +707,27 @@ class PipelineSpec extends SparkSpec {
       Pipeline.curate(docs, "doc_id", "text", mixtureAlpha = Some(0.5)) }
   }
 
+  test("chunkDocuments: boundaries, overlap reconstruction, short docs") {
+    val docs = Seq((1L, (1 to 100).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val out = Pipeline.chunkDocuments(docs, "doc_id", "text", 10, 2)
+      .select("doc_id", "chunk", "chunk_text", "n_chunk_tokens")
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    val d1 = out.filter(_._1 == 1L)
+    // stride 8: ceil((100-2)/8) = 13 chunks, none over maxTokens
+    assert(d1.length == 13 && d1.forall(_._4 <= 10))
+    // dropping each later chunk's 2-token overlap reassembles the doc
+    // exactly — no token lost or duplicated at any boundary
+    val reassembled = d1.head._3.split(" ").toSeq ++
+      d1.tail.toSeq.flatMap(c => c._3.split(" ").drop(2).toSeq)
+    assert(reassembled == (1 to 100).map(i => s"t$i"))
+    // short doc passes through as one whole chunk
+    val d2 = out.filter(_._1 == 2L)
+    assert(d2.length == 1 && d2.head._3 == "a b c" && d2.head._4 == 3L)
+    intercept[IllegalArgumentException] {
+      Pipeline.chunkDocuments(docs, "doc_id", "text", 10, 10) }
+  }
+
   test("packing an upsampled corpus orders by (id, rep) deterministically") {
     // 3 copies of every doc (same doc_id => same shard, same n_tokens):
     // without a tie-breaking order column the running sum over the
