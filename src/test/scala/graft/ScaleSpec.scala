@@ -56,6 +56,24 @@ class ScaleSpec extends SparkSpec {
     assert(got.sorted == want.sorted)
   }
 
+  test("IVF store: BATCH probe is partition-pruned (union of probed lists)") {
+    val dir = java.nio.file.Files.createTempDirectory("graftivfb2").toString + "/store"
+    val e = Tables.embeddings(spark, sf0001)
+    Similarity.writeIvf(e, "vec_id", "embedding", 16, dir)
+    val queries = e.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("qid0"), col("embedding").as("qv0"))
+    val probe = Similarity.probeIvfBatch(spark, dir, "vec_id", "embedding",
+      queries, "qid0", "qv0", nprobe = 2, k = 5)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("list_id#"),
+      "expected partition filter on the batch store read")
+    assert(plan.contains("BroadcastHashJoin"),
+      "expected the (qid, list) probe relation to broadcast")
+    // every query gets its exact-ranked k rows
+    val counts = probe.groupBy("qid").count().as[(Long, Long)].collect().toMap
+    assert(counts.nonEmpty && counts.values.forall(_ == 5L))
+  }
+
   test("IVFADC store: probe is partition-pruned; full probe equals brute top-k") {
     val dir = java.nio.file.Files.createTempDirectory("graftivfpq").toString + "/store"
     val e = Tables.embeddings(spark, sf0001)
