@@ -728,6 +728,27 @@ class PipelineSpec extends SparkSpec {
       Pipeline.chunkDocuments(docs, "doc_id", "text", 10, 10) }
   }
 
+  test("chunk then pack: chunked long docs bin deterministically") {
+    // the real long-document flow: chunk to <= 32-token windows, then
+    // pack the CHUNKS (orderCols (doc_id, chunk) — doc_id alone is no
+    // longer row-unique); every chunk fits capacity and bins follow the
+    // exact running-sum slots
+    val docs = (0L until 8L).map(i => (i, (1 to 100).map(t => s"w$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunked = Pipeline.chunkDocuments(docs, "doc_id", "text", 32, 4)
+    val packed = Pipeline.packSequences(chunked, "doc_id", "chunk_text",
+        capacity = 64, numShards = 4, orderCols = Seq("doc_id", "chunk"))
+      .select("doc_id", "chunk", "shard", "n_tokens", "bin")
+      .as[(Long, Long, Long, Int, Long)].collect()
+      .sortBy(r => (r._3, r._1, r._2))
+    assert(packed.forall(_._4 <= 32))
+    val cum = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    packed.foreach { case (id, chunk, shard, n, bin) =>
+      assert(bin == cum(shard) / 64, s"doc $id chunk $chunk")
+      cum(shard) += n
+    }
+  }
+
   test("packing an upsampled corpus orders by (id, rep) deterministically") {
     // 3 copies of every doc (same doc_id => same shard, same n_tokens):
     // without a tie-breaking order column the running sum over the
