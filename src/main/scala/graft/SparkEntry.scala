@@ -325,6 +325,16 @@ object SparkEntry {
       Dedup.duplicateSpans(Tables.documents(s, d), "doc_id", "text",
           k = 5, minCount = 2L)
         .orderBy(col("doc"), col("span_start"))),
+    "d18_remove_spans" -> ((s, d) =>
+      // the ACTION step of the Lee et al. protocol: drop every token
+      // covered by a duplicated span, rejoin survivors — the oracle
+      // recomputes spans, covered positions, and the cleaned text
+      // (md5-compared) per document
+      Dedup.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
+          k = 5, minCount = 2L)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_kept_tokens"))
+        .orderBy(col("doc_id"))),
     "d17_eval_contamination" -> ((s, d) => {
       // benchmark-integrity report (reverse of d13): per eval item, the
       // count of distinct training docs sharing >= 1 3-shingle — items
@@ -1303,6 +1313,33 @@ object SparkEntry {
         | count(*) AS n_grams
         |FROM isl GROUP BY doc, nt, island
         |ORDER BY doc, span_start""".stripMargin,
+    "d18_remove_spans" ->
+      """WITH toks AS (SELECT doc_id AS doc, string_split_regex(text, '\s+') AS ts FROM documents),
+        |g AS (SELECT doc, len(ts) AS nt, i AS pos,
+        |  ('0x' || substr(md5(array_to_string(ts[i+1:i+5], ' ')), 1, 15))::BIGINT AS h
+        | FROM (SELECT doc, ts, unnest(range(greatest(len(ts) - 5, 0) + 1)) AS i FROM toks)),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |p AS (SELECT doc, nt, pos FROM g WHERE h IN (SELECT h FROM dup)),
+        |brk AS (SELECT doc, nt, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc ORDER BY pos) > 5
+        |      THEN 1 ELSE 0 END AS b
+        | FROM p),
+        |isl AS (SELECT doc, nt, pos,
+        |  sum(b) OVER (PARTITION BY doc ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        | FROM brk),
+        |spans AS (SELECT doc, min(pos) AS s, least(max(pos) + 4, nt - 1) AS e
+        | FROM isl GROUP BY doc, nt, island),
+        |cov AS (SELECT DISTINCT doc, unnest(range(s, e + 1)) AS cp FROM spans),
+        |tp AS (SELECT doc, unnest(range(len(ts))) AS p, ts FROM toks),
+        |keep AS (SELECT tp.doc, tp.p, tp.ts[tp.p + 1] AS tok
+        | FROM tp LEFT JOIN cov ON cov.doc = tp.doc AND cov.cp = tp.p
+        | WHERE cov.cp IS NULL),
+        |agg AS (SELECT doc, array_to_string(list(tok ORDER BY p), ' ') AS txt,
+        |  count(*) AS n FROM keep GROUP BY doc)
+        |SELECT t.doc_id, md5(coalesce(a.txt, '')) AS clean_md5,
+        | CAST(coalesce(a.n, 0) AS BIGINT) AS n_kept_tokens
+        |FROM documents t LEFT JOIN agg a ON a.doc = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "d13_decontam" ->
       """WITH toks AS (SELECT doc_id AS doc, string_split_regex(text, '\s+') AS ts FROM documents),
         |sh AS (SELECT DISTINCT doc, array_to_string(ts[i+1:i+3], ' ') AS s

@@ -211,6 +211,40 @@ object Dedup {
       .select(col("doc"), col("span_start"), col("span_end"), col("n_grams"))
   }
 
+  /** REMOVE the duplicate spans found by [[duplicateSpans]] — the
+    * action step of Lee et al. 2021's protocol: every token position
+    * covered by a duplicated span is dropped and the survivors rejoin
+    * with single spaces (whitespace runs collapse — the normalization
+    * every token-based operator here shares). POLICY: ALL occurrences
+    * are removed (the paper keeps one canonical occurrence of each
+    * duplicated substring, which needs a global first-occurrence
+    * election; compose keep-side logic upstream when that is the
+    * requirement — removing all is the conservative cleaner). Scale
+    * shape: the span relation is small (duplicated regions only) and
+    * joins keyed by doc; token filtering is one per-row higher-order
+    * `filter` over the (start, end) range array — no explode of the
+    * corpus tokens, no extra shuffle beyond duplicateSpans' own.
+    * Returns (idCol, clean_text, n_kept_tokens). */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 5, minCount: Long = 2L,
+                           maxGramDf: Option[Long] = None): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, k, minCount, maxGramDf)
+    val ranges = spans.groupBy(col("doc"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("rs"))
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("_ts"))
+      .join(ranges, col(idCol) === col("doc"), "left")
+      // rs is NULL for span-free docs: coalesce the covered-test to
+      // false so every token survives
+      .withColumn("_kept", filter(col("_ts"), (_, i) =>
+        !coalesce(exists(col("rs"),
+          r => i >= r("s") && i <= r("e")), lit(false))))
+      .select(col(idCol),
+        array_join(col("_kept"), " ").as("clean_text"),
+        size(col("_kept")).cast("long").as("n_kept_tokens"))
+  }
+
   /** Mersenne prime 2^61-1 for the universal hash family. */
   val MinHashP = 2305843009213693951L
 

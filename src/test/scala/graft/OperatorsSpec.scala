@@ -288,6 +288,34 @@ class DedupSpec extends SparkSpec {
     assert(local == distributed)
   }
 
+  test("removeDuplicateSpans drops exactly the covered tokens") {
+    // docs 1 and 2 share a 6-token boilerplate phrase (k=5 → duplicated
+    // grams); doc 3 is unique
+    val boiler = "the quick brown fox jumps over"
+    val docs = Seq(
+      (1L, s"alpha1 beta1 $boiler gamma1 delta1 epsilon1"),
+      (2L, s"x2 $boiler y2 z2 w2 v2"),
+      (3L, "u3 n3 i3 q3 u3b e3 t3 o3 k3 s3")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", 5, 2L)
+      .as[(Long, Long, Long, Long)].collect().groupBy(_._1)
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", 5, 2L)
+      .select("doc_id", "clean_text", "n_kept_tokens")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    // the boilerplate phrase is gone from both carriers
+    assert(!out(1L)._2.contains("quick brown") &&
+      !out(2L)._2.contains("quick brown"))
+    // removal is exactly the span cover: kept = total − covered
+    docs.select("doc_id", "text").as[(Long, String)].collect().foreach {
+      case (id, text) =>
+        val total = text.split("\\s+").length
+        val covered = spans.getOrElse(id, Array.empty)
+          .map { case (_, s, e, _) => e - s + 1 }.sum
+        assert(out(id)._3 == total - covered, s"doc $id")
+    }
+    // the unique doc passes through whole
+    assert(out(3L)._2 == "u3 n3 i3 q3 u3b e3 t3 o3 k3 s3" && out(3L)._3 == 10L)
+  }
+
   test("decontaminate drops exactly the profile-flagged docs") {
     // eval 3-shingles: "alpha beta gamma", "beta gamma phi";
     // doc0 shares both, doc2 shares one, doc1/doc3 none
