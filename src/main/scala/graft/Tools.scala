@@ -205,6 +205,10 @@ object Tools {
         time(s"d15 dup spans df-capped ${m}x")(
           Dedup.duplicateSpans(d, "doc_id", "text", 5, 2L,
             maxGramDf = Some(200L)).count())
+        // d18: the removal step — d15's spans + one doc-keyed join and
+        // a per-row range filter; should inherit d15's growth
+        time(s"d18 remove spans ${m}x")(
+          Dedup.removeDuplicateSpans(d, "doc_id", "text", 5, 2L).count())
       }
       spark.stop(); return
     }
