@@ -229,12 +229,15 @@ object Dedup {
                            k: Int = 5, minCount: Long = 2L,
                            maxGramDf: Option[Long] = None): DataFrame = {
     val spans = duplicateSpans(docs, idCol, textCol, k, minCount, maxGramDf)
+    // reserved join key: a caller whose idCol is literally "doc" must
+    // not collide with the span relation's doc column
     val ranges = spans.groupBy(col("doc"))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("rs"))
+      .withColumnRenamed("doc", "_graft_doc")
     docs
       .select(col(idCol), tokens(col(textCol)).as("_ts"))
-      .join(ranges, col(idCol) === col("doc"), "left")
+      .join(ranges, col(idCol) === col("_graft_doc"), "left")
       // rs is NULL for span-free docs: coalesce the covered-test to
       // false so every token survives
       .withColumn("_kept", filter(col("_ts"), (_, i) =>
