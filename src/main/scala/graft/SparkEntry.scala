@@ -1161,7 +1161,8 @@ object SparkEntry {
          |   - n_tokens) / 512) AS BIGINT) AS bin
          |FROM t ORDER BY doc_id""".stripMargin,
     "p10_chunk_docs" ->
-      s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS ts FROM documents),
+      s"""WITH toks AS (SELECT doc_id,
+         |  coalesce(string_split_regex(text, '\\s+'), CAST([] AS VARCHAR[])) AS ts FROM documents),
          |n AS (SELECT doc_id, ts,
          |  greatest((len(ts) - 8 + 55) // 56, 1) AS nc FROM toks),
          |ex AS (SELECT doc_id, ts,

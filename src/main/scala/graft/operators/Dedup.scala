@@ -236,7 +236,11 @@ object Dedup {
         col("span_end").as("e"))).as("rs"))
       .withColumnRenamed("doc", "_graft_doc")
     docs
-      .select(col(idCol), tokens(col(textCol)).as("_ts"))
+      // null text tokenizes to null; coalesce to the empty token array so
+      // the row yields ('' , 0) — matching the oracle's LEFT JOIN +
+      // coalesce(md5(''), 0) shape — instead of (NULL, -1)
+      .select(col(idCol),
+        coalesce(tokens(col(textCol)), typedlit(Seq.empty[String])).as("_ts"))
       .join(ranges, col(idCol) === col("_graft_doc"), "left")
       // rs is NULL for span-free docs: coalesce the covered-test to
       // false so every token survives

@@ -281,7 +281,11 @@ object Pipeline {
     require(overlap >= 0 && overlap < maxTokens,
       s"overlap must be in [0, maxTokens), got $overlap of $maxTokens")
     val stride = maxTokens - overlap
-    val toks = TextOps.tokens(col(textCol))
+    // null text tokenizes to null (size -1 would corrupt the chunk
+    // arithmetic); coalesce to the empty array so a null doc emits one
+    // empty chunk ('' / 0) — same as the oracle's coalesced split
+    val toks = coalesce(TextOps.tokens(col(textCol)),
+      typedlit(Seq.empty[String]))
     // integer-arithmetic chunk count: ceil((n - overlap) / stride) with
     // a floor of 1 — identical in both engines (no float rounding)
     val nChunks = greatest(
@@ -449,14 +453,24 @@ object Pipeline {
     val assigned0 = splitAssign(scored, idCol, splits, salt)
     val assigned =
       if (mixtureAlpha.isDefined) assigned0.localCheckpoint() else assigned0
+    val counts = mixtureAlpha.map(_ => domainCounts(assigned, domainCol.get))
     val targets =
       if (rebalanceTargets.nonEmpty) rebalanceTargets
-      else mixtureAlpha.map(a =>
-        temperatureTargets(domainCounts(assigned, domainCol.get), a))
-        .getOrElse(Nil)
+      else counts.filter(_.nonEmpty)
+        .map(c => temperatureTargets(c, mixtureAlpha.get)).getOrElse(Nil)
     val upsampled = targets.nonEmpty && maxRepeat > 1
     val mixed =
-      if (targets.isEmpty) assigned
+      // empty-corpus limit under mixtureAlpha: zero rows carry a non-null
+      // domain, so no mixture is derivable. Return the same empty result
+      // the explicit-rebalanceTargets path yields for an unsatisfiable
+      // mixture instead of letting temperatureTargets' require abort —
+      // one failure contract for both target modes.
+      if (counts.exists(_.isEmpty)) {
+        log.warn("curate: mixtureAlpha set but the post-quality corpus " +
+          "has no non-null domain rows; returning an EMPTY mixture")
+        assigned.filter(lit(false))
+      }
+      else if (targets.isEmpty) assigned
       else if (upsampled)
         rebalanceRepeat(assigned, idCol, domainCol.get, targets,
           maxRepeat, salt + "_rb")

@@ -9,15 +9,22 @@ import org.apache.spark.sql.functions._
   * 100 TB. */
 object Skew {
 
-  /** Salted equi-join: the big (skewed) side gets a random salt in
+  /** Salted equi-join: the big (skewed) side gets a salt in
     * [0, saltFactor); the small side is replicated saltFactor times with
     * every salt value; the join key becomes (key, salt), splitting each
     * hot key across saltFactor reducers. Result is identical to
-    * big.join(small, key). */
+    * big.join(small, key).
+    *
+    * The salt is `pmod(hash(all big-side columns), saltFactor)` — a pure
+    * function of the row, NOT `rand`: a task retry after a partition loss
+    * re-derives the identical salt, so replays can never route a row to a
+    * different reducer mid-job. Rows of one hot key still spread because
+    * their non-key columns differ (full-row duplicates co-locating is
+    * harmless — they'd collide on any content-hash scheme). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltFactor: Int): DataFrame = {
     val salted = big.withColumn("_salt",
-      (rand(42) * saltFactor).cast("int"))
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

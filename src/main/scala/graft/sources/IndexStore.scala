@@ -69,7 +69,14 @@ object IndexStore {
     val added = add.fold(removed)(np =>
       graft.operators.IndexMaintain.addPoints(removed, points, np,
         idCol, vecCol, bucketSize))
-    replaceDocs(added.withColumn("docId", lit(docId)), path)
+    // break lineage before the in-place write: `added` still reads from
+    // `path` (idx0 = load(path)), and a write job that re-reads the path
+    // it is replacing only works by grace of dynamic-partition-overwrite's
+    // staging order — a commit-time failure could lose the only copy of
+    // the doc's partition. localCheckpoint materializes the maintained
+    // index first so the write never touches its own input.
+    replaceDocs(added.withColumn("docId", lit(docId)).localCheckpoint(),
+      path)
   }
 
   /** ONE-WAVE orchestration of [[indexDocument]] for every document in

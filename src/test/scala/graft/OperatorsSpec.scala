@@ -756,6 +756,36 @@ class PipelineSpec extends SparkSpec {
       Pipeline.chunkDocuments(docs, "doc_id", "text", 10, 10) }
   }
 
+  test("null-text rows: span removal and chunking degrade to empty, not -1") {
+    // a null text must behave as an empty token list in BOTH operators
+    // (matching the DuckDB oracles' coalesced shape), never NULL/-1
+    val docs = Seq((1L, Option.empty[String]), (2L, Some("a b c")))
+      .toDF("doc_id", "text")
+    val cleaned = Dedup.removeDuplicateSpans(docs, "doc_id", "text", 5, 2L)
+      .select("doc_id", "clean_text", "n_kept_tokens")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(cleaned(1L)._2 == "" && cleaned(1L)._3 == 0L)
+    assert(cleaned(2L)._2 == "a b c" && cleaned(2L)._3 == 3L)
+    val chunked = Pipeline.chunkDocuments(docs, "doc_id", "text", 10, 2)
+      .select("doc_id", "chunk", "chunk_text", "n_chunk_tokens")
+      .as[(Long, Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    assert(chunked.size == 2, "one chunk per doc")
+    assert(chunked(1L)._3 == "" && chunked(1L)._4 == 0L)
+    assert(chunked(2L)._3 == "a b c" && chunked(2L)._4 == 3L)
+  }
+
+  test("curate with mixtureAlpha over an all-null-domain corpus is empty") {
+    // same failure contract as the explicit-targets path: unsatisfiable
+    // mixture -> empty result, not an IllegalArgumentException
+    val docs = Seq(
+      (1L, "the cat sat on the mat today and then it left quietly", Option.empty[String]),
+      (2L, "a dog ran over the hill and kept on running for hours", Option.empty[String]))
+      .toDF("doc_id", "text", "lang")
+    val out = Pipeline.curate(docs, "doc_id", "text",
+      domainCol = Some("lang"), mixtureAlpha = Some(0.5))
+    assert(out.count() == 0L)
+  }
+
   test("chunk then pack: chunked long docs bin deterministically") {
     // the real long-document flow: chunk to <= 32-token windows, then
     // pack the CHUNKS (orderCols (doc_id, chunk) — doc_id alone is no
