@@ -424,6 +424,25 @@ object SparkEntry {
           posexplode(col("codes")).as(Seq("j", "code")))
         .orderBy(col("vec_id"), col("j"))
     }),
+    "a8_ivfadc_knn_join" -> ((s, d) => {
+      // batch ADC kNN JOIN over the PERSISTED IVFADC store (the a6
+      // shape for the PQ path): the narrow codes store is scanned once,
+      // pruned to the union of probed list partitions, for the whole
+      // query batch; each query's per-list ADC tables travel as data in
+      // the broadcast probe relation. topN=10 makes the ADC cut
+      // decisive (not a pass-through); the oracle recomputes every
+      // stage with pinned float fold order
+      val e = embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_a8").toString + "/store"
+      IvfPq.write(e, "vec_id", "embedding", numLists = 16,
+        coarseIters = 0, m = 8, k = 16, pqIters = 0, dir)
+      val queries = e.filter(col("vec_id") % 100 === 0)
+      IvfPq.probeBatch(s, dir, e, "vec_id", "embedding",
+          queries, "vec_id", "embedding", nprobe = 2, topN = 10, k = 5)
+        .select(col("qid"), col("vec_id"))
+        .orderBy(col("qid"), col("vec_id"))
+    }),
     "a3_lsh_buckets" -> ((s, d) =>
       Similarity.lshAssign(embeddings(s, d), "vec_id", "embedding", Planes)
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
@@ -637,14 +656,18 @@ object SparkEntry {
     * the residual-vs-residual-codeword d2 in DistSqExpr's fold order
     * with the (d2, code) tie-break. Codeword c of subspace j is the
     * residual of seed vector c (iters=0, ids contiguous from 0). */
-  private def ivfPqCodesSql: String = {
+  /** Per-subspace IVFADC code election (UNION over j): residual-vs-
+    * residual-codeword d2 in DistSqExpr's fold order, (d2, code)
+    * tie-break. References CTEs `assigned` and `c` — shared by the a5
+    * codes oracle and the a8 batch-join oracle. */
+  private def ivfPqCodesPerJSql: String = {
     def d2(j: Int): String = (1 to 8).map { i =>
       val idx = j * 8 + i
       val a = s"(CAST(e.embedding[$idx] AS DOUBLE) - ce.centroid[$idx])"
       val b = s"(CAST(w.embedding[$idx] AS DOUBLE) - cw.centroid[$idx])"
       s"(($a - $b) * ($a - $b))"
     }.mkString(" + ")
-    val perJ = (0 until 8).map { j =>
+    (0 until 8).map { j =>
       s"""SELECT e.vec_id, ae.list_id, $j AS j, w.vec_id AS code,
          | row_number() OVER (PARTITION BY e.vec_id
          |   ORDER BY ${d2(j)}, w.vec_id) AS rn
@@ -656,17 +679,88 @@ object SparkEntry {
          |      WHERE s.vec_id < 16) w ON true
          |JOIN c cw ON cw.list_id = w.list_id""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |c AS (SELECT vec_id AS list_id, v AS centroid FROM e2 ORDER BY vec_id LIMIT 16),
-       |assigned AS (
-       |  SELECT vec_id, list_id FROM (
-       |    SELECT e2.vec_id, c.list_id,
-       |      row_number() OVER (PARTITION BY e2.vec_id
-       |        ORDER BY list_distance(e2.v, c.centroid), c.list_id) AS rn
-       |    FROM e2 CROSS JOIN c
-       |  ) WHERE rn = 1)
+  }
+
+  /** Coarse-quantizer CTE prefix (e2, c, assigned) shared by the
+    * IVF/IVFADC oracles: first-16 centroids, sqrt-distance argmin with
+    * the lowest-list tie-break. */
+  private val IvfAssignCtes: String =
+    """e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS list_id, v AS centroid FROM e2 ORDER BY vec_id LIMIT 16),
+      |assigned AS (
+      |  SELECT vec_id, list_id FROM (
+      |    SELECT e2.vec_id, c.list_id,
+      |      row_number() OVER (PARTITION BY e2.vec_id
+      |        ORDER BY list_distance(e2.v, c.centroid), c.list_id) AS rn
+      |    FROM e2 CROSS JOIN c
+      |  ) WHERE rn = 1)""".stripMargin
+
+  private def ivfPqCodesSql: String =
+    s"""WITH $IvfAssignCtes
        |SELECT vec_id, list_id, CAST(j AS INTEGER) AS j, CAST(code AS INTEGER) AS code
-       |FROM ($perJ) WHERE rn = 1 ORDER BY vec_id, j""".stripMargin
+       |FROM (${ivfPqCodesPerJSql}) WHERE rn = 1 ORDER BY vec_id, j""".stripMargin
+
+  /** a8 oracle: the batch ADC kNN join end-to-end. Recomputes the
+    * coarse assignment, the residual codes (shared ivfPqCodesPerJSql),
+    * each query's nprobe=2 probe lists, the per-(qid, list, j, code)
+    * ADC table entries (residual-vs-residual d2 unrolled in the pinned
+    * ascending-subdim order), each candidate's approximate distance as
+    * the PIVOTED left-associative 8-term sum (matching Spark's
+    * ascending-j reduce — never an order-free SUM aggregate, whose
+    * float accumulation order DuckDB does not pin), the (approx,
+    * vec_id) topN=10 cut, and the exact re-rank to k=5. */
+  private def ivfAdcJoinSql: String = {
+    def lutD2(j: Int): String = (1 to 8).map { i =>
+      val idx = j * 8 + i
+      val a = s"(q.qv[$idx] - cp.centroid[$idx])"
+      val b = s"(CAST(w.embedding[$idx] AS DOUBLE) - cw.centroid[$idx])"
+      s"(($a - $b) * ($a - $b))"
+    }.mkString(" + ")
+    val lutPerJ = (0 until 8).map { j =>
+      s"""SELECT p.qid, p.list_id, $j AS j, w.vec_id AS code, ${lutD2(j)} AS val
+         |FROM probe p
+         |JOIN q ON q.qid = p.qid
+         |JOIN c cp ON cp.list_id = p.list_id
+         |JOIN seeds w ON true
+         |JOIN c cw ON cw.list_id = w.slist""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val piv = (0 until 8).map(j =>
+      s"max(CASE WHEN j = $j THEN val END) AS v$j").mkString(",\n        ")
+    val approx = (0 until 8).map(j => s"v$j").mkString(" + ")
+    s"""WITH $IvfAssignCtes,
+       |codes AS (SELECT vec_id, j, code FROM (${ivfPqCodesPerJSql}) WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e2 WHERE vec_id % 100 = 0),
+       |probe AS (
+       |  SELECT qid, list_id FROM (
+       |    SELECT q.qid, c.list_id,
+       |      row_number() OVER (PARTITION BY q.qid
+       |        ORDER BY list_distance(q.qv, c.centroid), c.list_id) AS rn
+       |    FROM q CROSS JOIN c
+       |  ) WHERE rn <= 2),
+       |seeds AS (SELECT s.vec_id, s.embedding, sa.list_id AS slist
+       |          FROM embeddings s JOIN assigned sa ON sa.vec_id = s.vec_id
+       |          WHERE s.vec_id < 16),
+       |lut AS ($lutPerJ),
+       |cand AS (SELECT p.qid, a.vec_id, a.list_id
+       |         FROM assigned a JOIN probe p ON a.list_id = p.list_id),
+       |sc AS (SELECT cd.qid, cd.vec_id, k.j, l.val
+       |       FROM cand cd
+       |       JOIN codes k ON k.vec_id = cd.vec_id
+       |       JOIN lut l ON l.qid = cd.qid AND l.list_id = cd.list_id
+       |                 AND l.j = k.j AND l.code = k.code),
+       |piv AS (SELECT qid, vec_id,
+       |        $piv
+       |        FROM sc GROUP BY qid, vec_id),
+       |topn AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY $approx, vec_id) AS rn FROM piv) WHERE rn <= 10),
+       |rer AS (SELECT t.qid, t.vec_id, list_distance(e2.v, q.qv) AS dist
+       |        FROM topn t JOIN e2 ON e2.vec_id = t.vec_id JOIN q ON q.qid = t.qid)
+       |SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+       |  FROM rer) WHERE rn <= 5
+       |ORDER BY qid, vec_id""".stripMargin
   }
 
   /** SQL expression: per-dim scalar-quantization code of embedding dim
@@ -1512,6 +1606,7 @@ object SparkEntry {
          |) WHERE rn <= 5 ORDER BY qid, vec_id""".stripMargin,
     "a4_pq_codes" -> pqCodesSql,
     "a5_ivfpq" -> ivfPqCodesSql,
+    "a8_ivfadc_knn_join" -> ivfAdcJoinSql,
 
     "i1_json_shred" ->
       """SELECT vec_id, CAST(i AS INTEGER) AS idx, embedding[i + 1] AS value

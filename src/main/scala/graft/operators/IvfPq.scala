@@ -128,4 +128,92 @@ object IvfPq {
       .limit(k)
       .drop("codes", "approx")
   }
+
+  /** BATCH ADC kNN JOIN over the persisted IVFADC store — the a6 shape
+    * for the PQ path: a query RELATION is served in one wave against
+    * the narrow (id, codes) store.
+    *
+    *  1. Per-query probe lists come from a broadcast JOIN against the
+    *     `.centroids` sidecar relation (queries × centroids + per-query
+    *     window — the centroid table is broadcast data, never a Q×C
+    *     plan literal).
+    *  2. Each (qid, probed list) row carries its ADC lookup table as a
+    *     DATA column: residual = qv − cv (zip_with), then one
+    *     transform/aggregate projection computes the m·k sub-distance
+    *     table against the codebook. The codebook enters as ONE flat
+    *     m·k·dsub literal — bounded by the codebook contract
+    *     (corpus-size-independent KBs), while the per-(qid, list)
+    *     tables, which DO grow with the batch, are rows in the
+    *     broadcast probe relation, never plan constants or when-chains.
+    *  3. The codes store is read pruned to the UNION of probed list
+    *     partitions (PartitionFilters on list_id), broadcast-joined to
+    *     the probe relation on list_id, and a row's approximate
+    *     distance is m `element_at` lookups into its query's table.
+    *  4. Per-query WindowGroupLimit keeps the topN ADC candidates; only
+    *     those rows touch the wide vector table (broadcast keyed join)
+    *     for the exact re-rank to the final k.
+    *
+    * Fold orders are pinned for engine portability: each table entry
+    * accumulates sub-dimensions ascending (0 + d₀² + d₁² + …), a row's
+    * score sums subspaces ascending — exactly what the a8 DuckDB oracle
+    * unrolls. Returns (qid, id, dist). */
+  def probeBatch(spark: SparkSession, path: String, vectors: DataFrame,
+                 idCol: String, vecCol: String,
+                 queries: DataFrame, qIdCol: String, qVecCol: String,
+                 nprobe: Int, topN: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb: Codebook = spark.read.parquet(path + ".codebook")
+      .select(col("j"), col("code"), col("word"))
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+    val m = cb.length
+    val kCodes = cb(0).length
+    val dsub = cb(0)(0).length
+    // flat (j, code, subdim)-ordered codebook literal — m·k·dsub doubles
+    val cbFlat = array(cb.flatten.flatten.map(lit).toIndexedSeq: _*)
+    val centRel = spark.read.parquet(path + ".centroids")
+      .select(col("list_id").cast("long"),
+        col("centroid").cast("array<double>").as("cv"))
+    val qProbe = queries
+      .select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).cast("array<double>").as("qv"))
+      .crossJoin(broadcast(centRel))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(dist(col("qv"), col("cv")), col("list_id"))))
+      .filter(col("rn") <= nprobe)
+      .withColumn("qres", zip_with(col("qv"), col("cv"), (a, b) => a - b))
+      .withColumn("lut", flatten(
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(sequence(lit(0), lit(kCodes - 1)), c =>
+            aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0d),
+              (acc, s) => {
+                val d = element_at(col("qres"), j * dsub + s + 1) -
+                  element_at(cbFlat, (j * kCodes + c) * dsub + s + 1)
+                acc + d * d
+              })))))
+      .select(col("qid"), col("qv"), col("list_id"), col("lut"))
+      .localCheckpoint()
+    // the touched-list union prunes the codes read at partition level
+    val lists = qProbe.select("list_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val approx = (0 until m).map { j =>
+      element_at(col("lut"), lit(j * kCodes) + element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val cands = spark.read.parquet(path)
+      .filter(col("list_id").isin(lists: _*))
+      .join(broadcast(qProbe), Seq("list_id"))
+      .withColumn("approx", approx)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("approx"), col(idCol))))
+      .filter(col("rn") <= topN)
+      .select(col("qid"), col("qv"), col(idCol), col("approx"))
+    vectors.select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .withColumn("dist", dist(col(vecCol), col("qv")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("dist"), col(idCol))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("dist"))
+  }
 }

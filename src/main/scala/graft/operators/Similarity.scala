@@ -296,6 +296,44 @@ object Similarity {
     ivfKnnWith(emb, idCol, vecCol,
       ivfCentroids(emb, idCol, vecCol, numLists), nprobe, q, k)
 
+  /** The collected centroid table as a (list_id, cv) RELATION — data in
+    * a LocalRelation the optimizer broadcasts, NOT an expression-tree
+    * literal: a C-element literal array grows the analyzed plan (and
+    * every optimizer pass over it) linearly in C·dim, which cliffs at
+    * corpus-scale C; a LocalRelation's rows are opaque payload, so the
+    * plan stays O(1) no matter how many centroids (routebench A/B in
+    * BASELINE.md). */
+  private[graft] def centroidRelation(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Array[(Long, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (lid, cv) => (lid, cv.toSeq) }.toSeq
+      .toDF("list_id", "cv")
+  }
+
+  /** Per-query nprobe nearest lists from a centroid RELATION: broadcast
+    * nested-loop join (queries × centroids) + per-query window — the
+    * same (cd, list_id)-ordered top-nprobe the literal-explode form
+    * computed, with the centroid table travelling as broadcast data
+    * instead of a plan constant. Returns (qid, qv, list_id). */
+  private def probeListsJoin(queries: DataFrame, qIdCol: String,
+                             qVecCol: String, centRel: DataFrame,
+                             nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    queries
+      .select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).cast("array<double>").as("qv"))
+      .crossJoin(broadcast(
+        centRel.select(col("list_id").cast("long"),
+          col("cv").cast("array<double>").as("cv"))))
+      .select(col("qid"), col("qv"), col("list_id"),
+        dist(col("qv"), col("cv")).as("cd"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cd"), col("list_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qv"), col("list_id"))
+  }
+
   /** Batch IVF kNN JOIN — the similarity-join scale path (the ANN
     * analog of [[BruteForce.knnJoin]]): every row of a SMALL query
     * relation gets its own `nprobe` nearest lists, the big side is
@@ -303,29 +341,18 @@ object Similarity {
     * form by a broadcast equi-join on list_id (each store row meets
     * only the queries probing its list — candidate rows ≈
     * Σ_q |probed lists|/numLists of the store, not Q×N), and one
-    * per-query window takes the exact top-k. Per-query probe lists are
-    * a Q×C explode over the literal centroid table — Q and C both
-    * bounded (the centroid-table contract); at corpus C use the routed
-    * assignment for the store side and a coarser probe table. Returns
-    * (qid, id, dist). */
+    * per-query window takes the exact top-k. Per-query probe lists come
+    * from a broadcast JOIN against the centroid relation
+    * ([[probeListsJoin]]) — the centroid table is broadcast data, never
+    * a Q×C plan literal, so probe construction stays flat at corpus C.
+    * Returns (qid, id, dist). */
   def ivfKnnJoin(emb: DataFrame, idCol: String, vecCol: String,
                  queries: DataFrame, qIdCol: String, qVecCol: String,
                  numLists: Int, nprobe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents = ivfCentroids(emb, idCol, vecCol, numLists)
-    val centStructs = array(cents.sortBy(_._1).map { case (lid, cv) =>
-      struct(lit(lid).as("list_id"), doubleVec(cv.toIndexedSeq).as("cv"))
-    }.toIndexedSeq: _*)
-    val qProbe = queries
-      .select(col(qIdCol).cast("long").as("qid"),
-        col(qVecCol).cast("array<double>").as("qv"))
-      .withColumn("c", explode(centStructs))
-      .select(col("qid"), col("qv"), col("c.list_id").as("list_id"),
-        dist(col("qv"), col("c.cv")).as("cd"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cd"), col("list_id"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("qv"), col("list_id"))
+    val qProbe = probeListsJoin(queries, qIdCol, qVecCol,
+      centroidRelation(emb.sparkSession, cents), nprobe)
     emb
       .withColumn("list_id", ivfListId(col(vecCol), cents))
       .join(broadcast(qProbe), Seq("list_id"))
@@ -371,35 +398,22 @@ object Similarity {
 
   /** BATCH probe of a persisted IVF store — [[ivfKnnJoin]] against the
     * serving layout: each query row of a SMALL relation computes its
-    * own nprobe nearest lists (explode over the store's persisted
-    * centroid sidecar + per-query window), the store read is pruned to
-    * the UNION of probed list partitions (PartitionFilters on
-    * list_id — at most Q·nprobe of numLists partitions touched), the
-    * broadcast (qid, list) join narrows each row to the queries that
-    * probed its list, and one per-query window takes the exact top-k.
-    * Returns (qid, id, dist). */
+    * own nprobe nearest lists by joining the store's persisted centroid
+    * SIDECAR as a broadcast relation ([[probeListsJoin]] — the sidecar
+    * never touches the driver and never becomes a plan literal), the
+    * store read is pruned to the UNION of probed list partitions
+    * (PartitionFilters on list_id — at most Q·nprobe of numLists
+    * partitions touched), the broadcast (qid, list) join narrows each
+    * row to the queries that probed its list, and one per-query window
+    * takes the exact top-k. Returns (qid, id, dist). */
   def probeIvfBatch(spark: org.apache.spark.sql.SparkSession, path: String,
                     idCol: String, vecCol: String,
                     queries: DataFrame, qIdCol: String, qVecCol: String,
                     nprobe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = spark.read.parquet(path + ".centroids")
-      .select(col("list_id").cast("long"), col("centroid"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val centStructs = array(centroids.sortBy(_._1).map { case (lid, cv) =>
-      struct(lit(lid).as("list_id"), doubleVec(cv.toIndexedSeq).as("cv"))
-    }.toIndexedSeq: _*)
-    val qProbe = queries
-      .select(col(qIdCol).cast("long").as("qid"),
-        col(qVecCol).cast("array<double>").as("qv"))
-      .withColumn("c", explode(centStructs))
-      .select(col("qid"), col("qv"), col("c.list_id").as("list_id"),
-        dist(col("qv"), col("c.cv")).as("cd"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cd"), col("list_id"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("qv"), col("list_id"))
+    val centRel = spark.read.parquet(path + ".centroids")
+      .select(col("list_id"), col("centroid").as("cv"))
+    val qProbe = probeListsJoin(queries, qIdCol, qVecCol, centRel, nprobe)
       .localCheckpoint()
     // the touched-list union prunes the parquet read at partition level
     val lists = qProbe.select("list_id").distinct()

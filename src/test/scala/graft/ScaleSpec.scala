@@ -99,6 +99,35 @@ class ScaleSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("IVFADC store: BATCH ADC join equals per-query probes, pruned scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graftivfpqb").toString + "/store"
+    val e = Tables.embeddings(spark, sf0001)
+    IvfPq.write(e, "vec_id", "embedding", numLists = 16, coarseIters = 0,
+      m = 8, k = 16, pqIters = 0, dir)
+    val queries = e.filter(col("vec_id") % 125 === 0)
+      .select(col("vec_id").as("qid0"), col("embedding").as("qv0"))
+    val batch = IvfPq.probeBatch(spark, dir, e, "vec_id", "embedding",
+      queries, "qid0", "qv0", nprobe = 4, topN = 50, k = 10)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("list_id#"),
+      "expected partition filter on the batch ADC codes scan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "expected the (qid, list, lut) probe relation to broadcast")
+    val got = batch.select(col("qid"), col("vec_id"), col("dist"))
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(r => (r._3, r._2)).map(_._2).toSeq)
+    // one wave over the query relation == the single-query probe, per query
+    val qs = queries.select(col("qid0"), col("qv0").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    assert(qs.nonEmpty)
+    qs.foreach { case (qid, qv) =>
+      val single = IvfPq.probe(spark, dir, e, "vec_id", "embedding",
+          qv, nprobe = 4, topN = 50, k = 10)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(got(qid) == single, s"query $qid diverged")
+    }
+  }
+
   test("Lloyd-refined IVF centroids do not increase the k-means cost") {
     val e = Tables.embeddings(spark, sf0001)
     val seed = Similarity.ivfCentroids(e, "vec_id", "embedding", 8)
