@@ -382,6 +382,79 @@ object Tools {
         f"(x${selfTotal / sharedTotal}%.2f)")
       spark.stop(); return
     }
+    if (name == "probebench") {
+      // probe-table construction A/B at corpus-scale C: the pre-round-10
+      // Q×C LITERAL explode (C·dim doubles in the expression tree, every
+      // Catalyst pass walking them) vs the broadcast-RELATION join
+      // (probeListsJoin — centroids are broadcast data, plan is O(1) in
+      // C). Both compute the same Q×nprobe probe table; the literal form
+      // is reconstructed inline because the library no longer has it.
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.{dist, doubleVec}
+      import graft.operators.Similarity
+      val nums = args.drop(1).filter(_.forall(_.isDigit))
+      val d = nums.headOption.map(_.toInt).getOrElse(64)
+      val qn = nums.lift(1).map(_.toInt).getOrElse(64)
+      val nprobe = 4
+      val queries = graft.sources.Ingest
+        .randomUniform(spark, qn.toLong, d, seed = 9L)
+        .select(col("id").as("qid0"), col("vector").as("qv0"))
+        .localCheckpoint()
+      // the literal side is capped at 16384 unless "lit" is passed: at
+      // C=65536×d64 the 4.2M-literal expression tree OOMs the whole
+      // SparkContext (measured — that IS the cliff), which would kill
+      // the relation-side curve too
+      var litViable = true
+      val litCap = if (args.contains("lit")) Int.MaxValue else 16384
+      for (c <- Seq(4096, 16384, 65536, 262144)) {
+        if (c > litCap && litViable) {
+          litViable = false
+          println(s"literal  side capped at C=$litCap (OOMs the JVM beyond; pass 'lit' to force)")
+        }
+        val cents: Array[(Long, Array[Double])] = graft.sources.Ingest
+          .randomUniform(spark, c.toLong, d, seed = 5L)
+          .select(col("id"), col("vector").cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val t0 = System.nanoTime()
+        val relRows = Similarity.probeListsJoin(queries, "qid0", "qv0",
+          Similarity.centroidRelation(spark, cents), nprobe).count()
+        println(f"relation C=$c%-7d ${(System.nanoTime() - t0) / 1e9}%8.2f s ($relRows rows)")
+        if (litViable) {
+          val t1 = System.nanoTime()
+          try {
+            val centStructs = array(cents.sortBy(_._1).map { case (lid, cv) =>
+              struct(lit(lid).as("list_id"), doubleVec(cv.toIndexedSeq).as("cv"))
+            }.toIndexedSeq: _*)
+            val litRows = queries
+              .select(col("qid0").cast("long").as("qid"),
+                col("qv0").cast("array<double>").as("qv"))
+              .withColumn("c", explode(centStructs))
+              .select(col("qid"), col("qv"), col("c.list_id").as("list_id"),
+                dist(col("qv"), col("c.cv")).as("cd"))
+              .withColumn("rn", row_number().over(
+                Window.partitionBy(col("qid")).orderBy(col("cd"), col("list_id"))))
+              .filter(col("rn") <= nprobe)
+              .count()
+            val dt = (System.nanoTime() - t1) / 1e9
+            println(f"literal  C=$c%-7d $dt%8.2f s ($litRows rows)")
+            if (litRows != relRows) println(s"MISMATCH: $litRows vs $relRows")
+            if (dt > 180) {
+              litViable = false
+              println("literal form past 180 s — skipping larger C")
+            }
+          } catch {
+            case e: Throwable =>
+              litViable = false
+              println(f"literal  C=$c%-7d FAILED after " +
+                f"${(System.nanoTime() - t1) / 1e9}%.1f s: " +
+                s"${e.getClass.getSimpleName} ${Option(e.getMessage).getOrElse("")}")
+          }
+        } else println(s"literal  C=$c SKIPPED (past the cliff at smaller C)")
+      }
+      spark.stop(); return
+    }
     if (name == "routebench") {
       // routed-assignment PREP cost at corpus-scale C: building the
       // two-level routing tables is O(C·S·dim) — a serial driver loop

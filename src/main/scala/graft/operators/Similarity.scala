@@ -316,9 +316,9 @@ object Similarity {
     * same (cd, list_id)-ordered top-nprobe the literal-explode form
     * computed, with the centroid table travelling as broadcast data
     * instead of a plan constant. Returns (qid, qv, list_id). */
-  private def probeListsJoin(queries: DataFrame, qIdCol: String,
-                             qVecCol: String, centRel: DataFrame,
-                             nprobe: Int): DataFrame = {
+  private[graft] def probeListsJoin(queries: DataFrame, qIdCol: String,
+                                    qVecCol: String, centRel: DataFrame,
+                                    nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     queries
       .select(col(qIdCol).cast("long").as("qid"),
