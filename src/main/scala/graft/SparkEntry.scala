@@ -226,6 +226,23 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk"), col("n_chunk_tokens"),
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk"))),
+    "p11_chunk_pack" -> ((s, d) => {
+      // the pretraining layout END-TO-END: long documents -> overlapping
+      // 64-token chunks (stride 56) -> greedy per-shard packing of the
+      // CHUNKS at capacity 128. Chunk token counts feed the packer
+      // directly (no re-tokenization of the rejoined text); orderCols
+      // (doc_id, chunk) keeps the running sum unique-keyed now that
+      // doc_id alone is not row-unique
+      val chunked = Pipeline.chunkDocuments(Tables.documents(s, d),
+        "doc_id", "text", maxTokens = 64, overlap = 8)
+      Pipeline.packSequences(chunked, "doc_id", "chunk_text",
+          capacity = 128, numShards = 8,
+          count = _ => col("n_chunk_tokens"),
+          orderCols = Seq("doc_id", "chunk"))
+        .select(col("doc_id"), col("chunk"), col("shard"),
+          col("n_tokens").cast("long").as("n_tokens"), col("bin"))
+        .orderBy(col("doc_id"), col("chunk"))
+    }),
     "p7_curate_upsampled" -> ((s, d) => {
       // the composed pipeline in its UPSAMPLING configuration: same
       // seven stages as p5 but scarce domains repeat up to 3 epochs
@@ -332,6 +349,17 @@ object SparkEntry {
       // (md5-compared) per document
       Dedup.removeDuplicateSpans(Tables.documents(s, d), "doc_id", "text",
           k = 5, minCount = 2L)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_kept_tokens"))
+        .orderBy(col("doc_id"))),
+    "d19_remove_spans_keep_one" -> ((s, d) =>
+      // keep-ONE-occurrence variant (the complete Lee et al. protocol):
+      // each duplicated gram elects its globally first (doc, pos)
+      // posting as canonical; only non-canonical postings seed removal
+      // spans — the oracle recomputes the election, islands, covered
+      // positions, and cleaned text per document
+      Dedup.removeDuplicateSpansKeepOne(Tables.documents(s, d), "doc_id",
+          "text", k = 5, minCount = 2L)
         .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
           col("n_kept_tokens"))
         .orderBy(col("doc_id"))),
@@ -1265,6 +1293,22 @@ object SparkEntry {
          |  CAST(len(ts[chunk * 56 + 1 : chunk * 56 + 64]) AS BIGINT) AS n_chunk_tokens,
          |  md5(array_to_string(ts[chunk * 56 + 1 : chunk * 56 + 64], ' ')) AS chunk_md5
          |FROM ex ORDER BY doc_id, chunk""".stripMargin,
+    "p11_chunk_pack" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  coalesce(string_split_regex(text, '\\s+'), CAST([] AS VARCHAR[])) AS ts FROM documents),
+         |n AS (SELECT doc_id, ts,
+         |  greatest((len(ts) - 8 + 55) // 56, 1) AS nc FROM toks),
+         |ex AS (SELECT doc_id, ts,
+         |  CAST(unnest(range(nc)) AS BIGINT) AS chunk FROM n),
+         |t AS (SELECT doc_id, chunk, doc_id % 8 AS shard,
+         |  CAST(len(ts[chunk * 56 + 1 : chunk * 56 + 64]) AS BIGINT) AS n_tokens
+         | FROM ex)
+         |SELECT doc_id, chunk, shard, n_tokens,
+         | CAST(floor((CAST(sum(n_tokens) OVER (PARTITION BY shard
+         |   ORDER BY doc_id, chunk
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |   - n_tokens) / 128) AS BIGINT) AS bin
+         |FROM t ORDER BY doc_id, chunk""".stripMargin,
     "p7_curate_upsampled" ->
       s"""WITH RECURSIVE ${CurateCommonCtes("CAST(c AS DOUBLE) * 3 / tw")},
          |rr AS (SELECT lang, tw * kv.k / CAST(c AS DOUBLE) AS rate FROM cnt, kv WHERE c > 0),
@@ -1419,6 +1463,37 @@ object SparkEntry {
         |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc ORDER BY pos) > 5
         |      THEN 1 ELSE 0 END AS b
         | FROM p),
+        |isl AS (SELECT doc, nt, pos,
+        |  sum(b) OVER (PARTITION BY doc ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+        | FROM brk),
+        |spans AS (SELECT doc, min(pos) AS s, least(max(pos) + 4, nt - 1) AS e
+        | FROM isl GROUP BY doc, nt, island),
+        |cov AS (SELECT DISTINCT doc, unnest(range(s, e + 1)) AS cp FROM spans),
+        |tp AS (SELECT doc, unnest(range(len(ts))) AS p, ts FROM toks),
+        |keep AS (SELECT tp.doc, tp.p, tp.ts[tp.p + 1] AS tok
+        | FROM tp LEFT JOIN cov ON cov.doc = tp.doc AND cov.cp = tp.p
+        | WHERE cov.cp IS NULL),
+        |agg AS (SELECT doc, array_to_string(list(tok ORDER BY p), ' ') AS txt,
+        |  count(*) AS n FROM keep GROUP BY doc)
+        |SELECT t.doc_id, md5(coalesce(a.txt, '')) AS clean_md5,
+        | CAST(coalesce(a.n, 0) AS BIGINT) AS n_kept_tokens
+        |FROM documents t LEFT JOIN agg a ON a.doc = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    "d19_remove_spans_keep_one" ->
+      """WITH toks AS (SELECT doc_id AS doc, string_split_regex(text, '\s+') AS ts FROM documents),
+        |g AS (SELECT doc, len(ts) AS nt, i AS pos,
+        |  ('0x' || substr(md5(array_to_string(ts[i+1:i+5], ' ')), 1, 15))::BIGINT AS h
+        | FROM (SELECT doc, ts, unnest(range(greatest(len(ts) - 5, 0) + 1)) AS i FROM toks)),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+        |p AS (SELECT doc, nt, pos, h FROM g WHERE h IN (SELECT h FROM dup)),
+        |nc AS (SELECT doc, nt, pos FROM (
+        |  SELECT doc, nt, pos,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc, pos) AS crn
+        |  FROM p) WHERE crn > 1),
+        |brk AS (SELECT doc, nt, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc ORDER BY pos) > 5
+        |      THEN 1 ELSE 0 END AS b
+        | FROM nc),
         |isl AS (SELECT doc, nt, pos,
         |  sum(b) OVER (PARTITION BY doc ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
         | FROM brk),

@@ -183,7 +183,17 @@ object Dedup {
     * flood the postings at corpus scale. */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 5, minCount: Long = 2L,
-                     maxGramDf: Option[Long] = None): DataFrame = {
+                     maxGramDf: Option[Long] = None): DataFrame =
+    spanIslands(dupGramPostings(docs, idCol, textCol, k, minCount,
+      maxGramDf), k)
+
+  /** Postings of every DUPLICATED k-gram: (doc, nt, pos, h) rows for
+    * grams with >= minCount occurrences corpus-wide (<= maxGramDf when
+    * capped) — the shared front half of [[duplicateSpans]] and the
+    * keep-one election. */
+  private def dupGramPostings(docs: DataFrame, idCol: String,
+                              textCol: String, k: Int, minCount: Long,
+                              maxGramDf: Option[Long]): DataFrame = {
     val grams = docs
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       .select(col("doc"), size(col("toks")).as("nt"),
@@ -194,8 +204,16 @@ object Dedup {
       .filter(col("n") >= minCount)
     val dup = maxGramDf.map(c => counts.filter(col("n") <= c))
       .getOrElse(counts).select(col("h"))
-    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
     grams.join(dup, Seq("h"), "left_semi")
+  }
+
+  /** Merge (doc, nt, pos) postings into maximal spans: positions whose
+    * k-token windows overlap or touch (gap <= k) join one island via a
+    * gaps-and-islands window; span_end clamps to the last token.
+    * Returns (doc, span_start, span_end, n_grams). */
+  private def spanIslands(posted: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    posted
       // island breaks where the gap to the previous duplicated gram
       // exceeds k (their k-token windows neither overlap nor touch);
       // lag is NULL on the first row -> no break, island 0
@@ -216,19 +234,54 @@ object Dedup {
     * covered by a duplicated span is dropped and the survivors rejoin
     * with single spaces (whitespace runs collapse — the normalization
     * every token-based operator here shares). POLICY: ALL occurrences
-    * are removed (the paper keeps one canonical occurrence of each
-    * duplicated substring, which needs a global first-occurrence
-    * election; compose keep-side logic upstream when that is the
-    * requirement — removing all is the conservative cleaner). Scale
-    * shape: the span relation is small (duplicated regions only) and
-    * joins keyed by doc; token filtering is one per-row higher-order
+    * are removed — the conservative cleaner; the paper's keep-one-
+    * canonical-occurrence protocol is [[removeDuplicateSpansKeepOne]].
+    * Scale shape: the span relation is small (duplicated regions only)
+    * and joins keyed by doc; token filtering is one per-row higher-order
     * `filter` over the (start, end) range array — no explode of the
     * corpus tokens, no extra shuffle beyond duplicateSpans' own.
     * Returns (idCol, clean_text, n_kept_tokens). */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                            k: Int = 5, minCount: Long = 2L,
-                           maxGramDf: Option[Long] = None): DataFrame = {
-    val spans = duplicateSpans(docs, idCol, textCol, k, minCount, maxGramDf)
+                           maxGramDf: Option[Long] = None): DataFrame =
+    dropSpanTokens(docs, idCol, textCol,
+      duplicateSpans(docs, idCol, textCol, k, minCount, maxGramDf))
+
+  /** Keep-ONE-occurrence duplicate-span removal — the full Lee et al.
+    * 2021 protocol: every duplicated k-gram elects a single canonical
+    * occurrence, the globally FIRST posting by (doc, pos), and only the
+    * NON-canonical postings seed removal spans — so one copy of each
+    * duplicated run survives (where [[removeDuplicateSpans]] removes
+    * them all). Election granularity is the gram: a canonical gram's
+    * tokens can still fall inside a neighbouring non-canonical span and
+    * be removed with it (the overlap trade of gram-level vs full
+    * suffix-array substring election; stated here because the paper
+    * elects whole substrings).
+    *
+    * Scale shape: d18's plus ONE extra window, keyed by gram hash over
+    * the duplicated-postings relation only (bounded by minCount/
+    * maxGramDf — never the full gram stream), to rank occurrences for
+    * the election. Everything downstream (islands, span join, per-row
+    * token filter) is shared code with identical cost. Returns (idCol,
+    * clean_text, n_kept_tokens). */
+  def removeDuplicateSpansKeepOne(docs: DataFrame, idCol: String,
+                                  textCol: String, k: Int = 5,
+                                  minCount: Long = 2L,
+                                  maxGramDf: Option[Long] = None): DataFrame = {
+    val posted = dupGramPostings(docs, idCol, textCol, k, minCount,
+      maxGramDf)
+    val wH = Window.partitionBy(col("h")).orderBy(col("doc"), col("pos"))
+    val nonCanon = posted
+      .withColumn("crn", row_number().over(wH))
+      .filter(col("crn") > 1)
+      .select(col("doc"), col("nt"), col("pos"))
+    dropSpanTokens(docs, idCol, textCol, spanIslands(nonCanon, k))
+  }
+
+  /** Shared removal step: drop every token position covered by a span
+    * and rejoin survivors with single spaces. */
+  private def dropSpanTokens(docs: DataFrame, idCol: String,
+                             textCol: String, spans: DataFrame): DataFrame = {
     // reserved join key: a caller whose idCol is literally "doc" must
     // not collide with the span relation's doc column
     val ranges = spans.groupBy(col("doc"))

@@ -316,6 +316,31 @@ class DedupSpec extends SparkSpec {
     assert(out(3L)._2 == "u3 n3 i3 q3 u3b e3 t3 o3 k3 s3" && out(3L)._3 == 10L)
   }
 
+  test("removeDuplicateSpansKeepOne keeps the first occurrence only") {
+    // docs 1 and 2 share a 6-token boilerplate run; doc 1 is the
+    // globally first (doc, pos) posting of every duplicated gram, so
+    // doc 1 keeps the phrase and only doc 2 loses it. Doc 3 is unique.
+    val boiler = "the quick brown fox jumps over"
+    val docs = Seq(
+      (1L, s"alpha1 beta1 $boiler gamma1 delta1 epsilon1"),
+      (2L, s"x2 $boiler y2 z2 w2 v2"),
+      (3L, "u3 n3 i3 q3 u3b e3 t3 o3 k3 s3")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpansKeepOne(docs, "doc_id", "text", 5, 2L)
+      .select("doc_id", "clean_text", "n_kept_tokens")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r).toMap
+    // the canonical carrier keeps its full text
+    assert(out(1L)._2 == s"alpha1 beta1 $boiler gamma1 delta1 epsilon1")
+    assert(out(1L)._3 == 11L)
+    // the later occurrence is removed
+    assert(!out(2L)._2.contains("quick brown") && out(2L)._3 < 11L)
+    // unique doc untouched
+    assert(out(3L)._3 == 10L)
+    // keep-one never removes more than remove-all
+    val all = Dedup.removeDuplicateSpans(docs, "doc_id", "text", 5, 2L)
+      .select("doc_id", "n_kept_tokens").as[(Long, Long)].collect().toMap
+    out.foreach { case (id, (_, _, kept)) => assert(kept >= all(id)) }
+  }
+
   test("decontaminate drops exactly the profile-flagged docs") {
     // eval 3-shingles: "alpha beta gamma", "beta gamma phi";
     // doc0 shares both, doc2 shares one, doc1/doc3 none
