@@ -632,20 +632,21 @@ object Dedup {
     *    join is keyed by node id — nothing beyond the budget probe
     *    ever reaches the driver. Returns (node, cluster). */
   def clusterIds(pairs: DataFrame, localBudget: Long = 100000L): DataFrame = {
-    // checkpoint the pair relation ONCE up front: the upstream lineage is
-    // typically an expensive LSH-verify pipeline, and without this the
-    // bounded probe below would compute it a first time and an over-budget
-    // fallback (plus the edges union's two branches) would recompute it
-    // from scratch — over-budget callers paid the pair computation twice
-    val half = pairs.select(col("a").cast("long").as("x"),
-      col("b").cast("long").as("y")).localCheckpoint()
+    val norm = pairs.select(col("a").cast("long").as("x"),
+      col("b").cast("long").as("y"))
     // the local path needs budget+1 to fit a bounded limit().collect(),
     // so a budget beyond ~2e9 clamps (still far past any driver heap)
     val budget = math.min(localBudget, 2000000000L)
     if (budget > 0) {
-      // bounded probe: fetch at most budget+1 rows — never the full
-      // relation — off the checkpointed blocks, not the raw lineage
-      val probe = half.limit((budget + 1).toInt).collect()
+      // bounded probe on the RAW lineage: CollectLimit executes
+      // partitions incrementally, so an over-budget relation
+      // short-circuits after ~budget rows (a partial scan), and an
+      // under-budget one — the common case — computes the expensive
+      // LSH-verify lineage exactly ONCE with no materialization. An
+      // up-front checkpoint here (round 9) made the under-budget path
+      // pay a full checkpoint write for nothing: +0.3–0.5 s on
+      // d7_keep_first at sf0.1 (round-10 A/B vs r8 HEAD in BASELINE.md)
+      val probe = norm.limit((budget + 1).toInt).collect()
       if (probe.length <= budget) {
         val parent = scala.collection.mutable.Map.empty[Long, Long]
         def find(x: Long): Long = {
@@ -665,11 +666,15 @@ object Dedup {
         }
         val spark = pairs.sparkSession
         import spark.implicits._
-        IndexBuild.freeCheckpoint(half)
         return parent.keys.toSeq.sorted.map(n => (n, find(n)))
           .toDF("node", "cluster")
       }
     }
+    // over-budget fallback: checkpoint the pair relation ONCE here so
+    // the expensive upstream lineage is never paid twice — the edges
+    // union reads it from both branches and the pointer-jump loop
+    // re-reads the edges every round
+    val half = norm.localCheckpoint()
     val edges = half.union(half.select(col("y"), col("x"))).localCheckpoint()
     IndexBuild.freeCheckpoint(half)
     var labels = edges.select(col("x").as("node")).distinct()
