@@ -209,6 +209,11 @@ object Tools {
         // a per-row range filter; should inherit d15's growth
         time(s"d18 remove spans ${m}x")(
           Dedup.removeDuplicateSpans(d, "doc_id", "text", 5, 2L).count())
+        // d19: keep-one election — d18 plus ONE gram-keyed window over
+        // the duplicated-postings relation; growth should track d18's
+        time(s"d19 keep-one spans ${m}x")(
+          Dedup.removeDuplicateSpansKeepOne(d, "doc_id", "text", 5, 2L)
+            .count())
       }
       spark.stop(); return
     }

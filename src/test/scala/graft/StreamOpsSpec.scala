@@ -222,4 +222,32 @@ class StreamOpsSpec extends SparkSpec {
       .as[(Long, Double, String)].collect().toSet
     assert(got == manual)
   }
+
+  test("chunkDocuments runs unchanged on streams: stream ≡ batch") {
+    // chunking is a pure projection + per-row explode of bounded chunk
+    // ids — stateless, so the ingest-time chunker IS the batch operator
+    val docsDir = java.nio.file.Files.createTempDirectory("graftchst")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val batch = spark.read.parquet(docsDir.toString)
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(docsDir.toString)
+    val q = operators.Pipeline.chunkDocuments(stream, "doc_id", "text",
+        maxTokens = 64, overlap = 8)
+      .select(col("doc_id"), col("chunk"), col("n_chunk_tokens"),
+        md5(col("chunk_text")).as("h"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("chst")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("chst").as[(Long, Long, Long, String)]
+      .collect().toSet
+    val want = operators.Pipeline.chunkDocuments(batch, "doc_id", "text",
+        maxTokens = 64, overlap = 8)
+      .select(col("doc_id"), col("chunk"), col("n_chunk_tokens"),
+        md5(col("chunk_text")).as("h"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
 }
