@@ -550,6 +550,20 @@ object Tools {
           nprobe = nprobe, topN = 100, k = 10).count()
         println(f"probe nprobe=$nprobe%2d run $run: ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($rows rows)")
       }
+      // batch ADC join: 64 queries in ONE wave — one pruned codes scan
+      // serves the whole relation; compare against 64x the single-probe
+      // row above
+      val queries = pts.filter(col("id") % (n / 64).max(1) === 0)
+        .select(col("id").as("qid0"), col("embedding").as("qv0"))
+        .localCheckpoint()
+      val qn = queries.count()
+      for (nprobe <- Seq(4, 16); run <- 1 to 3) {
+        t0 = System.nanoTime()
+        val rows = IvfPq.probeBatch(spark, path, pts, "id", "embedding",
+          queries, "qid0", "qv0", nprobe = nprobe, topN = 100, k = 10).count()
+        println(f"batch($qn queries) nprobe=$nprobe%2d run $run: " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.2f s  ($rows rows)")
+      }
       spark.stop(); return
     }
     val df = SparkEntry.queries(name)(spark, sfDir)
