@@ -413,6 +413,18 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("bucket"))
         .orderBy(col("qid"), col("vec_id"))
     }),
+    "a9_lsh_multiprobe_join" -> ((s, d) => {
+      // multi-probe batch LSH kNN join: each query also probes its 8
+      // hamming-1 neighbour buckets (recall boost over a7); the oracle
+      // expands the probe set with the same XOR masks and re-ranks
+      // exactly with the shared (dist, id) tie-break
+      val e = embeddings(s, d)
+      val queries = e.filter(col("vec_id") % 100 === 0)
+      Similarity.lshKnnJoinMulti(e, "vec_id", "embedding",
+          queries, "vec_id", "embedding", Planes, 5)
+        .select(col("qid"), col("vec_id"), col("bucket"))
+        .orderBy(col("qid"), col("vec_id"))
+    }),
     "a6_ivf_knn_join" -> ((s, d) => {
       // batch IVF kNN JOIN (the similarity-join scale path): every
       // query row (the vec_id % 100 slice) probes its own nprobe=2
@@ -1649,6 +1661,18 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q.qid
          |      ORDER BY list_distance(b.v, q.qv), b.vec_id) AS rn
          |  FROM b JOIN q USING (bucket)
+         |) WHERE rn <= 5 ORDER BY qid, vec_id""".stripMargin,
+    "a9_lsh_multiprobe_join" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b WHERE vec_id % 100 = 0),
+         |pr AS (SELECT qid, qv, xor(qb, m) AS bucket
+         |  FROM q, (VALUES ${(0 +: (0 until 8).map(1 << _).toList).distinct.map(m => s"($m)").mkString(", ")}) t(m))
+         |SELECT qid, vec_id, bucket FROM (
+         |  SELECT p.qid, b.vec_id, b.bucket,
+         |    row_number() OVER (PARTITION BY p.qid
+         |      ORDER BY list_distance(b.v, p.qv), b.vec_id) AS rn
+         |  FROM b JOIN pr p USING (bucket)
          |) WHERE rn <= 5 ORDER BY qid, vec_id""".stripMargin,
     "a6_ivf_knn_join" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -93,6 +93,34 @@ object Similarity {
       .select(col("qid"), col(idCol), col("bucket"), col("dist"))
   }
 
+  /** MULTI-PROBE batch LSH kNN JOIN — [[lshKnnJoin]] with each query
+    * also probing every bucket at hamming distance 1 from its own (one
+    * flipped sign bit — the standard recall boost, the batch twin of
+    * [[probeBucketedMulti]]): the query side explodes to numPlanes+1
+    * (qid, bucket) rows — bounded, Q·(P+1), all buckets distinct so no
+    * candidate pair repeats — while the store side stays ONE map-only
+    * assignment scan joined broadcast on the bucket key; one per-query
+    * window takes the exact top-k over the union of probed buckets.
+    * Returns (qid, id, bucket, dist) — bucket is the STORE row's. */
+  def lshKnnJoinMulti(emb: DataFrame, idCol: String, vecCol: String,
+                      queries: DataFrame, qIdCol: String, qVecCol: String,
+                      planes: Array[Array[Double]], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qb = lshBucket(col("qv"), planes)
+    val probed = array((qb +: planes.indices.map(j =>
+      qb.bitwiseXOR(lit(1 << j)))): _*)
+    val qB = queries
+      .select(col(qIdCol).cast("long").as("qid"), col(qVecCol).as("qv"))
+      .withColumn("bucket", explode(probed))
+    lshAssign(emb, idCol, vecCol, planes)
+      .join(broadcast(qB), Seq("bucket"))
+      .withColumn("dist", dist(col(vecCol), col("qv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("bucket"), col("dist"))
+  }
+
   /** The deterministic coarse-centroid set shared by assignment and
     * probing: the `numLists` vectors with the smallest ids (a Lloyd
     * refinement would keep the same plumbing). Collected to the driver —

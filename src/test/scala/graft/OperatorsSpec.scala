@@ -1002,6 +1002,28 @@ class IvfKnnJoinSpec extends SparkSpec {
     assert(pruned.values.forall(_ == 7L))
   }
 
+  test("lshKnnJoinMulti: superset candidates, never-worse top-1 than a7") {
+    val e = Tables.embeddings(spark, sf0001)
+    val planes = Similarity.hyperplanes(8, 64)
+    val queries = e.filter(col("vec_id") % 125 === 0)
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("qid").agg(min(col("dist")).as("d"))
+        .as[(Long, Double)].collect().toMap
+    val single = top1(Similarity.lshKnnJoin(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding", planes, 5))
+    val multi = top1(Similarity.lshKnnJoinMulti(e, "vec_id", "embedding",
+      queries, "vec_id", "embedding", planes, 5))
+    assert(multi.nonEmpty)
+    // every query the single-bucket join answers, multi-probe answers
+    // at least as well (its candidate set is a superset)
+    single.foreach { case (qid, d) => assert(multi(qid) <= d + 1e-12) }
+    // each query returns at most k rows and they are exactly ranked
+    val rows = Similarity.lshKnnJoinMulti(e, "vec_id", "embedding",
+        queries, "vec_id", "embedding", planes, 5)
+      .groupBy("qid").count().as[(Long, Long)].collect()
+    assert(rows.forall(_._2 <= 5L))
+  }
+
   test("probeIvfBatch against the persisted store equals ivfKnnJoin") {
     val e = Tables.embeddings(spark, sf0001)
     val dir = java.nio.file.Files.createTempDirectory("graftivfb").toString
