@@ -249,6 +249,43 @@ object Similarity {
       qBucket +: planes.indices.map(j => qBucket ^ (1 << j)), q, k)
   }
 
+  /** BATCH probe of a persisted LSH-bucketed store — [[lshKnnJoinMulti]]
+    * against the serving layout (completing the {LSH, IVF, IVFADC} ×
+    * {single, batch} probe matrix): each query row probes its own
+    * bucket plus the numPlanes hamming-1 neighbours, the store read is
+    * pruned to the UNION of probed bucket partitions (PartitionFilters
+    * on bucket — at most Q·(P+1) of 2^P partitions touched), the
+    * broadcast (qid, bucket) join narrows each row to the queries
+    * probing its bucket, and one per-query window takes the exact
+    * top-k. Returns (qid, id, bucket, dist). */
+  def probeBucketedBatch(spark: org.apache.spark.sql.SparkSession,
+                         path: String, idCol: String, vecCol: String,
+                         queries: DataFrame, qIdCol: String, qVecCol: String,
+                         planes: Array[Array[Double]], k: Int,
+                         multiProbe: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qb = lshBucket(col("qv"), planes)
+    val probed =
+      if (multiProbe) array((qb +: planes.indices.map(j =>
+        qb.bitwiseXOR(lit(1 << j)))): _*)
+      else array(qb)
+    val qB = queries
+      .select(col(qIdCol).cast("long").as("qid"), col(qVecCol).as("qv"))
+      .withColumn("bucket", explode(probed))
+      .localCheckpoint()
+    // the touched-bucket union prunes the store read at partition level
+    val buckets = qB.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(qB), Seq("bucket"))
+      .withColumn("dist", dist(col(vecCol), col("qv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("bucket"), col("dist"))
+  }
+
   /** Lloyd's k-means refinement of the IVF coarse quantizer: start from
     * the deterministic first-C seed, then `iters` rounds of map-only
     * assignment (ivfListId — no shuffle of the points beyond the

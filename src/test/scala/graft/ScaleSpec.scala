@@ -99,6 +99,34 @@ class ScaleSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("LSH store: BATCH multi-probe equals the in-memory join, pruned scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graftlshb").toString + "/store"
+    val e = Tables.embeddings(spark, sf0001)
+    val planes = Similarity.hyperplanes(8, 64)
+    Similarity.writeBucketed(e, "vec_id", "embedding", planes, dir)
+    val queries = e.filter(col("vec_id") % 125 === 0)
+      .select(col("vec_id").as("qid0"), col("embedding").as("qv0"))
+    val probe = Similarity.probeBucketedBatch(spark, dir, "vec_id",
+      "embedding", queries, "qid0", "qv0", planes, k = 5)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("bucket#"),
+      "expected partition filter on the batch bucketed-store read")
+    assert(plan.contains("BroadcastHashJoin"),
+      "expected the (qid, bucket) probe relation to broadcast")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("vec_id"), col("dist"))
+        .as[(Long, Long, Double)].collect().toSet
+    val want = rows(Similarity.lshKnnJoinMulti(e, "vec_id", "embedding",
+      queries, "qid0", "qv0", planes, 5))
+    assert(rows(probe) == want && want.nonEmpty)
+    // single-bucket mode matches the a7 join too
+    val single = rows(Similarity.probeBucketedBatch(spark, dir, "vec_id",
+      "embedding", queries, "qid0", "qv0", planes, 5, multiProbe = false))
+    val a7 = rows(Similarity.lshKnnJoin(e, "vec_id", "embedding",
+      queries, "qid0", "qv0", planes, 5))
+    assert(single == a7)
+  }
+
   test("IVFADC store: BATCH ADC join equals per-query probes, pruned scan") {
     val dir = java.nio.file.Files.createTempDirectory("graftivfpqb").toString + "/store"
     val e = Tables.embeddings(spark, sf0001)
