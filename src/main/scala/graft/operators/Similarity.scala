@@ -444,6 +444,28 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(path + ".centroids")
   }
 
+  /** INCREMENTAL maintenance of a persisted IVF store: assign the new
+    * vectors to their lists with the store's OWN centroid sidecar (the
+    * quantizer is frozen — exactly how IVF serving systems ingest; a
+    * re-train is a rewrite) and APPEND them to their list partitions.
+    * Only the touched partitions gain files; existing files are never
+    * rewritten, probes see old ∪ new rows (append is the natural mode
+    * here — unlike the per-document tree store, whose partitions hold
+    * derived structure and need [[graft.sources.IndexStore]]'s
+    * replace). The ingest side of a streaming pipeline can call this
+    * from foreachBatch unchanged. `newVecs` must carry the same data
+    * columns as the frame [[writeIvf]] persisted. */
+  def appendIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+                newVecs: DataFrame, vecCol: String): Unit = {
+    val centroids = spark.read.parquet(path + ".centroids")
+      .select(col("list_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    newVecs
+      .withColumn("list_id", ivfListId(col(vecCol), centroids))
+      .write.mode("append").partitionBy("list_id").parquet(path)
+  }
+
   /** Probe an IVF store: top-k within the nprobe nearest lists — a
     * partition-pruned read (PartitionFilters on list_id), no shuffle. */
   def probeIvf(spark: org.apache.spark.sql.SparkSession, path: String,

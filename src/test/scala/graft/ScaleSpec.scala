@@ -99,6 +99,34 @@ class ScaleSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("IVF store: incremental append equals a fresh full write") {
+    val base = java.nio.file.Files.createTempDirectory("graftivfapp").toString
+    val e = Tables.embeddings(spark, sf0001)
+    val old = e.filter(col("vec_id") % 5 =!= 0)
+    val fresh = e.filter(col("vec_id") % 5 === 0)
+    // store built from the old slice, new rows appended with the FROZEN
+    // quantizer (the store's own centroid sidecar)
+    Similarity.writeIvf(old, "vec_id", "embedding", 16, s"$base/inc")
+    Similarity.appendIvf(spark, s"$base/inc", fresh, "embedding")
+    // reference: one store over everything with the SAME centroids (the
+    // first-16 seed comes from the old slice in both cases — vec_ids
+    // 1..16 contain a %5 hole, so pin the centroid set explicitly)
+    val cents = Similarity.ivfCentroids(old, "vec_id", "embedding", 16)
+    val all = e.withColumn("list_id",
+      Similarity.ivfListId(col("embedding"), cents))
+    def probe(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("list_id").isin(
+          Similarity.ivfProbeLists(cents, QueryConstants.Q64, 4): _*))
+        .withColumn("dist", graft.functions.VectorFunctions.dist(
+          col("embedding"),
+          graft.functions.VectorFunctions.doubleVec(QueryConstants.Q64)))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+        .select("vec_id").as[Long].collect().toSeq
+    val got = probe(spark.read.parquet(s"$base/inc"))
+    val want = probe(all)
+    assert(got == want && got.nonEmpty)
+  }
+
   test("LSH store: BATCH multi-probe equals the in-memory join, pruned scan") {
     val dir = java.nio.file.Files.createTempDirectory("graftlshb").toString + "/store"
     val e = Tables.embeddings(spark, sf0001)
