@@ -118,6 +118,47 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming IVF-store ingest via foreachBatch keeps probes exact") {
+    // vectors arrive on a real stream; each micro-batch appends to the
+    // persisted IVF store with the frozen quantizer — probing the store
+    // afterwards equals one full write over everything
+    val base = java.nio.file.Files.createTempDirectory("graftivfst").toString
+    val e = Tables.embeddings(spark, sf0001)
+    val old = e.filter(col("vec_id") % 5 =!= 0)
+      .select("vec_id", "embedding")
+    operators.Similarity.writeIvf(old, "vec_id", "embedding", 16,
+      s"$base/store")
+    val newDir = java.nio.file.Files.createTempDirectory("graftivfnew")
+    e.filter(col("vec_id") % 5 === 0).select("vec_id", "embedding")
+      .write.parquet(newDir.toString + "/part1")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(newDir.toString + "/part1").schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(newDir.toString + "/*")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        operators.Similarity.appendIvf(spark, s"$base/store",
+          batch, "embedding")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val cents = operators.Similarity.ivfCentroids(old, "vec_id",
+      "embedding", 16)
+    val lists = operators.Similarity.ivfProbeLists(cents,
+      QueryConstants.Q64, 4)
+    def probe(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("list_id").isin(lists: _*))
+        .withColumn("dist", graft.functions.VectorFunctions.dist(
+          col("embedding"),
+          graft.functions.VectorFunctions.doubleVec(QueryConstants.Q64)))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+        .select("vec_id").as[Long].collect().toSeq
+    val got = probe(spark.read.parquet(s"$base/store"))
+    val want = probe(e.withColumn("list_id",
+      operators.Similarity.ivfListId(col("embedding"), cents)))
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming decontamination equals the batch anti-join operator") {
     // the eval shingle set embeds as one literal, so decontamination is
     // a stateless per-row filter that drives readStream unchanged; the
