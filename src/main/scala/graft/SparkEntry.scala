@@ -473,8 +473,9 @@ object SparkEntry {
       // decisive (not a pass-through); the oracle recomputes every
       // stage with pinned float fold order
       val e = embeddings(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_a8").toString + "/store"
+      // deterministic per-sfDir path: every write is mode=overwrite, so
+      // repeated Verify/Bench runs reuse one dir instead of littering /tmp
+      val dir = s"/tmp/graft_a8_${d.replaceAll("[^A-Za-z0-9.]", "_")}/store"
       IvfPq.write(e, "vec_id", "embedding", numLists = 16,
         coarseIters = 0, m = 8, k = 16, pqIters = 0, dir)
       val queries = e.filter(col("vec_id") % 100 === 0)
