@@ -505,6 +505,31 @@ object SparkEntry {
       graft.sources.Ingest.randomUniformPortable(s, 1000, 8)
         .select(col("id"), posexplode(col("vector")).as(Seq("idx", "value")))
         .orderBy(col("id"), col("idx"))),
+    "i4_fvecs_roundtrip" -> ((s, d) => {
+      // the texmex .fvecs SOURCE gated end-to-end: the md5-portable
+      // generator's vectors are written to an fvecs file (bounded
+      // driver-side collect: 200×8 floats) and read back through the
+      // splittable byte-range source with a forced 4-way split —
+      // float32 binary round-trip is exact, so the oracle recomputes
+      // every component from the generator formula
+      val rows = graft.sources.Ingest.randomUniformPortable(s, 200, 8)
+        .orderBy(col("id")).collect()
+      val f = java.nio.file.Files
+        .createTempDirectory("graft_i4").resolve("pts.fvecs")
+      val out = java.nio.file.Files.newOutputStream(f)
+      def le(i: Int): Array[Byte] = Array[Byte](
+        (i & 0xff).toByte, ((i >> 8) & 0xff).toByte,
+        ((i >> 16) & 0xff).toByte, ((i >> 24) & 0xff).toByte)
+      rows.foreach { r =>
+        out.write(le(8))
+        r.getSeq[Float](1).foreach(v =>
+          out.write(le(java.lang.Float.floatToIntBits(v))))
+      }
+      out.close()
+      graft.sources.Ingest.readVecs(s, f.toString, minPartitions = 4)
+        .select(col("id"), posexplode(col("vector")).as(Seq("idx", "value")))
+        .orderBy(col("id"), col("idx"))
+    }),
 
     // --- sessionization (batch twin of the streaming path) ---
     "s1_sessions" -> ((s, d) =>
@@ -1723,6 +1748,12 @@ object SparkEntry {
         | CAST((CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '_' || CAST(i AS VARCHAR) || '_42'), 1, 15)) AS BIGINT) AS DOUBLE)
         |   / 1152921504606846976.0) * 2 - 1 AS FLOAT) AS value
         |FROM range(1000) t(id), range(8) s(i)
+        |ORDER BY id, idx""".stripMargin,
+    "i4_fvecs_roundtrip" ->
+      """SELECT id, CAST(i AS INTEGER) AS idx,
+        | CAST((CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '_' || CAST(i AS VARCHAR) || '_42'), 1, 15)) AS BIGINT) AS DOUBLE)
+        |   / 1152921504606846976.0) * 2 - 1 AS FLOAT) AS value
+        |FROM range(200) t(id), range(8) s(i)
         |ORDER BY id, idx""".stripMargin,
     "v10_index_depth_profile" ->
       """SELECT count(*) AS total_leaf_rows, CAST(1 AS BIGINT) AS root_nodes,

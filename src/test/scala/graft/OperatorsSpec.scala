@@ -1126,6 +1126,67 @@ class IngestSpec extends SparkSpec {
     assert(orig.exceptAll(back).count() == 0)
   }
 
+  test("fvecs/bvecs/ivecs source: splittable read round-trips exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graftvecs")
+    val dim = 5
+    val n = 37 // odd count so range splits are uneven
+    def le(i: Int): Array[Byte] = Array[Byte](
+      (i & 0xff).toByte, ((i >> 8) & 0xff).toByte,
+      ((i >> 16) & 0xff).toByte, ((i >> 24) & 0xff).toByte)
+    // fvecs: vector r = [r, r+0.5, r+1, ...]
+    val fv = dir.resolve("pts.fvecs")
+    val fout = java.nio.file.Files.newOutputStream(fv)
+    (0 until n).foreach { r =>
+      fout.write(le(dim))
+      (0 until dim).foreach { i =>
+        fout.write(le(java.lang.Float.floatToIntBits(r + i * 0.5f)))
+      }
+    }
+    fout.close()
+    // read with forced multi-partition split
+    val got = Ingest.readVecs(spark, fv.toString, minPartitions = 4)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(got.length == n)
+    got.foreach { case (id, v) =>
+      assert(v == (0 until dim).map(i => id + i * 0.5f), s"row $id")
+    }
+    // bvecs: uint8 components incl. values > 127 (sign-bit handling)
+    val bv = dir.resolve("pts.bvecs")
+    val bout = java.nio.file.Files.newOutputStream(bv)
+    (0 until 9).foreach { r =>
+      bout.write(le(dim))
+      (0 until dim).foreach(i => bout.write(Array(((r * 40 + i) % 256).toByte)))
+    }
+    bout.close()
+    val gotB = Ingest.readVecs(spark, bv.toString)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(gotB.length == 9)
+    gotB.foreach { case (id, v) =>
+      assert(v == (0 until dim).map(i => ((id * 40 + i) % 256).toFloat))
+    }
+    // ivecs: exact ints (no float round-trip)
+    val iv = dir.resolve("gt.ivecs")
+    val iout = java.nio.file.Files.newOutputStream(iv)
+    (0 until 4).foreach { r =>
+      iout.write(le(dim))
+      (0 until dim).foreach(i => iout.write(le(1 << 24 | r * dim + i)))
+    }
+    iout.close()
+    val gotI = Ingest.readIvecs(spark, iv.toString, minPartitions = 3)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1)
+    assert(gotI.length == 4)
+    gotI.foreach { case (id, v) =>
+      assert(v == (0 until dim).map(i => 1 << 24 | id.toInt * dim + i))
+    }
+    // truncated file fails loudly, not silently
+    val bad = dir.resolve("bad.fvecs")
+    java.nio.file.Files.write(bad,
+      java.nio.file.Files.readAllBytes(fv).dropRight(3))
+    intercept[IllegalArgumentException] {
+      Ingest.readVecs(spark, bad.toString).count()
+    }
+  }
+
   test("csv points sink round trip") {
     val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString
     val pts = Ingest.grid(spark, 5)
