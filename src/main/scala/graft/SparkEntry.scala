@@ -514,8 +514,11 @@ object SparkEntry {
       // every component from the generator formula
       val rows = graft.sources.Ingest.randomUniformPortable(s, 200, 8)
         .orderBy(col("id")).collect()
-      val f = java.nio.file.Files
-        .createTempDirectory("graft_i4").resolve("pts.fvecs")
+      // deterministic per-sfDir path, overwritten each run (same
+      // convention as the a8 store) — no /tmp littering across runs
+      val f = java.nio.file.Paths.get(
+        s"/tmp/graft_i4_${d.replaceAll("[^A-Za-z0-9.]", "_")}", "pts.fvecs")
+      java.nio.file.Files.createDirectories(f.getParent)
       val out = java.nio.file.Files.newOutputStream(f)
       def le(i: Int): Array[Byte] = Array[Byte](
         (i & 0xff).toByte, ((i >> 8) & 0xff).toByte,

@@ -453,7 +453,13 @@ object Pipeline {
     val assigned0 = splitAssign(scored, idCol, splits, salt)
     val assigned =
       if (mixtureAlpha.isDefined) assigned0.localCheckpoint() else assigned0
-    val counts = mixtureAlpha.map(_ => domainCounts(assigned, domainCol.get))
+    // counts drive the DERIVED (temperature) targets only — never run the
+    // collect action when the caller supplied explicit rebalanceTargets
+    // (the require above forbids both, but keep the guard local too)
+    val counts =
+      if (rebalanceTargets.isEmpty)
+        mixtureAlpha.map(_ => domainCounts(assigned, domainCol.get))
+      else None
     val targets =
       if (rebalanceTargets.nonEmpty) rebalanceTargets
       else counts.filter(_.nonEmpty)

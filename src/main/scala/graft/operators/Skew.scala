@@ -15,16 +15,38 @@ object Skew {
     * hot key across saltFactor reducers. Result is identical to
     * big.join(small, key).
     *
-    * The salt is `pmod(hash(all big-side columns), saltFactor)` — a pure
-    * function of the row, NOT `rand`: a task retry after a partition loss
-    * re-derives the identical salt, so replays can never route a row to a
-    * different reducer mid-job. Rows of one hot key still spread because
-    * their non-key columns differ (full-row duplicates co-locating is
-    * harmless — they'd collide on any content-hash scheme). */
+    * The default salt is `pmod(hash(key + hashable columns), saltFactor)`
+    * — a pure function of the row, NOT `rand`: a task retry after a
+    * partition loss re-derives the identical salt, so replays can never
+    * route a row to a different reducer mid-job. Map-typed columns are
+    * excluded (Spark disallows hash over maps); pass `saltCols` to pick
+    * the spreading columns explicitly. When no hashable column besides
+    * the key exists, or the hot key's rows are full duplicates
+    * (`spreadDuplicates = true`), the salt falls back to the row's
+    * partition-local position (`monotonically_increasing_id`): still
+    * deterministic under task replay for deterministic lineage — a
+    * recomputed partition re-yields rows in the same order — and it
+    * spreads even identical rows. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 saltFactor: Int): DataFrame = {
-    val salted = big.withColumn("_salt",
-      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
+                 saltFactor: Int, saltCols: Seq[String] = Nil,
+                 spreadDuplicates: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    def hashable(dt: DataType): Boolean = dt match {
+      case _: MapType   => false
+      case a: ArrayType => hashable(a.elementType)
+      case s: StructType => s.fields.forall(f => hashable(f.dataType))
+      case _            => true
+    }
+    val hashCols: Seq[Column] =
+      if (saltCols.nonEmpty) (key +: saltCols).distinct.map(col)
+      else big.schema.fields.filter(f => hashable(f.dataType))
+        .map(f => col(f.name)).toIndexedSeq
+    val rowPos = monotonically_increasing_id() // partitionId << 33 | pos
+    val saltExpr =
+      if (hashCols.size <= 1 || spreadDuplicates) // key-only → no spread
+        pmod(hash(rowPos), lit(saltFactor))
+      else pmod(hash(hashCols: _*), lit(saltFactor))
+    val salted = big.withColumn("_salt", saltExpr)
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")

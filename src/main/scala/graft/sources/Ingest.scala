@@ -198,10 +198,15 @@ object Ingest {
     val ranges = (0 until parts).map { p =>
       (nRecs * p / parts, nRecs * (p + 1) / parts)
     }.filter { case (lo, hi) => lo < hi }
+    // Broadcast the DRIVER's hadoop conf (spark.hadoop.*, credentials,
+    // custom defaultFS) to the tasks — a fresh `new Configuration()`
+    // in the closure would drop all of it and misroute remote paths.
+    val confBc = org.apache.spark.graftshim.GraftCoreShim.broadcastHadoopConf(sc)
     sc.parallelize(ranges, math.max(1, ranges.length)).flatMap {
       case (lo, hi) =>
         val p = new org.apache.hadoop.fs.Path(path)
-        val tfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val tfs = p.getFileSystem(
+          org.apache.spark.graftshim.GraftCoreShim.confOf(confBc))
         val in = tfs.open(p)
         try {
           in.seek(lo * recSize)

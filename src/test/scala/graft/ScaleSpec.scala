@@ -7,6 +7,12 @@ import graft.sources.Ingest
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  /** True iff the scan's PartitionFilters clause itself constrains
+    * `colName` — a bare mention of the column elsewhere in the plan
+    * (join keys, output attrs) must NOT satisfy the pruning gate. */
+  private def prunedOn(plan: String, colName: String): Boolean =
+    s"PartitionFilters: \\[[^\\]]*$colName".r.findFirstIn(plan).isDefined
+
   test("bucketed ANN store: probe is partition-pruned and matches in-memory LSH") {
     val dir = java.nio.file.Files.createTempDirectory("graftlsh").toString
     val e = Tables.embeddings(spark, sf0001)
@@ -17,8 +23,8 @@ class ScaleSpec extends SparkSpec {
       planes, QueryConstants.Q64, 10)
     // partition pruning visible in the scan
     val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") || plan.contains("bucket#"),
-      s"expected partition filter in plan")
+    assert(prunedOn(plan, "bucket"),
+      s"expected PartitionFilters on bucket in plan")
     val got = probe.select("vec_id").as[Long].collect().toSeq
     val want = Similarity.lshKnn(e, "vec_id", "embedding", planes,
       QueryConstants.Q64, 10).select("vec_id").as[Long].collect().toSeq
@@ -48,8 +54,8 @@ class ScaleSpec extends SparkSpec {
     val probe = Similarity.probeIvf(spark, dir, "vec_id", "embedding",
       QueryConstants.Q64, 4, 10)
     val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") || plan.contains("list_id#"),
-      "expected partition filter in plan")
+    assert(prunedOn(plan, "list_id"),
+      "expected PartitionFilters on list_id in plan")
     val got = probe.select("vec_id").as[Long].collect().toSeq
     val want = Similarity.ivfKnn(e, "vec_id", "embedding", 16, 4,
       QueryConstants.Q64, 10).select("vec_id").as[Long].collect().toSeq
@@ -65,8 +71,8 @@ class ScaleSpec extends SparkSpec {
     val probe = Similarity.probeIvfBatch(spark, dir, "vec_id", "embedding",
       queries, "qid0", "qv0", nprobe = 2, k = 5)
     val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") || plan.contains("list_id#"),
-      "expected partition filter on the batch store read")
+    assert(prunedOn(plan, "list_id"),
+      "expected PartitionFilters on list_id on the batch store read")
     assert(plan.contains("BroadcastHashJoin"),
       "expected the (qid, list) probe relation to broadcast")
     // every query gets its exact-ranked k rows
@@ -83,8 +89,8 @@ class ScaleSpec extends SparkSpec {
       QueryConstants.Q64, nprobe = 4, topN = 50, k = 10)
     // the codes scan reads only the nprobe list partitions
     val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") || plan.contains("list_id#"),
-      "expected partition filter on the IVFADC codes scan")
+    assert(prunedOn(plan, "list_id"),
+      "expected PartitionFilters on list_id on the IVFADC codes scan")
     // pruned probe: k exact-ranked rows, ascending distance
     val got = probe.select(col("vec_id"), col("dist"))
       .as[(Long, Double)].collect().toSeq
@@ -137,8 +143,8 @@ class ScaleSpec extends SparkSpec {
     val probe = Similarity.probeBucketedBatch(spark, dir, "vec_id",
       "embedding", queries, "qid0", "qv0", planes, k = 5)
     val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") || plan.contains("bucket#"),
-      "expected partition filter on the batch bucketed-store read")
+    assert(prunedOn(plan, "bucket"),
+      "expected PartitionFilters on bucket on the batch bucketed-store read")
     assert(plan.contains("BroadcastHashJoin"),
       "expected the (qid, bucket) probe relation to broadcast")
     def rows(df: org.apache.spark.sql.DataFrame) =
@@ -165,8 +171,8 @@ class ScaleSpec extends SparkSpec {
     val batch = IvfPq.probeBatch(spark, dir, e, "vec_id", "embedding",
       queries, "qid0", "qv0", nprobe = 4, topN = 50, k = 10)
     val plan = batch.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") || plan.contains("list_id#"),
-      "expected partition filter on the batch ADC codes scan")
+    assert(prunedOn(plan, "list_id"),
+      "expected PartitionFilters on list_id on the batch ADC codes scan")
     assert(plan.contains("BroadcastHashJoin"),
       "expected the (qid, list, lut) probe relation to broadcast")
     val got = batch.select(col("qid"), col("vec_id"), col("dist"))
@@ -339,6 +345,27 @@ class ScaleSpec extends SparkSpec {
       .groupBy("k", "tag").count().orderBy("k")
       .as[(Long, String, Long)].collect().toSeq
     assert(got == want)
+  }
+
+  test("salted join: map columns excluded from salt; duplicates still spread") {
+    val small = Seq((0L, "a"), (1L, "b")).toDF("k", "tag")
+    // a MapType column would make hash(...) throw if included in the salt
+    val withMap = spark.range(2000)
+      .select((col("id") % 2).as("k"), map(col("id"), col("id")).as("m"))
+    val gotMap = Skew.saltedJoin(withMap, small, "k", 8)
+      .groupBy("k", "tag").count().orderBy("k").as[(Long, String, Long)]
+      .collect().toSeq
+    assert(gotMap == Seq((0L, "a", 1000L), (1L, "b", 1000L)))
+    // a hot key of FULL duplicates: content hash maps all rows to one
+    // salt; spreadDuplicates (row-position salt) must split them
+    val dups = spark.range(4000).select(lit(0L).as("k"), lit(7L).as("v"))
+    val spread = dups.withColumn("_s",
+        pmod(hash(monotonically_increasing_id()), lit(8)))
+      .select("_s").distinct().count()
+    assert(spread > 1, "row-position salt failed to split a duplicate hot key")
+    val gotDup = Skew.saltedJoin(dups, small, "k", 8, spreadDuplicates = true)
+      .groupBy("k", "tag").count().as[(Long, String, Long)].collect().toSeq
+    assert(gotDup == Seq((0L, "a", 4000L)))
   }
 
   test("salted count-distinct equals plain count-distinct") {
