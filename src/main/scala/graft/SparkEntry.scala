@@ -484,6 +484,27 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"))
         .orderBy(col("qid"), col("vec_id"))
     }),
+    "a10_store_maintain" -> ((s, d) => {
+      // the serving-store maintenance matrix gated end-to-end: build the
+      // IVF store from the %5≠0 slice (quantizer = first 16 of THAT
+      // slice, frozen in the centroid sidecar), APPEND the %5=0 slice
+      // routed by the sidecar, REMOVE the %7=0 ids partition-locally
+      // (StoreMaintain rewrites only touched list partitions), then
+      // probe the nprobe=4 nearest lists — the oracle recomputes the
+      // frozen assignment over the surviving membership exactly
+      val e = embeddings(s, d)
+      val dir = s"/tmp/graft_a10_${d.replaceAll("[^A-Za-z0-9.]", "_")}/store"
+      Similarity.writeIvf(e.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", 16, dir)
+      Similarity.appendIvf(s, dir,
+        e.filter(col("vec_id") % 5 === 0), "embedding")
+      graft.operators.StoreMaintain.removeFromStore(s, dir,
+        e.filter(col("vec_id") % 7 === 0).select("vec_id"),
+        "vec_id", "list_id")
+      Similarity.probeIvf(s, dir, "vec_id", "embedding", Q64, 4, 10)
+        .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
+        .orderBy(col("vec_id"))
+    }),
     "a3_lsh_buckets" -> ((s, d) =>
       Similarity.lshAssign(embeddings(s, d), "vec_id", "embedding", Planes)
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
@@ -1735,6 +1756,26 @@ object SparkEntry {
     "a4_pq_codes" -> pqCodesSql,
     "a5_ivfpq" -> ivfPqCodesSql,
     "a8_ivfadc_knn_join" -> ivfAdcJoinSql,
+    "a10_store_maintain" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS list_id, v AS centroid FROM e
+         |  WHERE vec_id % 5 <> 0 ORDER BY vec_id LIMIT 16),
+         |survivors AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 0),
+         |assigned AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT s.vec_id, c.list_id,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY list_distance(s.v, c.centroid), c.list_id) AS rn
+         |    FROM survivors s CROSS JOIN c
+         |  ) WHERE rn = 1),
+         |probe AS (SELECT list_id FROM c
+         |  ORDER BY list_distance(centroid, $Q64Sql), list_id LIMIT 4)
+         |SELECT vec_id, list_id FROM (
+         |  SELECT a.vec_id, a.list_id, list_distance(e.v, $Q64Sql) AS dist
+         |  FROM assigned a JOIN e ON a.vec_id = e.vec_id
+         |  JOIN probe p ON a.list_id = p.list_id
+         |  ORDER BY dist, a.vec_id LIMIT 10
+         |) ORDER BY vec_id""".stripMargin,
 
     "i1_json_shred" ->
       """SELECT vec_id, CAST(i AS INTEGER) AS idx, embedding[i + 1] AS value

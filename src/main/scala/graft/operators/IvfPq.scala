@@ -89,6 +89,34 @@ object IvfPq {
     (centroids, cb)
   }
 
+  /** The store's frozen coarse-centroid set, from its sidecar. */
+  def readCentroids(spark: SparkSession,
+                    path: String): Array[(Long, Array[Double])] =
+    spark.read.parquet(path + ".centroids")
+      .select(col("list_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  /** The store's frozen residual codebook, from its sidecar. */
+  def readCodebook(spark: SparkSession, path: String): Codebook =
+    spark.read.parquet(path + ".codebook")
+      .select(col("j"), col("code"), col("word"))
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+
+  /** INCREMENTAL maintenance of a persisted IVFADC store — appendIvf's
+    * twin for the PQ path: coarse-assign + residual-encode the new
+    * vectors with the store's OWN frozen quantizer and codebook sidecars
+    * (re-training is a rewrite, exactly as in IVF serving systems) and
+    * APPEND the narrow (id, codes) rows to their list partitions. Only
+    * touched partitions gain files; probes see old ∪ new rows. */
+  def append(spark: SparkSession, path: String, newVecs: DataFrame,
+             idCol: String, vecCol: String): Unit =
+    assign(newVecs, vecCol, readCentroids(spark, path), readCodebook(spark, path))
+      .select(col(idCol), col("list_id"), col("codes"))
+      .write.mode("append").partitionBy("list_id").parquet(path)
+
   /** Probe an IVFADC store: read ONLY the nprobe nearest list partitions
     * (PartitionFilters on list_id), ADC-score each row against the
     * query's residual FOR ITS OWN LIST (a when-chain over the probed
@@ -98,15 +126,8 @@ object IvfPq {
   def probe(spark: SparkSession, path: String, vectors: DataFrame,
             idCol: String, vecCol: String, q: Seq[Double],
             nprobe: Int, topN: Int, k: Int): DataFrame = {
-    val centroids = spark.read.parquet(path + ".centroids")
-      .select(col("list_id").cast("long"), col("centroid"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val cb: Codebook = spark.read.parquet(path + ".codebook")
-      .select(col("j"), col("code"), col("word"))
-      .collect()
-      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
-      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+    val centroids = readCentroids(spark, path)
+    val cb: Codebook = readCodebook(spark, path)
     val byList = centroids.toMap
     val probeLists = Similarity.ivfProbeLists(centroids, q, nprobe)
     val score = probeLists.map { lid =>
@@ -162,11 +183,7 @@ object IvfPq {
                  queries: DataFrame, qIdCol: String, qVecCol: String,
                  nprobe: Int, topN: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cb: Codebook = spark.read.parquet(path + ".codebook")
-      .select(col("j"), col("code"), col("word"))
-      .collect()
-      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
-      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray))
+    val cb: Codebook = readCodebook(spark, path)
     val m = cb.length
     val kCodes = cb(0).length
     val dsub = cb(0)(0).length

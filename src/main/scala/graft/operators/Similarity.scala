@@ -213,11 +213,40 @@ object Similarity {
   /** Persist embeddings partitioned by their LSH bucket: an ANN probe
     * then reads exactly one (or a few, multi-probe) partitions —
     * partition-pruned parquet, no shuffle, no full scan. This is the
-    * 100 TB serving layout for the LSH path. */
+    * 100 TB serving layout for the LSH path. The hyperplane set is
+    * persisted as a KB-sized sidecar (mirroring writeIvf's centroid
+    * sidecar) so incremental maintenance ([[appendBucketed]],
+    * [[StoreMaintain.removeFromStore]]) and probes can recover the
+    * frozen hash family from the store alone. */
   def writeBucketed(emb: DataFrame, idCol: String, vecCol: String,
-                    planes: Array[Array[Double]], path: String): Unit =
+                    planes: Array[Array[Double]], path: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     lshAssign(emb, idCol, vecCol, planes)
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    planes.zipWithIndex.map { case (p, i) => (i, p.toSeq) }.toSeq
+      .toDF("plane_id", "components")
+      .coalesce(1).write.mode("overwrite").parquet(path + ".planes")
+  }
+
+  /** The store's frozen hyperplane family, from its sidecar. */
+  def readPlanes(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Array[Array[Double]] =
+    spark.read.parquet(path + ".planes")
+      .select(col("plane_id"), col("components"))
+      .collect().sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+
+  /** INCREMENTAL maintenance of a bucketed LSH store — [[appendIvf]]'s
+    * twin for the LSH path: hash the new vectors with the store's OWN
+    * frozen plane sidecar and APPEND them to their bucket partitions.
+    * Only touched partitions gain files; existing files are never
+    * rewritten; probes see old ∪ new rows. `newVecs` must carry the
+    * same data columns as the frame [[writeBucketed]] persisted. */
+  def appendBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     newVecs: DataFrame, idCol: String, vecCol: String): Unit =
+    lshAssign(newVecs, idCol, vecCol, readPlanes(spark, path))
+      .write.mode("append").partitionBy("bucket").parquet(path)
 
   /** Probe a bucketed store: top-k within the given buckets. The bucket
     * filter prunes at the partition level (visible as PartitionFilters
@@ -444,6 +473,14 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(path + ".centroids")
   }
 
+  /** The store's frozen coarse-centroid set, from its sidecar. */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Array[(Long, Array[Double])] =
+    spark.read.parquet(path + ".centroids")
+      .select(col("list_id").cast("long"), col("centroid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
   /** INCREMENTAL maintenance of a persisted IVF store: assign the new
     * vectors to their lists with the store's OWN centroid sidecar (the
     * quantizer is frozen — exactly how IVF serving systems ingest; a
@@ -457,10 +494,7 @@ object Similarity {
     * columns as the frame [[writeIvf]] persisted. */
   def appendIvf(spark: org.apache.spark.sql.SparkSession, path: String,
                 newVecs: DataFrame, vecCol: String): Unit = {
-    val centroids = spark.read.parquet(path + ".centroids")
-      .select(col("list_id").cast("long"), col("centroid"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val centroids = readIvfCentroids(spark, path)
     newVecs
       .withColumn("list_id", ivfListId(col(vecCol), centroids))
       .write.mode("append").partitionBy("list_id").parquet(path)
@@ -471,10 +505,7 @@ object Similarity {
   def probeIvf(spark: org.apache.spark.sql.SparkSession, path: String,
                idCol: String, vecCol: String, q: Seq[Double],
                nprobe: Int, k: Int): DataFrame = {
-    val centroids = spark.read.parquet(path + ".centroids")
-      .select(col("list_id").cast("long"), col("centroid"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val centroids = readIvfCentroids(spark, path)
     val probe = ivfProbeLists(centroids, q, nprobe)
     spark.read.parquet(path)
       .filter(col("list_id").isin(probe: _*))

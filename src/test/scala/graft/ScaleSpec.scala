@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{BruteForce, Dedup, IndexBuild, IndexMaintain, IndexSearch, IvfPq, Similarity, Skew}
+import graft.operators.{BruteForce, Dedup, IndexBuild, IndexMaintain, IndexSearch, IvfPq, Similarity, Skew, StoreMaintain}
 import graft.sources.Ingest
 
 class ScaleSpec extends SparkSpec {
@@ -131,6 +131,106 @@ class ScaleSpec extends SparkSpec {
     val got = probe(spark.read.parquet(s"$base/inc"))
     val want = probe(all)
     assert(got == want && got.nonEmpty)
+  }
+
+  test("LSH store: append equals a fresh full write; remove equals rebuild-without") {
+    val base = java.nio.file.Files.createTempDirectory("graftlshm2").toString
+    val e = Tables.embeddings(spark, sf0001)
+    val old = e.filter(col("vec_id") % 5 =!= 0)
+    val fresh = e.filter(col("vec_id") % 5 === 0)
+    val planes = Similarity.hyperplanes(8, 64)
+    Similarity.writeBucketed(old, "vec_id", "embedding", planes, s"$base/inc")
+    // the appended rows hash with the store's own plane SIDECAR
+    Similarity.appendBucketed(spark, s"$base/inc", fresh, "vec_id", "embedding")
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("bucket")).as[(Long, Int)].collect().toSet
+    Similarity.writeBucketed(e, "vec_id", "embedding", planes, s"$base/full")
+    assert(rows(s"$base/inc") == rows(s"$base/full") && rows(s"$base/inc").nonEmpty)
+    // remove: surviving rows = full write of the surviving slice (the
+    // hash family is caller-fixed, so per-row assignment is identical)
+    val doomed = e.filter(col("vec_id") % 7 === 0).select("vec_id")
+    StoreMaintain.removeFromStore(spark, s"$base/inc", doomed, "vec_id", "bucket")
+    Similarity.writeBucketed(e.filter(col("vec_id") % 7 =!= 0),
+      "vec_id", "embedding", planes, s"$base/rebuilt")
+    assert(rows(s"$base/inc") == rows(s"$base/rebuilt"))
+    // probes of the maintained store match the rebuilt store exactly
+    def probe(p: String) = Similarity.probeBucketedMulti(spark, p, "vec_id",
+      "embedding", planes, QueryConstants.Q64, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(probe(s"$base/inc") == probe(s"$base/rebuilt"))
+  }
+
+  test("IVF store: remove equals rebuild-without under the frozen quantizer") {
+    val base = java.nio.file.Files.createTempDirectory("graftivfrm").toString
+    val e = Tables.embeddings(spark, sf0001)
+    Similarity.writeIvf(e, "vec_id", "embedding", 16, s"$base/store")
+    def rows(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("list_id").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    val before = rows(s"$base/store")
+    val doomedIds = (0L until 1000L).filter(_ % 7 == 0).toSet
+    StoreMaintain.removeFromStore(spark, s"$base/store",
+      e.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id", "list_id")
+    assert(rows(s"$base/store") == before.filterNot(r => doomedIds(r._1)))
+    // the centroid sidecar is untouched: probes still partition-pruned
+    val probe = Similarity.probeIvf(spark, s"$base/store", "vec_id",
+      "embedding", QueryConstants.Q64, 4, 10)
+    assert(prunedOn(probe.queryExecution.executedPlan.toString, "list_id"))
+    assert(probe.select("vec_id").as[Long].collect()
+      .forall(id => !doomedIds(id)))
+  }
+
+  test("IVFADC store: append uses frozen sidecars; remove equals rebuild-without") {
+    val base = java.nio.file.Files.createTempDirectory("graftivfpqm").toString
+    val e = Tables.embeddings(spark, sf0001)
+    val old = e.filter(col("vec_id") % 5 =!= 0)
+    val fresh = e.filter(col("vec_id") % 5 === 0)
+    IvfPq.write(old, "vec_id", "embedding", numLists = 16, coarseIters = 0,
+      m = 8, k = 16, pqIters = 0, s"$base/store")
+    IvfPq.append(spark, s"$base/store", fresh, "vec_id", "embedding")
+    // reference: assign the WHOLE corpus with the old store's frozen
+    // centroid + codebook sidecars (a full re-write would re-train)
+    val cents = IvfPq.readCentroids(spark, s"$base/store")
+    val cb = IvfPq.readCodebook(spark, s"$base/store")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), col("list_id").cast("long"),
+        concat_ws(",", col("codes")))
+      .as[(Long, Long, String)].collect().toSet
+    val want = key(IvfPq.assign(e, "embedding", cents, cb)
+      .select(col("vec_id"), col("list_id"), col("codes")))
+    assert(key(spark.read.parquet(s"$base/store")) == want && want.nonEmpty)
+    // remove; then a batch ADC probe never returns a doomed id
+    StoreMaintain.removeFromStore(spark, s"$base/store",
+      e.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id", "list_id")
+    val after = key(spark.read.parquet(s"$base/store"))
+    assert(after == want.filterNot(_._1 % 7 == 0))
+    val queries = e.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("qid0"), col("embedding").as("qv0"))
+    val got = IvfPq.probeBatch(spark, s"$base/store", e, "vec_id", "embedding",
+        queries, "qid0", "qv0", nprobe = 4, topN = 50, k = 10)
+      .select("vec_id").as[Long].collect()
+    assert(got.nonEmpty && got.forall(_ % 7 != 0))
+  }
+
+  test("store remove drops partitions the delete emptied") {
+    val base = java.nio.file.Files.createTempDirectory("graftempty").toString
+    val e = Tables.embeddings(spark, sf0001)
+    val planes = Similarity.hyperplanes(2, 64) // 4 buckets
+    Similarity.writeBucketed(e, "vec_id", "embedding", planes, s"$base/store")
+    val assigned = Similarity.lshAssign(e, "vec_id", "embedding", planes)
+      .select(col("vec_id"), col("bucket")).as[(Long, Int)].collect()
+    val victim = assigned.groupBy(_._2).minBy(_._2.length)._1
+    val doomed = assigned.filter(_._2 == victim).map(_._1).toSeq
+      .toDF("vec_id")
+    StoreMaintain.removeFromStore(spark, s"$base/store", doomed,
+      "vec_id", "bucket")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/store", s"bucket=$victim")),
+      s"emptied partition bucket=$victim must be deleted")
+    val left = spark.read.parquet(s"$base/store")
+      .select(col("vec_id"), col("bucket")).as[(Long, Int)].collect()
+    assert(left.length == assigned.length - doomed.count().toInt)
+    assert(left.forall(_._2 != victim))
   }
 
   test("LSH store: BATCH multi-probe equals the in-memory join, pruned scan") {

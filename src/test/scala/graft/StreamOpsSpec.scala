@@ -159,6 +159,56 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming store maintenance: foreachBatch append then remove keeps probes exact") {
+    // the full serving maintenance loop driven from streams: an ingest
+    // stream appends micro-batches with the frozen quantizer, then a
+    // takedown stream removes ids partition-locally — the maintained
+    // store probes identically to a store of the surviving slice
+    val base = java.nio.file.Files.createTempDirectory("graftmaint").toString
+    val e = Tables.embeddings(spark, sf0001)
+    val old = e.filter(col("vec_id") % 5 =!= 0).select("vec_id", "embedding")
+    operators.Similarity.writeIvf(old, "vec_id", "embedding", 16, s"$base/store")
+    val addDir = java.nio.file.Files.createTempDirectory("graftmaintadd").toString
+    e.filter(col("vec_id") % 5 === 0).select("vec_id", "embedding")
+      .write.parquet(s"$addDir/files")
+    val adds = spark.readStream
+      .schema(spark.read.parquet(s"$addDir/files").schema)
+      .parquet(s"$addDir/files")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        operators.Similarity.appendIvf(spark, s"$base/store", batch, "embedding")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    adds.awaitTermination(120000)
+    val delDir = java.nio.file.Files.createTempDirectory("graftmaintdel").toString
+    e.filter(col("vec_id") % 7 === 0).select("vec_id")
+      .write.parquet(s"$delDir/files")
+    val dels = spark.readStream
+      .schema(spark.read.parquet(s"$delDir/files").schema)
+      .parquet(s"$delDir/files")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        operators.StoreMaintain.removeFromStore(spark, s"$base/store",
+          batch, "vec_id", "list_id")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    dels.awaitTermination(120000)
+    val cents = operators.Similarity.readIvfCentroids(spark, s"$base/store")
+    val lists = operators.Similarity.ivfProbeLists(cents, QueryConstants.Q64, 4)
+    def probe(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("list_id").isin(lists: _*))
+        .withColumn("dist", graft.functions.VectorFunctions.dist(
+          col("embedding"),
+          graft.functions.VectorFunctions.doubleVec(QueryConstants.Q64)))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+        .select("vec_id").as[Long].collect().toSeq
+    val got = probe(spark.read.parquet(s"$base/store"))
+    val want = probe(e.filter(col("vec_id") % 7 =!= 0).withColumn("list_id",
+      operators.Similarity.ivfListId(col("embedding"), cents)))
+    assert(got == want && got.nonEmpty)
+    assert(got.forall(_ % 7 != 0))
+  }
+
   test("streaming decontamination equals the batch anti-join operator") {
     // the eval shingle set embeds as one literal, so decontamination is
     // a stateless per-row filter that drives readStream unchanged; the
