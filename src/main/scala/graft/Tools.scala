@@ -566,6 +566,88 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "knnrule") {
+      // kNN access-path rule probe: ORDER BY dist LIMIT k over a
+      // serving-registered table vs the brute TakeOrdered scan. The
+      // rewrite conjoins an id-INSET candidate filter under the sort
+      // (pushed to the parquet scan), so the indexed plan reads only the
+      // candidate row groups.
+      import org.apache.spark.sql.functions._
+      import graft.functions.VectorFunctions.{dist, doubleVec}
+      import graft.plans.VectorIndexCatalog
+      spark.stop()
+      SparkSession.clearDefaultSession(); SparkSession.clearActiveSession()
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        // plain FileSourceScanExec nodes so the probe can read scan
+        // metrics directly (this is a scan->sort->limit plan; AQE has
+        // nothing to re-plan here anyway)
+        .config("spark.sql.adaptive.enabled", "false")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      val nums = args.drop(1).filter(_.forall(_.isDigit))
+      val n = nums.headOption.map(_.toLong).getOrElse(1000000L)
+      val d = nums.lift(1).map(_.toInt).getOrElse(8)
+      val k = nums.lift(2).map(_.toInt).getOrElse(10)
+      // "grid": spatially-clustered layout — row-major grid ids, so the
+      // candidate InSet spans a narrow id range and parquet row-group
+      // stats skip most of the file (the Z-order/insertion-order case a
+      // real serving table has)
+      val grid = args.contains("grid")
+      val path = if (grid) s"/tmp/graft-knnrule-grid-$n"
+                 else s"/tmp/graft-knnrule-$n-$d"
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        val df = if (grid)
+          graft.sources.Ingest.grid(s, math.sqrt(n.toDouble).toInt)
+        else graft.sources.Ingest.randomUniform(s, n, d)
+        // sortWithinPartitions(id): row groups hold contiguous id ranges
+        df.repartitionByRange(32, col("id")).sortWithinPartitions("id")
+          .write.mode("overwrite").parquet(path)
+      }
+      val pts = s.read.parquet(path)
+      val q = if (grid) Seq(0.1, 0.1)
+              else (0 until d).map(i => (i % 7) * 0.1 - 0.3)
+      var t0 = System.nanoTime()
+      val index = operators.IndexBuild.buildIndex(pts, "id", "vector")
+        .localCheckpoint()
+      println(f"index build: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      t0 = System.nanoTime()
+      VectorIndexCatalog.registerServing(path, "id", index, pts, "vector")
+      println(f"registerServing (pin tree+vectors): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      def knnQ = s.read.parquet(path)
+        .orderBy(dist(col("vector"), doubleVec(q)), col("id")).limit(k)
+      if (explain) knnQ.explain("formatted")
+      val sizes = knnQ.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case i: org.apache.spark.sql.catalyst.expressions.InSet => i.hset.size }
+      }.flatten
+      println(s"candidate InSet size: $sizes of $n")
+      def scanRows(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+        }.sum
+      for (run <- 1 to 3) {
+        val kdf = knnQ
+        t0 = System.nanoTime()
+        val rows = kdf.collect().length
+        println(f"indexed knn run $run: ${(System.nanoTime() - t0) / 1e9}%6.3f s  " +
+          f"($rows rows, scan emitted ${scanRows(kdf)})")
+      }
+      VectorIndexCatalog.clear()
+      for (run <- 1 to 3) {
+        val bdf = operators.BruteForce.knn(s.read.parquet(path), "vector", "id", q, k)
+        t0 = System.nanoTime()
+        val rows = bdf.collect().length
+        println(f"brute   knn run $run: ${(System.nanoTime() - t0) / 1e9}%6.3f s  " +
+          f"($rows rows, scan emitted ${scanRows(bdf)})")
+      }
+      s.stop(); return
+    }
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (explain) df.explain("formatted")
     else {

@@ -47,37 +47,8 @@ final class PinnedIndex private (
     * and prunes at < 0 — a strictly tighter candidate superset than the
     * box test for ball queries (exactness comes from the caller's
     * re-check, same contract as `candidates`). */
-  def candidatesL2(q: Seq[Double], radius: Double): Seq[Long] = {
-    val out = mutable.ArrayBuffer.empty[Long]
-    val offs = new Array[Double](q.length)
-    def visit(rid: Long, budget: Double): Unit = {
-      leaves.get(rid).foreach(out ++= _)
-      internal.get(rid).foreach { n =>
-        if (n.dim < 0) {
-          if (n.low >= 0) visit(n.low, budget)
-          if (n.high >= 0) visit(n.high, budget)
-        } else {
-          val c = q(n.dim)
-          val m = n.mid.toDouble
-          val old = offs(n.dim)
-          if (n.low >= 0) {
-            val nb = math.max(math.max(c - m, 0d), old)
-            val b = budget + old * old - nb * nb
-            if (b >= 0) { offs(n.dim) = nb; visit(n.low, b); offs(n.dim) = old }
-          }
-          if (n.high >= 0) {
-            val nb = math.max(math.max(m - c, 0d), old)
-            val b = budget + old * old - nb * nb
-            if (b >= 0) { offs(n.dim) = nb; visit(n.high, b); offs(n.dim) = old }
-          }
-        }
-      }
-    }
-    // 1e-9 inflation: see IndexSearch.walkTree — keeps boundary-distance
-    // points (and budget-drift victims) in the candidate superset.
-    visit(0L, radius * radius * 1.000000001d)
-    out.toSeq
-  }
+  def candidatesL2(q: Seq[Double], radius: Double): Seq[Long] =
+    candidatesL2Bounded(q, radius, Int.MaxValue).get
 
   def nodeCount: Int = internal.size + leaves.size
 
@@ -92,15 +63,30 @@ final class PinnedIndex private (
     * (see PinnedIndex.pinWithVectors). Ties at the k-th boundary break
     * toward the smaller id. Returns (id, distance) sorted by
     * (distance, id). */
-  def knn(q: Seq[Double], k: Int, vecOf: Long => Array[Float]): Seq[(Long, Double)] = {
-    if (k <= 0) return Nil
+  def knn(q: Seq[Double], k: Int, vecOf: Long => Array[Float]): Seq[(Long, Double)] =
+    knnBounded(q, k, vecOf, Int.MaxValue).get
+
+  /** `knn` with a work budget: gives up (None) once more than
+    * `maxOffers` leaf vectors have been offered to the heap — the
+    * caller's signal that branch-and-bound pruning is ineffective here
+    * (high-d distance concentration) and an exact answer would cost a
+    * near-full walk. A Some result is always the exact top-k. Lets the
+    * optimizer rule probe "is this query cheap to answer from the pin?"
+    * in bounded time instead of stalling the driver. */
+  def knnBounded(q: Seq[Double], k: Int, vecOf: Long => Array[Float],
+                 maxOffers: Int): Option[Seq[(Long, Double)]] = {
+    if (k <= 0) return Some(Nil)
+    var offers = 0
     // max-heap of the current best k (d2, id): head = worst kept, i.e.
     // the largest distance and, among ties, the largest id (the one a
     // smaller-id tie should evict — matching the brute (dist, id) order)
     val heap = mutable.PriorityQueue.empty[(Double, Long)](
       Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
     def kth: Double = if (heap.size < k) Double.PositiveInfinity else heap.head._1
+    object Aborted extends scala.util.control.ControlThrowable
     def offer(id: Long): Unit = {
+      offers += 1
+      if (offers > maxOffers) throw Aborted
       val v = vecOf(id)
       var d2 = 0d
       var i = 0
@@ -145,10 +131,51 @@ final class PinnedIndex private (
         }
       }
     }
-    visit(0L, 0d)
-    heap.toSeq
-      .map { case (d2, id) => (id, math.sqrt(d2)) }
-      .sortBy { case (id, d) => (d, id) }
+    try {
+      visit(0L, 0d)
+      Some(heap.toSeq
+        .map { case (d2, id) => (id, math.sqrt(d2)) }
+        .sortBy { case (id, d) => (d, id) })
+    } catch { case Aborted => None }
+  }
+
+  /** `candidatesL2` with an output cap: None once the candidate set
+    * exceeds `cap` (the caller would reject an InSet that big anyway —
+    * no point walking out the rest of the tree). */
+  def candidatesL2Bounded(q: Seq[Double], radius: Double, cap: Int): Option[Seq[Long]] = {
+    val out = mutable.ArrayBuffer.empty[Long]
+    object Aborted extends scala.util.control.ControlThrowable
+    val offs = new Array[Double](q.length)
+    def visit(rid: Long, budget: Double): Unit = {
+      leaves.get(rid).foreach { ids =>
+        out ++= ids
+        if (out.size > cap) throw Aborted
+      }
+      internal.get(rid).foreach { n =>
+        if (n.dim < 0) {
+          if (n.low >= 0) visit(n.low, budget)
+          if (n.high >= 0) visit(n.high, budget)
+        } else {
+          val c = q(n.dim)
+          val m = n.mid.toDouble
+          val old = offs(n.dim)
+          if (n.low >= 0) {
+            val nb = math.max(math.max(c - m, 0d), old)
+            val b = budget + old * old - nb * nb
+            if (b >= 0) { offs(n.dim) = nb; visit(n.low, b); offs(n.dim) = old }
+          }
+          if (n.high >= 0) {
+            val nb = math.max(math.max(m - c, 0d), old)
+            val b = budget + old * old - nb * nb
+            if (b >= 0) { offs(n.dim) = nb; visit(n.high, b); offs(n.dim) = old }
+          }
+        }
+      }
+    }
+    try {
+      visit(0L, radius * radius * 1.000000001d)
+      Some(out.toSeq)
+    } catch { case Aborted => None }
   }
 }
 
@@ -194,7 +221,13 @@ object PinnedIndex {
     val vecs = mutable.LongMap.empty[Array[Float]]
     points.select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
       .collect()
-      .foreach(r => vecs.update(r.getLong(0), r.getSeq[Float](1).toArray))
+      .foreach { r =>
+        // null vectors are unindexable — skip them (they'd NPE the pin);
+        // callers that must preserve null-distance ordering check for
+        // them separately (VectorIndexCatalog.registerServing)
+        if (!r.isNullAt(0) && !r.isNullAt(1))
+          vecs.update(r.getLong(0), r.getSeq[Float](1).toArray)
+      }
     (pinned, vecs)
   }
 

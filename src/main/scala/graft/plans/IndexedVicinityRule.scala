@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -43,10 +43,21 @@ object VectorIndexCatalog {
     * search path (`IndexSearch.searchExact` / frontier descent). */
   case class Entry(idCol: String, vecCol: String, index: DataFrame,
                    nodes: Array[org.apache.spark.sql.Row],
-                   indexSources: Set[String]) {
+                   indexSources: Set[String],
+                   serving: Option[(graft.operators.PinnedIndex,
+                     scala.collection.mutable.LongMap[Array[Float]])] = None,
+                   hasNullVecs: Boolean = false) {
     /** Leaf (= point) count of the pinned tree — the rule's cost model:
       * a candidate set approaching this is a full scan in disguise. */
     val leafCount: Int = nodes.count(!_.isNullAt(5))
+
+    /** Memo for the kNN rewrite's driver-side walks, keyed (q, k, cap):
+      * the optimizer's fixed-point batches re-run rules several times per
+      * query, and a serving workload optimizes the same plan shape per
+      * request — the walk (bounded as it is) should run once per distinct
+      * query vector, not once per rule invocation. None = "walk said
+      * skip", also memoized. Bounded: cleared wholesale past 64 entries. */
+    val knnMemo = TrieMap.empty[(Seq[Double], Int, Int), Option[Seq[Long]]]
   }
 
   private val entries = TrieMap.empty[String, Entry]
@@ -80,6 +91,36 @@ object VectorIndexCatalog {
     val nodes = index.select("rangeId", "dimension", "mid", "lowRangeId",
       "highRangeId", "id").collect()
     entries.put(norm(path), Entry(idCol, vecCol, index, nodes, sourcePaths(index)))
+  }
+
+  /** Pin `index` AND the point vectors for serving-mode kNN rewrites:
+    * with vectors pinned the rule can answer `ORDER BY dist(vec, q)
+    * LIMIT k` by an exact driver-local branch-and-bound
+    * (PinnedIndex.knn) — still NO Spark action inside optimization.
+    *
+    * PIN BUDGET: same as PinnedIndex.pinWithVectors — the vector map is
+    * N·d·4 bytes (10M × 96 floats ≈ 4 GB); beyond it, register() only:
+    * vicinity rewrites keep working and kNN runs the library path
+    * (PinnedIndex.knnDistributed). Same staleness contract as
+    * register(). */
+  def registerServing(path: String, idCol: String, index: DataFrame,
+                      points: DataFrame, vecCol: String = "embedding"): Unit = {
+    val nodes = index.select("rangeId", "dimension", "mid", "lowRangeId",
+      "highRangeId", "id").collect()
+    val pinned = graft.operators.PinnedIndex.pinWithVectors(
+      index, points, idCol, vecCol)
+    // part of the pin snapshot: whether any row has a null vector. Null
+    // distances sort FIRST under the default ascending order, so when
+    // nulls exist the kNN rewrite must keep those rows (an IsNull
+    // disjunct that also disables scan pushdown) — when the snapshot has
+    // none, the rewrite emits the pushable pure-conjunction form. Same
+    // staleness contract as the node pin.
+    val hasNulls = points.filter(
+      org.apache.spark.sql.functions.col(vecCol).isNull).head(1).nonEmpty
+    // points sources join the invalidation set: a rewrite of either the
+    // index store or the vector table must drop the pinned snapshot
+    entries.put(norm(path), Entry(idCol, vecCol, index, nodes,
+      sourcePaths(index) ++ sourcePaths(points), Some(pinned), hasNulls))
   }
 
   def unregister(path: String): Unit = entries.remove(norm(path))
@@ -186,6 +227,124 @@ case class IndexedVicinityRule(spark: SparkSession) extends Rule[LogicalPlan] {
       .flatMap(_.toDoubleOption)
       .getOrElse(IndexedVicinityRule.DefaultMaxSelectivity)
 
+  // ---------------------------------------------------------------------
+  // kNN pattern: ORDER BY dist(vec, <literal q>) [ASC] LIMIT k over a
+  // serving-registered table (vectors pinned). The rewrite conjoins an
+  // id-INSET candidate filter UNDER the Sort; the Sort+Limit above stays
+  // as the exact re-rank, so the plan's semantics are preserved by
+  // construction — the filter only has to be a superset of every row the
+  // top-k could touch.
+  //
+  // Soundness: PinnedIndex.knn (exact branch-and-bound over the pinned
+  // vectors) yields the k-th smallest distance d_k; candidatesL2(q, d_k)
+  // is a superset of ball(d_k), hence of EVERY row with dist <= d_k —
+  // including all boundary ties — so any tie-break (or secondary sort
+  // keys after the distance key) picks the same rows it would have
+  // picked from the full scan. Null distances sort FIRST under the
+  // default ascending order; when the vector column is nullable the
+  // filter keeps those rows with an IsNull disjunct.
+  // ---------------------------------------------------------------------
+
+  /** The first sort key as (vecAttr, query), resolved through the sort
+    * child's aliases (covers `withColumn("dist", ...).orderBy("dist")`).
+    * Accepts dist² and sqrt forms — same ascending order. */
+  private def sortDist(order: Seq[SortOrder], child: LogicalPlan)
+      : Option[(AttributeReference, Seq[Double], SortOrder)] = {
+    val first = order.head
+    if (first.direction != Ascending) return None
+    val resolved = first.child match {
+      case a: AttributeReference => child match {
+        case Project(pl, _) => pl.collectFirst {
+          case al: Alias if al.exprId == a.exprId => al.child
+        }.getOrElse(first.child)
+        case _ => first.child
+      }
+      case e => e
+    }
+    (resolved match {
+      case DistSqExpr(a: AttributeReference, qv) => Some((a, qv))
+      case Sqrt(DistSqExpr(a: AttributeReference, qv)) => Some((a, qv))
+      case _ => None
+    }).flatMap { case (a, qv) => queryVec(qv).map(q => (a, q, first)) }
+  }
+
+  /** Unwrap at most one Project above a bare LogicalRelation. Anything
+    * else (an existing Filter, a join, ...) disqualifies the rewrite:
+    * a candidate cut below a user filter would under-fill the limit. */
+  private def bareRelation(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case rel: LogicalRelation => Some(rel)
+    case Project(_, rel: LogicalRelation) => Some(rel)
+    case _ => None
+  }
+
+  private def knnFilter(rel: LogicalRelation, vecAttr: AttributeReference,
+                        q: Seq[Double], k: Int, so: SortOrder): Option[Expression] =
+    for {
+      entry <- entryFor(rel)
+      (pinned, vecs) <- entry.serving
+      if vecAttr.name == entry.vecCol
+      idAttr <- rel.output.find(a =>
+        a.name == entry.idCol &&
+          a.dataType == org.apache.spark.sql.types.LongType)
+      // exact driver-local top-k over the pinned vectors, WORK-BOUNDED:
+      // when branch-and-bound pruning is ineffective (high-d distance
+      // concentration) the walk aborts at the offer budget instead of
+      // stalling the driver, and the rewrite is skipped. Try guards the
+      // optimizer against dimension mismatches / ids missing from the
+      // vector pin. The (q, k) decision is memoized on the entry — the
+      // fixed-point optimizer re-runs rules several times per query.
+      cands <- entry.knnMemo.getOrElseUpdate((q, k, maxCandidates), {
+        if (entry.knnMemo.size > 64) entry.knnMemo.clear()
+        scala.util.Try(for {
+          topk <- pinned.knnBounded(q, k, vecs.apply, maxOffers = maxCandidates)
+          if topk.size == k // fewer pinned points than k: let the scan answer
+          cs <- pinned.candidatesL2Bounded(q, topk.last._2, maxCandidates)
+          if maxSelectivity >= 1.0 || cs.size < maxSelectivity * pinned.leafIdCount
+        } yield cs).toOption.flatten
+      })
+    } yield {
+      val inSet = InSet(idAttr, cands.map(Long.box).toSet[Any])
+      // conjoin the implied id range: an InSet beyond the parquet IN
+      // pushdown threshold (default 10) is NOT pushed to the scan, but
+      // min<=id<=max always is — on a spatially-clustered id layout
+      // (insertion order, Z-order) that range is narrow and row-group
+      // stats skip most of the file. Implied by the InSet, so free.
+      val cond = if (cands.isEmpty) inSet else And(And(
+        GreaterThanOrEqual(idAttr, Literal(cands.min)),
+        LessThanOrEqual(idAttr, Literal(cands.max))), inSet)
+      // ascending NULLS FIRST (the default) ranks null distances ahead of
+      // the candidates — when the pinned snapshot saw null vectors those
+      // rows must be kept (at the cost of scan pushdown: an Or can't be
+      // split into pushable conjuncts). A null-free snapshot emits the
+      // pure conjunction — pin staleness contract applies as everywhere.
+      if (so.nullOrdering == NullsFirst && vecAttr.nullable && entry.hasNullVecs)
+        Or(cond, IsNull(vecAttr)) else cond
+    }
+
+  /** Rewrite Sort(dist, rel-ish) under a limit of k; None = no match. */
+  private def rewriteKnn(k: Int, plan: LogicalPlan): Option[LogicalPlan] = {
+    if (k <= 0) return None
+    def trySort(s: Sort): Option[Sort] = s match {
+      case Sort(order, true, child, _) if order.nonEmpty &&
+          !child.exists(_.expressions.exists(_.exists(_.isInstanceOf[InSet]))) =>
+        for {
+          rel <- bareRelation(child)
+          (vecAttr, q, so) <- sortDist(order, child)
+          if rel.outputSet.contains(vecAttr)
+          cond <- knnFilter(rel, vecAttr, q, k, so)
+        } yield s.copy(child = child match {
+          case p: Project => p.copy(child = Filter(cond, rel))
+          case _ => Filter(cond, rel)
+        })
+      case _ => None
+    }
+    plan match {
+      case s: Sort => trySort(s)
+      case p @ Project(_, s: Sort) => trySort(s).map(ns => p.copy(child = ns))
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, rel: LogicalRelation) =>
       rewrite(cond, rel).map(c => Filter(c, rel)).getOrElse(f)
@@ -195,6 +354,10 @@ case class IndexedVicinityRule(spark: SparkSession) extends Rule[LogicalPlan] {
       rewrite(cond, rel)
         .filter(c => c.references.subsetOf(p.outputSet))
         .map(c => Filter(c, p)).getOrElse(f)
+    case gl @ GlobalLimit(IntegerLiteral(k), ll @ LocalLimit(_, inner)) =>
+      // optimizer must never throw: any unexpected shape falls through
+      scala.util.Try(rewriteKnn(k, inner)).toOption.flatten
+        .map(ni => gl.copy(child = ll.copy(child = ni))).getOrElse(gl)
   }
 }
 

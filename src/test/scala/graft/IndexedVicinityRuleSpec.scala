@@ -263,6 +263,142 @@ class IndexedVicinityRuleSpec extends SparkSpec {
     }
   }
 
+  // --- kNN pattern: ORDER BY dist LIMIT k --------------------------------
+
+  test("kNN: ORDER BY dist LIMIT k over a serving-registered table rewrites and equals brute top-k") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorFunctions.{dist, doubleVec}
+    val dir = java.nio.file.Files.createTempDirectory("graftknn").toString
+    graft.sources.Ingest.grid(extSpark, 50).write.mode("overwrite").parquet(dir)
+    val g = extSpark.read.parquet(dir)
+    val index = IndexBuild.buildIndex(g, "id", "vector").localCheckpoint()
+    VectorIndexCatalog.registerServing(dir, "id", index, g, vecCol = "vector")
+    try {
+      val q = Seq(0.1, 0.1)
+      val knn = g.orderBy(dist(col("vector"), doubleVec(q)), col("id")).limit(10)
+      val sizes = knn.queryExecution.optimizedPlan.collect {
+        case f: Filter => f.condition.collect { case s: InSet => s.hset.size }
+      }.flatten
+      assert(sizes.nonEmpty && sizes.head >= 10 && sizes.head < 250,
+        s"expected a selective kNN candidate set, got $sizes of 2500")
+      val got = knn.select("id").collect().map(_.getLong(0)).toSeq
+      VectorIndexCatalog.clear()
+      val want = BruteForce.knn(g, "vector", "id", q, 10)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(got == want, s"got $got want $want")
+    } finally {
+      VectorIndexCatalog.clear()
+      SparkSession.setDefaultSession(TestSpark.spark)
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+
+  test("kNN: SQL surface — ORDER BY vec_distsq LIMIT k fires and matches brute") {
+    val path = s"$sf0001/embeddings.parquet"
+    val e = Tables.embeddings(extSpark, sf0001)
+    val index = IndexBuild.buildIndex(e, "vec_id", "embedding").localCheckpoint()
+    VectorIndexCatalog.registerServing(path, "vec_id", index, e)
+    // 64-d: the ball at d_k covers most leaves (distance concentration), so
+    // the cost model would correctly skip — disable it: this asserts the
+    // SQL-surface match + soundness; selectivity is the grid test's job
+    extSpark.conf.set("spark.graft.vicinity.maxSelectivity", "1.0")
+    extSpark.read.parquet(path).createOrReplaceTempView("emb_knn")
+    try {
+      val qArr = QueryConstants.Q64.mkString("array(", "D, ", "D)")
+      val sql = s"""SELECT vec_id FROM emb_knn
+                   |ORDER BY vec_distsq(embedding, $qArr), vec_id
+                   |LIMIT 5""".stripMargin
+      val knn = extSpark.sql(sql)
+      assert(knn.queryExecution.optimizedPlan.collect {
+        case f: Filter if f.condition.exists(_.isInstanceOf[InSet]) => f
+      }.nonEmpty, s"expected kNN InSet rewrite in:\n${knn.queryExecution.optimizedPlan}")
+      val got = knn.collect().map(_.getLong(0)).toSeq
+      VectorIndexCatalog.clear()
+      val want = BruteForce.knn(extSpark.read.parquet(path), "embedding",
+          "vec_id", QueryConstants.Q64, 5)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(got == want, s"got $got want $want")
+    } finally {
+      extSpark.conf.unset("spark.graft.vicinity.maxSelectivity")
+      extSpark.catalog.dropTempView("emb_knn")
+      VectorIndexCatalog.clear()
+      SparkSession.setDefaultSession(TestSpark.spark)
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+
+  test("kNN: near-full-scan candidate set falls back to the plain sort") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorFunctions.{dist, doubleVec}
+    val dir = java.nio.file.Files.createTempDirectory("graftknnsel").toString
+    graft.sources.Ingest.grid(extSpark, 50).write.mode("overwrite").parquet(dir)
+    val g = extSpark.read.parquet(dir)
+    val index = IndexBuild.buildIndex(g, "id", "vector").localCheckpoint()
+    VectorIndexCatalog.registerServing(dir, "id", index, g, vecCol = "vector")
+    try {
+      // k = 2000 of 2500: the ball at d_k covers ~the whole grid — the
+      // cost model must skip (an InSet of ~all ids prunes nothing)
+      val q = Seq(0.0, 0.0)
+      val knn = g.orderBy(dist(col("vector"), doubleVec(q)), col("id")).limit(2000)
+      assert(knn.queryExecution.optimizedPlan.collect {
+        case f: Filter if f.condition.exists(_.isInstanceOf[InSet]) => f
+      }.isEmpty, "expected selectivity fallback — no InSet")
+      assert(knn.count() == 2000)
+    } finally {
+      VectorIndexCatalog.clear()
+      SparkSession.setDefaultSession(TestSpark.spark)
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+
+  test("kNN: vicinity-only registration (no pinned vectors) does not fire") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorFunctions.{dist, doubleVec}
+    val dir = java.nio.file.Files.createTempDirectory("graftknnvic").toString
+    graft.sources.Ingest.grid(extSpark, 50).write.mode("overwrite").parquet(dir)
+    val g = extSpark.read.parquet(dir)
+    val index = IndexBuild.buildIndex(g, "id", "vector").localCheckpoint()
+    VectorIndexCatalog.register(dir, "id", index, vecCol = "vector")
+    try {
+      val knn = g.orderBy(dist(col("vector"), doubleVec(Seq(0.1, 0.1)))).limit(10)
+      assert(knn.queryExecution.optimizedPlan.collect {
+        case f: Filter if f.condition.exists(_.isInstanceOf[InSet]) => f
+      }.isEmpty, "kNN rewrite needs pinned vectors — must not fire on register()")
+      assert(knn.count() == 10)
+    } finally {
+      VectorIndexCatalog.clear()
+      SparkSession.setDefaultSession(TestSpark.spark)
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+
+  test("kNN: aliased distance column resolves through the project") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorFunctions.{dist, doubleVec}
+    val dir = java.nio.file.Files.createTempDirectory("graftknnalias").toString
+    graft.sources.Ingest.grid(extSpark, 50).write.mode("overwrite").parquet(dir)
+    val g = extSpark.read.parquet(dir)
+    val index = IndexBuild.buildIndex(g, "id", "vector").localCheckpoint()
+    VectorIndexCatalog.registerServing(dir, "id", index, g, vecCol = "vector")
+    try {
+      val q = Seq(0.1, 0.1)
+      val knn = g.withColumn("d", dist(col("vector"), doubleVec(q)))
+        .orderBy(col("d"), col("id")).limit(10)
+      assert(knn.queryExecution.optimizedPlan.collect {
+        case f: Filter if f.condition.exists(_.isInstanceOf[InSet]) => f
+      }.nonEmpty, s"expected rewrite through the dist alias in:\n${knn.queryExecution.optimizedPlan}")
+      val got = knn.select("id").collect().map(_.getLong(0)).toSeq
+      VectorIndexCatalog.clear()
+      val want = BruteForce.knn(g, "vector", "id", q, 10)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(got == want)
+    } finally {
+      VectorIndexCatalog.clear()
+      SparkSession.setDefaultSession(TestSpark.spark)
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+
   test("tables without a registered index are untouched") {
     VectorIndexCatalog.clear()
     val q = BruteForce.rangeSearch(
