@@ -209,6 +209,81 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.forall(_ % 7 != 0))
   }
 
+  test("streaming serving probes: query stream over the IVF store equals one batch probe") {
+    // the serving loop's OTHER stream: queries arrive as a stream and
+    // each micro-batch probes the persisted store (partition-pruned scan
+    // + broadcast probe relation, same plan as the gated a6); the union
+    // of per-batch answers equals one batch probe over all queries —
+    // per-query top-k is independent, so micro-batching can't change it
+    val base = java.nio.file.Files.createTempDirectory("graftqstream").toString
+    val e = Tables.embeddings(spark, sf0001)
+    operators.Similarity.writeIvf(e.select("vec_id", "embedding"),
+      "vec_id", "embedding", 16, s"$base/store")
+    val queries = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    // two files -> two micro-batches under maxFilesPerTrigger=1
+    queries.filter(col("qid") % 100 === 0).coalesce(1)
+      .write.parquet(s"$base/q/f1")
+    queries.filter(col("qid") % 100 =!= 0).coalesce(1)
+      .write.parquet(s"$base/q/f2")
+    val st = spark.readStream
+      .schema(spark.read.parquet(s"$base/q/f1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/q/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          operators.Similarity.probeIvfBatch(spark, s"$base/store",
+            "vec_id", "embedding", batch, "qid", "qv", nprobe = 4, k = 5)
+            .write.mode("append").parquet(s"$base/out")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    st.awaitTermination(120000)
+    val got = spark.read.parquet(s"$base/out")
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val want = operators.Similarity.probeIvfBatch(spark, s"$base/store",
+        "vec_id", "embedding", queries, "qid", "qv", nprobe = 4, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    assert(got.map(_._1) == queries.select("qid").as[Long].collect().toSet,
+      "every streamed query must be answered")
+  }
+
+  test("streaming serving probes: query stream over the IVFADC store equals one batch probe") {
+    val base = java.nio.file.Files.createTempDirectory("graftqadc").toString
+    val e = Tables.embeddings(spark, sf0001)
+    operators.IvfPq.write(e.select("vec_id", "embedding"), "vec_id",
+      "embedding", numLists = 16, coarseIters = 0, m = 8, k = 16,
+      pqIters = 0, s"$base/store")
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    queries.filter(col("qid") % 200 === 0).coalesce(1)
+      .write.parquet(s"$base/q/f1")
+    queries.filter(col("qid") % 200 =!= 0).coalesce(1)
+      .write.parquet(s"$base/q/f2")
+    val st = spark.readStream
+      .schema(spark.read.parquet(s"$base/q/f1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/q/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          operators.IvfPq.probeBatch(spark, s"$base/store", e,
+            "vec_id", "embedding", batch, "qid", "qv",
+            nprobe = 2, topN = 10, k = 5)
+            .write.mode("append").parquet(s"$base/out")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    st.awaitTermination(120000)
+    val got = spark.read.parquet(s"$base/out")
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val want = operators.IvfPq.probeBatch(spark, s"$base/store", e,
+        "vec_id", "embedding", queries, "qid", "qv",
+        nprobe = 2, topN = 10, k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming decontamination equals the batch anti-join operator") {
     // the eval shingle set embeds as one literal, so decontamination is
     // a stateless per-row filter that drives readStream unchanged; the
