@@ -175,6 +175,13 @@ object Tools {
             .localCheckpoint()
           time(s"d12 cluster ids ${m}x")(
             Dedup.clusterIds(pairs12).count())
+          // localBudget=0 forces the OVER-budget branch — the
+          // distributed min-label + pointer-jump loop (O(log n) rounds)
+          // the fast path short-circuits at these pair counts; this is
+          // the growth row for the 100-TB shape, where the pair relation
+          // can never fit one driver probe
+          time(s"d12 cluster ids distributed ${m}x")(
+            Dedup.clusterIds(pairs12, localBudget = 0L).count())
         }
         // d14: SemDeDup at FIXED target list size — C grows with the
         // corpus, so per-cluster pair volume stays ~N·targetListSize
