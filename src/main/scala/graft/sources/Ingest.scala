@@ -89,8 +89,19 @@ object Ingest {
     * sequential id. Driver-side header sniff + distributed data parse. */
   def readArff(spark: SparkSession, path: String): DataFrame = {
     import scala.jdk.CollectionConverters._
-    val lines = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(path)).asScala.toSeq
+    // URL parity with the reference's fixture fetch
+    // (MemoryVectorIndex.Tests/MemoryVectorIndexTests.cs:8 pulls its
+    // .arff over HTTP): accept any URL scheme the JVM can open —
+    // http(s)://, file:// — alongside plain local paths. ARFF fixtures
+    // are small header-first text files, so a driver-side read is the
+    // right shape either way (the distributed parse below is unchanged).
+    val isUrl = scala.util.Try(
+      new java.net.URI(path).getScheme != null).getOrElse(false)
+    val lines = (if (isUrl)
+      scala.util.Using.resource(scala.io.Source.fromURL(path))(
+        _.getLines().toVector)
+    else java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path)).asScala.toSeq)
     val attrs = lines.filter(_.trim.toLowerCase.startsWith("@attribute"))
       .map { l =>
         val parts = l.trim.split("\\s+", 3)

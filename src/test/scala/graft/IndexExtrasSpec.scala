@@ -242,6 +242,12 @@ class IndexExtrasSpec extends SparkSpec {
     val rows = df.orderBy("id").collect()
     assert(rows.length == 2)
     assert(rows(0).getFloat(1) == 1.5f && rows(1).getString(3) == "b")
+    // URL parity (the reference fetches its fixture over HTTP —
+    // MemoryVectorIndexTests.cs:8); file:// exercises the same
+    // URL-open path without network
+    val viaUrl = Ingest.readArff(spark, f.toUri.toURL.toString)
+    assert(viaUrl.orderBy("id").collect().map(_.toString).toSeq ==
+      rows.map(_.toString).toSeq)
   }
 
   test("sequential ids are dense from 0 in the given order") {
