@@ -44,11 +44,26 @@ object IvfPq {
     * assign lists (map-only), form residuals, PQ-train in float64.
     * Lloyd refinement of the coarse set itself is Similarity.ivfTrain;
     * pass its output as `centroids`. */
+  /** Coarse list-id column: exact O(C) argmin by default; `routed`
+    * switches to the two-level O(√C) kernel
+    * ([[Similarity.ivfListIdRouted]]) for corpus-scale C (≥ ~4096),
+    * where the flat per-row loop dominates the encode pass. Routed
+    * assignment is approximate at super boundaries — the standard
+    * hierarchical-IVF trade; probes are unaffected (a row lives in its
+    * assigned list either way, and the query's probe lists stay exact). */
+  private def listIdCol(spark: SparkSession, vec: Column,
+                        centroids: Array[(Long, Array[Double])],
+                        routed: Boolean): Column =
+    if (routed)
+      Similarity.ivfListIdRouted(vec, centroids, routeSpark = Some(spark))
+    else Similarity.ivfListId(vec, centroids)
+
   def trainResidual(emb: DataFrame, idCol: String, vecCol: String,
                     centroids: Array[(Long, Array[Double])],
-                    m: Int, k: Int, iters: Int): Codebook = {
+                    m: Int, k: Int, iters: Int,
+                    routed: Boolean = false): Codebook = {
     val resid = emb
-      .withColumn("list_id", Similarity.ivfListId(col(vecCol), centroids))
+      .withColumn("list_id", listIdCol(emb.sparkSession, col(vecCol), centroids, routed))
       .withColumn("resid", residualCol(col(vecCol), col("list_id"), centroids))
     ProductQuant.pqTrain(resid, idCol, "resid", m, k, iters, asFloat = false)
   }
@@ -57,9 +72,9 @@ object IvfPq {
     * coarse argmin, residual, per-subspace PQ argmin. */
   def assign(emb: DataFrame, vecCol: String,
              centroids: Array[(Long, Array[Double])], cb: Codebook,
-             codesCol: String = "codes"): DataFrame = {
+             codesCol: String = "codes", routed: Boolean = false): DataFrame = {
     val withResid = emb
-      .withColumn("list_id", Similarity.ivfListId(col(vecCol), centroids))
+      .withColumn("list_id", listIdCol(emb.sparkSession, col(vecCol), centroids, routed))
       .withColumn("resid", residualCol(col(vecCol), col("list_id"), centroids))
     ProductQuant.pqAssign(withResid, "resid", cb, codesCol, asFloat = false)
       .drop("resid")
@@ -71,13 +86,23 @@ object IvfPq {
     * trained (centroids, codebook). */
   def write(emb: DataFrame, idCol: String, vecCol: String,
             numLists: Int, coarseIters: Int, m: Int, k: Int, pqIters: Int,
-            path: String): (Array[(Long, Array[Double])], Codebook) = {
+            path: String,
+            routed: Boolean = false): (Array[(Long, Array[Double])], Codebook) = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val centroids = Similarity.ivfTrain(emb, idCol, vecCol, numLists, coarseIters)
-    val cb = trainResidual(emb, idCol, vecCol, centroids, m, k, pqIters)
-    assign(emb, vecCol, centroids, cb)
+    val centroids = Similarity.ivfTrain(emb, idCol, vecCol, numLists, coarseIters,
+      assign = if (routed)
+        (v, c) => Similarity.ivfListIdRouted(v, c, routeSpark = Some(spark))
+      else Similarity.ivfListId)
+    val cb = trainResidual(emb, idCol, vecCol, centroids, m, k, pqIters, routed)
+    assign(emb, vecCol, centroids, cb, routed = routed)
       .select(col(idCol), col("list_id"), col("codes"))
+      // cluster rows into their target partition before the partitioned
+      // write: without this every upstream task writes a file into EVERY
+      // list dir — shuffle.partitions × numLists files (131k at C=4096,
+      // measured: a 5-minute write and multi-second probes from file
+      // listing alone). After: one file per list per owning task.
+      .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
     centroids.map { case (lid, cv) => (lid, cv.toSeq) }.toSeq
       .toDF("list_id", "centroid")
@@ -88,6 +113,30 @@ object IvfPq {
       .coalesce(1).write.mode("overwrite").parquet(path + ".codebook")
     (centroids, cb)
   }
+
+  /** A pre-opened IVFADC serving handle: the store DataFrame plus both
+    * decoded sidecars. Opening is the expensive part of a probe at
+    * corpus scale — `spark.read.parquet` on a C-partition store LISTS
+    * all C partition dirs to build its file index (measured: 7–8 s of
+    * an 8 s probe at C=4096 was listing, re-done per read), and the
+    * sidecar collects are two more jobs. A serving process opens once
+    * and probes many times; every probe against the handle reuses the
+    * cached file index (partition pruning still applies — pruning
+    * filters the index, it doesn't re-list) and the in-memory
+    * quantizer/codebook. */
+  final case class Store(codes: DataFrame,
+                         centroids: Array[(Long, Array[Double])],
+                         cb: Codebook) {
+    /** Centroid sidecar as a broadcast-able relation (for batch probes). */
+    private[graft] def centRel: DataFrame =
+      Similarity.centroidRelation(codes.sparkSession, centroids)
+  }
+
+  /** Open a persisted IVFADC store once: one partition listing, one
+    * read of each sidecar. */
+  def open(spark: SparkSession, path: String): Store =
+    Store(spark.read.parquet(path), readCentroids(spark, path),
+      readCodebook(spark, path))
 
   /** The store's frozen coarse-centroid set, from its sidecar. */
   def readCentroids(spark: SparkSession,
@@ -125,19 +174,24 @@ object IvfPq {
     * join and re-rank exactly. */
   def probe(spark: SparkSession, path: String, vectors: DataFrame,
             idCol: String, vecCol: String, q: Seq[Double],
+            nprobe: Int, topN: Int, k: Int): DataFrame =
+    probe(open(spark, path), vectors, idCol, vecCol, q, nprobe, topN, k)
+
+  /** [[probe]] against a pre-opened [[Store]] — the serving form: no
+    * partition re-listing, no sidecar jobs per call. */
+  def probe(store: Store, vectors: DataFrame,
+            idCol: String, vecCol: String, q: Seq[Double],
             nprobe: Int, topN: Int, k: Int): DataFrame = {
-    val centroids = readCentroids(spark, path)
-    val cb: Codebook = readCodebook(spark, path)
-    val byList = centroids.toMap
-    val probeLists = Similarity.ivfProbeLists(centroids, q, nprobe)
+    val byList = store.centroids.toMap
+    val probeLists = Similarity.ivfProbeLists(store.centroids, q, nprobe)
     val score = probeLists.map { lid =>
       val c = byList(lid)
       val qRes = q.indices.map(i => q(i) - c(i))
-      (lid, ProductQuant.adcScore(col("codes"), cb, qRes))
+      (lid, ProductQuant.adcScore(col("codes"), store.cb, qRes))
     }.foldLeft(lit(Double.MaxValue)) { case (acc, (lid, s)) =>
       when(col("list_id") === lid, s).otherwise(acc)
     }
-    val cands = spark.read.parquet(path)
+    val cands = store.codes
       .filter(col("list_id").isin(probeLists: _*))
       .withColumn("approx", score)
       .orderBy(col("approx"), col(idCol))
@@ -181,17 +235,26 @@ object IvfPq {
   def probeBatch(spark: SparkSession, path: String, vectors: DataFrame,
                  idCol: String, vecCol: String,
                  queries: DataFrame, qIdCol: String, qVecCol: String,
+                 nprobe: Int, topN: Int, k: Int): DataFrame =
+    probeBatch(open(spark, path), vectors, idCol, vecCol,
+      queries, qIdCol, qVecCol, nprobe, topN, k)
+
+  /** [[probeBatch]] against a pre-opened [[Store]] — the serving form:
+    * no partition re-listing, no sidecar jobs per call. */
+  def probeBatch(store: Store, vectors: DataFrame,
+                 idCol: String, vecCol: String,
+                 queries: DataFrame, qIdCol: String, qVecCol: String,
                  nprobe: Int, topN: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cb: Codebook = readCodebook(spark, path)
+    val cb: Codebook = store.cb
     val m = cb.length
     val kCodes = cb(0).length
     val dsub = cb(0)(0).length
     // flat (j, code, subdim)-ordered codebook literal — m·k·dsub doubles
     val cbFlat = array(cb.flatten.flatten.map(lit).toIndexedSeq: _*)
-    val centRel = spark.read.parquet(path + ".centroids")
+    val centRel = store.centRel
       .select(col("list_id").cast("long"),
-        col("centroid").cast("array<double>").as("cv"))
+        col("cv").cast("array<double>").as("cv"))
     val qProbe = queries
       .select(col(qIdCol).cast("long").as("qid"),
         col(qVecCol).cast("array<double>").as("qv"))
@@ -217,7 +280,7 @@ object IvfPq {
     val approx = (0 until m).map { j =>
       element_at(col("lut"), lit(j * kCodes) + element_at(col("codes"), j + 1) + 1)
     }.reduce(_ + _)
-    val cands = spark.read.parquet(path)
+    val cands = store.codes
       .filter(col("list_id").isin(lists: _*))
       .join(broadcast(qProbe), Seq("list_id"))
       .withColumn("approx", approx)

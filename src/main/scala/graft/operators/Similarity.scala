@@ -223,6 +223,10 @@ object Similarity {
     val spark = emb.sparkSession
     import spark.implicits._
     lshAssign(emb, idCol, vecCol, planes)
+      // cluster rows into their target bucket first: otherwise every
+      // upstream task writes into every bucket dir — shuffle.partitions
+      // × 2^numPlanes files (see IvfPq.write's measured note)
+      .repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
     planes.zipWithIndex.map { case (p, i) => (i, p.toSeq) }.toSeq
       .toDF("plane_id", "components")
@@ -248,13 +252,27 @@ object Similarity {
     lshAssign(newVecs, idCol, vecCol, readPlanes(spark, path))
       .write.mode("append").partitionBy("bucket").parquet(path)
 
+  /** A pre-opened bucketed-LSH serving handle: the store DataFrame (its
+    * partition file index is built once, at open — `spark.read.parquet`
+    * on a 2^P-partition store re-LISTS every bucket dir per call
+    * otherwise; see [[IvfPq.Store]] for the measured cost) plus the
+    * decoded plane sidecar. Partition pruning still applies to probes
+    * through the handle — pruning filters the cached index. */
+  final case class BucketedStore(rows: DataFrame, planes: Array[Array[Double]])
+
+  /** Open a persisted bucketed store once: one partition listing, one
+    * sidecar read. */
+  def openBucketed(spark: org.apache.spark.sql.SparkSession,
+                   path: String): BucketedStore =
+    BucketedStore(spark.read.parquet(path), readPlanes(spark, path))
+
   /** Probe a bucketed store: top-k within the given buckets. The bucket
     * filter prunes at the partition level (visible as PartitionFilters
     * in the scan). */
-  private def probeBuckets(spark: org.apache.spark.sql.SparkSession, path: String,
+  private def probeBuckets(store: BucketedStore,
                            idCol: String, vecCol: String, buckets: Seq[Int],
                            q: Seq[Double], k: Int): DataFrame =
-    spark.read.parquet(path)
+    store.rows
       .filter(col("bucket").isin(buckets: _*))
       .withColumn("dist", dist(col(vecCol), doubleVec(q)))
       .orderBy(col("dist"), col(idCol))
@@ -264,18 +282,30 @@ object Similarity {
   def probeBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
                     idCol: String, vecCol: String,
                     planes: Array[Array[Double]], q: Seq[Double], k: Int): DataFrame =
-    probeBuckets(spark, path, idCol, vecCol,
-      Seq(queryBucket(planes, q)), q, k)
+    probeBuckets(BucketedStore(spark.read.parquet(path), planes),
+      idCol, vecCol, Seq(queryBucket(planes, q)), q, k)
+
+  /** [[probeBucketed]] against a pre-opened handle (serving form). */
+  def probeBucketed(store: BucketedStore, idCol: String, vecCol: String,
+                    q: Seq[Double], k: Int): DataFrame =
+    probeBuckets(store, idCol, vecCol,
+      Seq(queryBucket(store.planes, q)), q, k)
 
   /** Multi-probe variant: also visit every bucket at hamming distance 1
     * from the query's (one flipped sign bit) — the standard recall boost;
     * still a partition-pruned IN-filter read of numPlanes+1 buckets. */
   def probeBucketedMulti(spark: org.apache.spark.sql.SparkSession, path: String,
                          idCol: String, vecCol: String,
-                         planes: Array[Array[Double]], q: Seq[Double], k: Int): DataFrame = {
-    val qBucket = queryBucket(planes, q)
-    probeBuckets(spark, path, idCol, vecCol,
-      qBucket +: planes.indices.map(j => qBucket ^ (1 << j)), q, k)
+                         planes: Array[Array[Double]], q: Seq[Double], k: Int): DataFrame =
+    probeBucketedMulti(BucketedStore(spark.read.parquet(path), planes),
+      idCol, vecCol, q, k)
+
+  /** [[probeBucketedMulti]] against a pre-opened handle (serving form). */
+  def probeBucketedMulti(store: BucketedStore, idCol: String, vecCol: String,
+                         q: Seq[Double], k: Int): DataFrame = {
+    val qBucket = queryBucket(store.planes, q)
+    probeBuckets(store, idCol, vecCol,
+      qBucket +: store.planes.indices.map(j => qBucket ^ (1 << j)), q, k)
   }
 
   /** BATCH probe of a persisted LSH-bucketed store — [[lshKnnJoinMulti]]
@@ -291,8 +321,16 @@ object Similarity {
                          path: String, idCol: String, vecCol: String,
                          queries: DataFrame, qIdCol: String, qVecCol: String,
                          planes: Array[Array[Double]], k: Int,
-                         multiProbe: Boolean = true): DataFrame = {
+                         multiProbe: Boolean = true): DataFrame =
+    probeBucketedBatch(BucketedStore(spark.read.parquet(path), planes),
+      idCol, vecCol, queries, qIdCol, qVecCol, k, multiProbe)
+
+  /** [[probeBucketedBatch]] against a pre-opened handle (serving form). */
+  def probeBucketedBatch(store: BucketedStore, idCol: String, vecCol: String,
+                         queries: DataFrame, qIdCol: String, qVecCol: String,
+                         k: Int, multiProbe: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val planes = store.planes
     val qb = lshBucket(col("qv"), planes)
     val probed =
       if (multiProbe) array((qb +: planes.indices.map(j =>
@@ -305,7 +343,7 @@ object Similarity {
     // the touched-bucket union prunes the store read at partition level
     val buckets = qB.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(path)
+    store.rows
       .filter(col("bucket").isin(buckets: _*))
       .join(broadcast(qB), Seq("bucket"))
       .withColumn("dist", dist(col(vecCol), col("qv")))
@@ -467,6 +505,9 @@ object Similarity {
     import spark.implicits._
     val centroids = ivfCentroids(emb, idCol, vecCol, numLists)
     emb.withColumn("list_id", ivfListId(col(vecCol), centroids))
+      // one file per list per owning task, not one per upstream task
+      // per list (see IvfPq.write's measured note)
+      .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id").parquet(path)
     centroids.map { case (lid, cv) => (lid, cv.toSeq) }.toSeq
       .toDF("list_id", "centroid")
@@ -500,14 +541,30 @@ object Similarity {
       .write.mode("append").partitionBy("list_id").parquet(path)
   }
 
+  /** A pre-opened IVF serving handle: the store DataFrame (partition
+    * file index built once at open — see [[IvfPq.Store]] for why) plus
+    * the decoded centroid sidecar. */
+  final case class IvfStore(rows: DataFrame,
+                            centroids: Array[(Long, Array[Double])])
+
+  /** Open a persisted IVF store once: one partition listing, one
+    * sidecar read. */
+  def openIvf(spark: org.apache.spark.sql.SparkSession,
+              path: String): IvfStore =
+    IvfStore(spark.read.parquet(path), readIvfCentroids(spark, path))
+
   /** Probe an IVF store: top-k within the nprobe nearest lists — a
     * partition-pruned read (PartitionFilters on list_id), no shuffle. */
   def probeIvf(spark: org.apache.spark.sql.SparkSession, path: String,
                idCol: String, vecCol: String, q: Seq[Double],
-               nprobe: Int, k: Int): DataFrame = {
-    val centroids = readIvfCentroids(spark, path)
-    val probe = ivfProbeLists(centroids, q, nprobe)
-    spark.read.parquet(path)
+               nprobe: Int, k: Int): DataFrame =
+    probeIvf(openIvf(spark, path), idCol, vecCol, q, nprobe, k)
+
+  /** [[probeIvf]] against a pre-opened handle (serving form). */
+  def probeIvf(store: IvfStore, idCol: String, vecCol: String,
+               q: Seq[Double], nprobe: Int, k: Int): DataFrame = {
+    val probe = ivfProbeLists(store.centroids, q, nprobe)
+    store.rows
       .filter(col("list_id").isin(probe: _*))
       .withColumn("dist", dist(col(vecCol), doubleVec(q)))
       .orderBy(col("dist"), col(idCol))
@@ -527,16 +584,22 @@ object Similarity {
   def probeIvfBatch(spark: org.apache.spark.sql.SparkSession, path: String,
                     idCol: String, vecCol: String,
                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                    nprobe: Int, k: Int): DataFrame =
+    probeIvfBatch(openIvf(spark, path), idCol, vecCol,
+      queries, qIdCol, qVecCol, nprobe, k)
+
+  /** [[probeIvfBatch]] against a pre-opened handle (serving form). */
+  def probeIvfBatch(store: IvfStore, idCol: String, vecCol: String,
+                    queries: DataFrame, qIdCol: String, qVecCol: String,
                     nprobe: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centRel = spark.read.parquet(path + ".centroids")
-      .select(col("list_id"), col("centroid").as("cv"))
+    val centRel = centroidRelation(store.rows.sparkSession, store.centroids)
     val qProbe = probeListsJoin(queries, qIdCol, qVecCol, centRel, nprobe)
       .localCheckpoint()
     // the touched-list union prunes the parquet read at partition level
     val lists = qProbe.select("list_id").distinct()
       .collect().map(_.getLong(0)).toSeq
-    spark.read.parquet(path)
+    store.rows
       .filter(col("list_id").isin(lists: _*))
       .join(broadcast(qProbe), Seq("list_id"))
       .withColumn("dist", dist(col(vecCol), col("qv")))

@@ -73,6 +73,29 @@ object Ingest {
         (graft.functions.PortableHash.md5Uniform(key) * 2d - 1d).cast("float")
       }).as("vector"))
 
+  /** Clustered synthetic embeddings: `centers` seeded uniform cluster
+    * centers, each point = its (id-hashed) center + `spread`-scaled
+    * seeded noise. The realistic ANN-benchmark shape — real embedding
+    * corpora are clustered, which is what gives IVF partitions their
+    * pruning power (uniform high-d data has NO neighborhood structure:
+    * every point's neighbors scatter over ~all lists and recall@k under
+    * any pruned probe collapses by construction — the wrong fixture for
+    * a recall floor). Same declarative hash-derived generation as
+    * [[randomUniform]]: no RNG state, any row reproducible alone. */
+  def randomClustered(spark: SparkSession, n: Long, dim: Int, centers: Int,
+                      spread: Double = 0.05, seed: Long = 42L): DataFrame =
+    spark.range(n).select(col("id"),
+      transform(sequence(lit(0), lit(dim - 1)), i => {
+        val cid = pmod(xxhash64(col("id"), lit(seed)), lit(centers.toLong))
+        val ch = xxhash64(cid, i, lit(seed + 1))
+        val center = shiftrightunsigned(ch, 11).cast("double") /
+          lit((1L << 53).toDouble) * 2d - 1d
+        val nh = xxhash64(col("id"), i, lit(seed + 2))
+        val noise = (shiftrightunsigned(nh, 11).cast("double") /
+          lit((1L << 53).toDouble) * 2d - 1d) * lit(spread)
+        (center + noise).cast("float")
+      }).as("vector"))
+
   /** S6: d one-hot basis vectors e_i (adversarial: every dim has
     * near-zero stdev). */
   def oneHot(spark: SparkSession, dim: Int): DataFrame =

@@ -477,4 +477,104 @@ class ScaleSpec extends SparkSpec {
       .orderBy("k").as[(Long, Long)].collect().toSeq
     assert(got == want)
   }
+
+  test("serving handles: handle-based probes equal path-based probes") {
+    val base = java.nio.file.Files.createTempDirectory("grafthandle").toString
+    val e = Tables.embeddings(spark, sf0001)
+    val q = QueryConstants.Q64
+    val queries = e.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("qid0"), col("embedding").as("qv0"))
+    // bucketed LSH
+    val planes = Similarity.hyperplanes(4, 64)
+    Similarity.writeBucketed(e, "vec_id", "embedding", planes, s"$base/lsh")
+    val lshStore = Similarity.openBucketed(spark, s"$base/lsh")
+    assert(Similarity.probeBucketed(lshStore, "vec_id", "embedding", q, 10)
+        .select("vec_id").as[Long].collect().toSeq ==
+      Similarity.probeBucketed(spark, s"$base/lsh", "vec_id", "embedding",
+        planes, q, 10).select("vec_id").as[Long].collect().toSeq)
+    assert(Similarity.probeBucketedMulti(lshStore, "vec_id", "embedding", q, 10)
+        .select("vec_id").as[Long].collect().toSeq ==
+      Similarity.probeBucketedMulti(spark, s"$base/lsh", "vec_id", "embedding",
+        planes, q, 10).select("vec_id").as[Long].collect().toSeq)
+    assert(Similarity.probeBucketedBatch(lshStore, "vec_id", "embedding",
+        queries, "qid0", "qv0", k = 5, multiProbe = true)
+        .orderBy("qid", "vec_id").as[(Long, Long, Int, Double)].collect().toSeq ==
+      Similarity.probeBucketedBatch(spark, s"$base/lsh", "vec_id", "embedding",
+        queries, "qid0", "qv0", planes, k = 5)
+        .orderBy("qid", "vec_id").as[(Long, Long, Int, Double)].collect().toSeq)
+    // IVF
+    Similarity.writeIvf(e, "vec_id", "embedding", 16, s"$base/ivf")
+    val ivfStore = Similarity.openIvf(spark, s"$base/ivf")
+    assert(Similarity.probeIvf(ivfStore, "vec_id", "embedding", q, 4, 10)
+        .select("vec_id").as[Long].collect().toSeq ==
+      Similarity.probeIvf(spark, s"$base/ivf", "vec_id", "embedding", q, 4, 10)
+        .select("vec_id").as[Long].collect().toSeq)
+    assert(Similarity.probeIvfBatch(ivfStore, "vec_id", "embedding",
+        queries, "qid0", "qv0", nprobe = 2, k = 5)
+        .orderBy("qid", "vec_id").as[(Long, Long, Double)].collect().toSeq ==
+      Similarity.probeIvfBatch(spark, s"$base/ivf", "vec_id", "embedding",
+        queries, "qid0", "qv0", nprobe = 2, k = 5)
+        .orderBy("qid", "vec_id").as[(Long, Long, Double)].collect().toSeq)
+    // IVFADC
+    IvfPq.write(e, "vec_id", "embedding", numLists = 16, coarseIters = 0,
+      m = 8, k = 16, pqIters = 1, path = s"$base/adc")
+    val adcStore = IvfPq.open(spark, s"$base/adc")
+    assert(IvfPq.probe(adcStore, e, "vec_id", "embedding", q, 4, 50, 10)
+        .select("vec_id").as[Long].collect().toSeq ==
+      IvfPq.probe(spark, s"$base/adc", e, "vec_id", "embedding", q, 4, 50, 10)
+        .select("vec_id").as[Long].collect().toSeq)
+    assert(IvfPq.probeBatch(adcStore, e, "vec_id", "embedding",
+        queries, "qid0", "qv0", nprobe = 2, topN = 50, k = 5)
+        .orderBy("qid", "vec_id").as[(Long, Long, Double)].collect().toSeq ==
+      IvfPq.probeBatch(spark, s"$base/adc", e, "vec_id", "embedding",
+        queries, "qid0", "qv0", nprobe = 2, topN = 50, k = 5)
+        .orderBy("qid", "vec_id").as[(Long, Long, Double)].collect().toSeq)
+    // the handle's probe plan must still partition-prune
+    val plan = IvfPq.probe(adcStore, e, "vec_id", "embedding", q, 4, 50, 10)
+      .queryExecution.executedPlan.toString
+    assert(prunedOn(plan, "list_id"),
+      "handle-based probe lost PartitionFilters pruning")
+  }
+
+  test("clustered generator: deterministic, dim-correct, actually clustered") {
+    val a = Ingest.randomClustered(spark, 500, 16, centers = 8)
+    val b = Ingest.randomClustered(spark, 500, 16, centers = 8)
+    assert(a.collect().map(_.toString).sorted.toSeq ==
+      b.collect().map(_.toString).sorted.toSeq)
+    val dims = a.select(size(col("vector")).as("d")).distinct()
+      .as[Int].collect().toSeq
+    assert(dims == Seq(16))
+    // rows sharing a center id sit within 2*spread of each other per dim;
+    // the generator's center id is pmod(xxhash64(id, seed), centers)
+    val withC = a.withColumn("cid", pmod(xxhash64(col("id"), lit(42L)), lit(8L)))
+    val spreadByCenter = withC.groupBy("cid")
+      .agg(max(element_at(col("vector"), 1)) -
+        min(element_at(col("vector"), 1)) <= 0.11d)
+      .select("cid").count()
+    assert(spreadByCenter == 8, "every center should appear")
+    val tight = withC.groupBy("cid")
+      .agg((max(element_at(col("vector"), 1)) -
+        min(element_at(col("vector"), 1))).as("w"))
+      .filter(col("w") > 0.11d).count()
+    assert(tight == 0, "within-cluster dim-1 spread exceeded 2*spread")
+  }
+
+  test("routed IVFADC write: probe-able store, assignment matches sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("graftrouted").toString + "/store"
+    val pts = Ingest.randomClustered(spark, 2000, 16, centers = 32)
+      .withColumnRenamed("vector", "embedding")
+    IvfPq.write(pts, "id", "embedding", numLists = 32, coarseIters = 1,
+      m = 4, k = 16, pqIters = 1, path = dir, routed = true)
+    val store = IvfPq.open(spark, dir)
+    assert(store.centroids.length == 32)
+    // every persisted row's list is a valid list id, and the probe
+    // returns k exact-re-ranked rows
+    val lists = store.codes.select("list_id").distinct()
+      .as[Long].collect().toSet
+    assert(lists.subsetOf(store.centroids.map(_._1).toSet))
+    val q = (0 until 16).map(_ => 0.0d)
+    val got = IvfPq.probe(store, pts, "id", "embedding", q,
+      nprobe = 8, topN = 100, k = 10)
+    assert(got.count() == 10)
+  }
 }
