@@ -565,7 +565,17 @@ object Tools {
       // intra-cluster neighbors and recall saturates below any useful
       // floor regardless of nprobe (measured: 0.19 at both 4 and 16)
       val pqK = if (numLists >= 4096) 256 else 16
-      val topN = if (numLists >= 4096) 256 else 100
+      // re-rank pool: the exact re-rank can only recover what the ADC
+      // cut keeps, and within a cluster the ADC orders near-duplicates
+      // ~randomly (residual noise below quantization error), so topN
+      // must cover the query's expected CLUSTER OCCUPANCY (n/centers),
+      // not a fixed constant — measured at 10M×96×4096: topN=256 <
+      // 610-point clusters → recall@10 saturates at 0.54 at BOTH
+      // nprobe 4 and 16; topN ≳ 2× occupancy restores it. Cost is only
+      // topN·Q re-rank join rows. Override: topn=<int>.
+      val topN = args.collectFirst { case a if a.startsWith("topn=") =>
+        a.drop(5).toInt
+      }.getOrElse(if (numLists >= 4096) 256 else 100)
       val pts = (if (clustered)
           graft.sources.Ingest.randomClustered(spark, n, d, centers = 4 * numLists)
         else graft.sources.Ingest.randomUniform(spark, n, d))
@@ -573,9 +583,17 @@ object Tools {
       val path = s"/tmp/graft-ivfpq-bench-$n-$d-$numLists" +
         (if (routed) "-routed" else "") + (if (clustered) "-clu" else "")
       var t0 = System.nanoTime()
-      IvfPq.write(pts, "id", "embedding", numLists, coarseIters = coarseIters,
-        m = 8, k = pqK, pqIters = 1, path = path, routed = routed)
-      println(f"write(n=$n d=$d lists=$numLists routed=$routed pqK=$pqK): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      // "reuse": skip the (deterministic) store build when it already
+      // exists — lets re-rank/probe knob sweeps iterate without paying
+      // the encode each time
+      if (args.contains("reuse") &&
+          new java.io.File(path + ".codebook").exists()) {
+        println(s"reusing store at $path")
+      } else {
+        IvfPq.write(pts, "id", "embedding", numLists, coarseIters = coarseIters,
+          m = 8, k = pqK, pqIters = 1, path = path, routed = routed)
+        println(f"write(n=$n d=$d lists=$numLists routed=$routed pqK=$pqK): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
       val q = (0 until d).map(i => (i % 7) * 0.1 - 0.3)
       // open ONCE — the serving protocol. At C=4096 the open itself
       // (partition listing + sidecars) measured 7–8 s, dominating every

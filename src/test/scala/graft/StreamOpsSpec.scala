@@ -226,6 +226,11 @@ class StreamOpsSpec extends SparkSpec {
       .write.parquet(s"$base/q/f1")
     queries.filter(col("qid") % 100 =!= 0).coalesce(1)
       .write.parquet(s"$base/q/f2")
+    // the serving pattern: open the store ONCE outside the stream (one
+    // partition listing + sidecar read), probe per micro-batch through
+    // the handle — foreachBatch runs on the driver, so the handle's
+    // DataFrame + decoded sidecars are plain local state
+    val store = operators.Similarity.openIvf(spark, s"$base/store")
     val st = spark.readStream
       .schema(spark.read.parquet(s"$base/q/f1").schema)
       .option("maxFilesPerTrigger", "1")
@@ -233,7 +238,7 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         if (!batch.isEmpty)
-          operators.Similarity.probeIvfBatch(spark, s"$base/store",
+          operators.Similarity.probeIvfBatch(store,
             "vec_id", "embedding", batch, "qid", "qv", nprobe = 4, k = 5)
             .write.mode("append").parquet(s"$base/out")
       }
@@ -261,6 +266,8 @@ class StreamOpsSpec extends SparkSpec {
       .write.parquet(s"$base/q/f1")
     queries.filter(col("qid") % 200 =!= 0).coalesce(1)
       .write.parquet(s"$base/q/f2")
+    // serving pattern (see the IVF twin above): one open, many probes
+    val store = operators.IvfPq.open(spark, s"$base/store")
     val st = spark.readStream
       .schema(spark.read.parquet(s"$base/q/f1").schema)
       .option("maxFilesPerTrigger", "1")
@@ -268,7 +275,7 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         if (!batch.isEmpty)
-          operators.IvfPq.probeBatch(spark, s"$base/store", e,
+          operators.IvfPq.probeBatch(store, e,
             "vec_id", "embedding", batch, "qid", "qv",
             nprobe = 2, topN = 10, k = 5)
             .write.mode("append").parquet(s"$base/out")
