@@ -538,6 +538,15 @@ object SparkEntry {
         .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
         .orderBy(col("vec_id"))
     }),
+    "a11_sq8_knn" -> ((s, d) =>
+      // SQ8 compressed-scan kNN (the scalar-quantization SEARCH side of
+      // v15's encode): rank by distance to the bin-center decode of the
+      // per-dim int8 codes — at scale the scan touches only the 4×
+      // smaller code column. Every op is a fixed-order IEEE chain, so
+      // the oracle predicts the top-10 and the rounded distances
+      VectorStats.sqKnn(embeddings(s, d), "vec_id", "embedding", Q64, 10)
+        .select(col("vec_id"), round(col("sq_dist"), 6).as("sqd"))
+        .orderBy(col("vec_id"))),
     "a3_lsh_buckets" -> ((s, d) =>
       Similarity.lshAssign(embeddings(s, d), "vec_id", "embedding", Planes)
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
@@ -893,6 +902,17 @@ object SparkEntry {
     s"CAST(least(CAST(floor(CASE WHEN (SELECT ex FROM ext WHERE i = $i) = 0 THEN 0.0 " +
       s"ELSE (CAST(embedding[$i] AS DOUBLE) - (SELECT mn FROM ext WHERE i = $i)) " +
       s"/ (SELECT ex FROM ext WHERE i = $i) * 256 END) AS INTEGER), 255) AS INTEGER)"
+
+  /** SQL expression: bin-center SQ8 decode of embedding dim `i`
+    * (1-based) — mirrors VectorStats.sqKnn's decode bit for bit: code
+    * via the quantSql arithmetic against plain-column list extents
+    * (`mnl`/`exl`), then mn + (code + 0.5)·ext/256 in the same IEEE op
+    * order; constant dims decode to mn. */
+  private def sqDecodeSql(i: Int): String =
+    s"CASE WHEN exl[$i] = 0 THEN mnl[$i] ELSE mnl[$i] + " +
+      s"(CAST(least(CAST(floor((CAST(embedding[$i] AS DOUBLE) - mnl[$i]) " +
+      s"/ exl[$i] * 256) AS INTEGER), 255) AS DOUBLE) + 0.5) " +
+      s"* exl[$i] / 256 END"
 
   /** SQL expression: LSH bucket of DOUBLE[] expression `v` (mirrors
     * Similarity.lshBucket bit for bit). */
@@ -1808,6 +1828,21 @@ object SparkEntry {
          |  FROM assigned a JOIN e ON a.vec_id = e.vec_id
          |  JOIN probe p ON a.list_id = p.list_id
          |  ORDER BY dist, a.vec_id LIMIT 10
+         |) ORDER BY vec_id""".stripMargin,
+
+    "a11_sq8_knn" ->
+      s"""WITH ext AS (
+         | SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+         |  max(CAST(embedding[i] AS DOUBLE)) - min(CAST(embedding[i] AS DOUBLE)) AS ex
+         | FROM embeddings, generate_series(1, 64) t(i) GROUP BY i),
+         |s AS (SELECT list(mn ORDER BY i) AS mnl, list(ex ORDER BY i) AS exl FROM ext),
+         |dec AS (SELECT vec_id,
+         |  ${(1 to 64).map(sqDecodeSql).mkString("[", ",\n         |   ", "]")} AS dv
+         | FROM embeddings, s)
+         |SELECT vec_id, sqd FROM (
+         |  SELECT vec_id, round(list_distance(dv, $Q64Sql), 6) AS sqd,
+         |    list_distance(dv, $Q64Sql) AS d0
+         |  FROM dec ORDER BY d0, vec_id LIMIT 10
          |) ORDER BY vec_id""".stripMargin,
 
     "i1_json_shred" ->

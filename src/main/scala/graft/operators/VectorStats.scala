@@ -67,8 +67,17 @@ object VectorStats {
     * shuffle beyond the extent aggregation). Returns the input plus an
     * `array<int>` column `qCol`. */
   def quantize(points: DataFrame, idCol: String, vecCol: String,
-               qCol: String, levels: Int = 256): DataFrame = {
-    val extent = dimExtent(explodeVectors(points, idCol, vecCol))
+               qCol: String, levels: Int = 256): DataFrame =
+    points.crossJoin(broadcast(sqExtent(points, idCol, vecCol)))
+      .withColumn(qCol, sqCode(col(vecCol), levels))
+      .drop("_qmins", "_qexts")
+
+  /** The one-row (per-dim min map, per-dim extent map) relation the
+    * scalar-quantization family shares — broadcast-joined, never a plan
+    * literal (extent is data, d entries). */
+  private def sqExtent(points: DataFrame, idCol: String,
+                       vecCol: String): DataFrame =
+    dimExtent(explodeVectors(points, idCol, vecCol))
       .agg(collect_list(struct(col("idx"), col("minV"), col("maxV"))).as("dims"))
       .select(
         map_from_arrays(
@@ -77,15 +86,46 @@ object VectorStats {
         map_from_arrays(
           transform(col("dims"), d => d("idx")),
           transform(col("dims"), d => d("maxV") - d("minV"))).as("_qexts"))
-    points.crossJoin(broadcast(extent))
-      .withColumn(qCol,
-        transform(col(vecCol), (x, i) =>
-          least(
-            floor(when(element_at(col("_qexts"), i) === 0d, lit(0.0d))
-              .otherwise((x.cast("double") - element_at(col("_qmins"), i)) /
-                element_at(col("_qexts"), i) * levels)).cast("int"),
-            lit(levels - 1))))
+
+  /** Per-dim SQ code array (expects `_qmins`/`_qexts` in scope). */
+  private def sqCode(vec: Column, levels: Int): Column =
+    transform(vec, (x, i) =>
+      least(
+        floor(when(element_at(col("_qexts"), i) === 0d, lit(0.0d))
+          .otherwise((x.cast("double") - element_at(col("_qmins"), i)) /
+            element_at(col("_qexts"), i) * levels)).cast("int"),
+        lit(levels - 1)))
+
+  /** SQ8 approximate kNN — the SEARCH side of [[quantize]] (the scalar
+    * analog of the ADC probe; faiss's IndexScalarQuantizer query path,
+    * public method, no reference counterpart): rank every row by the
+    * distance between the query and its DECODED codes
+    * x̂_i = min_i + (code_i + 0.5)·ext_i/levels (bin center; constant
+    * dims decode to min_i), deterministic (sq_dist, id) tie-break.
+    * With `rerank` > 0, the top `rerank` survivors are re-ranked by
+    * EXACT distance to the final k — the standard compressed-scan +
+    * re-rank serving shape: at 100 TB the scan touches only the 4×
+    * smaller code column (and the extent sidecar is one broadcast
+    * row); the wide float column is read solely for the rerank pool.
+    * Every arithmetic step is a fixed-order IEEE op chain, so the
+    * DuckDB oracle predicts the ranking bit for bit. */
+  def sqKnn(points: DataFrame, idCol: String, vecCol: String,
+            q: Seq[Double], k: Int, levels: Int = 256,
+            rerank: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions.{dist, doubleVec}
+    val decoded = transform(sqCode(col(vecCol), levels), (c, i) =>
+      when(element_at(col("_qexts"), i) === 0d, element_at(col("_qmins"), i))
+        .otherwise(element_at(col("_qmins"), i) +
+          (c.cast("double") + lit(0.5d)) * element_at(col("_qexts"), i) / levels))
+    val scored = points.crossJoin(broadcast(sqExtent(points, idCol, vecCol)))
+      .withColumn("sq_dist", dist(decoded, doubleVec(q)))
       .drop("_qmins", "_qexts")
+    if (rerank <= 0)
+      scored.orderBy(col("sq_dist"), col(idCol)).limit(k)
+    else
+      scored.orderBy(col("sq_dist"), col(idCol)).limit(rerank)
+        .withColumn("dist", dist(col(vecCol), doubleVec(q)))
+        .orderBy(col("dist"), col(idCol)).limit(k)
   }
 
   /** A6: normalize every vector to [-1, 1] with a single shared scale =

@@ -478,6 +478,24 @@ class ScaleSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("SQ8 kNN: high recall vs brute force; rerank recovers exact top-k") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = QueryConstants.Q64
+    val brute = BruteForce.knn(e, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    // pure compressed-scan ranking: int8 bins are fine enough on this
+    // corpus that the approximate top-10 overlaps the exact heavily
+    val approx = operators.VectorStats.sqKnn(e, "vec_id", "embedding", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(brute.intersect(approx).size >= 8,
+      s"SQ8 recall too low: ${brute.intersect(approx).size}/10")
+    // compressed scan + exact re-rank of a 50-candidate pool must
+    // return exactly the brute top-k (bin error << candidate margin)
+    val reranked = operators.VectorStats.sqKnn(e, "vec_id", "embedding", q, 10,
+      rerank = 50).select("vec_id").as[Long].collect().toSet
+    assert(reranked == brute)
+  }
+
   test("serving handles: handle-based probes equal path-based probes") {
     val base = java.nio.file.Files.createTempDirectory("grafthandle").toString
     val e = Tables.embeddings(spark, sf0001)
