@@ -547,6 +547,23 @@ object SparkEntry {
       VectorStats.sqKnn(embeddings(s, d), "vec_id", "embedding", Q64, 10)
         .select(col("vec_id"), round(col("sq_dist"), 6).as("sqd"))
         .orderBy(col("vec_id"))),
+    "a12_ivfsq_knn" -> ((s, d) => {
+      // IVF + SQ8 (faiss's IVF/SQ workhorse): list-partitioned store of
+      // 4x-smaller int8 codes, probe = pruned scan of the nprobe=4
+      // nearest lists ranked by bin-center decode (topN=20 makes the
+      // compressed cut decisive), exact re-rank to 10 via broadcast
+      // keyed join. The oracle replays coarse assignment, code, decode,
+      // and both rankings in the same IEEE op order.
+      val e = embeddings(s, d)
+      val dir = stagedStore(d, "a12", version = 1) { dir =>
+        graft.operators.IvfSq.write(e, "vec_id", "embedding",
+          numLists = 16, coarseIters = 0, dir)
+      }
+      graft.operators.IvfSq.probe(s, dir, e, "vec_id", "embedding", Q64,
+          nprobe = 4, topN = 20, k = 10)
+        .select(col("vec_id"), round(col("dist"), 6).as("d"))
+        .orderBy(col("vec_id"))
+    }),
     "a3_lsh_buckets" -> ((s, d) =>
       Similarity.lshAssign(embeddings(s, d), "vec_id", "embedding", Planes)
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
@@ -1844,6 +1861,37 @@ object SparkEntry {
          |    list_distance(dv, $Q64Sql) AS d0
          |  FROM dec ORDER BY d0, vec_id LIMIT 10
          |) ORDER BY vec_id""".stripMargin,
+
+    "a12_ivfsq_knn" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS list_id, v AS centroid FROM e ORDER BY vec_id LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT e.vec_id, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(e.v, c.centroid), c.list_id) AS rn
+         |    FROM e CROSS JOIN c
+         |  ) WHERE rn = 1),
+         |probe AS (SELECT list_id FROM c
+         |  ORDER BY list_distance(centroid, $Q64Sql), list_id LIMIT 4),
+         |ext AS (
+         | SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+         |  max(CAST(embedding[i] AS DOUBLE)) - min(CAST(embedding[i] AS DOUBLE)) AS ex
+         | FROM embeddings, generate_series(1, 64) t(i) GROUP BY i),
+         |s AS (SELECT list(mn ORDER BY i) AS mnl, list(ex ORDER BY i) AS exl FROM ext),
+         |dec AS (SELECT vec_id,
+         |  ${(1 to 64).map(sqDecodeSql).mkString("[", ",\n         |   ", "]")} AS dv
+         | FROM embeddings, s),
+         |topn AS (
+         |  SELECT a.vec_id FROM assigned a
+         |  JOIN probe p ON a.list_id = p.list_id
+         |  JOIN dec ON dec.vec_id = a.vec_id
+         |  ORDER BY list_distance(dec.dv, $Q64Sql), a.vec_id LIMIT 20),
+         |rer AS (
+         |  SELECT t.vec_id, list_distance(e.v, $Q64Sql) AS dist
+         |  FROM topn t JOIN e ON e.vec_id = t.vec_id
+         |  ORDER BY dist, t.vec_id LIMIT 10)
+         |SELECT vec_id, round(dist, 6) AS d FROM rer ORDER BY vec_id""".stripMargin,
 
     "i1_json_shred" ->
       """SELECT vec_id, CAST(i AS INTEGER) AS idx, embedding[i + 1] AS value

@@ -75,8 +75,8 @@ object VectorStats {
   /** The one-row (per-dim min map, per-dim extent map) relation the
     * scalar-quantization family shares — broadcast-joined, never a plan
     * literal (extent is data, d entries). */
-  private def sqExtent(points: DataFrame, idCol: String,
-                       vecCol: String): DataFrame =
+  private[operators] def sqExtent(points: DataFrame, idCol: String,
+                                  vecCol: String): DataFrame =
     dimExtent(explodeVectors(points, idCol, vecCol))
       .agg(collect_list(struct(col("idx"), col("minV"), col("maxV"))).as("dims"))
       .select(
@@ -88,7 +88,7 @@ object VectorStats {
           transform(col("dims"), d => d("maxV") - d("minV"))).as("_qexts"))
 
   /** Per-dim SQ code array (expects `_qmins`/`_qexts` in scope). */
-  private def sqCode(vec: Column, levels: Int): Column =
+  private[operators] def sqCode(vec: Column, levels: Int): Column =
     transform(vec, (x, i) =>
       least(
         floor(when(element_at(col("_qexts"), i) === 0d, lit(0.0d))

@@ -478,6 +478,49 @@ class ScaleSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("IVF-SQ8 store: pruned probe, handle parity, append/remove maintenance") {
+    val base = java.nio.file.Files.createTempDirectory("graftivfsq").toString
+    val e = Tables.embeddings(spark, sf0001)
+    val q = QueryConstants.Q64
+    operators.IvfSq.write(e, "vec_id", "embedding", 16, 0, s"$base/full")
+    val store = operators.IvfSq.open(spark, s"$base/full")
+    val probe = operators.IvfSq.probe(store, e, "vec_id", "embedding", q,
+      nprobe = 4, topN = 20, k = 10)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(prunedOn(plan, "list_id"),
+      "expected PartitionFilters on list_id on the IVF-SQ8 codes scan")
+    // wide probe over ALL lists with a deep pool == brute top-k (the
+    // decode error only reorders WITHIN the pool; exact re-rank fixes it)
+    val wide = operators.IvfSq.probe(store, e, "vec_id", "embedding", q,
+        nprobe = 16, topN = 200, k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = BruteForce.knn(e, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(wide == brute)
+    // append equals a fresh full write over the union (frozen sidecars)
+    val old = e.filter(col("vec_id") % 5 =!= 0)
+    val fresh = e.filter(col("vec_id") % 5 === 0)
+    operators.IvfSq.write(old, "vec_id", "embedding", 16, 0, s"$base/inc")
+    operators.IvfSq.append(spark, s"$base/inc", fresh, "vec_id", "embedding")
+    val incStore = operators.IvfSq.open(spark, s"$base/inc")
+    val gotInc = operators.IvfSq.probe(incStore, e, "vec_id", "embedding", q,
+        nprobe = 16, topN = 200, k = 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(gotInc == brute,
+      "append-maintained IVF-SQ8 store diverged from the full corpus answer")
+    // remove == rebuild-without (StoreMaintain shared with the IVF store)
+    operators.StoreMaintain.removeFromStore(spark, s"$base/inc",
+      e.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id", "list_id")
+    val afterRm = operators.IvfSq.open(spark, s"$base/inc")
+    val gotRm = operators.IvfSq.probe(afterRm, e, "vec_id", "embedding", q,
+        nprobe = 16, topN = 200, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val bruteRm = BruteForce.knn(e.filter(col("vec_id") % 7 =!= 0),
+        "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(gotRm == bruteRm)
+  }
+
   test("SQ8 kNN: high recall vs brute force; rerank recovers exact top-k") {
     val e = Tables.embeddings(spark, sf0001)
     val q = QueryConstants.Q64
