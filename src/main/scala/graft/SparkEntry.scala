@@ -564,6 +564,25 @@ object SparkEntry {
         .select(col("vec_id"), round(col("dist"), 6).as("d"))
         .orderBy(col("vec_id"))
     }),
+    "a13_ivfsq_knn_join" -> ((s, d) => {
+      // batch kNN JOIN over the persisted IVF-SQ8 store (the a6/a8
+      // shape for the SQ8 path — the {store} x {single, batch} probe
+      // matrix is complete): per-query nprobe=2 probe lists via the
+      // broadcast centroid relation, one pruned codes scan for the
+      // whole batch, per-query decoded-distance topN=20 cut, exact
+      // re-rank to 5. Shares a12's staged store.
+      val e = embeddings(s, d)
+      val dir = stagedStore(d, "a12", version = 1) { dir =>
+        graft.operators.IvfSq.write(e, "vec_id", "embedding",
+          numLists = 16, coarseIters = 0, dir)
+      }
+      val queries = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid0"), col("embedding").as("qv0"))
+      graft.operators.IvfSq.probeBatch(s, dir, e, "vec_id", "embedding",
+          queries, "qid0", "qv0", nprobe = 2, topN = 20, k = 5)
+        .select(col("qid"), col("vec_id"))
+        .orderBy(col("qid"), col("vec_id"))
+    }),
     "a3_lsh_buckets" -> ((s, d) =>
       Similarity.lshAssign(embeddings(s, d), "vec_id", "embedding", Planes)
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
@@ -1892,6 +1911,49 @@ object SparkEntry {
          |  FROM topn t JOIN e ON e.vec_id = t.vec_id
          |  ORDER BY dist, t.vec_id LIMIT 10)
          |SELECT vec_id, round(dist, 6) AS d FROM rer ORDER BY vec_id""".stripMargin,
+
+    "a13_ivfsq_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS list_id, v AS centroid FROM e ORDER BY vec_id LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT e.vec_id, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(e.v, c.centroid), c.list_id) AS rn
+         |    FROM e CROSS JOIN c
+         |  ) WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |probe AS (
+         |  SELECT qid, list_id FROM (
+         |    SELECT q.qid, c.list_id,
+         |      row_number() OVER (PARTITION BY q.qid
+         |        ORDER BY list_distance(q.qv, c.centroid), c.list_id) AS rn
+         |    FROM q CROSS JOIN c
+         |  ) WHERE rn <= 2),
+         |ext AS (
+         | SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+         |  max(CAST(embedding[i] AS DOUBLE)) - min(CAST(embedding[i] AS DOUBLE)) AS ex
+         | FROM embeddings, generate_series(1, 64) t(i) GROUP BY i),
+         |s AS (SELECT list(mn ORDER BY i) AS mnl, list(ex ORDER BY i) AS exl FROM ext),
+         |dec AS (SELECT vec_id,
+         |  ${(1 to 64).map(sqDecodeSql).mkString("[", ",\n         |   ", "]")} AS dv
+         | FROM embeddings, s),
+         |topn AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT p.qid, a.vec_id,
+         |      row_number() OVER (PARTITION BY p.qid
+         |        ORDER BY list_distance(dec.dv, q.qv), a.vec_id) AS rn
+         |    FROM assigned a
+         |    JOIN probe p ON a.list_id = p.list_id
+         |    JOIN dec ON dec.vec_id = a.vec_id
+         |    JOIN q ON q.qid = p.qid
+         |  ) WHERE rn <= 20)
+         |SELECT qid, vec_id FROM (
+         |  SELECT t.qid, t.vec_id,
+         |    row_number() OVER (PARTITION BY t.qid
+         |      ORDER BY list_distance(e.v, q.qv), t.vec_id) AS rn
+         |  FROM topn t JOIN e ON e.vec_id = t.vec_id JOIN q ON q.qid = t.qid
+         |) WHERE rn <= 5 ORDER BY qid, vec_id""".stripMargin,
 
     "i1_json_shred" ->
       """SELECT vec_id, CAST(i AS INTEGER) AS idx, embedding[i + 1] AS value

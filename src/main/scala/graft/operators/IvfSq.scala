@@ -147,4 +147,52 @@ object IvfSq {
             idCol: String, vecCol: String, q: Seq[Double],
             nprobe: Int, topN: Int, k: Int): DataFrame =
     probe(open(spark, path), vectors, idCol, vecCol, q, nprobe, topN, k)
+
+  /** BATCH kNN JOIN over the store — the a6/a8 shape for the SQ8 path,
+    * completing the {LSH, IVF, IVFADC, IVF-SQ8} × {single, batch}
+    * probe matrix: per-query probe lists from a broadcast join against
+    * the centroid relation, codes scan pruned to the UNION of probed
+    * list partitions, per-query WindowGroupLimit topN on the decoded
+    * distance, exact re-rank to k through one broadcast keyed join.
+    * Simpler than the ADC batch: the decode is GLOBAL (extent
+    * literals), so no per-(query, list) lookup tables ride the probe
+    * relation. Returns (qid, id, dist). */
+  def probeBatch(store: Store, vectors: DataFrame,
+                 idCol: String, vecCol: String,
+                 queries: DataFrame, qIdCol: String, qVecCol: String,
+                 nprobe: Int, topN: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = store.codes.sparkSession
+    val centRel = Similarity.centroidRelation(spark, store.centroids)
+    val qProbe = Similarity.probeListsJoin(queries, qIdCol, qVecCol,
+      centRel, nprobe).localCheckpoint()
+    // the touched-list union prunes the codes read at partition level
+    val lists = qProbe.select("list_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cands = store.codes
+      .filter(col("list_id").isin(lists: _*))
+      .join(broadcast(qProbe), Seq("list_id"))
+      .withColumn("sq_dist",
+        dist(decodeCol(col("codes"), store.mins, store.exts, store.levels),
+          col("qv")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("sq_dist"), col(idCol))))
+      .filter(col("rn") <= topN)
+      .select(col("qid"), col("qv"), col(idCol))
+    vectors.select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .withColumn("dist", dist(col(vecCol), col("qv")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("dist"), col(idCol))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("dist"))
+  }
+
+  /** One-shot [[probeBatch]] (opens the store per call). */
+  def probeBatch(spark: SparkSession, path: String, vectors: DataFrame,
+                 idCol: String, vecCol: String,
+                 queries: DataFrame, qIdCol: String, qVecCol: String,
+                 nprobe: Int, topN: Int, k: Int): DataFrame =
+    probeBatch(open(spark, path), vectors, idCol, vecCol,
+      queries, qIdCol, qVecCol, nprobe, topN, k)
 }

@@ -497,6 +497,23 @@ class ScaleSpec extends SparkSpec {
     val brute = BruteForce.knn(e, "embedding", "vec_id", q, 10)
       .select("vec_id").as[Long].collect().toSeq
     assert(wide == brute)
+    // batch probe: pruned to the union of probed lists, and each query's
+    // answer equals its own single probe
+    val queries = e.filter(col("vec_id") % 250 === 0)
+      .select(col("vec_id").as("qid0"), col("embedding").as("qv0"))
+    val batch = operators.IvfSq.probeBatch(store, e, "vec_id", "embedding",
+      queries, "qid0", "qv0", nprobe = 4, topN = 20, k = 10)
+    assert(prunedOn(batch.queryExecution.executedPlan.toString, "list_id"),
+      "expected PartitionFilters on list_id on the batch codes scan")
+    val byQid = batch.select("qid", "vec_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    queries.select(col("qid0"), col("qv0")).collect().foreach { r =>
+      val single = operators.IvfSq.probe(store, e, "vec_id", "embedding",
+          r.getSeq[Float](1).map(_.toDouble), nprobe = 4, topN = 20, k = 10)
+        .select("vec_id").as[Long].collect().toSet
+      assert(byQid(r.getLong(0)) == single,
+        s"batch result diverged from single probe for qid ${r.getLong(0)}")
+    }
     // append equals a fresh full write over the union (frozen sidecars)
     val old = e.filter(col("vec_id") % 5 =!= 0)
     val fresh = e.filter(col("vec_id") % 5 === 0)
