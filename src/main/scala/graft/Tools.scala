@@ -651,6 +651,71 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "ivfsqbench") {
+      // IVF-SQ8 twin of ivfpqbench (same protocol/corpus): the codes
+      // store is the same list-partitioned narrow layout, but scoring
+      // is the global bin-center decode — no per-list state, so the
+      // probe is one codegen projection. topN sizing follows the same
+      // cluster-occupancy rule (BASELINE.md round-11).
+      import org.apache.spark.sql.functions._
+      import graft.operators.{IvfSq, Similarity}
+      val nums = args.drop(1).filter(_.forall(_.isDigit))
+      val n = nums.headOption.map(_.toLong).getOrElse(1000000L)
+      val d = nums.lift(1).map(_.toInt).getOrElse(96)
+      val numLists = nums.lift(2).map(_.toInt).getOrElse(4096)
+      val routed = args.contains("routed")
+      val coarseIters = if (numLists >= 4096 && !routed) 0 else 2
+      val topN = args.collectFirst { case a if a.startsWith("topn=") =>
+        a.drop(5).toInt
+      }.getOrElse(2048)
+      val pts = graft.sources.Ingest
+        .randomClustered(spark, n, d, centers = 4 * numLists)
+        .withColumnRenamed("vector", "embedding").persist()
+      val path = s"/tmp/graft-ivfsq-bench-$n-$d-$numLists"
+      var t0 = System.nanoTime()
+      if (args.contains("reuse") && new java.io.File(path + ".extent").exists())
+        println(s"reusing store at $path")
+      else {
+        IvfSq.write(pts, "id", "embedding", numLists, coarseIters, path,
+          routed = routed)
+        println(f"write(n=$n d=$d lists=$numLists routed=$routed): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      val q = (0 until d).map(i => (i % 7) * 0.1 - 0.3)
+      t0 = System.nanoTime()
+      val store = IvfSq.open(spark, path)
+      println(f"open: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      for (nprobe <- Seq(1, 4, 16); run <- 1 to 3) {
+        t0 = System.nanoTime()
+        val rows = IvfSq.probe(store, pts, "id", "embedding", q,
+          nprobe = nprobe, topN = topN, k = 10).count()
+        println(f"probe nprobe=$nprobe%2d run $run: ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($rows rows)")
+      }
+      val queries = pts.filter(col("id") % (n / 64).max(1) === 0)
+        .select(col("id").as("qid0"), col("embedding").as("qv0"))
+        .localCheckpoint()
+      val qn = queries.count()
+      for (nprobe <- Seq(4, 16); run <- 1 to 3) {
+        t0 = System.nanoTime()
+        val rows = IvfSq.probeBatch(store, pts, "id", "embedding",
+          queries, "qid0", "qv0", nprobe = nprobe, topN = topN, k = 10).count()
+        println(f"batch($qn queries) nprobe=$nprobe%2d run $run: " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.2f s  ($rows rows)")
+      }
+      for (nprobe <- Seq(4, 16)) {
+        val approx = IvfSq.probeBatch(store, pts, "id", "embedding",
+            queries, "qid0", "qv0", nprobe = nprobe, topN = topN, k = 10)
+          .select(col("qid"), col("id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = graft.operators.BruteForce.knnJoin(pts, "embedding", "id",
+            queries, "qid0", "qv0", 10)
+          .select(col("qid0"), col("id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = exact.count(approx.contains).toDouble / exact.size
+        println(f"recall@10 nprobe=$nprobe%2d: $recall%.3f " +
+          f"(${exact.count(approx.contains)} of ${exact.size})")
+      }
+      spark.stop(); return
+    }
     if (name == "knnrule") {
       // kNN access-path rule probe: ORDER BY dist LIMIT k over a
       // serving-registered table vs the brute TakeOrdered scan. The

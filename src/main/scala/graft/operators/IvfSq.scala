@@ -58,13 +58,18 @@ object IvfSq {
     * rounds (0 = exact oracle-replayable assignment). */
   def write(emb: DataFrame, idCol: String, vecCol: String,
             numLists: Int, coarseIters: Int, path: String,
-            levels: Int = 256): Unit = {
+            levels: Int = 256, routed: Boolean = false): Unit = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // routed: the O(√C) two-level coarse kernel for corpus-scale C
+    // (same trade as IvfPq.write — see listIdCol there)
+    val assignFn: (Column, Array[(Long, Array[Double])]) => Column =
+      if (routed) (v, c) => Similarity.ivfListIdRouted(v, c, routeSpark = Some(spark))
+      else Similarity.ivfListId
     val centroids =
-      Similarity.ivfTrain(emb, idCol, vecCol, numLists, coarseIters)
+      Similarity.ivfTrain(emb, idCol, vecCol, numLists, coarseIters, assignFn)
     emb.crossJoin(broadcast(VectorStats.sqExtent(emb, idCol, vecCol)))
-      .withColumn("list_id", Similarity.ivfListId(col(vecCol), centroids))
+      .withColumn("list_id", assignFn(col(vecCol), centroids))
       .withColumn("codes", VectorStats.sqCode(col(vecCol), levels))
       .select(col(idCol), col("list_id"), col("codes"))
       // one file per list per owning task (see IvfPq.write's note)
