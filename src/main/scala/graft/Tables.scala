@@ -16,15 +16,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
-  /** The events table is written with nanosecond parquet timestamps,
-    * which Spark's vectorized reader rejects; read them as long nanos and
-    * convert to (microsecond) TimestampType — truncation matches DuckDB's
-    * ns→us cast. */
+  /** The events table's `ts` physical type has varied across driver
+    * testdata generations: nanosecond parquet timestamps (which Spark's
+    * vectorized reader rejects — read as long nanos and truncate to
+    * micros, matching DuckDB's ns→us cast) or a plain microsecond
+    * TIMESTAMP_NTZ. Both normalize to the same session-UTC
+    * TimestampType, so every downstream window/session/oracle shape is
+    * generation-independent. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
     import org.apache.spark.sql.functions._
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -22,9 +22,20 @@ object StreamOps {
     * Tables.events after ns→us conversion). */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // readStream needs a declared schema; sniff the file generation's ts
+    // physical type (long nanos vs TIMESTAMP_NTZ micros — see
+    // Tables.events) from one driver-side footer read.
+    val tsIsLong = spark.read.parquet(dir).schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (tsIsLong) {
+      val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+      spark.readStream.schema(schema).parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      val schema = "event_id LONG, ts TIMESTAMP_NTZ, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+      spark.readStream.schema(schema).parquet(dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Streaming tumbling-window counts with watermark (twin of
