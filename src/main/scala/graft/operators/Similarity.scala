@@ -571,6 +571,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** FILTERED probe: top-k among rows satisfying `pred` within the
+    * nprobe nearest lists — the metadata-constrained serving query
+    * ("nearest documents WHERE lang = 'en'"), the filtered-search shape
+    * every production vector store exposes (public pattern; no
+    * reference counterpart). The predicate is applied INSIDE the
+    * pruned scan — before the top-k cut, after partition pruning — so
+    * a selective filter shrinks the ranked set rather than starving a
+    * post-filter of results (the classic filtered-ANN pitfall: top-k
+    * then filter returns < k rows). At low selectivity widen nprobe:
+    * the expected candidate count is selectivity · (probed occupancy).
+    * Filters on columns stored in the row (ids, payload metadata) reach
+    * the parquet reader as data filters; the list pruning stays
+    * partition-level. */
+  def probeIvfWhere(store: IvfStore, idCol: String, vecCol: String,
+                    q: Seq[Double], nprobe: Int, k: Int,
+                    pred: Column): DataFrame = {
+    val probe = ivfProbeLists(store.centroids, q, nprobe)
+    store.rows
+      .filter(col("list_id").isin(probe: _*))
+      .filter(pred)
+      .withColumn("dist", dist(col(vecCol), doubleVec(q)))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** [[probeIvfWhere]] with the filter arriving as an ALLOW-LIST
+    * relation of permitted ids (takedown lists, ACL scopes, dedup
+    * survivors) — a semi-join against the pruned scan, broadcast when
+    * the list is small (left to AQE otherwise), so the store is never
+    * scanned beyond the probed lists and the allow-list is never
+    * collected to the driver. */
+  def probeIvfAllowed(store: IvfStore, idCol: String, vecCol: String,
+                      q: Seq[Double], nprobe: Int, k: Int,
+                      allowed: DataFrame, allowedIdCol: String): DataFrame = {
+    val probe = ivfProbeLists(store.centroids, q, nprobe)
+    store.rows
+      .filter(col("list_id").isin(probe: _*))
+      .join(allowed.select(col(allowedIdCol).as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .withColumn("dist", dist(col(vecCol), doubleVec(q)))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
   /** BATCH probe of a persisted IVF store — [[ivfKnnJoin]] against the
     * serving layout: each query row of a SMALL relation computes its
     * own nprobe nearest lists by joining the store's persisted centroid

@@ -128,6 +128,74 @@ object VectorStats {
         .orderBy(col("dist"), col(idCol)).limit(k)
   }
 
+  /** The one-row per-dim binarization-threshold relation the 1-bit
+    * family shares: threshold_i = (min_i + max_i)/2 (the per-dim
+    * MIDPOINT, not the mean — min/max and one addition/halving are
+    * order-independent IEEE ops, so Spark's partial aggregation and a
+    * sequential oracle agree bit for bit; a mean's summation order
+    * does not). Broadcast-joined, never a plan literal. */
+  private[operators] def binThreshold(points: DataFrame, idCol: String,
+                                      vecCol: String): DataFrame =
+    dimExtent(explodeVectors(points, idCol, vecCol))
+      .agg(collect_list(struct(col("idx"), col("minV"), col("maxV"))).as("dims"))
+      .select(
+        map_from_arrays(
+          transform(col("dims"), d => d("idx")),
+          transform(col("dims"), d => (d("minV") + d("maxV")) / 2.0d))
+          .as("_bthr"))
+
+  /** Sign bits of a d-dim vector against `_bthr`, packed into
+    * ceil(d/64) longs (bit j of word w = dim w·64+j strictly above its
+    * threshold). The packing is a static expression tree of per-word
+    * OR-chains — all codegen'd long arithmetic, no UDF. d must be
+    * statically known (it sizes the words). */
+  private[operators] def binCode(vec: Column, d: Int): Column = {
+    val words = (d + 63) / 64
+    array((0 until words).map { w =>
+      (w * 64 until math.min(d, w * 64 + 64)).map { i =>
+        when(element_at(vec, i + 1).cast("double") >
+               element_at(col("_bthr"), i),
+          lit(1L << (i - w * 64))).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
+  }
+
+  /** 1-bit (binary) quantization kNN — the compression extreme of the
+    * scalar-quantization family (faiss's IndexBinaryFlat over sign
+    * codes; public method, no reference counterpart): every vector is
+    * reduced to d BITS (64× smaller than float64) by thresholding each
+    * dimension at its corpus midpoint, and candidates are ranked by
+    * HAMMING distance to the query's code — xor + bit_count over the
+    * packed long words, a pure codegen projection. Deterministic
+    * (hamming, id) tie-break; with `rerank` > 0 the top `rerank`
+    * survivors are re-ranked by exact distance to the final k (the
+    * standard binary-scan + re-rank serving shape — at 100 TB the scan
+    * touches d/8 bytes per row and the float column only for the
+    * re-rank pool). The threshold sidecar is one broadcast row; the
+    * oracle replays the per-dim compare without the bit packing (the
+    * packing is representation, not semantics — a spec asserts
+    * pack→popcount ≡ per-dim mismatch count). */
+  def binaryKnn(points: DataFrame, idCol: String, vecCol: String,
+                q: Seq[Double], k: Int, rerank: Int = 0): DataFrame = {
+    import graft.functions.VectorFunctions.{dist, doubleVec}
+    val d = q.length
+    val thr = binThreshold(points, idCol, vecCol)
+      .withColumn("_qcode", binCode(doubleVec(q), d))
+    val scored = points.crossJoin(broadcast(thr))
+      .withColumn("ham",
+        aggregate(
+          zip_with(binCode(col(vecCol), d), col("_qcode"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("int"))
+      .drop("_bthr", "_qcode")
+    if (rerank <= 0)
+      scored.orderBy(col("ham"), col(idCol)).limit(k)
+    else
+      scored.orderBy(col("ham"), col(idCol)).limit(rerank)
+        .withColumn("dist", dist(col(vecCol), doubleVec(q)))
+        .orderBy(col("dist"), col(idCol)).limit(k)
+  }
+
   /** A6: normalize every vector to [-1, 1] with a single shared scale =
     * max dimension extent / 2, per-dimension offset = (min+max)/2 — the
     * reference's normalization (MemoryVectorIndexTests.cs:249-303).

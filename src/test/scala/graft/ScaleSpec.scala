@@ -556,6 +556,71 @@ class ScaleSpec extends SparkSpec {
     assert(reranked == brute)
   }
 
+  test("binary kNN: packed hamming equals per-dim mismatch; full rerank recovers exact top-k") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = QueryConstants.Q64
+    val d = 64
+    // expected hamming recomputed directly from the data — no bit
+    // packing, so this pins pack→xor→popcount against the semantics
+    val rows = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val mins = Array.fill(d)(Double.MaxValue)
+    val maxs = Array.fill(d)(Double.MinValue)
+    rows.foreach { case (_, v) =>
+      (0 until d).foreach { i =>
+        mins(i) = math.min(mins(i), v(i)); maxs(i) = math.max(maxs(i), v(i))
+      }
+    }
+    val thr = (0 until d).map(i => (mins(i) + maxs(i)) / 2.0)
+    val qb = (0 until d).map(i => q(i) > thr(i))
+    val expected = rows.map { case (id, v) =>
+      id -> (0 until d).count(i => (v(i) > thr(i)) != qb(i))
+    }.toMap
+    val got = operators.VectorStats.binaryKnn(e, "vec_id", "embedding", q,
+        rows.length)
+      .select("vec_id", "ham").as[(Long, Int)].collect().toMap
+    assert(got == expected)
+    // a rerank pool covering the corpus must return the exact top-k
+    val brute = BruteForce.knn(e, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val rr = operators.VectorStats.binaryKnn(e, "vec_id", "embedding", q, 10,
+        rerank = rows.length)
+      .select("vec_id").as[Long].collect().toSet
+    assert(rr == brute)
+  }
+
+  test("filtered IVF probe: exhaustive nprobe equals brute filtered top-k; filter precedes the cut") {
+    val e = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graftfiltered")
+      .toString + "/store"
+    Similarity.writeIvf(e, "vec_id", "embedding", 16, dir)
+    val st = Similarity.openIvf(spark, dir)
+    val q = QueryConstants.Q64
+    val pred = col("vec_id") % 3 === 0
+    val got = Similarity.probeIvfWhere(st, "vec_id", "embedding", q, 16, 10,
+        pred)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = BruteForce.knn(e.filter(pred), "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == brute)
+    // the allow-list form is the same query with the predicate as a
+    // relation
+    val allowed = e.filter(pred).select(col("vec_id").as("keep_id"))
+    val got2 = Similarity.probeIvfAllowed(st, "vec_id", "embedding", q, 16,
+        10, allowed, "keep_id")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got2 == got)
+    // filtering INSIDE the scan fills k where post-filtering the
+    // unfiltered top-k starves
+    val selective = col("vec_id") % 50 === 0
+    val filled = Similarity.probeIvfWhere(st, "vec_id", "embedding", q, 16,
+      10, selective).count()
+    val starved = Similarity.probeIvf(st, "vec_id", "embedding", q, 16, 10)
+      .filter(selective).count()
+    assert(filled == 10L, s"in-scan filter returned $filled rows")
+    assert(starved < 10L, s"post-filter unexpectedly full ($starved)")
+  }
+
   test("serving handles: handle-based probes equal path-based probes") {
     val base = java.nio.file.Files.createTempDirectory("grafthandle").toString
     val e = Tables.embeddings(spark, sf0001)
