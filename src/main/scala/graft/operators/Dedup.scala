@@ -727,6 +727,47 @@ object Dedup {
     docs.join(dropped, Seq(idCol), "left_anti").select(col(idCol))
   }
 
+  /** Global EXACT line-level deduplication (the RefinedWeb /
+    * MassiveText line-dedup pass, public method; no reference
+    * counterpart): any line of `minWords`+ words that occurs anywhere
+    * else in the corpus keeps only its globally FIRST occurrence — by
+    * (doc, position) — and every later copy is dropped; shorter lines
+    * (headings, list bullets, empty lines) are exempt and always kept.
+    * Returns one row per doc: (doc, n_lines, n_kept, clean_md5) with
+    * the surviving lines re-joined in original order.
+    *
+    * Scale shape: one posexplode over the corpus's lines; the canonical
+    * occurrence per line text is a `min(struct(doc, pos))` AGGREGATION —
+    * map-side combinable, so a boilerplate line repeated in half the
+    * corpus ("subscribe to our newsletter") collapses to one row per
+    * input partition before the shuffle, where a rank-1 window over the
+    * same key would haul every copy to one reducer. The join back is
+    * keyed on the line text against the DISTINCT-lines relation (AQE
+    * broadcasts it when small, skew-splits it when not), then one
+    * groupBy(doc) reassembles survivors. No driver-side state. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 minWords: Int = 4): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("pos", "ln")))
+    val canon = lines
+      .filter(TextOps.lineWords(col("ln")) >= minWords)
+      .groupBy(col("ln"))
+      .agg(min(struct(col("doc"), col("pos"))).as("first"))
+    lines.join(canon, Seq("ln"), "left")
+      .filter(col("first").isNull ||
+        (col("first.doc") === col("doc") && col("first.pos") === col("pos")))
+      .groupBy(col("doc"))
+      .agg(
+        sort_array(collect_list(struct(col("pos"), col("ln")))).as("ps"),
+        count(lit(1)).cast("int").as("n_kept"))
+      .join(lines.groupBy(col("doc"))
+        .agg(count(lit(1)).cast("int").as("n_lines")), Seq("doc"))
+      .select(col("doc"), col("n_lines"), col("n_kept"),
+        md5(array_join(transform(col("ps"), p => p("ln")), "\n"))
+          .as("clean_md5"))
+  }
+
   // ------------------------------------------------------------------
   // Benchmark decontamination (test-set overlap removal)
   // ------------------------------------------------------------------

@@ -200,4 +200,79 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
+
+  /** Default banned substrings for [[c4LineClean]] — the C4 paper's
+    * boilerplate markers (Raffel et al. 2020, §2.2): pages behind
+    * javascript walls, lorem-ipsum filler, and code braces. */
+  val C4Banned: Seq[String] = Seq("javascript", "lorem ipsum", "{")
+
+  /** Per-LINE word count on the trimmed line (empty lines count 0). */
+  private[operators] def lineWords(ln: Column): Column =
+    size(filter(split(trim(ln), " "), w => w =!= ""))
+
+  /** A line survives C4 cleaning iff it ends in terminal punctuation,
+    * carries at least `minWords` words, and contains no banned marker
+    * (case-insensitive). */
+  private def lineKeep(ln: Column, minWords: Int,
+                       banned: Seq[String]): Column = {
+    val t = trim(ln)
+    val punct = substring(t, -1, 1).isin(".", "!", "?", "\"")
+    val noBan = banned.map(b => !lower(t).contains(lit(b)))
+      .reduce((a, b) => a && b)
+    (lineWords(ln) >= minWords) && punct && noBan
+  }
+
+  /** C4-style LINE-level cleaning (Raffel et al. 2020, §2.2 — the
+    * cleaning pass behind the C4 pretraining corpus, public method; no
+    * reference counterpart): split each document on newlines, keep only
+    * lines that end in terminal punctuation (. ! ? "), have at least
+    * `minWords` words, and contain none of the `banned` markers
+    * (javascript walls, lorem ipsum, code braces), then re-join the
+    * survivors.
+    *
+    * Shape: one pure per-row projection — split, higher-order filter,
+    * re-join — no explode, no shuffle, codegen end to end; at 100 TB
+    * this runs at scan speed and composes with the rest of the curation
+    * pipeline (dedup → clean → pack). Returns (id, n_lines, n_kept,
+    * clean_md5, clean_text); the md5 rides along so a gate can compare
+    * cleaned text without hauling it. */
+  def c4LineClean(docs: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 5,
+                  banned: Seq[String] = C4Banned): DataFrame = {
+    val lines = split(coalesce(col(textCol), lit("")), "\n")
+    docs.select(
+      col(idCol),
+      size(lines).as("n_lines"),
+      size(filter(lines, ln => lineKeep(ln, minWords, banned)))
+        .as("n_kept"),
+      md5(array_join(filter(lines, ln => lineKeep(ln, minWords, banned)),
+        "\n")).as("clean_md5"),
+      array_join(filter(lines, ln => lineKeep(ln, minWords, banned)), "\n")
+        .as("clean_text"))
+  }
+
+  /** Deterministic multi-line corpus (the line-structured twin of
+    * [[piiCorpus]] — the synthetic documents table is single-line word
+    * soup with no punctuation, so line-level ops need their own
+    * fixture): every doc carries a mix of keepable sentences, a
+    * too-short line, a terminal-punctuation-free header, banned-marker
+    * lines that alternate with clean ones by id parity, and two
+    * boilerplate lines duplicated across docs (one global, one per
+    * id%10 cohort) for the line-dedup family. Closed-form in the id, so
+    * a DuckDB oracle rebuilds it exactly. */
+  def lineCorpus(spark: org.apache.spark.sql.SparkSession,
+                 n: Int): DataFrame =
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws("\n",
+        expr("concat('spark cleans corpus line ', id, ' with punctuation.')"),
+        lit("too short."),
+        expr("CASE WHEN id % 2 = 1 THEN concat('javascript must be enabled to view page ', id % 7, '.') " +
+          "ELSE concat('page ', id, ' renders fine without any scripting at all.') END"),
+        lit("lorem ipsum dolor sit amet consectetur adipiscing elit."),
+        expr("concat('unterminated navigation header number ', id % 5)"),
+        lit("subscribe to our newsletter now please today."),
+        expr("concat('shared boilerplate variant ', id % 10, ' appears rather often indeed.')"),
+        expr("concat('document ', id, ' closes with a unique parting sentence, number ', id * 3, '.')")
+      ).as("text"))
 }

@@ -16,6 +16,57 @@ class DedupSpec extends SparkSpec {
     (4L, "dog lazy the over jumps fox brown quick the")    // permutation of 0
   ).toDF("doc_id", "text")
 
+  test("dedupLines keeps the corpus-first occurrence of long lines; short lines exempt") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon\nshort line\n" +
+        "alpha beta gamma delta epsilon\nunique zero closing line here"),
+      (1L, "alpha beta gamma delta epsilon\nshort line\n" +
+        "second doc unique line of words")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(corpus, "doc_id", "text", minWords = 4)
+      .orderBy("doc").collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d0 = out(0)
+    // within-doc second occurrence of the eligible line is dropped too
+    assert(d0.getAs[Int]("n_lines") == 4 && d0.getAs[Int]("n_kept") == 3)
+    assert(d0.getAs[String]("clean_md5") == md5hex(
+      "alpha beta gamma delta epsilon\nshort line\nunique zero closing line here"))
+    val d1 = out(1)
+    // doc 1 loses the shared long line but keeps the exempt short one
+    assert(d1.getAs[Int]("n_lines") == 3 && d1.getAs[Int]("n_kept") == 2)
+    assert(d1.getAs[String]("clean_md5") == md5hex(
+      "short line\nsecond doc unique line of words"))
+  }
+
+  test("dedupLines over lineCorpus matches a sequential keep-first simulation") {
+    val n = 30
+    def linesOf(id: Long): Seq[String] = Seq(
+      s"spark cleans corpus line $id with punctuation.",
+      "too short.",
+      if (id % 2 == 1) s"javascript must be enabled to view page ${id % 7}."
+      else s"page $id renders fine without any scripting at all.",
+      "lorem ipsum dolor sit amet consectetur adipiscing elit.",
+      s"unterminated navigation header number ${id % 5}",
+      "subscribe to our newsletter now please today.",
+      s"shared boilerplate variant ${id % 10} appears rather often indeed.",
+      s"document $id closes with a unique parting sentence, number ${id * 3}.")
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = (0L until n).map { id =>
+      val kept = linesOf(id).count { ln =>
+        val eligible = ln.trim.split(" ").count(_.nonEmpty) >= 4
+        if (!eligible) true
+        else if (seen.contains(ln)) false
+        else { seen += ln; true }
+      }
+      id -> kept
+    }.toMap
+    val got = Dedup.dedupLines(TextOps.lineCorpus(spark, n), "doc_id",
+        "text", minWords = 4)
+      .select("doc", "n_kept").as[(Long, Int)].collect().toMap
+    assert(got == expected)
+  }
+
   test("exact duplicates group by md5") {
     val rows = Dedup.exactDuplicates(docs, "doc_id", "text")
       .select("doc_id", "canonical_id", "group_size")
@@ -452,6 +503,45 @@ class DedupSpec extends SparkSpec {
 
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("c4LineClean keeps only punctuated, long, unbanned lines") {
+    val text = Seq(
+      "Good sentence with five words here.",
+      "bad no punct line with many words",
+      "tiny.",
+      "this page needs javascript enabled today.",
+      "contains lorem ipsum filler text here.",
+      "code { brace } line with words here.",
+      "she said \"hello there my good friend.\"",
+      "Another proper sentence with six words!").mkString("\n")
+    val out = TextOps.c4LineClean(
+      Seq((0L, text)).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(out.getAs[Int]("n_lines") == 8)
+    assert(out.getAs[Int]("n_kept") == 3)
+    assert(out.getAs[String]("clean_text") == Seq(
+      "Good sentence with five words here.",
+      "she said \"hello there my good friend.\"",
+      "Another proper sentence with six words!").mkString("\n"))
+  }
+
+  test("c4LineClean: null text counts as one empty (dropped) line") {
+    val out = TextOps.c4LineClean(
+      Seq((0L, null: String)).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(out.getAs[Int]("n_lines") == 1)
+    assert(out.getAs[Int]("n_kept") == 0)
+  }
+
+  test("lineCorpus cleaning counts are closed-form in the id") {
+    val out = TextOps.c4LineClean(TextOps.lineCorpus(spark, 20),
+        "doc_id", "text")
+      .select("doc_id", "n_lines", "n_kept").as[(Long, Int, Int)].collect()
+    assert(out.length == 20)
+    out.foreach { case (id, nl, nk) =>
+      assert(nl == 8, s"doc $id n_lines $nl")
+      // odd ids carry the banned javascript line; even ids its clean twin
+      assert(nk == (if (id % 2 == 1) 4 else 5), s"doc $id n_kept $nk")
+    }
+  }
 
   test("token count, subwords, quality bounds") {
     val df = Seq((0L, "Hello, world! This is text.")).toDF("doc_id", "text")
