@@ -148,6 +148,17 @@ object SparkEntry {
       // two (doc, gram) keyed aggs, oracle recomputes all three
       TextOps.repetitionProfile(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc"))),
+    "t6_c4_line_clean" -> ((s, d) =>
+      // C4 line cleaning (Raffel et al. 2020 §2.2) over the
+      // deterministic line corpus (the synthetic documents are
+      // single-line, punctuation-free soup): keep lines ending in
+      // terminal punctuation with >= 5 words and no banned marker —
+      // one per-row higher-order filter, no shuffle; the oracle
+      // rebuilds the corpus closed-form and replays the filter
+      TextOps.c4LineClean(TextOps.lineCorpus(s, 500), "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("clean_md5"))
+        .orderBy(col("doc_id"))),
 
     // --- dataset assembly: deterministic sampling / splits / packing ---
     "p1_sample_split" -> ((s, d) => {
@@ -390,6 +401,16 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
           col("n_kept_tokens"))
         .orderBy(col("doc_id"))),
+    "d20_line_dedup" -> ((s, d) =>
+      // global exact line dedup (RefinedWeb/MassiveText): every 4+-word
+      // line keeps only its corpus-first (doc, pos) occurrence; shorter
+      // lines are exempt. Canonical election is a map-side-combinable
+      // min-struct agg (not a window — a boilerplate line in half the
+      // corpus collapses per input partition before the shuffle); the
+      // oracle replays the election with a rank-1 window
+      Dedup.dedupLines(TextOps.lineCorpus(s, 500), "doc_id", "text",
+          minWords = 4)
+        .orderBy(col("doc"))),
     "d17_eval_contamination" -> ((s, d) => {
       // benchmark-integrity report (reverse of d13): per eval item, the
       // count of distinct training docs sharing >= 1 3-shingle — items
@@ -582,6 +603,35 @@ object SparkEntry {
           queries, "qid0", "qv0", nprobe = 2, topN = 20, k = 5)
         .select(col("qid"), col("vec_id"))
         .orderBy(col("qid"), col("vec_id"))
+    }),
+    "a14_binary_knn" -> ((s, d) =>
+      // 1-bit (sign) quantization kNN — the compression extreme of the
+      // SQ family: every vector becomes d BITS (threshold = per-dim
+      // midpoint, order-independent so both engines agree exactly),
+      // candidates ranked by xor+popcount Hamming over the packed
+      // words, top-50 pool re-ranked by exact distance to 10. The
+      // oracle replays the per-dim threshold compare (the bit packing
+      // is representation only — a spec pins pack→popcount ≡ per-dim
+      // mismatch count).
+      VectorStats.binaryKnn(embeddings(s, d), "vec_id", "embedding",
+          Q64, 10, rerank = 50)
+        .select(col("vec_id"), col("ham"), round(col("dist"), 6).as("dd"))
+        .orderBy(col("vec_id"))),
+    "a15_ivf_filtered_knn" -> ((s, d) => {
+      // FILTERED ANN: top-k among rows passing a metadata predicate,
+      // inside the pruned nprobe=4 scan (filter BEFORE the top-k cut —
+      // the post-filter form starves below k). Shares a10's maintained
+      // store? No — its own plain store so the filter is the only
+      // variable; the oracle replays frozen assignment + filter + rank.
+      val e = embeddings(s, d)
+      val dir = stagedStore(d, "a15", version = 1) { dir =>
+        Similarity.writeIvf(e, "vec_id", "embedding", 16, dir)
+      }
+      Similarity.probeIvfWhere(Similarity.openIvf(s, dir),
+          "vec_id", "embedding", Q64, nprobe = 4, k = 10,
+          col("vec_id") % 3 === 0)
+        .select(col("vec_id"), round(col("dist"), 6).as("d"))
+        .orderBy(col("vec_id"))
     }),
     "a3_lsh_buckets" -> ((s, d) =>
       Similarity.lshAssign(embeddings(s, d), "vec_id", "embedding", Planes)
@@ -949,6 +999,30 @@ object SparkEntry {
       s"(CAST(least(CAST(floor((CAST(embedding[$i] AS DOUBLE) - mnl[$i]) " +
       s"/ exl[$i] * 256) AS INTEGER), 255) AS DOUBLE) + 0.5) " +
       s"* exl[$i] / 256 END"
+
+  /** SQL twin of TextOps.lineCorpus(n): rebuilds the deterministic
+    * line corpus closed-form (same lines, joined with chr(10)). */
+  private def lineCorpusSql(n: Int): String =
+    "SELECT id AS doc_id, concat_ws(chr(10), " +
+      "'spark cleans corpus line ' || id || ' with punctuation.', " +
+      "'too short.', " +
+      "CASE WHEN id % 2 = 1 THEN 'javascript must be enabled to view page ' || (id % 7) || '.' " +
+      "ELSE 'page ' || id || ' renders fine without any scripting at all.' END, " +
+      "'lorem ipsum dolor sit amet consectetur adipiscing elit.', " +
+      "'unterminated navigation header number ' || (id % 5), " +
+      "'subscribe to our newsletter now please today.', " +
+      "'shared boilerplate variant ' || (id % 10) || ' appears rather often indeed.', " +
+      "'document ' || id || ' closes with a unique parting sentence, number ' || (id * 3) || '.'" +
+      s") AS text FROM range($n) t(id)"
+
+  /** SQL twin of TextOps.lineKeep (lambda var `x`): terminal
+    * punctuation, >= 5 words, no banned marker. */
+  private val LineKeepSql: String =
+    "len(list_filter(string_split(trim(x), ' '), w -> w <> '')) >= 5 " +
+      "AND right(trim(x), 1) IN ('.', '!', '?', '\"') " +
+      "AND NOT contains(lower(trim(x)), 'javascript') " +
+      "AND NOT contains(lower(trim(x)), 'lorem ipsum') " +
+      "AND NOT contains(lower(trim(x)), '{')"
 
   /** SQL expression: LSH bucket of DOUBLE[] expression `v` (mirrors
     * Similarity.lshBucket bit for bit). */
@@ -1332,6 +1406,16 @@ object SparkEntry {
         | round(CAST(dup3 AS DOUBLE) / CAST(n3 AS DOUBLE), 6) AS dup_trigram_frac
         |FROM toks JOIN bs ON bs.doc = toks.doc JOIN ts3 ON ts3.doc = toks.doc
         |ORDER BY toks.doc""".stripMargin,
+    "t6_c4_line_clean" ->
+      s"""WITH docs AS (${lineCorpusSql(500)}),
+         |k AS (
+         |  SELECT doc_id, string_split(text, chr(10)) AS ls,
+         |    list_filter(string_split(text, chr(10)), x -> $LineKeepSql) AS ks
+         |  FROM docs)
+         |SELECT doc_id, CAST(len(ls) AS INTEGER) AS n_lines,
+         |  CAST(len(ks) AS INTEGER) AS n_kept,
+         |  md5(array_to_string(ks, chr(10))) AS clean_md5
+         |FROM k ORDER BY doc_id""".stripMargin,
     "p1_sample_split" ->
       s"""WITH u AS (
         | SELECT doc_id, doc_id % 3 AS stratum,
@@ -1672,6 +1756,26 @@ object SparkEntry {
         |FROM (SELECT doc_id AS doc FROM documents WHERE doc_id % 23 <> 0) t
         |LEFT JOIN hits h ON h.doc = t.doc
         |ORDER BY t.doc""".stripMargin,
+    "d20_line_dedup" ->
+      s"""WITH docs AS (${lineCorpusSql(500)}),
+         |lls AS (SELECT doc_id AS doc, string_split(text, chr(10)) AS ls FROM docs),
+         |l AS (SELECT doc, CAST(i AS INTEGER) AS pos, ls[CAST(i + 1 AS INTEGER)] AS ln
+         |  FROM (SELECT doc, ls, unnest(range(len(ls))) AS i FROM lls)),
+         |el AS (SELECT doc, pos, ln,
+         |    row_number() OVER (PARTITION BY ln ORDER BY doc, pos) AS rn
+         |  FROM l
+         |  WHERE len(list_filter(string_split(trim(ln), ' '), w -> w <> '')) >= 4),
+         |kept AS (
+         |  SELECT doc, pos, ln FROM el WHERE rn = 1
+         |  UNION ALL
+         |  SELECT doc, pos, ln FROM l
+         |  WHERE len(list_filter(string_split(trim(ln), ' '), w -> w <> '')) < 4),
+         |tot AS (SELECT doc, CAST(count(*) AS INTEGER) AS n_lines FROM l GROUP BY doc)
+         |SELECT k.doc, t.n_lines, CAST(count(*) AS INTEGER) AS n_kept,
+         |  md5(string_agg(k.ln, chr(10) ORDER BY k.pos)) AS clean_md5
+         |FROM kept k JOIN tot t ON t.doc = k.doc
+         |GROUP BY k.doc, t.n_lines
+         |ORDER BY k.doc""".stripMargin,
     "d17_eval_contamination" ->
       """WITH toks AS (SELECT doc_id AS doc, string_split_regex(text, '\s+') AS ts FROM documents),
         |sh AS (SELECT DISTINCT doc, array_to_string(ts[i+1:i+3], ' ') AS s
@@ -1954,6 +2058,45 @@ object SparkEntry {
          |      ORDER BY list_distance(e.v, q.qv), t.vec_id) AS rn
          |  FROM topn t JOIN e ON e.vec_id = t.vec_id JOIN q ON q.qid = t.qid
          |) WHERE rn <= 5 ORDER BY qid, vec_id""".stripMargin,
+
+    "a14_binary_knn" ->
+      s"""WITH m AS (
+         | SELECT i, (min(CAST(embedding[i] AS DOUBLE)) + max(CAST(embedding[i] AS DOUBLE))) / 2 AS thr
+         | FROM embeddings, generate_series(1, 64) t(i) GROUP BY i),
+         |s AS (SELECT list(thr ORDER BY i) AS tl FROM m),
+         |h AS (
+         | SELECT vec_id,
+         |  CAST(sum(CASE WHEN (CAST(embedding[i] AS DOUBLE) > tl[i])
+         |                  <> (($Q64Sql)[i] > tl[i]) THEN 1 ELSE 0 END) AS INTEGER) AS ham
+         | FROM embeddings, s, generate_series(1, 64) t(i) GROUP BY vec_id),
+         |pool AS (SELECT vec_id, ham FROM h ORDER BY ham, vec_id LIMIT 50),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT vec_id, ham, dd FROM (
+         |  SELECT p.vec_id, p.ham, round(list_distance(e.v, $Q64Sql), 6) AS dd,
+         |    list_distance(e.v, $Q64Sql) AS d0
+         |  FROM pool p JOIN e ON e.vec_id = p.vec_id
+         |  ORDER BY d0, p.vec_id LIMIT 10
+         |) ORDER BY vec_id""".stripMargin,
+
+    "a15_ivf_filtered_knn" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS list_id, v AS centroid FROM e ORDER BY vec_id LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT e.vec_id, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(e.v, c.centroid), c.list_id) AS rn
+         |    FROM e CROSS JOIN c
+         |  ) WHERE rn = 1),
+         |probe AS (SELECT list_id FROM c
+         |  ORDER BY list_distance(centroid, $Q64Sql), list_id LIMIT 4)
+         |SELECT vec_id, round(dist, 6) AS d FROM (
+         |  SELECT a.vec_id, list_distance(e.v, $Q64Sql) AS dist
+         |  FROM assigned a JOIN e ON a.vec_id = e.vec_id
+         |  JOIN probe p ON a.list_id = p.list_id
+         |  WHERE a.vec_id % 3 = 0
+         |  ORDER BY dist, a.vec_id LIMIT 10
+         |) ORDER BY vec_id""".stripMargin,
 
     "i1_json_shred" ->
       """SELECT vec_id, CAST(i AS INTEGER) AS idx, embedding[i + 1] AS value
