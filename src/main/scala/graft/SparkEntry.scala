@@ -633,6 +633,40 @@ object SparkEntry {
         .select(col("vec_id"), round(col("dist"), 6).as("d"))
         .orderBy(col("vec_id"))
     }),
+    "a16_binary_store_knn" -> ((s, d) => {
+      // the PERSISTED binary serving path (a14 is the inline form):
+      // codes store (d bits/row) + threshold sidecar, query encoded
+      // driver-side, Hamming-ranked pool re-ranked exactly via a
+      // broadcast join — semantics identical to a14, so they share an
+      // oracle shape; what this gates is the store round trip
+      val e = embeddings(s, d)
+      val dir = stagedStore(d, "a16", version = 1) { dir =>
+        graft.operators.BinaryIndex.write(e, "vec_id", "embedding", 64, dir)
+      }
+      val st = graft.operators.BinaryIndex.open(s, dir)
+      graft.operators.BinaryIndex.probe(st, e, "vec_id", "embedding",
+          Q64, 10, rerank = 50)
+        .select(col("vec_id"), col("ham"), round(col("dist"), 6).as("dd"))
+        .orderBy(col("vec_id"))
+    }),
+    "a17_binary_knn_join" -> ((s, d) => {
+      // batch kNN JOIN over the binary store (the compressed twin of
+      // the brute join — Q×n candidate volume over d/8-byte codes):
+      // queries encoded in-plan against the sidecar-literal thresholds,
+      // per-query Hamming window pool, exact re-rank to 5. Shares
+      // a16's staged store.
+      val e = embeddings(s, d)
+      val dir = stagedStore(d, "a16", version = 1) { dir =>
+        graft.operators.BinaryIndex.write(e, "vec_id", "embedding", 64, dir)
+      }
+      val st = graft.operators.BinaryIndex.open(s, dir)
+      val queries = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid0"), col("embedding").as("qv0"))
+      graft.operators.BinaryIndex.probeBatch(st, e, "vec_id", "embedding",
+          queries, "qid0", "qv0", k = 5, rerank = 20)
+        .select(col("qid"), col("vec_id"))
+        .orderBy(col("qid"), col("vec_id"))
+    }),
     "a3_lsh_buckets" -> ((s, d) =>
       Similarity.lshAssign(embeddings(s, d), "vec_id", "embedding", Planes)
         .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
@@ -2097,6 +2131,53 @@ object SparkEntry {
          |  WHERE a.vec_id % 3 = 0
          |  ORDER BY dist, a.vec_id LIMIT 10
          |) ORDER BY vec_id""".stripMargin,
+
+    // the persisted store probe is semantically identical to the inline
+    // a14 scan — one oracle body serves both (what a16 adds is the
+    // store round trip, which the oracle can't see)
+    "a16_binary_store_knn" ->
+      s"""WITH m AS (
+         | SELECT i, (min(CAST(embedding[i] AS DOUBLE)) + max(CAST(embedding[i] AS DOUBLE))) / 2 AS thr
+         | FROM embeddings, generate_series(1, 64) t(i) GROUP BY i),
+         |s AS (SELECT list(thr ORDER BY i) AS tl FROM m),
+         |h AS (
+         | SELECT vec_id,
+         |  CAST(sum(CASE WHEN (CAST(embedding[i] AS DOUBLE) > tl[i])
+         |                  <> (($Q64Sql)[i] > tl[i]) THEN 1 ELSE 0 END) AS INTEGER) AS ham
+         | FROM embeddings, s, generate_series(1, 64) t(i) GROUP BY vec_id),
+         |pool AS (SELECT vec_id, ham FROM h ORDER BY ham, vec_id LIMIT 50),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT vec_id, ham, dd FROM (
+         |  SELECT p.vec_id, p.ham, round(list_distance(e.v, $Q64Sql), 6) AS dd,
+         |    list_distance(e.v, $Q64Sql) AS d0
+         |  FROM pool p JOIN e ON e.vec_id = p.vec_id
+         |  ORDER BY d0, p.vec_id LIMIT 10
+         |) ORDER BY vec_id""".stripMargin,
+
+    "a17_binary_knn_join" ->
+      s"""WITH m AS (
+         | SELECT i, (min(CAST(embedding[i] AS DOUBLE)) + max(CAST(embedding[i] AS DOUBLE))) / 2 AS thr
+         | FROM embeddings, generate_series(1, 64) t(i) GROUP BY i),
+         |s AS (SELECT list(thr ORDER BY i) AS tl FROM m),
+         |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |h AS (
+         | SELECT q.qid, e2.vec_id,
+         |  CAST(sum(CASE WHEN (CAST(e2.embedding[i] AS DOUBLE) > tl[i])
+         |                  <> (q.qv[i] > tl[i]) THEN 1 ELSE 0 END) AS INTEGER) AS ham
+         | FROM embeddings e2, q, s, generate_series(1, 64) t(i)
+         | GROUP BY q.qid, e2.vec_id),
+         |pool AS (SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id) AS rn
+         |  FROM h) WHERE rn <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT qid, vec_id FROM (
+         |  SELECT p.qid, p.vec_id,
+         |    row_number() OVER (PARTITION BY p.qid
+         |      ORDER BY list_distance(e.v, q.qv), p.vec_id) AS rn
+         |  FROM pool p JOIN e ON e.vec_id = p.vec_id JOIN q ON q.qid = p.qid
+         |) WHERE rn <= 5 ORDER BY qid, vec_id""".stripMargin,
 
     "i1_json_shred" ->
       """SELECT vec_id, CAST(i AS INTEGER) AS idx, embedding[i + 1] AS value

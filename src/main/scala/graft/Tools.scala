@@ -716,6 +716,70 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "binbench") {
+      // binary-store scan bench — the bandwidth play measured: codes
+      // store (d bits/row) over the same clustered corpus/protocol as
+      // ivfsqbench, warm single probes at two re-rank pools, the float
+      // brute scan as the bandwidth reference, 64-query batch join,
+      // recall@10 vs the exact join.
+      import org.apache.spark.sql.functions._
+      import graft.operators.BinaryIndex
+      val nums = args.drop(1).filter(_.forall(_.isDigit))
+      val n = nums.headOption.map(_.toLong).getOrElse(1000000L)
+      val d = nums.lift(1).map(_.toInt).getOrElse(96)
+      val pts = graft.sources.Ingest
+        .randomClustered(spark, n, d, centers = 16384)
+        .withColumnRenamed("vector", "embedding").persist()
+      val path = s"/tmp/graft-bin-bench-$n-$d"
+      var t0 = System.nanoTime()
+      if (args.contains("reuse") && new java.io.File(path + ".thr").exists())
+        println(s"reusing store at $path")
+      else {
+        BinaryIndex.write(pts, "id", "embedding", d, path)
+        println(f"write(n=$n d=$d): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
+      t0 = System.nanoTime()
+      val store = BinaryIndex.open(spark, path)
+      println(f"open: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val q = (0 until d).map(i => (i % 7) * 0.1 - 0.3)
+      for (rerank <- Seq(256, 2048); run <- 1 to 3) {
+        t0 = System.nanoTime()
+        val rows = BinaryIndex.probe(store, pts, "id", "embedding", q, 10,
+          rerank).count()
+        println(f"probe rerank=$rerank%4d run $run: " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.2f s  ($rows rows)")
+      }
+      for (run <- 1 to 3) {
+        t0 = System.nanoTime()
+        graft.operators.BruteForce.knn(pts, "embedding", "id", q, 10).count()
+        println(f"brute float scan run $run: ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      val queries = pts.filter(col("id") % (n / 64).max(1) === 0)
+        .select(col("id").as("qid0"), col("embedding").as("qv0"))
+        .localCheckpoint()
+      val qn = queries.count()
+      for (run <- 1 to 3) {
+        t0 = System.nanoTime()
+        val rows = BinaryIndex.probeBatch(store, pts, "id", "embedding",
+          queries, "qid0", "qv0", 10, 2048).count()
+        println(f"batch($qn queries) rerank=2048 run $run: " +
+          f"${(System.nanoTime() - t0) / 1e9}%6.2f s  ($rows rows)")
+      }
+      for (rerank <- Seq(256, 2048)) {
+        val approx = BinaryIndex.probeBatch(store, pts, "id", "embedding",
+            queries, "qid0", "qv0", 10, rerank)
+          .select(col("qid"), col("id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val exact = graft.operators.BruteForce.knnJoin(pts, "embedding",
+            "id", queries, "qid0", "qv0", 10)
+          .select(col("qid0"), col("id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = exact.count(approx.contains).toDouble / exact.size
+        println(f"recall@10 rerank=$rerank%4d: $recall%.3f " +
+          f"(${exact.count(approx.contains)} of ${exact.size})")
+      }
+      spark.stop(); return
+    }
     if (name == "knnrule") {
       // kNN access-path rule probe: ORDER BY dist LIMIT k over a
       // serving-registered table vs the brute TakeOrdered scan. The

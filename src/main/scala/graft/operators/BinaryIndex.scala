@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{dist, doubleVec}
+
+/** Persisted binary-code store — the serving layout for the 1-bit
+  * quantization family ([[VectorStats.binaryKnn]] is the inline form):
+  * vectors are reduced to d sign bits against the corpus's per-dim
+  * midpoints and persisted as ceil(d/64) LONG words per row, next to a
+  * d-row threshold sidecar (faiss's IndexBinaryFlat layout; public
+  * method, no reference counterpart).
+  *
+  * Scale shape (the 100 TB layout): the ranking scan reads d/8 bytes
+  * per row — 64× narrower than float64 vectors — and ranks with
+  * xor+popcount, a pure codegen projection; the wide float column is
+  * touched only through a broadcast re-rank join of the topN pool. The
+  * sidecar is d rows (corpus-size-independent) and the query is
+  * encoded DRIVER-side against it, so a single probe plan carries just
+  * a ceil(d/64)-long literal. Unlike the IVF stores nothing prunes the
+  * scan — binary codes are the bandwidth play, not the selectivity
+  * play; compose with an IVF layout when both are needed.
+  */
+object BinaryIndex {
+
+  /** A pre-opened binary store: the codes relation plus the driver-held
+    * threshold sidecar (d doubles). */
+  final case class Store(codes: DataFrame, thr: Array[Double])
+
+  /** Driver-side encode of one query vector against the sidecar —
+    * bit i of word i/64 set iff q_i strictly above threshold_i (the
+    * exact packing [[VectorStats.binCode]] uses in-plan). */
+  def encode(q: Seq[Double], thr: Array[Double]): Array[Long] = {
+    require(q.length == thr.length,
+      s"query dim ${q.length} != store dim ${thr.length}")
+    val words = new Array[Long]((q.length + 63) / 64)
+    q.indices.foreach { i =>
+      if (q(i) > thr(i)) words(i / 64) |= 1L << (i % 64)
+    }
+    words
+  }
+
+  /** In-plan packing against a 1-indexed threshold ARRAY column (the
+    * batch-probe twin of [[VectorStats.binCode]], which reads the
+    * 0-keyed `_bthr` map). */
+  private def packWith(vec: Column, thr: Column, d: Int): Column = {
+    val words = (d + 63) / 64
+    array((0 until words).map { w =>
+      (w * 64 until math.min(d, w * 64 + 64)).map { i =>
+        when(element_at(vec, i + 1).cast("double") >
+               element_at(thr, i + 1),
+          lit(1L << (i - w * 64))).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
+  }
+
+  /** Hamming distance between two packed-word arrays. */
+  private def hamming(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("int")
+
+  /** Persist the binary serving layout: (id, code) rows plus the
+    * per-dim threshold sidecar. One pass over the corpus; the codes
+    * write is a pure projection (no shuffle). */
+  def write(points: DataFrame, idCol: String, vecCol: String, d: Int,
+            path: String): Unit = {
+    val thrDf = VectorStats.binThreshold(points, idCol, vecCol)
+    points.crossJoin(broadcast(thrDf))
+      .select(col(idCol), VectorStats.binCode(col(vecCol), d).as("code"))
+      .write.mode("overwrite").parquet(path)
+    thrDf.select(explode(map_entries(col("_bthr"))).as("m"))
+      .select(col("m.key").cast("int").as("idx"),
+        col("m.value").cast("double").as("thr"))
+      .coalesce(1).write.mode("overwrite").parquet(path + ".thr")
+  }
+
+  /** Open a persisted binary store once: one file listing, one sidecar
+    * read. */
+  def open(spark: SparkSession, path: String): Store = {
+    val thr = spark.read.parquet(path + ".thr")
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+    Store(spark.read.parquet(path), thr)
+  }
+
+  /** Probe: rank the codes scan by Hamming distance to the
+    * driver-encoded query, keep the top `rerank` pool deterministically
+    * ((ham, id) tie-break), re-rank by exact distance via a broadcast
+    * join of the pool against the wide vector table, return the top k
+    * as (id, ham, dist). */
+  def probe(store: Store, points: DataFrame, idCol: String,
+            vecCol: String, q: Seq[Double], k: Int,
+            rerank: Int): DataFrame = {
+    val qCol = array(encode(q, store.thr).toIndexedSeq.map(lit): _*)
+    val pool = store.codes
+      .withColumn("ham", hamming(col("code"), qCol))
+      .orderBy(col("ham"), col(idCol))
+      .limit(math.max(rerank, k))
+      .select(col(idCol), col("ham"))
+    points.select(col(idCol), col(vecCol))
+      .join(broadcast(pool), Seq(idCol))
+      .withColumn("dist", dist(col(vecCol), doubleVec(q)))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("ham"), col("dist"))
+  }
+
+  /** BATCH kNN join over the binary store — the compressed twin of
+    * [[BruteForce.knnJoin]], completing the {store} × {single, batch}
+    * probe matrix for the binary family: each query row is encoded
+    * IN-PLAN against the threshold sidecar (held as a d-entry literal —
+    * dimension-bounded, never corpus-bounded), the Q×n Hamming ranking
+    * runs over the narrow codes scan (d/8 bytes per row where the float
+    * join reads 8d), a per-query window keeps the top `rerank` pool,
+    * and a keyed join re-ranks exactly to k. Candidate volume is still
+    * Q×n — this is the bandwidth play; layer an IVF partitioning when
+    * selectivity is needed too. Returns (qid, id, ham, dist). */
+  def probeBatch(store: Store, points: DataFrame, idCol: String,
+                 vecCol: String, queries: DataFrame, qIdCol: String,
+                 qVecCol: String, k: Int, rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = store.thr.length
+    val thrLit = array(store.thr.toIndexedSeq.map(lit): _*)
+    val qs = queries.select(col(qIdCol).as("qid"),
+        col(qVecCol).as("qv"))
+      .withColumn("qcode", packWith(col("qv"), thrLit, d))
+      .select(col("qid"), col("qv"), col("qcode"))
+    val pool = store.codes
+      .crossJoin(broadcast(qs))
+      .withColumn("ham", hamming(col("code"), col("qcode")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("ham"), col(idCol))))
+      .filter(col("rn") <= math.max(rerank, k))
+      .select(col("qid"), col("qv"), col(idCol), col("ham"))
+    pool.join(points.select(col(idCol), col(vecCol)), Seq(idCol))
+      .withColumn("dist", dist(col(vecCol), col("qv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("ham"), col("dist"))
+  }
+}

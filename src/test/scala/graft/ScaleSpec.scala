@@ -621,6 +621,37 @@ class ScaleSpec extends SparkSpec {
     assert(starved < 10L, s"post-filter unexpectedly full ($starved)")
   }
 
+  test("binary store: persisted probe equals inline binaryKnn; batch equals singles") {
+    val e = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graftbin")
+      .toString + "/store"
+    operators.BinaryIndex.write(e, "vec_id", "embedding", 64, dir)
+    val st = operators.BinaryIndex.open(spark, dir)
+    val q = QueryConstants.Q64
+    val inline = operators.VectorStats.binaryKnn(e, "vec_id", "embedding",
+        q, 10, rerank = 50)
+      .select("vec_id").as[Long].collect().toSeq
+    val stored = operators.BinaryIndex.probe(st, e, "vec_id", "embedding",
+        q, 10, rerank = 50)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(stored == inline)
+    // batch join ≡ the same store probed once per query
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid0"), col("embedding").as("qv0"))
+    val batch = operators.BinaryIndex.probeBatch(st, e, "vec_id",
+        "embedding", queries, "qid0", "qv0", k = 5, rerank = 20)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val qrows = queries
+      .select(col("qid0"), col("qv0").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val singles = qrows.flatMap { case (qid, qv) =>
+      operators.BinaryIndex.probe(st, e, "vec_id", "embedding", qv, 5,
+          rerank = 20)
+        .select("vec_id").as[Long].collect().map(qid -> _)
+    }.toSet
+    assert(batch == singles)
+  }
+
   test("serving handles: handle-based probes equal path-based probes") {
     val base = java.nio.file.Files.createTempDirectory("grafthandle").toString
     val e = Tables.embeddings(spark, sf0001)
