@@ -160,6 +160,15 @@ object SparkEntry {
           col("clean_md5"))
         .orderBy(col("doc_id"))),
 
+    "t7_bm25" -> ((s, d) =>
+      // BM25 ranked retrieval (Okapi/Lucene scoring) for a fixed
+      // 4-term query: per-term tf arrives as its own when-sum column
+      // and the score is a fixed-order expression sum ranked on the
+      // 6dp-rounded value, so both engines cut the same top-15
+      TextOps.bm25(Tables.documents(s, d), "doc_id", "text",
+          Seq("spark", "data", "query", "join"), topK = 15)
+        .orderBy(col("bm25").desc, col("doc"))),
+
     // --- dataset assembly: deterministic sampling / splits / packing ---
     "p1_sample_split" -> ((s, d) => {
       // hash-keyed stratified sampling + train/val/test assignment:
@@ -1440,6 +1449,28 @@ object SparkEntry {
         | round(CAST(dup3 AS DOUBLE) / CAST(n3 AS DOUBLE), 6) AS dup_trigram_frac
         |FROM toks JOIN bs ON bs.doc = toks.doc JOIN ts3 ON ts3.doc = toks.doc
         |ORDER BY toks.doc""".stripMargin,
+    "t7_bm25" -> {
+      val terms = Seq("spark", "data", "query", "join")
+      val tfs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(ts, x -> x = '$t')) AS tf$i"
+      }.mkString(", ")
+      val dfs = terms.zipWithIndex.map { case (t, i) =>
+        s"count(CASE WHEN list_contains(ts, '$t') THEN 1 END) AS df$i"
+      }.mkString(", ")
+      val score = terms.indices.map { i =>
+        s"ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * 2.2 " +
+          s"/ (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+      }.mkString(" + ")
+      val anyTf = terms.indices.map(i => s"tf$i").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id AS doc, string_split_regex(text, '\\s+') AS ts FROM documents),
+         |meta AS (SELECT count(*) AS n, CAST(sum(len(ts)) AS DOUBLE) / count(*) AS avgdl FROM tok),
+         |dfs AS (SELECT $dfs FROM tok),
+         |tf AS (SELECT doc, len(ts) AS dl, $tfs FROM tok)
+         |SELECT doc, round($score, 6) AS bm25
+         |FROM tf, meta, dfs
+         |WHERE $anyTf > 0
+         |ORDER BY bm25 DESC, doc LIMIT 15""".stripMargin
+    },
     "t6_c4_line_clean" ->
       s"""WITH docs AS (${lineCorpusSql(500)}),
          |k AS (

@@ -110,10 +110,72 @@ case class DistSqExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Σ Long.bitCount(a_i ^ b_i) over packed-word ARRAY<BIGINT> codes —
+  * the binary-quantization Hamming kernel (BinaryIndex/binaryKnn hot
+  * path). Identical result to the declarative zip_with + bit_count +
+  * aggregate form (integer sum — order-free), but one primitive loop
+  * inside whole-stage codegen: no per-word lambda closures, no
+  * intermediate arrays. Int result (a code is at most 2^31 bits). */
+case class HammingExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "vec_hamming"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires bigint array inputs")
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"code length mismatch: ${a.numElements()} vs ${b.numElements()}")
+    var sum = 0
+    var i = 0
+    while (i < a.numElements()) {
+      sum += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+        if ($a.numElements() != $b.numElements()) {
+          throw new IllegalArgumentException(
+            "code length mismatch: " + $a.numElements() + " vs " + $b.numElements());
+        }
+        int $n = $a.numElements();
+        int $sum = 0;
+        for (int $i = 0; $i < $n; $i++) {
+          $sum += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+        }
+        ${ev.value} = $sum;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   import GraftSqlShim.{toColumn, toExpression}
   def vecDot(a: Column, b: Column): Column =
     toColumn(DotProductExpr(toExpression(a), toExpression(b)))
   def vecDistSq(a: Column, b: Column): Column =
     toColumn(DistSqExpr(toExpression(a), toExpression(b)))
+  def vecHamming(a: Column, b: Column): Column =
+    toColumn(HammingExpr(toExpression(a), toExpression(b)))
 }

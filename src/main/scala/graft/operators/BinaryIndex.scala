@@ -41,25 +41,11 @@ object BinaryIndex {
     words
   }
 
-  /** In-plan packing against a 1-indexed threshold ARRAY column (the
-    * batch-probe twin of [[VectorStats.binCode]], which reads the
-    * 0-keyed `_bthr` map). */
-  private def packWith(vec: Column, thr: Column, d: Int): Column = {
-    val words = (d + 63) / 64
-    array((0 until words).map { w =>
-      (w * 64 until math.min(d, w * 64 + 64)).map { i =>
-        when(element_at(vec, i + 1).cast("double") >
-               element_at(thr, i + 1),
-          lit(1L << (i - w * 64))).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
-    }: _*)
-  }
-
-  /** Hamming distance between two packed-word arrays. */
+  /** Hamming distance between two packed-word arrays — the native
+    * codegen kernel (one primitive xor/popcount loop, no lambda
+    * allocation per row). */
   private def hamming(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
-      lit(0L), (acc, x) => acc + x).cast("int")
+    graft.functions.VectorExpressions.vecHamming(a, b)
 
   /** Persist the binary serving layout: (id, code) rows plus the
     * per-dim threshold sidecar. One pass over the corpus; the codes
@@ -68,11 +54,11 @@ object BinaryIndex {
             path: String): Unit = {
     val thrDf = VectorStats.binThreshold(points, idCol, vecCol)
     points.crossJoin(broadcast(thrDf))
-      .select(col(idCol), VectorStats.binCode(col(vecCol), d).as("code"))
+      .select(col(idCol),
+        VectorStats.binCode(col(vecCol), col("_bthr"), d).as("code"))
       .write.mode("overwrite").parquet(path)
-    thrDf.select(explode(map_entries(col("_bthr"))).as("m"))
-      .select(col("m.key").cast("int").as("idx"),
-        col("m.value").cast("double").as("thr"))
+    thrDf.select(posexplode(col("_bthr")).as(Seq("idx", "thr")))
+      .select(col("idx").cast("int"), col("thr").cast("double"))
       .coalesce(1).write.mode("overwrite").parquet(path + ".thr")
   }
 
@@ -122,18 +108,24 @@ object BinaryIndex {
     import org.apache.spark.sql.expressions.Window
     val d = store.thr.length
     val thrLit = array(store.thr.toIndexedSeq.map(lit): _*)
-    val qs = queries.select(col(qIdCol).as("qid"),
-        col(qVecCol).as("qv"))
-      .withColumn("qcode", packWith(col("qv"), thrLit, d))
-      .select(col("qid"), col("qv"), col("qcode"))
+    val qv = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"))
+    // broadcast only (qid, qcode); the Hamming pool window then carries
+    // three scalars per candidate row — qid, id, ham — never the
+    // d-double query vector (measured: carrying qv through the Q×n
+    // exchange was 38× the payload and GC-bound the whole join)
+    val qs = qv
+      .withColumn("qcode", VectorStats.binCode(col("qv"), thrLit, d))
+      .select(col("qid"), col("qcode"))
     val pool = store.codes
       .crossJoin(broadcast(qs))
-      .withColumn("ham", hamming(col("code"), col("qcode")))
+      .select(col("qid"), col(idCol),
+        hamming(col("code"), col("qcode")).as("ham"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("ham"), col(idCol))))
       .filter(col("rn") <= math.max(rerank, k))
-      .select(col("qid"), col("qv"), col(idCol), col("ham"))
+      .select(col("qid"), col(idCol), col("ham"))
     pool.join(points.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(qv), Seq("qid"))
       .withColumn("dist", dist(col(vecCol), col("qv")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))))

@@ -201,6 +201,69 @@ object TextOps {
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)
 
+  /** BM25 ranked retrieval (Robertson & Zaragoza 2009, the Okapi/Lucene
+    * scoring function — public method; no reference counterpart): score
+    * every document against a FIXED query-term list and return the top
+    * `topK` by
+    *   Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the always-positive
+    * Lucene form).
+    *
+    * Determinism across engines: N, df, dl and Σdl are exact integers;
+    * avgdl is one exact division; the per-doc score is a FIXED-ORDER
+    * expression sum over the query terms (each term's tf arrives as its
+    * own when-sum aggregate column — never a float sum whose order the
+    * engine picks), and ranking uses the 6dp-ROUNDED score with a doc-id
+    * tie-break, so a last-ulp ln() difference between libms cannot
+    * reorder the cut.
+    *
+    * Scale shape: one tokenize+explode pass filtered to the query terms
+    * BEFORE the shuffle (the isin filter prunes the exploded stream to
+    * Q terms), one groupBy(doc) with map-side-combined when-sums, df as
+    * a Q-row driver-side lookup (bounded by the query, not the corpus),
+    * and a rounded top-k TakeOrdered. No corpus-wide join. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], topK: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = queryTerms.distinct
+    val toks = docs.select(col(idCol).as("doc"),
+      tokens(col(textCol)).as("ts"))
+    val n = docs.count()
+    val sumDl = toks.agg(sum(size(col("ts")))).head().getLong(0)
+    val avgdl = sumDl.toDouble / n
+    // df per query term: # docs containing it (Q-row driver map)
+    val dfMap = toks
+      .select(col("doc"), explode(array_distinct(col("ts"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = terms.map { t =>
+      val df = dfMap.getOrElse(t, 0L).toDouble
+      t -> math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    }.toMap
+    // per-doc tf of each query term as its own aggregate column
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, 1L).otherwise(0L)).as(s"_tf$i")
+    }
+    val perDoc = toks
+      .select(col("doc"), size(col("ts")).as("dl"),
+        explode(col("ts")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc"))
+      .agg(max(col("dl")).as("dl"), tfCols: _*)
+    val norm = lit(k1) * (lit(1.0 - b) +
+      lit(b) * col("dl").cast("double") / avgdl)
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = col(s"_tf$i").cast("double")
+      lit(idf(t)) * tf * lit(k1 + 1.0) / (tf + norm)
+    }.reduce((a, c) => a + c)
+    perDoc
+      .withColumn("bm25", round(score, 6))
+      .orderBy(col("bm25").desc, col("doc"))
+      .limit(topK)
+      .select(col("doc"), col("bm25"))
+  }
+
   /** Default banned substrings for [[c4LineClean]] — the C4 paper's
     * boilerplate markers (Raffel et al. 2020, §2.2): pages behind
     * javascript walls, lorem-ipsum filler, and code braces. */

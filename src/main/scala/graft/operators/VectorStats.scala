@@ -133,28 +133,30 @@ object VectorStats {
     * MIDPOINT, not the mean — min/max and one addition/halving are
     * order-independent IEEE ops, so Spark's partial aggregation and a
     * sequential oracle agree bit for bit; a mean's summation order
-    * does not). Broadcast-joined, never a plan literal. */
+    * does not). Emitted as an idx-ORDERED ARRAY (O(1) element access —
+    * a map's element_at is a linear scan, which made the d-bit encode
+    * O(d²) per row; measured 330 s → seconds at 1M×96).
+    * Broadcast-joined, never a plan literal. */
   private[operators] def binThreshold(points: DataFrame, idCol: String,
                                       vecCol: String): DataFrame =
     dimExtent(explodeVectors(points, idCol, vecCol))
       .agg(collect_list(struct(col("idx"), col("minV"), col("maxV"))).as("dims"))
       .select(
-        map_from_arrays(
-          transform(col("dims"), d => d("idx")),
-          transform(col("dims"), d => (d("minV") + d("maxV")) / 2.0d))
-          .as("_bthr"))
+        transform(sort_array(col("dims")),
+          d => (d("minV") + d("maxV")) / 2.0d).as("_bthr"))
 
-  /** Sign bits of a d-dim vector against `_bthr`, packed into
-    * ceil(d/64) longs (bit j of word w = dim w·64+j strictly above its
-    * threshold). The packing is a static expression tree of per-word
-    * OR-chains — all codegen'd long arithmetic, no UDF. d must be
-    * statically known (it sizes the words). */
-  private[operators] def binCode(vec: Column, d: Int): Column = {
+  /** Sign bits of a d-dim vector against a 1-indexed threshold ARRAY
+    * column, packed into ceil(d/64) longs (bit j of word w = dim
+    * w·64+j strictly above its threshold). The packing is a static
+    * expression tree of per-word OR-chains — all codegen'd long
+    * arithmetic, no UDF. d must be statically known (it sizes the
+    * words). */
+  private[operators] def binCode(vec: Column, thr: Column, d: Int): Column = {
     val words = (d + 63) / 64
     array((0 until words).map { w =>
       (w * 64 until math.min(d, w * 64 + 64)).map { i =>
         when(element_at(vec, i + 1).cast("double") >
-               element_at(col("_bthr"), i),
+               element_at(thr, i + 1),
           lit(1L << (i - w * 64))).otherwise(lit(0L))
       }.reduce((a, b) => a.bitwiseOR(b))
     }: _*)
@@ -178,15 +180,13 @@ object VectorStats {
   def binaryKnn(points: DataFrame, idCol: String, vecCol: String,
                 q: Seq[Double], k: Int, rerank: Int = 0): DataFrame = {
     import graft.functions.VectorFunctions.{dist, doubleVec}
+    import graft.functions.VectorExpressions.vecHamming
     val d = q.length
     val thr = binThreshold(points, idCol, vecCol)
-      .withColumn("_qcode", binCode(doubleVec(q), d))
+      .withColumn("_qcode", binCode(doubleVec(q), col("_bthr"), d))
     val scored = points.crossJoin(broadcast(thr))
       .withColumn("ham",
-        aggregate(
-          zip_with(binCode(col(vecCol), d), col("_qcode"),
-            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
-          lit(0L), (acc, x) => acc + x).cast("int"))
+        vecHamming(binCode(col(vecCol), col("_bthr"), d), col("_qcode")))
       .drop("_bthr", "_qcode")
     if (rerank <= 0)
       scored.orderBy(col("ham"), col(idCol)).limit(k)

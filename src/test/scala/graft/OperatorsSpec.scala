@@ -543,6 +543,31 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25 matches a hand computation; absent-term docs excluded") {
+    val docs = Seq(
+      (0L, "spark spark data filter"),   // tf(spark)=2 tf(data)=1 dl=4
+      (1L, "data data data data"),       // tf(data)=4 dl=4
+      (2L, "filter sort merge window"),  // no query terms
+      (3L, "spark")                      // tf(spark)=1 dl=1
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25(docs, "doc_id", "text", Seq("spark", "data"),
+        topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(2L), "doc without query terms must not score")
+    val n = 4.0; val avgdl = (4 + 4 + 4 + 1) / 4.0
+    val k1 = 1.2; val b = 0.75
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def term(tf: Double, dl: Double, df: Double) =
+      if (tf == 0) 0.0
+      else idf(df) * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+    def score(tfS: Double, tfD: Double, dl: Double) =
+      BigDecimal(term(tfS, dl, 2) + term(tfD, dl, 2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0L) == score(2, 1, 4))
+    assert(out(1L) == score(0, 4, 4))
+    assert(out(3L) == score(1, 0, 1))
+  }
+
   test("token count, subwords, quality bounds") {
     val df = Seq((0L, "Hello, world! This is text.")).toDF("doc_id", "text")
     val p = TextOps.profile(df, "doc_id", "text").head()

@@ -357,6 +357,24 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("c4 line cleaning runs unchanged on streams (stateless projection)") {
+    val docsDir = java.nio.file.Files.createTempDirectory("graftlines")
+      .resolve("docs").toString
+    operators.TextOps.lineCorpus(spark, 100).write.parquet(docsDir)
+    val schema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    val q = operators.TextOps.c4LineClean(stream, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("c4s")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("c4s").collect().map(_.toString).sorted.toSeq
+    val want = operators.TextOps.c4LineClean(
+        spark.read.parquet(docsDir.toString), "doc_id", "text")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("curateStateless drives streaming ingest: stream ≡ batch, stages ≡ library ops") {
     // the stateless curate prefix (decontam literal + quality gate +
     // split assign) is pure per-row work — identical output on
