@@ -420,6 +420,18 @@ object SparkEntry {
       Dedup.dedupLines(TextOps.lineCorpus(s, 500), "doc_id", "text",
           minWords = 4)
         .orderBy(col("doc"))),
+    "d21_keep_best" -> ((s, d) => {
+      // quality-aware cluster dedup: per near-dup cluster (d12's pair
+      // graph) keep the HIGHEST-quality doc (6dp-rounded score, ties →
+      // lowest id); unpaired docs survive. The oracle reuses d12's
+      // recursive closure + t1's quality expression and replays the
+      // rank-1 cut
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.lshVerifiedPairs(docs, "doc_id", "text", 3, 0.6)
+      Dedup.keepBestByCluster(docs, "doc_id", pairs,
+          TextOps.qualityScore(col("text")))
+        .orderBy(col("doc_id"))
+    }),
     "d17_eval_contamination" -> ((s, d) => {
       // benchmark-integrity report (reverse of d13): per eval item, the
       // count of distinct training docs sharing >= 1 3-shingle — items
@@ -1698,6 +1710,25 @@ object SparkEntry {
          |  SELECT reach.node, e.y FROM reach JOIN dedges e ON e.x = reach.r)
          |SELECT node, least(node, min(r)) AS cluster
          |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+    "d21_keep_best" ->
+      s"""WITH RECURSIVE ${MinHashCandCtes(2)},
+         |$LshVerifiedCtes,
+         |dpairs AS (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6),
+         |dedges AS (SELECT a AS x, b AS y FROM dpairs
+         |  UNION ALL SELECT b, a FROM dpairs),
+         |reach(node, r) AS (
+         |  SELECT x, y FROM dedges
+         |  UNION
+         |  SELECT reach.node, e.y FROM reach JOIN dedges e ON e.x = reach.r),
+         |cl AS (SELECT node, least(node, min(r)) AS cluster
+         |  FROM reach GROUP BY node),
+         |qd AS (SELECT doc_id, $QualitySql AS q FROM documents),
+         |lab AS (SELECT qd.doc_id, coalesce(cl.cluster, qd.doc_id) AS cluster, qd.q
+         |  FROM qd LEFT JOIN cl ON cl.node = qd.doc_id)
+         |SELECT doc_id FROM (
+         |  SELECT doc_id,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id) AS rn
+         |  FROM lab) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "d4_simhash" ->
       s"""WITH $simhashSumsSql
          |SELECT doc, simhash FROM sh16 ORDER BY doc""".stripMargin,

@@ -727,6 +727,29 @@ object Dedup {
     docs.join(dropped, Seq(idCol), "left_anti").select(col(idCol))
   }
 
+  /** Quality-aware cluster dedup: keep, per connected near-dup cluster,
+    * the doc with the HIGHEST `score` (6dp-rounded like
+    * [[TextOps.qualityScore]] — ranking on a rounded score keeps the
+    * cut identical across engines), ties → lowest id; unpaired docs
+    * keep themselves. The standard refinement of [[keepFirstByCluster]]
+    * in a curation pipeline: near-dup clusters should surrender the
+    * boilerplate-heavy copies, not the later-crawled ones. Shape: the
+    * [[clusterIds]] relation (log-round pointer jumping), one left join
+    * to attach cluster labels (unpaired docs fall back to their own
+    * id), one per-cluster rank-1 window (WindowGroupLimit map-side). */
+  def keepBestByCluster(docs: DataFrame, idCol: String, pairs: DataFrame,
+                        score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col(idCol), score.as("_q"))
+      .join(clusterIds(pairs).withColumnRenamed("node", idCol),
+        Seq(idCol), "left")
+      .withColumn("_cl", coalesce(col("cluster"), col(idCol)))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_cl")).orderBy(col("_q").desc, col(idCol))))
+      .filter(col("_rn") === 1)
+      .select(col(idCol))
+  }
+
   /** Global EXACT line-level deduplication (the RefinedWeb /
     * MassiveText line-dedup pass, public method; no reference
     * counterpart): any line of `minWords`+ words that occurs anywhere

@@ -67,6 +67,24 @@ class DedupSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("keepBestByCluster keeps the highest-quality doc per cluster") {
+    // cluster {0,1,2} via pairs 0-2 and 1-2; doc 3 unpaired
+    val d = Seq(
+      (0L, "short"),
+      (1L, "a much longer and more varied document with many distinct alphabetic words"),
+      (2L, "short short"),
+      (3L, "lone doc")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 2L), (1L, 2L)).toDF("a", "b")
+    val kept = Dedup.keepBestByCluster(d, "doc_id", pairs,
+        TextOps.qualityScore(col("text")))
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    // contrast: the id-keeping form keeps the minimum id instead
+    val first = Dedup.keepFirstByCluster(d, "doc_id", pairs)
+      .as[Long].collect().toSet
+    assert(first == Set(0L, 3L))
+  }
+
   test("exact duplicates group by md5") {
     val rows = Dedup.exactDuplicates(docs, "doc_id", "text")
       .select("doc_id", "canonical_id", "group_size")
