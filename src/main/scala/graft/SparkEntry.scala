@@ -169,6 +169,19 @@ object SparkEntry {
           Seq("spark", "data", "query", "join"), topK = 15)
         .orderBy(col("bm25").desc, col("doc"))),
 
+    "p12_line_curate" -> ((s, d) => {
+      // the line-level curation COMPOSITION: C4 cleaning (t6) feeds
+      // global line dedup (d20) — junk lines fall before the dedup
+      // election, then surviving boilerplate keeps one global copy.
+      // The oracle composes both replays over the cleaned line lists
+      val cleaned = TextOps.c4LineClean(TextOps.lineCorpus(s, 500),
+          "doc_id", "text")
+        .select(col("doc_id"), col("clean_text"))
+      Dedup.dedupLines(cleaned, "doc_id", "clean_text", minWords = 4)
+        .select(col("doc"), col("n_kept"), col("clean_md5"))
+        .orderBy(col("doc"))
+    }),
+
     // --- dataset assembly: deterministic sampling / splits / packing ---
     "p1_sample_split" -> ((s, d) => {
       // hash-keyed stratified sampling + train/val/test assignment:
@@ -419,6 +432,7 @@ object SparkEntry {
       // oracle replays the election with a rank-1 window
       Dedup.dedupLines(TextOps.lineCorpus(s, 500), "doc_id", "text",
           minWords = 4)
+        .select(col("doc"), col("n_lines"), col("n_kept"), col("clean_md5"))
         .orderBy(col("doc"))),
     "d21_keep_best" -> ((s, d) => {
       // quality-aware cluster dedup: per near-dup cluster (d12's pair
@@ -1493,6 +1507,26 @@ object SparkEntry {
          |  CAST(len(ks) AS INTEGER) AS n_kept,
          |  md5(array_to_string(ks, chr(10))) AS clean_md5
          |FROM k ORDER BY doc_id""".stripMargin,
+    "p12_line_curate" ->
+      s"""WITH docs AS (${lineCorpusSql(500)}),
+         |k AS (
+         |  SELECT doc_id AS doc,
+         |    list_filter(string_split(text, chr(10)), x -> $LineKeepSql) AS ls
+         |  FROM docs),
+         |l AS (SELECT doc, CAST(i AS INTEGER) AS pos, ls[CAST(i + 1 AS INTEGER)] AS ln
+         |  FROM (SELECT doc, ls, unnest(range(len(ls))) AS i FROM k)),
+         |el AS (SELECT doc, pos, ln,
+         |    row_number() OVER (PARTITION BY ln ORDER BY doc, pos) AS rn
+         |  FROM l
+         |  WHERE len(list_filter(string_split(trim(ln), ' '), w -> w <> '')) >= 4),
+         |kept AS (
+         |  SELECT doc, pos, ln FROM el WHERE rn = 1
+         |  UNION ALL
+         |  SELECT doc, pos, ln FROM l
+         |  WHERE len(list_filter(string_split(trim(ln), ' '), w -> w <> '')) < 4)
+         |SELECT doc, CAST(count(*) AS INTEGER) AS n_kept,
+         |  md5(string_agg(ln, chr(10) ORDER BY pos)) AS clean_md5
+         |FROM kept GROUP BY doc ORDER BY doc""".stripMargin,
     "p1_sample_split" ->
       s"""WITH u AS (
         | SELECT doc_id, doc_id % 3 AS stratum,

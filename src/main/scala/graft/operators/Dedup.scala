@@ -788,7 +788,9 @@ object Dedup {
         .agg(count(lit(1)).cast("int").as("n_lines")), Seq("doc"))
       .select(col("doc"), col("n_lines"), col("n_kept"),
         md5(array_join(transform(col("ps"), p => p("ln")), "\n"))
-          .as("clean_md5"))
+          .as("clean_md5"),
+        array_join(transform(col("ps"), p => p("ln")), "\n")
+          .as("clean_text"))
   }
 
   // ------------------------------------------------------------------
