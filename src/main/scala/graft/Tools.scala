@@ -221,6 +221,17 @@ object Tools {
         time(s"d19 keep-one spans ${m}x")(
           Dedup.removeDuplicateSpansKeepOne(d, "doc_id", "text", 5, 2L)
             .count())
+        // d20: global line dedup over its OWN line corpus (the
+        // documents table is single-line) — the corpus grows m×, and
+        // the global boilerplate line's occurrence count grows with it:
+        // the case the map-side-combined min-struct election exists for
+        // (a window by line would shuffle every copy to one reducer)
+        if (want("d20")) {
+          val lc = graft.operators.TextOps.lineCorpus(spark, 5000 * m)
+            .localCheckpoint()
+          time(s"d20 line dedup ${m}x")(
+            Dedup.dedupLines(lc, "doc_id", "text", minWords = 4).count())
+        }
       }
       spark.stop(); return
     }
