@@ -675,7 +675,7 @@ object SparkEntry {
       // broadcast join — semantics identical to a14, so they share an
       // oracle shape; what this gates is the store round trip
       val e = embeddings(s, d)
-      val dir = stagedStore(d, "a16", version = 1) { dir =>
+      val dir = stagedStore(d, "a16", version = 2) { dir =>
         graft.operators.BinaryIndex.write(e, "vec_id", "embedding", 64, dir)
       }
       val st = graft.operators.BinaryIndex.open(s, dir)
@@ -691,7 +691,7 @@ object SparkEntry {
       // per-query Hamming window pool, exact re-rank to 5. Shares
       // a16's staged store.
       val e = embeddings(s, d)
-      val dir = stagedStore(d, "a16", version = 1) { dir =>
+      val dir = stagedStore(d, "a16", version = 2) { dir =>
         graft.operators.BinaryIndex.write(e, "vec_id", "embedding", 64, dir)
       }
       val st = graft.operators.BinaryIndex.open(s, dir)

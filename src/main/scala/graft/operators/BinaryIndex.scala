@@ -47,20 +47,56 @@ object BinaryIndex {
   private def hamming(a: Column, b: Column): Column =
     graft.functions.VectorExpressions.vecHamming(a, b)
 
-  /** Persist the binary serving layout: (id, code) rows plus the
-    * per-dim threshold sidecar. One pass over the corpus; the codes
-    * write is a pure projection (no shuffle). */
+  /** Maintenance bucket of an id column: a stable hash spread over
+    * `numBuckets` partitions. The buckets exist for MAINTENANCE
+    * locality (append routes new rows to their bucket; removal
+    * rewrites only hit buckets via the shared
+    * [[StoreMaintain.removeFromStore]]) — a Hamming probe scans every
+    * bucket by design, so the layout costs probes nothing. Storage
+    * internal only: no oracle observes the bucket id. */
+  private def bucketOf(id: Column, numBuckets: Int): Column =
+    pmod(hash(id), lit(numBuckets)).cast("int")
+
+  /** Persist the binary serving layout: (id, code) rows bucketed by
+    * hashed id, plus the per-dim threshold sidecar. One pass over the
+    * corpus; the codes write is a pure projection (no shuffle beyond
+    * the one repartition that keeps one file per bucket per task). */
   def write(points: DataFrame, idCol: String, vecCol: String, d: Int,
-            path: String): Unit = {
+            path: String, numBuckets: Int = 64): Unit = {
     val thrDf = VectorStats.binThreshold(points, idCol, vecCol)
     points.crossJoin(broadcast(thrDf))
       .select(col(idCol),
-        VectorStats.binCode(col(vecCol), col("_bthr"), d).as("code"))
-      .write.mode("overwrite").parquet(path)
+        VectorStats.binCode(col(vecCol), col("_bthr"), d).as("code"),
+        bucketOf(col(idCol), numBuckets).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
     thrDf.select(posexplode(col("_bthr")).as(Seq("idx", "thr")))
       .select(col("idx").cast("int"), col("thr").cast("double"))
       .coalesce(1).write.mode("overwrite").parquet(path + ".thr")
   }
+
+  /** INCREMENTAL append: encode new vectors with the store's FROZEN
+    * threshold sidecar (the quantizer never re-trains on append — a
+    * drifted corpus warrants a rewrite) and land them in their hash
+    * buckets. Trivially parallel; no read of existing rows. */
+  def append(spark: SparkSession, path: String, newVecs: DataFrame,
+             idCol: String, vecCol: String, numBuckets: Int = 64): Unit = {
+    val st = open(spark, path)
+    val d = st.thr.length
+    val thrLit = array(st.thr.toIndexedSeq.map(lit): _*)
+    newVecs
+      .select(col(idCol),
+        VectorStats.binCode(col(vecCol), thrLit, d).as("code"),
+        bucketOf(col(idCol), numBuckets).as("bucket"))
+      .repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+  }
+
+  /** Removal: the shared partition-level batch delete — rewrites only
+    * the hash buckets holding doomed ids. */
+  def remove(spark: SparkSession, path: String, ids: DataFrame,
+             idCol: String): Unit =
+    StoreMaintain.removeFromStore(spark, path, ids, idCol, "bucket")
 
   /** Open a persisted binary store once: one file listing, one sidecar
     * read. */

@@ -652,6 +652,53 @@ class ScaleSpec extends SparkSpec {
     assert(batch == singles)
   }
 
+  test("binary store maintenance: append equals full rewrite, remove equals rebuild-without") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = QueryConstants.Q64
+    val base = java.nio.file.Files.createTempDirectory("graftbinmaint")
+    // incremental: build on the %5!=0 slice, append the rest with the
+    // FROZEN sidecar, remove the %7=0 ids
+    val incDir = base.resolve("inc").toString
+    val seed = e.filter(col("vec_id") % 5 =!= 0)
+    operators.BinaryIndex.write(seed, "vec_id", "embedding", 64, incDir)
+    operators.BinaryIndex.append(spark, incDir,
+      e.filter(col("vec_id") % 5 === 0), "vec_id", "embedding")
+    operators.BinaryIndex.remove(spark, incDir,
+      e.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+    // reference: one-shot store over the surviving membership, with the
+    // SAME frozen thresholds (write trains on its input, so encode the
+    // survivors through the incremental store's sidecar for parity)
+    val stInc = operators.BinaryIndex.open(spark, incDir)
+    val survivors = e.filter(col("vec_id") % 7 =!= 0)
+    val got = operators.BinaryIndex.probe(stInc, survivors, "vec_id",
+        "embedding", q, 10, rerank = 50)
+      .select("vec_id").as[Long].collect().toSeq
+    // membership check: the incremental store holds exactly the
+    // survivors
+    val storeIds = stInc.codes.select("vec_id").as[Long].collect().toSet
+    val wantIds = survivors.select("vec_id").as[Long].collect().toSet
+    assert(storeIds == wantIds)
+    // ranking parity against a driver-side replay with the FROZEN
+    // sidecar (inline binaryKnn over survivors would re-train the
+    // thresholds — not the maintenance semantics)
+    val thr = stInc.thr
+    val qb = operators.BinaryIndex.encode(q, thr)
+    val rows = survivors
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def hamOf(v: Seq[Double]): Int = {
+      val c = operators.BinaryIndex.encode(v, thr)
+      c.zip(qb).map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    }
+    def distOf(v: Seq[Double]): Double =
+      math.sqrt(v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val expected = rows.map { case (id, v) => (id, hamOf(v), v) }
+      .sortBy { case (id, h, _) => (h, id) }.take(50)
+      .sortBy { case (id, _, v) => (distOf(v), id) }.take(10)
+      .map(_._1).toSeq
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("serving handles: handle-based probes equal path-based probes") {
     val base = java.nio.file.Files.createTempDirectory("grafthandle").toString
     val e = Tables.embeddings(spark, sf0001)
