@@ -357,6 +357,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("streaming binary-store maintenance: foreachBatch append then remove keeps probes exact") {
+    // the binary store's maintenance loop driven from streams, the
+    // twin of the IVF case above: ingest micro-batches encode with the
+    // FROZEN threshold sidecar, takedowns rewrite only hit buckets
+    val base = java.nio.file.Files.createTempDirectory("graftbinstream").toString
+    val e = Tables.embeddings(spark, sf0001)
+    operators.BinaryIndex.write(e.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", 64, s"$base/store")
+    val addDir = java.nio.file.Files.createTempDirectory("graftbinadd").toString
+    e.filter(col("vec_id") % 5 === 0).select("vec_id", "embedding")
+      .write.parquet(s"$addDir/files")
+    val adds = spark.readStream
+      .schema(spark.read.parquet(s"$addDir/files").schema)
+      .parquet(s"$addDir/files")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        operators.BinaryIndex.append(spark, s"$base/store", batch,
+          "vec_id", "embedding")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    adds.awaitTermination(120000)
+    operators.BinaryIndex.remove(spark, s"$base/store",
+      e.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+    val st = operators.BinaryIndex.open(spark, s"$base/store")
+    val survivors = e.filter(col("vec_id") % 7 =!= 0)
+    val ids = st.codes.select("vec_id").as[Long].collect().toSet
+    val want = survivors.select("vec_id").as[Long].collect().toSet
+    assert(ids == want)
+    val probe = operators.BinaryIndex.probe(st, survivors, "vec_id",
+        "embedding", QueryConstants.Q64, 10, rerank = 50)
+      .select("vec_id").as[Long].collect()
+    assert(probe.length == 10)
+  }
+
   test("c4 line cleaning runs unchanged on streams (stateless projection)") {
     val docsDir = java.nio.file.Files.createTempDirectory("graftlines")
       .resolve("docs").toString
