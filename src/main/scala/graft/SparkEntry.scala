@@ -169,6 +169,25 @@ object SparkEntry {
           Seq("spark", "data", "query", "join"), topK = 15)
         .orderBy(col("bm25").desc, col("doc"))),
 
+    "t8_url_dedup" -> ((s, d) =>
+      // URL canonicalization dedup (CCNet/RefinedWeb pre-pass) over the
+      // deterministic URL corpus: scheme/case/www/tracking-param/
+      // fragment/trailing-slash variants collapse to one canonical key
+      // per page; grouping mirrors d1's min-id window. Pure per-row
+      // regex chain — codegen, no shuffle beyond the window; the
+      // oracle rebuilds the corpus closed-form and replays each step
+      TextOps.urlDuplicates(TextOps.urlCorpus(s, 500), "doc_id", "url")
+        .orderBy(col("doc_id"))),
+
+    "p13_dsir_select" -> ((s, d) =>
+      // DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+      // importance log-ratios (target = English slice vs raw corpus),
+      // per-doc weight as a FIXED-POINT integer sum (immune to float
+      // accumulation order), top-100 by (weight desc, doc)
+      Pipeline.dsirSelect(Tables.documents(s, d), "doc_id", "text",
+          col("lang") === "en", n = 100)
+        .orderBy(col("weight").desc, col("doc"))),
+
     "p12_line_curate" -> ((s, d) => {
       // the line-level curation COMPOSITION: C4 cleaning (t6) feeds
       // global line dedup (d20) — junk lines fall before the dedup
@@ -446,6 +465,15 @@ object SparkEntry {
           TextOps.qualityScore(col("text")))
         .orderBy(col("doc_id"))
     }),
+    "d22_jaccard_prefix" -> ((s, d) =>
+      // EXACT-threshold Jaccard pairs via prefix filtering (AllPairs /
+      // PPJoin): same relation as d2's quadratic anchor, but candidates
+      // come from a rarest-first PREFIX self-join (lossless for J >= τ)
+      // + candidates-only verify — the exact-dedup scale path where
+      // d3/d8's MinHash route is probabilistic. Oracle = d2's brute SQL.
+      Dedup.ngramJaccardPrefixPairs(Tables.documents(s, d), "doc_id", "text",
+          3, 0.3)
+        .orderBy(col("a"), col("b"))),
     "d17_eval_contamination" -> ((s, d) => {
       // benchmark-integrity report (reverse of d13): per eval item, the
       // count of distinct training docs sharing >= 1 3-shingle — items
@@ -1084,6 +1112,38 @@ object SparkEntry {
       "'document ' || id || ' closes with a unique parting sentence, number ' || (id * 3) || '.'" +
       s") AS text FROM range($n) t(id)"
 
+  /** SQL twin of TextOps.urlCorpus(n): rebuilds the deterministic URL
+    * corpus closed-form (same concatenated variant cases). */
+  private def urlCorpusSql(n: Int): String =
+    "SELECT id AS doc_id, " +
+      "(CASE WHEN id % 2 = 0 THEN 'http://' ELSE 'https://' END) || " +
+      "(CASE WHEN id % 4 = 0 THEN 'www.' ELSE '' END) || " +
+      "(CASE WHEN id % 3 = 0 THEN 'ExAmPlE' ELSE 'example' END) || " +
+      "CAST(id % 5 AS VARCHAR) || " +
+      "(CASE WHEN id % 6 = 3 THEN '.CoM/Page' ELSE '.com/page' END) || " +
+      "CAST(id % 20 AS VARCHAR) || " +
+      "(CASE WHEN id % 7 = 0 THEN '/' ELSE '' END) || " +
+      "(CASE WHEN id % 6 = 0 THEN '?utm_source=feed&utm_campaign=c' " +
+      "WHEN id % 11 = 0 THEN '?utm_medium=m&x=1' " +
+      "WHEN id % 13 = 0 THEN '?x=1&utm_medium=m' ELSE '' END) || " +
+      "(CASE WHEN id % 8 = 0 THEN '#frag' ELSE '' END) AS url " +
+      s"FROM range($n) t(id)"
+
+  /** SQL twin of TextOps.canonicalUrl over a `url` column — the same
+    * regex chain, innermost-first (DuckDB replaces the FIRST match
+    * without the 'g' flag, which matches Spark for the anchored
+    * steps; the tracking-param step is the one needing 'g'). */
+  private val CanonicalUrlSql: String =
+    "regexp_replace(regexp_replace(regexp_replace(lower(" +
+      "regexp_replace(regexp_replace(regexp_replace(" +
+      "regexp_replace(url, '#.*', ''), " +
+      "'[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'), " +
+      "'^([^?]*)&', '\\1?'), " +
+      "'[?&]+$', '')), " +
+      "'^https?://', ''), " +
+      "'^www\\.', ''), " +
+      "'/+$', '')"
+
   /** SQL twin of TextOps.lineKeep (lambda var `x`): terminal
     * punctuation, >= 5 words, no banned marker. */
   private val LineKeepSql: String =
@@ -1507,6 +1567,37 @@ object SparkEntry {
          |  CAST(len(ks) AS INTEGER) AS n_kept,
          |  md5(array_to_string(ks, chr(10))) AS clean_md5
          |FROM k ORDER BY doc_id""".stripMargin,
+    "t8_url_dedup" ->
+      s"""WITH raw AS (${urlCorpusSql(500)}),
+         |c AS (SELECT doc_id, $CanonicalUrlSql AS canonical_url FROM raw)
+         |SELECT doc_id, canonical_url,
+         |  min(doc_id) OVER (PARTITION BY canonical_url) AS canonical_id,
+         |  count(*) OVER (PARTITION BY canonical_url) AS group_size
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "p13_dsir_select" ->
+      """WITH toks AS (SELECT doc_id AS doc, lang = 'en' AS tgt,
+        |    string_split_regex(text, '\s+') AS ts FROM documents),
+        |feats AS (
+        |  SELECT doc, tgt,
+        |    ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS bucket
+        |  FROM (
+        |    SELECT doc, tgt, unnest(ts) AS g FROM toks
+        |    UNION ALL
+        |    SELECT doc, tgt, array_to_string(ts[i+1:i+2], ' ') AS g
+        |    FROM (SELECT doc, tgt, ts,
+        |            unnest(range(greatest(len(ts) - 1, 1))) AS i FROM toks))),
+        |counts AS (SELECT bucket, count(*) AS cr,
+        |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+        |  FROM feats GROUP BY bucket),
+        |lam AS (SELECT bucket,
+        |    CAST(round(ln(((ct + 1.0) / (tt + 1024.0))
+        |      / ((cr + 1.0) / (tr + 1024.0))) * 1e8) AS BIGINT) AS lam_fp
+        |  FROM (SELECT bucket, cr, ct, sum(ct) OVER () AS tt,
+        |          sum(cr) OVER () AS tr FROM counts))
+        |SELECT doc, CAST(sum(lam_fp) AS DOUBLE) / 1e8 AS weight
+        |FROM feats JOIN lam USING (bucket)
+        |GROUP BY doc
+        |ORDER BY weight DESC, doc LIMIT 100""".stripMargin,
     "p12_line_curate" ->
       s"""WITH docs AS (${lineCorpusSql(500)}),
          |k AS (
@@ -1763,6 +1854,9 @@ object SparkEntry {
          |  SELECT doc_id,
          |    row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id) AS rn
          |  FROM lab) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "d22_jaccard_prefix" ->
+      s"""SELECT a, b, jaccard FROM ($JaccardPairsSql)
+         |WHERE raw_jaccard >= 0.3 ORDER BY a, b""".stripMargin,
     "d4_simhash" ->
       s"""WITH $simhashSumsSql
          |SELECT doc, simhash FROM sh16 ORDER BY doc""".stripMargin,

@@ -101,6 +101,79 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** The SAME relation as [[ngramJaccardPairs]] — every pair (a < b)
+    * with exact k-shingle Jaccard >= threshold — computed with PREFIX
+    * FILTERING (the AllPairs / PPJoin family: Bayardo, Ma & Srikant,
+    * WWW 2007; Chaudhuri, Ganti & Kaushik, ICDE 2006) instead of the
+    * full inverted-index self-join. This is the EXACT-threshold scale
+    * path: d3/d8's MinHash route is probabilistic (a true pair can miss
+    * every band), while prefix filtering is lossless.
+    *
+    * Why it is lossless: order each doc's shingles by a global total
+    * order (document frequency ascending, shingle ascending as the tie
+    * break) and keep only the first |A| − ceil(τ·|A|) + 1 as the
+    * doc's PREFIX. J(A,B) ≥ τ forces |A∩B| ≥ ceil(τ·max(|A|,|B|)), and
+    * if two prefixes were disjoint every common shingle would have to
+    * sit in one doc's (ceil(τ·|A|)−1)-sized suffix — too small. So
+    * candidate generation can self-join PREFIXES only; exact Jaccard is
+    * then verified on candidates alone. Rarest-first ordering puts hot
+    * boilerplate shingles in suffixes, so the candidate join never
+    * explodes on them — the skew that makes the naive self-join
+    * quadratic is excluded by construction, not capped after the fact.
+    *
+    * Shape: df counts (one keyed agg), per-doc rank (one window keyed
+    * by doc), prefix self-join (keyed by shingle, with the τ·|A| ≤ |B|
+    * length filter in the join condition), then a candidates-only
+    * verify join. Everything is keyed; nothing is quadratic in the
+    * corpus. */
+  def ngramJaccardPrefixPairs(docs: DataFrame, idCol: String,
+                              textCol: String, k: Int,
+                              threshold: Double): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, k)
+    val cand = prefixCandidates(sh, threshold)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.as("l"), col("a") === col("l.doc"))
+      .join(sh.as("r"),
+        col("b") === col("r.doc") && col("l.shingle") === col("r.shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "szb"), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The candidate pairs the prefix filter admits for
+    * [[ngramJaccardPrefixPairs]] — exposed so the pruning ratio vs the
+    * quadratic n·(n−1)/2 is itself testable/benchable. Guaranteed a
+    * superset of the true ≥ threshold pairs. */
+  def ngramJaccardPrefixCandidates(docs: DataFrame, idCol: String,
+                                   textCol: String, k: Int,
+                                   threshold: Double): DataFrame =
+    prefixCandidates(shingleRows(docs, idCol, textCol, k), threshold)
+
+  /** Prefix self-join over (doc, shingle) rows: rank each doc's
+    * shingles rarest-first, keep the |A| − ceil(τ|A|) + 1 prefix, join
+    * prefixes on shingle with the τ-length filter in the condition. */
+  private def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+    val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc"))
+    val ranked = sh.join(dfc, "shingle")
+      .select(col("doc"), col("shingle"),
+        count(lit(1)).over(byDoc).as("sz"),
+        row_number().over(byDoc.orderBy(col("df"), col("shingle"))).as("rk"))
+    val prefix = ranked
+      .filter(col("rk") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+    prefix.as("x").join(prefix.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc") < col("y.doc") &&
+          col("x.sz") >= lit(threshold) * col("y.sz") &&
+          col("y.sz") >= lit(threshold) * col("x.sz"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b")).distinct()
+  }
+
   /** Winnowing fingerprints (the MOSS scheme — Schleimer, Wilkerson,
     * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003): hash every k-gram in document order, slide a w-gram

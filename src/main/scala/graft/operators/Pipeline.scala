@@ -485,4 +485,68 @@ object Pipeline {
       packKeys = Seq("split"), carry = Seq("quality") ++ domainCol.toSeq,
       orderCols = if (upsampled) Seq(idCol, "rep") else Nil)
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — public method; no
+    * reference counterpart): score every document by how much its
+    * hashed-n-gram distribution resembles a TARGET slice of the corpus
+    * (a trusted domain, a language, a quality tier) relative to the raw
+    * distribution. Features are unigrams + bigrams (bigrams with
+    * [[Dedup.shinglesOf]] short-doc clamp semantics) hashed into
+    * `buckets` buckets with the engine-portable md5 construction;
+    * per-bucket log-ratios λ_b = ln(p̂_target(b) / p̂_raw(b)) under
+    * add-`alpha` smoothing; a doc's weight is the sum of λ over its
+    * feature OCCURRENCES (a multiset, as in the paper).
+    *
+    * Cross-engine determinism: λ is snapped to FIXED POINT
+    * (round(λ·1e8) as a long) before the per-doc sum, so the aggregate
+    * is an integer sum — immune to the float-accumulation-order
+    * differences a distributed sum otherwise has vs the sequential
+    * oracle — and the final weight is the same BIGINT/1e8 division in
+    * both engines.
+    *
+    * Shape at scale: one explode over features (the only wide data),
+    * ONE map-side-combined count aggregation keyed by bucket carrying
+    * (raw, target) counts together, a `buckets`-row λ relation that
+    * BROADCASTS back onto the feature stream, and one keyed per-doc
+    * sum. Nothing quadratic, nothing driver-side. Returns
+    * (doc, weight). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, buckets: Int = 1024,
+                  alpha: Double = 1.0): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val feats = docs.select(col(idCol).as("doc"), isTarget.as("tgt"),
+        toks.as("toks"))
+      .select(col("doc"), col("tgt"),
+        explode(concat(col("toks"), Dedup.shinglesOf(col("toks"), 2)))
+          .as("gram"))
+      .select(col("doc"), col("tgt"),
+        (conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % buckets).as("bucket"))
+    val counts = feats.groupBy(col("bucket")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
+    val all = Window.partitionBy(lit(1))
+    val lam = counts.select(col("bucket"),
+        ((col("ct") + alpha) / (sum(col("ct")).over(all) + alpha * buckets))
+          .as("pt"),
+        ((col("cr") + alpha) / (sum(col("cr")).over(all) + alpha * buckets))
+          .as("pr"))
+      .select(col("bucket"),
+        round(org.apache.spark.sql.functions.log(col("pt") / col("pr")) * 1e8)
+          .cast("long").as("lam_fp"))
+    feats.join(broadcast(lam), Seq("bucket"))
+      .groupBy(col("doc"))
+      .agg((sum(col("lam_fp")).cast("double") / 1e8).as("weight"))
+  }
+
+  /** Top-`n` DSIR selection over [[dsirWeights]]: highest weight first,
+    * doc id as the deterministic tie break — the "select the k most
+    * target-like documents" cut the paper resamples from. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, n: Int, buckets: Int = 1024,
+                 alpha: Double = 1.0): DataFrame =
+    dsirWeights(docs, idCol, textCol, isTarget, buckets, alpha)
+      .orderBy(col("weight").desc, col("doc"))
+      .limit(n)
 }

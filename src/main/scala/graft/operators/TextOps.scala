@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis operators for training-data pipelines: token counting,
@@ -313,6 +314,70 @@ object TextOps {
       array_join(filter(lines, ln => lineKeep(ln, minWords, banned)), "\n")
         .as("clean_text"))
   }
+
+  /** URL canonicalization for URL-level dedup (the CCNet / RefinedWeb
+    * pre-pass: crawl snapshots carry the same page under scheme, case,
+    * www, tracking-parameter and fragment variants — canonicalize
+    * BEFORE content dedup so the expensive near-dup machinery never
+    * sees n copies of one page). Steps, in order: drop the #fragment,
+    * drop tracking parameters (utm_*, fbclid, gclid) wherever they sit
+    * in the query string, repair the separator when the first real
+    * parameter followed a dropped one (`page&x=1` → `page?x=1`), drop a
+    * dangling `?`/`&`, lowercase, strip the http(s) scheme and a
+    * leading www., and strip trailing slashes. Pure per-row projection
+    * — codegen, no shuffle; the DuckDB oracle mirrors each step with
+    * the same regexes. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(coalesce(url, lit("")), "#.*", "")
+    val noTrack =
+      regexp_replace(noFrag, "[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    val fixedSep = regexp_replace(noTrack, "^([^?]*)&", "$1?")
+    val noDangle = regexp_replace(fixedSep, "[?&]+$", "")
+    val lowered = lower(noDangle)
+    val noScheme = regexp_replace(lowered, "^https?://", "")
+    val noWww = regexp_replace(noScheme, "^www\\.", "")
+    regexp_replace(noWww, "/+$", "")
+  }
+
+  /** URL-level duplicate grouping: every row mapped to the canonical
+    * (minimum) doc id of its [[canonicalUrl]] group, plus group size —
+    * the URL-keyed twin of [[Dedup.exactDuplicates]]. One keyed window;
+    * the canonical key is computed once per row at scan speed. */
+  def urlDuplicates(docs: DataFrame, idCol: String,
+                    urlCol: String): DataFrame = {
+    val canon = canonicalUrl(col(urlCol))
+    val w = Window.partitionBy(canon)
+    docs.select(col(idCol),
+      canon.as("canonical_url"),
+      min(col(idCol)).over(w).as("canonical_id"),
+      count(lit(1)).over(w).as("group_size"))
+  }
+
+  /** Deterministic URL corpus (the URL twin of [[lineCorpus]] — the
+    * synthetic documents table has no url column): closed-form in the
+    * id, covering every canonicalization case — scheme and case
+    * variants, www, trailing slash, tracking params in first, middle
+    * and only positions (including the separator-repair shape), real
+    * params that must survive, and fragments — with base (site, page)
+    * keys chosen so variants collide into shared canonical groups. */
+  def urlCorpus(spark: org.apache.spark.sql.SparkSession,
+                n: Int): DataFrame =
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(
+        expr("CASE WHEN id % 2 = 0 THEN 'http://' ELSE 'https://' END"),
+        expr("CASE WHEN id % 4 = 0 THEN 'www.' ELSE '' END"),
+        expr("CASE WHEN id % 3 = 0 THEN 'ExAmPlE' ELSE 'example' END"),
+        expr("CAST(id % 5 AS STRING)"),
+        expr("CASE WHEN id % 6 = 3 THEN '.CoM/Page' ELSE '.com/page' END"),
+        expr("CAST(id % 20 AS STRING)"),
+        expr("CASE WHEN id % 7 = 0 THEN '/' ELSE '' END"),
+        expr("CASE WHEN id % 6 = 0 THEN '?utm_source=feed&utm_campaign=c' " +
+          "WHEN id % 11 = 0 THEN '?utm_medium=m&x=1' " +
+          "WHEN id % 13 = 0 THEN '?x=1&utm_medium=m' " +
+          "ELSE '' END"),
+        expr("CASE WHEN id % 8 = 0 THEN '#frag' ELSE '' END")
+      ).as("url"))
 
   /** Deterministic multi-line corpus (the line-structured twin of
     * [[piiCorpus]] — the synthetic documents table is single-line word

@@ -145,6 +145,33 @@ class DedupSpec extends SparkSpec {
     assert(!verified.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("prefix-filtered jaccard pairs == brute-force pairs (lossless)") {
+    // the AllPairs/PPJoin prefix path must return the IDENTICAL relation
+    // to the quadratic anchor — on the tiny fixture and the real corpus
+    def rel(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    for ((corpus, tau) <- Seq((docs, 0.3), (docs, 0.6),
+        (Tables.documents(spark, sf0001), 0.3))) {
+      val brute = rel(Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, tau))
+      val pref = rel(Dedup.ngramJaccardPrefixPairs(corpus, "doc_id", "text", 3, tau))
+      assert(pref == brute, s"tau=$tau")
+    }
+  }
+
+  test("prefix-filtered jaccard candidate volume stays below quadratic") {
+    // rarest-first prefixes must exclude the hot-shingle explosion: on
+    // the real corpus the prefix self-join's candidate count is a small
+    // fraction of n*(n-1)/2
+    val corpus = Tables.documents(spark, sf0001)
+    val n = corpus.count()
+    val brutePairs = n * (n - 1) / 2
+    val cand = Dedup.ngramJaccardPrefixCandidates(
+      corpus, "doc_id", "text", 3, 0.3).count()
+    assert(cand < brutePairs / 10,
+      s"candidates $cand vs quadratic $brutePairs")
+  }
+
   test("simHash64 pairs == brute-force hamming (scale variant)") {
     val sh = Dedup.simHash64(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
@@ -542,6 +569,42 @@ class TextOpsSpec extends SparkSpec {
       "Another proper sentence with six words!").mkString("\n"))
   }
 
+  test("canonicalUrl normalizes every variant class") {
+    val cases = Seq(
+      "https://example1.com/page7" -> "example1.com/page7",
+      "http://www.ExAmPlE3.CoM/Page3/?utm_source=feed&utm_campaign=c#frag"
+        -> "example3.com/page3",
+      // utm first, real param after: the &->? separator repair
+      "https://site.com/p?utm_medium=m&x=1" -> "site.com/p?x=1",
+      "https://site.com/p?x=1&utm_medium=m" -> "site.com/p?x=1",
+      "http://site.com/p?fbclid=abc" -> "site.com/p",
+      "https://WWW.Site.com/a/b///" -> "site.com/a/b")
+    val got = cases.map(_._1).toDF("url")
+      .select(TextOps.canonicalUrl(col("url"))).as[String].collect()
+    cases.map(_._2).zip(got).foreach { case (want, g) =>
+      assert(g == want)
+    }
+  }
+
+  test("urlDuplicates groups collapse variants; group sizes tile the corpus") {
+    val out = TextOps.urlDuplicates(TextOps.urlCorpus(spark, 500),
+      "doc_id", "url")
+    // every row accounted for, canonical id is a member of its group
+    assert(out.count() == 500)
+    val bad = out.as("x").join(out.as("y"),
+        col("x.canonical_id") === col("y.doc_id") &&
+          col("x.canonical_url") =!= col("y.canonical_url"))
+      .count()
+    assert(bad == 0)
+    // variants genuinely collide: strictly fewer groups than rows
+    val groups = out.select("canonical_url").distinct().count()
+    assert(groups < 250, s"groups=$groups")
+    // group sizes are consistent per canonical key and sum to n
+    val sums = out.select("canonical_url", "group_size").distinct()
+      .agg(sum("group_size")).as[Long].head()
+    assert(sums == 500L)
+  }
+
   test("c4LineClean: null text counts as one empty (dropped) line") {
     val out = TextOps.c4LineClean(
       Seq((0L, null: String)).toDF("doc_id", "text"), "doc_id", "text").head()
@@ -689,6 +752,37 @@ class PipelineSpec extends SparkSpec {
     assert(shuffled == a)
     // ~rate fraction kept (500 docs, generous tolerance)
     assert(math.abs(a.size / 500.0 - 0.25) < 0.08)
+  }
+
+  test("dsirWeights ranks target-like docs above off-target docs") {
+    // two disjoint vocabularies; target flag marks vocabulary A. Every
+    // held-out A-style doc must outweigh every B-style doc, and weights
+    // must be invariant under repartitioning (fixed-point integer sum)
+    val docs = spark.range(40).selectExpr(
+      "id AS doc_id",
+      "id < 20 AS tgt",
+      "CASE WHEN id < 20 THEN concat('alpha beta gamma delta run ', id % 4) " +
+        "ELSE concat('omega sigma theta lambda run ', id % 4) END AS text")
+    val w = Pipeline.dsirWeights(docs, "doc_id", "text", col("tgt"))
+      .as[(Long, Double)].collect().toMap
+    val (a, b) = (0L until 40L).partition(_ < 20L)
+    assert(a.map(w).min > b.map(w).max)
+    val w2 = Pipeline.dsirWeights(docs.repartition(7), "doc_id", "text",
+      col("tgt")).as[(Long, Double)].collect().toMap
+    assert(w == w2)
+  }
+
+  test("dsirSelect returns the top-n cut with deterministic ties") {
+    val docs = Tables.documents(spark, sf0001)
+    val all = Pipeline.dsirWeights(docs, "doc_id", "text",
+        col("lang") === "en")
+      .as[(Long, Double)].collect()
+      .sortBy { case (id, wt) => (-wt, id) }
+    val sel = Pipeline.dsirSelect(docs, "doc_id", "text",
+        col("lang") === "en", n = 50)
+      .as[(Long, Double)].collect()
+      .sortBy { case (id, wt) => (-wt, id) }
+    assert(sel.toSeq == all.take(50).toSeq)
   }
 
   test("split assignment is disjoint, exhaustive, and near the weights") {
