@@ -139,7 +139,7 @@ object Tools {
       }
       // build only the corpora the selected cases touch — the 10x
       // unions are eagerly checkpointed and cost real minutes
-      val needDocs = Seq("d2", "d5", "d8", "d10", "d11", "d12", "d15")
+      val needDocs = Seq("d2", "d5", "d8", "d10", "d11", "d12", "d15", "d22")
         .exists(want)
       val needEmb = Seq("d6", "d9", "d14").exists(want)
       for (m <- Seq(1, mult)) {
@@ -154,6 +154,31 @@ object Tools {
             maxShingleDf = Some(200L)).count())
         time(s"d8 lsh+re-check ${m}x")(
           Dedup.lshVerifiedPairs(d, "doc_id", "text", 3, 0.6).count())
+        // d22: the EXACT-threshold scale path — prefix-filtered
+        // candidates + candidates-only verify; same result relation as
+        // d2 uncapped, growth should track the candidate volume (which
+        // the rarest-first prefixes keep near the true-pair count), not
+        // the quadratic shingle join
+        time(s"d22 prefix-filter exact ${m}x")(
+          Dedup.ngramJaccardPrefixPairs(d, "doc_id", "text", 3, 0.6).count())
+        // d22h: the hot-shingle shape the prefix filter exists for —
+        // EVERY doc carries the same boilerplate footer, so the naive
+        // shingle self-join pairs all n docs on each footer shingle
+        // (quadratic in the corpus) while rarest-first prefixes push
+        // the footer into suffixes and never join on it. Same result
+        // relation (the footer adds ~9 shared shingles per pair — far
+        // below tau for unrelated docs).
+        if (want("d22h")) {
+          val hot = d.select(col("doc_id"),
+            concat(col("text"), lit(" corpus wide shared boilerplate " +
+              "footer sentence appears everywhere verbatim")).as("text"))
+            .localCheckpoint()
+          time(s"d22h naive exact on hot corpus ${m}x")(
+            Dedup.ngramJaccardPairs(hot, "doc_id", "text", 3, 0.6).count())
+          time(s"d22h prefix exact on hot corpus ${m}x")(
+            Dedup.ngramJaccardPrefixPairs(hot, "doc_id", "text", 3, 0.6)
+              .count())
+        }
         time(s"d5 simhash16 uncapped ${m}x")(
           Dedup.simHashPairs(d, "doc_id", "text", 3).count())
         time(s"d5 simhash16 capped ${m}x")(
