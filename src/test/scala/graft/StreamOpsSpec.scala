@@ -409,6 +409,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("url canonicalization runs unchanged on streams (stateless projection)") {
+    // the CCNet pre-pass normalizes at INGEST time in a real pipeline:
+    // canonicalUrl is a pure projection, so the stream twin is the
+    // operator itself; the grouping window (urlDuplicates) stays a
+    // batch/foreachBatch concern
+    val docsDir = java.nio.file.Files.createTempDirectory("grafturls")
+      .resolve("docs").toString
+    operators.TextOps.urlCorpus(spark, 100).write.parquet(docsDir)
+    val schema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    val q = stream.select(col("doc_id"),
+        operators.TextOps.canonicalUrl(col("url")).as("canonical_url"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("urls")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("urls").collect().map(_.toString).sorted.toSeq
+    val want = spark.read.parquet(docsDir)
+      .select(col("doc_id"),
+        operators.TextOps.canonicalUrl(col("url")).as("canonical_url"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("curateStateless drives streaming ingest: stream ≡ batch, stages ≡ library ops") {
     // the stateless curate prefix (decontam literal + quality gate +
     // split assign) is pure per-row work — identical output on
