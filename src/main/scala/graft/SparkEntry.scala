@@ -78,6 +78,27 @@ object SparkEntry {
           round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
           round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"))
         .orderBy(col("l_returnflag"))),
+    "q18_gap_fill" -> ((s, d) =>
+      // hourly per-type event counts with zero-filled gaps over the
+      // corpus' hour span (dense grid from a one-row extent +
+      // sequence explode × distinct types, left join of the sparse
+      // counts) — "no row ≠ no bucket"
+      Relational.gapFilledCounts(s, d)),
+    "q17_kmv_distinct" -> ((s, d) => {
+      // KMV distinct-count sketch (the portable, mergeable alternative
+      // to engine-specific HLL): one streaming pass keeping the 512
+      // smallest md5 uniforms of l_partkey, estimate (k-1)/kth-min.
+      // The oracle replays the identical uniforms with ORDER BY/LIMIT.
+      // Exact count rides along to expose the relative error.
+      import graft.functions.KmvSketch
+      Tables.lineitem(s, d)
+        .agg(KmvSketch.kmvDistinct(col("l_partkey"), 512).as("s"),
+          countDistinct(col("l_partkey")).as("n_exact"))
+        .select(lit(512).as("k"), col("n_exact"),
+          col("s.estimate").as("estimate"),
+          round(abs(col("s.estimate") - col("n_exact")) / col("n_exact"), 6)
+            .as("rel_err"))
+    }),
 
     // --- vector engine: brute force (reference oracle semantics) ---
     "v1_range_search" -> ((s, d) =>
@@ -1453,6 +1474,36 @@ object SparkEntry {
         | round(quantile_cont(l_quantity, 0.95), 6) AS p95
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q18_gap_fill" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket
+        |  FROM events),
+        |counts AS (SELECT event_type, bucket, count(*) AS n
+        |  FROM b GROUP BY 1, 2),
+        |ext AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM b),
+        |grid AS (SELECT t.event_type, g.bucket
+        |  FROM (SELECT DISTINCT event_type FROM b) t,
+        |    (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+        |       AS bucket FROM ext) g)
+        |SELECT grid.event_type, grid.bucket, coalesce(counts.n, 0) AS n
+        |FROM grid LEFT JOIN counts
+        |  ON counts.event_type = grid.event_type
+        |  AND counts.bucket = grid.bucket
+        |ORDER BY grid.event_type, grid.bucket""".stripMargin,
+    "q17_kmv_distinct" ->
+      """WITH u AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM lineitem),
+        |mins AS (SELECT u FROM u ORDER BY u LIMIT 512),
+        |agg AS (SELECT count(*) AS n, max(u) AS kth FROM mins),
+        |ex AS (SELECT count(DISTINCT l_partkey) AS n_exact FROM lineitem)
+        |SELECT 512 AS k, n_exact,
+        |  CASE WHEN n < 512 THEN CAST(n AS DOUBLE)
+        |       ELSE 511.0 / kth END AS estimate,
+        |  round(abs(CASE WHEN n < 512 THEN CAST(n AS DOUBLE)
+        |       ELSE 511.0 / kth END - n_exact) / n_exact, 6) AS rel_err
+        |FROM agg, ex""".stripMargin,
 
     "v1_range_search" ->
       s"""SELECT vec_id FROM embeddings

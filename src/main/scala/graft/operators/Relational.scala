@@ -243,4 +243,34 @@ object Relational {
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("total"))
       .orderBy(col("ws"), col("event_type"))
   }
+
+  /** Time-bucket GAP FILLING (resampling): hourly event counts per type
+    * with missing buckets zero-filled over the corpus' [min, max] hour
+    * span — the "no row ≠ no bucket" repair every downstream
+    * time-series consumer (charting, anomaly detection, training-data
+    * stats) needs; plain groupBy silently omits empty buckets.
+    *
+    * Shape at scale: counts are one map-side-combined keyed agg; the
+    * dense (type × hour) grid is generated from a ONE-ROW extent
+    * aggregate exploded through `sequence` and cross-joined against
+    * the distinct types — grid size = types × hours, data-independent
+    * — then a broadcast-able left join pulls the sparse counts onto
+    * the dense axis. The fact table is scanned twice (extent + counts)
+    * but never shuffled wider than the counts. */
+  def gapFilledCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val bucketed = e.select(col("event_type"),
+      date_trunc("hour", col("ts")).as("bucket"))
+    val counts = bucketed.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val grid = bucketed.agg(min(col("bucket")).as("lo"),
+        max(col("bucket")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 HOUR"))).as("bucket"))
+      .crossJoin(bucketed.select(col("event_type")).distinct())
+    grid.join(counts, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
 }

@@ -134,4 +134,28 @@ class VectorFunctionsSpec extends SparkSpec {
       if (t == null) Nil else t.getMessage +: causes(t.getCause)
     assert(causes(ex).exists(m => m != null && m.contains("length mismatch")))
   }
+
+  test("KMV sketch: exact below k, accurate above, order/duplicate invariant") {
+    import graft.functions.KmvSketch
+    // below k: the sketch IS the distinct set — estimate exact
+    val small = spark.range(100).toDF("v")
+    val r1 = small.agg(KmvSketch.kmvDistinct(col("v"), 512).as("s"))
+      .select("s.n", "s.estimate").head()
+    assert(r1.getLong(0) == 100L && r1.getDouble(1) == 100.0)
+    // above k: estimate within the ~1/sqrt(k) band (k=512 → ~4.4%; allow 3σ)
+    val big = spark.range(20000).toDF("v")
+    val est = big.agg(KmvSketch.kmvDistinct(col("v"), 512).as("s"))
+      .select("s.estimate").head().getDouble(0)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.15, s"est=$est")
+    // duplicates and partitioning must not move the sketch at all
+    val dup = big.union(big).union(big).repartition(7)
+    val est2 = dup.agg(KmvSketch.kmvDistinct(col("v"), 512).as("s"))
+      .select("s.estimate").head().getDouble(0)
+    assert(est2 == est)
+    // empty input: n=0, estimate 0
+    val r0 = spark.range(0).toDF("v")
+      .agg(KmvSketch.kmvDistinct(col("v"), 512).as("s"))
+      .select("s.n", "s.estimate").head()
+    assert(r0.getLong(0) == 0L && r0.getDouble(1) == 0.0)
+  }
 }
