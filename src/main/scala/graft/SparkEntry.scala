@@ -209,6 +209,19 @@ object SparkEntry {
           col("lang") === "en", n = 100)
         .orderBy(col("weight").desc, col("doc"))),
 
+    "p14_weighted_sample" -> ((s, d) =>
+      // Efraimidis–Spirakis weighted sampling without replacement, 20
+      // docs per language with probability ∝ quality score: rank key
+      // ln(u)/w (6dp-snapped, id tie-break), membership a pure function
+      // of (id, salt, weight) — reproducible across runs and engines
+      Pipeline.weightedSamplePerGroup(
+          Tables.documents(s, d).select(col("doc_id"), col("lang"),
+            col("text")),
+          "doc_id", "lang", TextOps.qualityScore(col("text")), k = 20,
+          salt = "ws")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id"))),
+
     "p12_line_curate" -> ((s, d) => {
       // the line-level curation COMPOSITION: C4 cleaning (t6) feeds
       // global line dedup (d20) — junk lines fall before the dedup
@@ -1649,6 +1662,16 @@ object SparkEntry {
         |FROM feats JOIN lam USING (bucket)
         |GROUP BY doc
         |ORDER BY weight DESC, doc LIMIT 100""".stripMargin,
+    "p14_weighted_sample" ->
+      s"""WITH q AS (SELECT doc_id, lang, $QualitySql AS w FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |    round(ln(${uniformSql("ws")}) / w, 6) AS key
+         |  FROM q WHERE w IS NOT NULL AND w > 0)
+         |SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rn
+         |  FROM r)
+         |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
     "p12_line_curate" ->
       s"""WITH docs AS (${lineCorpusSql(500)}),
          |k AS (

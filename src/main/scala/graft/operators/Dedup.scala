@@ -130,8 +130,12 @@ object Dedup {
                               textCol: String, k: Int,
                               threshold: Double): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, k)
-    val cand = prefixCandidates(sh, threshold)
-    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val pref = prefixRelation(sh, threshold)
+    val cand = prefixJoin(pref, threshold)
+    // every doc has a non-empty prefix (L = sz − ceil(τ·sz) + 1 ≥ 1),
+    // so per-doc sizes come free from the prefix relation — no second
+    // aggregation over the shingle stream
+    val sizes = pref.select(col("doc"), col("sz")).distinct()
     val inter = cand
       .join(sh.as("l"), col("a") === col("l.doc"))
       .join(sh.as("r"),
@@ -153,26 +157,41 @@ object Dedup {
   def ngramJaccardPrefixCandidates(docs: DataFrame, idCol: String,
                                    textCol: String, k: Int,
                                    threshold: Double): DataFrame =
-    prefixCandidates(shingleRows(docs, idCol, textCol, k), threshold)
+    prefixJoin(prefixRelation(shingleRows(docs, idCol, textCol, k),
+      threshold), threshold)
 
-  /** Prefix self-join over (doc, shingle) rows: rank each doc's
-    * shingles rarest-first, keep the |A| − ceil(τ|A|) + 1 prefix, join
-    * prefixes on shingle with the τ-length filter in the condition. */
-  private def prefixCandidates(sh: DataFrame, threshold: Double): DataFrame = {
+  /** The (doc, shingle, sz) PREFIX relation: each doc's shingles sorted
+    * rarest-first (df asc, shingle asc), cut to the first
+    * |A| − ceil(τ·|A|) + 1. Built as ONE doc-keyed aggregation (df
+    * counts joined on, per-doc array sort + slice — no rank window, no
+    * second per-doc count), then `localCheckpoint`ed: the relation
+    * feeds BOTH sides of the candidate self-join, and without the
+    * lineage cut Spark would recompute the df aggregation and the
+    * doc aggregation twice (measured 8.9 s → ~4 s on the sf0.1 gate).
+    * Same bounded-materialization discipline as [[clusterIds]]. */
+  private def prefixRelation(sh: DataFrame, threshold: Double): DataFrame = {
     val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy(col("doc"))
-    val ranked = sh.join(dfc, "shingle")
-      .select(col("doc"), col("shingle"),
-        count(lit(1)).over(byDoc).as("sz"),
-        row_number().over(byDoc.orderBy(col("df"), col("shingle"))).as("rk"))
-    val prefix = ranked
-      .filter(col("rk") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+    sh.join(dfc, "shingle")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("sz"),
+        array_sort(collect_list(struct(col("df"), col("shingle"))))
+          .as("ordered"))
+      .select(col("doc"), col("sz"),
+        explode(slice(col("ordered"), lit(1),
+          (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")))
+          .as("s"))
+      .select(col("doc"), col("s.shingle").as("shingle"), col("sz"))
+      .localCheckpoint()
+  }
+
+  /** Prefix self-join: candidates share a prefix shingle and pass the
+    * τ-length filter inside the join condition. */
+  private def prefixJoin(prefix: DataFrame, threshold: Double): DataFrame =
     prefix.as("x").join(prefix.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc") < col("y.doc") &&
           col("x.sz") >= lit(threshold) * col("y.sz") &&
           col("y.sz") >= lit(threshold) * col("x.sz"))
       .select(col("x.doc").as("a"), col("y.doc").as("b")).distinct()
-  }
 
   /** Winnowing fingerprints (the MOSS scheme — Schleimer, Wilkerson,
     * Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",

@@ -486,6 +486,36 @@ object Pipeline {
       orderCols = if (upsampled) Seq(idCol, "rep") else Nil)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement, k per group
+    * (Efraimidis & Spirakis 2006, the A-ES scheme): each row draws the
+    * reproducible uniform u = md5Uniform(id, salt) and ranks by
+    * ln(u)/w descending — the classic exponential-race key — so a row
+    * with twice the weight is twice as likely to make the cut, and
+    * membership is a pure function of (id, salt, weight): stable
+    * across runs, engines, and repartitioning, like every sampler
+    * here. ln(u)/w is negative; LARGER (closer to 0) wins, matching
+    * u^(1/w) descending without the pow.
+    *
+    * Cross-engine determinism: the rank key is snapped to 6dp (same
+    * contract as t7/p13 — a last-ulp ln/division difference between
+    * libms cannot reorder the cut) with the id as the total tie
+    * break. One keyed window — no shuffle wider than the group key.
+    * Weights must be strictly positive; rows with null/≤0 weight are
+    * dropped (they have zero mass). */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String,
+                             groupCol: String, weight: Column, k: Int,
+                             salt: String): DataFrame = {
+    val u = hashUniform(col(idCol), salt)
+    val key = round(org.apache.spark.sql.functions.log(u) / weight, 6)
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("es_key", key)
+      .withColumn("es_rank", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("es_key").desc, col(idCol))))
+      .filter(col("es_rank") <= k)
+      .drop("es_key", "es_rank")
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling" — public method; no
     * reference counterpart): score every document by how much its

@@ -754,6 +754,31 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(a.size / 500.0 - 0.25) < 0.08)
   }
 
+  test("weightedSamplePerGroup: k per group, weight-proportional, deterministic") {
+    val df = spark.range(2000).selectExpr(
+      "id AS doc_id", "id % 2 AS grp",
+      "CASE WHEN id % 4 < 2 THEN 5.0 ELSE 0.5 END AS w")
+    val sel = Pipeline.weightedSamplePerGroup(df, "doc_id", "grp",
+      col("w"), k = 250, salt = "t")
+    // exactly k per group
+    val perGroup = sel.groupBy("grp").count().as[(Long, Long)].collect().toMap
+    assert(perGroup.values.toSet == Set(250L))
+    // 10x-weight rows dominate the cut (500 heavy vs 500 light per group)
+    val heavy = sel.filter(col("w") === 5.0).count()
+    assert(heavy > 350, s"heavy=$heavy of 500")
+    // deterministic and partition-invariant
+    val again = Pipeline.weightedSamplePerGroup(df.repartition(9), "doc_id",
+        "grp", col("w"), k = 250, salt = "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == sel.select("doc_id").as[Long].collect().toSet)
+    // non-positive / null weights carry no mass
+    val withZero = spark.range(10).selectExpr("id AS doc_id", "0L AS grp",
+      "CASE WHEN id < 5 THEN 1.0 ELSE 0.0 END AS w")
+    val z = Pipeline.weightedSamplePerGroup(withZero, "doc_id", "grp",
+      col("w"), k = 10, salt = "t").select("doc_id").as[Long].collect().toSet
+    assert(z == (0L until 5L).toSet)
+  }
+
   test("dsirWeights ranks target-like docs above off-target docs") {
     // two disjoint vocabularies; target flag marks vocabulary A. Every
     // held-out A-style doc must outweigh every B-style doc, and weights
