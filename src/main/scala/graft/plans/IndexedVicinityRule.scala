@@ -364,11 +364,13 @@ case class IndexedVicinityRule(spark: SparkSession) extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-  import graft.functions.{DistSqExpr, DotProductExpr, VecStatsNative}
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import graft.functions.{DistSqExpr, DotProductExpr, KmvSketch, VecStatsNative}
 
   /** SQL surface for the engine's kernels (the reference is T-SQL-first,
     * so spark.sql users get the same functions the Column API exposes):
-    * `vec_distsq(a, b)`, `vec_dot(a, b)`, `vec_stats(id, vec)`. */
+    * `vec_distsq(a, b)`, `vec_dot(a, b)`, `vec_stats(id, vec)`,
+    * `kmv_sketch(uniform, k)`. */
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(IndexedVicinityRule.apply)
     ext.injectFunction((
@@ -384,5 +386,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecStatsNative].getName, "vec_stats"),
       (args: Seq[Expression]) =>
         VecStatsNative(args(0), args(1)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketch].getName, "kmv_sketch"),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"kmv_sketch(uniform, k): k must be an INT literal, got $other")
+        }
+        KmvSketch(args(0), k).toAggregateExpression()
+      }))
   }
 }

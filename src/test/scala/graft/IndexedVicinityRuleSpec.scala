@@ -256,6 +256,14 @@ class IndexedVicinityRuleSpec extends SparkSpec {
           |  SELECT vec_stats(vec_id, embedding) AS vs FROM emb)""".stripMargin)
         .head()
       assert(stats.getLong(0) == 500L && stats.getInt(1) == 64)
+      // kmv_sketch: exact below k (500 distinct ids, k=512 → n == est)
+      val kmv = extSpark.sql(
+        """SELECT s.n, s.estimate FROM (
+          |  SELECT kmv_sketch(
+          |    CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10)
+          |      AS BIGINT) / 1152921504606846976.0, 512) AS s
+          |  FROM emb)""".stripMargin).head()
+      assert(kmv.getLong(0) == 500L && kmv.getDouble(1) == 500.0)
     } finally {
       extSpark.catalog.dropTempView("emb")
       SparkSession.setDefaultSession(TestSpark.spark)
