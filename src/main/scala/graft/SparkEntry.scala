@@ -84,6 +84,20 @@ object SparkEntry {
       // sequence explode × distinct types, left join of the sparse
       // counts) — "no row ≠ no bucket"
       Relational.gapFilledCounts(s, d)),
+    "q19_kmv_groups" -> ((s, d) => {
+      // the GROUPED sketch path: one KMV per event_type (merge across
+      // partitions within each group) — "distinct users per type"
+      // without shuffling every distinct (type, user) pair at 100 TB
+      import graft.functions.KmvSketch
+      Tables.events(s, d).groupBy(col("event_type"))
+        .agg(KmvSketch.kmvDistinct(col("user_id"), 256).as("s"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .select(col("event_type"), col("n_exact"),
+          col("s.estimate").as("estimate"),
+          round(abs(col("s.estimate") - col("n_exact")) / col("n_exact"), 6)
+            .as("rel_err"))
+        .orderBy(col("event_type"))
+    }),
     "q17_kmv_distinct" -> ((s, d) => {
       // KMV distinct-count sketch (the portable, mergeable alternative
       // to engine-specific HLL): one streaming pass keeping the 512
@@ -501,12 +515,16 @@ object SparkEntry {
     }),
     "d22_jaccard_prefix" -> ((s, d) =>
       // EXACT-threshold Jaccard pairs via prefix filtering (AllPairs /
-      // PPJoin): same relation as d2's quadratic anchor, but candidates
-      // come from a rarest-first PREFIX self-join (lossless for J >= τ)
-      // + candidates-only verify — the exact-dedup scale path where
-      // d3/d8's MinHash route is probabilistic. Oracle = d2's brute SQL.
+      // PPJoin): same relation as d2's brute anchor at the gate τ, but
+      // candidates come from a rarest-first PREFIX self-join (lossless
+      // for J >= τ) + candidates-only verify — the exact-dedup scale
+      // path where d3/d8's MinHash route is probabilistic. τ=0.8, the
+      // near-dup threshold the technique targets: prefix length is
+      // |A|−ceil(τ|A|)+1, so low τ keeps long prefixes and prunes
+      // little (prefixbench row in BASELINE.md). Oracle = d2's brute
+      // SQL at 0.8.
       Dedup.ngramJaccardPrefixPairs(Tables.documents(s, d), "doc_id", "text",
-          3, 0.3)
+          3, 0.8)
         .orderBy(col("a"), col("b"))),
     "d17_eval_contamination" -> ((s, d) => {
       // benchmark-integrity report (reverse of d13): per eval item, the
@@ -1503,6 +1521,25 @@ object SparkEntry {
         |  ON counts.event_type = grid.event_type
         |  AND counts.bucket = grid.bucket
         |ORDER BY grid.event_type, grid.bucket""".stripMargin,
+    "q19_kmv_groups" ->
+      """WITH u AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM events),
+        |mins AS (SELECT event_type, u,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+        |  FROM u),
+        |agg AS (SELECT event_type, count(*) AS n, max(u) AS kth
+        |  FROM mins WHERE rn <= 256 GROUP BY event_type),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |  FROM events GROUP BY event_type)
+        |SELECT ex.event_type, n_exact,
+        |  CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |       ELSE 255.0 / kth END AS estimate,
+        |  round(abs(CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+        |       ELSE 255.0 / kth END - n_exact) / n_exact, 6) AS rel_err
+        |FROM agg JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q17_kmv_distinct" ->
       """WITH u AS (SELECT DISTINCT
         |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT
@@ -1930,7 +1967,7 @@ object SparkEntry {
          |  FROM lab) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "d22_jaccard_prefix" ->
       s"""SELECT a, b, jaccard FROM ($JaccardPairsSql)
-         |WHERE raw_jaccard >= 0.3 ORDER BY a, b""".stripMargin,
+         |WHERE raw_jaccard >= 0.8 ORDER BY a, b""".stripMargin,
     "d4_simhash" ->
       s"""WITH $simhashSumsSql
          |SELECT doc, simhash FROM sh16 ORDER BY doc""".stripMargin,

@@ -260,6 +260,34 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "prefixbench") {
+      // d22 threshold sensitivity: candidate volume + time vs τ — prefix
+      // filtering prunes ~(1−τ) of each doc's shingles into the join,
+      // so low τ keeps long prefixes and the method only pays off at
+      // the near-dup thresholds it is meant for
+      import graft.operators.Dedup
+      val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+        .localCheckpoint()
+      val n = docs.count()
+      println(s"corpus $n docs ($sfDir)")
+      for (tau <- Seq(0.3, 0.5, 0.6, 0.8)) {
+        var t0 = System.nanoTime()
+        val cand = Dedup.ngramJaccardPrefixCandidates(
+          docs, "doc_id", "text", 3, tau).count()
+        val tc = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val pairs = Dedup.ngramJaccardPrefixPairs(
+          docs, "doc_id", "text", 3, tau).count()
+        val tp = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val brute = Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", 3, tau).count()
+        val tb = (System.nanoTime() - t0) / 1e9
+        println(f"tau=$tau%.1f  cands=$cand%9d  pairs=$pairs%7d  " +
+          f"prefix=$tp%6.2f s (cand pass $tc%6.2f)  naive=$tb%6.2f s")
+      }
+      spark.stop(); return
+    }
     if (name == "docbench") {
       // multi-document serving-build A/B: D docs × (n/D) points × d dims,
       // sequential indexDocument loop (D × filter+build+write jobs) vs
