@@ -674,6 +674,15 @@ object SparkEntry {
         .select(col("vec_id"), col("list_id").cast("long").as("list_id"))
         .orderBy(col("vec_id"))
     }),
+    "a18_rp_knn" -> ((s, d) =>
+      // Johnson–Lindenstrauss random-projection kNN: coarse rank in a
+      // 16-dim seeded random projection (data-free, so fully
+      // oracle-replayable — the PCA twin is data-dependent and
+      // spec-gated), pool of 100, exact re-rank to 10. At scale the
+      // projection is a stored sidecar column: the coarse pass scans
+      // 16 doubles per row instead of 64.
+      Similarity.rpKnn(embeddings(s, d), "vec_id", "embedding",
+        Similarity.hyperplanes(16, 64), Q64, pool = 100, k = 10)),
     "a11_sq8_knn" -> ((s, d) =>
       // SQ8 compressed-scan kNN (the scalar-quantization SEARCH side of
       // v15's encode): rank by distance to the bin-center decode of the
@@ -1521,6 +1530,22 @@ object SparkEntry {
         |  ON counts.event_type = grid.event_type
         |  AND counts.bucket = grid.bucket
         |ORDER BY grid.event_type, grid.bucket""".stripMargin,
+    "a18_rp_knn" -> {
+      val planes = Similarity.hyperplanes(16, 64)
+      val cs = planes.map(p =>
+        p.iterator.zip(QueryConstants.Q64.iterator)
+          .map { case (a, b) => a * b }.sum)
+      val rp = planes.zip(cs).map { case (p, c) =>
+        s"((list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) - ($c)) * " +
+          s"(list_dot_product(CAST(embedding AS DOUBLE[]), ${planeSql(p)}) - ($c)))"
+      }.mkString(" + ")
+      s"""WITH pool AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  ORDER BY $rp, vec_id LIMIT 100)
+         |SELECT CAST(row_number() OVER (ORDER BY $DistSql, vec_id) AS INTEGER) AS rank,
+         |  vec_id
+         |FROM pool ORDER BY rank LIMIT 10""".stripMargin
+    },
     "q19_kmv_groups" ->
       """WITH u AS (SELECT DISTINCT event_type,
         |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT

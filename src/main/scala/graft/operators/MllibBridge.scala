@@ -36,4 +36,39 @@ object MllibBridge {
       .select(vector_to_array(col("s.mean")).as("mean"),
         vector_to_array(col("s.variance")).as("variance"),
         col("s.count").as("cnt"))
+
+  /** PCA projection via MLlib (the data-DEPENDENT twin of
+    * `Similarity.rpKnn`'s random projection, and the standard OPQ/PQ
+    * pre-rotation): fit the top-`k` principal components on the corpus,
+    * return (projected corpus with `out` = ARRAY<DOUBLE>, the d×k
+    * component matrix row-major) so queries can be projected with the
+    * SAME matrix at probe time. Data-dependent eigenvectors are not
+    * portable to a SQL oracle (sign/rotation ambiguity across eigen
+    * libraries), so the PCA family is SPEC-gated: orthonormal
+    * components, projection ≡ manual matrix multiply, and a recall
+    * floor for coarse-rank → exact re-rank kNN in the reduced space.
+    *
+    * Scale: `PCA.fit` is one distributed Gramian pass (d×d driver
+    * eigensolve — d is the embedding dim, not the corpus); projection
+    * is a narrow map. Store the projected column as a sidecar at
+    * ingest and the coarse pass scans k doubles per row instead of d. */
+  def pcaProject(df: DataFrame, vecCol: String, k: Int,
+                 out: String): (DataFrame, Array[Array[Double]]) = {
+    val pca = new org.apache.spark.ml.feature.PCA()
+      .setInputCol("_mlvec").setOutputCol("_mlproj").setK(k)
+    val model = pca.fit(toMlVector(df, vecCol, "_mlvec"))
+    val outDf = model.transform(toMlVector(df, vecCol, "_mlvec"))
+      .withColumn(out, vector_to_array(col("_mlproj")))
+      .drop("_mlvec", "_mlproj")
+    val pc = model.pc // d rows × k cols, column-major DenseMatrix
+    val rows = Array.tabulate(pc.numRows, pc.numCols)((i, j) => pc(i, j))
+    (outDf, rows)
+  }
+
+  /** Project a query vector with the component matrix from
+    * [[pcaProject]] (rows = original dims, cols = k). */
+  def pcaProjectQuery(pc: Array[Array[Double]], q: Seq[Double]): Array[Double] = {
+    val k = pc.headOption.map(_.length).getOrElse(0)
+    Array.tabulate(k)(j => pc.indices.iterator.map(i => pc(i)(j) * q(i)).sum)
+  }
 }

@@ -38,6 +38,42 @@ object Similarity {
     Array.fill(numPlanes, dim)(next())
   }
 
+  /** Johnson–Lindenstrauss random-projection kNN: coarse-rank by the
+    * distance in a `planes.length`-dimensional random projection (JL:
+    * pairwise distances are preserved within (1±ε) at m = O(log n / ε²)
+    * dims — data-FREE, unlike PCA, so the planes are seeded literals
+    * and the whole path has an exact SQL oracle), keep the best `pool`
+    * ids, then re-rank the pool by exact distance.
+    *
+    * The query's own projection dot(q, p_j) is a driver-side constant
+    * c_j (same left-to-right accumulation as the codegen/list_dot_
+    * product loop), so the per-row reduced distance is a fixed-order
+    * sum of `m` squared (dot − c_j) terms — m narrow dots against a
+    * 16× shorter effective column instead of d-wide arithmetic when
+    * the projection is precomputed and stored; here it is computed
+    * in-scan to keep the operator self-contained. At scale: store the
+    * projected vectors as a sidecar column (one narrow map at ingest)
+    * and the coarse pass scans m doubles per row instead of d. */
+  def rpKnn(emb: DataFrame, idCol: String, vecCol: String,
+            planes: Array[Array[Double]], q: Seq[Double],
+            pool: Int, k: Int): DataFrame = {
+    val cs = planes.map(p =>
+      p.iterator.zip(q.iterator).map { case (a, b) => a * b }.sum)
+    val rpDist = planes.zip(cs).map { case (p, c) =>
+      val dl = dot(col(vecCol), doubleVec(p.toIndexedSeq)) - lit(c)
+      dl * dl
+    }.reduce(_ + _)
+    val pooled = emb
+      .select(col(idCol), col(vecCol), rpDist.as("rp_dist"))
+      .orderBy(col("rp_dist"), col(idCol)).limit(pool)
+    pooled
+      .withColumn("dist", dist(col(vecCol), doubleVec(q)))
+      .orderBy(col("dist"), col(idCol)).limit(k)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("dist"), col(idCol))).as("rank"),
+        col(idCol))
+  }
+
   /** Sign-bit bucket id of a vector column for the given planes:
     * bit j set ⇔ dot(v, plane_j) > 0. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =

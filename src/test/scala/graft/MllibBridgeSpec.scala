@@ -23,6 +23,46 @@ class MllibBridgeSpec extends SparkSpec {
     }
   }
 
+  test("PCA projection: orthonormal components, manual-multiply parity, kNN recall") {
+    // k=32 of 64: the synthetic embeddings are near-ISOTROPIC (no
+    // low-rank structure for PCA to exploit), so halving the dims keeps
+    // ~half the variance — on real embedding corpora (which are heavily
+    // anisotropic) the same recall arrives at much smaller k
+    val e = Tables.embeddings(spark, sf0001)
+    val (proj, pc) = MllibBridge.pcaProject(e, "embedding", k = 32, out = "proj")
+    // component matrix is d x k with orthonormal columns
+    assert(pc.length == 64 && pc.head.length == 32)
+    for (a <- 0 until 32; b <- a until 32) {
+      val dotAb = (0 until 64).iterator.map(i => pc(i)(a) * pc(i)(b)).sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dotAb - want) < 1e-9, s"col $a . col $b = $dotAb")
+    }
+    // projected column equals the manual matrix multiply
+    val rows = proj.select("vec_id", "proj")
+      .as[(Long, Seq[Double])].collect().toMap
+    val raw = e.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    raw.take(20).foreach { case (id, v) =>
+      val manual = MllibBridge.pcaProjectQuery(pc, v.map(_.toDouble))
+      manual.zip(rows(id)).foreach { case (m, p) =>
+        assert(math.abs(m - p) < 1e-9, s"vec $id")
+      }
+    }
+    // coarse-rank in PCA space -> exact re-rank recovers the true top-10
+    // (16 of 64 dims; pool 100 of 500)
+    val q = QueryConstants.Q64
+    val qp = MllibBridge.pcaProjectQuery(pc, q)
+    val pool = proj.withColumn("pd",
+        graft.functions.VectorFunctions.dist(col("proj"),
+          graft.functions.VectorFunctions.doubleVec(qp.toIndexedSeq)))
+      .orderBy(col("pd"), col("vec_id")).limit(100)
+      .select("vec_id").as[Long].collect().toSet
+    val trueTop = graft.operators.BruteForce.knn(e, "embedding", "vec_id", q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = trueTop.count(pool.contains) / 10.0
+    assert(recall >= 0.8, s"recall@10=$recall")
+  }
+
   test("array <-> vector round trip is lossless") {
     val e = Tables.embeddings(spark, sf0001).limit(20)
     val rt = MllibBridge.toArray(
