@@ -84,6 +84,32 @@ object SparkEntry {
       // sequence explode × distinct types, left join of the sparse
       // counts) — "no row ≠ no bucket"
       Relational.gapFilledCounts(s, d)),
+    "q20_bloom_prefilter" -> ((s, d) => {
+      // portable Bloom pre-filter (the broadcast shuffle-avoidance
+      // pattern): bitset built from orders' distinct custkeys (one
+      // bit_or agg + a bounded 2 KiB collect), membership test as a
+      // pure codegen projection on the probe side. Output = every
+      // passing customer with its deterministic false-positive flag;
+      // the oracle rebuilds the identical bitset from the same md5
+      // positions and replays the verdicts.
+      // probes = every real custkey (all members in this testdata —
+      // q5 is empty) PLUS the same keys shifted out of the key space
+      // (all non-members), so the output carries both the full member
+      // recall (one-sided error) and the deterministic false-positive
+      // set among the non-members
+      val orders = Tables.orders(s, d)
+      val bits = Bloom.build(orders, "o_custkey", k = 3,
+        mBits = 16384)
+      val cust = Tables.customer(s, d)
+      val probes = cust.select(col("c_custkey").as("probe_key"))
+        .union(cust.select((col("c_custkey") + 10000000L).as("probe_key")))
+      probes
+        .filter(Bloom.mightContain(col("probe_key"), bits, 3, 16384))
+        .join(orders.select(col("o_custkey")).distinct(),
+          col("probe_key") === col("o_custkey"), "left")
+        .select(col("probe_key"), col("o_custkey").isNotNull.as("is_member"))
+        .orderBy(col("probe_key"))
+    }),
     "q19_kmv_groups" -> ((s, d) => {
       // the GROUPED sketch path: one KMV per event_type (merge across
       // partitions within each group) — "distinct users per type"
@@ -1545,6 +1571,30 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY $DistSql, vec_id) AS INTEGER) AS rank,
          |  vec_id
          |FROM pool ORDER BY rank LIMIT 10""".stripMargin
+    },
+    "q20_bloom_prefilter" -> {
+      def posSql(v: String): String =
+        s"CAST(floor(('0x' || substr(md5(CAST($v AS VARCHAR) || '_b' || i), 1, 15))::BIGINT" +
+          " / 1152921504606846976.0 * 16384) AS INT)"
+      s"""WITH ks AS (SELECT i FROM (VALUES (0), (1), (2)) t(i)),
+         |vals AS (SELECT DISTINCT o_custkey AS v FROM orders),
+         |pos AS (SELECT ${posSql("v")} AS p FROM vals, ks),
+         |words AS (SELECT p // 63 AS word,
+         |    bit_or(CAST(1 AS BIGINT) << (p % 63)) AS mask
+         |  FROM pos GROUP BY 1),
+         |probes AS (SELECT c_custkey AS probe_key FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey + 10000000 FROM customer),
+         |cpos AS (SELECT probe_key, ${posSql("probe_key")} AS p
+         |  FROM probes, ks),
+         |hits AS (SELECT probe_key FROM cpos
+         |  JOIN words ON words.word = cpos.p // 63
+         |    AND (words.mask & (CAST(1 AS BIGINT) << (cpos.p % 63))) != 0
+         |  GROUP BY probe_key HAVING count(*) = 3)
+         |SELECT h.probe_key, (o.o_custkey IS NOT NULL) AS is_member
+         |FROM hits h LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+         |  ON o.o_custkey = h.probe_key
+         |ORDER BY h.probe_key""".stripMargin
     },
     "q19_kmv_groups" ->
       """WITH u AS (SELECT DISTINCT event_type,

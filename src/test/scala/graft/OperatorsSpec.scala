@@ -754,6 +754,25 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(a.size / 500.0 - 0.25) < 0.08)
   }
 
+  test("Bloom filter: zero false negatives, bounded deterministic false positives") {
+    val members = spark.range(2000).selectExpr("id * 3 AS v")
+    val bits = Bloom.build(members, "v", k = 3, mBits = 32768)
+    // every member passes (one-sided error)
+    val missed = members.filter(!Bloom.mightContain(col("v"), bits, 3, 32768))
+      .count()
+    assert(missed == 0)
+    // non-members: fp rate within ~3x of (1 - e^(-kn/m))^k ≈ 0.43%
+    val nonMembers = spark.range(2000).selectExpr("id * 3 + 1 AS v")
+    val fps = nonMembers.filter(Bloom.mightContain(col("v"), bits, 3, 32768))
+      .count()
+    assert(fps < 2000 * 0.013, s"fps=$fps")
+    // the bitset is a pure function of the value set — partitioning and
+    // duplicates cannot change a single word
+    val bits2 = Bloom.build(members.union(members).repartition(13), "v",
+      3, 32768)
+    assert(bits.toSeq == bits2.toSeq)
+  }
+
   test("weightedSamplePerGroup: k per group, weight-proportional, deterministic") {
     val df = spark.range(2000).selectExpr(
       "id AS doc_id", "id % 2 AS grp",
