@@ -230,6 +230,14 @@ object SparkEntry {
           Seq("spark", "data", "query", "join"), topK = 15)
         .orderBy(col("bm25").desc, col("doc"))),
 
+    "t9_bigram_ce" -> ((s, d) =>
+      // CCNet-style quality scoring: mean negative log bigram
+      // probability under an add-one bigram LM trained on the English
+      // slice (lower = more target-like). Fixed-point per-bigram terms
+      // → integer doc sums (the DSIR determinism contract)
+      TextOps.bigramCrossEntropy(Tables.documents(s, d), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy(col("doc"))),
     "t8_url_dedup" -> ((s, d) =>
       // URL canonicalization dedup (CCNet/RefinedWeb pre-pass) over the
       // deterministic URL corpus: scheme/case/www/tracking-param/
@@ -1743,6 +1751,27 @@ object SparkEntry {
          |  CAST(len(ks) AS INTEGER) AS n_kept,
          |  md5(array_to_string(ks, chr(10))) AS clean_md5
          |FROM k ORDER BY doc_id""".stripMargin,
+    "t9_bigram_ce" ->
+      """WITH base AS (SELECT doc_id AS doc, lang = 'en' AS tgt,
+        |    string_split_regex(text, '\s+') AS ts FROM documents),
+        |pairs AS (SELECT doc, tgt, ts[i+1] AS w1, ts[i+2] AS w2
+        |  FROM (SELECT doc, tgt, ts, unnest(range(len(ts) - 1)) AS i
+        |        FROM base)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs WHERE tgt
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT w, count(*) AS c1
+        |  FROM (SELECT unnest(ts) AS w FROM base WHERE tgt) GROUP BY 1),
+        |vv AS (SELECT count(*) + 1 AS v FROM c1),
+        |lam AS (SELECT p.doc,
+        |    CAST(round(-ln((coalesce(c2.c2, 0) + 1.0)
+        |      / (coalesce(c1.c1, 0) + CAST(vv.v AS DOUBLE))) * 1e8)
+        |      AS BIGINT) AS lam_fp
+        |  FROM pairs p
+        |  LEFT JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
+        |  LEFT JOIN c1 ON c1.w = p.w1, vv)
+        |SELECT doc, round((CAST(sum(lam_fp) AS DOUBLE) / 1e8)
+        |  / count(*), 6) AS ce
+        |FROM lam GROUP BY doc ORDER BY doc""".stripMargin,
     "t8_url_dedup" ->
       s"""WITH raw AS (${urlCorpusSql(500)}),
          |c AS (SELECT doc_id, $CanonicalUrlSql AS canonical_url FROM raw)

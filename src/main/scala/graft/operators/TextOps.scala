@@ -315,6 +315,55 @@ object TextOps {
         .as("clean_text"))
   }
 
+  /** Bigram language-model cross-entropy scoring (the CCNet quality
+    * signal — Wenzek et al. 2020 score documents by the perplexity of a
+    * target-domain LM; lower = more target-like): train an add-one-
+    * smoothed bigram LM on the TARGET slice of the corpus, score every
+    * document by its mean negative log bigram probability,
+    * p(w2|w1) = (C2(w1,w2)+1) / (C1(w1)+V). The complement of
+    * [[Pipeline.dsirWeights]]: DSIR ranks by a target/raw RATIO of
+    * hashed features; this ranks by absolute likelihood under the
+    * target LM.
+    *
+    * Cross-engine determinism: each bigram's −ln p is snapped to fixed
+    * point (round(·1e8) as a long) before the per-doc sum — the same
+    * integer-aggregation contract as DSIR — and the mean divides the
+    * integer sum once at the end. V (target vocabulary + 1) is a
+    * BOUNDED driver scalar (the vocabulary, not the corpus).
+    *
+    * Shape at scale: bigram/unigram count aggregations over the target
+    * slice (map-side combined), two keyed left joins of the per-doc
+    * bigram stream against them, one per-doc sum. Docs with fewer than
+    * two tokens have no bigrams and are absent from the output. */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+                         isTarget: Column): DataFrame = {
+    val toks = Dedup.tokens(col(textCol))
+    val base = docs.select(col(idCol).as("doc"), isTarget.as("tgt"),
+      toks.as("ts"))
+    val pairs = base.select(col("doc"), col("tgt"),
+        explode(expr("zip_with(slice(ts, 1, size(ts) - 1), " +
+          "slice(ts, 2, size(ts) - 1), (a, b) -> struct(a AS w1, b AS w2))"))
+          .as("bg"))
+      .select(col("doc"), col("tgt"), col("bg.w1").as("w1"),
+        col("bg.w2").as("w2"))
+    val c2 = pairs.filter(col("tgt")).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = base.filter(col("tgt")).select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val v = (c1.count() + 1).toDouble
+    val lamFp = round(-org.apache.spark.sql.functions.log(
+        (coalesce(col("c2"), lit(0L)) + 1.0) /
+          (coalesce(col("c1"), lit(0L)) + lit(v))) * 1e8)
+      .cast("long")
+    pairs
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .select(col("doc"), lamFp.as("lam_fp"))
+      .groupBy(col("doc"))
+      .agg(round((sum(col("lam_fp")).cast("double") / 1e8) /
+        count(lit(1)), 6).as("ce"))
+  }
+
   /** URL canonicalization for URL-level dedup (the CCNet / RefinedWeb
     * pre-pass: crawl snapshots carry the same page under scheme, case,
     * www, tracking-parameter and fragment variants — canonicalize

@@ -569,6 +569,30 @@ class TextOpsSpec extends SparkSpec {
       "Another proper sentence with six words!").mkString("\n"))
   }
 
+  test("bigramCrossEntropy: target-like docs score lower; repartition-invariant") {
+    // two disjoint phrase distributions; LM trained on the first. Every
+    // A-style doc must have lower cross-entropy than every B-style doc,
+    // and the fixed-point sums must not move under repartitioning
+    val docs = spark.range(40).selectExpr(
+      "id AS doc_id",
+      "id < 20 AS tgt",
+      "CASE WHEN id < 20 THEN concat('alpha beta gamma delta run ', id % 4) " +
+        "ELSE concat('omega sigma theta lambda run ', id % 4) END AS text")
+    val ce = TextOps.bigramCrossEntropy(docs, "doc_id", "text", col("tgt"))
+      .as[(Long, Double)].collect().toMap
+    val (a, b) = (0L until 40L).partition(_ < 20L)
+    assert(a.map(ce).max < b.map(ce).min)
+    val ce2 = TextOps.bigramCrossEntropy(docs.repartition(7), "doc_id",
+      "text", col("tgt")).as[(Long, Double)].collect().toMap
+    assert(ce == ce2)
+    // a 1-token doc has no bigrams and is absent, not null/-1
+    val tiny = spark.range(2).selectExpr("id AS doc_id", "id = 0 AS tgt",
+      "CASE WHEN id = 0 THEN 'one two three' ELSE 'solo' END AS text")
+    val got = TextOps.bigramCrossEntropy(tiny, "doc_id", "text", col("tgt"))
+      .select("doc").as[Long].collect().toSet
+    assert(got == Set(0L))
+  }
+
   test("canonicalUrl normalizes every variant class") {
     val cases = Seq(
       "https://example1.com/page7" -> "example1.com/page7",
