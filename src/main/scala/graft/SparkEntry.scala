@@ -710,13 +710,14 @@ object SparkEntry {
     }),
     "a18_rp_knn" -> ((s, d) =>
       // Johnson–Lindenstrauss random-projection kNN: coarse rank in a
-      // 16-dim seeded random projection (data-free, so fully
+      // 32-dim seeded random projection (data-free, so fully
       // oracle-replayable — the PCA twin is data-dependent and
-      // spec-gated), pool of 100, exact re-rank to 10. At scale the
-      // projection is a stored sidecar column: the coarse pass scans
-      // 16 doubles per row instead of 64.
+      // spec-gated), pool of 150, exact re-rank to 10. At scale the
+      // projection is a stored sidecar column (32 doubles scanned per
+      // row instead of d); m is bounded below by distance
+      // concentration — the rpbench negative in BASELINE.md.
       Similarity.rpKnn(embeddings(s, d), "vec_id", "embedding",
-        Similarity.hyperplanes(16, 64), Q64, pool = 100, k = 10)),
+        Similarity.hyperplanes(32, 64), Q64, pool = 150, k = 10)),
     "a11_sq8_knn" -> ((s, d) =>
       // SQ8 compressed-scan kNN (the scalar-quantization SEARCH side of
       // v15's encode): rank by distance to the bin-center decode of the
@@ -1565,7 +1566,7 @@ object SparkEntry {
         |  AND counts.bucket = grid.bucket
         |ORDER BY grid.event_type, grid.bucket""".stripMargin,
     "a18_rp_knn" -> {
-      val planes = Similarity.hyperplanes(16, 64)
+      val planes = Similarity.hyperplanes(32, 64)
       val cs = planes.map(p =>
         p.iterator.zip(QueryConstants.Q64.iterator)
           .map { case (a, b) => a * b }.sum)
@@ -1575,7 +1576,7 @@ object SparkEntry {
       }.mkString(" + ")
       s"""WITH pool AS (
          |  SELECT vec_id, embedding FROM embeddings
-         |  ORDER BY $rp, vec_id LIMIT 100)
+         |  ORDER BY $rp, vec_id LIMIT 150)
          |SELECT CAST(row_number() OVER (ORDER BY $DistSql, vec_id) AS INTEGER) AS rank,
          |  vec_id
          |FROM pool ORDER BY rank LIMIT 10""".stripMargin

@@ -260,6 +260,50 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "rpbench") {
+      // a18's scale claim measured: store the m-dim random projection
+      // as a SIDECAR column at ingest, coarse-rank on it (m doubles per
+      // row instead of d), exact re-rank a bounded pool. Times the
+      // full-d brute scan vs the sidecar coarse+re-rank, plus recall@10.
+      import graft.operators._
+      import graft.functions.VectorFunctions._
+      import org.apache.spark.sql.functions._
+      val nums = args.drop(1).filter(_.forall(_.isDigit))
+      val n = nums.headOption.map(_.toLong).getOrElse(1000000L)
+      val d = nums.lift(1).map(_.toInt).getOrElse(96)
+      val m = nums.lift(2).map(_.toInt).getOrElse(16)
+      val pool = nums.lift(3).map(_.toInt).getOrElse(500)
+      val planes = Similarity.hyperplanes(m, d)
+      val projCols = planes.map(p => dot(col("vector"),
+        doubleVec(p.toIndexedSeq)))
+      // ingest-time sidecar: (id, vector, proj[m]) — persisted so the
+      // coarse pass reads the narrow column only
+      val pts = graft.sources.Ingest.randomClustered(spark, n, d, 1024)
+        .select(col("id"), col("vector"), array(projCols: _*).as("proj"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pts.count()
+      val q = (0 until d).map(i => ((i % 13) - 6) * 0.07)
+      val qp = planes.map(p =>
+        p.iterator.zip(q.iterator).map { case (a, b) => a * b }.sum)
+      for (run <- 1 to 3) {
+        var t0 = System.nanoTime()
+        val exact = BruteForce.knn(pts.select("id", "vector"), "vector",
+          "id", q, 10).select("id").collect().map(_.getLong(0)).toSet
+        val tb = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val pooled = pts.select(col("id"), col("vector"),
+            dist(col("proj"), doubleVec(qp.toIndexedSeq)).as("pd"))
+          .orderBy(col("pd"), col("id")).limit(pool)
+          .withColumn("dist", dist(col("vector"), doubleVec(q)))
+          .orderBy(col("dist"), col("id")).limit(10)
+          .select("id").collect().map(_.getLong(0)).toSet
+        val tr = (System.nanoTime() - t0) / 1e9
+        val recall = exact.count(pooled.contains) / 10.0
+        println(f"run $run: brute($d-d)=$tb%6.2f s  rp($m-d coarse + " +
+          f"$pool re-rank)=$tr%6.2f s  recall@10=$recall%.2f")
+      }
+      spark.stop(); return
+    }
     if (name == "prefixbench") {
       // d22 threshold sensitivity: candidate volume + time vs τ — prefix
       // filtering prunes ~(1−τ) of each doc's shingles into the join,

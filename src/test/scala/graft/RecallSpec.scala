@@ -78,6 +78,20 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.7, s"IVFADC nprobe=4 topN=200 recall@10 $r below floor 0.7")
   }
 
+  test("a18 random-projection coarse + re-rank recall@10 meets the floor") {
+    // m = dim/2 with a pool of 200 of 4000: JL ranking degrades under
+    // distance concentration (the rpbench 1M negative in BASELINE.md),
+    // but at this corpus/pool ratio the re-rank recovers the floor;
+    // a deeper pool must not lose recall (pool → n is exact)
+    val planes = Similarity.hyperplanes(8, 16)
+    val r = recallOf(q => Similarity.rpKnn(pts, "id", "embedding",
+      planes, q, pool = 200, k = K))
+    assert(r >= 0.7, s"RP pool=200 recall@10 $r below floor 0.7")
+    val rDeep = recallOf(q => Similarity.rpKnn(pts, "id", "embedding",
+        planes, q, pool = 4000, k = K))
+    assert(rDeep == 1.0, s"pool=n must be exact, got $rDeep")
+  }
+
   test("a1 LSH multi-probe recall@10 meets the floor") {
     val planes = Similarity.hyperplanes(6, 16)
     val dir = java.nio.file.Files.createTempDirectory("graftrecalllsh").toString

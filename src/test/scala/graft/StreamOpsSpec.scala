@@ -433,6 +433,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("bloom pre-filter runs unchanged on streams (stateless projection)") {
+    // the built bitset is a literal, so the probe side is a pure
+    // projection — the ingest-time "drop rows that can't join" pattern
+    val dir = java.nio.file.Files.createTempDirectory("graftbloom")
+      .resolve("probe").toString
+    spark.range(4000).selectExpr("id * 3 AS v").write.parquet(dir)
+    val members = spark.range(2000).selectExpr("id * 6 AS v")
+    val bits = operators.Bloom.build(members, "v", k = 3, mBits = 32768)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = stream
+      .filter(operators.Bloom.mightContain(col("v"), bits, 3, 32768))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bloomf")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("bloomf").select("v").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val want = spark.read.parquet(dir)
+      .filter(operators.Bloom.mightContain(col("v"), bits, 3, 32768))
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // every true member survived the stream filter
+    val memberSet = (0L until 2000L).map(_ * 6).toSet
+    val passed = got.toSet
+    assert(memberSet.subsetOf(passed))
+  }
+
   test("curateStateless drives streaming ingest: stream ≡ batch, stages ≡ library ops") {
     // the stateless curate prefix (decontam literal + quality gate +
     // split assign) is pure per-row work — identical output on
