@@ -121,4 +121,55 @@ class IndexPropertySpec extends SparkSpec {
       assert(kids == bySelf(r), s"node $r: children sum $kids != ${bySelf(r)}")
     }
   }
+
+  test("property: prefix-filtered Jaccard equals brute force on random corpora") {
+    // the prefix theorem (lossless candidates under ANY global order)
+    // exercised over random word-soup corpora and random thresholds —
+    // including heavy duplication (vocab 12 words ⇒ many shared
+    // shingles ⇒ hot-df skew paths)
+    val vocabGen = Gen.listOfN(12, Gen.alphaLowerStr.suchThat(_.nonEmpty))
+    val corpusGen = for {
+      vocab <- vocabGen
+      nDocs <- Gen.chooseNum(5, 25)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.chooseNum(1, 14)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+      tau <- Gen.oneOf(0.3, 0.5, 0.7, 0.9)
+    } yield (docs, tau)
+    samples(corpusGen, 6, seed = 4242L).foreach { case (texts, tau) =>
+      val df = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        .localCheckpoint()
+      def rel(d: org.apache.spark.sql.DataFrame) =
+        d.select("a", "b", "jaccard").as[(Long, Long, Double)]
+          .collect().toSet
+      val brute = rel(Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, tau))
+      val pref = rel(Dedup.ngramJaccardPrefixPairs(df, "doc_id", "text", 3, tau))
+      assert(pref == brute, s"tau=$tau corpus=${texts.take(3)}…")
+    }
+  }
+
+  test("property: KMV sketch equals the k smallest distinct uniforms exactly") {
+    import graft.functions.{KmvSketch, PortableHash}
+    val setGen = for {
+      n <- Gen.chooseNum(1, 900)
+      dup <- Gen.chooseNum(1, 3)
+    } yield (n, dup)
+    samples(setGen, 5, seed = 777L).foreach { case (n, dup) =>
+      val vals = spark.range(n * dup).selectExpr(s"id % $n AS v")
+      val got = vals.agg(KmvSketch.kmvDistinct(col("v"), 64).as("s"))
+        .select("s.n", "s.kth", "s.estimate").head()
+      // sequential reference: sort the n distinct uniforms, take 64
+      val us = vals.select(
+          PortableHash.md5Uniform(col("v").cast("string")).as("u"))
+        .distinct().as[Double].collect().sorted
+      val mins = us.take(64)
+      assert(got.getLong(0) == mins.length.toLong)
+      if (mins.length == 64) {
+        assert(got.getDouble(1) == mins.last)
+        assert(got.getDouble(2) == 63.0 / mins.last)
+      } else assert(got.getDouble(2) == mins.length.toDouble)
+    }
+  }
 }
