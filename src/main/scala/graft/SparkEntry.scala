@@ -1009,6 +1009,24 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "m6_image_resize" -> ((s, d) => {
+      // REAL resize through the full pipeline: decode PNG → nearest-
+      // neighbour 8×8 rescale → PNG re-encode → decode again for
+      // features. Solid-color sources stay exactly solid through NN
+      // resampling, so the oracle predicts the resized round trip
+      // closed-form (same colors, new dims, aspect 1)
+      val resized = Multimodal.resizeImages(Multimodal.imageTable(s, 500),
+        w = 8, h = 8)
+      Multimodal.extractFeatures(resized).toDF()
+        .select(col("media_id"), col("width").cast("long"),
+          col("height").cast("long"),
+          round(col("feature")(0) * 255).cast("long").as("r"),
+          round(col("feature")(1) * 255).cast("long").as("g"),
+          round(col("feature")(2) * 255).cast("long").as("b"),
+          round(col("feature")(7).cast("double"), 6).as("aspect"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- multimodal: REAL WAV decode (javax.sound.sampled) over
     // generated 16-bit PCM audio whose samples are closed-form in the
     // id, so the SQL oracle predicts the decoded round trip exactly ---
@@ -2681,6 +2699,15 @@ object SparkEntry {
         | (13 * i) % 256 AS g,
         | (29 * i) % 256 AS b,
         | round(CAST(CAST(16 + i % 32 AS FLOAT) / CAST(16 + (3 * i) % 32 AS FLOAT) AS DOUBLE), 6) AS aspect
+        |FROM range(500) t(i) ORDER BY media_id""".stripMargin,
+    "m6_image_resize" ->
+      """SELECT i AS media_id,
+        | CAST(8 AS BIGINT) AS width,
+        | CAST(8 AS BIGINT) AS height,
+        | (7 * i) % 256 AS r,
+        | (13 * i) % 256 AS g,
+        | (29 * i) % 256 AS b,
+        | round(CAST(CAST(8 AS FLOAT) / CAST(8 AS FLOAT) AS DOUBLE), 6) AS aspect
         |FROM range(500) t(i) ORDER BY media_id""".stripMargin,
     "m5_audio_decode" ->
       """WITH s AS (

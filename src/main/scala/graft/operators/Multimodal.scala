@@ -106,6 +106,50 @@ object Multimodal {
       }
     else decodeStub(id, kind, payload)
 
+  /** Real image RESIZE (decode → Graphics2D nearest-neighbour scale →
+    * PNG re-encode). Nearest-neighbour is the deterministic choice: the
+    * output pixels are exact source samples, so closed-form fixtures
+    * stay closed-form through the resize (a solid image stays exactly
+    * solid) and no interpolation-rounding varies by JVM. Returns None
+    * for undecodable payloads — callers fall back like [[decode]]. */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** Batch resize over a media table — the same mapPartitions batch
+    * shape as [[extractFeatures]] (one decoder per partition, payloads
+    * stream through; the pattern a real codec/model pipeline needs).
+    * Undecodable payloads pass through unchanged. */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.kind != "image") r
+        else resizeImage(r.payload, w, h) match {
+          case Some(p) => r.copy(payload = p)
+          case None => r
+        }
+      }
+    }
+  }
+
   /** Batch feature extraction over a media table: mapPartitions keeps one
     * decoder per partition; input batches stream through it. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {

@@ -1556,6 +1556,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("nearest-neighbour resize preserves quadrant structure exactly") {
+    // 2x2 image with four distinct colors -> 8x8: each source pixel
+    // becomes a 4x4 block, so quadrant lumas survive bit-exact and the
+    // mean is the average of the four fills
+    val src = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    src.setRGB(0, 0, 0xFF0000); src.setRGB(1, 0, 0x00FF00)
+    src.setRGB(0, 1, 0x0000FF); src.setRGB(1, 1, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "png", bos)
+    val resized = Multimodal.resizeImage(bos.toByteArray, 8, 8).get
+    val Some((w, h, feat)) = Multimodal.decodeImage(resized)
+    assert(w == 8 && h == 8)
+    // quadrant lumas: TL=red 255/765, TR=green, BL=blue, BR=white 765/765
+    assert(math.abs(feat(3) - 255f / 765f) < 1e-6f)
+    assert(math.abs(feat(4) - 255f / 765f) < 1e-6f)
+    assert(math.abs(feat(5) - 255f / 765f) < 1e-6f)
+    assert(math.abs(feat(6) - 1f) < 1e-6f)
+    // per-channel means: r in {TL, BR} = half the pixels
+    assert(math.abs(feat(0) - 0.5f) < 1e-6f)
+    assert(math.abs(feat(1) - 0.5f) < 1e-6f)
+    assert(math.abs(feat(2) - 0.5f) < 1e-6f)
+    // non-image payload passes through resizeImages unchanged
+    val junk = Multimodal.resizeImage(Array[Byte](1, 2, 3), 8, 8)
+    assert(junk.isEmpty)
+  }
+
   test("real WAV decode round-trips generated PCM samples and format") {
     val feats = Multimodal.extractAudioFeatures(Multimodal.audioTable(spark, 64))
       .collect().sortBy(_.media_id)
