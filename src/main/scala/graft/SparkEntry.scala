@@ -1040,6 +1040,22 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "m7_audio_resample" -> ((s, d) => {
+      // REAL downsample through the full pipeline: decode WAV →
+      // decimate by 4 (every 4th exact sample, rate/4) → WAV re-encode
+      // → decode again for features. The oracle replays the decimated
+      // sample stream closed-form (range step 4)
+      val dec = Multimodal.decimateAudio(Multimodal.audioTable(s, 500),
+        factor = 4)
+      Multimodal.extractAudioFeatures(dec).toDF()
+        .select(col("media_id"),
+          col("sample_rate").cast("long"), col("channels").cast("long"),
+          col("bits").cast("long"), col("n_samples").cast("long"),
+          col("mean_amp"), col("rms_amp"),
+          col("max_amp").cast("long"), col("min_amp").cast("long"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- multimodal plumbing (stubbed video codec, real image/audio
     // decode, real schema/batching) ---
     "m3_media_features" -> ((s, d) => {
@@ -2716,6 +2732,21 @@ object SparkEntry {
         |       FROM range(500) t(id)))
         |SELECT id AS media_id,
         | 8000 + (id % 8) * 1000 AS sample_rate,
+        | CAST(1 AS BIGINT) AS channels,
+        | CAST(16 AS BIGINT) AS bits,
+        | count(*) AS n_samples,
+        | CAST(CAST(sum(v) AS DOUBLE) / count(*) AS FLOAT) AS mean_amp,
+        | CAST(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) AS FLOAT) AS rms_amp,
+        | max(v) AS max_amp,
+        | min(v) AS min_amp
+        |FROM s GROUP BY id ORDER BY media_id""".stripMargin,
+    "m7_audio_resample" ->
+      """WITH s AS (
+        | SELECT id, ((31 * id + 17 * k) % 2001) - 1000 AS v
+        | FROM (SELECT id, unnest(range(0, 64 + id % 128, 4)) AS k
+        |       FROM range(500) t(id)))
+        |SELECT id AS media_id,
+        | (8000 + (id % 8) * 1000) // 4 AS sample_rate,
         | CAST(1 AS BIGINT) AS channels,
         | CAST(16 AS BIGINT) AS bits,
         | count(*) AS n_samples,

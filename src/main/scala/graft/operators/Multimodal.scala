@@ -283,6 +283,45 @@ object Multimodal {
     }
   }
 
+  /** Real audio DOWNSAMPLE by integer decimation (every `factor`-th PCM
+    * sample, rate divided accordingly) through a full WAV re-encode —
+    * the audio twin of [[resizeImages]]. Plain decimation (no low-pass)
+    * is the deterministic choice: output samples are exact source
+    * samples, so closed-form fixtures stay closed-form (an anti-alias
+    * filter would be the production upgrade; it changes values, not the
+    * pipeline shape). Non-decodable payloads pass through unchanged. */
+  def decimateAudio(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.kind != "audio") r
+        else decodeAudio(r.payload) match {
+          case Some((rate, ch, _, samples)) if ch == 1 && samples.nonEmpty =>
+            val dec = Array.range(0, samples.length, factor)
+              .map(i => samples(i))
+            val pcm = new Array[Byte](dec.length * 2)
+            var k = 0
+            while (k < dec.length) {
+              pcm(2 * k) = (dec(k) & 0xff).toByte
+              pcm(2 * k + 1) = ((dec(k) >> 8) & 0xff).toByte
+              k += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(
+              rate / factor, 16, 1, true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, dec.length.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            r.copy(payload = bos.toByteArray)
+          case _ => r
+        }
+      }
+    }
+  }
+
   /** Deterministic frame sampling for video stand-ins: every k-th frame
     * index up to n_frames (generator — no shuffle). */
   def sampleFrames(features: Dataset[MediaFeatures], everyK: Int): DataFrame = {

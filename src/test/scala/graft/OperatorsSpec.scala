@@ -1583,6 +1583,23 @@ class MultimodalSpec extends SparkSpec {
     assert(junk.isEmpty)
   }
 
+  test("audio decimation keeps exact every-nth samples and divides the rate") {
+    val feats = Multimodal.extractAudioFeatures(
+        Multimodal.decimateAudio(Multimodal.audioTable(spark, 32), 4))
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 32)
+    feats.foreach { f =>
+      val id = f.media_id
+      val n = 64 + (id % 128).toInt
+      val dec = (0 until n by 4).map(k => (((31 * id + 17 * k) % 2001) - 1000).toInt)
+      assert(f.sample_rate == (8000 + (id % 8).toInt * 1000) / 4, s"id=$id rate")
+      assert(f.n_samples == dec.length, s"id=$id n")
+      assert(f.max_amp == dec.max && f.min_amp == dec.min, s"id=$id extrema")
+      assert(f.mean_amp == (dec.map(_.toLong).sum.toDouble / dec.length).toFloat,
+        s"id=$id mean")
+    }
+  }
+
   test("real WAV decode round-trips generated PCM samples and format") {
     val feats = Multimodal.extractAudioFeatures(Multimodal.audioTable(spark, 64))
       .collect().sortBy(_.media_id)
