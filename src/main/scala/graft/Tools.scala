@@ -260,6 +260,47 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "textbench") {
+      // growth rows for the scoring/selection family: t8 URL dedup,
+      // t9 bigram CE, p13 DSIR, p14 weighted sampling at 1x/10x — all
+      // keyed-agg + broadcast-join shapes that must scale linearly
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Pipeline, TextOps}
+      val sfd = args.drop(1).find(_.startsWith("/"))
+        .getOrElse("/root/testdata/sf0.01")
+      val mult = args.drop(1).find(a => a.nonEmpty && a.forall(_.isDigit))
+        .map(_.toInt).getOrElse(10)
+      val docs1 = Tables.documents(spark, sfd)
+        .select("doc_id", "text", "lang").localCheckpoint()
+      def docsAt(m: Int) =
+        if (m == 1) docs1
+        else (0 until m).map { c =>
+          docs1.select((col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+            concat(col("text"), lit(s" copytag$c")).as("text"), col("lang"))
+        }.reduce(_ unionByName _).localCheckpoint()
+      def time(label: String)(thunk: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = thunk
+        println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      }
+      for (m <- Seq(1, mult)) {
+        val d = docsAt(m)
+        println(s"--- corpus ${m}x: ${d.count()} docs ---")
+        time(s"t9 bigram CE ${m}x")(
+          TextOps.bigramCrossEntropy(d, "doc_id", "text",
+            col("lang") === "en").count())
+        time(s"p13 dsir weights ${m}x")(
+          Pipeline.dsirWeights(d, "doc_id", "text",
+            col("lang") === "en").count())
+        time(s"p14 weighted sample ${m}x")(
+          Pipeline.weightedSamplePerGroup(d, "doc_id", "lang",
+            TextOps.qualityScore(col("text")), 20, "ws").count())
+        val urls = TextOps.urlCorpus(spark, 500 * m).localCheckpoint()
+        time(s"t8 url dedup ${m}x")(
+          TextOps.urlDuplicates(urls, "doc_id", "url").count())
+      }
+      spark.stop(); return
+    }
     if (name == "rpbench") {
       // a18's scale claim measured: store the m-dim random projection
       // as a SIDECAR column at ingest, coarse-rank on it (m doubles per
