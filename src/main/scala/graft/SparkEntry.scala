@@ -340,6 +340,23 @@ object SparkEntry {
           col("bin"))
         .orderBy(col("doc_id"))
     }),
+    "p15_curate_exact" -> ((s, d) => {
+      // the curation pipeline driven by the EXACT near-dup path: d22's
+      // prefix-filtered Jaccard pairs (lossless, so the oracle replays
+      // plain all-pairs SQL) feed curateWith in place of the LSH
+      // chain — same seven stages, deterministic-complete pair graph
+      val docs = Tables.documents(s, d)
+      val ek = Pipeline.exactDedup(docs, "doc_id", "text")
+      val pairs = Dedup.ngramJaccardPrefixPairs(ek, "doc_id", "text", 3, 0.6)
+        .select(col("a"), col("b"))
+      Pipeline.curateWith(docs, "doc_id", "text", pairs,
+          evalDocs = Some(docs.filter(col("doc_id") % 23 === 0)),
+          domainCol = Some("lang"), rebalanceTargets = RebalanceTargets)
+        .select(col("doc_id"), col("lang"), col("quality"), col("split"),
+          col("shard"), col("n_tokens").cast("long").as("n_tokens"),
+          col("bin"))
+        .orderBy(col("doc_id"))
+    }),
     "p6_rebalance_repeat" -> ((s, d) =>
       // upsampling rebalance: scarce domains repeat up to maxRepeat
       // epochs toward the target mixture; per-row copy counts are
@@ -1382,17 +1399,38 @@ object SparkEntry {
     * tail; `tgtCtes` overrides the target-share CTE (default: the fixed
     * VALUES mixture) — p9 derives `tgt` from sp's own counts with the
     * temperature rule instead. */
+  /** The default near-dup pair source of the curate oracles: MinHash
+    * LSH candidates + exact re-check at 0.6, over the exact-dedup
+    * survivors (`ek`). Ends in `dpairs(a, b)` and defines `sh`. */
+  private lazy val DefaultCuratePairCtes: String =
+    s"""${MinHashCandCtes(2, "ek")},
+       |$LshVerifiedCtes,
+       |dpairs AS (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6)""".stripMargin
+
+  /** EXACT pair source (p15): brute all-pairs Jaccard over `ek` — the
+    * oracle twin of the prefix-filtered exact path (the prefix trick is
+    * lossless, so plain all-pairs SQL is the correct replay). Ends in
+    * `dpairs(a, b)` and defines `sh` like the default. */
+  private lazy val ExactCuratePairCtes: String =
+    s"""${ShingleCteFrom("ek")},
+       |szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |xinter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |dpairs AS (SELECT a, b FROM xinter
+       |  JOIN szs sa ON sa.doc_id = a JOIN szs sb ON sb.doc_id = b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6)""".stripMargin
+
   private def CurateCommonCtes(kvExpr: String,
-      tgtCtes: String = s"tgt(lang, tw) AS (VALUES $RebalanceTargetsSql)")
+      tgtCtes: String = s"tgt(lang, tw) AS (VALUES $RebalanceTargetsSql)",
+      pairCtes: String = DefaultCuratePairCtes)
       : String =
     s"""ek AS (
        |  SELECT doc_id, lang, text FROM (
        |    SELECT doc_id, lang, text,
        |      min(doc_id) OVER (PARTITION BY md5(text)) AS canon
        |    FROM documents) WHERE doc_id = canon),
-       |${MinHashCandCtes(2, "ek")},
-       |$LshVerifiedCtes,
-       |dpairs AS (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6),
+       |$pairCtes,
        |dedges AS (SELECT a AS x, b AS y FROM dpairs
        |  UNION ALL SELECT b, a FROM dpairs),
        |reach(node, r) AS (
@@ -2015,6 +2053,20 @@ object SparkEntry {
          |   ORDER BY doc_id, rep ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |   - n_tokens) / 512) AS BIGINT) AS bin
          |FROM t ORDER BY doc_id, rep""".stripMargin,
+    "p15_curate_exact" ->
+      s"""WITH RECURSIVE ${CurateCommonCtes("CAST(c AS DOUBLE) / tw",
+             pairCtes = ExactCuratePairCtes)},
+         |rr AS (SELECT lang, tw * kv.k / CAST(c AS DOUBLE) AS rate FROM cnt, kv WHERE c > 0),
+         |mx AS (SELECT sp.* FROM sp JOIN rr USING (lang)
+         |  WHERE $CurateRbUniformSql < rate),
+         |t AS (SELECT doc_id, lang, quality, split, doc_id % 8 AS shard,
+         |  len(string_split_regex(text, '\\s+')) AS n_tokens FROM mx)
+         |SELECT doc_id, lang, quality, split, shard,
+         | CAST(n_tokens AS BIGINT) AS n_tokens,
+         | CAST(floor((CAST(sum(n_tokens) OVER (PARTITION BY split, shard
+         |   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |   - n_tokens) / 512) AS BIGINT) AS bin
+         |FROM t ORDER BY doc_id""".stripMargin,
     "p6_rebalance_repeat" ->
       s"""WITH tgt(lang, tw) AS (VALUES $RebalanceTargetsSql),
          |cnt AS (SELECT tgt.lang, tgt.tw, count(d.doc_id) AS c
