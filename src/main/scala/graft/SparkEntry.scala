@@ -84,6 +84,21 @@ object SparkEntry {
       // sequence explode × distinct types, left join of the sparse
       // counts) — "no row ≠ no bucket"
       Relational.gapFilledCounts(s, d)),
+    "q21_zorder" -> ((s, d) => {
+      // Morton z-value over (user_id, value) at 8 bits/dim — the
+      // data-skipping layout key (cluster by ONE value, prune scans on
+      // EITHER dimension). Static bit interleave, pure codegen; the
+      // oracle replays quantization + interleave from the same extents
+      val e = Tables.events(s, d)
+      val r = e.agg(
+        min(col("user_id").cast("double")), max(col("user_id").cast("double")),
+        min(col("value")), max(col("value"))).head()
+      val z = Locality.zValue(
+        Seq(col("user_id"), col("value")),
+        Seq((r.getDouble(0), r.getDouble(1)), (r.getDouble(2), r.getDouble(3))),
+        bits = 8)
+      e.select(col("event_id"), z.as("zval")).orderBy(col("event_id"))
+    }),
     "q20_bloom_prefilter" -> ((s, d) => {
       // portable Bloom pre-filter (the broadcast shuffle-avoidance
       // pattern): bitset built from orders' distinct custkeys (one
@@ -1652,6 +1667,23 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY $DistSql, vec_id) AS INTEGER) AS rank,
          |  vec_id
          |FROM pool ORDER BY rank LIMIT 10""".stripMargin
+    },
+    "q21_zorder" -> {
+      val inter = (0 until 8).map(b =>
+        s"(((qu >> $b) & 1) << ${2 * b}) + (((qv >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH ext AS (SELECT
+         |    CAST(min(user_id) AS DOUBLE) AS ulo,
+         |    CAST(max(user_id) AS DOUBLE) AS uhi,
+         |    min(value) AS vlo, max(value) AS vhi FROM events),
+         |q AS (SELECT event_id,
+         |    least(greatest(CAST(floor((CAST(user_id AS DOUBLE) - ulo)
+         |      / (uhi - ulo) * 256) AS BIGINT), 0), 255) AS qu,
+         |    least(greatest(CAST(floor((value - vlo)
+         |      / (vhi - vlo) * 256) AS BIGINT), 0), 255) AS qv
+         |  FROM events, ext)
+         |SELECT event_id, $inter AS zval
+         |FROM q ORDER BY event_id""".stripMargin
     },
     "q20_bloom_prefilter" -> {
       def posSql(v: String): String =

@@ -778,6 +778,41 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(a.size / 500.0 - 0.25) < 0.08)
   }
 
+  test("z-order clustering prunes the unclustered dimension") {
+    // uniform 2-d points: range-partitioning by x alone leaves every
+    // partition spanning ALL of y, so a filter on y prunes NOTHING.
+    // Z-clustering trades a wider x-span for a bounded y-span (square
+    // tiles) — the min/max-skipping claim is that a narrow y-filter
+    // intersects only a few partitions' bounding boxes.
+    val pts = spark.range(20000).selectExpr(
+      "id", "CAST(pmod(hash(id, 1), 1000) AS DOUBLE) AS x",
+      "CAST(pmod(hash(id, 2), 1000) AS DOUBLE) AS y")
+    def ySurvivors(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val boxes = df
+        .groupBy(org.apache.spark.sql.functions.spark_partition_id().as("p"))
+        .agg(min("y").as("ylo"), max("y").as("yhi"))
+        .as[(Int, Double, Double)].collect()
+      // partitions whose y-range intersects the filter [100, 110)
+      (boxes.count { case (_, lo, hi) => hi >= 100.0 && lo < 110.0 },
+        boxes.length)
+    }
+    val (naiveHit, naiveTot) = ySurvivors(pts.repartitionByRange(16, col("x")))
+    val (zHit, zTot) = ySurvivors(Locality.clusterByZ(pts,
+      Seq(col("x"), col("y")), Seq((0.0, 1000.0), (0.0, 1000.0)),
+      bits = 8, numPartitions = 16))
+    assert(naiveHit == naiveTot, s"naive should span y everywhere: $naiveHit/$naiveTot")
+    assert(zHit <= zTot / 2, s"z-cluster y-filter pruning: $zHit of $zTot survive")
+    // the z-value is deterministic and order-invariant
+    val z1 = pts.select(Locality.zValue(Seq(col("x"), col("y")),
+      Seq((0.0, 1000.0), (0.0, 1000.0)), 8).as("z"), col("id"))
+      .as[(Long, Long)].collect().toSet
+    val z2 = pts.repartition(9)
+      .select(Locality.zValue(Seq(col("x"), col("y")),
+        Seq((0.0, 1000.0), (0.0, 1000.0)), 8).as("z"), col("id"))
+      .as[(Long, Long)].collect().toSet
+    assert(z1 == z2)
+  }
+
   test("Bloom filter: zero false negatives, bounded deterministic false positives") {
     val members = spark.range(2000).selectExpr("id * 3 AS v")
     val bits = Bloom.build(members, "v", k = 3, mBits = 32768)
