@@ -84,6 +84,12 @@ object SparkEntry {
       // sequence explode × distinct types, left join of the sparse
       // counts) — "no row ≠ no bucket"
       Relational.gapFilledCounts(s, d)),
+    "q22_range_join" -> ((s, d) =>
+      // binned range join: per click, the same user's views within
+      // ±300 s — the inequality join rewritten as a keyed equi join on
+      // (user, tol-bucket) with a 3-bucket probe fan-out + exact
+      // re-filter (the naive form is a broadcast nested loop)
+      Relational.clicksWithNearbyViews(s, d)),
     "q21_zorder" -> ((s, d) => {
       // Morton z-value over (user_id, value) at 8 bits/dim — the
       // data-skipping layout key (cluster by ONE value, prune scans on
@@ -1668,6 +1674,17 @@ object SparkEntry {
          |  vec_id
          |FROM pool ORDER BY rank LIMIT 10""".stripMargin
     },
+    "q22_range_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tc
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS tv
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.click_id,
+        |  (SELECT count(*) FROM v
+        |   WHERE v.user_id = c.user_id
+        |     AND abs(v.tv - c.tc) <= 300) AS n_views_near
+        |FROM c ORDER BY click_id""".stripMargin,
     "q21_zorder" -> {
       val inter = (0 until 8).map(b =>
         s"(((qu >> $b) & 1) << ${2 * b}) + (((qv >> $b) & 1) << ${2 * b + 1})")

@@ -244,6 +244,37 @@ object Relational {
       .orderBy(col("ws"), col("event_type"))
   }
 
+  /** BINNED RANGE JOIN — the scale rewrite of an inequality join: for
+    * every click, count the same user's views within ±`tolSec`
+    * seconds. The naive formulation (`ON u = u AND |tv − tc| ≤ tol`)
+    * has no equi key for the time term, so Spark plans a broadcast
+    * nested loop; binning each side into tol-width buckets and
+    * exploding the probe side into {b−1, b, b+1} turns it into a PURE
+    * EQUI JOIN on (user, bucket) — a 3× probe-row fan-out buys a
+    * keyed shuffle join whose per-key volume is the true temporal
+    * neighbourhood, not the cross product. The exact |Δt| ≤ tol
+    * predicate re-filters after the join (bucket adjacency is a
+    * superset), so the result is identical to the inequality join. */
+  def clicksWithNearbyViews(spark: SparkSession, sfDir: String,
+                            tolSec: Int = 300): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("tc"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tv"))
+      .withColumn("bucket", floor(col("tv") / tolSec))
+    val probes = clicks
+      .withColumn("b0", floor(col("tc") / tolSec))
+      .withColumn("bucket",
+        explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+    probes.join(views, Seq("user_id", "bucket"), "left")
+      .groupBy(col("click_id"))
+      .agg(sum(when(abs(col("tv") - col("tc")) <= tolSec, 1L)
+        .otherwise(0L)).as("n_views_near"))
+      .orderBy(col("click_id"))
+  }
+
   /** Time-bucket GAP FILLING (resampling): hourly event counts per type
     * with missing buckets zero-filled over the corpus' [min, max] hour
     * span — the "no row ≠ no bucket" repair every downstream
