@@ -585,6 +585,13 @@ object SparkEntry {
           TextOps.qualityScore(col("text")))
         .orderBy(col("doc_id"))
     }),
+    "d23_containment" -> ((s, d) =>
+      // asymmetric containment (Broder): ordered pairs where >= 80% of
+      // a's shingles appear in b — quote/excerpt detection and
+      // superset-dedup, the signal symmetric Jaccard misses
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          3, 0.8)
+        .orderBy(col("a"), col("b"))),
     "d22_jaccard_prefix" -> ((s, d) =>
       // EXACT-threshold Jaccard pairs via prefix filtering (AllPairs /
       // PPJoin): same relation as d2's brute anchor at the gate τ, but
@@ -2208,6 +2215,18 @@ object SparkEntry {
     "d22_jaccard_prefix" ->
       s"""SELECT a, b, jaccard FROM ($JaccardPairsSql)
          |WHERE raw_jaccard >= 0.8 ORDER BY a, b""".stripMargin,
+    "d23_containment" ->
+      s"""WITH $ShingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |          FROM sh x JOIN sh y
+         |          ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a, b,
+         |  round(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment
+         |FROM inter JOIN sizes sa ON sa.doc_id = a
+         |WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.8
+         |ORDER BY a, b""".stripMargin,
     "d4_simhash" ->
       s"""WITH $simhashSumsSql
          |SELECT doc, simhash FROM sh16 ORDER BY doc""".stripMargin,

@@ -101,6 +101,29 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** CONTAINMENT pairs (Broder 1997's asymmetric resemblance): ordered
+    * pairs (a, b), a ≠ b, with C(a, b) = |Sₐ∩S_b| / |Sₐ| ≥ threshold —
+    * "most of a's shingles appear in b". The signal symmetric Jaccard
+    * misses: a short quote inside a long document scores near-zero
+    * Jaccard but containment ≈ 1, which is what quote/excerpt
+    * detection and superset-dedup ("drop a, keep the b that subsumes
+    * it") need. Same inverted-index shape as the Jaccard anchor; both
+    * directions of each unordered pair are emitted independently. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int, threshold: Double): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, k)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc") =!= col("y.doc"))
+      .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sza"),
+        "a")
+      .withColumn("containment", col("inter").cast("double") / col("sza"))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
+  }
+
   /** The SAME relation as [[ngramJaccardPairs]] — every pair (a < b)
     * with exact k-shingle Jaccard >= threshold — computed with PREFIX
     * FILTERING (the AllPairs / PPJoin family: Bayardo, Ma & Srikant,

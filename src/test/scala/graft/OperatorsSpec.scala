@@ -145,6 +145,23 @@ class DedupSpec extends SparkSpec {
     assert(!verified.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containment catches a quote inside a long doc where jaccard cannot") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps"),   // the quote (3 shingles)
+      (1L, "a very long document that among many other words embeds " +
+        "the quick brown fox jumps right in the middle of even more " +
+        "surrounding filler text material")).toDF("doc_id", "text")
+    val m = Dedup.containmentPairs(corpus, "doc_id", "text", 3, 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    // every shingle of the quote appears in the long doc
+    assert(m((0L, 1L)) == 1.0)
+    // the reverse direction is tiny, and symmetric jaccard misses both
+    assert(m((1L, 0L)) < 0.2)
+    val jac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.3).count()
+    assert(jac == 0)
+  }
+
   test("prefix-filtered jaccard pairs == brute-force pairs (lossless)") {
     // the AllPairs/PPJoin prefix path must return the IDENTICAL relation
     // to the quadratic anchor — on the tiny fixture and the real corpus
