@@ -105,6 +105,36 @@ object SparkEntry {
         bits = 8)
       e.select(col("event_id"), z.as("zval")).orderBy(col("event_id"))
     }),
+    "q23_kmv_overlap" -> ((s, d) => {
+      // sketch ALGEBRA: audience overlap between two event types from
+      // three KMV sketches (A, B, A∪B — the union sketch IS the merge
+      // of the two, so this works across precomputed per-partition /
+      // per-day sketches without re-scanning) via inclusion–exclusion;
+      // the exact intersection rides along for the error column
+      import graft.functions.KmvSketch
+      val e = Tables.events(s, d)
+      def slice(t: String) = e.filter(col("event_type") === t)
+      val exact = slice("click").select(col("user_id")).distinct()
+        .join(slice("view").select(col("user_id")).distinct(), "user_id")
+        .count()
+      val k = 256
+      e.filter(col("event_type").isin("click", "view"))
+        .agg(
+          KmvSketch.kmv(graft.functions.PortableHash.md5Uniform(
+            when(col("event_type") === "click", col("user_id"))
+              .cast("string")), k).as("sa"),
+          KmvSketch.kmv(graft.functions.PortableHash.md5Uniform(
+            when(col("event_type") === "view", col("user_id"))
+              .cast("string")), k).as("sb"),
+          KmvSketch.kmvDistinct(col("user_id"), k).as("su"))
+        .select(
+          round(col("sa.estimate"), 6).as("est_clicks"),
+          round(col("sb.estimate"), 6).as("est_views"),
+          round(col("su.estimate"), 6).as("est_union"),
+          round(col("sa.estimate") + col("sb.estimate") - col("su.estimate"),
+            6).as("est_inter"),
+          lit(exact).as("exact_inter"))
+    }),
     "q20_bloom_prefilter" -> ((s, d) => {
       // portable Bloom pre-filter (the broadcast shuffle-avoidance
       // pattern): bitset built from orders' distinct custkeys (one
@@ -1708,6 +1738,37 @@ object SparkEntry {
          |  FROM events, ext)
          |SELECT event_id, $inter AS zval
          |FROM q ORDER BY event_id""".stripMargin
+    },
+    "q23_kmv_overlap" -> {
+      def estSql(src: String): String =
+        s"(SELECT CASE WHEN n < 256 THEN CAST(n AS DOUBLE) ELSE 255.0 / kth END " +
+          s"FROM (SELECT count(*) AS n, max(u) AS kth " +
+          s"FROM (SELECT u FROM $src ORDER BY u LIMIT 256)))"
+      """WITH cu AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM events WHERE event_type = 'click'),
+        |vu AS (SELECT DISTINCT
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM events WHERE event_type = 'view'),
+        |uu AS (SELECT DISTINCT u FROM (
+        |  SELECT u FROM cu UNION ALL SELECT u FROM vu)),
+        |ex AS (SELECT count(*) AS x FROM
+        |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+        |  JOIN
+        |  (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+        |  USING (user_id))
+        |SELECT
+        |  round(EST_A, 6) AS est_clicks,
+        |  round(EST_B, 6) AS est_views,
+        |  round(EST_U, 6) AS est_union,
+        |  round(EST_A + EST_B - EST_U, 6) AS est_inter,
+        |  x AS exact_inter
+        |FROM ex""".stripMargin
+        .replace("EST_A", estSql("cu"))
+        .replace("EST_B", estSql("vu"))
+        .replace("EST_U", estSql("uu"))
     },
     "q20_bloom_prefilter" -> {
       def posSql(v: String): String =
