@@ -622,6 +622,12 @@ object SparkEntry {
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
           3, 0.8)
         .orderBy(col("a"), col("b"))),
+    "d24_drop_contained" -> ((s, d) =>
+      // superset-dedup: a doc >= 80%-contained in a LARGER doc dies
+      // (size then id as the keep direction, so the survivor set is
+      // order-free) — the action d23's detection feeds
+      Dedup.dropContained(Tables.documents(s, d), "doc_id", "text", 3, 0.8)
+        .orderBy(col("doc_id"))),
     "d22_jaccard_prefix" -> ((s, d) =>
       // EXACT-threshold Jaccard pairs via prefix filtering (AllPairs /
       // PPJoin): same relation as d2's brute anchor at the gate τ, but
@@ -2276,6 +2282,21 @@ object SparkEntry {
     "d22_jaccard_prefix" ->
       s"""SELECT a, b, jaccard FROM ($JaccardPairsSql)
          |WHERE raw_jaccard >= 0.8 ORDER BY a, b""".stripMargin,
+    "d24_drop_contained" ->
+      s"""WITH $ShingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |          FROM sh x JOIN sh y
+         |          ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+         |          GROUP BY 1, 2),
+         |dropped AS (SELECT DISTINCT a FROM inter
+         |  JOIN sizes sa ON sa.doc_id = a
+         |  JOIN sizes sb ON sb.doc_id = b
+         |  WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.8
+         |    AND (sb.sz > sa.sz OR (sb.sz = sa.sz AND b < a)))
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT a FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
     "d23_containment" ->
       s"""WITH $ShingleCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),

@@ -124,6 +124,30 @@ object Dedup {
       .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
   }
 
+  /** Superset-dedup: drop every doc whose shingles are ≥ `threshold`
+    * contained in a LARGER doc (more shingles; id as the tie break on
+    * equal sizes) — "the excerpt dies, the document that subsumes it
+    * survives". One directed-pair relation ([[containmentPairs]] with
+    * the size order folded into the filter) + one anti-join; the
+    * survivor set is deterministic and order-free because the keep/drop
+    * edge always points from smaller to larger. */
+  def dropContained(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int, threshold: Double): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, k)
+    val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    val dropped = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc") =!= col("y.doc"))
+      .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "szb"), "b")
+      .filter(col("inter").cast("double") / col("sza") >= threshold &&
+        (col("szb") > col("sza") ||
+          (col("szb") === col("sza") && col("b") < col("a"))))
+      .select(col("a").as(idCol)).distinct()
+    docs.join(dropped, Seq(idCol), "left_anti").select(col(idCol))
+  }
+
   /** The SAME relation as [[ngramJaccardPairs]] — every pair (a < b)
     * with exact k-shingle Jaccard >= threshold — computed with PREFIX
     * FILTERING (the AllPairs / PPJoin family: Bayardo, Ma & Srikant,

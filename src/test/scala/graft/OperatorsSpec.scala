@@ -162,6 +162,22 @@ class DedupSpec extends SparkSpec {
     assert(jac == 0)
   }
 
+  test("dropContained keeps the subsuming doc; mutual containment keeps lower id") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps"),
+      (1L, "a very long document that among many other words embeds " +
+        "the quick brown fox jumps right in the middle of even more " +
+        "surrounding filler text material"),
+      (2L, "totally unrelated content words here"),
+      (3L, "totally unrelated content words here") // exact dup of 2
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropContained(corpus, "doc_id", "text", 3, 0.8)
+      .as[Long].collect().toSet
+    // quote 0 dies to its superset 1; of the mutual pair (2, 3) the
+    // lower id survives
+    assert(kept == Set(1L, 2L))
+  }
+
   test("prefix-filtered jaccard pairs == brute-force pairs (lossless)") {
     // the AllPairs/PPJoin prefix path must return the IDENTICAL relation
     // to the quadratic anchor — on the tiny fixture and the real corpus

@@ -433,6 +433,31 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("KMV sketch aggregates a stream: final sketch equals the batch sketch") {
+    // the sketch's merge IS its streaming story: partial TreeSets
+    // combine across micro-batches like across partitions
+    val dir = java.nio.file.Files.createTempDirectory("graftkmv")
+      .resolve("vals").toString
+    spark.range(5000).selectExpr("id % 1200 AS v").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = stream
+      .agg(graft.functions.KmvSketch.kmvDistinct(col("v"), 128).as("s"))
+      .select(col("s.n"), col("s.kth"), col("s.estimate"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kmvs")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("kmvs").collect().last
+    val want = spark.read.parquet(dir)
+      .agg(graft.functions.KmvSketch.kmvDistinct(col("v"), 128).as("s"))
+      .select(col("s.n"), col("s.kth"), col("s.estimate")).head()
+    assert(got.getLong(0) == want.getLong(0))
+    assert(got.getDouble(1) == want.getDouble(1))
+    assert(got.getDouble(2) == want.getDouble(2))
+  }
+
   test("bloom pre-filter runs unchanged on streams (stateless projection)") {
     // the built bitset is a literal, so the probe side is a pure
     // projection — the ingest-time "drop rows that can't join" pattern
