@@ -628,6 +628,20 @@ object SparkEntry {
       // order-free) — the action d23's detection feeds
       Dedup.dropContained(Tables.documents(s, d), "doc_id", "text", 3, 0.8)
         .orderBy(col("doc_id"))),
+    "d25_edit_join" -> ((s, d) =>
+      // typo-level near-dup: edit-distance similarity join over 32-char
+      // document prefixes via the lossless q-gram count filter (Gravano
+      // et al., VLDB 2001) — candidates from a (gram, occ)-keyed equi
+      // self-join with the length band inside the join condition, exact
+      // levenshtein verify on candidates only. Oracle replays the
+      // all-pairs cross join: the filter is lossless, so the relations
+      // are identical
+      Dedup.editDistancePairs(
+          Tables.documents(s, d).select(col("doc_id"),
+            substring(col("text"), 1, 32).as("s")),
+          "doc_id", "s", 4)
+        .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
+        .orderBy(col("a"), col("b"))),
     "d22_jaccard_prefix" -> ((s, d) =>
       // EXACT-threshold Jaccard pairs via prefix filtering (AllPairs /
       // PPJoin): same relation as d2's brute anchor at the gate τ, but
@@ -2309,6 +2323,13 @@ object SparkEntry {
          |FROM inter JOIN sizes sa ON sa.doc_id = a
          |WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.8
          |ORDER BY a, b""".stripMargin,
+    "d25_edit_join" ->
+      """WITH s AS (SELECT doc_id, substr(text, 1, 32) AS s FROM documents)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |       CAST(levenshtein(x.s, y.s) AS BIGINT) AS dist
+        |FROM s x JOIN s y ON x.doc_id < y.doc_id
+        |WHERE levenshtein(x.s, y.s) <= 4
+        |ORDER BY a, b""".stripMargin,
     "d4_simhash" ->
       s"""WITH $simhashSumsSql
          |SELECT doc, simhash FROM sh16 ORDER BY doc""".stripMargin,

@@ -205,6 +205,56 @@ class DedupSpec extends SparkSpec {
       s"candidates $cand vs quadratic $brutePairs")
   }
 
+  test("edit-distance pairs == brute-force levenshtein (lossless)") {
+    // the q-gram count-filter path must return the IDENTICAL relation
+    // to the all-pairs cross join, including the short band (strings
+    // under q*(k+1) chars) and the mixed short/long boundary
+    val strs = Seq(
+      (0L, "spark analytics engine"),
+      (1L, "spark analytcs engine"),    // 1 deletion from 0
+      (2L, "spark analytics engines"),  // 1 insertion from 0
+      (3L, "flink analytics engine"),   // 4 subs from 0
+      (4L, "ab"), (5L, "ac"), (6L, "abc"), (7L, "xyz"),  // short band
+      (8L, "abcdefgh"), (9L, "abcdefghi"),  // straddle shortLen=9 at k=2,q=3
+      (10L, "")                         // empty string edge
+    ).toDF("doc_id", "s")
+    for (k <- Seq(0, 1, 2); q <- Seq(2, 3)) {
+      val brute = strs.as("x").join(strs.as("y"),
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          levenshtein(col("x.s"), col("y.s")).as("dist"))
+        .filter(col("dist") <= k)
+        .as[(Long, Long, Int)].collect().toSet
+      val fast = Dedup.editDistancePairs(strs, "doc_id", "s", k, q)
+        .as[(Long, Long, Int)].collect().toSet
+      assert(fast == brute, s"k=$k q=$q")
+    }
+    // real corpus: 32-char document prefixes, where near-dup docs give
+    // genuine small-distance pairs
+    val corpus = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), substring(col("text"), 1, 32).as("s"))
+    val brute = corpus.as("x").join(corpus.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        levenshtein(col("x.s"), col("y.s")).as("dist"))
+      .filter(col("dist") <= 4)
+      .as[(Long, Long, Int)].collect().toSet
+    val fast = Dedup.editDistancePairs(corpus, "doc_id", "s", 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(fast == brute && brute.nonEmpty)
+  }
+
+  test("edit-distance candidate volume stays below quadratic") {
+    // the count filter must discard most of n*(n-1)/2 before the
+    // levenshtein verify
+    val corpus = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), substring(col("text"), 1, 32).as("s"))
+    val n = corpus.count()
+    val cand = Dedup.editCandidates(corpus, "doc_id", "s", 2).count()
+    assert(cand < n * (n - 1) / 2 / 10,
+      s"candidates $cand vs quadratic ${n * (n - 1) / 2}")
+  }
+
   test("simHash64 pairs == brute-force hamming (scale variant)") {
     val sh = Dedup.simHash64(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
