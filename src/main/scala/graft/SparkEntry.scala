@@ -105,6 +105,19 @@ object SparkEntry {
         bits = 8)
       e.select(col("event_id"), z.as("zval")).orderBy(col("event_id"))
     }),
+    "q24_heavy_hitters" -> ((s, d) => {
+      // EXACT heavy hitters (count > N/40 tokens) via the two-pass
+      // Misra-Gries sketch-then-verify plan: a k-counter mergeable
+      // summary yields a guaranteed candidate superset with O(parts*k)
+      // exchange volume, then an exact count runs over candidate-key
+      // rows only — the answer is exact, so the oracle is plain
+      // GROUP BY / HAVING
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+      Relational.exactHeavyHitters(toks, "token", 40)
+        .orderBy(col("token"))
+    }),
     "q23_kmv_overlap" -> ((s, d) => {
       // sketch ALGEBRA: audience overlap between two event types from
       // three KMV sketches (A, B, A∪B — the union sketch IS the merge
@@ -1759,6 +1772,14 @@ object SparkEntry {
          |SELECT event_id, $inter AS zval
          |FROM q ORDER BY event_id""".stripMargin
     },
+    "q24_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
+        |           FROM documents),
+        |tt AS (SELECT token FROM t WHERE token <> ''),
+        |n AS (SELECT count(*) AS n FROM tt)
+        |SELECT token, count(*) AS cnt FROM tt, n
+        |GROUP BY token, n.n HAVING count(*) * 40 > n.n
+        |ORDER BY token""".stripMargin,
     "q23_kmv_overlap" -> {
       def estSql(src: String): String =
         s"(SELECT CASE WHEN n < 256 THEN CAST(n AS DOUBLE) ELSE 255.0 / kth END " +

@@ -304,4 +304,43 @@ object Relational {
         coalesce(col("n"), lit(0L)).as("n"))
       .orderBy(col("event_type"), col("bucket"))
   }
+
+  /** EXACT heavy hitters — every key of `keyCol` with count > N/k,
+    * with its exact count — via the two-pass sketch-then-verify plan:
+    *
+    *  1. CANDIDATES: one [[graft.functions.MisraGries]] aggregation
+    *     (k counters, mergeable partials) yields a guaranteed superset
+    *     of the > N/k keys while shuffling at most k (key, count)
+    *     pairs per partition instead of the full key space. N rides
+    *     along in the same job (a count(*) beside the sketch — no
+    *     second scan for the threshold).
+    *  2. VERIFY: re-count ONLY rows whose key is a candidate — the
+    *     candidate array (≤ k keys) broadcasts into a semi-join
+    *     filter, so the exact groupBy touches a vanishing fraction of
+    *     rows and shuffles at most k groups.
+    *
+    * This is the 100 TB "top keys of a huge-cardinality column" shape:
+    * a plain groupBy-then-filter shuffles every distinct key once;
+    * this plan's exchanges are O(parts·k) + O(matching rows). The
+    * output is EXACT (sketch error never reaches the answer), so the
+    * oracle is plain GROUP BY / HAVING SQL. */
+  def exactHeavyHitters(rows: DataFrame, keyCol: String, k: Int): DataFrame = {
+    import graft.functions.MisraGries
+    val first = rows.agg(
+      MisraGries.candidates(col(keyCol), k).as("cand"),
+      count(lit(1)).as("n")).collect()(0)
+    val cand = first.getAs[scala.collection.Seq[String]]("cand")
+    val n = first.getAs[Long]("n")
+    val verified = rows.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > n)
+    if (cand.isEmpty) verified.limit(0)
+    else {
+      val candCol = array(cand.map(lit(_)).toSeq: _*)
+      rows.filter(array_contains(candCol, col(keyCol).cast("string")))
+        .groupBy(col(keyCol))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * k > n)
+    }
+  }
 }

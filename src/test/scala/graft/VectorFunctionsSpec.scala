@@ -158,4 +158,47 @@ class VectorFunctionsSpec extends SparkSpec {
       .select("s.n", "s.estimate").head()
     assert(r0.getLong(0) == 0L && r0.getDouble(1) == 0.0)
   }
+
+  test("Misra-Gries candidates: superset of true heavy hitters; exact pass matches brute force") {
+    import graft.functions.MisraGries
+    import graft.operators.Relational
+    // skewed stream: key "hot<i>" appears (1000 - 40*i) times for
+    // i < 10 over a sea of unique keys, across many partitions
+    val rows = spark.range(20000).select(
+      when(col("id") % 2 === 0,
+          concat(lit("hot"), ((col("id") % 20) / 2).cast("long")))
+        .otherwise(concat(lit("u"), col("id"))).as("key"))
+      .repartition(13)
+    val n = rows.count()
+    def brute(k: Int): Map[String, Long] =
+      rows.groupBy("key").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * k > n)
+        .as[(String, Long)].collect().toMap
+    for (k <- Seq(5, 25, 100)) {
+      val cand = rows.agg(MisraGries.candidates(col("key"), k).as("c"))
+        .head().getAs[scala.collection.Seq[String]](0)
+      assert(cand.size <= k)
+      val truth = brute(k)
+      assert(truth.keySet.subsetOf(cand.toSet),
+        s"k=$k missing ${truth.keySet -- cand.toSet}")
+      val exact = Relational.exactHeavyHitters(rows, "key", k)
+        .as[(String, Long)].collect().toMap
+      assert(exact == truth, s"k=$k")
+    }
+    // real corpus tokens
+    val toks = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val nt = toks.count()
+    val truthT = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 40 > nt)
+      .as[(String, Long)].collect().toMap
+    val exactT = Relational.exactHeavyHitters(toks, "token", 40)
+      .as[(String, Long)].collect().toMap
+    assert(exactT == truthT && truthT.nonEmpty)
+    // empty input
+    assert(Relational.exactHeavyHitters(
+      spark.range(0).select(col("id").cast("string").as("key")),
+      "key", 10).count() == 0L)
+  }
 }
