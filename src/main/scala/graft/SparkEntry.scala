@@ -294,6 +294,17 @@ object SparkEntry {
           Seq("spark", "data", "query", "join"), topK = 15)
         .orderBy(col("bm25").desc, col("doc"))),
 
+    "t10_bpe_pairs" -> ((s, d) =>
+      // the counting heart of one BPE training iteration (Sennrich et
+      // al., ACL 2016), distributed: corpus -> word-freq summary (one
+      // map-side-combined agg) -> char segmentation -> freq-weighted
+      // adjacent-pair sum. The merge loop itself runs on the bounded
+      // summary (Bpe.train, spec-gated vs the classic fixture); this
+      // gates the corpus-scale step the loop repeats
+      Bpe.pairCounts(Bpe.initialSegments(
+          Bpe.wordFreq(Tables.documents(s, d), "text")))
+        .orderBy(col("weight").desc, col("left"), col("right"))
+        .limit(50)),
     "t9_bigram_ce" -> ((s, d) =>
       // CCNet-style quality scoring: mean negative log bigram
       // probability under an add-one bigram LM trained on the English
@@ -1982,6 +1993,19 @@ object SparkEntry {
          |  CAST(len(ks) AS INTEGER) AS n_kept,
          |  md5(array_to_string(ks, chr(10))) AS clean_md5
          |FROM k ORDER BY doc_id""".stripMargin,
+    "t10_bpe_pairs" ->
+      """WITH t AS (SELECT unnest(string_split_regex(text, '\s+')) AS word
+        |           FROM documents),
+        |wf AS (SELECT word, count(*) AS freq FROM t WHERE word <> ''
+        |       GROUP BY word),
+        |seg AS (SELECT freq, string_split(word, '') || ['</w>'] AS syms
+        |        FROM wf),
+        |pr AS (SELECT syms[i+1] AS l, syms[i+2] AS r, freq
+        |       FROM (SELECT freq, syms, unnest(range(len(syms) - 1)) AS i
+        |             FROM seg))
+        |SELECT l AS "left", r AS "right", CAST(sum(freq) AS BIGINT) AS weight
+        |FROM pr GROUP BY l, r
+        |ORDER BY weight DESC, "left", "right" LIMIT 50""".stripMargin,
     "t9_bigram_ce" ->
       """WITH base AS (SELECT doc_id AS doc, lang = 'en' AS tgt,
         |    string_split_regex(text, '\s+') AS ts FROM documents),

@@ -629,6 +629,72 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the Sennrich et al. running example vocabulary
+  private val corpus = Seq(
+    (0L, Array.fill(5)("low").mkString(" ")),
+    (1L, Array.fill(2)("lower").mkString(" ")),
+    (2L, Array.fill(6)("newest").mkString(" ")),
+    (3L, Array.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+
+  test("BPE training reproduces the classic merge sequence with deterministic ties") {
+    val merges = Bpe.train(corpus, "text", 5)
+    // weights: (e,s)=9 ties (s,t)=9 and (t,</w>)=9 — lexicographic
+    // tie-break picks (e,s); then (es,t)=9, (est,</w>)=9, then the
+    // (l,o)=7 / (o,w)=7 tie resolves to (l,o), then (lo,w)=7
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("est", Bpe.Eow),
+      ("l", "o"), ("lo", "w")))
+    // partitioning must not move the result (the corpus pass is one
+    // keyed agg; the loop runs on the collected bounded summary)
+    assert(Bpe.train(corpus.repartition(7), "text", 5) == merges)
+  }
+
+  test("BPE segment applies ranked merges greedily; round-trips the text") {
+    val merges = Bpe.train(corpus, "text", 5)
+    val unseen = Seq((0L, "lowest slow")).toDF("doc_id", "text")
+    val out = Bpe.segment(unseen, "doc_id", "text", merges)
+      .select("tokens").as[Seq[String]].head()
+    // "lowest" = low + est</w> (the classic result); "slow" has no
+    // trained merge covering s+l, so s l o w -> s lo w -> s low
+    assert(out == Seq("low", "est" + Bpe.Eow, "s", "low", Bpe.Eow))
+    // reconstruction: concatenating symbols and splitting on the EOW
+    // marker recovers the original words
+    val joined = out.mkString
+    assert(joined.split(java.util.regex.Pattern.quote(Bpe.Eow))
+      .filter(_.nonEmpty).toSeq == Seq("lowest", "slow"))
+  }
+
+  test("distributed pairCounts equals the train loop's first-iteration counts") {
+    val dist = Bpe.pairCounts(
+        Bpe.initialSegments(Bpe.wordFreq(corpus, "text")))
+      .as[(String, String, Long)].collect()
+      .map { case (l, r, w) => ((l, r), w) }.toMap
+    // local recount from the word-freq fixture
+    val wf = Seq("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val local = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    wf.foreach { case (w, f) =>
+      val syms = w.map(_.toString).toArray :+ Bpe.Eow
+      syms.sliding(2).foreach(p =>
+        local((p(0), p(1))) = local.getOrElse((p(0), p(1)), 0L) + f)
+    }
+    assert(dist == local.toMap)
+  }
+
+  test("BPE on the real corpus: merges are word-internal and segment counts shrink") {
+    val docs = Tables.documents(spark, sf0001)
+    val merges = Bpe.train(docs, "text", 30)
+    assert(merges.size == 30 && merges.toSet.size == 30)
+    val seg = Bpe.segment(docs, "doc_id", "text", merges)
+    val charTokens = Bpe.segment(docs, "doc_id", "text", Nil)
+    val (withMerges, without) = (
+      seg.agg(sum(col("n_tokens"))).head().getLong(0),
+      charTokens.agg(sum(col("n_tokens"))).head().getLong(0))
+    assert(withMerges < without, s"$withMerges !< $without")
+  }
+}
+
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
