@@ -84,6 +84,18 @@ object SparkEntry {
       // sequence explode × distinct types, left join of the sparse
       // counts) — "no row ≠ no bucket"
       Relational.gapFilledCounts(s, d)),
+    "q25_funnel" -> ((s, d) =>
+      // ordered event funnel view → click → purchase: per-user
+      // conditional-minimum chain (t1 < t2 < t3) as three
+      // whole-partition window minima over ONE exchange+sort on
+      // user_id; 3-row rollup from a single aggregation row
+      Relational.funnel(s, d)),
+    "q26_retention" -> ((s, d) =>
+      // cohort retention triangle: first-active-day cohorts × distinct
+      // active users at each day offset; one keyed agg collapses the
+      // log to per-user (cohort, day set), the triangle re-key is
+      // span²-bounded
+      Relational.retention(s, d)),
     "q22_range_join" -> ((s, d) =>
       // binned range join: per click, the same user's views within
       // ±300 s — the inequality join rewritten as a keyed equi join on
@@ -837,6 +849,14 @@ object SparkEntry {
       // concentration — the rpbench negative in BASELINE.md.
       Similarity.rpKnn(embeddings(s, d), "vec_id", "embedding",
         Similarity.hyperplanes(32, 64), Q64, pool = 150, k = 10)),
+    "a19_mmr" -> ((s, d) =>
+      // Maximal Marginal Relevance diversified top-10 from the
+      // 50-candidate relevance pool: distributed cosine scan + top-pool
+      // cut and pool×pool sim join; the O(pool·k) greedy runs on pure
+      // micro-unit integers (λ = 7/10 as a rational), so the recursive
+      // CTE oracle replays every pick exactly
+      Diversify.mmr(embeddings(s, d), "vec_id", "embedding",
+        QueryConstants.Q64, k = 10, pool = 50)),
     "a11_sq8_knn" -> ((s, d) =>
       // SQ8 compressed-scan kNN (the scalar-quantization SEARCH side of
       // v15's encode): rank by distance to the bin-center decode of the
@@ -1755,6 +1775,34 @@ object SparkEntry {
          |  vec_id
          |FROM pool ORDER BY rank LIMIT 10""".stripMargin
     },
+    "a19_mmr" ->
+      s"""WITH RECURSIVE
+         |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pool AS (
+         |  SELECT id, v, CAST(round(1000000 * (list_dot_product(v, $Q64Sql) /
+         |    (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product($Q64Sql, $Q64Sql))))) AS BIGINT) AS rel
+         |  FROM e ORDER BY rel DESC, id LIMIT 50),
+         |sims AS (
+         |  SELECT x.id AS a, y.id AS b,
+         |    CAST(round(1000000 * (list_dot_product(x.v, y.v) /
+         |      (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))))) AS BIGINT) AS sim
+         |  FROM pool x JOIN pool y ON x.id <> y.id),
+         |sel AS (
+         |  SELECT 1 AS rank,
+         |    (SELECT id FROM pool ORDER BY rel DESC, id LIMIT 1) AS id,
+         |    (SELECT 7 * rel FROM pool ORDER BY rel DESC, id LIMIT 1) AS score,
+         |    [(SELECT id FROM pool ORDER BY rel DESC, id LIMIT 1)] AS ids
+         |  UNION ALL
+         |  SELECT sel.rank + 1, pick.id, pick.score, list_append(sel.ids, pick.id)
+         |  FROM sel, LATERAL (
+         |    SELECT p.id AS id,
+         |      7 * p.rel - 3 * (SELECT max(s.sim) FROM sims s
+         |        WHERE s.a = p.id AND list_contains(sel.ids, s.b)) AS score
+         |    FROM pool p
+         |    WHERE NOT list_contains(sel.ids, p.id)
+         |    ORDER BY score DESC, p.id LIMIT 1) pick
+         |  WHERE sel.rank < 10)
+         |SELECT rank, id, score FROM sel ORDER BY rank""".stripMargin,
     "q22_range_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS tc
@@ -1783,6 +1831,29 @@ object SparkEntry {
          |SELECT event_id, $inter AS zval
          |FROM q ORDER BY event_id""".stripMargin
     },
+    "q25_funnel" ->
+      """WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT 1 AS step, 'view' AS step_name, (SELECT count(*) FROM t1) AS users
+        |UNION ALL
+        |SELECT 2, 'click', (SELECT count(*) FROM t2)
+        |UNION ALL
+        |SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+        |ORDER BY step""".stripMargin,
+    "q26_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT c.cohort_day, date_diff('day', c.cohort_day, d.day) AS day_offset,
+        |       count(DISTINCT d.user_id) AS users
+        |FROM d JOIN c ON d.user_id = c.user_id
+        |GROUP BY c.cohort_day, day_offset
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "q24_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split_regex(text, '\s+')) AS token
         |           FROM documents),

@@ -343,4 +343,79 @@ object Relational {
         .filter(col("cnt") * k > n)
     }
   }
+
+  /** ORDERED EVENT FUNNEL — how many users progressed view → click →
+    * purchase, each step strictly after the previous one (the product-
+    * analytics sequence query; funnels are the canonical "needs
+    * per-entity event ORDER" aggregation a plain groupBy can't see).
+    *
+    * Per user the step times form a chain of conditional minima:
+    * t1 = min ts of a 'view'; t2 = min ts of a 'click' with ts > t1;
+    * t3 = min ts of a 'purchase' with ts > t2. Each tN is a per-user
+    * CONSTANT, so the chain is three whole-partition window minima
+    * over the SAME partitioning — Spark plans ONE exchange+sort on
+    * user_id and evaluates the three Window operators back to back
+    * (no per-step self-join, no re-shuffle; at 100 TB the cost is one
+    * keyed sort of the event log). The final 3-row rollup is a tiny
+    * conditional count over the per-user distinct (t1,t2,t3). */
+  def funnel(spark: SparkSession, sfDir: String,
+             steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame =
+    funnelOf(Tables.events(spark, sfDir), steps)
+
+  /** DataFrame core of [[funnel]] — expects (user_id, event_type, ts). */
+  def funnelOf(e: DataFrame, steps: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val withTs = steps.zipWithIndex.foldLeft(e) { case (df, (step, i)) =>
+      val prev = if (i == 0) lit(true) else col(s"t$i").isNotNull && col("ts") > col(s"t$i")
+      df.withColumn(s"t${i + 1}",
+        min(when(col("event_type") === step && prev, col("ts"))).over(w))
+    }
+    val perUser = withTs
+      .select(col("user_id") +: steps.indices.map(i => col(s"t${i + 1}")): _*)
+      .distinct()
+    // one aggregation row carries every step's count; the 3-row output
+    // is an explode over that single row (one scan, not one per step)
+    val counts = perUser.agg(
+      steps.indices.map(i =>
+        sum(when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).as(s"s${i + 1}")).head,
+      steps.indices.tail.map(i =>
+        sum(when(col(s"t${i + 1}").isNotNull, 1L).otherwise(0L)).as(s"s${i + 1}")): _*)
+    counts
+      .select(explode(array(steps.zipWithIndex.map { case (step, i) =>
+        struct(lit(i + 1).as("step"), lit(step).as("step_name"),
+          col(s"s${i + 1}").as("users"))
+      }: _*)).as("r"))
+      .select(col("r.step"), col("r.step_name"), col("r.users"))
+      .orderBy(col("step"))
+  }
+
+  /** COHORT RETENTION — for each acquisition cohort (a user's first
+    * active DAY), how many of its users were active again N days
+    * later. The standard growth-analytics triangle; "activity" is any
+    * event on that calendar day.
+    *
+    * Shape at scale: ONE keyed aggregation collapses the event log to
+    * per-user (first day, distinct active-day set) — the set is
+    * bounded by the calendar span (≤366/user/year), not the event
+    * count, and collect_set combines map-side — then an explode +
+    * re-key by (cohort, offset) aggregates the triangle, whose size is
+    * span², data-independent. The event log is scanned and shuffled
+    * exactly once. */
+  def retention(spark: SparkSession, sfDir: String): DataFrame =
+    retentionOf(Tables.events(spark, sfDir))
+
+  /** DataFrame core of [[retention]] — expects (user_id, ts). */
+  def retentionOf(e: DataFrame): DataFrame = {
+    val perUser = e.select(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"),
+        collect_set(col("day")).as("days"))
+    perUser
+      .select(col("user_id"), col("cohort_day"),
+        explode(col("days")).as("day"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
 }

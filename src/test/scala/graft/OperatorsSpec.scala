@@ -1839,3 +1839,104 @@ class MultimodalSpec extends SparkSpec {
     counts.foreach { case (got, expect) => assert(got == expect) }
   }
 }
+
+class FunnelRetentionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel requires strict step order within each user") {
+    // u1 completes all 3 in order; u2 clicks BEFORE its first view (no
+    // step-2 credit); u3 views only; u4 never views (purchase alone
+    // earns nothing)
+    val e = Seq(
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      (2L, "click", ts("2024-01-02 09:00:00")),
+      (2L, "view", ts("2024-01-02 10:00:00")),
+      (3L, "view", ts("2024-01-03 10:00:00")),
+      (4L, "purchase", ts("2024-01-04 10:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Relational.funnelOf(e, Seq("view", "click", "purchase"))
+      .select("step", "users").as[(Int, Long)].collect().toSeq
+    assert(got == Seq((1, 3L), (2, 1L), (3, 1L)))
+  }
+
+  test("funnel counts are monotone non-increasing on the corpus") {
+    val users = Relational.funnelOf(
+      Tables.events(spark, sf0001), Seq("view", "click", "purchase"))
+      .select("users").as[Long].collect().toSeq
+    assert(users.size == 3)
+    assert(users == users.sorted.reverse)
+  }
+
+  test("retention: offset-0 equals cohort size; later offsets never exceed it") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // cohort 01-01, active d0, d2
+      (1L, ts("2024-01-03 10:00:00")),
+      (2L, ts("2024-01-01 20:00:00")), // cohort 01-01, active d0 only
+      (3L, ts("2024-01-02 08:00:00")), // cohort 01-02, d0 and d1
+      (3L, ts("2024-01-03 08:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Relational.retentionOf(e)
+      .select(col("cohort_day").cast("string"), col("day_offset"), col("users"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L), ("2024-01-02", 1L, 1L)))
+    // invariant on the corpus: every offset row ≤ its cohort's day-0 row
+    val corpus = Relational.retention(spark, sf0001)
+      .as[(java.sql.Date, Long, Long)].collect()
+    val day0 = corpus.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    assert(corpus.forall(r => r._3 <= day0(r._1)))
+  }
+}
+
+class DiversifySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val q = Seq(1.0, 0.0, 0.0, 0.0)
+
+  test("with λ=1 MMR reduces to relevance top-k") {
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Seq(1.0 - i * 0.01, i * 0.005, 0.2, -0.1).map(_.toFloat))
+    }.toDF("vec_id", "embedding")
+    val mmr = Diversify.mmr(emb, "vec_id", "embedding", q,
+        k = 5, pool = 20, lamNum = 1, lamDen = 1)
+      .select("id").as[Long].collect().toSeq
+    import graft.functions.VectorFunctions.{dot, norm}
+    val qc = array(q.map(lit): _*)
+    val v = col("embedding").cast("array<double>")
+    val topk = emb.select(col("vec_id"),
+        round(lit(1000000) * (dot(v, qc) / (norm(v) * norm(qc))))
+          .cast("long").as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(mmr == topk)
+  }
+
+  test("MMR breaks out of a dominant near-duplicate cluster") {
+    // cluster A: 10 near-copies of the query direction; outlier B: one
+    // orthogonal-ish vector with lower relevance. Plain top-3 is all A;
+    // MMR at λ=0.5 must include B by pick 3.
+    val a = (0 until 10).map(i =>
+      (i.toLong, Seq(1.0, 0.001 * i, 0.0, 0.0).map(_.toFloat)))
+    val b = Seq((99L, Seq(0.5, 0.0, 0.866, 0.0).map(_.toFloat)))
+    val emb = (a ++ b).toDF("vec_id", "embedding")
+    val picks = Diversify.mmr(emb, "vec_id", "embedding", q,
+        k = 3, pool = 11, lamNum = 1, lamDen = 2)
+      .select("id").as[Long].collect().toSeq
+    assert(picks.contains(99L))
+    assert(picks.head < 99L) // rank 1 is still the most relevant
+  }
+
+  test("ranks are 1..k over distinct pool members") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = Diversify.mmr(emb, "vec_id", "embedding",
+        graft.QueryConstants.Q64, k = 8, pool = 30)
+      .select("rank", "id").as[(Int, Long)].collect().toSeq
+    assert(got.map(_._1) == (1 to 8))
+    assert(got.map(_._2).distinct.size == 8)
+  }
+}
