@@ -849,6 +849,26 @@ object SparkEntry {
       // concentration — the rpbench negative in BASELINE.md.
       Similarity.rpKnn(embeddings(s, d), "vec_id", "embedding",
         Similarity.hyperplanes(32, 64), Q64, pool = 150, k = 10)),
+    "q27_mad_outliers" -> ((s, d) =>
+      // robust per-type anomaly flags: |value − median| > 3·MAD — the
+      // median/MAD pair doesn't move with the outliers a mean/stdev
+      // z-score hides; two tiny keyed percentile aggs broadcast back
+      // onto the stream, the event log itself never shuffles
+      Relational.madOutliers(s, d)),
+    "a20_knn_classify" -> ((s, d) => {
+      // kNN label propagation: the vec_id % 100 slice is classified by
+      // majority vote of its 10 nearest labeled rows (label = id % 7,
+      // the synthetic rated-sample stand-in); composes the brute kNN
+      // join anchor — swap in a store batch probe at scale
+      val e = embeddings(s, d)
+      val labeled = e.filter(col("vec_id") % 100 =!= 0)
+        .withColumn("label", col("vec_id") % 7)
+      val queries = e.filter(col("vec_id") % 100 === 0)
+      Classify.knnClassify(labeled, "vec_id", "embedding", "label",
+          queries.select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", 10)
+        .orderBy(col("qid"))
+    }),
     "a19_mmr" -> ((s, d) =>
       // Maximal Marginal Relevance diversified top-10 from the
       // 50-candidate relevance pool: distributed cosine scan + top-pool
@@ -1775,6 +1795,33 @@ object SparkEntry {
          |  vec_id
          |FROM pool ORDER BY rank LIMIT 10""".stripMargin
     },
+    "q27_mad_outliers" ->
+      """WITH e AS (SELECT event_id, event_type, value FROM events),
+        |med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        |        FROM e GROUP BY event_type),
+        |dev AS (SELECT e.event_id, e.event_type, e.value, med.med,
+        |          abs(e.value - med.med) AS adev
+        |        FROM e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+        |        FROM dev GROUP BY event_type)
+        |SELECT event_id, event_type, value, med, mad
+        |FROM dev JOIN mad USING (event_type)
+        |WHERE adev > 3 * mad ORDER BY event_id""".stripMargin,
+    "a20_knn_classify" ->
+      """WITH l AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             vec_id % 7 AS label
+        |           FROM embeddings WHERE vec_id % 100 <> 0),
+        |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id % 100 = 0),
+        |n AS (SELECT q.qid, l.label,
+        |        row_number() OVER (PARTITION BY q.qid
+        |          ORDER BY list_distance(l.v, q.qv), l.vec_id) AS rnk
+        |      FROM l, q),
+        |v AS (SELECT qid, label, count(*) AS votes FROM n
+        |      WHERE rnk <= 10 GROUP BY qid, label)
+        |SELECT qid, label AS pred, votes FROM v
+        |QUALIFY row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) = 1
+        |ORDER BY qid""".stripMargin,
     "a19_mmr" ->
       s"""WITH RECURSIVE
          |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -344,6 +344,40 @@ object Relational {
     }
   }
 
+  /** ROBUST OUTLIER DETECTION — flag events whose value deviates from
+    * its event_type's MEDIAN by more than `nMads` × the median absolute
+    * deviation. Median/MAD are the robust location/scale pair: a mean/
+    * stdev z-score moves with the outliers it's hunting (one huge value
+    * inflates σ and hides its peers); the median pair doesn't break
+    * until half the data is bad.
+    *
+    * Shape at scale: two keyed exact-percentile aggregations (type
+    * cardinality is tiny, so each is one map-side-combined shuffle of
+    * per-type partials) with the per-type medians/MADs pulled back onto
+    * the stream by BROADCAST joins — the event log itself never
+    * shuffles. Medians snap to 6dp so the cross-engine interpolation
+    * arithmetic can't wobble the flag set. */
+  def madOutliers(spark: SparkSession, sfDir: String,
+                  nMads: Double = 3.0): DataFrame =
+    madOutliersOf(Tables.events(spark, sfDir), nMads)
+
+  /** DataFrame core of [[madOutliers]] — expects
+    * (event_id, event_type, value). */
+  def madOutliersOf(events: DataFrame, nMads: Double): DataFrame = {
+    val e = events.select(col("event_id"), col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(adev, 0.5)"), 6).as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("adev") > lit(nMads) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"))
+      .orderBy(col("event_id"))
+  }
+
   /** ORDERED EVENT FUNNEL — how many users progressed view → click →
     * purchase, each step strictly after the previous one (the product-
     * analytics sequence query; funnels are the canonical "needs

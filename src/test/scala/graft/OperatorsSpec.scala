@@ -1940,3 +1940,58 @@ class DiversifySpec extends SparkSpec {
     assert(got.map(_._2).distinct.size == 8)
   }
 }
+
+class OutlierClassifySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("MAD outliers flag the robust deviants, not the mean-shifted") {
+    // type A: four values at 10 and one at 100 — median 10, MAD 0, so
+    // only the 100 is flagged (a mean/stdev z-score with σ≈36 would
+    // call 100 just 2.2σ); type B: a tight symmetric spread, no flags
+    val e = Seq(
+      (1L, "a", 10.0), (2L, "a", 10.0), (3L, "a", 10.0), (4L, "a", 10.0),
+      (5L, "a", 100.0),
+      (6L, "b", 1.0), (7L, "b", 2.0), (8L, "b", 3.0), (9L, "b", 4.0),
+      (10L, "b", 5.0)
+    ).toDF("event_id", "event_type", "value")
+    val got = Relational.madOutliersOf(e, 3.0)
+      .select("event_id").as[Long].collect().toSeq
+    assert(got == Seq(5L))
+  }
+
+  test("knnClassify takes the local majority and breaks vote ties low") {
+    // labeled 1-D line: label 0 cluster at 0.0..0.2, label 1 cluster at
+    // 1.0..1.2; a query at 0.1 is all-label-0; a query at 0.6 sees a
+    // 1-vs-1 split at k=2 → tie breaks to label 0
+    def v(x: Double) = Seq(x.toFloat, 0f)
+    val labeled = Seq(
+      (1L, v(0.0), 0L), (2L, v(0.1), 0L), (3L, v(0.2), 0L),
+      (11L, v(1.0), 1L), (12L, v(1.1), 1L), (13L, v(1.2), 1L)
+    ).toDF("id", "vec", "label")
+    val queries = Seq((100L, v(0.1)), (200L, v(0.6)))
+      .toDF("qid", "qv")
+    val got = Classify.knnClassify(labeled, "id", "vec", "label",
+        queries, "qid", "qv", 2)
+      .orderBy(col("qid"))
+      .select("qid", "pred", "votes").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((100L, 0L, 2L), (200L, 0L, 1L)))
+  }
+
+  test("knnClassify recovers planted cluster labels on the corpus") {
+    // plant labels by embedding-space halves via the first coordinate's
+    // sign: a query from each half must be classified into its half
+    val e = Tables.embeddings(spark, sf0001)
+    val labeled = e.filter(col("vec_id") >= 10)
+      .withColumn("label",
+        when(element_at(col("embedding"), 1) >= 0, 1L).otherwise(0L))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        when(element_at(col("embedding"), 1) >= 0, 1L).otherwise(0L).as("truth"))
+    val got = Classify.knnClassify(labeled, "vec_id", "embedding", "label",
+        queries.select("qid", "qv"), "qid", "qv", 15)
+      .join(queries.select("qid", "truth"), "qid")
+    val acc = got.filter(col("pred") === col("truth")).count().toDouble /
+      got.count()
+    assert(acc >= 0.7, s"halves accuracy $acc")
+  }
+}
