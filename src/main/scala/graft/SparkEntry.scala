@@ -849,6 +849,27 @@ object SparkEntry {
       // concentration — the rpbench negative in BASELINE.md.
       Similarity.rpKnn(embeddings(s, d), "vec_id", "embedding",
         Similarity.hyperplanes(32, 64), Q64, pool = 150, k = 10)),
+    "q28_cdc_compact" -> ((s, d) =>
+      // changelog compaction (CDC apply / Kafka log compaction): each
+      // user's LATEST change wins, 'error' is the tombstone — one
+      // keyed window + filter, no join, the lakehouse MERGE primitive
+      Relational.cdcCompact(s, d)),
+    "q29_moving_avg" -> ((s, d) =>
+      // 7-day trailing average of per-type daily totals over a
+      // GAP-FILLED day axis (a missing day is a zero day; without the
+      // dense grid a rows frame reaches back beyond the week); window
+      // sum is decimal-exact, one division per row
+      Relational.dailyMovingAvg(s, d)),
+    "d26_triangles" -> ((s, d) =>
+      // triangle enumeration over the exact Jaccard τ=0.3 pair graph
+      // (pairs from the LOSSLESS prefix-filter path, so the oracle is
+      // the same brute pair CTE as d2/d22): cluster cohesion — a
+      // chain-shaped dedup component is not a clique, and transitive
+      // deletion is only safe in the latter
+      Graphs.triangles(
+        Dedup.ngramJaccardPrefixPairs(Tables.documents(s, d), "doc_id",
+          "text", 3, 0.3).select(col("a"), col("b")))
+        .orderBy(col("a"), col("b"), col("c"))),
     "q27_mad_outliers" -> ((s, d) =>
       // robust per-type anomaly flags: |value − median| > 3·MAD — the
       // median/MAD pair doesn't move with the outliers a mean/stdev
@@ -1795,6 +1816,40 @@ object SparkEntry {
          |  vec_id
          |FROM pool ORDER BY rank LIMIT 10""".stripMargin
     },
+    "q28_cdc_compact" ->
+      """WITH c AS (SELECT user_id, ts, event_id, event_type, value,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM events)
+        |SELECT user_id, ts, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM c)
+        |WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin,
+    "q29_moving_avg" ->
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |             CAST(value AS DECIMAL(14,2)) AS v FROM events),
+        |t AS (SELECT event_type, day, sum(v) AS total FROM b GROUP BY 1, 2),
+        |ext AS (SELECT min(day) AS lo, max(day) AS hi FROM b),
+        |grid AS (SELECT ty.event_type, g.day
+        |         FROM (SELECT DISTINCT event_type FROM b) ty,
+        |           (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |              AS day FROM ext) g),
+        |d AS (SELECT grid.event_type, grid.day,
+        |        coalesce(t.total, CAST(0 AS DECIMAL(14,2))) AS total
+        |      FROM grid LEFT JOIN t
+        |        ON t.event_type = grid.event_type AND t.day = grid.day)
+        |SELECT event_type, day, CAST(total AS DOUBLE) AS total,
+        |  round(CAST(sum(total) OVER w AS DOUBLE) /
+        |        CAST(count(*) OVER w AS DOUBLE), 6) AS ma7
+        |FROM d
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+    "d26_triangles" ->
+      s"""WITH p AS (SELECT a, b FROM ($JaccardPairsSql) WHERE raw_jaccard >= 0.3)
+         |SELECT p1.a AS a, p1.b AS b, p2.b AS c FROM p p1
+         |JOIN p p2 ON p1.b = p2.a
+         |JOIN p p3 ON p1.a = p3.a AND p2.b = p3.b
+         |ORDER BY p1.a, p1.b, p2.b""".stripMargin,
     "q27_mad_outliers" ->
       """WITH e AS (SELECT event_id, event_type, value FROM events),
         |med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med

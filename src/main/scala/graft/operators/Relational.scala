@@ -344,6 +344,76 @@ object Relational {
     }
   }
 
+  /** CHANGELOG COMPACTION (CDC apply / last-writer-wins merge) — the
+    * lakehouse MERGE primitive: given a stream of keyed change records
+    * (upserts and deletes), the surviving state is each key's LATEST
+    * record, and a key whose latest record is a delete has no row.
+    * This is Kafka log compaction / Delta CDF apply as one operator.
+    *
+    * Deterministic total order: (tsCol, seqCol) — a same-timestamp
+    * pair resolves by the sequence id, so replays and the oracle agree.
+    * Shape at scale: ONE keyed window (row_number over the per-key
+    * exchange) + a filter; no join, no second shuffle. The per-key
+    * history length doesn't matter — the exchange carries every change
+    * row once, exactly like any keyed dedup. */
+  def compactChangelog(changes: DataFrame, keyCol: String, tsCol: String,
+                       seqCol: String, opCol: String,
+                       valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(seqCol).desc)
+    changes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col(opCol) =!= "delete")
+      .select((keyCol +: tsCol +: valueCols).map(col): _*)
+  }
+
+  /** The gate instance of [[compactChangelog]] over the events table:
+    * each event is a change record for its user — 'error' is the
+    * tombstone, everything else upserts (event_type, value). */
+  def cdcCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .withColumn("op",
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("upsert")))
+    compactChangelog(e, "user_id", "ts", "event_id", "op",
+        Seq("event_type", "value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** ROLLING AGGREGATE — per-type daily totals with a 7-day trailing
+    * moving average, over a GAP-FILLED day axis (a missing day is a
+    * zero-revenue day; without the dense grid, ROWS BETWEEN 6 PRECEDING
+    * silently reaches back further than a week — the classic rolling-
+    * metric bug). Composes the gap-fill shape with a RANGE-equivalent
+    * rows frame.
+    *
+    * Determinism: daily totals are exact DECIMAL sums; the average is
+    * (decimal-exact window sum) cast to double / row count — one IEEE
+    * division per row, no accumulation-order surface. */
+  def dailyMovingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+    val bucketed = e.select(col("event_type"), to_date(col("ts")).as("day"),
+      col("value").cast("decimal(14,2)").as("v"))
+    val totals = bucketed.groupBy(col("event_type"), col("day"))
+      .agg(sum(col("v")).as("total"))
+    val grid = bucketed.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 1 DAY"))).as("day"))
+      .crossJoin(bucketed.select(col("event_type")).distinct())
+    val dense = grid.join(totals, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("total"), lit(0).cast("decimal(14,2)")).as("total"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    dense
+      .withColumn("ma7",
+        round(sum(col("total")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"), 6))
+      .select(col("event_type"), col("day"),
+        col("total").cast("double").as("total"), col("ma7"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** ROBUST OUTLIER DETECTION — flag events whose value deviates from
     * its event_type's MEDIAN by more than `nMads` × the median absolute
     * deviation. Median/MAD are the robust location/scale pair: a mean/

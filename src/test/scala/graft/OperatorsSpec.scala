@@ -1995,3 +1995,55 @@ class OutlierClassifySpec extends SparkSpec {
     assert(acc >= 0.7, s"halves accuracy $acc")
   }
 }
+
+class CdcGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("changelog compaction: latest wins, tombstone kills, ts ties by seq") {
+    val ch = Seq(
+      // key 1: upsert then delete — gone
+      (1L, ts("2024-01-01 10:00:00"), 1L, "upsert", 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "delete", 0.0),
+      // key 2: delete then upsert — alive with the later value
+      (2L, ts("2024-01-01 10:00:00"), 3L, "delete", 0.0),
+      (2L, ts("2024-01-01 11:00:00"), 4L, "upsert", 20.0),
+      // key 3: same-ts pair — higher seq (upsert, 31.0) wins
+      (3L, ts("2024-01-01 10:00:00"), 5L, "upsert", 30.0),
+      (3L, ts("2024-01-01 10:00:00"), 6L, "upsert", 31.0)
+    ).toDF("k", "ts", "seq", "op", "v")
+    val got = Relational.compactChangelog(ch, "k", "ts", "seq", "op", Seq("v"))
+      .orderBy(col("k")).select("k", "v").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 20.0), (3L, 31.0)))
+  }
+
+  test("moving average windows never reach past the 7-day frame") {
+    val rows = Relational.dailyMovingAvg(spark, sf0001)
+      .select(col("event_type"), col("total"), col("ma7"))
+      .as[(String, Double, Double)].collect().toSeq
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val totals = rs.map(_._2)
+      rs.zipWithIndex.foreach { case ((_, _, ma), i) =>
+        val frame = totals.slice(math.max(0, i - 6), i + 1)
+        val expect = BigDecimal(frame.sum / frame.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(ma - expect) < 1e-6, s"row $i: $ma vs $expect")
+      }
+    }
+  }
+
+  test("triangles: a 4-clique has four, a chain has none") {
+    val clique = (for {
+      a <- 0 to 3; b <- 0 to 3 if a < b
+    } yield (a.toLong, b.toLong)).toDF("a", "b")
+    val t = Graphs.triangles(clique).orderBy("a", "b", "c")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(t == Seq((0L, 1L, 2L), (0L, 1L, 3L), (0L, 2L, 3L), (1L, 2L, 3L)))
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("a", "b")
+    assert(Graphs.triangles(chain).count() == 0)
+    val degs = Graphs.degrees(clique).orderBy("node")
+      .as[(Long, Long)].collect().toSeq
+    assert(degs == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)))
+  }
+}
