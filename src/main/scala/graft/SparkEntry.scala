@@ -666,9 +666,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "d25_edit_join" -> ((s, d) =>
       // typo-level near-dup: edit-distance similarity join over 32-char
-      // document prefixes via the lossless q-gram count filter (Gravano
-      // et al., VLDB 2001) — candidates from a (gram, occ)-keyed equi
-      // self-join with the length band inside the join condition, exact
+      // document prefixes via PassJoin's lossless partition signature
+      // (Li, Deng & Feng, VLDB 2012) — k+1 segments, pigeonhole exact-
+      // segment match in a multi-match-aware position window, exact
       // levenshtein verify on candidates only. Oracle replays the
       // all-pairs cross join: the filter is lossless, so the relations
       // are identical

@@ -373,6 +373,46 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "editbench") {
+      // d25 scale probe: PassJoin candidate volume + pair time on the
+      // 32-char prefix corpus, at 1x and (if a multiplier arg is given)
+      // Nx via unioned id-shifted copies — the growth row for the
+      // segment-signature join
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      val mult = args.drop(1).find(_.forall(_.isDigit)).map(_.toInt).getOrElse(1)
+      val base = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), substring(col("text"), 1, 32).as("s"))
+      val n0 = base.count()
+      val corpus = (0 until mult).map { i =>
+        base.select((col("doc_id") + lit(i * 10 * n0)).as("doc_id"), col("s"))
+      }.reduce(_ unionAll _).localCheckpoint()
+      val n = corpus.count()
+      println(s"corpus $n strings ($sfDir x $mult)")
+      for (k <- Seq(2, 4)) {
+        var t0 = System.nanoTime()
+        val cand = Dedup.editCandidates(corpus, "doc_id", "s", k).count()
+        val tc = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        val pairs = Dedup.editDistancePairs(corpus, "doc_id", "s", k).count()
+        val tp = (System.nanoTime() - t0) / 1e9
+        println(f"k=$k  cands=$cand%9d  pairs=$pairs%7d  " +
+          f"cand pass $tc%6.2f s  full $tp%6.2f s")
+      }
+      // unrelated-corpus scaling: random 32-char hex strings (md5 of the
+      // id) have no near-dup structure, so candidate volume measures the
+      // signature's false-positive rate and time measures the linear
+      // filter cost — the clique-free growth row
+      for (hn <- Seq(n, n * 10)) {
+        val hex = spark.range(hn).select(col("id").as("doc_id"),
+          md5(col("id").cast("string")).as("s")).localCheckpoint()
+        val t0 = System.nanoTime()
+        val cand = Dedup.editCandidates(hex, "doc_id", "s", 4).count()
+        val tc = (System.nanoTime() - t0) / 1e9
+        println(f"hex n=$hn%7d k=4  cands=$cand%9d  cand pass $tc%6.2f s")
+      }
+      spark.stop(); return
+    }
     if (name == "docbench") {
       // multi-document serving-build A/B: D docs × (n/D) points × d dims,
       // sequential indexDocument loop (D × filter+build+write jobs) vs

@@ -1207,8 +1207,8 @@ object Dedup {
     * gram dominates); verify is candidates-only. Nothing is quadratic
     * in the corpus. */
   def editDistancePairs(docs: DataFrame, idCol: String, strCol: String,
-                        maxDist: Int, q: Int = 3): DataFrame =
-    editCandidates(docs, idCol, strCol, maxDist, q)
+                        maxDist: Int): DataFrame =
+    editCandidates(docs, idCol, strCol, maxDist)
       .withColumn("dist", levenshtein(col("sa"), col("sb")))
       .filter(col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist"))
@@ -1217,45 +1217,104 @@ object Dedup {
     * the pruning ratio vs n·(n−1)/2 is itself testable/benchable
     * (mirrors [[ngramJaccardPrefixCandidates]]). Guaranteed a superset
     * of the true <= maxDist pairs. Carries both strings so the verify
-    * join is free. */
+    * join is free.
+    *
+    * Candidate generation is PassJoin's partition signature (Li, Deng
+    * & Feng, VLDB 2012): split each string into k+1 SEGMENTS — by
+    * pigeonhole, k edits can destroy at most k of them, so a true
+    * match must contain at least one segment VERBATIM, at a position
+    * the multi-match-aware window bounds to ±i / Δ±(k−i). Candidates
+    * come from an equi join on (segment index, partner length,
+    * segment text): exact 6-8-char content keys are sharply selective
+    * where q-gram keys are corpus-hot — the previous (gram, occ) equi
+    * join put every doc sharing a stopword trigram into one
+    * |docs|²-shaped join group (measured 309 s at sf0.1; BASELINE.md
+    * round-11 has the rewrite row). Probe volume is (2k+1)·(k+1)·O(k)
+    * rows per doc — linear in the corpus, keyed, no self-join on raw
+    * content. */
   def editCandidates(docs: DataFrame, idCol: String, strCol: String,
-                     maxDist: Int, q: Int = 3): DataFrame = {
-    require(maxDist >= 0 && q >= 1)
-    val shortLen = q * (maxDist + 1)
+                     maxDist: Int): DataFrame = {
+    require(maxDist >= 0)
+    val k = maxDist
+    val m = k + 1 // segment count
     val base = docs.select(col(idCol).as("doc"), col(strCol).as("s"))
       .withColumn("len", length(col("s")))
-    // (doc, gram, occ, len, s) — one row per q-gram OCCURRENCE, occ the
-    // per-(doc, gram) occurrence index so the equi join counts exactly
-    // min(n_a, n_b) matches per shared gram
-    val grams = base.filter(col("len") >= q)
+    // ---- segment (index) side: docs with len >= m, one row per
+    // segment i = 0..k. First m − (len % m) segments have length
+    // floor(len/m), the rest one more; starts are cumulative.
+    val longs = base.filter(col("len") >= m)
+    val segs = longs
       .select(col("doc"), col("len"), col("s"),
-        explode(sequence(lit(1), col("len") - lit(q - 1))).as("p"))
-      .withColumn("gram", expr(s"substring(s, p, $q)"))
-      .withColumn("occ",
-        row_number().over(Window.partitionBy(col("doc"), col("gram"))
-          .orderBy(col("p"))))
-      .select(col("doc"), col("len"), col("s"), col("gram"), col("occ"))
-    val gramCand = grams.as("x").join(grams.as("y"),
-        col("x.gram") === col("y.gram") && col("x.occ") === col("y.occ") &&
-          col("x.doc") < col("y.doc") &&
-          abs(col("x.len") - col("y.len")) <= maxDist &&
-          greatest(col("x.len"), col("y.len")) >= shortLen)
-      .groupBy(col("x.doc").as("a"), col("y.doc").as("b"),
-        col("x.len").as("la"), col("y.len").as("lb"),
-        col("x.s").as("sa"), col("y.s").as("sb"))
-      .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >=
-        greatest(col("la"), col("lb")) - lit(q - 1) - lit(q * maxDist))
-      .select(col("a"), col("b"), col("sa"), col("sb"))
-    // pairs whose LONGER member is < shortLen: both members are, so the
-    // bounded short band covers exactly the pairs the gram path filters
-    // out with its max-length guard — a disjoint partition of pairs
-    val shorts = base.filter(col("len") < shortLen)
-    val shortCand = shorts.as("x").join(shorts.as("y"),
-        col("x.doc") < col("y.doc") &&
-          abs(col("x.len") - col("y.len")) <= maxDist)
-      .select(col("x.doc").as("a"), col("y.doc").as("b"),
-        col("x.s").as("sa"), col("y.s").as("sb"))
-    gramCand.union(shortCand)
+        explode(sequence(lit(0), lit(k))).as("i"))
+      .withColumn("f", (col("len") / m).cast("int"))
+      .withColumn("r", (col("len") % m).cast("int"))
+      .withColumn("w",
+        col("f") + when(col("i") >= lit(m) - col("r"), 1).otherwise(0))
+      .withColumn("st",
+        lit(1) + col("i") * col("f") +
+          greatest(lit(0), col("i") - (lit(m) - col("r"))))
+      .select(col("doc"), col("len"), col("s"), col("i"),
+        expr("substring(s, st, w)").as("seg"))
+    // ---- probe side: docs with len >= m emit, for every partner
+    // length la in [max(m, len−k), len+k] and every segment index i,
+    // the substrings of s whose start lies in the multi-match-aware
+    // window  [si + max(−i, Δ−(k−i)), si + min(i, Δ+(k−i))], Δ = len−la
+    // (Li et al. §4.2) ∩ [1, len − w + 1].
+    val probes = base.filter(col("len") >= m)
+      .select(col("doc"), col("len"), col("s"),
+        explode(sequence(greatest(lit(m), col("len") - k),
+          col("len") + k)).as("la"))
+      .withColumn("delta", col("len") - col("la"))
+      .select(col("doc"), col("len"), col("s"), col("la"), col("delta"),
+        explode(sequence(lit(0), lit(k))).as("i"))
+      .withColumn("f", (col("la") / m).cast("int"))
+      .withColumn("r", (col("la") % m).cast("int"))
+      .withColumn("w",
+        col("f") + when(col("i") >= lit(m) - col("r"), 1).otherwise(0))
+      .withColumn("st",
+        lit(1) + col("i") * col("f") +
+          greatest(lit(0), col("i") - (lit(m) - col("r"))))
+      .withColumn("lo",
+        greatest(col("st") - col("i"),
+          col("st") + col("delta") - (lit(k) - col("i")), lit(1)))
+      .withColumn("hi",
+        least(col("st") + col("i"),
+          col("st") + col("delta") + (lit(k) - col("i")),
+          col("len") - col("w") + lit(1)))
+      .filter(col("lo") <= col("hi"))
+      .select(col("doc"), col("len"), col("s"), col("la"), col("i"),
+        col("w"), explode(sequence(col("lo"), col("hi"))).as("p"))
+      .select(col("doc"), col("len"), col("s"), col("la"), col("i"),
+        expr("substring(s, p, w)").as("seg"))
+    // ---- join: a probe substring equal to partner-length-la segment i
+    val cand = segs.as("x").join(probes.as("y"),
+        col("x.i") === col("y.i") && col("x.len") === col("y.la") &&
+          col("x.seg") === col("y.seg") && col("x.doc") =!= col("y.doc"))
+      .select(
+        least(col("x.doc"), col("y.doc")).as("a"),
+        greatest(col("x.doc"), col("y.doc")).as("b"),
+        when(col("x.doc") < col("y.doc"), col("x.s")).otherwise(col("y.s")).as("sa"),
+        when(col("x.doc") < col("y.doc"), col("y.s")).otherwise(col("x.s")).as("sb"))
+      .distinct()
+    // ---- pairs whose SHORTER member has len < m can't be segmented
+    // into m nonempty parts: bounded short band. Both members are
+    // < m + k there (length band), disjoint from the segment path by
+    // the least(len) < m guard.
+    val shorts = base.filter(col("len") < m)
+    val shortCand = shorts.as("x").join(
+        base.filter(col("len") < m + k).as("y"),
+        col("x.doc") =!= col("y.doc") &&
+          abs(col("x.len") - col("y.len")) <= k &&
+          // route ONLY pairs whose shorter member is short here; a
+          // short x paired with longer-but-also-short y appears once
+          // with x on the left
+          col("x.len") <= col("y.len"))
+      .select(
+        least(col("x.doc"), col("y.doc")).as("a"),
+        greatest(col("x.doc"), col("y.doc")).as("b"),
+        when(col("x.doc") < col("y.doc"), col("x.s")).otherwise(col("y.s")).as("sa"),
+        when(col("x.doc") < col("y.doc"), col("y.s")).otherwise(col("x.s")).as("sb"))
+      .distinct()
+    cand.unionAll(shortCand).distinct()
   }
 }

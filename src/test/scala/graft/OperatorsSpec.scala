@@ -206,9 +206,9 @@ class DedupSpec extends SparkSpec {
   }
 
   test("edit-distance pairs == brute-force levenshtein (lossless)") {
-    // the q-gram count-filter path must return the IDENTICAL relation
+    // the PassJoin segment path must return the IDENTICAL relation
     // to the all-pairs cross join, including the short band (strings
-    // under q*(k+1) chars) and the mixed short/long boundary
+    // under k+1 chars) and the mixed short/long boundary
     val strs = Seq(
       (0L, "spark analytics engine"),
       (1L, "spark analytcs engine"),    // 1 deletion from 0
@@ -218,16 +218,16 @@ class DedupSpec extends SparkSpec {
       (8L, "abcdefgh"), (9L, "abcdefghi"),  // straddle shortLen=9 at k=2,q=3
       (10L, "")                         // empty string edge
     ).toDF("doc_id", "s")
-    for (k <- Seq(0, 1, 2); q <- Seq(2, 3)) {
+    for (k <- Seq(0, 1, 2, 3)) {
       val brute = strs.as("x").join(strs.as("y"),
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
           levenshtein(col("x.s"), col("y.s")).as("dist"))
         .filter(col("dist") <= k)
         .as[(Long, Long, Int)].collect().toSet
-      val fast = Dedup.editDistancePairs(strs, "doc_id", "s", k, q)
+      val fast = Dedup.editDistancePairs(strs, "doc_id", "s", k)
         .as[(Long, Long, Int)].collect().toSet
-      assert(fast == brute, s"k=$k q=$q")
+      assert(fast == brute, s"k=$k")
     }
     // real corpus: 32-char document prefixes, where near-dup docs give
     // genuine small-distance pairs
