@@ -861,13 +861,14 @@ object SparkEntry {
       // sum is decimal-exact, one division per row
       Relational.dailyMovingAvg(s, d)),
     "d26_triangles" -> ((s, d) =>
-      // triangle enumeration over the exact Jaccard τ=0.3 pair graph
-      // (pairs from the LOSSLESS prefix-filter path, so the oracle is
-      // the same brute pair CTE as d2/d22): cluster cohesion — a
-      // chain-shaped dedup component is not a clique, and transitive
-      // deletion is only safe in the latter
+      // triangle enumeration over the τ=0.3 near-dup pair graph — the
+      // same banded LSH-verified pair source as d7/d12 (the scale
+      // path; the oracle replays the identical MinHash/band/verify
+      // pipeline): cluster cohesion — a chain-shaped dedup component
+      // is not a clique, and transitive deletion is only safe in the
+      // latter
       Graphs.triangles(
-        Dedup.ngramJaccardPrefixPairs(Tables.documents(s, d), "doc_id",
+        Dedup.lshVerifiedPairs(Tables.documents(s, d), "doc_id",
           "text", 3, 0.3).select(col("a"), col("b")))
         .orderBy(col("a"), col("b"), col("c"))),
     "q27_mad_outliers" -> ((s, d) =>
@@ -1845,7 +1846,9 @@ object SparkEntry {
         |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY event_type, day""".stripMargin,
     "d26_triangles" ->
-      s"""WITH p AS (SELECT a, b FROM ($JaccardPairsSql) WHERE raw_jaccard >= 0.3)
+      s"""WITH ${MinHashCandCtes(2)},
+         |$LshVerifiedCtes,
+         |p AS (SELECT a, b FROM verified WHERE raw_jaccard >= 0.3)
          |SELECT p1.a AS a, p1.b AS b, p2.b AS c FROM p p1
          |JOIN p p2 ON p1.b = p2.a
          |JOIN p p3 ON p1.a = p3.a AND p2.b = p3.b
