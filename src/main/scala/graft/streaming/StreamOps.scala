@@ -168,6 +168,56 @@ object StreamOps {
   def windowedCountsBatchTwin(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Relational.eventWindows(spark, sfDir)
 
+  case class FunnelState(timesUs: List[Long])
+  case class FunnelOut(user_id: Long, step: Int, ts: Timestamp)
+
+  /** Streaming funnel progression — the incremental twin of
+    * [[graft.operators.Relational.funnelOf]]: per-user state is the
+    * completed step-time chain (≤ steps.length epoch-µs values, O(1)
+    * state), and reaching step i emits ONE (user, step, ts) row in
+    * Append mode, so `count(*) GROUP BY step` over the emitted stream
+    * equals the batch funnel at every point in time.
+    *
+    * The conditional-minimum chain (t₂ = min click ts STRICTLY after
+    * t₁ …) is order-sensitive, so like [[sessionizeStream]] this
+    * matches the batch twin when each user's events are processed in
+    * event-time order: rows sort by ts within each micro-batch, and a
+    * cross-batch regression (a 'view' arriving after a later click was
+    * already evaluated) would need the full event history to repair —
+    * the standard streaming-funnel contract. Same-timestamp ties are
+    * harmless: the strict inequality and the type gate make the update
+    * order-independent at equal ts. */
+  def funnelStream(events: DataFrame,
+                   steps: Seq[String] = Seq("view", "click", "purchase"))
+      : Dataset[FunnelOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stepArr = steps.toIndexedSeq
+    val typed = events.select(col("user_id"), col("ts"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state: GroupState[FunnelState]) =>
+          def us(t: java.sql.Timestamp): Long = {
+            val i = t.toInstant
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          }
+          var times = state.getOption.map(_.timesUs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+          rows.toSeq.sortBy(r => us(r._2)).foreach { case (_, ts, tpe) =>
+            val i = times.length
+            if (i < stepArr.length && tpe == stepArr(i) &&
+                (times.isEmpty || us(ts) > times.last)) {
+              times = times :+ us(ts)
+              out += FunnelOut(userId, i + 1, usToTimestamp(us(ts)))
+            }
+          }
+          if (out.nonEmpty) state.update(FunnelState(times))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: keep ONE document per canonical fingerprint
     * (TextOps.fingerprint) across the stream, state keyed by the tiny
     * fingerprint hash. Note the retained representative is the first to

@@ -552,4 +552,33 @@ class StreamOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect().toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("streaming funnel step emissions == batch funnel counts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = StreamOps.eventStream(spark, eventsDir)
+    val q = StreamOps.funnelStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("funnel")
+      .groupBy("step").agg(count(lit(1)).as("users"))
+      .orderBy("step")
+      .as[(Int, Long)].collect().toSeq
+    val want = operators.Relational.funnelOf(
+        Tables.events(spark, sf0001), Seq("view", "click", "purchase"))
+      .filter(col("users") > 0)
+      .select("step", "users").as[(Int, Long)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // per-user per-step emissions are unique, and step times strictly
+    // increase along each user's chain
+    val rows = spark.table("funnel")
+      .select("user_id", "step", "ts")
+      .as[(Long, Int, java.sql.Timestamp)].collect().toSeq
+    assert(rows.map(r => (r._1, r._2)).distinct.size == rows.size)
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byStep = rs.sortBy(_._2).map(_._3.getTime)
+      assert(byStep == byStep.sorted)
+    }
+  }
 }
