@@ -49,6 +49,31 @@ object SparkEntry {
     dir
   }
 
+  /** Okapi BM25 oracle SQL shared by t7 (inline scan) and t11 (store
+    * probe): the two Spark paths produce identical scores, so both
+    * gates replay this one query. */
+  private def bm25OracleSql(terms: Seq[String], topK: Int): String = {
+    val tfs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(ts, x -> x = '$t')) AS tf$i"
+    }.mkString(", ")
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      s"count(CASE WHEN list_contains(ts, '$t') THEN 1 END) AS df$i"
+    }.mkString(", ")
+    val score = terms.indices.map { i =>
+      s"ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * 2.2 " +
+        s"/ (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+    }.mkString(" + ")
+    val anyTf = terms.indices.map(i => s"tf$i").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id AS doc, string_split_regex(text, '\\s+') AS ts FROM documents),
+       |meta AS (SELECT count(*) AS n, CAST(sum(len(ts)) AS DOUBLE) / count(*) AS avgdl FROM tok),
+       |dfs AS (SELECT $dfs FROM tok),
+       |tf AS (SELECT doc, len(ts) AS dl, $tfs FROM tok)
+       |SELECT doc, round($score, 6) AS bm25
+       |FROM tf, meta, dfs
+       |WHERE $anyTf > 0
+       |ORDER BY bm25 DESC, doc LIMIT $topK""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- relational surface (SURVEY.md §2.1-2.8) ---
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
@@ -306,6 +331,21 @@ object SparkEntry {
           Seq("spark", "data", "query", "join"), topK = 15)
         .orderBy(col("bm25").desc, col("doc"))),
 
+    "t11_inverted_bm25" -> ((s, d) => {
+      // BM25 probe of the PERSISTED inverted-index store (the keyword
+      // twin of the ANN serving stores): term-bucket-partitioned
+      // posting lists, probe scans ONLY the query terms' buckets, df
+      // counted from the pruned rows, stats from the exact sidecar —
+      // scores identical to the inline t7 scan, so the oracle is the
+      // same SQL
+      val dir = stagedStore(d, "t11", version = 1) { dir =>
+        TextIndex.write(Tables.documents(s, d), "doc_id", "text",
+          numBuckets = 16, dir)
+      }
+      TextIndex.probe(TextIndex.open(s, dir),
+          Seq("spark", "data", "query", "join"), topK = 15)
+        .orderBy(col("bm25").desc, col("doc"))
+    }),
     "t10_bpe_pairs" -> ((s, d) =>
       // the counting heart of one BPE training iteration (Sennrich et
       // al., ACL 2016), distributed: corpus -> word-freq summary (one
@@ -2137,28 +2177,11 @@ object SparkEntry {
         | round(CAST(dup3 AS DOUBLE) / CAST(n3 AS DOUBLE), 6) AS dup_trigram_frac
         |FROM toks JOIN bs ON bs.doc = toks.doc JOIN ts3 ON ts3.doc = toks.doc
         |ORDER BY toks.doc""".stripMargin,
-    "t7_bm25" -> {
-      val terms = Seq("spark", "data", "query", "join")
-      val tfs = terms.zipWithIndex.map { case (t, i) =>
-        s"len(list_filter(ts, x -> x = '$t')) AS tf$i"
-      }.mkString(", ")
-      val dfs = terms.zipWithIndex.map { case (t, i) =>
-        s"count(CASE WHEN list_contains(ts, '$t') THEN 1 END) AS df$i"
-      }.mkString(", ")
-      val score = terms.indices.map { i =>
-        s"ln(1 + (n - df$i + 0.5) / (df$i + 0.5)) * tf$i * 2.2 " +
-          s"/ (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))"
-      }.mkString(" + ")
-      val anyTf = terms.indices.map(i => s"tf$i").mkString(" + ")
-      s"""WITH tok AS (SELECT doc_id AS doc, string_split_regex(text, '\\s+') AS ts FROM documents),
-         |meta AS (SELECT count(*) AS n, CAST(sum(len(ts)) AS DOUBLE) / count(*) AS avgdl FROM tok),
-         |dfs AS (SELECT $dfs FROM tok),
-         |tf AS (SELECT doc, len(ts) AS dl, $tfs FROM tok)
-         |SELECT doc, round($score, 6) AS bm25
-         |FROM tf, meta, dfs
-         |WHERE $anyTf > 0
-         |ORDER BY bm25 DESC, doc LIMIT 15""".stripMargin
-    },
+    "t7_bm25" -> bm25OracleSql(Seq("spark", "data", "query", "join"), 15),
+    // the store probe is score-identical to the inline scan by
+    // construction (same idf doubles, same fixed-order sum, exact
+    // sidecar stats), so it shares the oracle
+    "t11_inverted_bm25" -> bm25OracleSql(Seq("spark", "data", "query", "join"), 15),
     "t6_c4_line_clean" ->
       s"""WITH docs AS (${lineCorpusSql(500)}),
          |k AS (

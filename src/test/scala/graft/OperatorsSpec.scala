@@ -2047,3 +2047,64 @@ class CdcGraphSpec extends SparkSpec {
     assert(degs == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)))
   }
 }
+
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val terms = Seq("spark", "data", "query", "join")
+
+  private def probeRows(dir: String) =
+    TextIndex.probe(TextIndex.open(spark, dir), terms, 15)
+      .orderBy(col("bm25").desc, col("doc"))
+      .as[(Long, Double)].collect().toSeq
+
+  test("store probe == inline bm25, and the scan is partition-pruned") {
+    val docs = Tables.documents(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ti").toString + "/s"
+    TextIndex.write(docs, "doc_id", "text", 16, dir)
+    val fromStore = probeRows(dir)
+    val inline = TextOps.bm25(docs, "doc_id", "text", terms, 15)
+      .orderBy(col("bm25").desc, col("doc"))
+      .as[(Long, Double)].collect().toSeq
+    assert(fromStore == inline && fromStore.size == 15)
+    // pruning: the probe's postings scan must carry a PartitionFilters
+    // clause on bucket (the strict form — a bare column mention in the
+    // plan does not count)
+    val store = TextIndex.open(spark, dir)
+    val pruned = store.rows
+      .filter(col("bucket").isin(0, 3) && col("term").isin(terms: _*))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"expected PartitionFilters on bucket in plan")
+  }
+
+  test("append keeps probe scores equal to a full rebuild") {
+    val docs = Tables.documents(spark, sf0001)
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val b = docs.filter(col("doc_id") % 3 === 0)
+    val incDir = java.nio.file.Files.createTempDirectory("graft_ti").toString + "/inc"
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_ti").toString + "/full"
+    TextIndex.write(a, "doc_id", "text", 16, incDir)
+    TextIndex.append(spark, incDir, b, "doc_id", "text")
+    TextIndex.write(docs, "doc_id", "text", 16, fullDir)
+    assert(probeRows(incDir) == probeRows(fullDir))
+    val (si, sf) = (TextIndex.open(spark, incDir), TextIndex.open(spark, fullDir))
+    assert(si.n == sf.n && si.sumDl == sf.sumDl)
+  }
+
+  test("tombstone remove keeps probe scores equal to rebuild-without") {
+    val docs = Tables.documents(spark, sf0001)
+    val doomed = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+    val remDir = java.nio.file.Files.createTempDirectory("graft_ti").toString + "/rem"
+    val cleanDir = java.nio.file.Files.createTempDirectory("graft_ti").toString + "/cl"
+    TextIndex.write(docs, "doc_id", "text", 16, remDir)
+    TextIndex.remove(spark, remDir, doomed, "doc_id")
+    TextIndex.write(docs.join(doomed, Seq("doc_id"), "left_anti"),
+      "doc_id", "text", 16, cleanDir)
+    assert(probeRows(remDir) == probeRows(cleanDir))
+    // removing the same ids twice must not double-subtract the stats
+    TextIndex.remove(spark, remDir, doomed, "doc_id")
+    val (sr, sc) = (TextIndex.open(spark, remDir), TextIndex.open(spark, cleanDir))
+    assert(sr.n == sc.n && sr.sumDl == sc.sumDl)
+  }
+}
