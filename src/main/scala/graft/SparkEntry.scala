@@ -939,6 +939,65 @@ object SparkEntry {
       // CTE oracle replays every pick exactly
       Diversify.mmr(embeddings(s, d), "vec_id", "embedding",
         QueryConstants.Q64, k = 10, pool = 50)),
+    "a21_hybrid_rrf" -> ((s, d) => {
+      // HYBRID retrieval: BM25 keyword leg + dense-vector leg fused by
+      // reciprocal-rank fusion (k=60) — rank-only combination needs no
+      // cross-leg score calibration. Both legs are top-50 relations
+      // from paths gated on their own (t7 scoring, v2 ranking; at
+      // scale, swap in the t11 / a12-a17 store probes — same
+      // (id, rank) shape); the fuse itself is a chain of outer joins
+      // over ≤50-row relations with ONE summation order, so the DuckDB
+      // oracle reproduces the doubles bit for bit
+      val win = org.apache.spark.sql.expressions.Window
+      val textLeg = TextOps.bm25(Tables.documents(s, d), "doc_id", "text",
+          Seq("spark", "data", "query", "join"), topK = 50)
+        .withColumn("rank", row_number().over(
+          win.orderBy(col("bm25").desc, col("doc"))))
+        .select(col("doc"), col("rank"))
+      val vecLeg = BruteForce.knn(embeddings(s, d), "embedding", "vec_id",
+          Q64, 50)
+        .withColumn("rank", row_number().over(
+          win.orderBy(col("dist"), col("vec_id"))))
+        .select(col("vec_id").as("doc"), col("rank"))
+      Retrieval.rrfFuse(Seq(textLeg, vecLeg), "doc", "rank",
+        k = 60, topK = 10)
+    }),
+    "a22_maxsim" -> ((s, d) =>
+      // ColBERT-style late interaction: the 64-d embedding read as 8
+      // derived 8-d token vectors, score = Σ_qTok max_docTok dot —
+      // the whole MaxSim evaluates as ONE codegen'd projection per row
+      // (8×8 native vecDots + greatest + fixed-order sum; no explode,
+      // no shuffle), then TakeOrderedAndProject cuts the top-10
+      Retrieval.maxSim(embeddings(s, d), "vec_id", "embedding",
+        Q64, subDim = 8, topK = 10)),
+    "t12_phrase_count" -> ((s, d) =>
+      // exact-phrase occurrence counts ("docs quoting this exact
+      // sequence") — a single array expression per row (sequence of
+      // start positions + element_at conjunction), embarrassingly
+      // parallel, no explode/join/shuffle
+      Tables.documents(s, d)
+        .select(col("doc_id").as("doc"),
+          TextOps.phraseHits(col("text"), Seq("data", "query")).as("hits"))
+        .filter(col("hits") > 0)
+        .orderBy(col("doc"))),
+    "q30_pagerank" -> ((s, d) => {
+      // PageRank over the supplier↔customer trade graph (both edge
+      // directions, so degree structure differentiates ranks); 5
+      // Pregel-style iterations in exact integer micro-units (damping
+      // 17/20, floor division) — bit-identical across engines and
+      // aggregation orders, the same determinism trick as a19's greedy
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("S"), col("l_suppkey")).as("sn"),
+          concat(lit("C"), col("o_custkey")).as("cn"))
+        .distinct()
+      val edges = pairs.select(col("sn").as("src"), col("cn").as("dst"))
+        .unionAll(pairs.select(col("cn").as("src"), col("sn").as("dst")))
+      Graphs.pageRank(edges, "src", "dst", iterations = 5)
+        .orderBy(col("pr").desc, col("node"))
+        .limit(20)
+    }),
     "a11_sq8_knn" -> ((s, d) =>
       // SQ8 compressed-scan kNN (the scalar-quantization SEARCH side of
       // v15's encode): rank by distance to the bin-center decode of the
@@ -1287,6 +1346,51 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
   )
+
+  /** a22 oracle: the same 8×8 derived-chunk MaxSim as
+    * [[Retrieval.maxSimScore]] — slices of the DOUBLE[] cast, dots in
+    * subspace order, greatest per query token, fixed-order sum. */
+  private def maxSimOracleSql: String = {
+    val sub = 8
+    val perQ = Q64.grouped(sub).toSeq.map { q =>
+      val qlit = q.mkString("CAST([", ", ", "] AS DOUBLE[])")
+      val dots = (0 until Q64.length / sub).map { j =>
+        s"list_dot_product(v[${j * sub + 1}:${(j + 1) * sub}], $qlit)"
+      }
+      s"greatest(${dots.mkString(", ")})"
+    }
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT vec_id, round(${perQ.mkString(" + ")}, 6) AS maxsim
+       |FROM e ORDER BY maxsim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** q30 oracle: the same integer micro-unit PageRank iteration as
+    * [[Graphs.pageRank]], unrolled — every value a BIGINT, so the
+    * replay is bit-exact regardless of engine or aggregation order. */
+  private def pageRankOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node, CAST((SELECT base FROM consts)
+         |      + (17 * coalesce(c.contrib, 0)) // 20 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.pr // d.outdeg) AS contrib
+         |    FROM edges e JOIN pr${i - 1} p ON e.src = p.node
+         |    JOIN outdeg d ON e.src = d.node GROUP BY e.dst) c
+         |  ON n.node = c.node)""".stripMargin
+    }
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT 'S' || l.l_suppkey AS sn, 'C' || o.o_custkey AS cn
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |edges AS (SELECT sn AS src, cn AS dst FROM pairs
+       |          UNION ALL SELECT cn, sn FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |consts AS (SELECT (3 * 1000000000000) // (20 * count(*)) AS base,
+       |                  1000000000000 // count(*) AS init FROM nodes),
+       |outdeg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+       |pr0 AS (SELECT node, CAST((SELECT init FROM consts) AS BIGINT) AS pr FROM nodes),
+       |${steps.mkString(",\n")}
+       |SELECT node, pr FROM pr$iters ORDER BY pr DESC, node LIMIT 20""".stripMargin
+  }
 
   /** LSH hyperplanes shared by queries and oracle SQL. */
   private val Planes: Array[Array[Double]] = Similarity.hyperplanes(8, 64)
@@ -1948,6 +2052,35 @@ object SparkEntry {
          |    ORDER BY score DESC, p.id LIMIT 1) pick
          |  WHERE sel.rank < 10)
          |SELECT rank, id, score FROM sel ORDER BY rank""".stripMargin,
+    // RRF hybrid: the text leg is the t7/t11 BM25 query at topK=50
+    // (nested as a subquery — score-identical by the shared oracle),
+    // the vector leg the v2 brute ranking; the reciprocal terms are
+    // added text-then-vector exactly as rrfFuse's join chain does
+    "a21_hybrid_rrf" ->
+      s"""WITH text_leg AS (
+         |  SELECT doc, CAST(row_number() OVER (ORDER BY bm25 DESC, doc) AS INTEGER) AS r
+         |  FROM (${bm25OracleSql(Seq("spark", "data", "query", "join"), 50)})),
+         |vec_leg AS (
+         |  SELECT vec_id AS doc, CAST(row_number() OVER (ORDER BY dist, vec_id) AS INTEGER) AS r
+         |  FROM (SELECT vec_id, $DistSql AS dist FROM embeddings
+         |        ORDER BY dist, vec_id LIMIT 50))
+         |SELECT id, rrf FROM (
+         |  SELECT coalesce(t.doc, v.doc) AS id,
+         |    round(coalesce(1.0 / (60.0 + CAST(t.r AS DOUBLE)), 0.0)
+         |        + coalesce(1.0 / (60.0 + CAST(v.r AS DOUBLE)), 0.0), 9) AS rrf
+         |  FROM text_leg t FULL OUTER JOIN vec_leg v ON t.doc = v.doc)
+         |ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
+    "a22_maxsim" -> maxSimOracleSql,
+    "t12_phrase_count" ->
+      """WITH tok AS (SELECT doc_id AS doc,
+        |    string_split_regex(text, '\s+') AS ts FROM documents)
+        |SELECT doc, hits FROM (
+        |  SELECT doc, CAST(CASE WHEN len(ts) < 2 THEN 0
+        |    ELSE len(list_filter(generate_series(1, len(ts) - 1),
+        |      i -> ts[i] = 'data' AND ts[i+1] = 'query')) END AS INTEGER) AS hits
+        |  FROM tok)
+        |WHERE hits > 0 ORDER BY doc""".stripMargin,
+    "q30_pagerank" -> pageRankOracleSql(5),
     "q22_range_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS tc

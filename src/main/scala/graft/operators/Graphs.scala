@@ -40,4 +40,52 @@ object Graphs {
     edges.select(col(aCol).as("node"))
       .unionAll(edges.select(col(bCol).as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+
+  /** PAGERANK in exact integer micro-units — the importance measure for
+    * link-style graphs (citation graphs for corpus weighting, the
+    * near-dup pair graph's hub detection). The simplified iteration
+    * (no dangling-mass redistribution): with total mass `unit` (1e12),
+    *
+    *   pr⁰(v)    = unit div N
+    *   prⁱ⁺¹(v)  = (3·unit) div (20·N)  +  (17 · Σ_{u→v} prⁱ(u) div
+    *               outdeg(u)) div 20
+    *
+    * i.e. damping 0.85 as the rational 17/20 with floor division at
+    * fixed points — every value is a BIGINT, so the result is
+    * bit-identical regardless of aggregation order or engine (the same
+    * micro-unit trick as the MMR greedy: float summation order would
+    * otherwise make a cross-engine hash gate flaky by ±1 ulp).
+    *
+    * Plan: per iteration, one broadcast-or-shuffle equi join of the
+    * edge relation with the (node, pr) frame on src and one keyed sum
+    * on dst — the standard Pregel step as two exchanges, with
+    * `localCheckpoint` breaking lineage each round so the plan stays
+    * flat at any iteration count. Degree skew (a global hub's fan-in)
+    * lands in one sum key; at 100 TB the edges relation should be
+    * pre-partitioned on dst so AQE's skew split sees it. */
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+               dstCol: String = "dst", iterations: Int = 5,
+               unit: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    val base = (3L * unit) / (20L * n)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var pr = nodes.withColumn("pr", lit(unit / n))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("node"), expr("pr div outdeg").as("share"))
+        .groupBy(col("node")).agg(sum(col("share")).as("contrib"))
+      pr = nodes
+        .join(contrib, Seq("node"), "left_outer")
+        .select(col("node"),
+          (lit(base) + expr("(17 * coalesce(contrib, 0L)) div 20")).as("pr"))
+        .localCheckpoint()
+    }
+    pr
+  }
 }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{dot, doubleVec}
+
+/** Retrieval composition operators: hybrid rank fusion over the
+  * keyword ([[TextOps.bm25]] / [[TextIndex.probe]]) and vector
+  * ([[BruteForce.knn]] / any serving-store probe) legs, and ColBERT
+  * style multi-vector late-interaction scoring. Both are pure
+  * compositions of relations the engine already produces — the modern
+  * RAG serving stack expressed as DataFrame plans.
+  */
+object Retrieval {
+
+  /** RECIPROCAL-RANK FUSION (Cormack, Clarke & Büttcher, SIGIR 2009):
+    * fuse N ranked lists into one by score(id) = Σ_lists 1/(k + rank),
+    * ids absent from a list contributing 0 for it. RRF is the standard
+    * hybrid-retrieval combiner (BM25 leg + dense-vector leg) because it
+    * needs no score calibration between legs — only ranks.
+    *
+    * Each input must carry (`idCol`, `rankCol`) with rank 1-based and
+    * dense within its list. The fold is a left-to-right chain of outer
+    * joins with the reciprocal terms added in list order, so the double
+    * sum has ONE well-defined evaluation order — an oracle replaying
+    * the same order reproduces it bit for bit (a groupBy-sum over a
+    * union would not: Spark's partial aggregation adds in partition
+    * order).
+    *
+    * Scale: ranked lists are top-N relations (N ≪ corpus — they come
+    * out of pruned store probes), so every join side is broadcastable;
+    * the fused relation never exceeds Σ list sizes. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              k: Int = 60, topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val renamed = rankings.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol).as("id"), col(rankCol).as(s"_r$i"))
+    }
+    val joined = renamed.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val score = rankings.indices
+      .map(i => coalesce(lit(1.0) / (lit(k.toDouble) + col(s"_r$i").cast("double")),
+        lit(0.0)))
+      .reduce((a, b) => a + b)
+    joined
+      .withColumn("rrf", round(score, 9))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(topK)
+      .select(col("id"), col("rrf"))
+  }
+
+  /** ColBERT-style LATE-INTERACTION scoring (Khattab & Zaharia, SIGIR
+    * 2020) over derived sub-vectors: a d-dim embedding is read as
+    * d/`subDim` contiguous token vectors, the query likewise, and
+    * score(doc) = Σ_queryTokens max_docTokens dot(qTok, docTok) — the
+    * MaxSim operator. With the chunk count fixed at plan time the whole
+    * scoring is ONE codegen'd projection per row (no explode, no
+    * shuffle, no UDF): each dot is a native [[graft.functions
+    * .VectorExpressions]] vecDot on an array slice, the per-query-token
+    * max a `greatest`, the final score a fixed-order sum. Top-k then
+    * runs as TakeOrderedAndProject.
+    *
+    * Scale: a linear embarrassingly-parallel scan — or feed it only a
+    * store probe's candidate set for the two-stage (ANN retrieve →
+    * MaxSim re-rank) serving shape. */
+  def maxSimScore(vec: Column, query: Seq[Double], subDim: Int): Column = {
+    require(query.length % subDim == 0, "query length must be a multiple of subDim")
+    val nSub = query.length / subDim
+    val qChunks = query.grouped(subDim).toSeq
+    val perQ = qChunks.map { q =>
+      val dots = (0 until nSub).map { j =>
+        dot(slice(vec, j * subDim + 1, subDim), doubleVec(q))
+      }
+      if (dots.length == 1) dots.head else greatest(dots: _*)
+    }
+    perQ.reduce((a, b) => a + b)
+  }
+
+  /** Top-`topK` documents under [[maxSimScore]], deterministic on the
+    * 6dp-rounded score with the id tie-break. */
+  def maxSim(points: DataFrame, idCol: String, vecCol: String,
+             query: Seq[Double], subDim: Int, topK: Int): DataFrame =
+    points
+      .withColumn("maxsim", round(maxSimScore(col(vecCol), query, subDim), 6))
+      .orderBy(col("maxsim").desc, col(idCol))
+      .limit(topK)
+      .select(col(idCol), col("maxsim"))
+}

@@ -265,6 +265,29 @@ object TextOps {
       .select(col("doc"), col("bm25"))
   }
 
+  /** PHRASE occurrence count: how many token positions start an exact
+    * consecutive match of `phrase` under the same whitespace
+    * tokenization as every other text operator. Evaluates as a single
+    * codegen'd array expression per row — the candidate start positions
+    * are a `sequence`, the match test a conjunction of `element_at`
+    * probes — so phrase search over a corpus is an embarrassingly
+    * parallel scan with no explode, no join, and no shuffle. (The
+    * positional-postings alternative only wins when the index already
+    * exists and the phrase's terms are rare; as a corpus *filter* —
+    * "docs that quote this exact sentence" — the scan form is the
+    * one that streams.) */
+  def phraseHits(text: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val ts = tokens(text)
+    val starts = sequence(lit(1), size(ts) - (phrase.length - 1))
+    val hit = (i: Column) => phrase.zipWithIndex
+      .map { case (t, o) => element_at(ts, i + lit(o)) === t }
+      .reduce((a, b) => a && b)
+    // sequence(1, n) counts DOWN when n < 1 — guard the short-doc case
+    when(size(ts) < phrase.length, lit(0))
+      .otherwise(size(filter(starts, hit)))
+  }
+
   /** Default banned substrings for [[c4LineClean]] — the C4 paper's
     * boilerplate markers (Raffel et al. 2020, §2.2): pages behind
     * javascript walls, lorem-ipsum filler, and code braces. */

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BruteForce, Graphs, Retrieval, TextOps}
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rrfFuse: both-lists sum, single-list fallback, rank order, id ties") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "rank")
+    val b = Seq((2L, 1), (4L, 2)).toDF("id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), "id", "rank", k = 60, topK = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // id 2 appears in both: 1/62 + 1/61
+    assert(math.abs(got(2L) - (1.0 / 62 + 1.0 / 61)) < 1e-9)
+    // id 1 only in list a at rank 1, id 4 only in list b at rank 2
+    assert(math.abs(got(1L) - 1.0 / 61) < 1e-9)
+    assert(math.abs(got(4L) - 1.0 / 62) < 1e-9)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    // dual-list membership beats any single-list rank-1
+    assert(got(2L) > got(1L))
+  }
+
+  test("rrfFuse topK cuts on (score desc, id)") {
+    val a = Seq((10L, 1), (11L, 2)).toDF("id", "rank")
+    // 10 and 11 swap ranks in list b -> equal fused scores, id breaks tie
+    val b = Seq((11L, 1), (10L, 2)).toDF("id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), "id", "rank", k = 60, topK = 1)
+      .collect()
+    assert(got.length == 1 && got.head.getLong(0) == 10L)
+  }
+
+  test("maxSim: self-query scores the sum of chunk norms; top-k matches brute recompute") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = QueryConstants.Q64
+    val got = Retrieval.maxSim(e, "vec_id", "embedding", q, subDim = 8, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // brute recompute on the driver in the same chunk order
+    val rows = e.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    val qc = q.grouped(8).toSeq
+    def score(v: Seq[Double]): Double = {
+      val vc = v.grouped(8).toSeq
+      qc.map(qk => vc.map(dk => dk.zip(qk).map { case (x, y) => x * y }.sum).max).sum
+    }
+    val want = rows.map { case (id, v) =>
+      (id, math.rint(score(v) * 1e6) / 1e6)
+    }.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(got.map(_._1).toSeq == want.map(_._1).toSeq)
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) < 1e-6)
+    }
+  }
+
+  test("maxSim exceeds the single-vector dot when the best chunk alignment differs") {
+    // doc = query with two chunks swapped: full dot degrades, but per-chunk
+    // max recovers each chunk's best alignment >= diagonal dot
+    val q = QueryConstants.Q64
+    val swapped = (q.slice(8, 16) ++ q.slice(0, 8) ++ q.drop(16)).map(_.toFloat)
+    val df = Seq((0L, swapped)).toDF("vec_id", "embedding")
+    val ms = Retrieval.maxSim(df, "vec_id", "embedding", q, 8, 1)
+      .head().getDouble(1)
+    val qc = q.grouped(8).toSeq
+    val selfScore = qc.map(c => c.map(x => x * x).sum).sum // chunk-perfect
+    val fullDot = swapped.map(_.toDouble).zip(q).map { case (a, b) => a * b }.sum
+    // the swap is a chunk PERMUTATION: every query chunk still finds its
+    // identical copy, so MaxSim >= the chunk-aligned self score (up to
+    // float32 of the stored doc), while the position-rigid full-vector
+    // dot degrades well below it
+    assert(ms >= selfScore - 1e-4)
+    assert(fullDot < selfScore - 0.1 && ms > fullDot)
+  }
+
+  test("phraseHits: overlaps, boundaries, short docs, multi-term") {
+    val docs = Seq(
+      (1L, "a b a b a"),     // "a b" starts at 1 and 3 -> 2 hits
+      (2L, "a"),             // shorter than the phrase -> 0
+      (3L, "b a b"),         // one hit at position 2
+      (4L, "x y z"),         // no hits
+      (5L, "a b")            // exact doc == phrase
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextOps.phraseHits(col("text"), Seq("a", "b")).as("hits"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 2, 2L -> 0, 3L -> 1, 4L -> 0, 5L -> 1))
+    // 3-term phrase
+    val got3 = docs.select(col("doc_id"),
+        TextOps.phraseHits(col("text"), Seq("a", "b", "a")).as("hits"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got3(1L) == 2 && got3(3L) == 0 && got3(5L) == 0)
+  }
+
+  test("pageRank: uniform on a cycle, mass conservation, hub dominance on a star") {
+    // directed 4-cycle: symmetric -> every node the same rank
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val prC = Graphs.pageRank(cycle, iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prC.values.toSet.size == 1)
+    // floor division loses < 1 unit per node per step; total mass ~ 1e12
+    val total = prC.values.sum
+    assert(total <= 1000000000000L && total > 1000000000000L - 1000L)
+    // star (bidirectional): the center out-ranks every leaf
+    val spokes = (1 to 5).map(i => ("hub", s"leaf$i"))
+    val star = (spokes ++ spokes.map(_.swap)).toDF("src", "dst")
+    val prS = Graphs.pageRank(star, iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prS("hub") > prS("leaf1") && prS("leaf1") == prS("leaf5"))
+  }
+
+  test("pageRank hand-check: two nodes pointing at each other stay at unit/2") {
+    val e = Seq(("x", "y"), ("y", "x")).toDF("src", "dst")
+    val pr = Graphs.pageRank(e, iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // base = 3e12/40 = 75e9; share = pr; pr' = 75e9 + 17*pr/20 -> fixed
+    // point 5e11 (exact: starts there and stays)
+    assert(pr("x") == 500000000000L && pr("y") == 500000000000L)
+  }
+
+  test("hybrid rrf on the corpus: fused top includes both legs' top ids") {
+    val docs = Tables.documents(spark, sf0001)
+    val e = Tables.embeddings(spark, sf0001)
+    val win = org.apache.spark.sql.expressions.Window
+    val textLeg = TextOps.bm25(docs, "doc_id", "text",
+        Seq("spark", "data", "query", "join"), topK = 50)
+      .withColumn("rank", row_number().over(
+        win.orderBy(col("bm25").desc, col("doc"))))
+      .select(col("doc"), col("rank"))
+    val vecLeg = BruteForce.knn(e, "embedding", "vec_id",
+        QueryConstants.Q64, 50)
+      .withColumn("rank", row_number().over(
+        win.orderBy(col("dist"), col("vec_id"))))
+      .select(col("vec_id").as("doc"), col("rank"))
+    val fused = Retrieval.rrfFuse(Seq(textLeg, vecLeg), "doc", "rank",
+      k = 60, topK = 100)
+    val fusedIds = fused.select("id").as[Long].collect().toSet
+    val t1 = textLeg.filter(col("rank") === 1).select("doc").as[Long].head()
+    val v1 = vecLeg.filter(col("rank") === 1).select("doc").as[Long].head()
+    assert(fusedIds.contains(t1) && fusedIds.contains(v1))
+    // a doc ranked well in BOTH legs outscores one ranked 50th in one leg
+    val scores = fused.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val both = textLeg.join(vecLeg, "doc").select("doc").as[Long].collect()
+    if (both.nonEmpty) {
+      val onlyText50 = textLeg.filter(col("rank") === 50)
+        .select("doc").as[Long].head()
+      if (!both.contains(onlyText50))
+        assert(scores(both.head) > scores.getOrElse(onlyText50, 0.0))
+    }
+  }
+}
