@@ -22,6 +22,18 @@ object Tools {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (name == "explain") {
+      // dump the formatted physical plan of named gated queries:
+      //   Tools explain [sfDir] only=a22_maxsim,q30_pagerank
+      val only = args.find(_.startsWith("only="))
+        .map(_.drop(5).split(',').toSet)
+        .getOrElse(sys.error("explain needs only=<query,...>"))
+      SparkEntry.queries.filter(q => only(q._1)).foreach { case (n, fn) =>
+        println(s"\n===== $n =====")
+        fn(spark, sfDir).explain("formatted")
+      }
+      spark.stop(); return
+    }
     if (name == "buildbench") {
       // index-build scaling probe: n x d synthetic vectors, hybrid vs BFS
       val nums = args.drop(1).filter(_.forall(_.isDigit))
@@ -581,6 +593,49 @@ object Tools {
           maxRepeat = 3).count())
       println(f"TOTAL self $selfTotal%.2f s vs shared $sharedTotal%.2f s " +
         f"(x${selfTotal / sharedTotal}%.2f)")
+      spark.stop(); return
+    }
+    if (name == "graphbench") {
+      // PageRank scale-growth probe: the q30 trade graph at 1x and at
+      // m disjoint copies (per-copy node suffix keeps the structure,
+      // multiplies nodes and edges by m). Per-iteration work is two
+      // keyed exchanges over the edge relation, so total time should
+      // grow ~linearly in |E| and stay FLAT per iteration count —
+      // the lineage-breaking checkpoint keeps the plan depth constant.
+      import org.apache.spark.sql.functions._
+      import graft.operators.Graphs
+      val mult = args.drop(1).find(a => a.nonEmpty && a.forall(_.isDigit))
+        .map(_.toInt).getOrElse(10)
+      val pairs = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("S"), col("l_suppkey")).as("sn"),
+          concat(lit("C"), col("o_custkey")).as("cn"))
+        .distinct()
+      val base = pairs.select(col("sn").as("src"), col("cn").as("dst"))
+        .unionAll(pairs.select(col("cn").as("src"), col("sn").as("dst")))
+        .localCheckpoint()
+      def edgesAt(m: Int) =
+        if (m == 1) base
+        else (0 until m).map { c =>
+          base.select(concat(col("src"), lit(s"_$c")).as("src"),
+            concat(col("dst"), lit(s"_$c")).as("dst"))
+        }.reduce(_ unionByName _).localCheckpoint()
+      def time(label: String, e: org.apache.spark.sql.DataFrame,
+               iters: Int): Double = {
+        val t0 = System.nanoTime()
+        val n = Graphs.pageRank(e, iterations = iters).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$label%-28s $s%8.2f s  ($n nodes)")
+        s
+      }
+      val e1 = edgesAt(1); val em = edgesAt(mult)
+      println(s"edges 1x=${e1.count()} ${mult}x=${em.count()}")
+      time("warmup 1it 1x", e1, 1) // JIT + broadcast infra, untimed row
+      val a = time("pagerank 5it 1x", e1, 5)
+      val b = time(s"pagerank 5it ${mult}x", em, 5)
+      val c = time("pagerank 10it 1x", e1, 10)
+      println(f"growth ${mult}x: x${b / a}%.2f  (iters 2x: x${c / a}%.2f)")
       spark.stop(); return
     }
     if (name == "probebench") {

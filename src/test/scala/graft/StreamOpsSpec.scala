@@ -433,6 +433,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == want && got.nonEmpty)
   }
 
+  test("phrase filtering runs unchanged on streams (stateless projection)") {
+    // "docs quoting this exact sentence" at INGEST time: phraseHits is
+    // one array expression per row, so the stream twin is the operator
+    // itself — the t12 shape applied before anything is persisted
+    val docsDir = java.nio.file.Files.createTempDirectory("graftphrase")
+      .resolve("docs").toString
+    Tables.documents(spark, sf0001).write.parquet(docsDir)
+    val schema = spark.read.parquet(docsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(docsDir)
+    val phrase = Seq("data", "query")
+    val q = stream.select(col("doc_id"),
+        operators.TextOps.phraseHits(col("text"), phrase).as("hits"))
+      .filter(col("hits") > 0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("phrases")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("phrases").collect().map(_.toString).sorted.toSeq
+    val want = spark.read.parquet(docsDir)
+      .select(col("doc_id"),
+        operators.TextOps.phraseHits(col("text"), phrase).as("hits"))
+      .filter(col("hits") > 0)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("KMV sketch aggregates a stream: final sketch equals the batch sketch") {
     // the sketch's merge IS its streaming story: partial TreeSets
     // combine across micro-batches like across partitions
