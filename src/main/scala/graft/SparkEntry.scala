@@ -970,6 +970,27 @@ object SparkEntry {
       // no shuffle), then TakeOrderedAndProject cuts the top-10
       Retrieval.maxSim(embeddings(s, d), "vec_id", "embedding",
         Q64, subDim = 8, topK = 10)),
+    "a23_maxsim_rerank" -> ((s, d) =>
+      // the two-stage serving shape: IVF candidate generation (pruned
+      // scan of nprobe=4 of 16 lists, top-50 by exact L2 — the a2
+      // path) followed by ColBERT MaxSim re-ranking of ONLY the
+      // candidates; retrieval recall comes from the cheap first stage,
+      // ranking quality from the expensive second, which never sees
+      // the full corpus
+      Retrieval.maxSim(
+        Similarity.ivfKnn(embeddings(s, d), "vec_id", "embedding",
+          16, 4, Q64, 50),
+        "vec_id", "embedding", Q64, subDim = 8, topK = 10)),
+    "q31_exact_quantiles" -> ((s, d) =>
+      // EXACT p50/p90/p99 with bounded memory everywhere: two-pass
+      // histogram selection (pass 1: 1000-bin histogram; pass 2: a
+      // ~n/1000-row filtered TakeOrdered per quantile) — the scale
+      // path next to q16's single-reducer percentile agg, same
+      // discrete-quantile answer
+      Relational.exactQuantiles(Tables.lineitem(s, d),
+          "l_extendedprice", Seq(0.5, 0.9, 0.99), buckets = 1000)
+        .select(col("p"), round(col("value"), 6).as("value"))
+        .orderBy(col("p"))),
     "t12_phrase_count" -> ((s, d) =>
       // exact-phrase occurrence counts ("docs quoting this exact
       // sequence") — a single array expression per row (sequence of
@@ -1347,22 +1368,25 @@ object SparkEntry {
     }),
   )
 
-  /** a22 oracle: the same 8×8 derived-chunk MaxSim as
-    * [[Retrieval.maxSimScore]] — slices of the DOUBLE[] cast, dots in
-    * subspace order, greatest per query token, fixed-order sum. */
-  private def maxSimOracleSql: String = {
+  /** The 8×8 derived-chunk MaxSim score over a DOUBLE[] column `v` —
+    * the same op order as [[Retrieval.maxSimScore]]: dots in subspace
+    * order, greatest per query token, fixed-order sum. Shared by the
+    * a22 (full scan) and a23 (IVF-candidates re-rank) oracles. */
+  private def maxSimExprSql: String = {
     val sub = 8
-    val perQ = Q64.grouped(sub).toSeq.map { q =>
+    Q64.grouped(sub).toSeq.map { q =>
       val qlit = q.mkString("CAST([", ", ", "] AS DOUBLE[])")
       val dots = (0 until Q64.length / sub).map { j =>
         s"list_dot_product(v[${j * sub + 1}:${(j + 1) * sub}], $qlit)"
       }
       s"greatest(${dots.mkString(", ")})"
-    }
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-       |SELECT vec_id, round(${perQ.mkString(" + ")}, 6) AS maxsim
-       |FROM e ORDER BY maxsim DESC, vec_id LIMIT 10""".stripMargin
+    }.mkString(" + ")
   }
+
+  private def maxSimOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |SELECT vec_id, round($maxSimExprSql, 6) AS maxsim
+       |FROM e ORDER BY maxsim DESC, vec_id LIMIT 10""".stripMargin
 
   /** q30 oracle: the same integer micro-unit PageRank iteration as
     * [[Graphs.pageRank]], unrolled — every value a BIGINT, so the
@@ -2071,6 +2095,43 @@ object SparkEntry {
          |  FROM text_leg t FULL OUTER JOIN vec_leg v ON t.doc = v.doc)
          |ORDER BY rrf DESC, id LIMIT 10""".stripMargin,
     "a22_maxsim" -> maxSimOracleSql,
+    // a23: the a2 IVF probe shape cut at 50 candidates, then the a22
+    // MaxSim expression over only those rows
+    "a23_maxsim_rerank" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS list_id, v AS centroid FROM e ORDER BY vec_id LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, list_id FROM (
+         |    SELECT e.vec_id, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(e.v, c.centroid), c.list_id) AS rn
+         |    FROM e CROSS JOIN c
+         |  ) WHERE rn = 1),
+         |probe AS (SELECT list_id FROM c
+         |  ORDER BY list_distance(centroid, $Q64Sql), list_id LIMIT 4),
+         |cand AS (
+         |  SELECT e.vec_id, e.v
+         |  FROM assigned a JOIN e ON a.vec_id = e.vec_id
+         |  JOIN probe p ON a.list_id = p.list_id
+         |  ORDER BY list_distance(e.v, $Q64Sql), e.vec_id LIMIT 50)
+         |SELECT vec_id, round($maxSimExprSql, 6) AS maxsim
+         |FROM cand ORDER BY maxsim DESC, vec_id LIMIT 10""".stripMargin,
+    "q31_exact_quantiles" -> {
+      def leg(p: String) =
+        s"""SELECT CAST($p AS DOUBLE) AS p,
+           |  (SELECT round(max(v), 6) FROM (
+           |     SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+           |     ORDER BY v
+           |     LIMIT (SELECT CAST(ceil($p * n) AS BIGINT) FROM nn))) AS value""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM lineitem)
+         |SELECT p, value FROM (
+         |${leg("0.5")}
+         |UNION ALL
+         |${leg("0.9")}
+         |UNION ALL
+         |${leg("0.99")})
+         |ORDER BY p""".stripMargin
+    },
     "t12_phrase_count" ->
       """WITH tok AS (SELECT doc_id AS doc,
         |    string_split_regex(text, '\s+') AS ts FROM documents)

@@ -522,4 +522,57 @@ object Relational {
       .agg(count(lit(1)).as("users"))
       .orderBy(col("cohort_day"), col("day_offset"))
   }
+
+  /** EXACT order statistics at scale via two-pass histogram selection —
+    * the quantile a single-reducer `percentile` agg (q16) answers by
+    * materializing every value in one executor, answered instead with
+    * bounded memory everywhere:
+    *
+    *   pass 1: one aggregation → (min, max, n) + a `buckets`-bin
+    *           equi-width histogram (map-side combined; B counts on
+    *           the driver, B chosen so n/B rows fit one task);
+    *   select: for each p, rank r = ceil(p·n) (1-based, ascending —
+    *           the "smallest value with ≥ r values ≤ it" discrete
+    *           quantile); the cumulative histogram names the ONE
+    *           bucket holding rank r and the in-bucket offset;
+    *   pass 2: per target bucket, a filtered scan (the same floor
+    *           expression that binned pass 1, so boundary rounding
+    *           cannot disagree) → TakeOrdered of the first `offset`
+    *           values → max. Each pass-2 job touches ~n/B rows.
+    *
+    * A production layout would persist the bin as a partition/layout
+    * column so pass 2 prunes at file level; on raw parquet the filter
+    * is still a codegen'd scan, never a global sort. Degenerate width
+    * (all values equal) short-circuits to that value. Returns (p,
+    * value) rows in `ps` order. */
+  def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
+                     buckets: Int = 1000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    val rows = df.select(v.as("v")).filter(col("v").isNotNull)
+    val s = rows.agg(min(col("v")), max(col("v")), count(lit(1))).head()
+    val (lo, hi, n) = (s.getDouble(0), s.getDouble(1), s.getLong(2))
+    val width = (hi - lo) / buckets
+    if (width == 0d || n == 0L)
+      return ps.map(p => (p, lo)).toDF("p", "value")
+    val binExpr = least(floor((col("v") - lit(lo)) / lit(width)),
+      lit(buckets - 1L)).cast("long")
+    val hist = rows.groupBy(binExpr.as("bin")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cum = (0L until buckets.toLong).scanLeft(0L) {
+      (acc, b) => acc + hist.getOrElse(b, 0L)
+    } // cum(b) = rows in bins < b
+    val picks = ps.map { p =>
+      val r = math.ceil(p * n).toLong.max(1L)
+      val b = (0L until buckets.toLong).find(b => cum((b + 1).toInt) >= r).get
+      val offset = r - cum(b.toInt) // rank within bin b, 1-based
+      val value = rows.filter(binExpr === b)
+        .orderBy(col("v")).limit(offset.toInt)
+        .agg(max(col("v"))).head().getDouble(0)
+      (p, value)
+    }
+    picks.toDF("p", "value")
+  }
 }

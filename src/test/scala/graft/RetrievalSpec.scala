@@ -118,6 +118,19 @@ class RetrievalSpec extends SparkSpec {
     assert(pr("x") == 500000000000L && pr("y") == 500000000000L)
   }
 
+  test("maxSim rerank: stage-2 scores equal the full-scan scores on the candidate set") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = QueryConstants.Q64
+    val cands = operators.Similarity.ivfKnn(e, "vec_id", "embedding", 16, 4, q, 50)
+    val reranked = Retrieval.maxSim(cands, "vec_id", "embedding", q, 8, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = Retrieval.maxSim(e, "vec_id", "embedding", q, 8, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // stage 2 computes the SAME score the full scan would
+    reranked.foreach { case (id, s) => assert(full(id) == s) }
+    assert(reranked.size == 10)
+  }
+
   test("hybrid rrf on the corpus: fused top includes both legs' top ids") {
     val docs = Tables.documents(spark, sf0001)
     val e = Tables.embeddings(spark, sf0001)
@@ -147,5 +160,51 @@ class RetrievalSpec extends SparkSpec {
       if (!both.contains(onlyText50))
         assert(scores(both.head) > scores.getOrElse(onlyText50, 0.0))
     }
+  }
+}
+
+class QuantileSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def truth(vals: Seq[Double], p: Double): Double = {
+    val sorted = vals.sorted
+    sorted(math.ceil(p * vals.length).toLong.max(1L).toInt - 1)
+  }
+
+  test("exactQuantiles equals the sort-based order statistic (random, dups, odd/even n)") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(999, 1000)) {
+      // duplicates on purpose: values drawn from a small grid
+      val vals = Seq.fill(n)((rnd.nextInt(500) * 0.25) - 30.0)
+      val df = vals.toDF("x")
+      val ps = Seq(0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+      val got = operators.Relational.exactQuantiles(df, "x", ps, buckets = 64)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      ps.foreach { p => assert(got(p) == truth(vals, p), s"p=$p n=$n") }
+    }
+  }
+
+  test("exactQuantiles: degenerate all-equal column and single bucket") {
+    val df = Seq.fill(100)(42.5).toDF("x")
+    val got = operators.Relational.exactQuantiles(df, "x", Seq(0.5, 0.99))
+      .collect().map(r => r.getDouble(1))
+    assert(got.forall(_ == 42.5))
+    // buckets = 1: the selection degenerates to one global TakeOrdered
+    val rnd = new scala.util.Random(11)
+    val vals = Seq.fill(501)(rnd.nextDouble() * 100)
+    val one = operators.Relational.exactQuantiles(vals.toDF("x"), "x",
+      Seq(0.5), buckets = 1).head().getDouble(1)
+    assert(one == truth(vals, 0.5))
+  }
+
+  test("exactQuantiles: mass concentrated at a bucket boundary stays exact") {
+    // many copies of the exact boundary value between bins
+    val vals = Seq.fill(400)(50.0) ++ (1 to 100).map(_.toDouble) ++
+      (51 to 150).map(_ + 0.5)
+    val df = vals.toDF("x")
+    for (p <- Seq(0.3, 0.5, 0.66, 0.9))
+      assert(operators.Relational.exactQuantiles(df, "x", Seq(p), buckets = 10)
+        .head().getDouble(1) == truth(vals, p))
   }
 }
