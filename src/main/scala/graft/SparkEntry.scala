@@ -338,13 +338,27 @@ object SparkEntry {
       // counted from the pruned rows, stats from the exact sidecar —
       // scores identical to the inline t7 scan, so the oracle is the
       // same SQL
-      val dir = stagedStore(d, "t11", version = 1) { dir =>
+      val dir = stagedStore(d, "t11", version = 2) { dir =>
         TextIndex.write(Tables.documents(s, d), "doc_id", "text",
           numBuckets = 16, dir)
       }
       TextIndex.probe(TextIndex.open(s, dir),
           Seq("spark", "data", "query", "join"), topK = 15)
         .orderBy(col("bm25").desc, col("doc"))
+    }),
+    "t13_phrase_store" -> ((s, d) => {
+      // the t12 phrase relation served from the PERSISTED positional
+      // inverted index instead of a raw-text scan: pruned probe of the
+      // phrase terms' bucket partitions, per-doc position-array pivot,
+      // one array expression for the occurrence count — identical
+      // output to the scan, so the two gates share the oracle (the
+      // t7/t11 pattern, now for phrases)
+      val dir = stagedStore(d, "t11", version = 2) { dir =>
+        TextIndex.write(Tables.documents(s, d), "doc_id", "text",
+          numBuckets = 16, dir)
+      }
+      TextIndex.probePhrase(TextIndex.open(s, dir), Seq("data", "query"))
+        .orderBy(col("doc"))
     }),
     "t10_bpe_pairs" -> ((s, d) =>
       // the counting heart of one BPE training iteration (Sennrich et
@@ -981,6 +995,28 @@ object SparkEntry {
         Similarity.ivfKnn(embeddings(s, d), "vec_id", "embedding",
           16, 4, Q64, 50),
         "vec_id", "embedding", Q64, subDim = 8, topK = 10)),
+    "a24_hard_negatives" -> ((s, d) => {
+      // contrastive-training hard negatives: per query (vec_id % 100
+      // slice), the 3 nearest rows whose cosine stays <= 0.4 —
+      // filter-then-rank so near-duplicates crowding the top-k can't
+      // displace informative negatives; the brute anchor of the
+      // store-probe scale path (v3/a20 join shape)
+      val e = embeddings(s, d)
+      val queries = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Retrieval.hardNegatives(e, "vec_id", "embedding",
+          queries, "qid", "qv", simCeiling = 0.4, k = 3)
+        .orderBy(col("qid"), col("rank"))
+    }),
+    "p16_stratified_exact" -> ((s, d) =>
+      // exact per-stratum quotas (balanced eval sets): exactly 20 docs
+      // per language, the 20 smallest md5-uniforms — count-guaranteed
+      // where p1's rate sampling is expectation-guaranteed, still a
+      // pure function of (id, salt)
+      Pipeline.stratifiedExactK(Tables.documents(s, d), "doc_id",
+          "lang", k = 20, salt = "s16")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
     "q31_exact_quantiles" -> ((s, d) =>
       // EXACT p50/p90/p99 with bounded memory everywhere: two-pass
       // histogram selection (pass 1: 1000-bin histogram; pass 2: a
@@ -2116,6 +2152,29 @@ object SparkEntry {
          |  ORDER BY list_distance(e.v, $Q64Sql), e.vec_id LIMIT 50)
          |SELECT vec_id, round($maxSimExprSql, 6) AS maxsim
          |FROM cand ORDER BY maxsim DESC, vec_id LIMIT 10""".stripMargin,
+    "a24_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 100 = 0),
+         |pairs AS (
+         |  SELECT q.qid, e.vec_id, list_distance(e.v, q.qv) AS dist,
+         |    CASE WHEN sqrt(list_dot_product(e.v, e.v))
+         |            * sqrt(list_dot_product(q.qv, q.qv)) = 0 THEN 0
+         |         ELSE list_dot_product(e.v, q.qv)
+         |            / (sqrt(list_dot_product(e.v, e.v))
+         |             * sqrt(list_dot_product(q.qv, q.qv))) END AS cos
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.qid)
+         |SELECT qid, vec_id, rank, round(dist, 6) AS dist FROM (
+         |  SELECT qid, vec_id, dist,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY dist, vec_id) AS INTEGER) AS rank
+         |  FROM pairs WHERE cos <= 0.4)
+         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "p16_stratified_exact" ->
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${uniformSql("s16")}, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
     "q31_exact_quantiles" -> {
       def leg(p: String) =
         s"""SELECT CAST($p AS DOUBLE) AS p,
@@ -2376,6 +2435,17 @@ object SparkEntry {
     // construction (same idf doubles, same fixed-order sum, exact
     // sidecar stats), so it shares the oracle
     "t11_inverted_bm25" -> bm25OracleSql(Seq("spark", "data", "query", "join"), 15),
+    // the positional-store phrase probe is relation-identical to the
+    // t12 raw-text scan by construction, so it shares the oracle
+    "t13_phrase_store" ->
+      """WITH tok AS (SELECT doc_id AS doc,
+        |    string_split_regex(text, '\s+') AS ts FROM documents)
+        |SELECT doc, hits FROM (
+        |  SELECT doc, CAST(CASE WHEN len(ts) < 2 THEN 0
+        |    ELSE len(list_filter(generate_series(1, len(ts) - 1),
+        |      i -> ts[i] = 'data' AND ts[i+1] = 'query')) END AS INTEGER) AS hits
+        |  FROM tok)
+        |WHERE hits > 0 ORDER BY doc""".stripMargin,
     "t6_c4_line_clean" ->
       s"""WITH docs AS (${lineCorpusSql(500)}),
          |k AS (

@@ -55,6 +55,24 @@ object Pipeline {
     df.filter(hashUniform(col(idCol), salt) < rate)
   }
 
+  /** EXACT-count stratified sample: exactly min(k, |stratum|) rows per
+    * stratum — the k smallest hash-uniforms in each group, ties broken
+    * by id. Where [[stratifiedSample]] guarantees a RATE in
+    * expectation, this guarantees a COUNT (balanced eval sets, fixed
+    * per-language quotas), while staying a pure function of (id, salt):
+    * reproducible across runs, engines, and repartitioning. One keyed
+    * window whose rank cut Spark pushes map-side (WindowGroupLimit), so
+    * no stratum's full membership ever reaches one reducer. */
+  def stratifiedExactK(df: DataFrame, idCol: String, stratumCol: String,
+                       k: Int, salt: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashUniform(col(idCol), salt), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** Train/val/test split assignment from cumulative weight thresholds:
     * weights (name, w) with Σw = 1; a row lands in the first split whose
     * cumulative upper bound exceeds its uniform. Disjoint and exhaustive

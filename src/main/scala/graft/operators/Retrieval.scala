@@ -3,7 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorFunctions.{dot, doubleVec}
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions.{cosine, dist, dot, doubleVec}
 
 /** Retrieval composition operators: hybrid rank fusion over the
   * keyword ([[TextOps.bm25]] / [[TextIndex.probe]]) and vector
@@ -85,4 +87,33 @@ object Retrieval {
       .orderBy(col("maxsim").desc, col(idCol))
       .limit(topK)
       .select(col(idCol), col("maxsim"))
+
+  /** HARD-NEGATIVE MINING for contrastive embedding training: per
+    * query, the `k` NEAREST points whose cosine similarity stays at or
+    * below `simCeiling` — close enough to be informative negatives,
+    * dissimilar enough to not be unlabeled positives/near-duplicates
+    * (the standard in-batch-negatives upgrade: DPR, Karpukhin et al.
+    * 2020). Filter-then-rank, not rank-then-filter: a near-dup crowding
+    * the true top-k must not push real negatives out.
+    *
+    * This is the exact anchor (queries broadcast against a full scan,
+    * per-query map-side top-k — the v3/a20 join shape); at corpus
+    * scale feed `points` from a serving-store probe's candidate pool
+    * instead of the raw table, exactly like [[maxSim]]'s a23 staging. */
+  def hardNegatives(points: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, qIdCol: String, qVecCol: String,
+                    simCeiling: Double, k: Int): DataFrame = {
+    val joined = points.crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qIdCol))
+      .withColumn("dist", dist(col(vecCol), col(qVecCol)))
+      .withColumn("cos", cosine(col(vecCol), col(qVecCol)))
+      .filter(col("cos") <= simCeiling)
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("dist"), col(idCol))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("rank"),
+        round(col("dist"), 6).as("dist"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.TextOps.tokens
@@ -39,14 +39,18 @@ object TextIndex {
   private def bucketOf(term: org.apache.spark.sql.Column, numBuckets: Int) =
     pmod(hash(term), lit(numBuckets))
 
-  /** Tokenize `docs` into the posting relation (term, doc, tf, dl). */
+  /** Tokenize `docs` into the POSITIONAL posting relation (term, doc,
+    * tf, dl, positions) — positions 1-based in token order, the classic
+    * positional-index payload that turns the store phrase-capable
+    * (Lucene's default posting shape) at ~one extra int per token. */
   private def postings(docs: DataFrame, idCol: String, textCol: String,
                        numBuckets: Int): DataFrame =
     docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("ts"))
       .select(col("doc"), size(col("ts")).as("dl"),
-        explode(col("ts")).as("term"))
+        posexplode(col("ts")).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc"))
-      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"),
+        array_sort(collect_list(col("pos") + 1)).as("positions"))
       .withColumn("bucket", bucketOf(col("term"), numBuckets))
 
   def write(docs: DataFrame, idCol: String, textCol: String,
@@ -131,6 +135,51 @@ object TextIndex {
     * over that same pruned relation, tombstones as a broadcast
     * anti-join, and a pivot of the ≤ Q posting rows per doc into tf
     * columns — no full-index pass anywhere. */
+  /** PHRASE probe: per-doc count of token positions starting an exact
+    * consecutive match of `phrase`, served from the store — the same
+    * relation [[TextOps.phraseHits]] computes by scanning raw text,
+    * answered instead from the pruned positional postings: only the
+    * phrase terms' bucket partitions are read (PartitionFilters-level,
+    * like every serving-store probe), the ≤|phrase| posting rows per
+    * doc pivot into per-offset position arrays, and the occurrence
+    * count is one array expression (filter over the first term's
+    * positions, array_contains at each further offset). Tombstoned
+    * docs are anti-joined out, so maintenance semantics match BM25
+    * probes. */
+  def probePhrase(store: TextStore, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val terms = phrase.distinct
+    val spark = store.rows.sparkSession
+    val buckets = {
+      import spark.implicits._
+      terms.toDF("term")
+        .select(bucketOf(col("term"), store.numBuckets).as("b"))
+        .collect().map(_.getInt(0)).toSeq.distinct
+    }
+    val pruned = store.rows
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .join(broadcast(store.tombstones), Seq("doc"), "left_anti")
+    // one positions array column per DISTINCT term of the phrase
+    val posCols = terms.zipWithIndex.map { case (t, i) =>
+      first(when(col("term") === t, col("positions")), ignoreNulls = true)
+        .as(s"_p$i")
+    }
+    val perDoc = pruned.groupBy(col("doc")).agg(posCols.head, posCols.tail: _*)
+    val termIdx = terms.zipWithIndex.toMap
+    val p0 = col(s"_p${termIdx(phrase.head)}")
+    val hit = (p: Column) => phrase.zipWithIndex.tail
+      .map { case (t, o) =>
+        array_contains(col(s"_p${termIdx(t)}"), p + lit(o)) }
+      .foldLeft(lit(true))((a, b) => a && b)
+    perDoc
+      .withColumn("hits",
+        when(terms.indices.map(i => col(s"_p$i").isNull)
+          .reduce((a, b) => a || b), lit(0))
+          .otherwise(size(filter(p0, hit))))
+      .filter(col("hits") > 0)
+      .select(col("doc"), col("hits"))
+  }
+
   def probe(store: TextStore, terms: Seq[String], topK: Int,
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val ts = terms.distinct

@@ -2107,4 +2107,31 @@ class TextIndexSpec extends SparkSpec {
     val (sr, sc) = (TextIndex.open(spark, remDir), TextIndex.open(spark, cleanDir))
     assert(sr.n == sc.n && sr.sumDl == sc.sumDl)
   }
+
+  test("phrase probe == raw-text phraseHits scan; tombstones drop hits") {
+    val docs = Tables.documents(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ti").toString + "/ph"
+    TextIndex.write(docs, "doc_id", "text", 16, dir)
+    val phrase = Seq("data", "query")
+    def probed = TextIndex.probePhrase(TextIndex.open(spark, dir), phrase)
+      .orderBy(col("doc")).as[(Long, Int)].collect().toSeq
+    val scanned = docs.select(col("doc_id").as("doc"),
+        TextOps.phraseHits(col("text"), phrase).as("hits"))
+      .filter(col("hits") > 0).orderBy(col("doc"))
+      .as[(Long, Int)].collect().toSeq
+    assert(probed == scanned && probed.nonEmpty)
+    // a repeated-term phrase exercises the distinct-term pivot
+    val p2 = Seq("the", "data", "the")
+    val probed2 = TextIndex.probePhrase(TextIndex.open(spark, dir), p2)
+      .orderBy(col("doc")).as[(Long, Int)].collect().toSeq
+    val scanned2 = docs.select(col("doc_id").as("doc"),
+        TextOps.phraseHits(col("text"), p2).as("hits"))
+      .filter(col("hits") > 0).orderBy(col("doc"))
+      .as[(Long, Int)].collect().toSeq
+    assert(probed2 == scanned2)
+    // tombstoning a matching doc removes it from the phrase relation
+    val victim = scanned.head._1
+    TextIndex.remove(spark, dir, Seq(victim).toDF("doc_id"), "doc_id")
+    assert(probed == scanned.filterNot(_._1 == victim))
+  }
 }

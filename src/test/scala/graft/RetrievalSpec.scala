@@ -208,3 +208,49 @@ class QuantileSpec extends SparkSpec {
         .head().getDouble(1) == truth(vals, p))
   }
 }
+
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("hardNegatives excludes near-duplicates even when they are nearest") {
+    // q at origin-ish; dup = same direction (cos 1, dist tiny);
+    // negatives = orthogonal-ish, farther
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),          // the query itself
+      (1L, Array(0.99f, 0f, 0f, 0f)),       // near-dup: cos ~1, NEAREST
+      (2L, Array(0f, 1f, 0f, 0f)),          // orthogonal negative
+      (3L, Array(0f, 0f, 2f, 0f)),          // farther negative
+      (4L, Array(-1f, 0f, 0f, 0f))          // opposite
+    ).toDF("vec_id", "embedding")
+    val queries = rows.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val got = operators.Retrieval.hardNegatives(rows, "vec_id", "embedding",
+        queries, "qid", "qv", simCeiling = 0.4, k = 3)
+      .orderBy(col("rank"))
+      .select("vec_id").as[Long].collect().toSeq
+    // id 1 (cos ~1) and id 0 (self) excluded; by distance: 2 (1.41),
+    // 4 (2.0), 3 (sqrt5 = 2.24)
+    assert(got == Seq(2L, 4L, 3L))
+  }
+
+  test("stratifiedExactK: exact quotas, determinism, repartition invariance") {
+    val docs = Tables.documents(spark, sf0001)
+    val k = 7
+    val got = operators.Pipeline.stratifiedExactK(docs, "doc_id", "lang", k, "t")
+    val counts = got.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (l, n) => assert(counts(l) == math.min(k.toLong, n)) }
+    val ids1 = got.select("doc_id").as[Long].collect().toSet
+    val ids2 = operators.Pipeline.stratifiedExactK(
+        docs.repartition(13), "doc_id", "lang", k, "t")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+    // a different salt picks a different (but equally sized) set
+    val ids3 = operators.Pipeline.stratifiedExactK(docs, "doc_id", "lang", k, "u")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids3.size == ids1.size && ids3 != ids1)
+  }
+}

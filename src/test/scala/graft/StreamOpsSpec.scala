@@ -254,6 +254,47 @@ class StreamOpsSpec extends SparkSpec {
       "every streamed query must be answered")
   }
 
+  test("streaming serving probes: query stream over the TEXT store equals batch probes") {
+    // text-store symmetry with the ANN serving stores: keyword/phrase
+    // queries arrive as a stream; the store handle opens ONCE, each
+    // micro-batch's (few, small) query rows drive pruned probes through
+    // it — the per-query answers are independent, so micro-batching
+    // can't change them
+    val base = java.nio.file.Files.createTempDirectory("grafttstream").toString
+    val docs = Tables.documents(spark, sf0001)
+    operators.TextIndex.write(docs, "doc_id", "text", 16, s"$base/store")
+    val store = operators.TextIndex.open(spark, s"$base/store")
+    val phrases = Seq((1L, Seq("data", "query")), (2L, Seq("spark", "data")))
+    phrases.take(1).toDF("qid", "phrase").coalesce(1)
+      .write.parquet(s"$base/q/f1")
+    phrases.drop(1).toDF("qid", "phrase").coalesce(1)
+      .write.parquet(s"$base/q/f2")
+    val st = spark.readStream
+      .schema(spark.read.parquet(s"$base/q/f1").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$base/q/*")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // query rows are the tiny side: collect THIS BATCH's queries
+        // (driver-local), probe the open handle per query
+        batch.select("qid", "phrase")
+          .collect().foreach { r =>
+            operators.TextIndex.probePhrase(store, r.getSeq[String](1))
+              .withColumn("qid", lit(r.getLong(0)))
+              .write.mode("append").parquet(s"$base/out")
+          }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    st.awaitTermination(120000)
+    val got = spark.read.parquet(s"$base/out")
+      .select("qid", "doc", "hits").as[(Long, Long, Int)].collect().toSet
+    val want = phrases.flatMap { case (qid, p) =>
+      operators.TextIndex.probePhrase(store, p)
+        .as[(Long, Int)].collect().map { case (d, h) => (qid, d, h) }
+    }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("streaming serving probes: query stream over the IVFADC store equals one batch probe") {
     val base = java.nio.file.Files.createTempDirectory("graftqadc").toString
     val e = Tables.embeddings(spark, sf0001)
