@@ -595,6 +595,34 @@ object Tools {
         f"(x${selfTotal / sharedTotal}%.2f)")
       spark.stop(); return
     }
+    if (name == "rerankbench") {
+      // two-stage serving growth row (a22 vs a23 at synthetic scale):
+      // the full-corpus MaxSim scan is linear in n; the IVF-candidates
+      // → MaxSim re-rank pays the pruned probe + a CONSTANT 200-row
+      // re-rank, so its growth follows the probed-list fraction, not n
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Retrieval, Similarity}
+      import graft.QueryConstants.Q64
+      val n = args.drop(1).find(_.forall(_.isDigit)).map(_.toLong)
+        .getOrElse(1000000L)
+      for (sz <- Seq(n / 10, n)) {
+        val pts = graft.sources.Ingest.randomUniform(spark, sz, 64)
+          .localCheckpoint()
+        def time(label: String)(thunk: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val r = thunk
+          println(f"n=$sz%9d  $label%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($r rows)")
+        }
+        time("warmup scan")(pts.count())
+        time("full maxsim scan")(
+          Retrieval.maxSim(pts, "id", "vector", Q64, 8, 10).count())
+        time("ivf cand + maxsim rerank")(
+          Retrieval.maxSim(
+            Similarity.ivfKnn(pts, "id", "vector", 256, 8, Q64, 200),
+            "id", "vector", Q64, 8, 10).count())
+      }
+      spark.stop(); return
+    }
     if (name == "graphbench") {
       // PageRank scale-growth probe: the q30 trade graph at 1x and at
       // m disjoint copies (per-copy node suffix keeps the structure,

@@ -80,10 +80,13 @@ object Graphs {
     //  - localCheckpoint breaks lineage so the caller's upstream join
     //    is never recomputed and the plan stays flat at any iteration
     //    count.
-    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val ew = raw
-      .join(raw.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
-        Seq("src"))
+    // out-degree via a window, not a self-join: the caller's upstream
+    // lineage (often a join + distinct) is evaluated exactly ONCE — a
+    // degree self-join would trigger it twice (agg side + probe side)
+    // or force an extra checkpoint copy
+    val ew = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .repartition(col("dst"))
       .localCheckpoint()
     val nodes = ew.select(col("src").as("node"))
