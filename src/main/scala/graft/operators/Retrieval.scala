@@ -67,15 +67,12 @@ object Retrieval {
     * MaxSim re-rank) serving shape. */
   def maxSimScore(vec: Column, query: Seq[Double], subDim: Int): Column = {
     require(query.length % subDim == 0, "query length must be a multiple of subDim")
-    val nSub = query.length / subDim
-    val qChunks = query.grouped(subDim).toSeq
-    val perQ = qChunks.map { q =>
-      val dots = (0 until nSub).map { j =>
-        dot(slice(vec, j * subDim + 1, subDim), doubleVec(q))
-      }
-      if (dots.length == 1) dots.head else greatest(dots: _*)
-    }
-    perQ.reduce((a, b) => a + b)
+    // native kernel (vec_maxsim): one primitive loop per row, the exact
+    // op order of the slice/dot/greatest composition it replaced — the
+    // composed form allocated nSub slice arrays per row, which
+    // dominated the full-corpus scan (rerankbench A/B in BASELINE.md)
+    graft.functions.VectorExpressions.vecMaxSim(
+      vec, query.grouped(subDim).toSeq)
   }
 
   /** Top-`topK` documents under [[maxSimScore]], deterministic on the
