@@ -278,6 +278,88 @@ case class MaxSimExpr(child: Expression, query: Array[Array[Double]])
     copy(child = c)
 }
 
+/** Count of token positions starting an exact consecutive match of a
+  * CONSTANT `phrase` in a string-array column — the native kernel
+  * behind [[graft.operators.TextOps.phraseHits]]. Same semantics as
+  * the sequence + filter + element_at composition (count of 1-based
+  * start positions; 0 when the doc is shorter than the phrase), but
+  * Catalyst evaluates higher-order `filter` lambdas interpreted, one
+  * closure call per candidate position — this is one primitive loop
+  * over the array's UTF8String slots inside whole-stage codegen, and
+  * it skips ahead on first mismatch instead of materializing an index
+  * sequence. Int result, matching `size(...)`. */
+case class PhraseCountExpr(child: Expression, phrase: Array[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "phrase_count"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string array input")
+    }
+
+  @transient private lazy val needle: Array[UTF8String] =
+    phrase.map(UTF8String.fromString)
+
+  override def nullSafeEval(input: Any): Any = {
+    val ts = input.asInstanceOf[ArrayData]
+    val n = ts.numElements()
+    val m = needle.length
+    var hits = 0
+    var i = 0
+    while (i <= n - m) {
+      var k = 0
+      var ok = true
+      while (ok && k < m) {
+        val t = ts.getUTF8String(i + k)
+        if (t == null || !t.equals(needle(k))) ok = false
+        k += 1
+      }
+      if (ok) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val needleRef = ctx.addReferenceObj("phraseNeedle", needle,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, ts => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val hits = ctx.freshName("hits")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val ok = ctx.freshName("ok")
+      val t = ctx.freshName("t")
+      s"""
+        int $n = $ts.numElements();
+        int $m = $needleRef.length;
+        int $hits = 0;
+        for (int $i = 0; $i <= $n - $m; $i++) {
+          boolean $ok = true;
+          for (int $k = 0; $ok && $k < $m; $k++) {
+            org.apache.spark.unsafe.types.UTF8String $t = $ts.getUTF8String($i + $k);
+            if ($t == null || !$t.equals($needleRef[$k])) $ok = false;
+          }
+          if ($ok) $hits++;
+        }
+        ${ev.value} = $hits;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorExpressions {
   import GraftSqlShim.{toColumn, toExpression}
   def vecDot(a: Column, b: Column): Column =
@@ -290,5 +372,9 @@ object VectorExpressions {
     require(query.nonEmpty && query.map(_.length).distinct.size == 1,
       "query chunks must be non-empty and equally sized")
     toColumn(MaxSimExpr(toExpression(v), query.map(_.toArray).toArray))
+  }
+  def phraseCount(tokens: Column, phrase: Seq[String]): Column = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    toColumn(PhraseCountExpr(toExpression(tokens), phrase.toArray))
   }
 }

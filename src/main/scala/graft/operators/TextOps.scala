@@ -276,17 +276,12 @@ object TextOps {
     * exists and the phrase's terms are rare; as a corpus *filter* —
     * "docs that quote this exact sentence" — the scan form is the
     * one that streams.) */
-  def phraseHits(text: Column, phrase: Seq[String]): Column = {
-    require(phrase.nonEmpty, "phrase must be non-empty")
-    val ts = tokens(text)
-    val starts = sequence(lit(1), size(ts) - (phrase.length - 1))
-    val hit = (i: Column) => phrase.zipWithIndex
-      .map { case (t, o) => element_at(ts, i + lit(o)) === t }
-      .reduce((a, b) => a && b)
-    // sequence(1, n) counts DOWN when n < 1 — guard the short-doc case
-    when(size(ts) < phrase.length, lit(0))
-      .otherwise(size(filter(starts, hit)))
-  }
+  def phraseHits(text: Column, phrase: Seq[String]): Column =
+    // native kernel: Catalyst evaluates higher-order `filter` lambdas
+    // interpreted (one closure call per candidate position); the
+    // PhraseCountExpr loop runs inside whole-stage codegen and skips
+    // on first mismatch — same count, no index-sequence allocation
+    graft.functions.VectorExpressions.phraseCount(tokens(text), phrase)
 
   /** Default banned substrings for [[c4LineClean]] — the C4 paper's
     * boilerplate markers (Raffel et al. 2020, §2.2): pages behind
