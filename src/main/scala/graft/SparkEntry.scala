@@ -718,6 +718,19 @@ object SparkEntry {
       // order-free) — the action d23's detection feeds
       Dedup.dropContained(Tables.documents(s, d), "doc_id", "text", 3, 0.8)
         .orderBy(col("doc_id"))),
+    "d27_containment_prefix" -> ((s, d) =>
+      // the containment SCALE path: A's rarity-prefix probes the full
+      // posting relation (pigeonhole, lossless — same rows as d23),
+      // exact intersection verifies candidates only; a corpus-hot
+      // shingle only costs fanout if it lands in someone's prefix
+      Dedup.containmentPairsPrefix(Tables.documents(s, d), "doc_id",
+          "text", 3, 0.8)
+        .orderBy(col("a"), col("b"))),
+    "d28_drop_contained_prefix" -> ((s, d) =>
+      // d24's survivor set from the prefix-filtered candidate path
+      Dedup.dropContainedPrefix(Tables.documents(s, d), "doc_id",
+          "text", 3, 0.8)
+        .orderBy(col("doc_id"))),
     "d25_edit_join" -> ((s, d) =>
       // typo-level near-dup: edit-distance similarity join over 32-char
       // document prefixes via PassJoin's lossless partition signature
@@ -2819,7 +2832,36 @@ object SparkEntry {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT a FROM dropped)
          |ORDER BY doc_id""".stripMargin,
+    // the prefix-filtered scale paths are LOSSLESS (same relations as
+    // the anchors), so they share the anchor oracles
+    "d28_drop_contained_prefix" ->
+      s"""WITH $ShingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |          FROM sh x JOIN sh y
+         |          ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+         |          GROUP BY 1, 2),
+         |dropped AS (SELECT DISTINCT a FROM inter
+         |  JOIN sizes sa ON sa.doc_id = a
+         |  JOIN sizes sb ON sb.doc_id = b
+         |  WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.8
+         |    AND (sb.sz > sa.sz OR (sb.sz = sa.sz AND b < a)))
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT a FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
     "d23_containment" ->
+      s"""WITH $ShingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |          FROM sh x JOIN sh y
+         |          ON x.shingle = y.shingle AND x.doc_id <> y.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT a, b,
+         |  round(CAST(inter AS DOUBLE) / sa.sz, 6) AS containment
+         |FROM inter JOIN sizes sa ON sa.doc_id = a
+         |WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.8
+         |ORDER BY a, b""".stripMargin,
+    "d27_containment_prefix" ->
       s"""WITH $ShingleCte,
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter

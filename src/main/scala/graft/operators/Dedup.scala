@@ -124,6 +124,65 @@ object Dedup {
       .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
   }
 
+  /** The SAME relation as [[containmentPairs]] computed with the
+    * containment PREFIX filter — the scale path. Pigeonhole: if
+    * |A∩B| ≥ τ·|A| then B misses at most |A| − τ·|A| of A's shingles,
+    * so B must contain one of ANY |A| − ⌈τ·|A|⌉ + 1 of them — exactly
+    * the rarest-first prefix [[ngramJaccardPrefixPairs]] already
+    * builds. Candidates come from A's prefix probing the full posting
+    * relation (asymmetric, unlike the symmetric Jaccard prefix join:
+    * only the PROBE side is cut, the indexed side keeps every
+    * shingle); the exact intersection then verifies candidates only.
+    * Lossless: same rows as the quadratic anchor. A corpus-hot
+    * shingle costs fanout only when it lands in some doc's rarity
+    * prefix — which rarest-first ordering makes the exception, where
+    * the anchor's raw equi-join makes it the rule. */
+  def containmentPairsPrefix(docs: DataFrame, idCol: String,
+                             textCol: String, k: Int,
+                             threshold: Double): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, k)
+    val pref = prefixRelation(sh, threshold)
+    val cand = pref.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc") =!= col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b")).distinct()
+    val sizes = pref.select(col("doc"), col("sz")).distinct()
+    val inter = cand
+      .join(sh.as("l"), col("a") === col("l.doc"))
+      .join(sh.as("r"),
+        col("b") === col("r.doc") && col("l.shingle") === col("r.shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sza"),
+        "a")
+      .withColumn("containment", col("inter").cast("double") / col("sza"))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
+  }
+
+  /** [[dropContained]] driven by the prefix-filtered candidate path —
+    * same survivor set, scale-safe candidate volume. */
+  def dropContainedPrefix(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int, threshold: Double): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, k)
+    val pref = prefixRelation(sh, threshold)
+    val sizes = pref.select(col("doc"), col("sz")).distinct()
+    val cand = pref.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc") =!= col("y.doc"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b")).distinct()
+    val dropped = cand
+      .join(sh.as("l"), col("a") === col("l.doc"))
+      .join(sh.as("r"),
+        col("b") === col("r.doc") && col("l.shingle") === col("r.shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "szb"), "b")
+      .filter(col("inter").cast("double") / col("sza") >= threshold &&
+        (col("szb") > col("sza") ||
+          (col("szb") === col("sza") && col("b") < col("a"))))
+      .select(col("a").as(idCol)).distinct()
+    docs.join(dropped, Seq(idCol), "left_anti").select(col(idCol))
+  }
+
   /** Superset-dedup: drop every doc whose shingles are ≥ `threshold`
     * contained in a LARGER doc (more shingles; id as the tie break on
     * equal sizes) — "the excerpt dies, the document that subsumes it

@@ -192,6 +192,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered containment == brute containment; dropContained survivors match") {
+    // the asymmetric prefix path (A's rarity prefix probes the full
+    // posting relation) must be lossless for ordered containment pairs
+    def rel(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+    for ((corpus, tau) <- Seq((docs, 0.5), (docs, 0.8),
+        (Tables.documents(spark, sf0001), 0.8))) {
+      val brute = rel(Dedup.containmentPairs(corpus, "doc_id", "text", 3, tau))
+      val pref = rel(Dedup.containmentPairsPrefix(corpus, "doc_id", "text", 3, tau))
+      assert(pref == brute, s"tau=$tau")
+    }
+    val corpus = Tables.documents(spark, sf0001)
+    val a = Dedup.dropContained(corpus, "doc_id", "text", 3, 0.8)
+      .as[Long].collect().toSet
+    val b = Dedup.dropContainedPrefix(corpus, "doc_id", "text", 3, 0.8)
+      .as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("prefix-filtered jaccard candidate volume stays below quadratic") {
     // rarest-first prefixes must exclude the hot-shingle explosion: on
     // the real corpus the prefix self-join's candidate count is a small
