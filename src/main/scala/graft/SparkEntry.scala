@@ -1055,12 +1055,15 @@ object SparkEntry {
       // directions, so degree structure differentiates ranks); 5
       // Pregel-style iterations in exact integer micro-units (damping
       // 17/20, floor division) — bit-identical across engines and
-      // aggregation orders, the same determinism trick as a19's greedy
+      // aggregation orders, the same determinism trick as a19's greedy.
+      // Node ids are INTEGERS (2·suppkey / 2·custkey+1): the id is
+      // shuffled in every exchange of the fixpoint, so an 8-byte long
+      // beats a string label at every hop
       val pairs = Tables.lineitem(s, d)
         .join(Tables.orders(s, d),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("S"), col("l_suppkey")).as("sn"),
-          concat(lit("C"), col("o_custkey")).as("cn"))
+        .select((col("l_suppkey") * 2).as("sn"),
+          (col("o_custkey") * 2 + 1).as("cn"))
         .distinct()
       val edges = pairs.select(col("sn").as("src"), col("cn").as("dst"))
         .unionAll(pairs.select(col("cn").as("src"), col("sn").as("dst")))
@@ -1452,7 +1455,7 @@ object SparkEntry {
          |  ON n.node = c.node)""".stripMargin
     }
     s"""WITH pairs AS (
-       |  SELECT DISTINCT 'S' || l.l_suppkey AS sn, 'C' || o.o_custkey AS cn
+       |  SELECT DISTINCT l.l_suppkey * 2 AS sn, o.o_custkey * 2 + 1 AS cn
        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
        |edges AS (SELECT sn AS src, cn AS dst FROM pairs
        |          UNION ALL SELECT cn, sn FROM pairs),

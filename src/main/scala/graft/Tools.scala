@@ -637,8 +637,8 @@ object Tools {
       val pairs = Tables.lineitem(spark, sfDir)
         .join(Tables.orders(spark, sfDir),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("S"), col("l_suppkey")).as("sn"),
-          concat(lit("C"), col("o_custkey")).as("cn"))
+        .select((col("l_suppkey") * 2).as("sn"),
+          (col("o_custkey") * 2 + 1).as("cn"))
         .distinct()
       val base = pairs.select(col("sn").as("src"), col("cn").as("dst"))
         .unionAll(pairs.select(col("cn").as("src"), col("sn").as("dst")))
@@ -646,8 +646,8 @@ object Tools {
       def edgesAt(m: Int) =
         if (m == 1) base
         else (0 until m).map { c =>
-          base.select(concat(col("src"), lit(s"_$c")).as("src"),
-            concat(col("dst"), lit(s"_$c")).as("dst"))
+          base.select((col("src") + lit(c * 1000000000L)).as("src"),
+            (col("dst") + lit(c * 1000000000L)).as("dst"))
         }.reduce(_ unionByName _).localCheckpoint()
       def time(label: String, e: org.apache.spark.sql.DataFrame,
                iters: Int): Double = {
