@@ -140,7 +140,7 @@ object Dedup {
   def containmentPairsPrefix(docs: DataFrame, idCol: String,
                              textCol: String, k: Int,
                              threshold: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, k)
+    val sh = shingleRows(docs, idCol, textCol, k).localCheckpoint()
     val pref = prefixRelation(sh, threshold)
     val cand = pref.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc") =!= col("y.doc"))
@@ -163,7 +163,7 @@ object Dedup {
     * same survivor set, scale-safe candidate volume. */
   def dropContainedPrefix(docs: DataFrame, idCol: String, textCol: String,
                           k: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, k)
+    val sh = shingleRows(docs, idCol, textCol, k).localCheckpoint()
     val pref = prefixRelation(sh, threshold)
     val sizes = pref.select(col("doc"), col("sz")).distinct()
     val cand = pref.as("x").join(sh.as("y"),
@@ -235,7 +235,10 @@ object Dedup {
   def ngramJaccardPrefixPairs(docs: DataFrame, idCol: String,
                               textCol: String, k: Int,
                               threshold: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, k)
+    // the shingle relation feeds the prefix build AND both sides of
+    // the exact verify — materialize the tokenize+shingle pass once
+    // (same bounded-materialization discipline as prefixRelation)
+    val sh = shingleRows(docs, idCol, textCol, k).localCheckpoint()
     val pref = prefixRelation(sh, threshold)
     val cand = prefixJoin(pref, threshold)
     // every doc has a non-empty prefix (L = sz − ceil(τ·sz) + 1 ≥ 1),
