@@ -595,6 +595,28 @@ object Tools {
         f"(x${selfTotal / sharedTotal}%.2f)")
       spark.stop(); return
     }
+    if (name == "shinglebench") {
+      // shingling kernel probe: the (doc, shingle) relation underlies
+      // every text-dedup query — time the full tokenize+shingle+explode
+      // pass on a 10x corpus
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      val docs0 = Tables.documents(spark, sfDir).select("doc_id", "text")
+      val docs = (0 until 10).map { c =>
+        docs0.select((col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      println(s"docs=${docs.count()}")
+      for (run <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n = docs
+          .select(col("doc_id"), Dedup.shinglesOf(
+            split(col("text"), "\\s+"), 3).as("sh"))
+          .select(explode(col("sh"))).count()
+        println(f"run $run: $n shingles in ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      spark.stop(); return
+    }
     if (name == "rerankbench") {
       // two-stage serving growth row (a22 vs a23 at synthetic scale):
       // the full-corpus MaxSim scan is linear in n; the IVF-candidates

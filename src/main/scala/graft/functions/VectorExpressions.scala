@@ -360,6 +360,71 @@ case class PhraseCountExpr(child: Expression, phrase: Array[String])
     copy(child = c)
 }
 
+/** Static kernels callable from generated code (one invocation per
+  * row inside whole-stage codegen — the codegen'd call-site shape for
+  * kernels whose output is an ArrayData rather than a primitive). */
+object TextKernels {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** All k-token shingles of `toks` joined with single spaces — the
+    * exact value of `transform(sequence(0, greatest(n-k, 0)),
+    * i -> concat_ws(' ', slice(toks, i+1, k)))`: max(n-k,0)+1 outputs,
+    * short docs yield one short shingle, empty docs one empty string,
+    * null elements skipped like concat_ws. */
+  def shingles(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    val m = math.max(n - k, 0) + 1
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      val len = math.min(k, n - i)
+      val parts = new Array[UTF8String](len)
+      var j = 0
+      while (j < len) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native shingling: the (tokenize →) k-gram join underlying every
+  * text-dedup operator (MinHash, SimHash, winnowing, prefix filters,
+  * containment, decontamination). Value-identical to the
+  * transform/sequence/slice/concat_ws composition, but that form runs
+  * the lambda interpreted and allocates a slice per position —
+  * measured 7.8 s for a 2.6M-shingle pass at 50k docs; the kernel
+  * does one primitive loop per row (shinglebench A/B in BASELINE.md). */
+case class ShinglesExpr(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string array input")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.shingles(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, ts =>
+      s"${ev.value} = graft.functions.TextKernels.shingles($ts, $k);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object VectorExpressions {
   import GraftSqlShim.{toColumn, toExpression}
   def vecDot(a: Column, b: Column): Column =
@@ -376,5 +441,9 @@ object VectorExpressions {
   def phraseCount(tokens: Column, phrase: Seq[String]): Column = {
     require(phrase.nonEmpty, "phrase must be non-empty")
     toColumn(PhraseCountExpr(toExpression(tokens), phrase.toArray))
+  }
+  def shingleArray(tokens: Column, k: Int): Column = {
+    require(k >= 1, "k must be >= 1")
+    toColumn(ShinglesExpr(toExpression(tokens), k))
   }
 }

@@ -40,9 +40,12 @@ object Dedup {
     * per-shingle lambda (once per index — an O(tokens^2) trap visible in
     * `.explain`). */
   def shinglesOf(toks: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+    // native kernel — value-identical to
+    //   transform(sequence(0, greatest(size-k, 0)),
+    //             i -> concat_ws(" ", slice(toks, i+1, k)))
+    // but one primitive loop per row instead of an interpreted lambda
+    // + slice allocation per position (shinglebench A/B, BASELINE.md)
+    graft.functions.VectorExpressions.shingleArray(toks, k)
 
   /** (doc, shingle) rows with per-doc-distinct shingles — narrow map, no
     * shuffle. */
