@@ -151,8 +151,8 @@ object Tools {
       }
       // build only the corpora the selected cases touch — the 10x
       // unions are eagerly checkpointed and cost real minutes
-      val needDocs = Seq("d2", "d5", "d8", "d10", "d11", "d12", "d15", "d22")
-        .exists(want)
+      val needDocs = Seq("d2", "d5", "d8", "d10", "d11", "d12", "d15",
+        "d22", "d23", "d27").exists(want)
       val needEmb = Seq("d6", "d9", "d14").exists(want)
       for (m <- Seq(1, mult)) {
         lazy val d = docsAt(m); lazy val e = embAt(m)
@@ -173,6 +173,13 @@ object Tools {
         // the quadratic shingle join
         time(s"d22 prefix-filter exact ${m}x")(
           Dedup.ngramJaccardPrefixPairs(d, "doc_id", "text", 3, 0.6).count())
+        // d23 vs d27: asymmetric containment — the anchor joins raw
+        // shingles (hot-shingle quadratic exposure), the prefix path
+        // probes full postings with A's rarity prefix + size bands
+        time(s"d23 containment anchor ${m}x")(
+          Dedup.containmentPairs(d, "doc_id", "text", 3, 0.8).count())
+        time(s"d27 containment prefix ${m}x")(
+          Dedup.containmentPairsPrefix(d, "doc_id", "text", 3, 0.8).count())
         // d22h: the hot-shingle shape the prefix filter exists for —
         // EVERY doc carries the same boilerplate footer, so the naive
         // shingle self-join pairs all n docs on each footer shingle
@@ -189,6 +196,20 @@ object Tools {
             Dedup.ngramJaccardPairs(hot, "doc_id", "text", 3, 0.6).count())
           time(s"d22h prefix exact on hot corpus ${m}x")(
             Dedup.ngramJaccardPrefixPairs(hot, "doc_id", "text", 3, 0.6)
+              .count())
+        }
+        // d27h: containment on the same boilerplate corpus — the
+        // anchor's raw shingle join pairs ALL docs on the shared
+        // footer (quadratic); rarest-first prefixes never probe it
+        if (want("d27h")) {
+          val hot = d.select(col("doc_id"),
+            concat(col("text"), lit(" corpus wide shared boilerplate " +
+              "footer sentence appears everywhere verbatim")).as("text"))
+            .localCheckpoint()
+          time(s"d27h containment anchor hot ${m}x")(
+            Dedup.containmentPairs(hot, "doc_id", "text", 3, 0.8).count())
+          time(s"d27h containment prefix hot ${m}x")(
+            Dedup.containmentPairsPrefix(hot, "doc_id", "text", 3, 0.8)
               .count())
         }
         time(s"d5 simhash16 uncapped ${m}x")(

@@ -145,10 +145,15 @@ object Dedup {
                              threshold: Double): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, k).localCheckpoint()
     val pref = prefixRelation(sh, threshold)
-    val cand = pref.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc") =!= col("y.doc"))
-      .select(col("x.doc").as("a"), col("y.doc").as("b")).distinct()
     val sizes = pref.select(col("doc"), col("sz")).distinct()
+    // size band INSIDE the candidate join: containment ≥ τ forces
+    // |A∩B| ≥ τ·|A| and |A∩B| ≤ |B|, so |B| ≥ τ·|A| — candidates with
+    // a too-small B never reach the exact verify (lossless)
+    val shSz = sh.join(sizes.withColumnRenamed("sz", "ysz"), "doc")
+    val cand = pref.as("x").join(shSz.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc") =!= col("y.doc") &&
+          col("y.ysz").cast("double") >= lit(threshold) * col("x.sz"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b")).distinct()
     val inter = cand
       .join(sh.as("l"), col("a") === col("l.doc"))
       .join(sh.as("r"),
@@ -169,8 +174,15 @@ object Dedup {
     val sh = shingleRows(docs, idCol, textCol, k).localCheckpoint()
     val pref = prefixRelation(sh, threshold)
     val sizes = pref.select(col("doc"), col("sz")).distinct()
-    val cand = pref.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc") =!= col("y.doc"))
+    // candidate join carries BOTH lossless bands: the τ size floor AND
+    // the keep direction (only a larger-or-tied-with-smaller-id B can
+    // kill A) — each cuts verify volume before the intersection join
+    val shSz = sh.join(sizes.withColumnRenamed("sz", "ysz"), "doc")
+    val cand = pref.as("x").join(shSz.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc") =!= col("y.doc") &&
+          col("y.ysz").cast("double") >= lit(threshold) * col("x.sz") &&
+          (col("y.ysz") > col("x.sz") ||
+            (col("y.ysz") === col("x.sz") && col("y.doc") < col("x.doc"))))
       .select(col("x.doc").as("a"), col("y.doc").as("b")).distinct()
     val dropped = cand
       .join(sh.as("l"), col("a") === col("l.doc"))
