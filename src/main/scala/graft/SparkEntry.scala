@@ -1071,6 +1071,24 @@ object SparkEntry {
         .orderBy(col("pr").desc, col("node"))
         .limit(20)
     }),
+    "q32_ppr" -> ((s, d) => {
+      // PERSONALIZED PageRank: restart mass to suppliers {0,1,2} only
+      // (topic-sensitive importance — "which customers matter from
+      // these suppliers' point of view", Haveliwala 2002) — same
+      // integer micro-unit determinism and per-iteration plan as q30
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("sn"),
+          (col("o_custkey") * 2 + 1).as("cn"))
+        .distinct()
+      val edges = pairs.select(col("sn").as("src"), col("cn").as("dst"))
+        .unionAll(pairs.select(col("cn").as("src"), col("sn").as("dst")))
+      val seeds = s.range(3).select((col("id") * 2).as("node"))
+      Graphs.pageRankPersonalized(edges, seeds, iterations = 5)
+        .orderBy(col("pr").desc, col("node"))
+        .limit(20)
+    }),
     "a11_sq8_knn" -> ((s, d) =>
       // SQ8 compressed-scan kNN (the scalar-quantization SEARCH side of
       // v15's encode): rank by distance to the bin-center decode of the
@@ -1464,6 +1482,43 @@ object SparkEntry {
        |                  1000000000000 // count(*) AS init FROM nodes),
        |outdeg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
        |pr0 AS (SELECT node, CAST((SELECT init FROM consts) AS BIGINT) AS pr FROM nodes),
+       |${steps.mkString(",\n")}
+       |SELECT node, pr FROM pr$iters ORDER BY pr DESC, node LIMIT 20""".stripMargin
+  }
+
+  /** q32 oracle: the personalized (restart-to-seeds) variant of
+    * [[pageRankOracleSql]] — seed nodes {0, 2, 4}, the same integer
+    * micro-unit iteration with the base term gated on seed membership. */
+  private def pprOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node, CAST(
+         |      CASE WHEN sd.node IS NOT NULL THEN (SELECT base FROM consts)
+         |           ELSE 0 END
+         |      + (17 * coalesce(c.contrib, 0)) // 20 AS BIGINT) AS pr
+         |  FROM nodes n
+         |  LEFT JOIN seeds sd ON n.node = sd.node
+         |  LEFT JOIN (
+         |    SELECT e.dst AS node, sum(p.pr // d.outdeg) AS contrib
+         |    FROM edges e JOIN pr${i - 1} p ON e.src = p.node
+         |    JOIN outdeg d ON e.src = d.node GROUP BY e.dst) c
+         |  ON n.node = c.node)""".stripMargin
+    }
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l.l_suppkey * 2 AS sn, o.o_custkey * 2 + 1 AS cn
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |edges AS (SELECT sn AS src, cn AS dst FROM pairs
+       |          UNION ALL SELECT cn, sn FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |seeds AS (SELECT node FROM (VALUES (0), (2), (4)) s(node)
+       |          WHERE node IN (SELECT node FROM nodes)),
+       |consts AS (SELECT (3 * 1000000000000) // (20 * count(*)) AS base,
+       |                  1000000000000 // count(*) AS init FROM seeds),
+       |outdeg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),
+       |pr0 AS (SELECT n.node, CAST(
+       |    CASE WHEN sd.node IS NOT NULL THEN (SELECT init FROM consts)
+       |         ELSE 0 END AS BIGINT) AS pr
+       |  FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node),
        |${steps.mkString(",\n")}
        |SELECT node, pr FROM pr$iters ORDER BY pr DESC, node LIMIT 20""".stripMargin
   }
@@ -2217,6 +2272,7 @@ object SparkEntry {
         |  FROM tok)
         |WHERE hits > 0 ORDER BY doc""".stripMargin,
     "q30_pagerank" -> pageRankOracleSql(5),
+    "q32_ppr" -> pprOracleSql(5),
     "q22_range_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS tc

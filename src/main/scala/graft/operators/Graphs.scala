@@ -63,6 +63,53 @@ object Graphs {
     * flat at any iteration count. Degree skew (a global hub's fan-in)
     * lands in one sum key; at 100 TB the edges relation should be
     * pre-partitioned on dst so AQE's skew split sees it. */
+  /** PERSONALIZED PageRank (random walk with restart to a seed set) in
+    * the same exact integer micro-units as [[pageRank]]: restart mass
+    * goes only to `seeds` (topic-sensitive importance — "what matters
+    * from THESE documents' point of view", the corpus-weighting form of
+    * Haveliwala 2002), i.e.
+    *
+    *   pr⁰(v)    = unit div |S| if v ∈ S else 0
+    *   prⁱ⁺¹(v)  = [v ∈ S] · (3·unit) div (20·|S|)
+    *               + (17 · Σ_{u→v} prⁱ(u) div outdeg(u)) div 20
+    *
+    * Identical plan shape per iteration (the seed flag joins into the
+    * tiny node relation once). */
+  def pageRankPersonalized(edges: DataFrame, seeds: DataFrame,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           seedCol: String = "node", iterations: Int = 5,
+                           unit: Long = 1000000000000L): DataFrame = {
+    val ew = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .repartition(col("dst"))
+      .localCheckpoint()
+    val seedRel = seeds.select(col(seedCol).as("node")).distinct()
+    val nodes = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node"))).distinct()
+      .join(seedRel.withColumn("_seed", lit(true)), Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("_seed"), lit(false)).as("seed"))
+      .localCheckpoint()
+    val nSeeds = nodes.filter(col("seed")).count()
+    require(nSeeds > 0, "personalized PageRank needs at least one seed in the graph")
+    val base = (3L * unit) / (20L * nSeeds)
+    var pr = nodes.withColumn("pr",
+      when(col("seed"), lit(unit / nSeeds)).otherwise(lit(0L)))
+    for (_ <- 1 to iterations) {
+      val contrib = ew
+        .join(pr.select(col("node").as("src"), col("pr")), Seq("src"))
+        .select(col("dst").as("node"), expr("pr div outdeg").as("share"))
+        .groupBy(col("node")).agg(sum(col("share")).as("contrib"))
+      pr = nodes
+        .join(contrib, Seq("node"), "left_outer")
+        .select(col("node"), col("seed"),
+          (when(col("seed"), lit(base)).otherwise(lit(0L)) +
+            expr("(17 * coalesce(contrib, 0L)) div 20")).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("node"), col("pr"))
+  }
+
   def pageRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iterations: Int = 5,
                unit: Long = 1000000000000L): DataFrame = {

@@ -109,6 +109,30 @@ class RetrievalSpec extends SparkSpec {
     assert(prS("hub") > prS("leaf1") && prS("leaf1") == prS("leaf5"))
   }
 
+  test("personalized pageRank: localization, unreachable zeros, all-seeds == plain") {
+    // chain a -> b -> c -> d (one direction only): seed at a
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val seedA = Seq("a").toDF("node")
+    val ppr = Graphs.pageRankPersonalized(chain, seedA, iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // mass decays along the chain; nothing flows back to a beyond restart
+    assert(ppr("b") > ppr("c") && ppr("c") > ppr("d"))
+    // a 2-node component unreachable from the seed gets exactly zero
+    val twoComp = chain.unionAll(Seq(("x", "y"), ("y", "x")).toDF("src", "dst"))
+    val ppr2 = Graphs.pageRankPersonalized(twoComp, seedA, iterations = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ppr2("x") == 0L && ppr2("y") == 0L && ppr2("b") > 0L)
+    // seeds = every node -> identical values to the uniform pageRank
+    val star = (1 to 4).flatMap(i => Seq(("h", s"l$i"), (s"l$i", "h")))
+      .toDF("src", "dst")
+    val allNodes = star.select(col("src").as("node")).distinct()
+    val uni = Graphs.pageRank(star, iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prs = Graphs.pageRankPersonalized(star, allNodes, iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni == prs)
+  }
+
   test("pageRank hand-check: two nodes pointing at each other stay at unit/2") {
     val e = Seq(("x", "y"), ("y", "x")).toDF("src", "dst")
     val pr = Graphs.pageRank(e, iterations = 3)
