@@ -365,12 +365,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   import org.apache.spark.sql.catalyst.expressions.Literal
-  import graft.functions.{DistSqExpr, DotProductExpr, KmvSketch, VecStatsNative}
+  import graft.functions.{DistSqExpr, DotProductExpr, HammingExpr,
+    KmvSketch, MaxSimExpr, PhraseCountExpr, ShinglesExpr, VecStatsNative}
 
   /** SQL surface for the engine's kernels (the reference is T-SQL-first,
     * so spark.sql users get the same functions the Column API exposes):
     * `vec_distsq(a, b)`, `vec_dot(a, b)`, `vec_stats(id, vec)`,
-    * `kmv_sketch(uniform, k)`. */
+    * `kmv_sketch(uniform, k)`, `vec_hamming(a, b)`, `shingles(toks, k)`,
+    * `phrase_count(toks, 'space separated phrase')`,
+    * `vec_maxsim(vec, array(...flat query...), subDim)`. */
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(IndexedVicinityRule.apply)
     ext.injectFunction((
@@ -396,6 +399,56 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"kmv_sketch(uniform, k): k must be an INT literal, got $other")
         }
         KmvSketch(args(0), k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_hamming"),
+      new ExpressionInfo(classOf[HammingExpr].getName, "vec_hamming"),
+      (args: Seq[Expression]) => HammingExpr(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("shingles"),
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
+      (args: Seq[Expression]) => {
+        val k = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingles(toks, k): k must be an INT literal, got $other")
+        }
+        ShinglesExpr(args(0), k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("phrase_count"),
+      new ExpressionInfo(classOf[PhraseCountExpr].getName, "phrase_count"),
+      (args: Seq[Expression]) => {
+        val phrase = args(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            s.toString.split("\\s+").toSeq.filter(_.nonEmpty)
+          case other => throw new IllegalArgumentException(
+            s"phrase_count(toks, phrase): phrase must be a STRING literal, got $other")
+        }
+        require(phrase.nonEmpty, "phrase_count: phrase must be non-empty")
+        PhraseCountExpr(args(0), phrase.toArray)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_maxsim"),
+      new ExpressionInfo(classOf[MaxSimExpr].getName, "vec_maxsim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "vec_maxsim(vec, array(...flat query...), subDim)")
+        require(args(1).foldable, "vec_maxsim: query must be foldable")
+        val sub = args(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"vec_maxsim: subDim must be an INT literal, got $other")
+        }
+        val arr = args(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toDoubleArray()
+          case other => throw new IllegalArgumentException(
+            s"vec_maxsim: query must be an ARRAY<DOUBLE> literal, got $other")
+        }
+        require(sub >= 1 && arr.length % sub == 0,
+          "vec_maxsim: query length must be a positive multiple of subDim")
+        MaxSimExpr(args(0), arr.grouped(sub).toArray)
       }))
   }
 }

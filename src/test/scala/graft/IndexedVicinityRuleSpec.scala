@@ -271,6 +271,30 @@ class IndexedVicinityRuleSpec extends SparkSpec {
     }
   }
 
+  test("SQL surface: vec_hamming / shingles / phrase_count / vec_maxsim resolve") {
+    try {
+      val h = extSpark.sql(
+        "SELECT vec_hamming(array(0L, -1L), array(0L, 0L)) AS h").head()
+      assert(h.getInt(0) == 64)
+      val sh = extSpark.sql(
+        """SELECT shingles(split('a b c d', ' '), 3) AS sh""").head()
+      assert(sh.getSeq[String](0) == Seq("a b c", "b c d"))
+      val pc = extSpark.sql(
+        """SELECT phrase_count(split('a b a b a', ' '), 'a b') AS c""").head()
+      assert(pc.getInt(0) == 2)
+      // maxsim of a vector against itself read as 2 chunks of 2:
+      // each chunk's best match is itself -> sum of squared chunk norms
+      val ms = extSpark.sql(
+        """SELECT vec_maxsim(CAST(array(1.0, 0.0, 0.0, 2.0) AS ARRAY<DOUBLE>),
+          |  CAST(array(1.0, 0.0, 0.0, 2.0) AS ARRAY<DOUBLE>), 2) AS m""".stripMargin)
+        .head()
+      assert(ms.getDouble(0) == 1.0 + 4.0)
+    } finally {
+      SparkSession.setDefaultSession(TestSpark.spark)
+      SparkSession.setActiveSession(TestSpark.spark)
+    }
+  }
+
   // --- kNN pattern: ORDER BY dist LIMIT k --------------------------------
 
   test("kNN: ORDER BY dist LIMIT k over a serving-registered table rewrites and equals brute top-k") {
