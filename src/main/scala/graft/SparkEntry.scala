@@ -1382,6 +1382,25 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    "m8_image_dedup" -> ((s, d) => {
+      // content-based IMAGE dedup: the real imageio decode extracts
+      // each image's color, and exact dedup groups on the DECODED
+      // pixels rather than the container bytes — the generator's rgb
+      // congruences make ids 256 apart visual duplicates even though
+      // their PNG payloads differ (different dimensions); the oracle
+      // replays the color congruences closed-form
+      val feats = Multimodal.extractFeatures(Multimodal.imageTable(s, 500)).toDF()
+      feats.select(col("media_id"),
+          round(col("feature")(0) * 255).cast("long").as("r"),
+          round(col("feature")(1) * 255).cast("long").as("g"),
+          round(col("feature")(2) * 255).cast("long").as("b"))
+        .groupBy(col("r"), col("g"), col("b"))
+        .agg(min(col("media_id")).as("canonical"),
+          count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .select(col("canonical"), col("n"))
+        .orderBy(col("canonical"))
+    }),
     "m6_image_resize" -> ((s, d) => {
       // REAL resize through the full pipeline: decode PNG → nearest-
       // neighbour 8×8 rescale → PNG re-encode → decode again for
@@ -3541,6 +3560,11 @@ object SparkEntry {
     "m2_index_add_search" ->
       s"""SELECT vec_id FROM embeddings
          |WHERE $DistSql <= $Radius ORDER BY vec_id""".stripMargin,
+    "m8_image_dedup" ->
+      """WITH img AS (SELECT id, (7*id)%256 AS r, (13*id)%256 AS g, (29*id)%256 AS b
+        |  FROM range(500) t(id))
+        |SELECT min(id) AS canonical, count(*) AS n FROM img
+        |GROUP BY r, g, b HAVING count(*) > 1 ORDER BY canonical""".stripMargin,
     "m4_image_decode" ->
       """SELECT i AS media_id,
         | 16 + i % 32 AS width,
