@@ -369,6 +369,61 @@ object TextKernels {
 
   private val Space = UTF8String.fromString(" ")
 
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Per-element md5-prefix hash: for each string, the first 15 hex
+    * digits of md5(utf8 bytes) parsed base-16 — the exact value of
+    * `transform(xs, g -> conv(substring(md5(g), 1, 15), 16, 10)
+    * .cast(long))` (60 bits, always non-negative, exact in a long). */
+  def md5PrefixLongs(xs: ArrayData): ArrayData = {
+    val n = xs.numElements()
+    val out = new Array[Any](n)
+    val md = Md5.get()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val digest = md.digest(xs.getUTF8String(i).getBytes)
+      // first 15 hex digits = 7 full bytes + the high nibble of byte 8
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (digest(b) & 0xffL); b += 1 }
+      v = (v << 4) | ((digest(7) & 0xf0L) >> 4)
+      out(i) = v
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sliding-window minimum: out(p) = min(xs[p .. p+w)) for p in
+    * 0..max(n−w, 0) — the exact value of `transform(sequence(0,
+    * greatest(size-w, 0)), p -> array_min(slice(xs, p+1, w)))`
+    * including the short-array case (one output, min of all). */
+  def slidingMin(xs: ArrayData, w: Int): ArrayData = {
+    val n = xs.numElements()
+    val m = math.max(n - w, 0) + 1
+    val out = new Array[Any](m)
+    var p = 0
+    while (p < m) {
+      val end = math.min(p + w, n)
+      if (end <= p) out(p) = null // empty input: array_min([]) is null
+      else {
+        var best = Long.MaxValue
+        var i = p
+        while (i < end) {
+          val v = xs.getLong(i)
+          if (v < best) best = v
+          i += 1
+        }
+        out(p) = best
+      }
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All k-token shingles of `toks` joined with single spaces — the
     * exact value of `transform(sequence(0, greatest(n-k, 0)),
     * i -> concat_ws(' ', slice(toks, i+1, k)))`: max(n-k,0)+1 outputs,
@@ -398,6 +453,65 @@ object TextKernels {
   * the lambda interpreted and allocates a slice per position —
   * measured 7.8 s for a 2.6M-shingle pass at 50k docs; the kernel
   * does one primitive loop per row (shinglebench A/B in BASELINE.md). */
+/** Per-element md5-prefix hashing of a string array — the gram→hash
+  * step of winnowing and the span-dedup postings, natively (see
+  * [[TextKernels.md5PrefixLongs]]; the composed transform ran the md5
+  * + conv + substring chain through an interpreted lambda per gram). */
+case class Md5PrefixLongsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_prefix_longs"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a string array input")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.md5PrefixLongs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs =>
+      s"${ev.value} = graft.functions.TextKernels.md5PrefixLongs($xs);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Sliding-window minimum over a long array — winnowing's window
+  * selection, natively (the composed form allocated a slice per
+  * window position under an interpreted lambda). */
+case class SlidingMinExpr(child: Expression, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.LongType
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "sliding_min"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a bigint array input")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.slidingMin(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs =>
+      s"${ev.value} = graft.functions.TextKernels.slidingMin($xs, $w);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 case class ShinglesExpr(child: Expression, k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.types.StringType
@@ -445,5 +559,11 @@ object VectorExpressions {
   def shingleArray(tokens: Column, k: Int): Column = {
     require(k >= 1, "k must be >= 1")
     toColumn(ShinglesExpr(toExpression(tokens), k))
+  }
+  def md5PrefixLongs(xs: Column): Column =
+    toColumn(Md5PrefixLongsExpr(toExpression(xs)))
+  def slidingMin(xs: Column, w: Int): Column = {
+    require(w >= 1, "w must be >= 1")
+    toColumn(SlidingMinExpr(toExpression(xs), w))
   }
 }

@@ -332,17 +332,16 @@ object Dedup {
     val grams = docs
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       .select(col("doc"),
-        transform(shinglesOf(col("toks"), k),
-          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")).as("hs"))
+        graft.functions.VectorExpressions.md5PrefixLongs(
+          shinglesOf(col("toks"), k)).as("hs"))
     // The w-window sliding min runs per DOC as an array expression —
     // no gram explode through an exchange, no doc-partitioned sort, no
     // global distinct (array_distinct is per-doc by construction). The
     // whole selection is a narrow map; only the ~2/(w+1)-dense
     // fingerprints ever leave the row.
     grams.select(col("doc"),
-      explode(array_distinct(expr(
-        s"transform(sequence(0, greatest(size(hs) - $w, 0)), " +
-          s"p -> array_min(slice(hs, p + 1, $w)))"))).as("fp"))
+      explode(array_distinct(
+        graft.functions.VectorExpressions.slidingMin(col("hs"), w))).as("fp"))
   }
 
   /** Near-dup candidate pairs sharing ≥ `minShared` winnowing
@@ -413,8 +412,8 @@ object Dedup {
     val grams = docs
       .select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       .select(col("doc"), size(col("toks")).as("nt"),
-        posexplode(transform(shinglesOf(col("toks"), k),
-          g => conv(substring(md5(g), 1, 15), 16, 10).cast("long")))
+        posexplode(graft.functions.VectorExpressions.md5PrefixLongs(
+          shinglesOf(col("toks"), k)))
           .as(Seq("pos", "h")))
     val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
