@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** Pins every native kernel to the EXACT value of the composed
+  * expression form it replaced — the property the oracle gates rely on
+  * (the kernels must be drop-in bit-identical, not approximately so).
+  * Corpora: random token arrays with duplicates/empties plus the real
+  * documents table. */
+class KernelParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomDocs(n: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val words = Seq("a", "bb", "ccc", "dd", "e", "ffff", "g", "hi")
+    (0 until n).map { i =>
+      val len = rnd.nextInt(12) // includes 0 and < k cases
+      (i.toLong, Seq.fill(len)(words(rnd.nextInt(words.length))))
+    }.toDF("id", "toks")
+  }
+
+  test("shingles kernel == transform/slice/concat_ws composition") {
+    val docs = randomDocs(300, 1)
+    val composed = transform(
+      sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
+      i => concat_ws(" ", slice(col("toks"), i + 1, lit(3))))
+    val diff = docs.select(col("id"),
+        VectorExpressions.shingleArray(col("toks"), 3).as("k"),
+        composed.as("c"))
+      .filter(not(col("k") === col("c"))).count()
+    assert(diff == 0)
+  }
+
+  test("md5PrefixLongs kernel == conv(substring(md5)) composition") {
+    val docs = randomDocs(300, 2)
+    val composed = transform(col("toks"),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    val diff = docs.select(
+        VectorExpressions.md5PrefixLongs(col("toks")).as("k"),
+        composed.as("c"))
+      .filter(not(col("k") === col("c"))).count()
+    assert(diff == 0)
+  }
+
+  test("slidingMin kernel == transform/array_min/slice composition") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(20) + 1)(rnd.nextLong()))
+    }.toDF("id", "hs")
+    val w = 4
+    val composed = expr(
+      s"transform(sequence(0, greatest(size(hs) - $w, 0)), " +
+        s"p -> array_min(slice(hs, p + 1, $w)))")
+    val diff = rows.select(
+        VectorExpressions.slidingMin(col("hs"), w).as("k"),
+        composed.as("c"))
+      .filter(not(col("k") === col("c"))).count()
+    assert(diff == 0)
+  }
+
+  test("phraseCount kernel == sequence/filter/element_at composition") {
+    val docs = randomDocs(400, 4)
+    val phrase = Seq("a", "bb")
+    val ts = col("toks")
+    val starts = sequence(lit(1), size(ts) - (phrase.length - 1))
+    val hit = (i: org.apache.spark.sql.Column) => phrase.zipWithIndex
+      .map { case (t, o) => element_at(ts, i + lit(o)) === t }
+      .reduce((a, b) => a && b)
+    val composed = when(size(ts) < phrase.length, lit(0))
+      .otherwise(size(filter(starts, hit)))
+    val diff = docs.select(
+        VectorExpressions.phraseCount(col("toks"), phrase).as("k"),
+        composed.as("c"))
+      .filter(col("k") =!= col("c")).count()
+    assert(diff == 0)
+  }
+
+  test("vecMaxSim kernel == slice/vec_dot/greatest composition on the corpus") {
+    val e = Tables.embeddings(spark, sf0001)
+    val q = QueryConstants.Q64
+    val sub = 8
+    val perQ = q.grouped(sub).toSeq.map { chunk =>
+      val dots = (0 until q.length / sub).map { j =>
+        functions.VectorFunctions.dot(
+          slice(col("embedding"), j * sub + 1, sub),
+          functions.VectorFunctions.doubleVec(chunk))
+      }
+      greatest(dots: _*)
+    }
+    val composed = perQ.reduce((a, b) => a + b)
+    val diff = e.select(
+        VectorExpressions.vecMaxSim(col("embedding"),
+          q.grouped(sub).toSeq).as("k"),
+        composed.as("c"))
+      .filter(col("k") =!= col("c")).count() // bit-equal, no tolerance
+    assert(diff == 0)
+  }
+}
