@@ -41,28 +41,6 @@ object Graphs {
       .unionAll(edges.select(col(bCol).as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
 
-  /** PAGERANK in exact integer micro-units — the importance measure for
-    * link-style graphs (citation graphs for corpus weighting, the
-    * near-dup pair graph's hub detection). The simplified iteration
-    * (no dangling-mass redistribution): with total mass `unit` (1e12),
-    *
-    *   pr⁰(v)    = unit div N
-    *   prⁱ⁺¹(v)  = (3·unit) div (20·N)  +  (17 · Σ_{u→v} prⁱ(u) div
-    *               outdeg(u)) div 20
-    *
-    * i.e. damping 0.85 as the rational 17/20 with floor division at
-    * fixed points — every value is a BIGINT, so the result is
-    * bit-identical regardless of aggregation order or engine (the same
-    * micro-unit trick as the MMR greedy: float summation order would
-    * otherwise make a cross-engine hash gate flaky by ±1 ulp).
-    *
-    * Plan: per iteration, one broadcast-or-shuffle equi join of the
-    * edge relation with the (node, pr) frame on src and one keyed sum
-    * on dst — the standard Pregel step as two exchanges, with
-    * `localCheckpoint` breaking lineage each round so the plan stays
-    * flat at any iteration count. Degree skew (a global hub's fan-in)
-    * lands in one sum key; at 100 TB the edges relation should be
-    * pre-partitioned on dst so AQE's skew split sees it. */
   /** PERSONALIZED PageRank (random walk with restart to a seed set) in
     * the same exact integer micro-units as [[pageRank]]: restart mass
     * goes only to `seeds` (topic-sensitive importance — "what matters
@@ -110,6 +88,28 @@ object Graphs {
     pr.select(col("node"), col("pr"))
   }
 
+  /** PAGERANK in exact integer micro-units — the importance measure for
+    * link-style graphs (citation graphs for corpus weighting, the
+    * near-dup pair graph's hub detection). The simplified iteration
+    * (no dangling-mass redistribution): with total mass `unit` (1e12),
+    *
+    *   pr⁰(v)    = unit div N
+    *   prⁱ⁺¹(v)  = (3·unit) div (20·N)  +  (17 · Σ_{u→v} prⁱ(u) div
+    *               outdeg(u)) div 20
+    *
+    * i.e. damping 0.85 as the rational 17/20 with floor division at
+    * fixed points — every value is a BIGINT, so the result is
+    * bit-identical regardless of aggregation order or engine (the same
+    * micro-unit trick as the MMR greedy: float summation order would
+    * otherwise make a cross-engine hash gate flaky by ±1 ulp).
+    *
+    * Plan: per iteration, one broadcast-or-shuffle equi join of the
+    * edge relation with the (node, pr) frame on src and one keyed sum
+    * on dst — the standard Pregel step as two exchanges, with
+    * `localCheckpoint` breaking lineage each round so the plan stays
+    * flat at any iteration count. Degree skew (a global hub's fan-in)
+    * lands in one sum key; at 100 TB the edges relation should be
+    * pre-partitioned on dst so AQE's skew split sees it. */
   def pageRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iterations: Int = 5,
                unit: Long = 1000000000000L): DataFrame = {
@@ -151,6 +151,8 @@ object Graphs {
         .join(contrib, Seq("node"), "left_outer")
         .select(col("node"),
           (lit(base) + expr("(17 * coalesce(contrib, 0L)) div 20")).as("pr"))
+        // lazy: the lineage cut still flattens the plan, but the 5
+        // intermediate materializations collapse into the final action
         .localCheckpoint()
     }
     pr
