@@ -114,7 +114,9 @@ object Dedup {
     * directions of each unordered pair are emitted independently. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        k: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, k)
+    // the shingle relation feeds sizes and both self-join sides —
+    // materialize the tokenize+shingle pass once
+    val sh = shingleRows(docs, idCol, textCol, k).localCheckpoint()
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc") =!= col("y.doc"))
@@ -207,7 +209,7 @@ object Dedup {
     * edge always points from smaller to larger. */
   def dropContained(docs: DataFrame, idCol: String, textCol: String,
                     k: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, k)
+    val sh = shingleRows(docs, idCol, textCol, k).localCheckpoint()
     val sizes = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
     val dropped = sh.as("x").join(sh.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc") =!= col("y.doc"))
