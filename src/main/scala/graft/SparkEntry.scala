@@ -1049,6 +1049,15 @@ object SparkEntry {
           "lang", k = 20, salt = "s16")
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
+    "q33_group_quantiles" -> ((s, d) =>
+      // per-group exact p50/p95 with bounded memory: the per-domain
+      // cutoff primitive (one histogram aggregation, then a small
+      // filtered TakeOrdered per (group, quantile))
+      Relational.exactQuantilesByGroup(Tables.lineitem(s, d),
+          "l_returnflag", "l_extendedprice", Seq(0.5, 0.95),
+          buckets = 1000)
+        .select(col("g"), col("p"), round(col("value"), 6).as("value"))
+        .orderBy(col("g"), col("p"))),
     "q31_exact_quantiles" -> ((s, d) =>
       // EXACT p50/p90/p99 with bounded memory everywhere: two-pass
       // histogram selection (pass 1: 1000-bin histogram; pass 2: a
@@ -2267,6 +2276,20 @@ object SparkEntry {
          |    ORDER BY ${uniformSql("s16")}, doc_id) AS rk
          |  FROM documents)
          |WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
+    "q33_group_quantiles" ->
+      """WITH v AS (SELECT CAST(l_returnflag AS VARCHAR) AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+        |r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rk,
+        |        count(*) OVER (PARTITION BY g) AS n FROM v)
+        |SELECT g, p, value FROM (
+        |  SELECT g, CAST(0.5 AS DOUBLE) AS p,
+        |    round(max(CASE WHEN rk <= ceil(0.5 * n) THEN v END), 6) AS value
+        |  FROM r GROUP BY g
+        |  UNION ALL
+        |  SELECT g, CAST(0.95 AS DOUBLE) AS p,
+        |    round(max(CASE WHEN rk <= ceil(0.95 * n) THEN v END), 6) AS value
+        |  FROM r GROUP BY g)
+        |ORDER BY g, p""".stripMargin,
     "q31_exact_quantiles" -> {
       def leg(p: String) =
         s"""SELECT CAST($p AS DOUBLE) AS p,

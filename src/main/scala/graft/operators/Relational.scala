@@ -545,6 +545,66 @@ object Relational {
     * is still a codegen'd scan, never a global sort. Degenerate width
     * (all values equal) short-circuits to that value. Returns (p,
     * value) rows in `ps` order. */
+  /** Per-GROUP [[exactQuantiles]] — the per-domain cutoff primitive
+    * (p99 doc length per language, price bands per segment) with the
+    * same bounded-memory contract: pass 1 is ONE aggregation producing
+    * per-group stats and the per-(group, bin) histogram; the
+    * per-group selection then runs a small filtered TakeOrdered per
+    * (group, quantile). Group cardinality is assumed BOUNDED (domains,
+    * languages, flags — the driver holds G stats rows and schedules
+    * G·|ps| selection jobs); unbounded-key quantiles belong to the
+    * single-reducer `percentile` per group (q16), which shuffles by
+    * key instead. Returns (group, p, value) in group-then-ps order. */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String,
+                            valueCol: String, ps: Seq[Double],
+                            buckets: Int = 1000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+      .localCheckpoint() // pass 2 probes must not recompute upstream
+    val stats = rows.groupBy(col("g"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    // per-row bin under its own group's extent (broadcast stats join)
+    val statsDf = stats.toSeq.map { case (g, (lo, hi, _)) => (g, lo, hi) }
+      .toDF("g", "_lo", "_hi")
+    val binned = rows.join(broadcast(statsDf), "g")
+      .withColumn("bin", when(col("_hi") === col("_lo"), lit(0L))
+        .otherwise(least(
+          floor((col("v") - col("_lo")) /
+            ((col("_hi") - col("_lo")) / buckets)),
+          lit(buckets - 1L)).cast("long")))
+    val hist = binned.groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val picks = stats.keys.toSeq.sorted.flatMap { g =>
+      val (lo, hi, n) = stats(g)
+      ps.map { p =>
+        if (hi == lo) (g, p, lo)
+        else {
+          val cum = (0L until buckets.toLong).scanLeft(0L) {
+            (acc, b) => acc + hist.getOrElse((g, b), 0L)
+          }
+          val r = math.ceil(p * n).toLong.max(1L)
+          val b = (0L until buckets.toLong).find(b => cum((b + 1).toInt) >= r).get
+          val offset = r - cum(b.toInt)
+          val value = binned.filter(col("g") === g && col("bin") === b)
+            .orderBy(col("v")).limit(offset.toInt)
+            .agg(max(col("v"))).head().getDouble(0)
+          (g, p, value)
+        }
+      }
+    }
+    picks.toDF("g", "p", "value")
+  }
+
   def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
                      buckets: Int = 1000): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1))

@@ -222,6 +222,27 @@ class QuantileSpec extends SparkSpec {
     assert(one == truth(vals, 0.5))
   }
 
+  test("exactQuantilesByGroup equals per-group sort truth; degenerate group") {
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 900).map { i =>
+      val g = s"g${i % 3}"
+      // group g2 is all-equal (degenerate extent)
+      val v = if (g == "g2") 7.5 else rnd.nextInt(400) * 0.5 - 20.0
+      (g, v)
+    }
+    val df = rows.toDF("grp", "x")
+    val ps = Seq(0.1, 0.5, 0.99)
+    val got = operators.Relational.exactQuantilesByGroup(df, "grp", "x", ps,
+        buckets = 32)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    for (g <- Seq("g0", "g1", "g2"); p <- ps) {
+      val vals = rows.filter(_._1 == g).map(_._2).sorted
+      val want = vals(math.ceil(p * vals.length).toInt.max(1) - 1)
+      assert(got((g, p)) == want, s"g=$g p=$p")
+    }
+  }
+
   test("exactQuantiles: mass concentrated at a bucket boundary stays exact") {
     // many copies of the exact boundary value between bins
     val vals = Seq.fill(400)(50.0) ++ (1 to 100).map(_.toDouble) ++
