@@ -1100,6 +1100,25 @@ object SparkEntry {
         .orderBy(col("pr").desc, col("node"))
         .limit(20)
     }),
+    "q34_trade_components" -> ((s, d) => {
+      // connected components over the REPEAT-trade graph: supplier↔
+      // customer pairs with >= 3 distinct orders — unlike the full
+      // trade graph (one giant component), the repeat-trade subgraph
+      // has real cluster structure, and localBudget = 0 FORCES the
+      // distributed min-label + pointer-jumping path (d12 gates the
+      // bounded local union-find; this gates the O(log n)-round scale
+      // path on a graph that isn't the dedup pair graph)
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("a"),
+          (col("o_custkey") * 2 + 1).as("b"), col("l_orderkey"))
+        .groupBy(col("a"), col("b"))
+        .agg(countDistinct(col("l_orderkey")).as("n"))
+        .filter(col("n") >= 3)
+        .select(col("a"), col("b"))
+      Dedup.clusterIds(pairs, localBudget = 0L).orderBy(col("node"))
+    }),
+
     "a11_sq8_knn" -> ((s, d) =>
       // SQ8 compressed-scan kNN (the scalar-quantization SEARCH side of
       // v15's encode): rank by distance to the bin-center decode of the
@@ -1466,6 +1485,29 @@ object SparkEntry {
           col("width"), col("height"), col("n_frames"))
         .orderBy(col("media_id"))
     }),
+
+    // --- multimodal: REAL video decode (YUV4MPEG2 container parse)
+    // over generated C444 streams whose solid frames are closed-form in
+    // the id, so the SQL oracle predicts the decoded round trip exactly
+    // (the video twin of m4's PNGs and m5's WAVs) ---
+    "m9_video_decode" -> ((s, d) => {
+      val feats =
+        Multimodal.extractVideoFeatures(Multimodal.videoTable(s, 500)).toDF()
+      feats.select(col("media_id"), col("width").cast("long"),
+          col("height").cast("long"), col("fps_num").cast("long"),
+          col("n_frames").cast("long"),
+          col("mean_y"), col("mean_u"), col("mean_v"),
+          col("first_y"), col("last_y"))
+        .orderBy(col("media_id"))
+    }),
+
+    "m10_frame_sample" -> ((s, d) =>
+      // REAL frame sampling: decode the y4m stream, keep every 2nd
+      // frame, emit its decoded mean luma — content, not metadata
+      Multimodal.sampleVideoFrames(Multimodal.videoTable(s, 500), everyK = 2)
+        .select(col("media_id"), col("frame_idx").cast("long"),
+          col("mean_y"))
+        .orderBy(col("media_id"), col("frame_idx"))),
   )
 
   /** The 8×8 derived-chunk MaxSim score over a DOUBLE[] column `v` —
@@ -2317,6 +2359,20 @@ object SparkEntry {
         |WHERE hits > 0 ORDER BY doc""".stripMargin,
     "q30_pagerank" -> pageRankOracleSql(5),
     "q32_ppr" -> pprOracleSql(5),
+    "q34_trade_components" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |  HAVING count(DISTINCT l_orderkey) >= 3),
+        |edges AS (SELECT a AS x, b AS y FROM pairs
+        |  UNION ALL SELECT b, a FROM pairs),
+        |reach(node, r) AS (
+        |  SELECT x, y FROM edges
+        |  UNION
+        |  SELECT reach.node, e.y FROM reach JOIN edges e ON e.x = reach.r)
+        |SELECT node, least(node, min(r)) AS cluster
+        |FROM reach GROUP BY node ORDER BY node""".stripMargin,
     "q22_range_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS tc
@@ -3650,5 +3706,30 @@ object SparkEntry {
         |      THEN 1 + (strpos('0123456789abcdef', substring(sha256(text), 5, 1)) - 1)
         |      ELSE 1 END AS INTEGER) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin,
+    "m9_video_decode" ->
+      """WITH v AS (
+        | SELECT id, f,
+        |  (11 * id + 37 * f) % 256 AS y,
+        |  (5 * id + 13 * f) % 256 AS u,
+        |  (3 * id + 29 * f) % 256 AS vv
+        | FROM (SELECT id, unnest(range(2 + id % 7)) AS f
+        |       FROM range(500) t(id)))
+        |SELECT id AS media_id,
+        | 8 + id % 16 AS width,
+        | 8 + (3 * id) % 16 AS height,
+        | 10 + id % 5 AS fps_num,
+        | count(*) AS n_frames,
+        | CAST(CAST(sum(y) AS DOUBLE) / count(*) AS FLOAT) AS mean_y,
+        | CAST(CAST(sum(u) AS DOUBLE) / count(*) AS FLOAT) AS mean_u,
+        | CAST(CAST(sum(vv) AS DOUBLE) / count(*) AS FLOAT) AS mean_v,
+        | CAST((11 * id) % 256 AS FLOAT) AS first_y,
+        | CAST((11 * id + 37 * (count(*) - 1)) % 256 AS FLOAT) AS last_y
+        |FROM v GROUP BY id ORDER BY media_id""".stripMargin,
+    "m10_frame_sample" ->
+      """SELECT id AS media_id, f AS frame_idx,
+        | CAST((11 * id + 37 * f) % 256 AS FLOAT) AS mean_y
+        |FROM (SELECT id, unnest(range(0, 2 + id % 7, 2)) AS f
+        |      FROM range(500) t(id))
+        |ORDER BY media_id, frame_idx""".stripMargin,
   )
 }

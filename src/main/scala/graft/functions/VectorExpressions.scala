@@ -384,14 +384,17 @@ object TextKernels {
     val md = Md5.get()
     var i = 0
     while (i < n) {
-      md.reset()
-      val digest = md.digest(xs.getUTF8String(i).getBytes)
-      // first 15 hex digits = 7 full bytes + the high nibble of byte 8
-      var v = 0L
-      var b = 0
-      while (b < 7) { v = (v << 8) | (digest(b) & 0xffL); b += 1 }
-      v = (v << 4) | ((digest(7) & 0xf0L) >> 4)
-      out(i) = v
+      if (xs.isNullAt(i)) out(i) = null // md5(null) is null in the composed form
+      else {
+        md.reset()
+        val digest = md.digest(xs.getUTF8String(i).getBytes)
+        // first 15 hex digits = 7 full bytes + the high nibble of byte 8
+        var v = 0L
+        var b = 0
+        while (b < 7) { v = (v << 8) | (digest(b) & 0xffL); b += 1 }
+        v = (v << 4) | ((digest(7) & 0xf0L) >> 4)
+        out(i) = v
+      }
       i += 1
     }
     new GenericArrayData(out)
@@ -408,17 +411,20 @@ object TextKernels {
     var p = 0
     while (p < m) {
       val end = math.min(p + w, n)
-      if (end <= p) out(p) = null // empty input: array_min([]) is null
-      else {
-        var best = Long.MaxValue
-        var i = p
-        while (i < end) {
+      // array_min skips null elements and yields null for empty /
+      // all-null windows — mirror both
+      var best = Long.MaxValue
+      var any = false
+      var i = p
+      while (i < end) {
+        if (!xs.isNullAt(i)) {
           val v = xs.getLong(i)
-          if (v < best) best = v
-          i += 1
+          if (v < best) { best = v }
+          any = true
         }
-        out(p) = best
+        i += 1
       }
+      out(p) = if (any) best else null
       p += 1
     }
     new GenericArrayData(out)
@@ -438,7 +444,12 @@ object TextKernels {
       val len = math.min(k, n - i)
       val parts = new Array[UTF8String](len)
       var j = 0
-      while (j < len) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      while (j < len) {
+        // concatWs skips null inputs — pass the null through, don't
+        // read an undefined slot
+        parts(j) = if (toks.isNullAt(i + j)) null else toks.getUTF8String(i + j)
+        j += 1
+      }
       out(i) = UTF8String.concatWs(Space, parts: _*)
       i += 1
     }
@@ -446,13 +457,6 @@ object TextKernels {
   }
 }
 
-/** Native shingling: the (tokenize →) k-gram join underlying every
-  * text-dedup operator (MinHash, SimHash, winnowing, prefix filters,
-  * containment, decontamination). Value-identical to the
-  * transform/sequence/slice/concat_ws composition, but that form runs
-  * the lambda interpreted and allocates a slice per position —
-  * measured 7.8 s for a 2.6M-shingle pass at 50k docs; the kernel
-  * does one primitive loop per row (shinglebench A/B in BASELINE.md). */
 /** Per-element md5-prefix hashing of a string array — the gram→hash
   * step of winnowing and the span-dedup postings, natively (see
   * [[TextKernels.md5PrefixLongs]]; the composed transform ran the md5
@@ -460,7 +464,12 @@ object TextKernels {
 case class Md5PrefixLongsExpr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.types.{LongType, StringType}
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // null elements map to null (md5(null) is null) — carry the child's
+  // element nullability through
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, cn) => ArrayType(LongType, containsNull = cn)
+    case _ => ArrayType(LongType, containsNull = false)
+  }
   override def prettyName: String = "md5_prefix_longs"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -512,6 +521,13 @@ case class SlidingMinExpr(child: Expression, w: Int)
     copy(child = c)
 }
 
+/** Native shingling: the (tokenize →) k-gram join underlying every
+  * text-dedup operator (MinHash, SimHash, winnowing, prefix filters,
+  * containment, decontamination). Value-identical to the
+  * transform/sequence/slice/concat_ws composition, but that form runs
+  * the lambda interpreted and allocates a slice per position —
+  * measured 7.8 s for a 2.6M-shingle pass at 50k docs; the kernel
+  * does one primitive loop per row (shinglebench A/B in BASELINE.md). */
 case class ShinglesExpr(child: Expression, k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.types.StringType

@@ -547,14 +547,20 @@ object Dedup {
     * carries one wide row per (doc × map task), never a posexplode'd
     * (shingles × hashes) expansion. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int, numHashes: Int): DataFrame = {
+                        k: Int, numHashes: Int): DataFrame =
+    minHashSignaturesFrom(shingleRows(docs, idCol, textCol, k), numHashes)
+
+  /** Signature aggregation over an already-built (doc, shingle) relation —
+    * lets callers that also need the shingles for verification (d7/d8/d12's
+    * `lshVerifiedPairs`) materialize the relation ONCE instead of
+    * re-deriving it from the documents scan. */
+  private def minHashSignaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
     val x30 = (conv(substring(md5(col("shingle").cast("binary")), 1, 15),
       16, 10).cast("long") % (1L << 30)).as("x30")
     val mins = minHashParams(numHashes).zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("x30") + lit(b)) % MinHashP).as(s"s$j")
     }
-    shingleRows(docs, idCol, textCol, k)
-      .select(col("doc"), x30)
+    sh.select(col("doc"), x30)
       .groupBy(col("doc"))
       .agg(mins.head, mins.tail: _*)
   }
@@ -593,10 +599,16 @@ object Dedup {
   def minHashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
                            k: Int = 3, numHashes: Int = 16,
                            rowsPerBand: Int = 4,
-                           maxBucket: Option[Long] = None): DataFrame = {
+                           maxBucket: Option[Long] = None): DataFrame =
+    minHashLshCandidatesFrom(shingleRows(docs, idCol, textCol, k),
+      numHashes, rowsPerBand, maxBucket)
+
+  /** LSH candidate pairs from an already-built (doc, shingle) relation. */
+  private def minHashLshCandidatesFrom(sh: DataFrame, numHashes: Int,
+                                       rowsPerBand: Int,
+                                       maxBucket: Option[Long]): DataFrame = {
     val bands = capBuckets(
-      lshBandKeys(
-        minHashSignatures(docs, idCol, textCol, k, numHashes),
+      lshBandKeys(minHashSignaturesFrom(sh, numHashes),
         numHashes, rowsPerBand),
       Seq("band", "key"), maxBucket)
     bands.as("x").join(bands.as("y"),
@@ -618,9 +630,17 @@ object Dedup {
                        k: Int, threshold: Double,
                        numHashes: Int = 16, rowsPerBand: Int = 2,
                        maxBucket: Option[Long] = None): DataFrame = {
-    val cands = minHashLshCandidates(docs, idCol, textCol, k, numHashes,
-      rowsPerBand, maxBucket)
-    val sets = shingleRows(docs, idCol, textCol, k)
+    // One shingle materialization shared by BOTH branches: the LSH
+    // candidates (signatures → bands → bucket self-join) and the exact
+    // verify sets each consume the same (doc, shingle) relation; without
+    // the checkpoint the relation — and the documents scan + tokenize +
+    // shingle kernel under it — evaluates twice (thrice counting the
+    // final docs join in d7's keepFirst). Same materialize-once pattern
+    // as the prefix-filter and containment paths (:119/:148/:176).
+    val sh = shingleRows(docs, idCol, textCol, k).localCheckpoint()
+    val cands = minHashLshCandidatesFrom(sh, numHashes, rowsPerBand,
+      maxBucket)
+    val sets = sh
       .groupBy(col("doc")).agg(collect_set(col("shingle")).as("sh"))
     val sa = sets.select(col("doc").as("a"), col("sh").as("sha"))
     val sb = sets.select(col("doc").as("b"), col("sh").as("shb"))

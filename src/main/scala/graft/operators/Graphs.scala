@@ -151,8 +151,11 @@ object Graphs {
         .join(contrib, Seq("node"), "left_outer")
         .select(col("node"),
           (lit(base) + expr("(17 * coalesce(contrib, 0L)) div 20")).as("pr"))
-        // lazy: the lineage cut still flattens the plan, but the 5
-        // intermediate materializations collapse into the final action
+        // EAGER by design (no-arg localCheckpoint): each round
+        // materializes the tiny (node, pr) relation — |V| rows — so the
+        // next round's broadcast join reads a flat scan instead of
+        // re-deriving the whole prior lineage, and plan depth stays
+        // constant across rounds
         .localCheckpoint()
     }
     pr

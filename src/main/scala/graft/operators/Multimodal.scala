@@ -11,15 +11,18 @@ import java.security.MessageDigest
   * (the JVM analog of pandas-batch UDFs: one codec instance per
   * partition, rows streamed through it).
   *
-  * Image decode is REAL: `decodeImage` parses PNG/BMP/JPEG bytes with
-  * javax.imageio (in every JVM) and extracts dimensions + mean-color /
-  * quadrant-luma features. Audio decode is REAL too: `decodeAudio`
-  * parses WAV bytes with javax.sound.sampled and aggregates the PCM
-  * stream (`extractAudioFeatures`). Video stays STUBBED (`decodeStub`
-  * derives deterministic pseudo-features from the payload's SHA-256 — no
-  * video codec in this environment); the Spark-side plumbing — schema,
-  * partition batching, feature shape, join-back — is identical for all
-  * three, so further codecs drop in without touching the plan. */
+  * All three modalities decode REAL bytes: `decodeImage` parses
+  * PNG/BMP/JPEG with javax.imageio (in every JVM) and extracts
+  * dimensions + mean-color / quadrant-luma features; `decodeAudio`
+  * parses WAV with javax.sound.sampled and aggregates the PCM stream
+  * (`extractAudioFeatures`); `decodeVideo` parses YUV4MPEG2 (y4m) —
+  * the standard UNCOMPRESSED container (no compressed-codec library
+  * exists in this environment, so y4m is the honest real-video member;
+  * a compressed codec would swap into `decodeVideo` without touching
+  * anything downstream). `decodeStub` (payload-SHA pseudo-features)
+  * remains only as the fallback for undecodable bytes in the MIXED
+  * media table (m3). The Spark-side plumbing — schema, partition
+  * batching, feature shape, join-back — is identical for all three. */
 object Multimodal {
 
   case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
@@ -92,9 +95,11 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** Decode one media row: images go through the real imageio decoder
-    * (falling back to the stub if the bytes aren't an image); audio and
-    * video use the stub (no codec libraries here). */
+  /** Decode one media row: images go through the real imageio decoder,
+    * video through the real y4m decoder (each falling back to the stub
+    * when the bytes aren't decodable); audio rows in the MIXED media
+    * table use the stub here — the typed audio path is
+    * [[extractAudioFeatures]] (WAV via javax.sound.sampled). */
   def decode(id: Long, kind: String, payload: Array[Byte]): MediaFeatures =
     if (kind == "image")
       decodeImage(payload) match {
@@ -103,6 +108,25 @@ object Multimodal {
           val sha = md.digest(payload).map("%02x".format(_)).mkString
           MediaFeatures(id, kind, payload.length.toLong, sha, w, h, 1, feature)
         case None => decodeStub(id, kind, payload)
+      }
+    else if (kind == "video")
+      decodeVideo(payload) match {
+        case Some((w, h, fn, fd, frames)) if frames.nonEmpty =>
+          val md = MessageDigest.getInstance("SHA-256")
+          val sha = md.digest(payload).map("%02x".format(_)).mkString
+          val plane = w * h
+          var sy = 0L
+          frames.foreach { f =>
+            var i = 0
+            while (i < plane) { sy += f(i) & 0xff; i += 1 }
+          }
+          val meanY = (sy.toDouble / (frames.length.toLong * plane) / 255d)
+            .toFloat
+          MediaFeatures(id, kind, payload.length.toLong, sha, w, h,
+            frames.length,
+            Array(meanY, fn.toFloat / fd, frames.length.toFloat,
+              w.toFloat / h, 0f, 0f, 0f, 0f))
+        case _ => decodeStub(id, kind, payload)
       }
     else decodeStub(id, kind, payload)
 
@@ -318,6 +342,172 @@ object Multimodal {
             r.copy(payload = bos.toByteArray)
           case _ => r
         }
+      }
+    }
+  }
+
+  // --- video: REAL y4m (YUV4MPEG2) container codec ------------------
+  // YUV4MPEG2 is the standard uncompressed video interchange format
+  // (ffmpeg/mjpegtools): a one-line ASCII header, then per frame a
+  // FRAME marker + raw planar YUV bytes. Fully parseable in pure JVM —
+  // the honest "real video" member for an environment with no
+  // compressed-codec libraries (decode is real byte-stream parsing; a
+  // compressed codec would change decodeVideo only, nothing downstream).
+
+  case class VideoFeatures(media_id: Long, n_bytes: Long, width: Int,
+                           height: Int, fps_num: Int, fps_den: Int,
+                           n_frames: Int, mean_y: Float, mean_u: Float,
+                           mean_v: Float, first_y: Float, last_y: Float)
+
+  /** Encode frames as a YUV4MPEG2 C444 stream. Each frame is the three
+    * concatenated planes (Y then U then V, `w*h` bytes each). */
+  def encodeY4m(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
+                frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(w > 0 && h > 0 && fpsNum > 0 && fpsDen > 0)
+    require(frames.forall(_.length == 3 * w * h),
+      s"each C444 frame must be 3*$w*$h bytes")
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C444\n"
+      .getBytes("US-ASCII"))
+    val marker = "FRAME\n".getBytes("US-ASCII")
+    frames.foreach { f => bos.write(marker); bos.write(f) }
+    bos.toByteArray
+  }
+
+  /** REAL video decode: parse a YUV4MPEG2 byte stream — header tags
+    * (any order), then FRAME-delimited planar payloads. Only the C444
+    * colorspace is accepted (the encoder's); anything else — wrong
+    * magic, unknown colorspace, truncated frame — returns None, like
+    * the image/audio decoders on undecodable bytes. */
+  def decodeVideo(payload: Array[Byte])
+      : Option[(Int, Int, Int, Int, Seq[Array[Byte]])] =
+    try {
+      val nl = payload.indexOf('\n'.toByte)
+      if (nl < 0) return None
+      val header = new String(payload, 0, nl, "US-ASCII")
+      val toks = header.split(" ")
+      if (toks.isEmpty || toks(0) != "YUV4MPEG2") return None
+      var w = -1; var h = -1; var fn = -1; var fd = -1
+      // y4m's header default is C420; the encoder always tags C444, so
+      // an untagged stream is "some other tool's 420" — rejected
+      var cs = "C420"
+      toks.drop(1).foreach { t =>
+        if (t.nonEmpty) t.charAt(0) match {
+          case 'W' => w = t.substring(1).toInt
+          case 'H' => h = t.substring(1).toInt
+          case 'F' =>
+            val p = t.substring(1).split(":")
+            fn = p(0).toInt; fd = p(1).toInt
+          case 'C' => cs = t
+          case _ => () // I (interlace), A (aspect), X (extensions)
+        }
+      }
+      if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0 || cs != "C444") return None
+      val frameLen = 3 * w * h
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var pos = nl + 1
+      while (pos < payload.length) {
+        // FRAME marker line (may carry parameters up to its newline)
+        var e = pos
+        while (e < payload.length && payload(e) != '\n'.toByte) e += 1
+        if (e >= payload.length) return None
+        val marker = new String(payload, pos, e - pos, "US-ASCII")
+        if (!marker.startsWith("FRAME")) return None
+        if (e + 1 + frameLen > payload.length) return None // truncated
+        frames += java.util.Arrays.copyOfRange(payload, e + 1,
+          e + 1 + frameLen)
+        pos = e + 1 + frameLen
+      }
+      Some((w, h, fn, fd, frames.toSeq))
+    } catch { case _: Exception => None }
+
+  /** Batch video feature extraction (the mapPartitions batch shape of
+    * extractFeatures/extractAudioFeatures): decode each y4m payload and
+    * aggregate the pixel stream — mean Y/U/V over all frames plus the
+    * first/last frame's mean luma, exact-integer sums divided once in
+    * double so the SQL oracle reproduces them bit for bit. Payloads
+    * that aren't decodable C444 y4m (or have zero frames) are dropped. */
+  def extractVideoFeatures(media: Dataset[MediaRow]): Dataset[VideoFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeVideo(r.payload).filter(_._5.nonEmpty).map {
+          case (w, h, fn, fd, frames) =>
+            val plane = w * h
+            var sy = 0L; var su = 0L; var sv = 0L
+            frames.foreach { f =>
+              var i = 0
+              while (i < plane) { sy += f(i) & 0xff; i += 1 }
+              while (i < 2 * plane) { su += f(i) & 0xff; i += 1 }
+              while (i < 3 * plane) { sv += f(i) & 0xff; i += 1 }
+            }
+            def frameMeanY(f: Array[Byte]): Float = {
+              var s = 0L; var i = 0
+              while (i < plane) { s += f(i) & 0xff; i += 1 }
+              (s.toDouble / plane).toFloat
+            }
+            val n = frames.length.toLong * plane
+            VideoFeatures(r.media_id, r.payload.length.toLong, w, h, fn, fd,
+              frames.length,
+              (sy.toDouble / n).toFloat, (su.toDouble / n).toFloat,
+              (sv.toDouble / n).toFloat,
+              frameMeanY(frames.head), frameMeanY(frames.last))
+        }
+      }
+    }
+  }
+
+  /** REAL per-frame sampling: decode the y4m stream and emit every
+    * `everyK`-th frame as (media_id, frame_idx, mean_y) — the video
+    * twin of resizeImages/decimateAudio (a real transform over decoded
+    * content, not metadata arithmetic). Non-decodable payloads drop. */
+  def sampleVideoFrames(media: Dataset[MediaRow], everyK: Int): DataFrame = {
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeVideo(r.payload).toSeq.flatMap { case (w, h, _, _, frames) =>
+          val plane = w * h
+          Range(0, frames.length, everyK).map { idx =>
+            val f = frames(idx)
+            var s = 0L; var i = 0
+            while (i < plane) { s += f(i) & 0xff; i += 1 }
+            (r.media_id, idx, (s.toDouble / plane).toFloat)
+          }
+        }
+      }
+    }.toDF("media_id", "frame_idx", "mean_y")
+  }
+
+  /** Deterministic C444 y4m table (REAL bytes through the real y4m
+    * encoder), generated distributively — the video twin of imageTable's
+    * PNGs. Closed form in the id: (8 + id mod 16) × (8 + 3·id mod 16)
+    * pixels, 2 + id mod 7 frames at (10 + id mod 5):1 fps; frame f is
+    * solid Y = (11·id + 37·f) mod 256, U = (5·id + 13·f) mod 256,
+    * V = (3·id + 29·f) mod 256 — so an SQL oracle predicts the decoded
+    * round trip exactly. */
+  def videoTable(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = 8 + (id % 16).toInt
+        val h = 8 + ((3 * id) % 16).toInt
+        val nF = 2 + (id % 7).toInt
+        val fps = 10 + (id % 5).toInt
+        val plane = w * h
+        val frames = (0 until nF).map { f =>
+          val bytes = new Array[Byte](3 * plane)
+          java.util.Arrays.fill(bytes, 0, plane,
+            ((11 * id + 37 * f) % 256).toByte)
+          java.util.Arrays.fill(bytes, plane, 2 * plane,
+            ((5 * id + 13 * f) % 256).toByte)
+          java.util.Arrays.fill(bytes, 2 * plane, 3 * plane,
+            ((3 * id + 29 * f) % 256).toByte)
+          bytes
+        }
+        MediaRow(id, "video", encodeY4m(w, h, fps, 1, frames))
       }
     }
   }

@@ -613,9 +613,12 @@ object Relational {
     val v = col(valueCol).cast("double")
     val rows = df.select(v.as("v")).filter(col("v").isNotNull)
     val s = rows.agg(min(col("v")), max(col("v")), count(lit(1))).head()
-    val (lo, hi, n) = (s.getDouble(0), s.getDouble(1), s.getLong(2))
+    val n = s.getLong(2)
+    // empty input: min/max are null — check the count BEFORE unboxing them
+    if (n == 0L) return Seq.empty[(Double, Double)].toDF("p", "value")
+    val (lo, hi) = (s.getDouble(0), s.getDouble(1))
     val width = (hi - lo) / buckets
-    if (width == 0d || n == 0L)
+    if (width == 0d)
       return ps.map(p => (p, lo)).toDF("p", "value")
     val binExpr = least(floor((col("v") - lit(lo)) / lit(width)),
       lit(buckets - 1L)).cast("long")

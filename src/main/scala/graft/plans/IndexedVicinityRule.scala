@@ -413,6 +413,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"shingles(toks, k): k must be an INT literal, got $other")
         }
+        // same validation as the Column API (VectorExpressions
+        // .shingleArray): k = 0 would silently emit n+1 empty shingles
+        // and a negative k would throw from inside the kernel
+        require(k >= 1, s"shingles(toks, k): k must be >= 1, got $k")
         ShinglesExpr(args(0), k)
       }))
     ext.injectFunction((

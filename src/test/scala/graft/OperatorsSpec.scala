@@ -1823,6 +1823,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real y4m decode round-trips generated frames and header") {
+    val feats = Multimodal.extractVideoFeatures(Multimodal.videoTable(spark, 64))
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 64)
+    feats.foreach { f =>
+      val id = f.media_id
+      val nF = 2 + (id % 7).toInt
+      assert(f.width == 8 + (id % 16).toInt, s"id=$id width")
+      assert(f.height == 8 + ((3 * id) % 16).toInt, s"id=$id height")
+      assert(f.fps_num == 10 + (id % 5).toInt && f.fps_den == 1, s"id=$id fps")
+      assert(f.n_frames == nF, s"id=$id frames")
+      val ys = (0 until nF).map(fr => ((11 * id + 37 * fr) % 256).toInt)
+      val us = (0 until nF).map(fr => ((5 * id + 13 * fr) % 256).toInt)
+      assert(f.mean_y == (ys.map(_.toLong).sum.toDouble / nF).toFloat, s"id=$id meanY")
+      assert(f.mean_u == (us.map(_.toLong).sum.toDouble / nF).toFloat, s"id=$id meanU")
+      assert(f.first_y == ys.head.toFloat && f.last_y == ys.last.toFloat,
+        s"id=$id first/last")
+    }
+  }
+
+  test("video frame sampling decodes every k-th frame's content") {
+    val rows = Multimodal.sampleVideoFrames(Multimodal.videoTable(spark, 32), 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getFloat(2)))
+      .sortBy(t => (t._1, t._2))
+    val expected = for {
+      id <- 0L until 32L
+      idx <- 0 until (2 + (id % 7).toInt) by 2
+    } yield (id, idx, ((11 * id + 37 * idx) % 256).toFloat)
+    assert(rows.toSeq == expected)
+  }
+
+  test("non-y4m / truncated / non-C444 bytes are rejected, not crashed on") {
+    assert(Multimodal.decodeVideo("not a video".getBytes("UTF-8")).isEmpty)
+    // C420 (the y4m default) is explicitly unsupported
+    assert(Multimodal.decodeVideo(
+      "YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\nFRAME\n".getBytes("US-ASCII")).isEmpty)
+    // truncated frame payload
+    val ok = Multimodal.encodeY4m(2, 2, 25, 1,
+      Seq(Array.fill[Byte](12)(7)))
+    assert(Multimodal.decodeVideo(ok).exists(_._5.length == 1))
+    assert(Multimodal.decodeVideo(ok.dropRight(1)).isEmpty)
+    val junk = Seq(Multimodal.MediaRow(1L, "video", "nope".getBytes("UTF-8")))
+      .toDS()
+    assert(Multimodal.extractVideoFeatures(junk).collect().isEmpty)
+  }
+
   test("non-WAV bytes are dropped by the audio decoder, not crashed on") {
     val junk = Seq(Multimodal.MediaRow(1L, "audio", "not a wav".getBytes("UTF-8")))
       .toDS()
