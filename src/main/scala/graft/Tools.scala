@@ -631,12 +631,29 @@ object Tools {
         .map(_.toInt).getOrElse(10)
       val docs1 = Tables.documents(spark, sfd)
         .select("doc_id", "lang", "text").localCheckpoint()
+      // Copy batches must be DISTINCT documents, not near-dups of the
+      // originals: tagged copies collapse under the dedup closure, and
+      // copies landing in the eval slice decontaminate their canonicals
+      // away (observed: 0 output rows at 10×, because the zh domain
+      // emptied and explicit-target rebalance correctly returns an
+      // EMPTY unsatisfiable mixture). Batch c keeps each doc's TOKENS
+      // (identical quality/lang statistics) but reorders them by
+      // md5(token ⊕ batch) — different shingles per batch, so no
+      // cross-batch pairs or contamination, while within-batch near-dup
+      // structure replicates (near-equal token multisets sort
+      // near-identically under the same key). Generation happens at
+      // checkpoint time, untimed.
       def docsAt(m: Int) =
         if (m == 1) docs1
         else (0 until m).map { c =>
+          val shuffled =
+            if (c == 0) col("text")
+            else expr(s"""concat_ws(' ', transform(
+              array_sort(transform(split(text, '\\s+'),
+                t -> struct(md5(concat(t, '$c')) AS h, t AS t))),
+              s -> s.t))""")
           docs1.select((col("doc_id") + lit(c * 10000000L)).as("doc_id"),
-            col("lang"),
-            concat(col("text"), lit(s" copytag$c")).as("text"))
+            col("lang"), shuffled.as("text"))
         }.reduce(_ unionByName _).localCheckpoint()
       val tg = QueryConstants.RebalanceTargets
       for (m <- Seq(1, mult, 3 * mult)) {
@@ -646,13 +663,63 @@ object Tools {
         val ek = Pipeline.exactDedup(d, "doc_id", "text")
         val pairs = Dedup.ngramJaccardPrefixPairs(ek, "doc_id", "text", 3, 0.6)
           .select(col("a"), col("b"))
+        // FIXED eval suite (batch-0 originals): benchmark eval sets do
+        // not grow with the training corpus — a growing slice makes
+        // maxShared=1 decontamination remove ~everything (4396 -> 7
+        // survivors at 10x), which then empties a rebalance domain and
+        // the unsatisfiable mixture correctly returns zero rows
         val rows = Pipeline.curateWith(d, "doc_id", "text", pairs,
-            evalDocs = Some(d.filter(col("doc_id") % 23 === 0)),
+            evalDocs = Some(docs1.filter(col("doc_id") % 23 === 0)),
             domainCol = Some("lang"), rebalanceTargets = tg)
           .count()
         val s = (System.nanoTime() - t0) / 1e9
         println(f"p15 exact-path curation ${m}%2dx  $nd%9d docs  $s%8.2f s  ($rows rows)")
       }
+      spark.stop(); return
+    }
+    if (name == "pipedebug") {
+      // stage-count probe for the pipebench corpus: where do the rows go?
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Dedup, Pipeline, TextOps}
+      val sfd = args.drop(1).find(_.startsWith("/"))
+        .getOrElse("/root/testdata/sf0.01")
+      val mult = args.drop(1).find(a => a.nonEmpty && a.forall(_.isDigit))
+        .map(_.toInt).getOrElse(10)
+      val docs1 = Tables.documents(spark, sfd)
+        .select("doc_id", "lang", "text").localCheckpoint()
+      val d = (0 until mult).map { c =>
+        val shuffled =
+          if (c == 0) col("text")
+          else expr(s"""concat_ws(' ', transform(
+            array_sort(transform(split(text, '\\s+'),
+              t -> struct(md5(concat(t, '$c')) AS h, t AS t))),
+            s -> s.t))""")
+        docs1.select((col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+          col("lang"), shuffled.as("text"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      println(s"docs: ${d.count()}")
+      val ek = Pipeline.exactDedup(d, "doc_id", "text").localCheckpoint()
+      println(s"exactDedup: ${ek.count()}")
+      val pairs = Dedup.ngramJaccardPrefixPairs(ek, "doc_id", "text", 3, 0.6)
+        .select(col("a"), col("b")).localCheckpoint()
+      println(s"pairs: ${pairs.count()}")
+      val clusters = Dedup.clusterIds(pairs)
+      val dropped = clusters.filter(col("node") =!= col("cluster"))
+        .select(col("node").as("doc_id"))
+      val deduped = ek.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint()
+      println(s"deduped: ${deduped.count()}")
+      // FIXED eval suite (batch-0 originals): benchmark eval sets do not
+      // grow with the training corpus — a growing eval slice makes
+      // decontamination remove everything (observed 4396 -> 7 at 10x)
+      val ev = docs1.filter(col("doc_id") % 23 === 0)
+      val clean = Dedup.decontaminate(deduped, ev, "doc_id", "text", 3, 1L)
+        .localCheckpoint()
+      println(s"decontaminated: ${clean.count()}")
+      val scored = clean.withColumn("quality",
+        TextOps.qualityScore(col("text"))).filter(col("quality") >= 0.5)
+        .localCheckpoint()
+      println(s"quality>=0.5: ${scored.count()}")
+      scored.groupBy("lang").count().orderBy("lang").show(50, false)
       spark.stop(); return
     }
     if (name == "triebench") {
@@ -794,6 +861,38 @@ object Tools {
       val b = time(s"pagerank 5it ${mult}x", em, 5)
       val c = time("pagerank 10it 1x", e1, 10)
       println(f"growth ${mult}x: x${b / a}%.2f  (iters 2x: x${c / a}%.2f)")
+      // q34 closure growth: the DISTRIBUTED min-label + pointer-jump
+      // connected components (localBudget = 0 forces past the local
+      // union-find) over the repeat-trade pair graph at 1x and m
+      // disjoint copies — rounds stay O(log n), per-round work should
+      // scale ~linearly in the pair count
+      import graft.operators.Dedup
+      val rp = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("a"),
+          (col("o_custkey") * 2 + 1).as("b"), col("l_orderkey"))
+        .groupBy(col("a"), col("b"))
+        .agg(countDistinct(col("l_orderkey")).as("n"))
+        .filter(col("n") >= 3).select(col("a"), col("b"))
+        .localCheckpoint()
+      def rpAt(m: Int) =
+        if (m == 1) rp
+        else (0 until m).map { cc =>
+          rp.select((col("a") + lit(cc * 1000000000L)).as("a"),
+            (col("b") + lit(cc * 1000000000L)).as("b"))
+        }.reduce(_ unionByName _).localCheckpoint()
+      def timeCc(label: String, p: org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        val n = Dedup.clusterIds(p, localBudget = 0L).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$label%-28s $s%8.2f s  ($n nodes)")
+        s
+      }
+      println(s"repeat-trade pairs 1x=${rp.count()}")
+      val ca = timeCc("cc distributed 1x", rpAt(1))
+      val cb = timeCc(s"cc distributed ${mult}x", rpAt(mult))
+      println(f"cc growth ${mult}x: x${cb / ca}%.2f")
       spark.stop(); return
     }
     if (name == "probebench") {
