@@ -375,10 +375,18 @@ object Multimodal {
   }
 
   /** REAL video decode: parse a YUV4MPEG2 byte stream — header tags
-    * (any order), then FRAME-delimited planar payloads. Only the C444
-    * colorspace is accepted (the encoder's); anything else — wrong
-    * magic, unknown colorspace, truncated frame — returns None, like
-    * the image/audio decoders on undecodable bytes. */
+    * (any order), then FRAME-delimited planar payloads. Accepts the
+    * C444 colorspace (the encoder's) and C420 — the format's DEFAULT
+    * (untagged streams and the C420/C420jpeg/C420mpeg2/C420paldv
+    * variants, which share the plane layout and differ only in chroma
+    * siting, irrelevant to plane statistics). C420 chroma is
+    * normalized to full resolution by 2×2 replication so every
+    * returned frame is C444-layout (3·w·h bytes) — replication is
+    * mean-preserving (each chroma sample weighted uniformly), so
+    * downstream features are exact either way. Anything else — wrong
+    * magic, unknown colorspace, odd dims for 420, truncated frame —
+    * returns None, like the image/audio decoders on undecodable
+    * bytes. */
   def decodeVideo(payload: Array[Byte])
       : Option[(Int, Int, Int, Int, Seq[Array[Byte]])] =
     try {
@@ -388,9 +396,7 @@ object Multimodal {
       val toks = header.split(" ")
       if (toks.isEmpty || toks(0) != "YUV4MPEG2") return None
       var w = -1; var h = -1; var fn = -1; var fd = -1
-      // y4m's header default is C420; the encoder always tags C444, so
-      // an untagged stream is "some other tool's 420" — rejected
-      var cs = "C420"
+      var cs = "C420" // the y4m default when untagged
       toks.drop(1).foreach { t =>
         if (t.nonEmpty) t.charAt(0) match {
           case 'W' => w = t.substring(1).toInt
@@ -402,8 +408,14 @@ object Multimodal {
           case _ => () // I (interlace), A (aspect), X (extensions)
         }
       }
-      if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0 || cs != "C444") return None
-      val frameLen = 3 * w * h
+      val is444 = cs == "C444"
+      val is420 = cs.startsWith("C420")
+      if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
+      if (!is444 && !is420) return None
+      if (is420 && (w % 2 != 0 || h % 2 != 0)) return None
+      val plane = w * h
+      val qw = w / 2
+      val frameLen = if (is444) 3 * plane else plane + 2 * qw * (h / 2)
       val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
       var pos = nl + 1
       while (pos < payload.length) {
@@ -414,12 +426,40 @@ object Multimodal {
         val marker = new String(payload, pos, e - pos, "US-ASCII")
         if (!marker.startsWith("FRAME")) return None
         if (e + 1 + frameLen > payload.length) return None // truncated
-        frames += java.util.Arrays.copyOfRange(payload, e + 1,
+        val raw = java.util.Arrays.copyOfRange(payload, e + 1,
           e + 1 + frameLen)
+        frames += (if (is444) raw else upsample420(raw, w, h))
         pos = e + 1 + frameLen
       }
       Some((w, h, fn, fd, frames.toSeq))
     } catch { case _: Exception => None }
+
+  /** 2×2 nearest-neighbour chroma upsample: C420 planar frame →
+    * C444-layout (Y copied, each U/V sample replicated to its 2×2
+    * luma block). */
+  private def upsample420(raw: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val plane = w * h
+    val qw = w / 2
+    val out = new Array[Byte](3 * plane)
+    System.arraycopy(raw, 0, out, 0, plane)
+    var c = 0 // 0 = U, 1 = V
+    while (c < 2) {
+      val srcOff = plane + c * qw * (h / 2)
+      val dstOff = plane * (1 + c)
+      var y = 0
+      while (y < h) {
+        val srcRow = srcOff + (y / 2) * qw
+        var x = 0
+        while (x < w) {
+          out(dstOff + y * w + x) = raw(srcRow + x / 2)
+          x += 1
+        }
+        y += 1
+      }
+      c += 1
+    }
+    out
+  }
 
   /** Batch video feature extraction (the mapPartitions batch shape of
     * extractFeatures/extractAudioFeatures): decode each y4m payload and

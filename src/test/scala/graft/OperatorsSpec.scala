@@ -1854,11 +1854,15 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.toSeq == expected)
   }
 
-  test("non-y4m / truncated / non-C444 bytes are rejected, not crashed on") {
+  test("non-y4m / truncated / unknown-colorspace bytes are rejected, not crashed on") {
     assert(Multimodal.decodeVideo("not a video".getBytes("UTF-8")).isEmpty)
-    // C420 (the y4m default) is explicitly unsupported
+    // unknown colorspace (4:2:2 isn't supported)
     assert(Multimodal.decodeVideo(
-      "YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\nFRAME\n".getBytes("US-ASCII")).isEmpty)
+      "YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C422\nFRAME\n".getBytes("US-ASCII")).isEmpty)
+    // C420 with odd dims has no well-defined plane layout
+    assert(Multimodal.decodeVideo(
+      ("YUV4MPEG2 W3 H2 F25:1 C420\nFRAME\n" + " " * 9)
+        .getBytes("ISO-8859-1")).isEmpty)
     // truncated frame payload
     val ok = Multimodal.encodeY4m(2, 2, 25, 1,
       Seq(Array.fill[Byte](12)(7)))
@@ -1867,6 +1871,35 @@ class MultimodalSpec extends SparkSpec {
     val junk = Seq(Multimodal.MediaRow(1L, "video", "nope".getBytes("UTF-8")))
       .toDS()
     assert(Multimodal.extractVideoFeatures(junk).collect().isEmpty)
+  }
+
+  test("C420 (the y4m default, untagged too) decodes with mean-preserving chroma upsample") {
+    // 4x2 C420 frame: Y = 0..7, U plane (2x1) = [10, 20], V = [30, 40]
+    val y = (0 until 8).map(_.toByte)
+    val u = Seq(10, 20).map(_.toByte)
+    val v = Seq(30, 40).map(_.toByte)
+    val frame = (y ++ u ++ v).toArray
+    def stream(headerCs: String) =
+      (s"YUV4MPEG2 W4 H2 F25:1 Ip A1:1$headerCs\n".getBytes("US-ASCII")
+        ++ "FRAME\n".getBytes("US-ASCII") ++ frame)
+    for (cs <- Seq(" C420", " C420jpeg", "")) { // "" = untagged default
+      val Some((w, h, fn, _, frames)) = Multimodal.decodeVideo(stream(cs))
+      assert(w == 4 && h == 2 && fn == 25 && frames.length == 1)
+      val f = frames.head
+      assert(f.length == 3 * 8) // normalized to C444 layout
+      // Y copied verbatim
+      assert(f.take(8).toSeq == y)
+      // U: each sample replicated over its 2x2 block -> row [10,10,20,20]
+      assert(f.slice(8, 16).map(_.toInt).toSeq ==
+        Seq(10, 10, 20, 20, 10, 10, 20, 20))
+      assert(f.slice(16, 24).map(_.toInt).toSeq ==
+        Seq(30, 30, 40, 40, 30, 30, 40, 40))
+      // replication preserves plane means exactly: mean U = 15, V = 35
+      val vf = Multimodal.extractVideoFeatures(
+        Seq(Multimodal.MediaRow(7L, "video", stream(cs))).toDS())
+        .collect().head
+      assert(vf.mean_u == 15f && vf.mean_v == 35f && vf.mean_y == 3.5f)
+    }
   }
 
   test("non-WAV bytes are dropped by the audio decoder, not crashed on") {
