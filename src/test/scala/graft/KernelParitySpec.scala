@@ -60,6 +60,41 @@ class KernelParitySpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("kernels match composed forms on arrays WITH null elements") {
+    // containsNull inputs: md5PrefixLongs maps null -> null (md5(null)
+    // is null), slidingMin skips nulls like array_min, shingles passes
+    // nulls to concat_ws which skips them — same as the compositions
+    val rnd = new scala.util.Random(11)
+    val strRows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(10) + 1)(
+        if (rnd.nextInt(4) == 0) null else s"t${rnd.nextInt(50)}"))
+    }.toDF("id", "toks")
+    val mdComposed = transform(col("toks"),
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+    assert(strRows.select(
+        VectorExpressions.md5PrefixLongs(col("toks")).as("k"),
+        mdComposed.as("c"))
+      .filter(not(col("k") <=> col("c"))).count() == 0)
+    val shComposed = transform(
+      sequence(lit(0), greatest(size(col("toks")) - 3, lit(0))),
+      i => concat_ws(" ", slice(col("toks"), i + 1, lit(3))))
+    assert(strRows.select(
+        VectorExpressions.shingleArray(col("toks"), 3).as("k"),
+        shComposed.as("c"))
+      .filter(not(col("k") <=> col("c"))).count() == 0)
+    val longRows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12) + 1)(
+        if (rnd.nextInt(3) == 0) null else java.lang.Long.valueOf(rnd.nextLong())))
+    }.toDF("id", "hs")
+    val smComposed = expr(
+      "transform(sequence(0, greatest(size(hs) - 4, 0)), " +
+        "p -> array_min(slice(hs, p + 1, 4)))")
+    assert(longRows.select(
+        VectorExpressions.slidingMin(col("hs"), 4).as("k"),
+        smComposed.as("c"))
+      .filter(not(col("k") <=> col("c"))).count() == 0)
+  }
+
   test("phraseCount kernel == sequence/filter/element_at composition") {
     val docs = randomDocs(400, 4)
     val phrase = Seq("a", "bb")
