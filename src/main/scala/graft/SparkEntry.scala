@@ -1068,6 +1068,19 @@ object SparkEntry {
           "l_extendedprice", Seq(0.5, 0.9, 0.99), buckets = 1000)
         .select(col("p"), round(col("value"), 6).as("value"))
         .orderBy(col("p"))),
+    "q35_sample_quantiles" -> ((s, d) =>
+      // ONE-PASS sample quantiles: deterministic bottom-k row sample
+      // by the portable md5-uniform of the (orderkey, linenumber) row
+      // key — a single TakeOrdered scan, mergeable across partitions
+      // (the KMV merge argument on rows) — then exact quantiles of the
+      // sample. The single-scan complement to q31's two-pass exact
+      // path; the oracle replays the identical hash order and ranks
+      Relational.sampleQuantiles(Tables.lineitem(s, d),
+          "l_extendedprice",
+          col("l_orderkey") * 8 + col("l_linenumber"),
+          Seq(0.5, 0.9, 0.99), k = 4096)
+        .select(col("p"), round(col("value"), 6).as("value"))
+        .orderBy(col("p"))),
     "t12_phrase_count" -> ((s, d) =>
       // exact-phrase occurrence counts ("docs quoting this exact
       // sequence") — a single array expression per row (sequence of
@@ -2354,6 +2367,20 @@ object SparkEntry {
          |${leg("0.99")})
          |ORDER BY p""".stripMargin
     },
+    "q35_sample_quantiles" ->
+      """WITH s AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    ('0x' || substr(md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) || 'sq'), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |  ORDER BY u, v LIMIT 4096),
+        |r AS (SELECT v, u, row_number() OVER (ORDER BY v, u) AS rn,
+        |        count(*) OVER () AS n FROM s)
+        |SELECT p, round(v, 6) AS value
+        |FROM r JOIN (VALUES (CAST(0.5 AS DOUBLE)), (0.9), (0.99)) kv(p)
+        |  ON rn = greatest(CAST(ceil(p * n) AS BIGINT), 1)
+        |ORDER BY p""".stripMargin,
     "t12_phrase_count" ->
       """WITH tok AS (SELECT doc_id AS doc,
         |    string_split_regex(text, '\s+') AS ts FROM documents)

@@ -638,4 +638,46 @@ object Relational {
     }
     picks.toDF("p", "value")
   }
+
+  /** ONE-PASS approximate quantiles by deterministic bottom-k sampling:
+    * rank rows by the portable md5-uniform of a unique row key, keep
+    * the k smallest — a uniform (but fully deterministic and
+    * engine-portable) row sample computed as a single TakeOrdered pass
+    * (per-partition top-k, no global sort, no second scan) — then
+    * report the sample's exact quantiles (rank ⌈p·n⌉ over the sorted
+    * sample, ties broken by the hash).
+    *
+    * The single-scan complement to the two-pass [[exactQuantiles]] at
+    * 100 TB: error is the sampling error (~1/√k on the rank scale),
+    * and the sample is MERGEABLE — union per-partition/per-day bottom-k
+    * samples and re-truncate to k, because "k smallest hashes of the
+    * union" = "k smallest of the merged k-smallest sets" (the KMV
+    * coordination-free merge argument applied to row sampling). */
+  def sampleQuantiles(df: DataFrame, valueCol: String, rowKey: Column,
+                      ps: Seq[Double], k: Int,
+                      salt: String = "sq"): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "quantiles must lie in (0, 1]")
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val u = graft.functions.PortableHash.md5Uniform(
+      concat(rowKey.cast("string"), lit(salt)))
+    val samp = df
+      .select(col(valueCol).cast("double").as("v"), u.as("u"))
+      .filter(col("v").isNotNull)
+      .orderBy(col("u"), col("v"))
+      .limit(k)
+    // the sample is tiny (<= k rows): empty-frame windows are fine here
+    val ranked = samp.select(col("v"), col("u"),
+      row_number().over(Window.orderBy(col("v"), col("u"))).as("rn"),
+      count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).as("n"))
+    ranked.crossJoin(ps.toDF("p"))
+      .filter(col("rn") ===
+        greatest(ceil(col("p") * col("n")).cast("long"), lit(1L)))
+      .select(col("p"), col("v").as("value"))
+      .orderBy(col("p"))
+  }
 }

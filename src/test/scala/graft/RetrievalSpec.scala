@@ -222,6 +222,30 @@ class QuantileSpec extends SparkSpec {
     assert(one == truth(vals, 0.5))
   }
 
+  test("sampleQuantiles: k >= n degenerates to exact; deterministic; close at k < n") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 2000).map(i => (i.toLong, rnd.nextDouble() * 100))
+    val df = rows.toDF("id", "x")
+    val ps = Seq(0.1, 0.5, 0.9)
+    // k >= n: the sample IS the data -> exact order statistics
+    val exact = operators.Relational.sampleQuantiles(df, "x", col("id"),
+        ps, k = 5000)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    ps.foreach(p => assert(exact(p) == truth(rows.map(_._2), p), s"p=$p"))
+    // k < n: deterministic (repartition-invariant) and rank-close
+    def run(parts: Int) = operators.Relational.sampleQuantiles(
+        df.repartition(parts), "x", col("id"), ps, k = 500)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val a = run(3); val b = run(13)
+    assert(a == b) // pure function of (id, salt), not of partitioning
+    val sorted = rows.map(_._2).sorted
+    ps.foreach { p =>
+      val rank = sorted.indexWhere(_ >= a(p))
+      assert(math.abs(rank / 2000.0 - p) < 0.08,
+        s"p=$p sample estimate rank off by ${rank / 2000.0 - p}")
+    }
+  }
+
   test("exactQuantilesByGroup equals per-group sort truth; degenerate group") {
     val rnd = new scala.util.Random(13)
     val rows = (0 until 900).map { i =>
