@@ -1081,6 +1081,18 @@ object SparkEntry {
           Seq(0.5, 0.9, 0.99), k = 4096)
         .select(col("p"), round(col("value"), 6).as("value"))
         .orderBy(col("p"))),
+    "q36_group_sample_quantiles" -> ((s, d) =>
+      // per-group one-pass sample quantiles: bottom-k INSIDE each group
+      // via a window cut on the portable hash — one shuffle, k rows of
+      // window state per group, NO bounded-group-count assumption (the
+      // q33 exact path schedules per-(group, p) jobs; this scales to
+      // unbounded domain counts)
+      Relational.sampleQuantilesByGroup(Tables.lineitem(s, d),
+          "l_returnflag", "l_extendedprice",
+          col("l_orderkey") * 8 + col("l_linenumber"),
+          Seq(0.5, 0.9, 0.99), k = 1024)
+        .select(col("g"), col("p"), round(col("value"), 6).as("value"))
+        .orderBy(col("g"), col("p"))),
     "t12_phrase_count" -> ((s, d) =>
       // exact-phrase occurrence counts ("docs quoting this exact
       // sequence") — a single array expression per row (sequence of
@@ -2381,6 +2393,26 @@ object SparkEntry {
         |FROM r JOIN (VALUES (CAST(0.5 AS DOUBLE)), (0.9), (0.99)) kv(p)
         |  ON rn = greatest(CAST(ceil(p * n) AS BIGINT), 1)
         |ORDER BY p""".stripMargin,
+    "q36_group_sample_quantiles" ->
+      """WITH rows0 AS (
+        |  SELECT CAST(l_returnflag AS VARCHAR) AS g,
+        |    CAST(l_extendedprice AS DOUBLE) AS v,
+        |    ('0x' || substr(md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) || 'sq'), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL),
+        |s AS (SELECT g, v, u FROM (
+        |    SELECT g, v, u,
+        |      row_number() OVER (PARTITION BY g ORDER BY u, v) AS hrn
+        |    FROM rows0)
+        |  WHERE hrn <= 1024),
+        |r AS (SELECT g, v, u,
+        |        row_number() OVER (PARTITION BY g ORDER BY v, u) AS rn,
+        |        count(*) OVER (PARTITION BY g) AS n FROM s)
+        |SELECT g, p, round(v, 6) AS value
+        |FROM r JOIN (VALUES (CAST(0.5 AS DOUBLE)), (0.9), (0.99)) kv(p)
+        |  ON rn = greatest(CAST(ceil(p * n) AS BIGINT), 1)
+        |ORDER BY g, p""".stripMargin,
     "t12_phrase_count" ->
       """WITH tok AS (SELECT doc_id AS doc,
         |    string_split_regex(text, '\s+') AS ts FROM documents)

@@ -680,4 +680,45 @@ object Relational {
       .select(col("p"), col("v").as("value"))
       .orderBy(col("p"))
   }
+
+  /** Per-group [[sampleQuantiles]]: one shuffle keyed by group, then a
+    * per-group bottom-k window cut (rank by the portable md5-uniform of
+    * the row key INSIDE each group) and exact quantiles of each group's
+    * sample. ONE pass over the data regardless of group count — unlike
+    * [[exactQuantilesByGroup]] there is no bounded-cardinality
+    * assumption and no per-(group, p) second-pass job: memory is k rows
+    * per group at the window, and the merge property holds per group
+    * (union, re-rank, truncate). The per-domain quantile primitive for
+    * unbounded domain counts at 100 TB. */
+  def sampleQuantilesByGroup(df: DataFrame, groupCol: String,
+                             valueCol: String, rowKey: Column,
+                             ps: Seq[Double], k: Int,
+                             salt: String = "sq"): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "quantiles must lie in (0, 1]")
+    require(k >= 1, s"sample size must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val u = graft.functions.PortableHash.md5Uniform(
+      concat(rowKey.cast("string"), lit(salt)))
+    val rows = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"), u.as("u"))
+      .filter(col("v").isNotNull && col("g").isNotNull)
+    val samp = rows
+      .withColumn("hrn",
+        row_number().over(Window.partitionBy(col("g"))
+          .orderBy(col("u"), col("v"))))
+      .filter(col("hrn") <= k)
+    val gw = Window.partitionBy(col("g"))
+    val ranked = samp.select(col("g"), col("v"), col("u"),
+      row_number().over(gw.orderBy(col("v"), col("u"))).as("rn"),
+      count(lit(1)).over(
+        gw.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).as("n"))
+    ranked.crossJoin(ps.toDF("p"))
+      .filter(col("rn") ===
+        greatest(ceil(col("p") * col("n")).cast("long"), lit(1L)))
+      .select(col("g"), col("p"), col("v").as("value"))
+      .orderBy(col("g"), col("p"))
+  }
 }

@@ -246,6 +246,29 @@ class QuantileSpec extends SparkSpec {
     }
   }
 
+  test("sampleQuantilesByGroup: k >= group size is exact per group; one-pass determinism") {
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 1500).map { i =>
+      (i.toLong, s"g${i % 3}", rnd.nextDouble() * 50)
+    }
+    val df = rows.toDF("id", "grp", "x")
+    val ps = Seq(0.25, 0.5, 0.95)
+    val got = operators.Relational.sampleQuantilesByGroup(df, "grp", "x",
+        col("id"), ps, k = 2000)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    for (g <- Seq("g0", "g1", "g2"); p <- ps) {
+      val vals = rows.filter(_._2 == g).map(_._3)
+      assert(got((g, p)) == truth(vals, p), s"g=$g p=$p")
+    }
+    // k < n: repartition invariance (pure function of id and salt)
+    def run(parts: Int) = operators.Relational.sampleQuantilesByGroup(
+        df.repartition(parts), "grp", "x", col("id"), ps, k = 100)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(run(2) == run(11))
+  }
+
   test("exactQuantilesByGroup equals per-group sort truth; degenerate group") {
     val rnd = new scala.util.Random(13)
     val rows = (0 until 900).map { i =>
