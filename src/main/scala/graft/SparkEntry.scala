@@ -750,6 +750,27 @@ object SparkEntry {
       Dedup.dropContainedPrefix(Tables.documents(s, d), "doc_id",
           "text", 3, 0.8)
         .orderBy(col("doc_id"))),
+    "d29_incremental_pairs" -> ((s, d) => {
+      // incremental-ingest dedup: the (doc_id % 7 == 0) slice plays
+      // today's batch, the rest is the standing corpus — asymmetric
+      // probe-prefix join, corpus side scan-only (the daily-crawl
+      // admission shape; at 100 TB the batch prefix broadcasts)
+      val docs = Tables.documents(s, d)
+      Dedup.ngramJaccardPairsAgainst(
+          docs.filter(col("doc_id") % 7 === 0),
+          docs.filter(col("doc_id") % 7 =!= 0),
+          "doc_id", "text", 3, 0.3)
+        .orderBy(col("a"), col("b"))
+    }),
+    "d30_admit_new" -> ((s, d) => {
+      // the admission filter: batch docs with NO near-dup in the corpus
+      val docs = Tables.documents(s, d)
+      Dedup.admitNew(
+          docs.filter(col("doc_id") % 7 === 0),
+          docs.filter(col("doc_id") % 7 =!= 0),
+          "doc_id", "text", 3, 0.3)
+        .orderBy(col("doc_id"))
+    }),
     "d25_edit_join" -> ((s, d) =>
       // typo-level near-dup: edit-distance similarity join over 32-char
       // document prefixes via PassJoin's lossless partition signature
@@ -3072,6 +3093,37 @@ object SparkEntry {
          |    AND (sb.sz > sa.sz OR (sb.sz = sa.sz AND b < a)))
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT a FROM dropped)
+         |ORDER BY doc_id""".stripMargin,
+    "d29_incremental_pairs" ->
+      s"""WITH $ShingleCte,
+         |sa AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+         |sb AS (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+         |sizesa AS (SELECT doc_id, count(*) AS sz FROM sa GROUP BY doc_id),
+         |sizesb AS (SELECT doc_id, count(*) AS sz FROM sb GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |          FROM sa x JOIN sb y ON x.shingle = y.shingle
+         |          GROUP BY 1, 2)
+         |SELECT a, b,
+         |  round(CAST(inter AS DOUBLE) / (pa.sz + pb.sz - inter), 6) AS jaccard
+         |FROM inter JOIN sizesa pa ON pa.doc_id = a
+         |  JOIN sizesb pb ON pb.doc_id = b
+         |WHERE CAST(inter AS DOUBLE) / (pa.sz + pb.sz - inter) >= 0.3
+         |ORDER BY a, b""".stripMargin,
+    "d30_admit_new" ->
+      s"""WITH $ShingleCte,
+         |sa AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+         |sb AS (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+         |sizesa AS (SELECT doc_id, count(*) AS sz FROM sa GROUP BY doc_id),
+         |sizesb AS (SELECT doc_id, count(*) AS sz FROM sb GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |          FROM sa x JOIN sb y ON x.shingle = y.shingle
+         |          GROUP BY 1, 2),
+         |dup AS (SELECT DISTINCT a FROM inter
+         |  JOIN sizesa pa ON pa.doc_id = a
+         |  JOIN sizesb pb ON pb.doc_id = b
+         |  WHERE CAST(inter AS DOUBLE) / (pa.sz + pb.sz - inter) >= 0.3)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 7 = 0 AND doc_id NOT IN (SELECT a FROM dup)
          |ORDER BY doc_id""".stripMargin,
     "d23_containment" ->
       s"""WITH $ShingleCte,

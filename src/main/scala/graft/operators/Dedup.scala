@@ -276,6 +276,61 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Near-dup pairs ACROSS two relations — the INCREMENTAL-INGEST shape
+    * (today's crawl batch probed against yesterday's corpus, so admission
+    * is one asymmetric join instead of re-deduping the world): every
+    * (probe a, corpus b) pair with exact k-shingle Jaccard ≥ threshold.
+    *
+    * Prefix filter on the PROBE side only, probing the corpus's FULL
+    * posting relation: lossless by the same pigeonhole as the symmetric
+    * path — J(A,B) ≥ τ forces |A∩B| ≥ ⌈τ·|A|⌉, which cannot fit in A's
+    * (⌈τ·|A|⌉−1)-sized suffix, so A's prefix must hit B (the argument is
+    * size-only; the rarest-first ORDER is a performance choice — probe-
+    * side df statistics here, which keeps the corpus side scan-only).
+    * Both τ-size bands ride inside the candidate join. At 100 TB the
+    * probe side is the small daily batch: its prefix relation broadcasts
+    * and the corpus postings are never shuffled. Ids are assumed
+    * distinct across the two relations (same-id pairs are not special-
+    * cased). */
+  def ngramJaccardPairsAgainst(probe: DataFrame, corpus: DataFrame,
+                               idCol: String, textCol: String, k: Int,
+                               threshold: Double): DataFrame = {
+    val shA = shingleRows(probe, idCol, textCol, k).localCheckpoint()
+    val shB = shingleRows(corpus, idCol, textCol, k).localCheckpoint()
+    val pref = prefixRelation(shA, threshold)
+    val szB = shB.groupBy(col("doc")).agg(count(lit(1)).as("szb"))
+    val shBsz = shB.join(szB, "doc")
+    val cand = pref.as("x").join(shBsz.as("y"),
+        col("x.shingle") === col("y.shingle") &&
+          col("y.szb").cast("double") >= lit(threshold) * col("x.sz") &&
+          col("x.sz").cast("double") >= lit(threshold) * col("y.szb"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b")).distinct()
+    val sizesA = pref.select(col("doc"), col("sz")).distinct()
+    val inter = cand
+      .join(shA.as("l"), col("a") === col("l.doc"))
+      .join(shB.as("r"),
+        col("b") === col("r.doc") && col("l.shingle") === col("r.shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizesA.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(szB.withColumnRenamed("doc", "b"), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** The admission filter over [[ngramJaccardPairsAgainst]]: probe docs
+    * with NO near-duplicate in the corpus (the rows a daily ingest
+    * actually appends). */
+  def admitNew(probe: DataFrame, corpus: DataFrame, idCol: String,
+               textCol: String, k: Int, threshold: Double): DataFrame =
+    probe.join(
+        ngramJaccardPairsAgainst(probe, corpus, idCol, textCol, k, threshold)
+          .select(col("a").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      .select(col(idCol))
+
   /** The candidate pairs the prefix filter admits for
     * [[ngramJaccardPrefixPairs]] — exposed so the pruning ratio vs the
     * quadratic n·(n−1)/2 is itself testable/benchable. Guaranteed a

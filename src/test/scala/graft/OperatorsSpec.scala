@@ -212,6 +212,34 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("incremental probe-vs-corpus pairs == brute cross-side pairs (lossless)") {
+    // the asymmetric ingest path (probe-side prefix against full corpus
+    // postings) must return exactly the cross-side subset of the
+    // symmetric all-pairs relation
+    val corpus = Tables.documents(spark, sf0001)
+    for (tau <- Seq(0.3, 0.6)) {
+      val all = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, tau)
+        .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      // symmetric emits a < b; cross-side truth needs both orientations
+      val brute = all.flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+        .filter { case (a, b, _) => a % 7 == 0 && b % 7 != 0 }.toSet
+      val inc = Dedup.ngramJaccardPairsAgainst(
+          corpus.filter(col("doc_id") % 7 === 0),
+          corpus.filter(col("doc_id") % 7 =!= 0),
+          "doc_id", "text", 3, tau)
+        .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(inc == brute, s"tau=$tau")
+      val admitted = Dedup.admitNew(
+          corpus.filter(col("doc_id") % 7 === 0),
+          corpus.filter(col("doc_id") % 7 =!= 0),
+          "doc_id", "text", 3, tau)
+        .as[Long].collect().toSet
+      val probeIds = corpus.filter(col("doc_id") % 7 === 0)
+        .select("doc_id").as[Long].collect().toSet
+      assert(admitted == probeIds -- brute.map(_._1), s"tau=$tau admit")
+    }
+  }
+
   test("prefix-filtered jaccard candidate volume stays below quadratic") {
     // rarest-first prefixes must exclude the hot-shingle explosion: on
     // the real corpus the prefix self-join's candidate count is a small
@@ -1861,7 +1889,7 @@ class MultimodalSpec extends SparkSpec {
       "YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C422\nFRAME\n".getBytes("US-ASCII")).isEmpty)
     // C420 with odd dims has no well-defined plane layout
     assert(Multimodal.decodeVideo(
-      ("YUV4MPEG2 W3 H2 F25:1 C420\nFRAME\n" + " " * 9)
+      ("YUV4MPEG2 W3 H2 F25:1 C420\nFRAME\n" + "x" * 9)
         .getBytes("ISO-8859-1")).isEmpty)
     // truncated frame payload
     val ok = Multimodal.encodeY4m(2, 2, 25, 1,
