@@ -152,7 +152,7 @@ object Tools {
       // build only the corpora the selected cases touch — the 10x
       // unions are eagerly checkpointed and cost real minutes
       val needDocs = Seq("d2", "d5", "d8", "d10", "d11", "d12", "d15",
-        "d22", "d23", "d27").exists(want)
+        "d22", "d23", "d27", "d29").exists(want)
       val needEmb = Seq("d6", "d9", "d14").exists(want)
       for (m <- Seq(1, mult)) {
         lazy val d = docsAt(m); lazy val e = embAt(m)
@@ -176,6 +176,16 @@ object Tools {
         // d23 vs d27: asymmetric containment — the anchor joins raw
         // shingles (hot-shingle quadratic exposure), the prefix path
         // probes full postings with A's rarity prefix + size bands
+        // d29: incremental ingest — FIXED probe batch (the 1x slice)
+        // against a corpus that grows m×; the asymmetric prefix path
+        // should track the batch + match volume, not the corpus size
+        if (want("d29")) {
+          val batch = docs1.filter(col("doc_id") % 7 === 0)
+          time(s"d29 incremental vs ${m}x corpus")(
+            Dedup.ngramJaccardPairsAgainst(batch,
+              d.filter(col("doc_id") % 7 =!= 0),
+              "doc_id", "text", 3, 0.3).count())
+        }
         time(s"d23 containment anchor ${m}x")(
           Dedup.containmentPairs(d, "doc_id", "text", 3, 0.8).count())
         time(s"d27 containment prefix ${m}x")(
