@@ -231,6 +231,26 @@ object StreamOps {
       .dropDuplicates("_fingerprint")
       .drop("_fingerprint")
 
+  /** Streaming ingest admission — the d30 incremental-dedup shape run
+    * continuously: every micro-batch of candidate docs is admitted
+    * against the STATIC standing-corpus snapshot via the same
+    * asymmetric prefix join as the batch path (`Dedup.admitNew`),
+    * inside foreachBatch. Admission is per-doc INDEPENDENT (each probe
+    * doc is judged only against the corpus, never against other probe
+    * docs), so the union of per-batch admissions equals the one-shot
+    * batch admission EXACTLY — the stream ≡ batch contract holds with
+    * no state at all. Admitted rows are handed to `sink` (in
+    * production: the corpus append + snapshot refresh cadence). */
+  def admissionStream(docs: DataFrame, corpus: DataFrame, idCol: String,
+                      textCol: String, k: Int, threshold: Double)
+                     (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup.admitNew(
+          batch, corpus, idCol, textCol, k, threshold))
+      }
+
   /** Incremental index maintenance from a stream: every micro-batch of
     * new points is routed + merged into the index via
     * IndexMaintain.addPoints (foreachBatch — the reference's add path

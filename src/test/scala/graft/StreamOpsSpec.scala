@@ -91,6 +91,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming admission == batch admitNew (per-doc independence)") {
+    val docs = Tables.documents(spark, sf0001)
+    val probe = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0).localCheckpoint()
+    // stage the probe slice as several files -> several micro-batches
+    val dir = java.nio.file.Files.createTempDirectory("graftadmit")
+    probe.repartition(3).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val admitted = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    val q = StreamOps.admissionStream(stream, corpus, "doc_id", "text",
+        3, 0.3) { adm =>
+        adm.collect().foreach(r => admitted.add(r.getLong(0)))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    val got = admitted.asScala.toSet
+    val want = graft.operators.Dedup.admitNew(probe, corpus,
+        "doc_id", "text", 3, 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+  }
+
   test("foreachBatch incremental indexing keeps search exact") {
     import java.util.concurrent.atomic.AtomicReference
     val e = Tables.embeddings(spark, sf0001)
