@@ -1300,6 +1300,20 @@ object SparkEntry {
       graft.sources.Ingest.randomUniformPortable(s, 1000, 8)
         .select(col("id"), posexplode(col("vector")).as(Seq("idx", "value")))
         .orderBy(col("id"), col("idx"))),
+    "i5_warc_roundtrip" -> ((s, d) => {
+      // the WARC SOURCE (Common Crawl's container — the first operator
+      // of a crawl-based pipeline) gated end-to-end: 500 closed-form
+      // records written distributively as 4 part files through the
+      // real encoder, read back at the one-file-per-task grain, body
+      // verified by md5 against the oracle's recomputation
+      val dir = stagedStore(d, "warcfix", version = 1) { dir =>
+        graft.sources.Warc.warcFixture(s, dir, 500, files = 4)
+      }
+      graft.sources.Warc.readWarc(s, dir)
+        .select(col("target_uri"), col("warc_type"), col("content_length"),
+          md5(col("body")).as("body_md5"))
+        .orderBy(col("target_uri"))
+    }),
     "i4_fvecs_roundtrip" -> ((s, d) => {
       // the texmex .fvecs SOURCE gated end-to-end: the md5-portable
       // generator's vectors are written to an fvecs file (bounded
@@ -3684,6 +3698,14 @@ object SparkEntry {
         |   / 1152921504606846976.0) * 2 - 1 AS FLOAT) AS value
         |FROM range(1000) t(id), range(8) s(i)
         |ORDER BY id, idx""".stripMargin,
+    "i5_warc_roundtrip" ->
+      """SELECT 'https://example.com/doc' || i AS target_uri,
+        | 'response' AS warc_type,
+        | octet_length(encode(repeat('warc body text ' || i || ' ',
+        |   CAST(1 + i % 5 AS INT)))) AS content_length,
+        | md5(repeat('warc body text ' || i || ' ',
+        |   CAST(1 + i % 5 AS INT))) AS body_md5
+        |FROM range(500) t(i) ORDER BY target_uri""".stripMargin,
     "i4_fvecs_roundtrip" ->
       """SELECT id, CAST(i AS INTEGER) AS idx,
         | CAST((CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '_' || CAST(i AS VARCHAR) || '_42'), 1, 15)) AS BIGINT) AS DOUBLE)

@@ -1653,6 +1653,33 @@ class IngestSpec extends SparkSpec {
     assert(orig.exceptAll(back).count() == 0)
   }
 
+  test("warc encode/parse round-trips; malformed framing fails loudly") {
+    val recs = Seq(
+      ("https://a.example/x", "hello world".getBytes("UTF-8")),
+      ("https://b.example/y", Array.empty[Byte]), // zero-length payload
+      ("https://c.example/z", ("body with\r\nCRLF inside " * 3).getBytes("UTF-8")))
+    val bytes = sources.Warc.encode(recs)
+    val back = sources.Warc.parse(bytes)
+    assert(back.map(_._2) == recs.map(_._1))
+    assert(back.forall(_._1 == "response"))
+    assert(back.map(_._3.toSeq) == recs.map(_._2.toSeq))
+    // truncated payload and missing version line both throw
+    intercept[IllegalArgumentException](sources.Warc.parse(bytes.dropRight(5)))
+    intercept[IllegalArgumentException](
+      sources.Warc.parse("HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII")))
+    // distributed read over a multi-file directory matches the encode
+    val dir = java.nio.file.Files.createTempDirectory("graftwarc")
+    sources.Warc.warcFixture(spark, dir.toString, 23, files = 3)
+    val rows = sources.Warc.readWarc(spark, dir.toString)
+      .select("target_uri", "content_length")
+      .as[(String, Long)].collect().toMap
+    assert(rows.size == 23)
+    (0 until 23).foreach { i =>
+      assert(rows(s"https://example.com/doc$i") ==
+        (s"warc body text $i " * (1 + i % 5)).getBytes("UTF-8").length)
+    }
+  }
+
   test("fvecs/bvecs/ivecs source: splittable read round-trips exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graftvecs")
     val dim = 5
