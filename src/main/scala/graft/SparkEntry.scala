@@ -308,6 +308,24 @@ object SparkEntry {
     }),
 
     // --- text analysis (training-data pipeline) ---
+    "t14_html_extract" -> ((s, d) => {
+      // HTML → text extraction (the post-WARC step of a crawl
+      // pipeline): each doc wrapped in realistic markup — scripts
+      // (with < inside!), styles, comments, entities — then extracted
+      // by the codegen'd regexp chain; the oracle predicts the
+      // closed-form result (corpus text is HTML-clean, verified)
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title><script type=\"text/javascript\">var x = 1 < 2;\n" +
+          "alert(\"no\");</script><style>p { color: red; }</style>" +
+          "</head><body><!-- hidden comment --><p>"),
+        col("text"),
+        lit("</p><div>tail &amp; entities &lt;kept&gt;&nbsp;ok</div>" +
+          "</body></html>"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.htmlToText(html).as("extracted"))
+        .orderBy(col("doc_id"))
+    }),
     "t1_text_profile" -> ((s, d) =>
       TextOps.profile(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -2655,6 +2673,11 @@ object SparkEntry {
       """SELECT count(*) AS leaf_cnt, count(DISTINCT vec_id) AS distinct_ids
         |FROM embeddings""".stripMargin,
 
+    "t14_html_extract" ->
+      """SELECT doc_id,
+        | 'Doc ' || doc_id || ' ' || text ||
+        |   ' tail & entities <kept> ok' AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "t1_text_profile" ->
       s"""SELECT doc_id,
          | CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS n_tokens,

@@ -13,6 +13,27 @@ object TextOps {
 
   def tokens(text: Column): Column = split(text, "\\s+")
 
+  /** HTML → text extraction (the step right after the WARC read in a
+    * crawl pipeline; the C4/CCNet papers call it "text extraction"):
+    * drop script/style/comment subtrees, replace every remaining tag
+    * with a space, decode the five XML entities plus nbsp, collapse
+    * whitespace, trim. A pure chain of codegen'd `regexp_replace`
+    * steps — per-row, no shuffle, and an SQL engine can replay the
+    * identical chain. (Java regex here; `(?is)` = case-insensitive +
+    * dotall so multi-line scripts die with their tags.) */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Language marker stopwords (tiny, deterministic heuristic — the
     * classic n-gram/stopword-profile approach scaled down; real corpora
     * would load bigger profiles the same way). */

@@ -746,6 +746,21 @@ class BpeSpec extends SparkSpec {
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("htmlToText strips subtrees, decodes entities, survives case and <") {
+    val cases = Seq(
+      // script subtree dies even with < inside and mixed-case tags
+      ("<p>a</p><SCRIPT>if (1 < 2) alert('x');</ScRiPt><p>b</p>", "a b"),
+      ("<style media=\"x\">p < q { }</style>hello", "hello"),
+      ("<!-- <p>not text</p> -->only<br/>this", "only this"),
+      // entity decode; &amp;lt; is a LITERAL &lt;, not <
+      ("x &amp; y &lt;z&gt; &quot;q&quot; &#39;s&#39; &amp;lt;", "x & y <z> \"q\" 's' &lt;"),
+      ("  <div>\n\tspaced   out\n</div>  ", "spaced out"),
+      ("no markup at all", "no markup at all"))
+    val got = cases.map(_._1).toDF("html")
+      .select(operators.TextOps.htmlToText(col("html"))).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w, s"'$g' != '$w'") }
+  }
+
   test("c4LineClean keeps only punctuated, long, unbanned lines") {
     val text = Seq(
       "Good sentence with five words here.",
