@@ -94,6 +94,8 @@ object Warc {
           pos = e + 2
         }
         require(clen >= 0, "WARC record without Content-Length")
+        require(clen <= Int.MaxValue - 16,
+          s"WARC payload of $clen bytes exceeds the single-array limit")
         require(pos + clen <= bytes.length,
           s"truncated WARC payload at offset $pos (need $clen bytes)")
         out += ((warcType, uri,
@@ -121,6 +123,11 @@ object Warc {
         val p = new org.apache.hadoop.fs.Path(file)
         val tfs = p.getFileSystem(confBc.value.value)
         val len = tfs.getFileStatus(p).getLen
+        // one task buffers one file (the CC members are ~1 GB) — fail
+        // loudly past the JVM array limit instead of truncating via toInt
+        require(len <= Int.MaxValue - 16,
+          s"$file is $len bytes — beyond the per-file buffer limit; " +
+            "split the archive into standard ~1 GB members")
         val buf = new Array[Byte](len.toInt)
         val in = tfs.open(p)
         try in.readFully(0, buf) finally in.close()
