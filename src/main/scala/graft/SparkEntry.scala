@@ -259,6 +259,29 @@ object SparkEntry {
           round(abs(col("s.estimate") - col("n_exact")) / col("n_exact"), 6)
             .as("rel_err"))
     }),
+    "q37_hll_distinct" -> ((s, d) => {
+      // HLL distinct-count sketch (Flajolet 2007) per order month — the
+      // O(m)-state mergeable cardinality sketch every warehouse ships,
+      // here over the portable 60-bit md5 hash so the oracle recomputes
+      // the REGISTERS bit-for-bit (bucket = low 8 hash bits, rho =
+      // leading-zero rank of the rest; Spark's own approx_count_distinct
+      // is engine-private and can't be gated). z_fix is the harmonic sum
+      // as an exact integer; the estimate's float path multiplies only
+      // by powers of two, so both engines land on identical doubles.
+      // Exact count rides along to expose the relative error.
+      import graft.functions.HllSketch
+      Tables.orders(s, d)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_custkey"))
+        .groupBy(col("month"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"),
+          HllSketch.hllDistinct(col("o_custkey"), 8).as("sk"))
+        .select(col("month"), col("n_exact"),
+          col("sk.v_zero").as("v_zero"), col("sk.z_fix").as("z_fix"),
+          round(col("sk.raw_est"), 4).as("raw_est"),
+          round(col("sk.estimate"), 4).as("estimate"))
+        .orderBy(col("month"))
+    }),
 
     // --- vector engine: brute force (reference oracle semantics) ---
     "v1_range_search" -> ((s, d) =>
@@ -2638,6 +2661,36 @@ object SparkEntry {
         |  round(abs(CASE WHEN n < 512 THEN CAST(n AS DOUBLE)
         |       ELSE 511.0 / kth END - n_exact) / n_exact, 6) AS rel_err
         |FROM agg, ex""".stripMargin,
+    "q37_hll_distinct" ->
+      """WITH vals AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month,
+        |    o_custkey AS v FROM orders),
+        |h AS (SELECT month,
+        |    ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM vals),
+        |r AS (SELECT month, h % 256 AS bucket,
+        |    CASE WHEN h // 256 = 0 THEN 53
+        |         ELSE 53 - length(bin(h // 256)) END AS rho
+        |  FROM h),
+        |regs AS (SELECT month, bucket, max(rho) AS r FROM r
+        |  GROUP BY month, bucket),
+        |agg AS (SELECT month,
+        |    256 - count(*) AS v_zero,
+        |    CAST(sum(1::BIGINT << (53 - r))
+        |      + (256 - count(*)) * 9007199254740992 AS BIGINT) AS z_fix
+        |  FROM regs GROUP BY month),
+        |est AS (SELECT month, v_zero, z_fix,
+        |    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |      * 9007199254740992.0 / z_fix AS raw_est
+        |  FROM agg),
+        |ex AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    count(DISTINCT o_custkey) AS n_exact FROM orders GROUP BY 1)
+        |SELECT e.month, ex.n_exact, e.v_zero, e.z_fix,
+        |  round(e.raw_est, 4) AS raw_est,
+        |  round(CASE WHEN e.v_zero > 0 AND e.raw_est <= 640.0
+        |        THEN 256.0 * ln(256.0 / e.v_zero) ELSE e.raw_est END, 4)
+        |    AS estimate
+        |FROM est e JOIN ex ON e.month = ex.month
+        |ORDER BY e.month""".stripMargin,
 
     "v1_range_search" ->
       s"""SELECT vec_id FROM embeddings

@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/** HyperLogLog distinct-count sketch (Flajolet et al., AofA 2007) over
+  * the engine-portable 60-bit md5 hash — the industry-standard mergeable
+  * cardinality sketch, here in a form a second engine can replay
+  * bit-for-bit. [[KmvSketch]] is the order-statistics estimator of the
+  * same family; HLL's register state is O(m) bytes REGARDLESS of
+  * cardinality (KMV keeps k doubles), merge is an elementwise byte max,
+  * and the standard error is ~1.04/sqrt(m) — the shape every warehouse
+  * ships for COUNT(DISTINCT) at 100 TB, where the per-group state must
+  * stay constant while groups hold billions of values.
+  *
+  * Cross-engine determinism (unlike Spark's own approx_count_distinct,
+  * whose HLL++ registers are private to its xxhash64 layout): the input
+  * is [[PortableHash.md5Long60]] — 60 hash bits h; bucket = h mod m (low
+  * p bits), w = h >> p (the remaining 60−p), rho(w) = leading zeros of w
+  * in its (60−p)-bit field + 1 (w = 0 → 61−p). Every register is then a
+  * pure max over the value SET (duplicates and order irrelevant), so a
+  * DuckDB oracle recomputes the identical registers from md5 hex
+  * arithmetic, the identical integer Z-sum, and the identical estimate.
+  *
+  * The raw-estimate float math is engine-stable by construction: the
+  * harmonic sum is kept as the INTEGER z_fix = Σ_j 2^(R − r_j) (R =
+  * 61−p, so empty registers contribute 2^R and the sum is ≤ 2^61 —
+  * never overflows, never rounds), and the estimate alpha·m²·2^R /
+  * z_fix multiplies by exact powers of two (m and 2^R), leaving exactly
+  * two correctly-rounded IEEE operations (the alpha division and the
+  * final divide) that any engine performs identically. The small-range
+  * linear-counting branch (raw ≤ 2.5m with empty registers → m·ln(m/V))
+  * is the one libm-dependent value; gates round it to 4 decimals.
+  *
+  * Buffer: m = 2^p bytes (rho ≤ 61−p ≤ 57 fits a byte); update is two
+  * shifts + a byte max, merge is elementwise max, serialization is the
+  * raw register array — the partial→final exchange cost is m bytes per
+  * group at ANY cardinality. */
+case class HllSketch(child: Expression, p: Int,
+                     mutableAggBufferOffset: Int = 0,
+                     inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]]
+    with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  require(p >= 4 && p <= 16, s"HLL needs 4 <= p <= 16, got $p")
+
+  private def m: Int = 1 << p
+  private def wBits: Int = 60 - p
+  private def maxRho: Int = wBits + 1
+
+  override def inputTypes: Seq[GraftSqlShim.AbstractType] = Seq(LongType)
+
+  override def prettyName: String = "hll_sketch"
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("v_zero", LongType, nullable = false),
+    StructField("z_fix", LongType, nullable = false),
+    StructField("raw_est", DoubleType, nullable = false),
+    StructField("estimate", DoubleType, nullable = false)))
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(b: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val bucket = (h & (m - 1)).toInt
+      val w = h >>> p
+      val rho =
+        if (w == 0L) maxRho
+        else wBits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
+      if (rho > b(bucket)) b(bucket) = rho.toByte
+    }
+    b
+  }
+
+  override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
+    x
+  }
+
+  override def eval(b: Array[Byte]): Any = {
+    var zFix = 0L
+    var vZero = 0L
+    var i = 0
+    while (i < m) {
+      val r = b(i).toInt
+      zFix += 1L << (maxRho - r)
+      if (r == 0) vZero += 1L
+      i += 1
+    }
+    val md = m.toDouble
+    // power-of-two factors are exact in IEEE doubles, so the only
+    // rounded steps are the alpha division and the final divide —
+    // the DuckDB oracle's literal-for-literal mirror lands on the
+    // identical bits
+    val raw = 0.7213 / (1.0 + 1.079 / md) * (md * md) *
+      (1L << maxRho).toDouble / zFix
+    val est =
+      if (vZero > 0L && raw <= 2.5 * md) md * Math.log(md / vZero)
+      else raw
+    new GenericInternalRow(Array[Any](vZero, zFix, raw, est))
+  }
+
+  override def serialize(b: Array[Byte]): Array[Byte] = b
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllSketch =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): HllSketch =
+    copy(child = c)
+}
+
+object HllSketch {
+  /** Aggregate column: HLL registers + estimate over a pre-hashed 60-bit
+    * column — struct(v_zero, z_fix, raw_est, estimate). Pass
+    * [[PortableHash.md5Long60]] of the value so an oracle can replay the
+    * identical registers. */
+  def hll(hash60: Column, p: Int): Column =
+    GraftSqlShim.toColumn(
+      HllSketch(GraftSqlShim.toExpression(hash60), p).toAggregateExpression())
+
+  /** Convenience: sketch the distinct count of `value` directly. */
+  def hllDistinct(value: Column, p: Int): Column =
+    hll(PortableHash.md5Long60(value.cast("string")), p)
+}

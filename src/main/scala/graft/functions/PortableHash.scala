@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   * through here so the two engines can never drift. */
 object PortableHash {
   def md5Uniform(key: Column): Column =
-    conv(substring(md5(key.cast("binary")), 1, 15), 16, 10)
-      .cast("long").cast("double") / 1152921504606846976.0d
+    md5Long60(key).cast("double") / 1152921504606846976.0d
+
+  /** The raw 60-bit integer under [[md5Uniform]] — for consumers that
+    * do their own bit slicing (HLL buckets/rank): DuckDB mirror is
+    * `('0x' || substr(md5(key), 1, 15))::BIGINT`. */
+  def md5Long60(key: Column): Column =
+    conv(substring(md5(key.cast("binary")), 1, 15), 16, 10).cast("long")
 }

@@ -366,12 +366,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   import org.apache.spark.sql.catalyst.expressions.Literal
   import graft.functions.{DistSqExpr, DotProductExpr, HammingExpr,
-    KmvSketch, MaxSimExpr, PhraseCountExpr, ShinglesExpr, VecStatsNative}
+    HllSketch, KmvSketch, MaxSimExpr, PhraseCountExpr, ShinglesExpr,
+    VecStatsNative}
 
   /** SQL surface for the engine's kernels (the reference is T-SQL-first,
     * so spark.sql users get the same functions the Column API exposes):
     * `vec_distsq(a, b)`, `vec_dot(a, b)`, `vec_stats(id, vec)`,
-    * `kmv_sketch(uniform, k)`, `vec_hamming(a, b)`, `shingles(toks, k)`,
+    * `kmv_sketch(uniform, k)`, `hll_sketch(hash60, p)`,
+    * `vec_hamming(a, b)`, `shingles(toks, k)`,
     * `phrase_count(toks, 'space separated phrase')`,
     * `vec_maxsim(vec, array(...flat query...), subDim)`. */
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -399,6 +401,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"kmv_sketch(uniform, k): k must be an INT literal, got $other")
         }
         KmvSketch(args(0), k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[HllSketch].getName, "hll_sketch"),
+      (args: Seq[Expression]) => {
+        val p = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hll_sketch(hash60, p): p must be an INT literal, got $other")
+        }
+        HllSketch(args(0), p).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("vec_hamming"),

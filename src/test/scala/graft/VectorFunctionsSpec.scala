@@ -159,6 +159,51 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(r0.getLong(0) == 0L && r0.getDouble(1) == 0.0)
   }
 
+  test("HLL sketch: accurate, linear-counting small range, invariant, composed-register parity") {
+    import graft.functions.{HllSketch, PortableHash}
+    // accuracy at p=8 (m=256 → σ ≈ 6.5%): 20k distinct within 4σ
+    val big = spark.range(20000).toDF("v")
+    val est = big.agg(HllSketch.hllDistinct(col("v"), 8).as("s"))
+      .select("s.estimate").head().getDouble(0)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.26, s"est=$est")
+    // duplicates and partitioning cannot move a register (pure max over
+    // the value set) — z_fix, v_zero, estimate all bit-identical
+    val dup = big.union(big).union(big).repartition(7)
+    val r2 = dup.agg(HllSketch.hllDistinct(col("v"), 8).as("s"))
+      .select("s.v_zero", "s.z_fix", "s.estimate").head()
+    val r1 = big.agg(HllSketch.hllDistinct(col("v"), 8).as("s"))
+      .select("s.v_zero", "s.z_fix", "s.estimate").head()
+    assert(r1 == r2)
+    // small range: the linear-counting branch fires and equals
+    // m·ln(m/V) exactly
+    val small = spark.range(100).toDF("v")
+    val rs = small.agg(HllSketch.hllDistinct(col("v"), 8).as("s"))
+      .select("s.v_zero", "s.raw_est", "s.estimate").head()
+    assert(rs.getLong(0) > 0L && rs.getDouble(1) <= 640.0)
+    assert(rs.getDouble(2) == 256.0 * math.log(256.0 / rs.getLong(0)))
+    // empty input: every register zero → V = m, estimate m·ln(1) = 0
+    val r0 = spark.range(0).toDF("v")
+      .agg(HllSketch.hllDistinct(col("v"), 8).as("s"))
+      .select("s.v_zero", "s.estimate").head()
+    assert(r0.getLong(0) == 256L && r0.getDouble(1) == 0.0)
+    // composed-register parity (the KernelParitySpec discipline): the
+    // sketch's integer state equals the declarative
+    // bucket→max(rho)→harmonic-sum pipeline over the same hash
+    val hashed = big.select(
+      PortableHash.md5Long60(col("v").cast("string")).as("h"))
+    val w = shiftrightunsigned(col("h"), 8)
+    val regs = hashed
+      .select(pmod(col("h"), lit(256L)).as("bucket"),
+        when(w === 0L, lit(53)).otherwise(lit(53) - length(bin(w))).as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+    val c = regs.agg(
+      (lit(256L) - count(lit(1))).as("v_zero"),
+      (sum(expr("shiftleft(1L, 53 - r)")) +
+        (lit(256L) - count(lit(1))) * lit(9007199254740992L)).as("z_fix"))
+      .head()
+    assert(c.getLong(0) == r1.getLong(0) && c.getLong(1) == r1.getLong(1))
+  }
+
   test("Misra-Gries candidates: superset of true heavy hitters; exact pass matches brute force") {
     import graft.functions.MisraGries
     import graft.operators.Relational
