@@ -551,6 +551,32 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.getDouble(2) == want.getDouble(2))
   }
 
+  test("HLL sketch aggregates a stream: final registers equal the batch registers") {
+    // same merge-is-the-streaming-story as KMV: register maxes combine
+    // across micro-batches like across partitions, so the stateful
+    // complete-mode aggregate lands on the identical integer state
+    val dir = java.nio.file.Files.createTempDirectory("grafthll")
+      .resolve("vals").toString
+    spark.range(5000).selectExpr("id % 1200 AS v").write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = stream
+      .agg(graft.functions.HllSketch.hllDistinct(col("v"), 8).as("s"))
+      .select(col("s.v_zero"), col("s.z_fix"), col("s.estimate"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hlls")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("hlls").collect().last
+    val want = spark.read.parquet(dir)
+      .agg(graft.functions.HllSketch.hllDistinct(col("v"), 8).as("s"))
+      .select(col("s.v_zero"), col("s.z_fix"), col("s.estimate")).head()
+    assert(got.getLong(0) == want.getLong(0))
+    assert(got.getLong(1) == want.getLong(1))
+    assert(got.getDouble(2) == want.getDouble(2))
+  }
+
   test("bloom pre-filter runs unchanged on streams (stateless projection)") {
     // the built bitset is a literal, so the probe side is a pure
     // projection — the ingest-time "drop rows that can't join" pattern
