@@ -68,6 +68,25 @@ object SparkEntry {
     dir
   }
 
+  /** The standing corpus's staged dedup index (d29/d30): postings of
+    * the non-batch documents slice, built once per sfDir. The opened
+    * handle (partition listing + meta sidecar) is cached per session —
+    * the store is immutable per staging version, and d29 + d30 both
+    * probe it. */
+  private val shingleStores =
+    scala.collection.concurrent.TrieMap
+      .empty[(Int, String), operators.Dedup.ShingleStore]
+  private def shingleStore(s: SparkSession,
+                           d: String): operators.Dedup.ShingleStore = {
+    val dir = stagedStore(d, "shinglestore", version = 1) { dir =>
+      operators.Dedup.writeShingleStore(
+        Tables.documents(s, d).filter(col("doc_id") % 7 =!= 0),
+        "doc_id", "text", 3, dir)
+    }
+    shingleStores.getOrElseUpdate((System.identityHashCode(s), dir),
+      operators.Dedup.openShingleStore(s, dir))
+  }
+
   /** Okapi BM25 oracle SQL shared by t7 (inline scan) and t11 (store
     * probe): the two Spark paths produce identical scores, so both
     * gates replay this one query. */
@@ -793,23 +812,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "d29_incremental_pairs" -> ((s, d) => {
       // incremental-ingest dedup: the (doc_id % 7 == 0) slice plays
-      // today's batch, the rest is the standing corpus — asymmetric
-      // probe-prefix join, corpus side scan-only (the daily-crawl
-      // admission shape; at 100 TB the batch prefix broadcasts)
+      // today's batch against the standing corpus's PERSISTED dedup
+      // index (staged once per sfDir — the posting store a production
+      // ingest maintains across batches; re-shingling the whole corpus
+      // per batch is the anti-pattern the store removes). Asymmetric
+      // probe-prefix join; at 100 TB the batch prefix broadcasts and
+      // the bucket key prunes store partitions. Output rows identical
+      // to the inline path (parity spec) — the oracle is unchanged.
       val docs = Tables.documents(s, d)
-      Dedup.ngramJaccardPairsAgainst(
-          docs.filter(col("doc_id") % 7 === 0),
-          docs.filter(col("doc_id") % 7 =!= 0),
-          "doc_id", "text", 3, 0.3)
+      Dedup.ngramJaccardPairsAgainstStore(
+          docs.filter(col("doc_id") % 7 === 0), shingleStore(s, d),
+          "doc_id", "text", 0.3)
         .orderBy(col("a"), col("b"))
     }),
     "d30_admit_new" -> ((s, d) => {
-      // the admission filter: batch docs with NO near-dup in the corpus
+      // the admission filter over the persisted dedup index: batch docs
+      // with NO near-dup in the corpus (the rows the ingest appends
+      // back to the store)
       val docs = Tables.documents(s, d)
-      Dedup.admitNew(
-          docs.filter(col("doc_id") % 7 === 0),
-          docs.filter(col("doc_id") % 7 =!= 0),
-          "doc_id", "text", 3, 0.3)
+      Dedup.admitNewAgainstStore(
+          docs.filter(col("doc_id") % 7 === 0), shingleStore(s, d),
+          "doc_id", "text", 0.3)
         .orderBy(col("doc_id"))
     }),
     "d25_edit_join" -> ((s, d) =>

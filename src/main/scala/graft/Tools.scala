@@ -96,6 +96,38 @@ object Tools {
       println(s"exact==brute: ${localCnt == brute}")
       spark.stop(); return
     }
+    if (name == "storebench") {
+      // A/B the incremental-ingest probe: inline (re-shingle corpus per
+      // batch) vs the persisted shingle-store path, same JVM
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      val dir = java.nio.file.Files.createTempDirectory("storebench")
+        .resolve("store").toString
+      def time(label: String)(thunk: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = thunk
+        println(f"$label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+      }
+      time("store build")({
+        Dedup.writeShingleStore(corpus, "doc_id", "text", 3, dir); 0L
+      })
+      val store = Dedup.openShingleStore(spark, dir)
+      for (i <- 1 to 3) {
+        time(s"inline pairs #$i")(Dedup.ngramJaccardPairsAgainst(
+          batch, corpus, "doc_id", "text", 3, 0.3).count())
+        time(s"store pairs #$i")(Dedup.ngramJaccardPairsAgainstStore(
+          batch, store, "doc_id", "text", 0.3).count())
+        time(s"store reopen #$i")({
+          val st2 = Dedup.openShingleStore(spark, dir)
+          Dedup.ngramJaccardPairsAgainstStore(
+            batch, st2, "doc_id", "text", 0.3).count()
+        })
+      }
+      spark.stop(); return
+    }
     if (name == "dedupbench") {
       // Dedup scale-growth probe (judge r2 #5): time the exact-quadratic
       // formulations (d2/d5/d6) against their scale paths (d8/d10/d9) on

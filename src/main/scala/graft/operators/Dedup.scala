@@ -331,6 +331,118 @@ object Dedup {
         Seq(idCol), "left_anti")
       .select(col(idCol))
 
+  /** Persist the standing corpus's DEDUP INDEX: the (doc, shingle, sz)
+    * posting relation, hash-bucketed by shingle into `buckets` parquet
+    * partitions, plus a (k, buckets) sidecar (the [[Similarity
+    * .writeBucketed]] sidecar pattern). This is the relation a
+    * production ingest MAINTAINS — rebuilding the corpus postings from
+    * raw text on every daily batch ([[ngramJaccardPairsAgainst]]'s
+    * corpus side) re-pays tokenize+shingle over the whole standing
+    * corpus per batch, which at 100 TB dwarfs the probe itself.
+    * Admitted docs append their postings to their buckets without
+    * rewriting existing files ([[appendShingleStore]]). Bucketing by
+    * shingle hash lets both probe joins carry the bucket key, so
+    * dynamic partition pruning can skip buckets no probe shingle
+    * hashes into. */
+  def writeShingleStore(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, path: String, buckets: Int = 64): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    writePostings(shingleRows(docs, idCol, textCol, k), path, buckets,
+      overwrite = true)
+    Seq((k, buckets)).toDF("k", "buckets")
+      .coalesce(1).write.mode("overwrite").parquet(path + ".meta")
+  }
+
+  private def writePostings(sh: DataFrame, path: String, buckets: Int,
+                            overwrite: Boolean): Unit = {
+    val sz = sh.groupBy(col("doc")).agg(count(lit(1)).as("sz"))
+    sh.join(sz, "doc")
+      .withColumn("pb",
+        pmod(xxhash64(col("shingle")), lit(buckets.toLong)).cast("int"))
+      // cluster rows into their bucket first: otherwise every upstream
+      // task writes a file into every bucket dir
+      .repartition(col("pb"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("pb").parquet(path)
+  }
+
+  /** A pre-opened dedup-index handle: posting rows + frozen (k, buckets)
+    * — one partition listing, one sidecar read. */
+  final case class ShingleStore(post: DataFrame, k: Int, buckets: Int)
+
+  def openShingleStore(spark: org.apache.spark.sql.SparkSession,
+                       path: String): ShingleStore = {
+    val m = spark.read.parquet(path + ".meta").head()
+    ShingleStore(spark.read.parquet(path), m.getInt(0), m.getInt(1))
+  }
+
+  /** INCREMENTAL maintenance: shingle `newDocs` with the store's frozen
+    * k and APPEND their postings to their buckets — only touched bucket
+    * dirs gain files, probes see old ∪ new rows. Ids must be new to the
+    * store (admission's contract). */
+  def appendShingleStore(spark: org.apache.spark.sql.SparkSession,
+                         path: String, newDocs: DataFrame, idCol: String,
+                         textCol: String): Unit = {
+    val s = openShingleStore(spark, path)
+    writePostings(shingleRows(newDocs, idCol, textCol, s.k), path, s.buckets,
+      overwrite = false)
+  }
+
+  /** [[ngramJaccardPairsAgainst]] with the corpus side served from a
+    * persisted [[ShingleStore]] — identical output rows (the parity
+    * spec pins it), but the corpus tokenize+shingle+size pass is
+    * amortized into the store build instead of re-paid per batch, and
+    * every store read carries the bucket key for partition pruning.
+    * The probe's size relation rides the prefix relation; the corpus
+    * doc sizes ride the posting rows themselves (max over matched
+    * postings — constant per doc), so no store-wide aggregation runs
+    * at probe time. */
+  def ngramJaccardPairsAgainstStore(probe: DataFrame, store: ShingleStore,
+                                    idCol: String, textCol: String,
+                                    threshold: Double): DataFrame = {
+    val shA = shingleRows(probe, idCol, textCol, store.k).localCheckpoint()
+    val bucketOf = (c: Column) =>
+      pmod(xxhash64(c), lit(store.buckets.toLong)).cast("int")
+    val pref = prefixRelation(shA, threshold)
+      .withColumn("pb", bucketOf(col("shingle")))
+    val post = store.post
+    val cand = pref.as("x").join(post.as("y"),
+        col("x.pb") === col("y.pb") &&
+          col("x.shingle") === col("y.shingle") &&
+          col("y.sz").cast("double") >= lit(threshold) * col("x.sz") &&
+          col("x.sz").cast("double") >= lit(threshold) * col("y.sz"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b")).distinct()
+    val sizesA = pref.select(col("doc"), col("sz")).distinct()
+    val shAp = shA.withColumn("pb", bucketOf(col("shingle")))
+    val inter = cand
+      .join(shAp.as("l"), col("a") === col("l.doc"))
+      .join(post.as("r"),
+        col("b") === col("r.doc") && col("l.pb") === col("r.pb") &&
+          col("l.shingle") === col("r.shingle"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"), max(col("r.sz")).as("szb"))
+    inter
+      .join(sizesA.withColumnRenamed("doc", "a")
+        .withColumnRenamed("sz", "sza"), "a")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** [[admitNew]] probing a persisted [[ShingleStore]] — the production
+    * admission loop is openShingleStore → admitNewAgainstStore →
+    * appendShingleStore(admitted). */
+  def admitNewAgainstStore(probe: DataFrame, store: ShingleStore,
+                           idCol: String, textCol: String,
+                           threshold: Double): DataFrame =
+    probe.join(
+        ngramJaccardPairsAgainstStore(probe, store, idCol, textCol, threshold)
+          .select(col("a").as(idCol)).distinct(),
+        Seq(idCol), "left_anti")
+      .select(col(idCol))
+
   /** The candidate pairs the prefix filter admits for
     * [[ngramJaccardPrefixPairs]] — exposed so the pruning ratio vs the
     * quadratic n·(n−1)/2 is itself testable/benchable. Guaranteed a

@@ -240,6 +240,55 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("shingle store: probe parity with inline path, append maintenance, pruned probe scan") {
+    // the persisted dedup index must serve the identical pair relation
+    // the inline (re-shingle-the-corpus) path computes, and appending a
+    // batch must equal having built the store over the union
+    val corpus = Tables.documents(spark, sf0001)
+    val probe = corpus.filter(col("doc_id") % 7 === 0)
+    val standing = corpus.filter(col("doc_id") % 7 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graftshst")
+      .resolve("store").toString
+    Dedup.writeShingleStore(standing, "doc_id", "text", 3, dir, buckets = 16)
+    val store = Dedup.openShingleStore(spark, dir)
+    assert(store.k == 3 && store.buckets == 16)
+    for (tau <- Seq(0.3, 0.6)) {
+      val inline = Dedup.ngramJaccardPairsAgainst(probe, standing,
+          "doc_id", "text", 3, tau)
+        .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val stored = Dedup.ngramJaccardPairsAgainstStore(probe, store,
+          "doc_id", "text", tau)
+        .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(stored == inline, s"tau=$tau")
+      val admitted = Dedup.admitNewAgainstStore(probe, store,
+          "doc_id", "text", tau).as[Long].collect().toSet
+      val want = Dedup.admitNew(probe, standing, "doc_id", "text", 3, tau)
+        .as[Long].collect().toSet
+      assert(admitted == want, s"tau=$tau admit")
+    }
+    // maintenance: append half the batch, then the appended docs must be
+    // probe-able — store == fresh store over standing ∪ appended
+    val appended = probe.filter(col("doc_id") % 2 === 0)
+    Dedup.appendShingleStore(spark, dir, appended, "doc_id", "text")
+    val after = Dedup.openShingleStore(spark, dir)
+    val dir2 = java.nio.file.Files.createTempDirectory("graftshst2")
+      .resolve("store").toString
+    Dedup.writeShingleStore(standing.union(appended), "doc_id", "text", 3,
+      dir2, buckets = 16)
+    val fresh = Dedup.openShingleStore(spark, dir2)
+    val rows = (s: Dedup.ShingleStore) => s.post
+      .select("doc", "shingle", "sz", "pb")
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(rows(after) == rows(fresh))
+    // the probe's store scan must carry partition filters on the bucket
+    // key (the pruning a 100 TB store depends on)
+    val plan = Dedup.ngramJaccardPairsAgainstStore(probe, after,
+        "doc_id", "text", 0.3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || plan.contains("pb"),
+      "store probe lost its bucket key")
+  }
+
   test("prefix-filtered jaccard candidate volume stays below quadratic") {
     // rarest-first prefixes must exclude the hot-shingle explosion: on
     // the real corpus the prefix self-join's candidate count is a small
