@@ -184,7 +184,7 @@ object Tools {
       // build only the corpora the selected cases touch — the 10x
       // unions are eagerly checkpointed and cost real minutes
       val needDocs = Seq("d2", "d5", "d8", "d10", "d11", "d12", "d15",
-        "d22", "d23", "d27", "d29").exists(want)
+        "d22", "d23", "d27", "d29", "d29s").exists(want)
       val needEmb = Seq("d6", "d9", "d14").exists(want)
       for (m <- Seq(1, mult)) {
         lazy val d = docsAt(m); lazy val e = embAt(m)
@@ -217,6 +217,20 @@ object Tools {
             Dedup.ngramJaccardPairsAgainst(batch,
               d.filter(col("doc_id") % 7 =!= 0),
               "doc_id", "text", 3, 0.3).count())
+        }
+        // d29s: the same fixed batch probing a PERSISTED posting store
+        // over the m× corpus — the store build is the amortized
+        // (once-per-corpus) cost, so only the probe is timed
+        if (want("d29s")) {
+          val batch = docs1.filter(col("doc_id") % 7 === 0)
+          val dir = java.nio.file.Files
+            .createTempDirectory(s"d29s_$m").resolve("store").toString
+          Dedup.writeShingleStore(d.filter(col("doc_id") % 7 =!= 0),
+            "doc_id", "text", 3, dir)
+          val st = Dedup.openShingleStore(spark, dir)
+          time(s"d29s store probe vs ${m}x corpus")(
+            Dedup.ngramJaccardPairsAgainstStore(batch, st,
+              "doc_id", "text", 0.3).count())
         }
         time(s"d23 containment anchor ${m}x")(
           Dedup.containmentPairs(d, "doc_id", "text", 3, 0.8).count())
