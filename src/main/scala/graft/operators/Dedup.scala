@@ -400,13 +400,26 @@ object Dedup {
     * at probe time. */
   def ngramJaccardPairsAgainstStore(probe: DataFrame, store: ShingleStore,
                                     idCol: String, textCol: String,
-                                    threshold: Double): DataFrame = {
+                                    threshold: Double,
+                                    pruneBuckets: Boolean = false): DataFrame = {
     val shA = shingleRows(probe, idCol, textCol, store.k).localCheckpoint()
     val bucketOf = (c: Column) =>
       pmod(xxhash64(c), lit(store.buckets.toLong)).cast("int")
     val pref = prefixRelation(shA, threshold)
       .withColumn("pb", bucketOf(col("shingle")))
-    val post = store.post
+    // pruneBuckets: pin the probe's bucket set as a LITERAL partition
+    // filter (pb IN ...) — a bounded driver-side set (≤ buckets ints,
+    // from the already-checkpointed batch shingles), lossless because
+    // every store row either join can match carries a probe shingle's
+    // bucket. Spark's dynamic partition pruning makes the same cut
+    // when its heuristics fire; the literal form guarantees it for a
+    // narrow batch probing a wide store — the 100 TB admission shape.
+    val post =
+      if (pruneBuckets) {
+        val pbs = shA.select(bucketOf(col("shingle")).as("pb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        store.post.filter(col("pb").isin(pbs: _*))
+      } else store.post
     val cand = pref.as("x").join(post.as("y"),
         col("x.pb") === col("y.pb") &&
           col("x.shingle") === col("y.shingle") &&
@@ -436,9 +449,11 @@ object Dedup {
     * appendShingleStore(admitted). */
   def admitNewAgainstStore(probe: DataFrame, store: ShingleStore,
                            idCol: String, textCol: String,
-                           threshold: Double): DataFrame =
+                           threshold: Double,
+                           pruneBuckets: Boolean = false): DataFrame =
     probe.join(
-        ngramJaccardPairsAgainstStore(probe, store, idCol, textCol, threshold)
+        ngramJaccardPairsAgainstStore(probe, store, idCol, textCol,
+          threshold, pruneBuckets)
           .select(col("a").as(idCol)).distinct(),
         Seq(idCol), "left_anti")
       .select(col(idCol))

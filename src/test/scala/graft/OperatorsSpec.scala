@@ -280,13 +280,27 @@ class DedupSpec extends SparkSpec {
       .select("doc", "shingle", "sz", "pb")
       .as[(Long, String, Long, Int)].collect().toSet
     assert(rows(after) == rows(fresh))
-    // the probe's store scan must carry partition filters on the bucket
-    // key (the pruning a 100 TB store depends on)
+    // the probe's store scans must carry the bucket key as a PARTITION
+    // filter (the pruning a 100 TB store depends on)
     val plan = Dedup.ngramJaccardPairsAgainstStore(probe, after,
         "doc_id", "text", 0.3)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") || plan.contains("pb"),
-      "store probe lost its bucket key")
+    assert(plan.contains("PartitionFilters: [isnotnull(pb"),
+      "store probe lost its bucket partition key")
+    // pruneBuckets: a one-doc probe pins its bucket set as a LITERAL
+    // partition filter — the store scan reads only those buckets, and
+    // the relation is unchanged (lossless)
+    val one = probe.orderBy("doc_id").limit(1)
+    val prunedDf = Dedup.ngramJaccardPairsAgainstStore(one, after,
+      "doc_id", "text", 0.3, pruneBuckets = true)
+    val prunedPlan = prunedDf.queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("INSET") || prunedPlan.contains(" IN ("),
+      "pruneBuckets did not reach PartitionFilters")
+    val unpruned = Dedup.ngramJaccardPairsAgainstStore(one, after,
+        "doc_id", "text", 0.3)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(prunedDf.select("a", "b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet == unpruned)
   }
 
   test("prefix-filtered jaccard candidate volume stays below quadratic") {
