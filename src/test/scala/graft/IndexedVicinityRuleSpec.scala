@@ -264,6 +264,19 @@ class IndexedVicinityRuleSpec extends SparkSpec {
           |      AS BIGINT) / 1152921504606846976.0, 512) AS s
           |  FROM emb)""".stripMargin).head()
       assert(kmv.getLong(0) == 500L && kmv.getDouble(1) == 500.0)
+      // hll_sketch over the same portable hash: agrees with the Column
+      // API aggregate bit-for-bit
+      val hll = extSpark.sql(
+        """SELECT s.v_zero, s.z_fix, s.estimate FROM (
+          |  SELECT hll_sketch(
+          |    CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10)
+          |      AS BIGINT), 8) AS s
+          |  FROM emb)""".stripMargin).head()
+      val hllCol = extSpark.table("emb")
+        .agg(graft.functions.HllSketch.hllDistinct(
+          org.apache.spark.sql.functions.col("vec_id"), 8).as("s"))
+        .selectExpr("s.v_zero", "s.z_fix", "s.estimate").head()
+      assert(hll == hllCol)
     } finally {
       extSpark.catalog.dropTempView("emb")
       SparkSession.setDefaultSession(TestSpark.spark)
