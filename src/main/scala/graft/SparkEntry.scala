@@ -301,6 +301,30 @@ object SparkEntry {
           round(col("sk.estimate"), 4).as("estimate"))
         .orderBy(col("month"))
     }),
+    "q38_hll_cube" -> ((s, d) => {
+      // the sketch-CUBE pattern: one persisted 256-byte register cell
+      // per month, any roll-up answered by elementwise-max merge of the
+      // cells (hll_merge) with NO rescan of the raw data. Register max
+      // is associative/commutative/idempotent, so merge-of-monthly ==
+      // sketch-of-year EXACTLY — which is what the oracle (a direct
+      // year-level register computation) verifies. This is the
+      // pre-aggregated COUNT(DISTINCT) shape for 100 TB cubes.
+      import graft.functions.{HllMerge, HllSketch}
+      val orders = Tables.orders(s, d)
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_custkey"))
+      val monthly = orders.groupBy(col("month"))
+        .agg(HllSketch.hllDistinct(col("o_custkey"), 8).as("sk"))
+      val merged = monthly.filter(col("month").startsWith("1995"))
+        .agg(HllMerge.hllMerge(col("sk.regs"), 8).as("s"))
+      val exact = orders.filter(col("month").startsWith("1995"))
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      merged.crossJoin(exact)
+        .select(col("n_exact"), col("s.v_zero").as("v_zero"),
+          col("s.z_fix").as("z_fix"),
+          round(col("s.raw_est"), 4).as("raw_est"),
+          round(col("s.estimate"), 4).as("estimate"))
+    }),
 
     // --- vector engine: brute force (reference oracle semantics) ---
     "v1_range_search" -> ((s, d) =>
@@ -2714,6 +2738,32 @@ object SparkEntry {
         |    AS estimate
         |FROM est e JOIN ex ON e.month = ex.month
         |ORDER BY e.month""".stripMargin,
+    "q38_hll_cube" ->
+      """WITH vals AS (SELECT DISTINCT o_custkey AS v FROM orders
+        |    WHERE strftime(o_orderdate, '%Y') = '1995'),
+        |h AS (SELECT ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM vals),
+        |r AS (SELECT h % 256 AS bucket,
+        |    CASE WHEN h // 256 = 0 THEN 53
+        |         ELSE 53 - length(bin(h // 256)) END AS rho
+        |  FROM h),
+        |regs AS (SELECT bucket, max(rho) AS r FROM r GROUP BY bucket),
+        |agg AS (SELECT 256 - count(*) AS v_zero,
+        |    CAST(sum(1::BIGINT << (53 - r))
+        |      + (256 - count(*)) * 9007199254740992 AS BIGINT) AS z_fix
+        |  FROM regs),
+        |est AS (SELECT v_zero, z_fix,
+        |    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |      * 9007199254740992.0 / z_fix AS raw_est
+        |  FROM agg),
+        |ex AS (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders
+        |  WHERE strftime(o_orderdate, '%Y') = '1995')
+        |SELECT ex.n_exact, e.v_zero, e.z_fix,
+        |  round(e.raw_est, 4) AS raw_est,
+        |  round(CASE WHEN e.v_zero > 0 AND e.raw_est <= 640.0
+        |        THEN 256.0 * ln(256.0 / e.v_zero) ELSE e.raw_est END, 4)
+        |    AS estimate
+        |FROM est e, ex""".stripMargin,
 
     "v1_range_search" ->
       s"""SELECT vec_id FROM embeddings

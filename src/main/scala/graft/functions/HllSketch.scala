@@ -58,11 +58,7 @@ case class HllSketch(child: Expression, p: Int,
 
   override def prettyName: String = "hll_sketch"
   override def nullable: Boolean = false
-  override def dataType: DataType = StructType(Seq(
-    StructField("v_zero", LongType, nullable = false),
-    StructField("z_fix", LongType, nullable = false),
-    StructField("raw_est", DoubleType, nullable = false),
-    StructField("estimate", DoubleType, nullable = false)))
+  override def dataType: DataType = HllSketch.resultType
 
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
@@ -86,7 +82,34 @@ case class HllSketch(child: Expression, p: Int,
     x
   }
 
-  override def eval(b: Array[Byte]): Any = {
+  override def eval(b: Array[Byte]): Any = HllSketch.evalRegisters(b, p)
+
+  override def serialize(b: Array[Byte]): Array[Byte] = b
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllSketch =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllSketch =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): HllSketch =
+    copy(child = c)
+}
+
+object HllSketch {
+  /** struct(v_zero, z_fix, raw_est, estimate, regs) — `regs` is the raw
+    * 2^p-byte register array, the value to PERSIST for sketch cubes
+    * (re-aggregate later with [[HllMerge]]). */
+  val resultType: StructType = StructType(Seq(
+    StructField("v_zero", LongType, nullable = false),
+    StructField("z_fix", LongType, nullable = false),
+    StructField("raw_est", DoubleType, nullable = false),
+    StructField("estimate", DoubleType, nullable = false),
+    StructField("regs", BinaryType, nullable = false)))
+
+  private[functions] def evalRegisters(b: Array[Byte], p: Int): Any = {
+    val m = 1 << p
+    val maxRho = 60 - p + 1
     var zFix = 0L
     var vZero = 0L
     var i = 0
@@ -106,24 +129,11 @@ case class HllSketch(child: Expression, p: Int,
     val est =
       if (vZero > 0L && raw <= 2.5 * md) md * Math.log(md / vZero)
       else raw
-    new GenericInternalRow(Array[Any](vZero, zFix, raw, est))
+    new GenericInternalRow(Array[Any](vZero, zFix, raw, est, b.clone()))
   }
 
-  override def serialize(b: Array[Byte]): Array[Byte] = b
-
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
-
-  override def withNewMutableAggBufferOffset(offset: Int): HllSketch =
-    copy(mutableAggBufferOffset = offset)
-  override def withNewInputAggBufferOffset(offset: Int): HllSketch =
-    copy(inputAggBufferOffset = offset)
-  override protected def withNewChildInternal(c: Expression): HllSketch =
-    copy(child = c)
-}
-
-object HllSketch {
   /** Aggregate column: HLL registers + estimate over a pre-hashed 60-bit
-    * column — struct(v_zero, z_fix, raw_est, estimate). Pass
+    * column — struct(v_zero, z_fix, raw_est, estimate, regs). Pass
     * [[PortableHash.md5Long60]] of the value so an oracle can replay the
     * identical registers. */
   def hll(hash60: Column, p: Int): Column =
@@ -133,4 +143,70 @@ object HllSketch {
   /** Convenience: sketch the distinct count of `value` directly. */
   def hllDistinct(value: Column, p: Int): Column =
     hll(PortableHash.md5Long60(value.cast("string")), p)
+}
+
+/** Re-aggregation of PERSISTED HLL register arrays — the sketch-cube
+  * pattern: keep one 2^p-byte `regs` value per (dimension, day) cell,
+  * answer any roll-up's distinct count by elementwise-max-merging the
+  * cells, never rescanning the raw data. Register max is associative,
+  * commutative and idempotent, so merge-of-monthly == direct-over-year
+  * EXACTLY (gated as q38): a sketch cube loses nothing over the sketch
+  * of the union. Input rows are `regs` arrays from [[HllSketch]] (same
+  * p); output is the same result struct. */
+case class HllMerge(child: Expression, p: Int,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]]
+    with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  require(p >= 4 && p <= 16, s"HLL needs 4 <= p <= 16, got $p")
+
+  private def m: Int = 1 << p
+
+  override def inputTypes: Seq[GraftSqlShim.AbstractType] = Seq(BinaryType)
+
+  override def prettyName: String = "hll_merge"
+  override def nullable: Boolean = false
+  override def dataType: DataType = HllSketch.resultType
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(b: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val regs = v.asInstanceOf[Array[Byte]]
+      require(regs.length == m,
+        s"hll_merge(p=$p) expects ${m}-byte registers, got ${regs.length}")
+      var i = 0
+      while (i < m) { if (regs(i) > b(i)) b(i) = regs(i); i += 1 }
+    }
+    b
+  }
+
+  override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
+    x
+  }
+
+  override def eval(b: Array[Byte]): Any = HllSketch.evalRegisters(b, p)
+
+  override def serialize(b: Array[Byte]): Array[Byte] = b
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllMerge =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllMerge =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): HllMerge =
+    copy(child = c)
+}
+
+object HllMerge {
+  /** Aggregate column: merge persisted register arrays —
+    * struct(v_zero, z_fix, raw_est, estimate, regs). */
+  def hllMerge(regs: Column, p: Int): Column =
+    GraftSqlShim.toColumn(
+      HllMerge(GraftSqlShim.toExpression(regs), p).toAggregateExpression())
 }

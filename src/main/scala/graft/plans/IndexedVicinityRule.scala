@@ -373,7 +373,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * so spark.sql users get the same functions the Column API exposes):
     * `vec_distsq(a, b)`, `vec_dot(a, b)`, `vec_stats(id, vec)`,
     * `kmv_sketch(uniform, k)`, `hll_sketch(hash60, p)`,
-    * `vec_hamming(a, b)`, `shingles(toks, k)`,
+    * `hll_merge(regs, p)`, `vec_hamming(a, b)`, `shingles(toks, k)`,
     * `phrase_count(toks, 'space separated phrase')`,
     * `vec_maxsim(vec, array(...flat query...), subDim)`. */
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -412,6 +412,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"hll_sketch(hash60, p): p must be an INT literal, got $other")
         }
         HllSketch(args(0), p).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("hll_merge"),
+      new ExpressionInfo(classOf[graft.functions.HllMerge].getName,
+        "hll_merge"),
+      (args: Seq[Expression]) => {
+        val p = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"hll_merge(regs, p): p must be an INT literal, got $other")
+        }
+        graft.functions.HllMerge(args(0), p).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("vec_hamming"),

@@ -202,6 +202,20 @@ class VectorFunctionsSpec extends SparkSpec {
         (lit(256L) - count(lit(1))) * lit(9007199254740992L)).as("z_fix"))
       .head()
     assert(c.getLong(0) == r1.getLong(0) && c.getLong(1) == r1.getLong(1))
+    // sketch-cube algebra: merging per-half register cells equals the
+    // sketch over the whole — register max is associative + idempotent
+    val halves = big.withColumn("half", (col("v") % 2).cast("int"))
+      .groupBy(col("half"))
+      .agg(HllSketch.hllDistinct(col("v"), 8).as("s"))
+    val merged = halves
+      .agg(graft.functions.HllMerge.hllMerge(col("s.regs"), 8).as("s"))
+      .select("s.v_zero", "s.z_fix", "s.estimate").head()
+    assert(merged == r1)
+    // idempotence: merging a cell with itself changes nothing
+    val dupCells = halves.union(halves)
+      .agg(graft.functions.HllMerge.hllMerge(col("s.regs"), 8).as("s"))
+      .select("s.v_zero", "s.z_fix", "s.estimate").head()
+    assert(dupCells == r1)
   }
 
   test("Misra-Gries candidates: superset of true heavy hitters; exact pass matches brute force") {
