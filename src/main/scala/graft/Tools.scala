@@ -409,7 +409,8 @@ object Tools {
       // ingest-time sidecar: (id, vector, proj[m]) — persisted so the
       // coarse pass reads the narrow column only
       val pts = graft.sources.Ingest.randomClustered(spark, n, d, 1024)
-        .select(col("id"), col("vector"), array(projCols: _*).as("proj"))
+        .select(col("id"), col("vector"),
+          array(projCols.toIndexedSeq: _*).as("proj"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       pts.count()
       val q = (0 until d).map(i => ((i % 13) - 6) * 0.07)

@@ -70,7 +70,8 @@ object Diversify {
         Seq(((x, y), s), ((y, x), s))
       }.toMap
     rel.unpersist()
-    val remaining = scala.collection.mutable.LinkedHashMap(cand: _*)
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cand.toIndexedSeq: _*)
     val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     while (picked.size < k && remaining.nonEmpty) {
       val best = remaining.iterator.map { case (id, r) =>

@@ -218,6 +218,18 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(dupCells == r1)
   }
 
+  test("HLL sketch: accuracy sweep across cardinality regimes") {
+    import graft.functions.HllSketch
+    // m=256 → σ ≈ 1.04/16 ≈ 6.5%; allow ~4σ at every regime the
+    // estimator crosses (linear counting, transition, raw HLL)
+    for (n <- Seq(10L, 100L, 1000L, 10000L, 100000L)) {
+      val est = spark.range(n).toDF("v")
+        .agg(HllSketch.hllDistinct(col("v"), 8).as("s"))
+        .select("s.estimate").head().getDouble(0)
+      assert(math.abs(est - n) / n < 0.26, s"n=$n est=$est")
+    }
+  }
+
   test("Misra-Gries candidates: superset of true heavy hitters; exact pass matches brute force") {
     import graft.functions.MisraGries
     import graft.operators.Relational
