@@ -32,9 +32,11 @@ import org.apache.spark.sql.types._
   * harmonic sum is kept as the INTEGER z_fix = Σ_j 2^(R − r_j) (R =
   * 61−p, so empty registers contribute 2^R and the sum is ≤ 2^61 —
   * never overflows, never rounds), and the estimate alpha·m²·2^R /
-  * z_fix multiplies by exact powers of two (m and 2^R), leaving exactly
-  * two correctly-rounded IEEE operations (the alpha division and the
-  * final divide) that any engine performs identically. The small-range
+  * z_fix multiplies by exact powers of two (m and 2^R), so every
+  * remaining float step (the alpha expression, the z_fix long→double
+  * conversion when z_fix > 2^53, the final divide) is a single
+  * correctly-rounded IEEE operation any engine performs identically —
+  * nothing depends on association order or fused ops. The small-range
   * linear-counting branch (raw ≤ 2.5m with empty registers → m·ln(m/V))
   * is the one libm-dependent value; gates round it to 4 decimals.
   *
@@ -65,7 +67,11 @@ case class HllSketch(child: Expression, p: Int,
   override def update(b: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      // the contract is a 60-bit hash; mask so a caller feeding a full
+      // 64-bit (possibly negative) hash through the SQL surface still
+      // sketches its low 60 bits instead of silently dropping 15/16 of
+      // its rows to an impossible rho
+      val h = v.asInstanceOf[Long] & ((1L << 60) - 1)
       val bucket = (h & (m - 1)).toInt
       val w = h >>> p
       val rho =
@@ -76,11 +82,8 @@ case class HllSketch(child: Expression, p: Int,
     b
   }
 
-  override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < m) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
-    x
-  }
+  override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+    HllSketch.maxInto(x, y, m)
 
   override def eval(b: Array[Byte]): Any = HllSketch.evalRegisters(b, p)
 
@@ -107,6 +110,24 @@ object HllSketch {
     StructField("estimate", DoubleType, nullable = false),
     StructField("regs", BinaryType, nullable = false)))
 
+  /** Elementwise register max (the HLL merge): dst(i) = max(dst, src). */
+  private[functions] def maxInto(dst: Array[Byte], src: Array[Byte],
+                                 m: Int): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (src(i) > dst(i)) dst(i) = src(i); i += 1 }
+    dst
+  }
+
+  /** Bias-correction constant: the Flajolet et al. values for the small
+    * register counts, the closed form above m = 64. Oracles mirror the
+    * same literal per p (the gates use p = 8 → the closed form). */
+  private[functions] def alpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
   private[functions] def evalRegisters(b: Array[Byte], p: Int): Any = {
     val m = 1 << p
     val maxRho = 60 - p + 1
@@ -120,12 +141,10 @@ object HllSketch {
       i += 1
     }
     val md = m.toDouble
-    // power-of-two factors are exact in IEEE doubles, so the only
-    // rounded steps are the alpha division and the final divide —
-    // the DuckDB oracle's literal-for-literal mirror lands on the
-    // identical bits
-    val raw = 0.7213 / (1.0 + 1.079 / md) * (md * md) *
-      (1L << maxRho).toDouble / zFix
+    // power-of-two factors are exact in IEEE doubles, so every rounded
+    // step is a single correctly-rounded operation — the DuckDB
+    // oracle's literal-for-literal mirror lands on the identical bits
+    val raw = alpha(m) * (md * md) * (1L << maxRho).toDouble / zFix
     val est =
       if (vZero > 0L && raw <= 2.5 * md) md * Math.log(md / vZero)
       else raw
@@ -177,17 +196,25 @@ case class HllMerge(child: Expression, p: Int,
       val regs = v.asInstanceOf[Array[Byte]]
       require(regs.length == m,
         s"hll_merge(p=$p) expects ${m}-byte registers, got ${regs.length}")
+      // fail fast on a right-length binary that is NOT an HllSketch(p)
+      // register array: an out-of-range byte would otherwise reach the
+      // eval shift with a negative count and yield silent garbage
+      val maxRho = 60 - p + 1
       var i = 0
-      while (i < m) { if (regs(i) > b(i)) b(i) = regs(i); i += 1 }
+      while (i < m) {
+        val r = regs(i)
+        require(r >= 0 && r <= maxRho,
+          s"hll_merge(p=$p): register $i = $r outside [0, $maxRho] — " +
+            "not an hll_sketch register array of this p")
+        if (r > b(i)) b(i) = r
+        i += 1
+      }
     }
     b
   }
 
-  override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
-    var i = 0
-    while (i < m) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
-    x
-  }
+  override def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] =
+    HllSketch.maxInto(x, y, m)
 
   override def eval(b: Array[Byte]): Any = HllSketch.evalRegisters(b, p)
 
