@@ -3457,11 +3457,12 @@ object SparkEntry {
          |  SELECT doc, pos, ln FROM l
          |  WHERE len(list_filter(string_split(trim(ln), ' '), w -> w <> '')) < 4),
          |tot AS (SELECT doc, CAST(count(*) AS INTEGER) AS n_lines FROM l GROUP BY doc)
-         |SELECT k.doc, t.n_lines, CAST(count(*) AS INTEGER) AS n_kept,
-         |  md5(string_agg(k.ln, chr(10) ORDER BY k.pos)) AS clean_md5
-         |FROM kept k JOIN tot t ON t.doc = k.doc
-         |GROUP BY k.doc, t.n_lines
-         |ORDER BY k.doc""".stripMargin,
+         |SELECT t.doc, t.n_lines, CAST(count(k.ln) AS INTEGER) AS n_kept,
+         |  md5(coalesce(string_agg(k.ln, chr(10) ORDER BY k.pos), ''))
+         |    AS clean_md5
+         |FROM tot t LEFT JOIN kept k ON t.doc = k.doc
+         |GROUP BY t.doc, t.n_lines
+         |ORDER BY t.doc""".stripMargin,
     "d17_eval_contamination" ->
       """WITH toks AS (SELECT doc_id AS doc, string_split_regex(text, '\s+') AS ts FROM documents),
         |sh AS (SELECT DISTINCT doc, array_to_string(ts[i+1:i+3], ' ') AS s

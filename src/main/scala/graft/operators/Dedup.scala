@@ -57,10 +57,14 @@ object Dedup {
 
   /** Exact duplicate grouping on md5(text): every doc mapped to the
     * canonical (minimum) doc id of its identical-text group, plus group
-    * size. group_size == 1 ⇔ unique. */
+    * size. group_size == 1 ⇔ unique. NULL text is unknown, not
+    * identical: each null-text doc forms its own singleton group
+    * (text_hash stays null) instead of all nulls collapsing into one
+    * "duplicate" group that a keep-canonical pass would decimate. */
   def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val h = md5(col(textCol).cast("binary"))
-    val w = Window.partitionBy(h)
+    val w = Window.partitionBy(coalesce(h,
+      concat(lit(" null:"), col(idCol).cast("string"))))
     docs.select(col(idCol),
         h.as("text_hash"),
         min(col(idCol)).over(w).as("canonical_id"),
@@ -579,7 +583,18 @@ object Dedup {
     * span aggregation reuses (one exchange feeds both, verified in the
     * plan). `maxGramDf` drops grams above an occurrence cap (boilerplate
     * phrases — same guard as [[winnowPairs]]) so one stop-phrase cannot
-    * flood the postings at corpus scale. */
+    * flood the postings at corpus scale.
+    *
+    * Collision budget: gram equality is 60-bit-hash equality, not text
+    * equality (the paper's suffix array is exact). Expected colliding
+    * gram PAIRS ≈ n²/2^61 — negligible below ~10^9 distinct grams
+    * (≈ 0.5 expected), but at a full 100 TB corpus (~10^13 grams) on
+    * the order of 10^7 spurious "duplicated" grams, each of which can
+    * mark (and [[removeDuplicateSpans]] then delete) an innocent
+    * k-token span. At that scale either partition the corpus into
+    * sub-10^9-gram dedup shards (the paper's own setup dedups within
+    * bounded corpora) or re-verify flagged spans against text before
+    * removal. */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 5, minCount: Long = 2L,
                      maxGramDf: Option[Long] = None): DataFrame =
@@ -753,6 +768,10 @@ object Dedup {
     * near-duplicates. */
   def lshBandKeys(signatures: DataFrame, numHashes: Int,
                   rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must divide into rowsPerBand " +
+        s"($rowsPerBand) bands — a remainder would silently drop the " +
+        "trailing hashes and lower recall")
     val numBands = numHashes / rowsPerBand
     signatures.select(col("doc"),
       posexplode(array((0 until numBands).map { band =>
@@ -1051,6 +1070,21 @@ object Dedup {
     *    join is keyed by node id — nothing beyond the budget probe
     *    ever reaches the driver. Returns (node, cluster). */
   def clusterIds(pairs: DataFrame, localBudget: Long = 100000L): DataFrame = {
+    // numeric-id precondition, checked loudly: the long cast below
+    // would turn string/URL ids into nulls — an NPE on the local path,
+    // silently-empty clusters on the distributed one. Map non-numeric
+    // ids through a dense id (e.g. Ingest.withSequentialIds) first.
+    Seq("a", "b").foreach { c =>
+      import org.apache.spark.sql.types._
+      val ok = pairs.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"clusterIds needs integral pair ids; column '$c' is " +
+          s"${pairs.schema(c).dataType} — assign numeric ids " +
+          "(Ingest.withSequentialIds) before clustering")
+    }
     val norm = pairs.select(col("a").cast("long").as("x"),
       col("b").cast("long").as("y"))
     // the local path needs budget+1 to fit a bounded limit().collect(),
@@ -1189,27 +1223,36 @@ object Dedup {
     * groupBy(doc) reassembles survivors. No driver-side state. */
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
                  minWords: Int = 4): DataFrame = {
+    // the lines relation feeds the canonical election, the join-back
+    // AND the per-doc totals — materialize the corpus line explode once
+    // (the multi-consumer discipline of every operator above)
     val lines = docs.select(col(idCol).as("doc"),
         posexplode(split(coalesce(col(textCol), lit("")), "\n"))
           .as(Seq("pos", "ln")))
+      .localCheckpoint()
     val canon = lines
       .filter(TextOps.lineWords(col("ln")) >= minWords)
       .groupBy(col("ln"))
       .agg(min(struct(col("doc"), col("pos"))).as("first"))
-    lines.join(canon, Seq("ln"), "left")
+    val kept = lines.join(canon, Seq("ln"), "left")
       .filter(col("first").isNull ||
         (col("first.doc") === col("doc") && col("first.pos") === col("pos")))
       .groupBy(col("doc"))
       .agg(
         sort_array(collect_list(struct(col("pos"), col("ln")))).as("ps"),
         count(lit(1)).cast("int").as("n_kept"))
-      .join(lines.groupBy(col("doc"))
-        .agg(count(lit(1)).cast("int").as("n_lines")), Seq("doc"))
-      .select(col("doc"), col("n_lines"), col("n_kept"),
-        md5(array_join(transform(col("ps"), p => p("ln")), "\n"))
-          .as("clean_md5"),
-        array_join(transform(col("ps"), p => p("ln")), "\n")
-          .as("clean_text"))
+    val cleanText =
+      coalesce(array_join(transform(col("ps"), p => p("ln")), "\n"), lit(""))
+    // totals are the BASE side: a doc whose every line was a later copy
+    // still yields its row (n_kept = 0, empty clean text) — "one row
+    // per doc" as documented, instead of vanishing through an inner join
+    lines.groupBy(col("doc"))
+      .agg(count(lit(1)).cast("int").as("n_lines"))
+      .join(kept, Seq("doc"), "left")
+      .select(col("doc"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        md5(cleanText).as("clean_md5"),
+        cleanText.as("clean_text"))
   }
 
   // ------------------------------------------------------------------
@@ -1344,6 +1387,11 @@ object Dedup {
     require(maxShared >= 1, "maxShared must be at least 1")
     val normCol =
       if (!normalize) col(textCol) else normTextCol(col(textCol))
+    // the scratch column must not shadow a caller column (the trailing
+    // drop would delete it from the promised passthrough output) — same
+    // reserved-name guard as dropSpanTokens' "doc"
+    require(!train.columns.contains("_graft_toks"),
+      "decontaminateStateless: input already has a '_graft_toks' column")
     val shared = size(array_intersect(
       array_distinct(shinglesOf(col("_graft_toks"), k)),
       typedlit(evalShingles)))
@@ -1434,6 +1482,15 @@ object Dedup {
   def semDedupWith(emb: DataFrame, idCol: String, vecCol: String,
                    centroids: Array[(Long, Array[Double])],
                    tau: Double, routed: Boolean = false): DataFrame = {
+    // `assigned` feeds three subtrees (both pair-join sides + the final
+    // select), so the assignment kernel runs up to thrice. Deliberately
+    // NOT checkpointed here: materializing id+vector+list rows costs a
+    // full write of the embedding relation, while recompute is a narrow
+    // map over the caller's source — callers that cache or persist
+    // `emb` (semDedupAuto's documented cache contract) get the reuse at
+    // source granularity without a second on-disk copy. Same
+    // measured-trade discipline as clusterIds' no-upfront-checkpoint
+    // note (round 9/10 A/B).
     val assigned = emb.withColumn("list_id",
       if (routed) Similarity.ivfListIdRouted(col(vecCol), centroids)
       else Similarity.ivfListId(col(vecCol), centroids))

@@ -37,6 +37,18 @@ class DedupSpec extends SparkSpec {
     assert(d1.getAs[Int]("n_lines") == 3 && d1.getAs[Int]("n_kept") == 2)
     assert(d1.getAs[String]("clean_md5") == md5hex(
       "short line\nsecond doc unique line of words"))
+    // a doc whose EVERY line is a later copy still gets its row — one
+    // row per doc is the contract (n_kept 0, empty clean text)
+    val wiped = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val w1 = Dedup.dedupLines(wiped, "doc_id", "text", minWords = 4)
+      .orderBy("doc").collect()
+    assert(w1.length == 2)
+    assert(w1(1).getAs[Int]("n_lines") == 1 &&
+      w1(1).getAs[Int]("n_kept") == 0 &&
+      w1(1).getAs[String]("clean_text") == "" &&
+      w1(1).getAs[String]("clean_md5") == md5hex(""))
   }
 
   test("dedupLines over lineCorpus matches a sequential keep-first simulation") {
