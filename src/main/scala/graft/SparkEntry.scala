@@ -1394,7 +1394,7 @@ object SparkEntry {
       // records written distributively as 4 part files through the
       // real encoder, read back at the one-file-per-task grain, body
       // verified by md5 against the oracle's recomputation
-      val dir = stagedStore(d, "warcfix", version = 1) { dir =>
+      val dir = stagedStore(d, "warcfix", version = 2) { dir =>
         graft.sources.Warc.warcFixture(s, dir, 500, files = 4)
       }
       graft.sources.Warc.readWarc(s, dir)

@@ -29,15 +29,22 @@ object Warc {
   private val Crlf = "\r\n".getBytes("US-ASCII")
 
   /** Encode records as one WARC 1.0 byte stream (response records with
-    * the mandatory fields; `WARC-Record-ID` is derived from the index
-    * so the bytes are deterministic). */
+    * the ISO 28500 mandatory fields; `WARC-Record-ID` is derived from
+    * the index and `WARC-Date` is a fixed instant so the bytes are
+    * deterministic). URIs must be ASCII without CR/LF — anything else
+    * would inject header bytes or be mangled by the ASCII encoder, so
+    * it fails loudly (percent-encode upstream). */
   def encode(records: Seq[(String, Array[Byte])]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     records.zipWithIndex.foreach { case ((uri, body), i) =>
+      require(uri.forall(c => c >= 0x21 && c <= 0x7e),
+        s"WARC-Target-URI must be printable ASCII without whitespace " +
+          s"(percent-encode it): '$uri'")
       val header =
         s"WARC/1.0\r\n" +
           s"WARC-Type: response\r\n" +
           s"WARC-Record-ID: <urn:graft:record-$i>\r\n" +
+          s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
           s"WARC-Target-URI: $uri\r\n" +
           s"Content-Length: ${body.length}\r\n" +
           "\r\n"
@@ -81,7 +88,10 @@ object Warc {
             val line = new String(bytes, pos, e - pos, "US-ASCII")
             val ci = line.indexOf(':')
             if (ci > 0) {
-              val (k, v) = (line.substring(0, ci).trim.toLowerCase,
+              // Locale.ROOT: a tr-TR JVM's default lowercase maps I to
+              // dotless ı and would silently unmatch WARC-Target-URI
+              val (k, v) = (line.substring(0, ci).trim
+                .toLowerCase(java.util.Locale.ROOT),
                 line.substring(ci + 1).trim)
               k match {
                 case "warc-type" => warcType = v
@@ -106,31 +116,61 @@ object Warc {
     out.toSeq
   }
 
-  /** Distributed read of a directory of WARC files: one task per file
-    * (the Common-Crawl grain), rows
-    * (file, record_idx, warc_type, target_uri, content_length, body). */
+  /** Distributed read of a directory of WARC files — plain `.warc` and
+    * gzip `.warc.gz` members (Common Crawl ships the latter; the member
+    * is inflated in-task, still one file per task): rows
+    * (file, record_idx, warc_type, target_uri, content_length, body).
+    * A directory with no WARC members fails loudly (this module's
+    * contract) rather than returning a silently empty frame. Peak task
+    * memory is ~2× the inflated file size (the framing buffer plus the
+    * payload copies both live until the task's rows are emitted) —
+    * size executors for 2× the member size at the CC ~1 GB grain. */
   def readWarc(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sc = spark.sparkContext
     val hPath = new org.apache.hadoop.fs.Path(dir)
     val fs = hPath.getFileSystem(sc.hadoopConfiguration)
     val files = fs.listStatus(hPath)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".warc"))
+      .filter(s => s.isFile && (s.getPath.getName.endsWith(".warc") ||
+        s.getPath.getName.endsWith(".warc.gz")))
       .map(_.getPath.toString).sorted
+    require(files.nonEmpty,
+      s"no .warc or .warc.gz members under $dir — wrong directory?")
     val confBc = org.apache.spark.graftshim.GraftCoreShim.broadcastHadoopConf(sc)
     sc.parallelize(files.toSeq, math.max(1, files.length))
       .flatMap { file =>
         val p = new org.apache.hadoop.fs.Path(file)
-        val tfs = p.getFileSystem(confBc.value.value)
+        val tfs = p.getFileSystem(
+          org.apache.spark.graftshim.GraftCoreShim.confOf(confBc))
         val len = tfs.getFileStatus(p).getLen
         // one task buffers one file (the CC members are ~1 GB) — fail
         // loudly past the JVM array limit instead of truncating via toInt
         require(len <= Int.MaxValue - 16,
           s"$file is $len bytes — beyond the per-file buffer limit; " +
             "split the archive into standard ~1 GB members")
-        val buf = new Array[Byte](len.toInt)
-        val in = tfs.open(p)
-        try in.readFully(0, buf) finally in.close()
+        val buf =
+          if (file.endsWith(".gz")) {
+            val in = new java.util.zip.GZIPInputStream(tfs.open(p))
+            try {
+              val bos = new java.io.ByteArrayOutputStream()
+              val chunk = new Array[Byte](1 << 20)
+              var n = in.read(chunk)
+              while (n >= 0) {
+                // the inflated member must also fit one JVM array
+                require(bos.size().toLong + math.max(n, 0) <=
+                  Int.MaxValue - 16,
+                  s"$file inflates beyond the per-file buffer limit")
+                if (n > 0) bos.write(chunk, 0, n)
+                n = in.read(chunk)
+              }
+              bos.toByteArray
+            } finally in.close()
+          } else {
+            val b = new Array[Byte](len.toInt)
+            val in = tfs.open(p)
+            try in.readFully(0, b) finally in.close()
+            b
+          }
         parse(buf).zipWithIndex.map { case ((t, uri, body), i) =>
           WarcRecord(p.getName, i.toLong, t, uri, body.length.toLong, body)
         }
@@ -159,7 +199,8 @@ object Warc {
           (s"https://example.com/doc$i", body)
         }
         val p = new org.apache.hadoop.fs.Path(dir, f"part-$f%05d.warc")
-        val fs = p.getFileSystem(confBc.value.value)
+        val fs = p.getFileSystem(
+          org.apache.spark.graftshim.GraftCoreShim.confOf(confBc))
         val out = fs.create(p, true)
         try out.write(encode(recs)) finally out.close()
     }

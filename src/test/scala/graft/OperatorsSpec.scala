@@ -1768,6 +1768,30 @@ class IngestSpec extends SparkSpec {
       assert(rows(s"https://example.com/doc$i") ==
         (s"warc body text $i " * (1 + i % 5)).getBytes("UTF-8").length)
     }
+    // .warc.gz members (the Common Crawl layout) inflate in-task and
+    // read identically — gzip one member in place alongside the rest
+    import scala.jdk.CollectionConverters._
+    val plain = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".warc")).toSeq.minBy(_.toString)
+    val gzPath = java.nio.file.Paths.get(plain.toString + ".gz")
+    val gz = new java.util.zip.GZIPOutputStream(
+      java.nio.file.Files.newOutputStream(gzPath))
+    try gz.write(java.nio.file.Files.readAllBytes(plain)) finally gz.close()
+    java.nio.file.Files.delete(plain)
+    val rows2 = sources.Warc.readWarc(spark, dir.toString)
+      .select("target_uri", "content_length")
+      .as[(String, Long)].collect().toMap
+    assert(rows2 == rows)
+    // URIs that would corrupt the framing (CR/LF) or the ASCII encoder
+    // fail loudly at encode time
+    intercept[IllegalArgumentException](sources.Warc.encode(
+      Seq(("https://a/x\r\nContent-Length: 0", Array.empty[Byte]))))
+    intercept[IllegalArgumentException](sources.Warc.encode(
+      Seq(("https://a/döc", Array.empty[Byte]))))
+    // a directory without WARC members is loud, not silently empty
+    val empty = java.nio.file.Files.createTempDirectory("graftwarcempty")
+    intercept[IllegalArgumentException](
+      sources.Warc.readWarc(spark, empty.toString))
   }
 
   test("fvecs/bvecs/ivecs source: splittable read round-trips exactly") {
