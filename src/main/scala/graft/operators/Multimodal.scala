@@ -34,12 +34,15 @@ object Multimodal {
   private def hexAt(s: String, i: Int): Int =
     "0123456789abcdef".indexOf(s.charAt(i - 1))
 
+  private def sha256Hex(payload: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256")
+      .digest(payload).map("%02x".format(_)).mkString
+
   /** STUB decoder: deterministic pseudo-metadata from the payload hash.
     * A real implementation would decode the codec here; everything
     * downstream (schema, batching, consumers) is unchanged. */
   def decodeStub(id: Long, kind: String, payload: Array[Byte]): MediaFeatures = {
-    val md = MessageDigest.getInstance("SHA-256")
-    val sha = md.digest(payload).map("%02x".format(_)).mkString
+    val sha = sha256Hex(payload)
     val width = 64 + hexAt(sha, 1) * 16 + hexAt(sha, 2)
     val height = 64 + hexAt(sha, 3) * 16 + hexAt(sha, 4)
     val frames = if (kind == "video") 1 + hexAt(sha, 5) else 1
@@ -65,11 +68,15 @@ object Multimodal {
         var sr = 0L; var sg = 0L; var sb = 0L
         val quad = new Array[Long](4)
         val qcnt = new Array[Long](4)
+        // bulk row fetch: per-pixel getRGB does a color-model convert +
+        // bounds check per call and is ~10x slower on large images
+        val row = new Array[Int](w)
         var y = 0
         while (y < h) {
+          img.getRGB(0, y, w, 1, row, 0, w)
           var x = 0
           while (x < w) {
-            val rgb = img.getRGB(x, y)
+            val rgb = row(x)
             val r = (rgb >> 16) & 0xff
             val g = (rgb >> 8) & 0xff
             val b = rgb & 0xff
@@ -104,16 +111,14 @@ object Multimodal {
     if (kind == "image")
       decodeImage(payload) match {
         case Some((w, h, feature)) =>
-          val md = MessageDigest.getInstance("SHA-256")
-          val sha = md.digest(payload).map("%02x".format(_)).mkString
-          MediaFeatures(id, kind, payload.length.toLong, sha, w, h, 1, feature)
+          MediaFeatures(id, kind, payload.length.toLong, sha256Hex(payload),
+            w, h, 1, feature)
         case None => decodeStub(id, kind, payload)
       }
     else if (kind == "video")
       decodeVideo(payload) match {
         case Some((w, h, fn, fd, frames)) if frames.nonEmpty =>
-          val md = MessageDigest.getInstance("SHA-256")
-          val sha = md.digest(payload).map("%02x".format(_)).mkString
+          val sha = sha256Hex(payload)
           val plane = w * h
           var sy = 0L
           frames.foreach { f =>
@@ -136,7 +141,11 @@ object Multimodal {
     * stay closed-form through the resize (a solid image stays exactly
     * solid) and no interpolation-rounding varies by JVM. Returns None
     * for undecodable payloads — callers fall back like [[decode]]. */
-  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    // parameter errors must be loud: the catch below is for undecodable
+    // PAYLOADS, and swallowing BufferedImage's IllegalArgumentException
+    // for w/h <= 0 would turn the whole batch into a silent no-op
+    require(w >= 1 && h >= 1, s"resize target must be >= 1x1, got ${w}x$h")
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
@@ -155,12 +164,14 @@ object Multimodal {
         Some(bos.toByteArray)
       }
     } catch { case _: Exception => None }
+  }
 
   /** Batch resize over a media table — the same mapPartitions batch
     * shape as [[extractFeatures]] (one decoder per partition, payloads
     * stream through; the pattern a real codec/model pipeline needs).
     * Undecodable payloads pass through unchanged. */
   def resizeImages(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
+    require(w >= 1 && h >= 1, s"resize target must be >= 1x1, got ${w}x$h")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { rows =>
@@ -230,6 +241,10 @@ object Multimodal {
       if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
       else {
         val bytes = ais.readAllBytes()
+        // a PCM stream truncated mid-sample is corrupt — reject like
+        // any other undecodable payload instead of dropping the
+        // dangling byte and reporting stats over a shortened stream
+        if (bytes.length % 2 != 0) return None
         val n = bytes.length / 2
         val samples = new Array[Int](n)
         var i = 0
@@ -281,28 +296,42 @@ object Multimodal {
     * k < 64 + id mod 128, rate 8000 + (id mod 8)·1000 Hz, mono — so an
     * SQL oracle predicts the decoded round trip exactly (the audio twin
     * of imageTable's PNGs). */
+  /** Pack interleaved 16-bit samples and re-encode as a WAV byte stream
+    * — the one write path shared by [[audioTable]] and
+    * [[decimateAudio]]. */
+  private def encodeWav(samples: Array[Int], rate: Float,
+                        channels: Int): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var k = 0
+    while (k < samples.length) {
+      pcm(2 * k) = (samples(k) & 0xff).toByte
+      pcm(2 * k + 1) = ((samples(k) >> 8) & 0xff).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt,
+      (samples.length / channels).toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   def audioTable(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).as[Long].mapPartitions { ids =>
       ids.map { id =>
         val nS = 64 + (id % 128).toInt
         val rate = 8000 + (id % 8).toInt * 1000
-        val pcm = new Array[Byte](nS * 2)
+        val samples = new Array[Int](nS)
         var k = 0
         while (k < nS) {
-          val s = (((31 * id + 17 * k) % 2001) - 1000).toInt
-          pcm(2 * k) = (s & 0xff).toByte
-          pcm(2 * k + 1) = ((s >> 8) & 0xff).toByte
+          samples(k) = (((31 * id + 17 * k) % 2001) - 1000).toInt
           k += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(
-          rate.toFloat, 16, 1, true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(pcm), fmt, nS.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        MediaRow(id, "audio", bos.toByteArray)
+        MediaRow(id, "audio", encodeWav(samples, rate.toFloat, 1))
       }
     }
   }
@@ -313,7 +342,12 @@ object Multimodal {
     * is the deterministic choice: output samples are exact source
     * samples, so closed-form fixtures stay closed-form (an anti-alias
     * filter would be the production upgrade; it changes values, not the
-    * pipeline shape). Non-decodable payloads pass through unchanged. */
+    * pipeline shape). Decimation is per FRAME, so multi-channel audio
+    * keeps its channels aligned (every factor-th frame of ch interleaved
+    * samples survives). Non-DECODABLE payloads pass through unchanged;
+    * decodable audio whose integer sample rate `factor` doesn't divide
+    * fails loudly — a silently-fractional rate would be truncated into
+    * a wrong WAV header. */
   def decimateAudio(media: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
     require(factor >= 1, s"factor must be >= 1, got $factor")
     val spark = media.sparkSession
@@ -322,24 +356,25 @@ object Multimodal {
       rows.map { r =>
         if (r.kind != "audio") r
         else decodeAudio(r.payload) match {
-          case Some((rate, ch, _, samples)) if ch == 1 && samples.nonEmpty =>
-            val dec = Array.range(0, samples.length, factor)
-              .map(i => samples(i))
-            val pcm = new Array[Byte](dec.length * 2)
+          case Some((rate, ch, _, samples)) if ch >= 1 && samples.nonEmpty &&
+              samples.length % ch == 0 =>
+            require(rate == rate.toInt.toFloat && rate.toInt % factor == 0,
+              s"decimateAudio: factor $factor must divide the integer " +
+                s"sample rate, got $rate Hz")
+            val nFrames = samples.length / ch
+            val kept = Array.range(0, nFrames, factor)
+            val dec = new Array[Int](kept.length * ch)
             var k = 0
-            while (k < dec.length) {
-              pcm(2 * k) = (dec(k) & 0xff).toByte
-              pcm(2 * k + 1) = ((dec(k) >> 8) & 0xff).toByte
+            while (k < kept.length) {
+              var c = 0
+              while (c < ch) {
+                dec(k * ch + c) = samples(kept(k) * ch + c)
+                c += 1
+              }
               k += 1
             }
-            val fmt = new javax.sound.sampled.AudioFormat(
-              rate / factor, 16, 1, true, false)
-            val ais = new javax.sound.sampled.AudioInputStream(
-              new java.io.ByteArrayInputStream(pcm), fmt, dec.length.toLong)
-            val bos = new java.io.ByteArrayOutputStream()
-            javax.sound.sampled.AudioSystem.write(ais,
-              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-            r.copy(payload = bos.toByteArray)
+            r.copy(payload =
+              encodeWav(dec, (rate.toInt / factor).toFloat, ch))
           case _ => r
         }
       }
@@ -413,6 +448,10 @@ object Multimodal {
       if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0) return None
       if (!is444 && !is420) return None
       if (is420 && (w % 2 != 0 || h % 2 != 0)) return None
+      // cap the frame geometry BEFORE the Int multiply: W65536 H65536
+      // would wrap w*h to 0, "decode" zero-byte frames and emit NaN
+      // features instead of rejecting the stream
+      if (w.toLong * h > Int.MaxValue / 4) return None
       val plane = w * h
       val qw = w / 2
       val frameLen = if (is444) 3 * plane else plane + 2 * qw * (h / 2)
@@ -466,7 +505,8 @@ object Multimodal {
     * aggregate the pixel stream — mean Y/U/V over all frames plus the
     * first/last frame's mean luma, exact-integer sums divided once in
     * double so the SQL oracle reproduces them bit for bit. Payloads
-    * that aren't decodable C444 y4m (or have zero frames) are dropped. */
+    * that aren't decodable y4m (C444 or C420 — the [[decodeVideo]]
+    * contract) or have zero frames are dropped. */
   def extractVideoFeatures(media: Dataset[MediaRow]): Dataset[VideoFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -555,6 +595,7 @@ object Multimodal {
   /** Deterministic frame sampling for video stand-ins: every k-th frame
     * index up to n_frames (generator — no shuffle). */
   def sampleFrames(features: Dataset[MediaFeatures], everyK: Int): DataFrame = {
+    require(everyK >= 1, s"everyK must be >= 1, got $everyK")
     val spark = features.sparkSession
     import spark.implicits._
     features.toDF()
