@@ -63,8 +63,17 @@ object Pipeline {
     * reproducible across runs, engines, and repartitioning. One keyed
     * window whose rank cut Spark pushes map-side (WindowGroupLimit), so
     * no stratum's full membership ever reaches one reducer. */
+  /** Scratch-column collision guard: withColumn would silently replace
+    * a caller's same-named column and the trailing drop would delete it
+    * from the promised passthrough output. */
+  private def requireFreeCols(df: DataFrame, op: String,
+                              names: String*): Unit =
+    names.foreach(n => require(!df.columns.contains(n),
+      s"$op: input already has a '$n' column (reserved scratch name)"))
+
   def stratifiedExactK(df: DataFrame, idCol: String, stratumCol: String,
                        k: Int, salt: String): DataFrame = {
+    requireFreeCols(df, "stratifiedExactK", "_rk")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol))
       .orderBy(hashUniform(col(idCol), salt), col(idCol))
@@ -87,7 +96,11 @@ object Pipeline {
     val assign = weights.zip(bounds).init.foldRight(lit(weights.last._1)) {
       case (((name, _), bound), acc) => when(u < bound, lit(name)).otherwise(acc)
     }
-    df.withColumn("split", assign)
+    // a null id cannot key the hash membership — without this filter a
+    // null-id row's when-chain falls through to the LAST split (test-set
+    // contamination); the samplers drop null ids via their null
+    // membership predicate, so dropping keeps ONE contract family-wide
+    df.filter(col(idCol).isNotNull).withColumn("split", assign)
   }
 
   /** Sequential sequence packing: within each shard (idCol mod
@@ -127,7 +140,10 @@ object Pipeline {
       .select((packKeys ++ carry ++ order.filterNot(_ == idCol))
         .distinct.map(col) ++ Seq(
         col(idCol), (col(idCol) % numShards).as("shard"),
-        count(col(textCol)).as("n_tokens")): _*)
+        // null text counts zero tokens (chunkDocuments' coalesce
+        // discipline) — a null n_tokens would null the running sum and
+        // emit bin = null rows into the shard writers
+        coalesce(count(col(textCol)), lit(0)).as("n_tokens")): _*)
       .withColumn("bin",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
           capacity).cast("long"))
@@ -180,8 +196,11 @@ object Pipeline {
     * excluded (they can never be mixture targets — the rebalancers'
     * isin scope drops them too). */
   def domainCounts(df: DataFrame, domainCol: String): Map[String, Long] =
+    // cast to string so a non-string domain column (int lang ids) feeds
+    // the mixture math instead of a driver-side ClassCastException
     df.filter(col(domainCol).isNotNull)
-      .groupBy(col(domainCol)).agg(count(lit(1)).as("c"))
+      .groupBy(col(domainCol).cast("string").as("_d"))
+      .agg(count(lit(1)).as("c"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Temperature-flattened mixture targets from observed domain counts
@@ -233,7 +252,13 @@ object Pipeline {
     require(math.abs(targets.map(_._2).sum - 1.0) < 1e-9,
       s"target shares must sum to 1, got ${targets.map(_._2).sum}")
     require(maxRepeat >= 1, "maxRepeat must be at least 1")
-    val inScope = df.filter(col(domainCol).isin(targets.map(_._1): _*))
+    requireFreeCols(df, "rebalanceRepeat", "_copies", "rep")
+    // null ids: rebalance's membership filter silently drops them (null
+    // predicate); mirror that here — otherwise floor(rate) copies of a
+    // null-id row would survive and membership would stop being a pure
+    // function of (id, salt)
+    val inScope = df.filter(col(domainCol).isin(targets.map(_._1): _*) &&
+      col(idCol).isNotNull)
     val counts = domainCounts(inScope, domainCol)
     val missing = targets.collect { case (dom, _) if !counts.contains(dom) => dom }
     if (missing.nonEmpty)
@@ -259,7 +284,12 @@ object Pipeline {
   /** Exact-dedup stage of [[curate]]: keep the minimum id per md5(text)
     * group — one keyed window, no join. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val byHash = Window.partitionBy(col("_h"))
+    requireFreeCols(docs, "exactDedup", "_h", "_canon")
+    // NULL text is unknown, not identical: key each null-text doc to its
+    // own group (md5(null) is null — one raw partition would silently
+    // delete all null-text docs but one as "exact duplicates")
+    val byHash = Window.partitionBy(coalesce(col("_h"),
+      concat(lit(" null:"), col(idCol).cast("string"))))
     docs
       .withColumn("_h", md5(col(textCol)))
       .withColumn("_canon", min(col(idCol)).over(byHash))
@@ -465,12 +495,16 @@ object Pipeline {
     val scored = clean
       .withColumn("quality", TextOps.qualityScore(col(textCol)))
       .filter(col("quality") >= minQuality)
-    // temperature-derived mixtures read the corpus once for counts and
-    // once more inside rebalance — checkpoint so the dedup lineage
-    // (the LSH pipeline) isn't recomputed for each action
+    // BOTH rebalance modes run an eager domainCounts collect before the
+    // caller's final action (temperature derives targets from it;
+    // explicit-target rebalance counts inside rebalance()), so either
+    // would recompute the whole dedup lineage (the LSH pipeline) twice
+    // without this checkpoint
     val assigned0 = splitAssign(scored, idCol, splits, salt)
     val assigned =
-      if (mixtureAlpha.isDefined) assigned0.localCheckpoint() else assigned0
+      if (mixtureAlpha.isDefined || rebalanceTargets.nonEmpty)
+        assigned0.localCheckpoint()
+      else assigned0
     // counts drive the DERIVED (temperature) targets only — never run the
     // collect action when the caller supplied explicit rebalanceTargets
     // (the require above forbids both, but keep the guard local too)
@@ -523,6 +557,7 @@ object Pipeline {
   def weightedSamplePerGroup(df: DataFrame, idCol: String,
                              groupCol: String, weight: Column, k: Int,
                              salt: String): DataFrame = {
+    requireFreeCols(df, "weightedSamplePerGroup", "es_key", "es_rank")
     val u = hashUniform(col(idCol), salt)
     val key = round(org.apache.spark.sql.functions.log(u) / weight, 6)
     df.filter(weight.isNotNull && weight > 0)
@@ -562,7 +597,13 @@ object Pipeline {
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   isTarget: Column, buckets: Int = 1024,
                   alpha: Double = 1.0): DataFrame = {
+    // alpha = 0 would null out lambda for raw-only buckets (log(0)),
+    // silently inverting the penalty those features carry
+    require(alpha > 0, s"smoothing alpha must be positive, got $alpha")
     val toks = Dedup.tokens(col(textCol))
+    // the feature stream feeds BOTH the lambda aggregation and the
+    // per-doc probe join — materialize the tokenize+shingle+md5 explode
+    // once (the shared-consumer discipline of Dedup.lshVerifiedPairs)
     val feats = docs.select(col(idCol).as("doc"), isTarget.as("tgt"),
         toks.as("toks"))
       .select(col("doc"), col("tgt"),
@@ -571,6 +612,7 @@ object Pipeline {
       .select(col("doc"), col("tgt"),
         (conv(substring(md5(col("gram").cast("binary")), 1, 15), 16, 10)
           .cast("long") % buckets).as("bucket"))
+      .localCheckpoint()
     val counts = feats.groupBy(col("bucket")).agg(
       count(lit(1)).as("cr"),
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"))
