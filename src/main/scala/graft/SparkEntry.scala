@@ -1946,12 +1946,13 @@ object SparkEntry {
     * without the 'g' flag, which matches Spark for the anchored
     * steps; the tracking-param step is the one needing 'g'). */
   private val CanonicalUrlSql: String =
-    "regexp_replace(regexp_replace(regexp_replace(lower(" +
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
       "regexp_replace(regexp_replace(regexp_replace(" +
-      "regexp_replace(url, '#.*', ''), " +
-      "'[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'), " +
-      "'^([^?]*)&', '\\1?'), " +
-      "'[?&]+$', '')), " +
+      "lower(regexp_replace(url, '#.*', '')), " +
+      "'&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'), " +
+      "'\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&', '?'), " +
+      "'\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$', ''), " +
+      "'[?&]+$', ''), " +
       "'^https?://', ''), " +
       "'^www\\.', ''), " +
       "'/+$', '')"
@@ -1959,7 +1960,7 @@ object SparkEntry {
   /** SQL twin of TextOps.lineKeep (lambda var `x`): terminal
     * punctuation, >= 5 words, no banned marker. */
   private val LineKeepSql: String =
-    "len(list_filter(string_split(trim(x), ' '), w -> w <> '')) >= 5 " +
+    "len(list_filter(string_split_regex(trim(x), '\\s+'), w -> w <> '')) >= 5 " +
       "AND right(trim(x), 1) IN ('.', '!', '?', '\"') " +
       "AND NOT contains(lower(trim(x)), 'javascript') " +
       "AND NOT contains(lower(trim(x)), 'lorem ipsum') " +
@@ -2963,12 +2964,12 @@ object SparkEntry {
          |el AS (SELECT doc, pos, ln,
          |    row_number() OVER (PARTITION BY ln ORDER BY doc, pos) AS rn
          |  FROM l
-         |  WHERE len(list_filter(string_split(trim(ln), ' '), w -> w <> '')) >= 4),
+         |  WHERE len(list_filter(string_split_regex(trim(ln), '\\s+'), w -> w <> '')) >= 4),
          |kept AS (
          |  SELECT doc, pos, ln FROM el WHERE rn = 1
          |  UNION ALL
          |  SELECT doc, pos, ln FROM l
-         |  WHERE len(list_filter(string_split(trim(ln), ' '), w -> w <> '')) < 4)
+         |  WHERE len(list_filter(string_split_regex(trim(ln), '\\s+'), w -> w <> '')) < 4)
          |SELECT doc, CAST(count(*) AS INTEGER) AS n_kept,
          |  md5(string_agg(ln, chr(10) ORDER BY pos)) AS clean_md5
          |FROM kept GROUP BY doc ORDER BY doc""".stripMargin,
@@ -3450,12 +3451,12 @@ object SparkEntry {
          |el AS (SELECT doc, pos, ln,
          |    row_number() OVER (PARTITION BY ln ORDER BY doc, pos) AS rn
          |  FROM l
-         |  WHERE len(list_filter(string_split(trim(ln), ' '), w -> w <> '')) >= 4),
+         |  WHERE len(list_filter(string_split_regex(trim(ln), '\\s+'), w -> w <> '')) >= 4),
          |kept AS (
          |  SELECT doc, pos, ln FROM el WHERE rn = 1
          |  UNION ALL
          |  SELECT doc, pos, ln FROM l
-         |  WHERE len(list_filter(string_split(trim(ln), ' '), w -> w <> '')) < 4),
+         |  WHERE len(list_filter(string_split_regex(trim(ln), '\\s+'), w -> w <> '')) < 4),
          |tot AS (SELECT doc, CAST(count(*) AS INTEGER) AS n_lines FROM l GROUP BY doc)
          |SELECT t.doc, t.n_lines, CAST(count(k.ln) AS INTEGER) AS n_kept,
          |  md5(coalesce(string_agg(k.ln, chr(10) ORDER BY k.pos), ''))

@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * exact DuckDB oracles. */
 object TextOps {
 
-  def tokens(text: Column): Column = split(text, "\\s+")
+  /** The canonical whitespace tokenizer — delegates to [[Dedup.tokens]]
+    * so the text and dedup families can never diverge. */
+  def tokens(text: Column): Column = Dedup.tokens(text)
 
   /** HTML → text extraction (the step right after the WARC read in a
     * crawl pipeline; the C4/CCNet papers call it "text extraction"):
@@ -23,8 +25,14 @@ object TextOps {
     * dotall so multi-line scripts die with their tags.) */
   def htmlToText(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    // an UNTERMINATED <script>/<style> (truncated crawl payload) would
+    // otherwise lose only its open tag and leak raw JS/CSS into the
+    // extracted text — strip the dangling subtree to end-of-document
+    val noScriptTail = regexp_replace(noScript, "(?is)<script[^>]*>.*$", " ")
+    val noStyle = regexp_replace(noScriptTail,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noStyleTail = regexp_replace(noStyle, "(?is)<style[^>]*>.*$", " ")
+    val noComment = regexp_replace(noStyleTail, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]+>", " ")
     val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
@@ -55,10 +63,17 @@ object TextOps {
     val langs = Seq("en", "de", "fr", "es", "zh")
     val hits = langs.map(l => markerHits(t, l))
     val best = hits.reduce((a, b) => greatest(a, b))
+    // real Chinese is unsegmented — whitespace tokens never isin-match
+    // the zh markers, so a CJK-character-ratio branch decides first
+    // (identity on the gated corpora, which carry no CJK characters)
+    val cjkRatio =
+      length(regexp_replace(text, "[^\u4e00-\u9fff]", "")).cast("double") /
+        greatest(length(text), lit(1)).cast("double")
     // first lang (in preference order) whose hit-count equals the max
-    langs.zip(hits).foldRight(lit(langs.head)) { case ((l, h), acc) =>
-      when(h === best, lit(l)).otherwise(acc)
+    val vote = langs.zip(hits).foldRight(lit(langs.head)) {
+      case ((l, h), acc) => when(h === best, lit(l)).otherwise(acc)
     }
+    when(cjkRatio > 0.3d, lit("zh")).otherwise(vote)
   }
 
   /** Token count (whitespace tokens). */
@@ -90,9 +105,11 @@ object TextOps {
     md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " ")
       .cast("binary"))
 
-  /** Per-document text profile: one row per doc with all text metrics. */
+  /** Per-document text profile: one row per doc with all text metrics.
+    * Null text profiles as the empty string (the chunkDocuments
+    * coalesce discipline) instead of emitting null/negative metrics. */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(
+    docs.withColumn(textCol, coalesce(col(textCol), lit(""))).select(
       col(idCol),
       tokenCount(col(textCol)).as("n_tokens"),
       subwordCount(col(textCol)).as("n_subwords"),
@@ -110,7 +127,10 @@ object TextOps {
     val tf = tok.groupBy(col("doc"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val n = docs.count()
-    tf.join(broadcast(df), "token")
+    // no broadcast hint: the df side is the VOCABULARY, unbounded at
+    // web scale (typos, URLs, hashes easily exceed the broadcast
+    // limit) — let AQE broadcast it when it is actually small
+    tf.join(df, "token")
       .withColumn("tfidf",
         round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
       .select(col("doc"), col("token"), col("tf"), col("df"), col("tfidf"))
@@ -248,9 +268,14 @@ object TextOps {
            queryTerms: Seq[String], topK: Int,
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val terms = queryTerms.distinct
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    // null text scores as the empty document (null dl would skew avgdl)
     val toks = docs.select(col(idCol).as("doc"),
-      tokens(col(textCol)).as("ts"))
+      tokens(coalesce(col(textCol), lit(""))).as("ts"))
     val n = docs.count()
+    if (n == 0L)
+      return docs.select(col(idCol).as("doc")).limit(0)
+        .withColumn("bm25", lit(0.0d))
     val sumDl = toks.agg(sum(size(col("ts")))).head().getLong(0)
     val avgdl = sumDl.toDouble / n
     // df per query term: # docs containing it (Q-row driver map)
@@ -309,9 +334,11 @@ object TextOps {
     * javascript walls, lorem-ipsum filler, and code braces. */
   val C4Banned: Seq[String] = Seq("javascript", "lorem ipsum", "{")
 
-  /** Per-LINE word count on the trimmed line (empty lines count 0). */
+  /** Per-LINE word count on the trimmed line (empty lines count 0).
+    * Splits on \s+ like [[tokens]] — a tab-separated clean sentence
+    * must not be undercounted into the c4 discard bin. */
   private[operators] def lineWords(ln: Column): Column =
-    size(filter(split(trim(ln), " "), w => w =!= ""))
+    size(filter(split(trim(ln), "\\s+"), w => w =!= ""))
 
   /** A line survives C4 cleaning iff it ends in terminal punctuation,
     * carries at least `minWords` words, and contains no banned marker
@@ -417,12 +444,25 @@ object TextOps {
     * the same regexes. */
   def canonicalUrl(url: Column): Column = {
     val noFrag = regexp_replace(coalesce(url, lit("")), "#.*", "")
-    val noTrack =
-      regexp_replace(noFrag, "[?&](utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
-    val fixedSep = regexp_replace(noTrack, "^([^?]*)&", "$1?")
-    val noDangle = regexp_replace(fixedSep, "[?&]+$", "")
-    val lowered = lower(noDangle)
-    val noScheme = regexp_replace(lowered, "^https?://", "")
+    // lowercase FIRST so mixed-case tracking params (UTM_SOURCE,
+    // FBclid) canonicalize too
+    val lowered = lower(noFrag)
+    // tracked params are removed in three lossless steps that never
+    // touch a literal '&' elsewhere in the URL (the previous
+    // unconditional '^([^?]*)&' -> '?' separator repair rewrote
+    // 'host/a&b' — a legal path — into 'host/a?b'):
+    //  1. '&'-led tracked params drop cleanly wherever they sit;
+    val noAmpTrack =
+      regexp_replace(lowered, "&(utm_[a-z]+|fbclid|gclid)=[^&#]*", "")
+    //  2. at most one tracked param remains, '?'-led: drop it and
+    //     promote its follower ('p?utm_x=1&a=2' -> 'p?a=2');
+    val noLeadMid = regexp_replace(noAmpTrack,
+      "\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&", "?")
+    //  3. or drop it terminally ('p?utm_x=1' -> 'p').
+    val noLeadEnd = regexp_replace(noLeadMid,
+      "\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*$", "")
+    val noDangle = regexp_replace(noLeadEnd, "[?&]+$", "")
+    val noScheme = regexp_replace(noDangle, "^https?://", "")
     val noWww = regexp_replace(noScheme, "^www\\.", "")
     regexp_replace(noWww, "/+$", "")
   }

@@ -889,7 +889,13 @@ class TextOpsSpec extends SparkSpec {
       "https://site.com/p?utm_medium=m&x=1" -> "site.com/p?x=1",
       "https://site.com/p?x=1&utm_medium=m" -> "site.com/p?x=1",
       "http://site.com/p?fbclid=abc" -> "site.com/p",
-      "https://WWW.Site.com/a/b///" -> "site.com/a/b")
+      "https://WWW.Site.com/a/b///" -> "site.com/a/b",
+      // literal '&' in a query-less path must NOT be rewritten to '?'
+      "http://site.com/a&b" -> "site.com/a&b",
+      // mixed-case tracking params canonicalize too (lowercase-first)
+      "http://site.com/p?UTM_SOURCE=f" -> "site.com/p",
+      // chained leading tracked params all drop, follower promoted
+      "http://site.com/p?utm_a=1&utm_b=2&c=3" -> "site.com/p?c=3")
     val got = cases.map(_._1).toDF("url")
       .select(TextOps.canonicalUrl(col("url"))).as[String].collect()
     cases.map(_._2).zip(got).foreach { case (want, g) =>
@@ -974,10 +980,14 @@ class TextOpsSpec extends SparkSpec {
       (0L, "the cat and the dog"),
       (1L, "der Hund und die Katze ist"),
       (2L, "le chat et les chiens est la"),
-      (3L, "xyzzy plugh")).toDF("doc_id", "text")
+      (3L, "xyzzy plugh"),
+      // real (unsegmented) Chinese: no whitespace token ever matches a
+      // marker — the CJK-ratio branch must catch it
+      (4L, "我是学生的朋友。")).toDF("doc_id", "text")
     val langs = TextOps.profile(df, "doc_id", "text")
       .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
     assert(langs(0L) == "en" && langs(1L) == "de" && langs(2L) == "fr" && langs(3L) == "en")
+    assert(langs(4L) == "zh")
   }
 
   test("fingerprint is permutation/duplication invariant") {
