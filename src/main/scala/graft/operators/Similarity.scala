@@ -65,21 +65,29 @@ object Similarity {
     }.reduce(_ + _)
     val pooled = emb
       .select(col(idCol), col(vecCol), rpDist.as("rp_dist"))
-      .orderBy(col("rp_dist"), col(idCol)).limit(pool)
+      .orderBy(col("rp_dist").asc_nulls_last, col(idCol)).limit(pool)
     pooled
       .withColumn("dist", dist(col(vecCol), doubleVec(q)))
-      .orderBy(col("dist"), col(idCol)).limit(k)
+      .orderBy(col("dist").asc_nulls_last, col(idCol)).limit(k)
       .select(row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("dist"), col(idCol))).as("rank"),
+          .orderBy(col("dist").asc_nulls_last, col(idCol))).as("rank"),
         col(idCol))
   }
 
+  /* Ranking convention: every distance ordering in this file is
+   `asc_nulls_last` — a null/length-mismatched vector yields dist = NULL,
+   and Spark's default ascending sort is NULLS FIRST, which would seat
+   such rows AHEAD of every real neighbor in the top-k. */
+
   /** Sign-bit bucket id of a vector column for the given planes:
     * bit j set ⇔ dot(v, plane_j) > 0. */
-  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    require(planes.nonEmpty,
+      "lshBucket needs at least one plane (empty/corrupt sidecar?)")
     planes.zipWithIndex.map { case (p, j) =>
       when(dot(vec, doubleVec(p.toIndexedSeq)) > 0d, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
+  }
 
   /** Assign every vector its LSH bucket. */
   def lshAssign(emb: DataFrame, idCol: String, vecCol: String,
@@ -91,7 +99,10 @@ object Similarity {
   def queryBucket(planes: Array[Array[Double]], q: Seq[Double]): Int =
     planes.zipWithIndex.map { case (p, j) =>
       val d = p.indices.map(i => q(i) * p(i)).sum
-      if (d > 0) 1 << j else 0
+      // Spark SQL orders NaN GREATER than every numeric, so lshBucket's
+      // `dot > 0d` is TRUE for a NaN dot — mirror that here or the two
+      // sides hash the same vector to different buckets
+      if (d > 0 || d.isNaN) 1 << j else 0
     }.sum
 
   /** ANN top-k: rank (exactly) only the vectors in the query's bucket.
@@ -102,7 +113,7 @@ object Similarity {
     lshAssign(emb, idCol, vecCol, planes)
       .filter(col("bucket") === qBucket)
       .withColumn("dist", dist(col(vecCol), doubleVec(q)))
-      .orderBy(col("dist"), col(idCol))
+      .orderBy(col("dist").asc_nulls_last, col(idCol))
       .limit(k)
   }
 
@@ -124,7 +135,7 @@ object Similarity {
       .join(broadcast(qB), Seq("bucket"))
       .withColumn("dist", dist(col(vecCol), col("qv")))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))))
+        Window.partitionBy(col("qid")).orderBy(col("dist").asc_nulls_last, col(idCol))))
       .filter(col("rn") <= k)
       .select(col("qid"), col(idCol), col("bucket"), col("dist"))
   }
@@ -142,17 +153,21 @@ object Similarity {
                       queries: DataFrame, qIdCol: String, qVecCol: String,
                       planes: Array[Array[Double]], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val qb = lshBucket(col("qv"), planes)
-    val probed = array((qb +: planes.indices.map(j =>
-      qb.bitwiseXOR(lit(1 << j)))): _*)
+    // materialize the bucket hash ONCE per query row: embedding the
+    // full P-dot expression in all P+1 array slots would re-evaluate it
+    // per slot inside GenerateExec (no subexpression elimination there)
+    val probed = array((col("_b0") +: planes.indices.map(j =>
+      col("_b0").bitwiseXOR(lit(1 << j)))): _*)
     val qB = queries
       .select(col(qIdCol).cast("long").as("qid"), col(qVecCol).as("qv"))
+      .withColumn("_b0", lshBucket(col("qv"), planes))
       .withColumn("bucket", explode(probed))
+      .drop("_b0")
     lshAssign(emb, idCol, vecCol, planes)
       .join(broadcast(qB), Seq("bucket"))
       .withColumn("dist", dist(col(vecCol), col("qv")))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))))
+        Window.partitionBy(col("qid")).orderBy(col("dist").asc_nulls_last, col(idCol))))
       .filter(col("rn") <= k)
       .select(col("qid"), col(idCol), col("bucket"), col("dist"))
   }
@@ -286,6 +301,9 @@ object Similarity {
   def appendBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
                      newVecs: DataFrame, idCol: String, vecCol: String): Unit =
     lshAssign(newVecs, idCol, vecCol, readPlanes(spark, path))
+      // cluster into target buckets first — writeBucketed's documented
+      // guard against shuffle.partitions x 2^P files per append
+      .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)
 
   /** A pre-opened bucketed-LSH serving handle: the store DataFrame (its
@@ -311,7 +329,7 @@ object Similarity {
     store.rows
       .filter(col("bucket").isin(buckets: _*))
       .withColumn("dist", dist(col(vecCol), doubleVec(q)))
-      .orderBy(col("dist"), col(idCol))
+      .orderBy(col("dist").asc_nulls_last, col(idCol))
       .limit(k)
 
   /** Top-k within the query's own bucket. */
@@ -367,14 +385,16 @@ object Similarity {
                          k: Int, multiProbe: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val planes = store.planes
-    val qb = lshBucket(col("qv"), planes)
+    // bucket hash materialized once per query row (see lshKnnJoinMulti)
     val probed =
-      if (multiProbe) array((qb +: planes.indices.map(j =>
-        qb.bitwiseXOR(lit(1 << j)))): _*)
-      else array(qb)
+      if (multiProbe) array((col("_b0") +: planes.indices.map(j =>
+        col("_b0").bitwiseXOR(lit(1 << j)))): _*)
+      else array(col("_b0"))
     val qB = queries
       .select(col(qIdCol).cast("long").as("qid"), col(qVecCol).as("qv"))
+      .withColumn("_b0", lshBucket(col("qv"), planes))
       .withColumn("bucket", explode(probed))
+      .drop("_b0")
       .localCheckpoint()
     // the touched-bucket union prunes the store read at partition level
     val buckets = qB.select("bucket").distinct()
@@ -384,7 +404,7 @@ object Similarity {
       .join(broadcast(qB), Seq("bucket"))
       .withColumn("dist", dist(col(vecCol), col("qv")))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))))
+        Window.partitionBy(col("qid")).orderBy(col("dist").asc_nulls_last, col(idCol))))
       .filter(col("rn") <= k)
       .select(col("qid"), col(idCol), col("bucket"), col("dist"))
   }
@@ -428,7 +448,10 @@ object Similarity {
               centroids: Array[(Long, Array[Double])]): Double =
     emb.select(graft.functions.NearestExpr.nearestDistSq(
         col(vecCol), centroids.map(_._2)).as("d2"))
-      .agg(avg(col("d2"))).head().getDouble(0)
+      .agg(avg(col("d2"))).head() match {
+      case r if r.isNullAt(0) => Double.NaN // empty input: no cost
+      case r => r.getDouble(0)
+    }
 
   /** IVF top-k against an explicit (possibly Lloyd-refined) centroid
     * set — the ivfKnn body, shared. */
@@ -439,7 +462,7 @@ object Similarity {
     emb.withColumn("list_id", ivfListId(col(vecCol), centroids))
       .filter(col("list_id").isin(probe: _*))
       .withColumn("dist", dist(col(vecCol), doubleVec(q)))
-      .orderBy(col("dist"), col(idCol))
+      .orderBy(col("dist").asc_nulls_last, col(idCol))
       .limit(k)
   }
 
@@ -526,7 +549,7 @@ object Similarity {
       .join(broadcast(qProbe), Seq("list_id"))
       .withColumn("dist", dist(col(vecCol), col("qv")))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))))
+        Window.partitionBy(col("qid")).orderBy(col("dist").asc_nulls_last, col(idCol))))
       .filter(col("rn") <= k)
       .select(col("qid"), col(idCol), col("dist"))
   }
@@ -574,6 +597,7 @@ object Similarity {
     val centroids = readIvfCentroids(spark, path)
     newVecs
       .withColumn("list_id", ivfListId(col(vecCol), centroids))
+      .repartition(col("list_id"))
       .write.mode("append").partitionBy("list_id").parquet(path)
   }
 
@@ -603,7 +627,7 @@ object Similarity {
     store.rows
       .filter(col("list_id").isin(probe: _*))
       .withColumn("dist", dist(col(vecCol), doubleVec(q)))
-      .orderBy(col("dist"), col(idCol))
+      .orderBy(col("dist").asc_nulls_last, col(idCol))
       .limit(k)
   }
 
@@ -628,7 +652,7 @@ object Similarity {
       .filter(col("list_id").isin(probe: _*))
       .filter(pred)
       .withColumn("dist", dist(col(vecCol), doubleVec(q)))
-      .orderBy(col("dist"), col(idCol))
+      .orderBy(col("dist").asc_nulls_last, col(idCol))
       .limit(k)
   }
 
@@ -647,7 +671,7 @@ object Similarity {
       .join(allowed.select(col(allowedIdCol).as(idCol)).distinct(),
         Seq(idCol), "left_semi")
       .withColumn("dist", dist(col(vecCol), doubleVec(q)))
-      .orderBy(col("dist"), col(idCol))
+      .orderBy(col("dist").asc_nulls_last, col(idCol))
       .limit(k)
   }
 
@@ -684,7 +708,7 @@ object Similarity {
       .join(broadcast(qProbe), Seq("list_id"))
       .withColumn("dist", dist(col(vecCol), col("qv")))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("dist"), col(idCol))))
+        Window.partitionBy(col("qid")).orderBy(col("dist").asc_nulls_last, col(idCol))))
       .filter(col("rn") <= k)
       .select(col("qid"), col(idCol), col("dist"))
   }
