@@ -325,6 +325,29 @@ object SparkEntry {
           round(col("s.raw_est"), 4).as("raw_est"),
           round(col("s.estimate"), 4).as("estimate"))
     }),
+    "q39_cms_topk" -> ((s, d) => {
+      // Count-Min frequency sketch (Cormode-Muthukrishnan 2005): d·w
+      // counters answer ANY key's frequency with one-sided error — the
+      // mergeable point-frequency complement of q24's exact Misra-Gries
+      // heavy hitters. Row buckets are consecutive 9-bit slices of the
+      // portable 60-bit md5 hash, so the oracle replays every counter
+      // as a plain GROUP BY (the q37 register-replay contract). The
+      // top-10 exact-count parts ride along to expose the (one-sided)
+      // estimation error; the sketch row is one 16 KiB struct, joined
+      // broadcast.
+      import graft.functions.CmsSketch
+      val li = Tables.lineitem(s, d).select(col("l_partkey"))
+      val sk = li.agg(CmsSketch.cmsFreq(col("l_partkey"), 4, 9).as("sk"))
+      val top = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("l_partkey")).limit(10)
+      top.join(broadcast(sk))
+        .select(col("l_partkey"), col("n_exact"),
+          col("sk.n_total").as("n_total"),
+          CmsSketch.cmsEstimate(col("sk.counters"), col("l_partkey"), 4, 9)
+            .as("est"))
+        .orderBy(col("l_partkey"))
+    }),
 
     // --- vector engine: brute force (reference oracle semantics) ---
     "v1_range_search" -> ((s, d) =>
@@ -2765,6 +2788,24 @@ object SparkEntry {
         |        THEN 256.0 * ln(256.0 / e.v_zero) ELSE e.raw_est END, 4)
         |    AS estimate
         |FROM est e, ex""".stripMargin,
+    "q39_cms_topk" ->
+      """WITH h AS (SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |slices AS (SELECT t.j, (h.h >> (t.j * 9)) & 511 AS bucket
+        |  FROM h, generate_series(0, 3) AS t(j)),
+        |cnt AS (SELECT j, bucket, count(*) AS c FROM slices GROUP BY j, bucket),
+        |n AS (SELECT count(*) AS n_total FROM lineitem),
+        |top AS (SELECT l_partkey, count(*) AS n_exact FROM lineitem
+        |  GROUP BY l_partkey ORDER BY n_exact DESC, l_partkey LIMIT 10),
+        |probe AS (SELECT l_partkey, n_exact,
+        |    ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM top),
+        |est AS (SELECT p.l_partkey, p.n_exact, min(c.c) AS est
+        |  FROM probe p, generate_series(0, 3) AS t(j)
+        |  JOIN cnt c ON c.j = t.j AND c.bucket = (p.h >> (t.j * 9)) & 511
+        |  GROUP BY p.l_partkey, p.n_exact)
+        |SELECT e.l_partkey, e.n_exact, n.n_total, e.est
+        |FROM est e, n ORDER BY e.l_partkey""".stripMargin,
 
     "v1_range_search" ->
       s"""SELECT vec_id FROM embeddings

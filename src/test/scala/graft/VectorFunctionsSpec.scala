@@ -230,6 +230,65 @@ class VectorFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("CMS sketch: one-sided error, partition invariance, merge algebra, composed-counter parity") {
+    import graft.functions.{CmsSketch, PortableHash}
+    val (d, b) = (4, 9)
+    val w = 1 << b
+    // zipf-ish frequencies: key k appears (200 - k) times, k in [0, 200)
+    val df = spark.range(200).toDF("k")
+      .select(col("k"), explode(sequence(lit(1), lit(200) - col("k"))).as("i"))
+      .select(col("k"))
+    val exact = df.groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val sk = df.agg(CmsSketch.cmsFreq(col("k"), d, b).as("s"))
+    // n_total = |rows|
+    assert(sk.select("s.n_total").head().getLong(0) == df.count())
+    // one-sided error: est >= exact for EVERY key (the CMS guarantee)
+    val est = exact.join(broadcast(sk))
+      .select(col("k"), col("n"),
+        CmsSketch.cmsEstimate(col("s.counters"), col("k"), d, b).as("est"))
+    assert(est.filter(col("est") < col("n")).count() == 0L)
+    // ...and with 200 keys over 512 buckets most mins are collision-free
+    assert(est.filter(col("est") === col("n")).count() >= 150L)
+    // duplicates double the counters; partitioning cannot move them
+    val c1 = sk.select("s.counters").head().getSeq[Long](0)
+    val c2 = df.repartition(7).agg(CmsSketch.cmsFreq(col("k"), d, b).as("s"))
+      .select("s.counters").head().getSeq[Long](0)
+    assert(c1 == c2)
+    val cDup = df.union(df).agg(CmsSketch.cmsFreq(col("k"), d, b).as("s"))
+      .select("s.counters").head().getSeq[Long](0)
+    assert(cDup == c1.map(_ * 2L))
+    // merge algebra: per-half partial counters SUM to the whole —
+    // the lossless map-side-combine property
+    val halves = df.withColumn("half", (col("k") % 2).cast("int"))
+      .groupBy(col("half")).agg(CmsSketch.cmsFreq(col("k"), d, b).as("s"))
+      .select(posexplode(col("s.counters")).as(Seq("i", "c")))
+      .groupBy(col("i")).agg(sum(col("c")).as("c")).orderBy(col("i"))
+      .select(col("c")).collect().map(_.getLong(0)).toSeq
+    assert(halves == c1)
+    // composed-counter parity (KernelParitySpec discipline): the
+    // native buffer equals the declarative slice→GROUP BY replay
+    val composed = df
+      .select(PortableHash.md5Long60(col("k").cast("string")).as("h"))
+      .select(explode(array((0 until d).map(j =>
+        struct(lit(j).as("j"),
+          shiftrightunsigned(col("h"), j * b).bitwiseAND(lit(w - 1))
+            .as("bucket"))): _*)).as("s"))
+      .groupBy(col("s.j"), col("s.bucket")).agg(count(lit(1)).as("c"))
+      .select((col("j") * w + col("bucket")).as("i"), col("c"))
+    val compArr = Array.fill(d * w)(0L)
+    composed.collect().foreach(r => compArr(r.getLong(0).toInt) = r.getLong(1))
+    assert(compArr.toSeq == c1)
+    // null inputs don't count; empty input = all-zero counters, n 0
+    val withNull = df.union(Seq[Option[Long]](None).toDF("k"))
+      .agg(CmsSketch.cmsFreq(col("k"), d, b).as("s"))
+      .select("s.counters").head().getSeq[Long](0)
+    assert(withNull == c1)
+    val empty = spark.range(0).toDF("k")
+      .agg(CmsSketch.cmsFreq(col("k"), d, b).as("s"))
+      .select(col("s.n_total"), col("s.counters")).head()
+    assert(empty.getLong(0) == 0L && empty.getSeq[Long](1).forall(_ == 0L))
+  }
+
   test("Misra-Gries candidates: superset of true heavy hitters; exact pass matches brute force") {
     import graft.functions.MisraGries
     import graft.operators.Relational
