@@ -348,6 +348,37 @@ object SparkEntry {
             .as("est"))
         .orderBy(col("l_partkey"))
     }),
+    "q40_salted_join" -> ((s, d) => {
+      // the explicit skew-mitigation join path, gated end-to-end: the
+      // big side salts on a deterministic row hash, the small side
+      // replicates saltFactor times, the join runs on (key, salt) —
+      // splitting any hot orderkey across 8 reducers — and the result
+      // must be IDENTICAL to the plain join (the oracle). At 100 TB
+      // this is the manual fallback for hot keys AQE's skew handling
+      // can't re-plan (e.g. a broadcast-ineligible dimension with one
+      // pathological key).
+      val big = Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+        col("l_extendedprice"), col("l_discount"))
+      val small = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      Skew.saltedJoin(big, small, "k", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(3,2)") -
+              col("l_discount").cast("decimal(3,2)"))), 2)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "q41_salted_distinct" -> ((s, d) =>
+      // two-phase salted COUNT(DISTINCT) for hot grouping keys: partial
+      // distinct on (key, hash-salt of the value) — distinct values
+      // partition disjointly across salts, so summing the partials is
+      // exact — then final sum on the key. The shape that bounds
+      // per-reducer state when one group holds most of the table.
+      Skew.saltedCountDistinct(Tables.events(s, d), "event_type",
+          "user_id", 8)
+        .orderBy(col("event_type"))),
 
     // --- vector engine: brute force (reference oracle semantics) ---
     "v1_range_search" -> ((s, d) =>
@@ -2806,6 +2837,15 @@ object SparkEntry {
         |  GROUP BY p.l_partkey, p.n_exact)
         |SELECT e.l_partkey, e.n_exact, n.n_total, e.est
         |FROM est e, n ORDER BY e.l_partkey""".stripMargin,
+    "q40_salted_join" ->
+      """SELECT o_orderpriority,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q41_salted_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "v1_range_search" ->
       s"""SELECT vec_id FROM embeddings
