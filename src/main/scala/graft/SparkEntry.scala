@@ -1716,6 +1716,19 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx").cast("long"),
           col("mean_y"))
         .orderBy(col("media_id"), col("frame_idx"))),
+
+    "m11_audio_frames" -> ((s, d) =>
+      // per-WINDOW audio features over the decoded PCM stream (32
+      // PCM frames per window, last window partial): count, mean, RMS,
+      // zero crossings — the framing step before any spectral
+      // featurization. The oracle replays the closed-form sample
+      // stream windowed by k // 32 with a lag-based crossing count.
+      Multimodal.audioFrameFeatures(Multimodal.audioTable(s, 500),
+          frameLen = 32).toDF()
+        .select(col("media_id"), col("frame_idx").cast("long"),
+          col("n").cast("long"), col("mean_amp"), col("rms_amp"),
+          col("n_zero_cross").cast("long"))
+        .orderBy(col("media_id"), col("frame_idx"))),
   )
 
   /** The 8×8 derived-chunk MaxSim score over a DOUBLE[] column `v` —
@@ -4102,5 +4115,21 @@ object SparkEntry {
         |FROM (SELECT id, unnest(range(0, 2 + id % 7, 2)) AS f
         |      FROM range(500) t(id))
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "m11_audio_frames" ->
+      """WITH s AS (
+        | SELECT id, k, ((31 * id + 17 * k) % 2001) - 1000 AS v, k // 32 AS f
+        | FROM (SELECT id, unnest(range(64 + id % 128)) AS k
+        |       FROM range(500) t(id))),
+        |x AS (
+        | SELECT id, f, v,
+        |  CASE WHEN lag(v) OVER (PARTITION BY id, f ORDER BY k) * v < 0
+        |       THEN 1 ELSE 0 END AS zc
+        | FROM s)
+        |SELECT id AS media_id, f AS frame_idx, count(*) AS n,
+        | CAST(CAST(sum(v) AS DOUBLE) / count(*) AS FLOAT) AS mean_amp,
+        | CAST(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) AS FLOAT) AS rms_amp,
+        | CAST(sum(zc) AS BIGINT) AS n_zero_cross
+        |FROM x GROUP BY id, f ORDER BY media_id, frame_idx""".stripMargin,
   )
 }

@@ -290,6 +290,60 @@ object Multimodal {
     }
   }
 
+  case class AudioFrameFeatures(media_id: Long, frame_idx: Int, n: Int,
+                                mean_amp: Float, rms_amp: Float,
+                                n_zero_cross: Int)
+
+  /** Per-WINDOW audio features — the framing step every audio-training
+    * pipeline runs before featurization (spectrograms, VAD, silence
+    * trimming): the decoded PCM stream cut into consecutive windows of
+    * `frameLen` PCM frames (the last window may be partial), each
+    * reporting its sample count, mean, RMS and zero-crossing count.
+    * Mean and RMS aggregate ALL interleaved samples of the window
+    * (channel-agnostic energy, like [[extractAudioFeatures]]); zero
+    * crossings are counted PER channel on consecutive same-channel
+    * samples within the window (strict sign product < 0 — a zero
+    * sample breaks a run without counting) and summed, so interleaving
+    * can't fabricate crossings. Exact-integer sums divided once in
+    * double, same as m5, so an SQL oracle reproduces the floats bit
+    * for bit. Non-decodable / empty payloads are dropped (the m5
+    * contract); per-row flatMap, no shuffle. */
+  def audioFrameFeatures(media: Dataset[MediaRow],
+                         frameLen: Int): Dataset[AudioFrameFeatures] = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeAudio(r.payload).filter(_._4.nonEmpty).toSeq.flatMap {
+          case (_, ch, _, samples) =>
+            val win = frameLen * ch
+            (0 until (samples.length + win - 1) / win).map { f =>
+              val lo = f * win
+              val hi = math.min(lo + win, samples.length)
+              var sum = 0L; var sumSq = 0L
+              var i = lo
+              while (i < hi) {
+                val s = samples(i)
+                sum += s; sumSq += s.toLong * s
+                i += 1
+              }
+              var zc = 0
+              var j = lo + ch
+              while (j < hi) {
+                if (samples(j - ch).toLong * samples(j) < 0L) zc += 1
+                j += 1
+              }
+              val n = hi - lo
+              AudioFrameFeatures(r.media_id, f, n,
+                (sum.toDouble / n).toFloat,
+                math.sqrt(sumSq.toDouble / n).toFloat, zc)
+            }
+        }
+      }
+    }
+  }
+
   /** Deterministic 16-bit PCM WAV table (REAL bytes through the real
     * javax.sound.sampled encoder), generated distributively. Closed form
     * in the id — samples s_k = ((31·id + 17·k) mod 2001) − 1000 for

@@ -1983,6 +1983,58 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audio frame features: windowing, partial tail, per-channel zero crossings") {
+    // mono: windows of 32 replay the closed-form stream exactly
+    val frames = Multimodal.audioFrameFeatures(Multimodal.audioTable(spark, 16),
+        frameLen = 32)
+      .collect().groupBy(_.media_id)
+    for (id <- 0L until 16L) {
+      val n = 64 + (id % 128).toInt
+      val samples = (0 until n).map(k => (((31 * id + 17 * k) % 2001) - 1000).toInt)
+      val byF = frames(id).sortBy(_.frame_idx)
+      assert(byF.length == (n + 31) / 32, s"id=$id windows")
+      byF.foreach { fr =>
+        val w = samples.slice(fr.frame_idx * 32, (fr.frame_idx + 1) * 32)
+        assert(fr.n == w.length, s"id=$id f=${fr.frame_idx} n")
+        assert(fr.mean_amp == (w.map(_.toLong).sum.toDouble / w.length).toFloat)
+        assert(fr.rms_amp ==
+          math.sqrt(w.map(s => s.toLong * s).sum.toDouble / w.length).toFloat)
+        assert(fr.n_zero_cross ==
+          w.sliding(2).count(p => p.length == 2 && p(0).toLong * p(1) < 0L))
+      }
+      // last window is the partial tail iff 32 doesn't divide n
+      assert(byF.last.n == (if (n % 32 == 0) 32 else n % 32))
+    }
+    // stereo: crossings count per channel — an interleaved sign flip
+    // BETWEEN channels must not register
+    val l = Array(100, -100, 100, -100, 100, -100) // 5 crossings
+    val r = Array(7, 8, 9, 10, 11, 12)             // 0 crossings
+    val inter = l.zip(r).flatMap { case (a, b) => Array(a, b) }
+    val pcm = new Array[Byte](inter.length * 2)
+    inter.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, l.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    import spark.implicits._
+    val stereo = spark.createDataset(
+      Seq(Multimodal.MediaRow(7L, "audio", bos.toByteArray)))
+    val sf = Multimodal.audioFrameFeatures(stereo, frameLen = 6)
+      .collect()
+    assert(sf.length == 1 && sf.head.n == 12 && sf.head.n_zero_cross == 5)
+    // ...and with frameLen 2 each window sees one L-channel pair
+    // (100, -100) → exactly 1 crossing per window; the cross-window
+    // L pairs (-100 → 100) fall on boundaries and must NOT count
+    val sf2 = Multimodal.audioFrameFeatures(stereo, frameLen = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(sf2.map(_.n_zero_cross).toSeq == Seq(1, 1, 1),
+      s"got ${sf2.map(_.n_zero_cross).toSeq}")
+  }
+
   test("real WAV decode round-trips generated PCM samples and format") {
     val feats = Multimodal.extractAudioFeatures(Multimodal.audioTable(spark, 64))
       .collect().sortBy(_.media_id)
