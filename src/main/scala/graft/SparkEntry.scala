@@ -1103,6 +1103,12 @@ object SparkEntry {
       // user's LATEST change wins, 'error' is the tombstone — one
       // keyed window + filter, no join, the lakehouse MERGE primitive
       Relational.cdcCompact(s, d)),
+    "q42_scd2" -> ((s, d) =>
+      // SCD type-2 history build — the interval twin of q28: every
+      // surviving version as [valid_from, valid_to) with an is_current
+      // flag; tombstones close the previous interval without emitting
+      // one. One keyed lead window, no join.
+      Relational.scd2History(s, d)),
     "q29_moving_avg" -> ((s, d) =>
       // 7-day trailing average of per-type daily totals over a
       // GAP-FILLED day axis (a missing day is a zero day; without the
@@ -2394,6 +2400,16 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn FROM c)
         |WHERE rn = 1 AND op <> 'delete' ORDER BY user_id""".stripMargin,
+
+    "q42_scd2" ->
+      """WITH c AS (SELECT user_id, ts, event_id, event_type, value,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM events)
+        |SELECT user_id, event_id, ts AS valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current, event_type, value
+        |FROM c WHERE op <> 'delete'
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
     "q29_moving_avg" ->
       """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |             CAST(value AS DECIMAL(14,2)) AS v FROM events),

@@ -367,6 +367,51 @@ object Relational {
       .select((keyCol +: tsCol +: valueCols).map(col): _*)
   }
 
+  /** SCD TYPE-2 HISTORY BUILD — the interval twin of
+    * [[compactChangelog]]: instead of keeping each key's latest state,
+    * keep EVERY version as a validity interval — `valid_from` = the
+    * change's own timestamp, `valid_to` = the key's NEXT change (NULL
+    * while current), `is_current` = open-ended. This is the dimension-
+    * history primitive (Kimball SCD2 / Delta time travel surrogate):
+    * an as-of lookup becomes `valid_from <= t AND (valid_to > t OR
+    * valid_to IS NULL)`.
+    *
+    * Tombstones participate in the window but emit no interval: a
+    * delete CLOSES the previous version (its ts becomes that row's
+    * `valid_to`) and a later re-insert starts a new interval, so gaps
+    * in a key's history are represented, not papered over. Ties on the
+    * timestamp resolve by `seqCol` (same deterministic total order as
+    * compaction), which may yield zero-length superseded intervals —
+    * the faithful reading of same-instant rewrites.
+    *
+    * Shape at scale: ONE keyed window (lead over the per-key exchange)
+    * + a filter; no join, no self-union, per-key history length
+    * irrelevant — identical exchange profile to any keyed dedup. */
+  def scd2(changes: DataFrame, keyCol: String, tsCol: String,
+           seqCol: String, opCol: String,
+           valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(seqCol))
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .filter(col(opCol) =!= "delete")
+      .select(col(keyCol) +: col(seqCol) +: col(tsCol).as("valid_from") +:
+        col("valid_to") +: col("valid_to").isNull.as("is_current") +:
+        valueCols.map(col): _*)
+  }
+
+  /** The gate instance of [[scd2]] over the events changelog (same
+    * tombstone mapping as [[cdcCompact]]): the full per-user version
+    * history with validity intervals. */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir)
+      .withColumn("op",
+        when(col("event_type") === "error", lit("delete"))
+          .otherwise(lit("upsert")))
+    scd2(e, "user_id", "ts", "event_id", "op", Seq("event_type", "value"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
   /** The gate instance of [[compactChangelog]] over the events table:
     * each event is a change record for its user — 'error' is the
     * tombstone, everything else upserts (event_type, value). */

@@ -2348,6 +2348,37 @@ class CdcGraphSpec extends SparkSpec {
     assert(got == Seq((2L, 20.0), (3L, 31.0)))
   }
 
+  test("scd2: intervals chain, deletes close without emitting, re-insert reopens") {
+    val ch = Seq(
+      // key 1: two versions then delete — both intervals closed, none current
+      (1L, ts("2024-01-01 10:00:00"), 1L, "upsert", 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "upsert", 11.0),
+      (1L, ts("2024-01-01 12:00:00"), 3L, "delete", 0.0),
+      // key 2: delete, re-insert — one open interval starting at the insert
+      (2L, ts("2024-01-01 10:00:00"), 4L, "delete", 0.0),
+      (2L, ts("2024-01-01 11:00:00"), 5L, "upsert", 20.0),
+      // key 3: same-ts rewrite — seq 6's interval is zero-length, seq 7 current
+      (3L, ts("2024-01-01 10:00:00"), 6L, "upsert", 30.0),
+      (3L, ts("2024-01-01 10:00:00"), 7L, "upsert", 31.0)
+    ).toDF("k", "ts", "seq", "op", "v")
+    val got = Relational.scd2(ch, "k", "ts", "seq", "op", Seq("v"))
+      .orderBy(col("k"), col("valid_from"), col("seq"))
+      .select("k", "seq", "valid_from", "valid_to", "is_current", "v")
+      .as[(Long, Long, java.sql.Timestamp, Option[java.sql.Timestamp], Boolean, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 11:00:00")), false, 10.0),
+      (1L, 2L, ts("2024-01-01 11:00:00"), Some(ts("2024-01-01 12:00:00")), false, 11.0),
+      (2L, 5L, ts("2024-01-01 11:00:00"), None, true, 20.0),
+      (3L, 6L, ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 10:00:00")), false, 30.0),
+      (3L, 7L, ts("2024-01-01 10:00:00"), None, true, 31.0)))
+    // every key's current rows == its compacted survivors (interval/state duality)
+    val current = got.filter(_._5).map(g => (g._1, g._6)).sorted
+    val compacted = Relational.compactChangelog(ch, "k", "ts", "seq", "op", Seq("v"))
+      .select("k", "v").as[(Long, Double)].collect().toSeq.sorted
+    assert(current == compacted)
+  }
+
   test("moving average windows never reach past the 7-day frame") {
     val rows = Relational.dailyMovingAvg(spark, sf0001)
       .select(col("event_type"), col("total"), col("ma7"))
