@@ -1109,6 +1109,18 @@ object SparkEntry {
       // flag; tombstones close the previous interval without emitting
       // one. One keyed lead window, no join.
       Relational.scd2History(s, d)),
+    "q43_equidepth" -> ((s, d) =>
+      // equi-depth binning without a global sort: 8 buckets whose
+      // boundaries are the i/8-quantiles of the deterministic bottom-k
+      // sample (q35's machinery), broadcast as a literal cut array;
+      // the data pass is one scan + an 8-key aggregation. Ties on a
+      // boundary close the lower bucket.
+      Relational.equiDepthBins(Tables.lineitem(s, d), "l_extendedprice",
+          col("l_orderkey") * 8 + col("l_linenumber"),
+          buckets = 8, k = 4096)
+        .select(col("bucket"), col("n"),
+          round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+        .orderBy(col("bucket"))),
     "q29_moving_avg" -> ((s, d) =>
       // 7-day trailing average of per-type daily totals over a
       // GAP-FILLED day axis (a missing day is a zero day; without the
@@ -2410,6 +2422,28 @@ object SparkEntry {
         |  (valid_to IS NULL) AS is_current, event_type, value
         |FROM c WHERE op <> 'delete'
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
+
+    "q43_equidepth" ->
+      """WITH t AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+        |    ('0x' || substr(md5(CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) || 'sq'), 1, 15))::BIGINT
+        |      / 1152921504606846976.0 AS u
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |s AS (SELECT v, u FROM t ORDER BY u, v LIMIT 4096),
+        |r AS (SELECT v, u, row_number() OVER (ORDER BY v, u) AS rn,
+        |        count(*) OVER () AS n FROM s),
+        |cuts AS (
+        |  SELECT p, v FROM r
+        |  JOIN (VALUES (CAST(0.125 AS DOUBLE)), (0.25), (0.375), (0.5),
+        |               (0.625), (0.75), (0.875)) kv(p)
+        |    ON rn = greatest(CAST(ceil(p * n) AS BIGINT), 1)),
+        |cl AS (SELECT list(v) AS cs FROM cuts)
+        |SELECT bucket, count(*) AS n, round(min(v), 6) AS lo,
+        |  round(max(v), 6) AS hi
+        |FROM (SELECT v,
+        |        CAST(1 + len(list_filter(cs, c -> c < v)) AS INTEGER) AS bucket
+        |      FROM t, cl)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q29_moving_avg" ->
       """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |             CAST(value AS DECIMAL(14,2)) AS v FROM events),

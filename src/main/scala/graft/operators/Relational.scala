@@ -766,4 +766,43 @@ object Relational {
       .select(col("g"), col("p"), col("v").as("value"))
       .orderBy(col("g"), col("p"))
   }
+
+  /** EQUI-DEPTH BINNING at scale (distributed NTILE / equi-height
+    * histogram without a global sort): the B−1 bucket boundaries are
+    * the i/B-quantiles of the deterministic bottom-k sample
+    * ([[sampleQuantiles]] — one TakeOrdered scan), collected as a
+    * bounded (B−1)-value sidecar and broadcast as a literal array;
+    * every row is then assigned `bucket = 1 + #{cuts < v}` by a
+    * codegen'd filter-size over that literal, so the full-data pass is
+    * ONE scan feeding an aggregation keyed by ≤ B values. Ties on a
+    * boundary go to the LOWER bucket (the NTILE reading where the cut
+    * value closes its bucket); duplicate cut values leave the skipped
+    * bucket empty rather than double-assigning.
+    *
+    * Emits per-bucket count/min/max — the equi-height histogram /
+    * stratification primitive (optimizer statistics, monotone feature
+    * binning, length-bucketed batch packing). Bucket populations are
+    * within sampling error (~n/√k per boundary) of n/B, NOT exact —
+    * the price of one-pass at 100 TB; [[exactQuantiles]]' two-pass
+    * path supplies exact ranks when they matter. */
+  def equiDepthBins(df: DataFrame, valueCol: String, rowKey: Column,
+                    buckets: Int, k: Int,
+                    salt: String = "sq"): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val ps = (1 until buckets).map(_.toDouble / buckets)
+    // bounded sidecar: B-1 cut values from the deterministic sample
+    val cuts = sampleQuantiles(df, valueCol, rowKey, ps, k, salt)
+      .orderBy(col("p")).collect().map(_.getDouble(1))
+    val v = col(valueCol).cast("double")
+    if (cuts.isEmpty) { // empty input: no sample rows -> no bins
+      return df.sparkSession.emptyDataFrame
+        .select(lit(1).as("bucket"), lit(0L).as("n"),
+          lit(0d).as("lo"), lit(0d).as("hi"))
+    }
+    val cutLit = array(cuts.map(lit(_)).toSeq: _*)
+    df.filter(v.isNotNull)
+      .groupBy((lit(1) + size(filter(cutLit, c => v > c))).as("bucket"))
+      .agg(count(lit(1)).as("n"), min(v).as("lo"), max(v).as("hi"))
+      .orderBy(col("bucket"))
+  }
 }

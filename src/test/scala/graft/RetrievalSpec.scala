@@ -246,6 +246,37 @@ class QuantileSpec extends SparkSpec {
     }
   }
 
+  test("equiDepthBins: exact quarters at k >= n, ties close the lower bucket, invariant") {
+    // 1..100 distinct, B=4, full sample: cuts 25/50/75 -> exact quarters
+    val rows = (1 to 100).map(i => (i.toLong, i.toDouble))
+    val df = rows.toDF("id", "x")
+    val got = operators.Relational.equiDepthBins(df, "x", col("id"),
+        buckets = 4, k = 1000)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1, 25L, 1.0, 25.0), (2, 25L, 26.0, 50.0),
+      (3, 25L, 51.0, 75.0), (4, 25L, 76.0, 100.0)))
+    // boundary tie: values equal to a cut land in the LOWER bucket
+    val dup = (1 to 100).map(i => (i.toLong, if (i <= 60) 25.0 else i.toDouble))
+    val db = operators.Relational.equiDepthBins(dup.toDF("id", "x"), "x",
+        col("id"), buckets = 4, k = 1000)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // cuts are (25, 25, 75): bucket 2 is empty (duplicate cut), all 60
+    // copies of 25.0 sit in bucket 1
+    assert(db.toSeq == Seq((1, 60L), (3, 15L), (4, 25L)))
+    // partitioning must not change the histogram (deterministic sample)
+    val a = operators.Relational.equiDepthBins(df.repartition(3), "x",
+      col("id"), buckets = 4, k = 37).collect().toSeq
+    val b = operators.Relational.equiDepthBins(df.repartition(11), "x",
+      col("id"), buckets = 4, k = 37).collect().toSeq
+    assert(a == b)
+    // all-equal column: every row in bucket 1
+    val eq = operators.Relational.equiDepthBins(
+        Seq.fill(50)(7.5).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("id", "x"), "x", col("id"), buckets = 4, k = 100)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(eq.toSeq == Seq((1, 50L)))
+  }
+
   test("sampleQuantilesByGroup: k >= group size is exact per group; one-pass determinism") {
     val rnd = new scala.util.Random(19)
     val rows = (0 until 1500).map { i =>
