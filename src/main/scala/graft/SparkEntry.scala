@@ -1331,6 +1331,29 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    "q44_trade_lpa" -> ((s, d) => {
+      // label-propagation communities over the SAME staged repeat-trade
+      // graph as q34: FINER than its connected components — the
+      // majority vote won't merge two dense groups across a bridge
+      // edge; 4 synchronous min-tiebreak rounds, replayed
+      // round-for-round by the oracle's l1..l4 chain
+      val dir = stagedStore(d, "tradepairs", version = 1) { dir =>
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select((col("l_suppkey") * 2).as("a"),
+            (col("o_custkey") * 2 + 1).as("b"), col("l_orderkey"))
+          .groupBy(col("a"), col("b"))
+          .agg(countDistinct(col("l_orderkey")).as("n"))
+          .filter(col("n") >= 3)
+          .select(col("a"), col("b"))
+          .write.mode("overwrite").parquet(dir)
+      }
+      Graphs.labelPropagation(s.read.parquet(dir), iterations = 4)
+        .select(col("node").cast("long").as("node"),
+          col("community").cast("long").as("community"))
+        .orderBy(col("node"))
+    }),
+
     "a11_sq8_knn" -> ((s, d) =>
       // SQ8 compressed-scan kNN (the scalar-quantization SEARCH side of
       // v15's encode): rank by distance to the bin-center decode of the
@@ -2679,6 +2702,38 @@ object SparkEntry {
         |  SELECT reach.node, e.y FROM reach JOIN edges e ON e.x = reach.r)
         |SELECT node, least(node, min(r)) AS cluster
         |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    "q44_trade_lpa" ->
+      """WITH pairs AS (
+        |  SELECT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |  HAVING count(DISTINCT l_orderkey) >= 3),
+        |e AS (SELECT a AS x, b AS y FROM pairs
+        |  UNION ALL SELECT b AS x, a AS y FROM pairs),
+        |l0 AS (SELECT DISTINCT x AS node, x AS lab FROM e),
+        |c1 AS (SELECT e.x AS node, l.lab, count(*) AS c
+        |       FROM e JOIN l0 l ON l.node = e.y GROUP BY 1, 2),
+        |l1 AS (SELECT node, lab FROM (SELECT node, lab, row_number()
+        |         OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c1)
+        |       WHERE rn = 1),
+        |c2 AS (SELECT e.x AS node, l.lab, count(*) AS c
+        |       FROM e JOIN l1 l ON l.node = e.y GROUP BY 1, 2),
+        |l2 AS (SELECT node, lab FROM (SELECT node, lab, row_number()
+        |         OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c2)
+        |       WHERE rn = 1),
+        |c3 AS (SELECT e.x AS node, l.lab, count(*) AS c
+        |       FROM e JOIN l2 l ON l.node = e.y GROUP BY 1, 2),
+        |l3 AS (SELECT node, lab FROM (SELECT node, lab, row_number()
+        |         OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c3)
+        |       WHERE rn = 1),
+        |c4 AS (SELECT e.x AS node, l.lab, count(*) AS c
+        |       FROM e JOIN l3 l ON l.node = e.y GROUP BY 1, 2),
+        |l4 AS (SELECT node, lab FROM (SELECT node, lab, row_number()
+        |         OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c4)
+        |       WHERE rn = 1)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS community
+        |FROM l4 ORDER BY node""".stripMargin,
     "q22_range_join" ->
       """WITH c AS (SELECT event_id AS click_id, user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS tc

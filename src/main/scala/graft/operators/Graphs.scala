@@ -41,6 +41,52 @@ object Graphs {
       .unionAll(edges.select(col(bCol).as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
 
+  /** LABEL PROPAGATION communities (Raghavan et al. 2007), made fully
+    * deterministic: labels start as the node id; each SYNCHRONOUS round
+    * every node adopts the most frequent label among its neighbors,
+    * ties broken by the SMALLEST label (classic LPA breaks ties
+    * randomly — that can't be hash-gated; min-tiebreak can, and the
+    * min_by struct ordering (−count, label) encodes it in one keyed
+    * aggregation). A fixed round count rather than a convergence test:
+    * synchronous LPA can 2-cycle on bipartite structure, so "run N
+    * rounds" is the only deterministic, replayable contract.
+    *
+    * Communities are FINER than [[Dedup.clusterIds]]' components — a
+    * bridge edge joins two components but the majority vote won't merge
+    * two dense groups across it — which is exactly the corpus-curation
+    * use (near-dup neighborhoods inside a giant weakly-connected blob).
+    *
+    * Plan: the symmetrized edge relation materializes ONCE,
+    * pre-partitioned on the vote-collecting endpoint; each round is one
+    * broadcast-or-shuffle join of the tiny (node, label) frame into the
+    * edges plus two keyed aggregations that REUSE the edge partitioning
+    * (hash(x) clusters (x, lab) too), so the per-round exchange is only
+    * the |V|-sized label frame — same profile as [[pageRank]]; eager
+    * localCheckpoint keeps plan depth flat at any round count. */
+  def labelPropagation(edges: DataFrame, aCol: String = "a",
+                       bCol: String = "b",
+                       iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, s"need >= 1 iteration, got $iterations")
+    val e = edges.select(col(aCol).as("x"), col(bCol).as("y"))
+      .unionAll(edges.select(col(bCol).as("x"), col(aCol).as("y")))
+      .repartition(col("x"))
+      .localCheckpoint()
+    var lab = e.select(col("x").as("node")).distinct()
+      .withColumn("lab", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      lab = e
+        .join(lab.select(col("node").as("y"), col("lab")), Seq("y"))
+        .groupBy(col("x"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("x"))
+        .agg(min_by(col("lab"),
+          struct((-col("c")).as("nc"), col("lab").as("l"))).as("lab"))
+        .select(col("x").as("node"), col("lab"))
+        .localCheckpoint()
+    }
+    lab.select(col("node"), col("lab").as("community"))
+  }
+
   /** PERSONALIZED PageRank (random walk with restart to a seed set) in
     * the same exact integer micro-units as [[pageRank]]: restart mass
     * goes only to `seeds` (topic-sensitive importance — "what matters

@@ -2394,6 +2394,27 @@ class CdcGraphSpec extends SparkSpec {
     }
   }
 
+  test("label propagation: cliques converge to min id, a bridge doesn't merge them") {
+    val c1 = for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong)
+    val c2 = for { a <- 11 to 14; b <- 11 to 14 if a < b } yield (a.toLong, b.toLong)
+    val edges = (c1 ++ c2 :+ (4L -> 11L)).toDF("a", "b")
+    val got = Graphs.labelPropagation(edges, iterations = 4)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // one component (the bridge), but TWO communities — majority voting
+    // keeps each clique on its own min id
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (11L, 11L), (12L, 11L), (13L, 11L), (14L, 11L)))
+    // synchronous 2-cycle contract on a bare edge: even rounds restore
+    // the identity labeling, odd rounds swap — deterministic either way
+    val pair = Seq((1L, 2L)).toDF("a", "b")
+    val even = Graphs.labelPropagation(pair, iterations = 4)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(even == Seq((1L, 1L), (2L, 2L)))
+    val odd = Graphs.labelPropagation(pair, iterations = 3)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(odd == Seq((1L, 2L), (2L, 1L)))
+  }
+
   test("triangles: a 4-clique has four, a chain has none") {
     val clique = (for {
       a <- 0 to 3; b <- 0 to 3 if a < b
