@@ -950,6 +950,23 @@ object Tools {
       val ca = timeCc("cc distributed 1x", rpAt(1))
       val cb = timeCc(s"cc distributed ${mult}x", rpAt(mult))
       println(f"cc growth ${mult}x: x${cb / ca}%.2f")
+      // q44 LPA growth: per round the work is one broadcast label join
+      // + two aggs reusing the edge partitioning, so time should be
+      // ~linear in |E| and ~linear in rounds (no closure shortcut —
+      // LPA's round count is part of the contract, not a convergence
+      // race)
+      def timeLpa(label: String, p: org.apache.spark.sql.DataFrame,
+                  iters: Int): Double = {
+        val t0 = System.nanoTime()
+        val n = Graphs.labelPropagation(p, iterations = iters).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$label%-28s $s%8.2f s  ($n nodes)")
+        s
+      }
+      val la = timeLpa("lpa 4it 1x", rpAt(1), 4)
+      val lb = timeLpa(s"lpa 4it ${mult}x", rpAt(mult), 4)
+      val lc = timeLpa("lpa 8it 1x", rpAt(1), 8)
+      println(f"lpa growth ${mult}x: x${lb / la}%.2f  (iters 2x: x${lc / la}%.2f)")
       spark.stop(); return
     }
     if (name == "probebench") {
