@@ -56,13 +56,18 @@ object Graphs {
     * two dense groups across it — which is exactly the corpus-curation
     * use (near-dup neighborhoods inside a giant weakly-connected blob).
     *
-    * Plan: the symmetrized edge relation materializes ONCE,
-    * pre-partitioned on the vote-collecting endpoint; each round is one
-    * broadcast-or-shuffle join of the tiny (node, label) frame into the
-    * edges plus two keyed aggregations that REUSE the edge partitioning
-    * (hash(x) clusters (x, lab) too), so the per-round exchange is only
-    * the |V|-sized label frame — same profile as [[pageRank]]; eager
-    * localCheckpoint keeps plan depth flat at any round count. */
+    * Plan: the symmetrized edge relation shuffles ONCE onto the
+    * vote-collecting endpoint and is CACHED (persist, not
+    * localCheckpoint: a checkpointed RDD scan forgets its
+    * outputPartitioning and would force a vote-pair exchange every
+    * round — in early rounds the (x, label) pairs are edge-scale, so
+    * that re-shuffle is the whole graph; the in-memory relation keeps
+    * hash(x), which clusters (x, label) too). Each round is then the
+    * tiny (node, label) frame BROADCAST into the cached edges with
+    * both keyed aggregations running in the same stage — zero shuffle
+    * per round, verified on the executed plan; eager localCheckpoint
+    * of the |V|-row label frame keeps plan depth flat at any round
+    * count. */
   def labelPropagation(edges: DataFrame, aCol: String = "a",
                        bCol: String = "b",
                        iterations: Int = 4): DataFrame = {
@@ -70,7 +75,8 @@ object Graphs {
     val e = edges.select(col(aCol).as("x"), col(bCol).as("y"))
       .unionAll(edges.select(col(bCol).as("x"), col(aCol).as("y")))
       .repartition(col("x"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize the cache once, before the rounds
     var lab = e.select(col("x").as("node")).distinct()
       .withColumn("lab", col("node"))
       .localCheckpoint()
@@ -84,6 +90,7 @@ object Graphs {
         .select(col("x").as("node"), col("lab"))
         .localCheckpoint()
     }
+    e.unpersist(blocking = false) // labels are materialized; drop the cache
     lab.select(col("node"), col("lab").as("community"))
   }
 

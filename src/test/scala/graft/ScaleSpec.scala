@@ -780,6 +780,45 @@ class ScaleSpec extends SparkSpec {
     assert(tight == 0, "within-cluster dim-1 spread exceeded 2*spread")
   }
 
+  test("LPA round idiom: persisted hash(x) edges + broadcast labels = zero shuffle per round") {
+    // Pins the plan contract Graphs.labelPropagation relies on: the
+    // symmetrized edge relation persisted AFTER repartition(x) keeps
+    // hash(x) as its outputPartitioning (a localCheckpoint scan would
+    // forget it), hash(x) clusters (x, lab) too, and the tiny label
+    // frame broadcasts — so one vote round runs with NO Exchange of
+    // its own. If Spark's cache/partitioning semantics ever change,
+    // this fails before the gate slows down.
+    val edges = (1 to 2000).map(i => (i.toLong, (i % 500 + 3000).toLong))
+      .toDF("a", "b")
+    val e = edges.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(edges.select(col("b").as("x"), col("a").as("y")))
+      .repartition(col("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val lab = e.select(col("x").as("node")).distinct()
+      .withColumn("lab", col("node")).localCheckpoint()
+    val round = e
+      .join(lab.select(col("node").as("y"), col("lab")), Seq("y"))
+      .groupBy(col("x"), col("lab")).agg(count(lit(1)).as("c"))
+      .groupBy(col("x"))
+      .agg(min_by(col("lab"),
+        struct((-col("c")).as("nc"), col("lab").as("l"))).as("lab"))
+      .select(col("x").as("node"), col("lab"))
+    round.collect()
+    val plan = round.queryExecution.executedPlan.toString
+    val finalPlan = plan.linesIterator
+      .takeWhile(!_.contains("Initial Plan")).mkString("\n")
+    // the only shuffle in the FINAL plan is the cached build's
+    // REPARTITION_BY_COL, inside the InMemoryRelation
+    val roundShuffles = "Exchange hashpartitioning[^\n]*ENSURE_REQUIREMENTS".r
+      .findAllIn(finalPlan).size
+    assert(roundShuffles == 0,
+      s"expected a shuffle-free vote round, got $roundShuffles:\n$finalPlan")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      "label frame must broadcast into the cached edges")
+    e.unpersist(blocking = false)
+  }
+
   test("routed IVFADC write: probe-able store, assignment matches sidecar") {
     val dir = java.nio.file.Files.createTempDirectory("graftrouted").toString + "/store"
     val pts = Ingest.randomClustered(spark, 2000, 16, centers = 32)
