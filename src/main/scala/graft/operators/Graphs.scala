@@ -114,7 +114,13 @@ object Graphs {
       .withColumn("outdeg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .repartition(col("dst"))
-      .localCheckpoint()
+      // persist, not localCheckpoint: the cache keeps hash(dst) as the
+      // relation's outputPartitioning (an RDD-scan checkpoint forgets
+      // it), so each round's per-dst contribution sum runs IN-STAGE on
+      // the cached edges — no per-round exchange of even the partial
+      // sums (see labelPropagation for the plan-verified idiom)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ew.count()
     val seedRel = seeds.select(col(seedCol).as("node")).distinct()
     val nodes = ew.select(col("src").as("node"))
       .union(ew.select(col("dst").as("node"))).distinct()
@@ -138,6 +144,7 @@ object Graphs {
             expr("(17 * coalesce(contrib, 0L)) div 20")).as("pr"))
         .localCheckpoint()
     }
+    ew.unpersist(blocking = false) // pr is checkpointed; drop the cache
     pr.select(col("node"), col("pr"))
   }
 
@@ -188,7 +195,14 @@ object Graphs {
       .withColumn("outdeg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .repartition(col("dst"))
-      .localCheckpoint()
+      // persist, not localCheckpoint: the cache keeps hash(dst) as the
+      // relation's outputPartitioning (an RDD-scan checkpoint forgets
+      // it — the aliases preserve it through the projection), so each
+      // round's per-dst contribution sum runs IN-STAGE on the cached
+      // edges with no exchange of even the partial sums (the
+      // labelPropagation plan-verified idiom)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ew.count()
     val nodes = ew.select(col("src").as("node"))
       .union(ew.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
@@ -211,6 +225,7 @@ object Graphs {
         // constant across rounds
         .localCheckpoint()
     }
+    ew.unpersist(blocking = false) // pr is checkpointed; drop the cache
     pr
   }
 }
