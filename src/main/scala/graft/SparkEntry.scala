@@ -193,6 +193,18 @@ object SparkEntry {
       Relational.exactHeavyHitters(toks, "token", 40)
         .orderBy(col("token"))
     }),
+    "q45_group_heavy_hitters" -> ((s, d) => {
+      // per-LANGUAGE exact heavy hitters (count > group/40): the q24
+      // plan with BOTH the group count and key space unbounded — each
+      // language's Misra-Gries candidates verify through a (group,
+      // key) equi join, no driver-side candidate collect; per-language
+      // stopword discovery as one sketch pass + one verify pass
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+      Relational.exactHeavyHittersByGroup(toks, "lang", "token", 40)
+        .orderBy(col("lang"), col("token"))
+    }),
     "q23_kmv_overlap" -> ((s, d) => {
       // sketch ALGEBRA: audience overlap between two event types from
       // three KMV sketches (A, B, A∪B — the union sketch IS the merge
@@ -2793,6 +2805,16 @@ object SparkEntry {
         |SELECT token, count(*) AS cnt FROM tt, n
         |GROUP BY token, n.n HAVING count(*) * 40 > n.n
         |ORDER BY token""".stripMargin,
+
+    "q45_group_heavy_hitters" ->
+      """WITH t AS (SELECT lang, unnest(string_split_regex(text, '\s+')) AS token
+        |           FROM documents),
+        |tt AS (SELECT lang, token FROM t WHERE token <> ''),
+        |n AS (SELECT lang, count(*) AS n FROM tt GROUP BY lang)
+        |SELECT tt.lang, token, count(*) AS cnt
+        |FROM tt JOIN n ON tt.lang = n.lang
+        |GROUP BY tt.lang, token, n.n HAVING count(*) * 40 > n.n
+        |ORDER BY tt.lang, token""".stripMargin,
     "q23_kmv_overlap" -> {
       def estSql(src: String): String =
         s"(SELECT CASE WHEN n < 256 THEN CAST(n AS DOUBLE) ELSE 255.0 / kth END " +

@@ -344,6 +344,33 @@ object Relational {
     }
   }
 
+  /** PER-GROUP exact heavy hitters — [[exactHeavyHitters]] with both
+    * the GROUP count and the KEY space unbounded: one keyed aggregation
+    * computes each group's Misra-Gries candidate superset (≤ k−1 keys,
+    * the guarantee is per-group because the aggregate is per-group)
+    * plus its row count, then the verify pass joins rows to their own
+    * group's candidates on (group, key) — an ordinary equi join, no
+    * driver-side candidate collect (the global path's bounded-sidecar
+    * shortcut doesn't survive unbounded groups) — and applies the exact
+    * threshold cnt·k > n. Output is EXACT (the sketch only prunes).
+    * Exchange: O(groups·k) candidate rows + the candidate-key row
+    * subset; the per-domain stopword/top-talker primitive at 100 TB. */
+  def exactHeavyHittersByGroup(rows: DataFrame, groupCol: String,
+                               keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val cand = rows.groupBy(col(groupCol).as("g"))
+      .agg(graft.functions.MisraGries.candidates(col(keyCol), k).as("cand"),
+        count(lit(1)).as("n"))
+    val candRel = cand.select(col("g"), col("n"), explode(col("cand")).as("ck"))
+    rows
+      .select(col(groupCol).as("g"), col(keyCol).cast("string").as("ck"))
+      .join(candRel, Seq("g", "ck"))
+      .groupBy(col("g"), col("ck"))
+      .agg(count(lit(1)).as("cnt"), first(col("n")).as("n"))
+      .filter(col("cnt") * k > col("n"))
+      .select(col("g").as(groupCol), col("ck").as(keyCol), col("cnt"))
+  }
+
   /** CHANGELOG COMPACTION (CDC apply / last-writer-wins merge) — the
     * lakehouse MERGE primitive: given a stream of keyed change records
     * (upserts and deletes), the surviving state is each key's LATEST

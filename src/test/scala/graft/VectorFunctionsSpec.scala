@@ -331,4 +331,30 @@ class VectorFunctionsSpec extends SparkSpec {
       spark.range(0).select(col("id").cast("string").as("key")),
       "key", 10).count() == 0L)
   }
+
+  test("per-group heavy hitters: exact per group, groups don't leak into each other") {
+    import graft.operators.Relational
+    // group A: one hot key over uniques; group B: uniform (no hitters);
+    // group C: two hot keys — the same key name is hot in A but cold in C
+    val rows = spark.range(9000).select(
+      when(col("id") % 3 === 0, lit("A"))
+        .when(col("id") % 3 === 1, lit("B")).otherwise(lit("C")).as("g"),
+      when(col("id") % 3 === 0 && col("id") % 5 =!= 0, lit("hotA"))
+        .when(col("id") % 3 === 2 && col("id") % 4 === 0, lit("hotA"))
+        .when(col("id") % 3 === 2 && col("id") % 4 === 2, lit("hotC"))
+        .otherwise(concat(lit("u"), col("id"))).as("key"))
+      .repartition(11)
+    val truth = rows.groupBy("g", "key").agg(count(lit(1)).as("cnt"))
+      .join(rows.groupBy("g").agg(count(lit(1)).as("n")), "g")
+      .filter(col("cnt") * 5 > col("n"))
+      .select("g", "key", "cnt")
+      .as[(String, String, Long)].collect().toSet
+    val got = Relational.exactHeavyHittersByGroup(rows, "g", "key", 5)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == truth && truth.nonEmpty)
+    assert(!got.exists(_._1 == "B"), "uniform group must have no hitters")
+    assert(got.exists(r => r._1 == "A" && r._2 == "hotA"))
+    assert(got.exists(r => r._1 == "C" && r._2 == "hotA") ==
+      truth.exists(r => r._1 == "C" && r._2 == "hotA"))
+  }
 }
