@@ -577,6 +577,46 @@ class StreamOpsSpec extends SparkSpec {
     assert(got.getDouble(2) == want.getDouble(2))
   }
 
+  test("Misra-Gries on a stream: maintained candidates verify to exact heavy hitters") {
+    // unlike KMV/HLL, MG counter STATE is not merge-order invariant —
+    // only the superset guarantee survives re-batching — so the
+    // streaming contract is sketch-on-the-stream + verify-on-demand:
+    // the complete-mode candidate set must contain every true heavy
+    // hitter, and the candidates-only exact pass must equal the batch
+    // brute force
+    val dir = java.nio.file.Files.createTempDirectory("graftmg")
+      .resolve("keys").toString
+    spark.range(12000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN concat('hot', (id % 8) div 2) " +
+        "ELSE concat('u', id) END AS key")
+      .repartition(4).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = stream
+      .agg(graft.functions.MisraGries.candidates(col("key"), 10).as("cand"),
+        count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("mgs")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val last = spark.table("mgs").collect().last
+    val cand = last.getAs[scala.collection.Seq[String]](0)
+    val n = last.getLong(1)
+    val rows = spark.read.parquet(dir)
+    val truth = rows.groupBy("key").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 10 > n)
+      .as[(String, Long)].collect().toMap
+    assert(truth.nonEmpty && truth.keySet.subsetOf(cand.toSet),
+      s"stream candidates missing ${truth.keySet -- cand.toSet}")
+    val candCol = array(cand.map(lit(_)).toSeq: _*)
+    val exact = rows.filter(array_contains(candCol, col("key")))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 10 > n)
+      .as[(String, Long)].collect().toMap
+    assert(exact == truth)
+  }
+
   test("bloom pre-filter runs unchanged on streams (stateless projection)") {
     // the built bitset is a literal, so the probe side is a pure
     // projection — the ingest-time "drop rows that can't join" pattern
