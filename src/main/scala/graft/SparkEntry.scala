@@ -68,6 +68,23 @@ object SparkEntry {
     dir
   }
 
+  /** Staged repeat-trade pair graph (supplier↔customer pairs with ≥ 3
+    * distinct orders), shared by q34 (connected components) and q44
+    * (label propagation) — ONE builder under the shared store tag so
+    * the two gates cannot silently diverge. */
+  private def tradePairsDir(s: SparkSession, d: String): String =
+    stagedStore(d, "tradepairs", version = 1) { dir =>
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("a"),
+          (col("o_custkey") * 2 + 1).as("b"), col("l_orderkey"))
+        .groupBy(col("a"), col("b"))
+        .agg(countDistinct(col("l_orderkey")).as("n"))
+        .filter(col("n") >= 3)
+        .select(col("a"), col("b"))
+        .write.mode("overwrite").parquet(dir)
+    }
+
   /** The standing corpus's staged dedup index (d29/d30): postings of
     * the non-batch documents slice, built once per sfDir. The opened
     * handle (partition listing + meta sidecar) is cached per session —
@@ -1328,18 +1345,7 @@ object SparkEntry {
       // path on a graph that isn't the dedup pair graph). The pair
       // derivation stages once per sfDir like q30's graph — the gate
       // measures the CLOSURE, not the shared lineitem⋈orders scan
-      val dir = stagedStore(d, "tradepairs", version = 1) { dir =>
-        Tables.lineitem(s, d)
-          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .select((col("l_suppkey") * 2).as("a"),
-            (col("o_custkey") * 2 + 1).as("b"), col("l_orderkey"))
-          .groupBy(col("a"), col("b"))
-          .agg(countDistinct(col("l_orderkey")).as("n"))
-          .filter(col("n") >= 3)
-          .select(col("a"), col("b"))
-          .write.mode("overwrite").parquet(dir)
-      }
-      Dedup.clusterIds(s.read.parquet(dir), localBudget = 0L)
+      Dedup.clusterIds(s.read.parquet(tradePairsDir(s, d)), localBudget = 0L)
         .orderBy(col("node"))
     }),
 
@@ -1349,18 +1355,8 @@ object SparkEntry {
       // majority vote won't merge two dense groups across a bridge
       // edge; 4 synchronous min-tiebreak rounds, replayed
       // round-for-round by the oracle's l1..l4 chain
-      val dir = stagedStore(d, "tradepairs", version = 1) { dir =>
-        Tables.lineitem(s, d)
-          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .select((col("l_suppkey") * 2).as("a"),
-            (col("o_custkey") * 2 + 1).as("b"), col("l_orderkey"))
-          .groupBy(col("a"), col("b"))
-          .agg(countDistinct(col("l_orderkey")).as("n"))
-          .filter(col("n") >= 3)
-          .select(col("a"), col("b"))
-          .write.mode("overwrite").parquet(dir)
-      }
-      Graphs.labelPropagation(s.read.parquet(dir), iterations = 4)
+      Graphs.labelPropagation(s.read.parquet(tradePairsDir(s, d)),
+          iterations = 4)
         .select(col("node").cast("long").as("node"),
           col("community").cast("long").as("community"))
         .orderBy(col("node"))

@@ -56,6 +56,12 @@ object Graphs {
     * two dense groups across it — which is exactly the corpus-curation
     * use (near-dup neighborhoods inside a giant weakly-connected blob).
     *
+    * `edges` must be canonical (a < b, unique), like [[triangles]]: a
+    * duplicated or bidirectional input edge double-votes its endpoint
+    * labels and can silently flip a majority. The dedup-family pair
+    * relations and the staged trade graph satisfy this by
+    * construction.
+    *
     * Plan: the symmetrized edge relation shuffles ONCE onto the
     * vote-collecting endpoint and is CACHED (persist, not
     * localCheckpoint: a checkpointed RDD scan forgets its
@@ -63,11 +69,15 @@ object Graphs {
     * round — in early rounds the (x, label) pairs are edge-scale, so
     * that re-shuffle is the whole graph; the in-memory relation keeps
     * hash(x), which clusters (x, label) too). Each round is then the
-    * tiny (node, label) frame BROADCAST into the cached edges with
-    * both keyed aggregations running in the same stage — zero shuffle
-    * per round, verified on the executed plan; eager localCheckpoint
-    * of the |V|-row label frame keeps plan depth flat at any round
-    * count. */
+    * (node, label) frame joined into the cached edges with both keyed
+    * aggregations running in the same stage — zero shuffle per round
+    * while the label frame auto-broadcasts (verified on the executed
+    * plan; ScaleSpec pins it). Past the broadcast threshold the join
+    * honestly degrades to a per-round hash(y) exchange of the edges —
+    * the correct fallback when |V| itself is too big to ship — so size
+    * `spark.sql.autoBroadcastJoinThreshold` to the node-frame size
+    * when community-labeling a big graph. Eager localCheckpoint of the
+    * |V|-row label frame keeps plan depth flat at any round count. */
   def labelPropagation(edges: DataFrame, aCol: String = "a",
                        bCol: String = "b",
                        iterations: Int = 4): DataFrame = {
@@ -76,22 +86,27 @@ object Graphs {
       .unionAll(edges.select(col(bCol).as("x"), col(aCol).as("y")))
       .repartition(col("x"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    e.count() // materialize the cache once, before the rounds
-    var lab = e.select(col("x").as("node")).distinct()
-      .withColumn("lab", col("node"))
-      .localCheckpoint()
-    for (_ <- 1 to iterations) {
-      lab = e
-        .join(lab.select(col("node").as("y"), col("lab")), Seq("y"))
-        .groupBy(col("x"), col("lab")).agg(count(lit(1)).as("c"))
-        .groupBy(col("x"))
-        .agg(min_by(col("lab"),
-          struct((-col("c")).as("nc"), col("lab").as("l"))).as("lab"))
-        .select(col("x").as("node"), col("lab"))
+    try {
+      e.count() // materialize the cache once, before the rounds
+      var lab = e.select(col("x").as("node")).distinct()
+        .withColumn("lab", col("node"))
         .localCheckpoint()
+      for (_ <- 1 to iterations) {
+        lab = e
+          .join(lab.select(col("node").as("y"), col("lab")), Seq("y"))
+          .groupBy(col("x"), col("lab")).agg(count(lit(1)).as("c"))
+          .groupBy(col("x"))
+          .agg(min_by(col("lab"),
+            struct((-col("c")).as("nc"), col("lab").as("l"))).as("lab"))
+          .select(col("x").as("node"), col("lab"))
+          .localCheckpoint()
+      }
+      lab.select(col("node"), col("lab").as("community"))
+    } finally {
+      // labels are materialized (eager checkpoints); drop the cache
+      // even when a round throws, so failed calls don't pin the graph
+      e.unpersist(blocking = false)
     }
-    e.unpersist(blocking = false) // labels are materialized; drop the cache
-    lab.select(col("node"), col("lab").as("community"))
   }
 
   /** PERSONALIZED PageRank (random walk with restart to a seed set) in
@@ -120,32 +135,37 @@ object Graphs {
       // the cached edges — no per-round exchange of even the partial
       // sums (see labelPropagation for the plan-verified idiom)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ew.count()
-    val seedRel = seeds.select(col(seedCol).as("node")).distinct()
-    val nodes = ew.select(col("src").as("node"))
-      .union(ew.select(col("dst").as("node"))).distinct()
-      .join(seedRel.withColumn("_seed", lit(true)), Seq("node"), "left_outer")
-      .select(col("node"), coalesce(col("_seed"), lit(false)).as("seed"))
-      .localCheckpoint()
-    val nSeeds = nodes.filter(col("seed")).count()
-    require(nSeeds > 0, "personalized PageRank needs at least one seed in the graph")
-    val base = (3L * unit) / (20L * nSeeds)
-    var pr = nodes.withColumn("pr",
-      when(col("seed"), lit(unit / nSeeds)).otherwise(lit(0L)))
-    for (_ <- 1 to iterations) {
-      val contrib = ew
-        .join(pr.select(col("node").as("src"), col("pr")), Seq("src"))
-        .select(col("dst").as("node"), expr("pr div outdeg").as("share"))
-        .groupBy(col("node")).agg(sum(col("share")).as("contrib"))
-      pr = nodes
-        .join(contrib, Seq("node"), "left_outer")
-        .select(col("node"), col("seed"),
-          (when(col("seed"), lit(base)).otherwise(lit(0L)) +
-            expr("(17 * coalesce(contrib, 0L)) div 20")).as("pr"))
+    try {
+      ew.count()
+      val seedRel = seeds.select(col(seedCol).as("node")).distinct()
+      val nodes = ew.select(col("src").as("node"))
+        .union(ew.select(col("dst").as("node"))).distinct()
+        .join(seedRel.withColumn("_seed", lit(true)), Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("_seed"), lit(false)).as("seed"))
         .localCheckpoint()
+      val nSeeds = nodes.filter(col("seed")).count()
+      require(nSeeds > 0, "personalized PageRank needs at least one seed in the graph")
+      val base = (3L * unit) / (20L * nSeeds)
+      var pr = nodes.withColumn("pr",
+        when(col("seed"), lit(unit / nSeeds)).otherwise(lit(0L)))
+      for (_ <- 1 to iterations) {
+        val contrib = ew
+          .join(pr.select(col("node").as("src"), col("pr")), Seq("src"))
+          .select(col("dst").as("node"), expr("pr div outdeg").as("share"))
+          .groupBy(col("node")).agg(sum(col("share")).as("contrib"))
+        pr = nodes
+          .join(contrib, Seq("node"), "left_outer")
+          .select(col("node"), col("seed"),
+            (when(col("seed"), lit(base)).otherwise(lit(0L)) +
+              expr("(17 * coalesce(contrib, 0L)) div 20")).as("pr"))
+          .localCheckpoint()
+      }
+      pr.select(col("node"), col("pr"))
+    } finally {
+      // pr is checkpointed; drop the cache even when the seed check or
+      // a round throws, so failed calls don't pin the graph
+      ew.unpersist(blocking = false)
     }
-    ew.unpersist(blocking = false) // pr is checkpointed; drop the cache
-    pr.select(col("node"), col("pr"))
   }
 
   /** PAGERANK in exact integer micro-units — the importance measure for
@@ -202,30 +222,35 @@ object Graphs {
       // edges with no exchange of even the partial sums (the
       // labelPropagation plan-verified idiom)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    ew.count()
-    val nodes = ew.select(col("src").as("node"))
-      .union(ew.select(col("dst").as("node"))).distinct()
-      .localCheckpoint()
-    val n = nodes.count()
-    val base = (3L * unit) / (20L * n)
-    var pr = nodes.withColumn("pr", lit(unit / n))
-    for (_ <- 1 to iterations) {
-      val contrib = ew
-        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), expr("pr div outdeg").as("share"))
-        .groupBy(col("node")).agg(sum(col("share")).as("contrib"))
-      pr = nodes
-        .join(contrib, Seq("node"), "left_outer")
-        .select(col("node"),
-          (lit(base) + expr("(17 * coalesce(contrib, 0L)) div 20")).as("pr"))
-        // EAGER by design (no-arg localCheckpoint): each round
-        // materializes the tiny (node, pr) relation — |V| rows — so the
-        // next round's broadcast join reads a flat scan instead of
-        // re-deriving the whole prior lineage, and plan depth stays
-        // constant across rounds
+    try {
+      ew.count()
+      val nodes = ew.select(col("src").as("node"))
+        .union(ew.select(col("dst").as("node"))).distinct()
         .localCheckpoint()
+      val n = nodes.count()
+      val base = (3L * unit) / (20L * n)
+      var pr = nodes.withColumn("pr", lit(unit / n))
+      for (_ <- 1 to iterations) {
+        val contrib = ew
+          .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+          .select(col("dst").as("node"), expr("pr div outdeg").as("share"))
+          .groupBy(col("node")).agg(sum(col("share")).as("contrib"))
+        pr = nodes
+          .join(contrib, Seq("node"), "left_outer")
+          .select(col("node"),
+            (lit(base) + expr("(17 * coalesce(contrib, 0L)) div 20")).as("pr"))
+          // EAGER by design (no-arg localCheckpoint): each round
+          // materializes the tiny (node, pr) relation — |V| rows — so the
+          // next round's broadcast join reads a flat scan instead of
+          // re-deriving the whole prior lineage, and plan depth stays
+          // constant across rounds
+          .localCheckpoint()
+      }
+      pr
+    } finally {
+      // pr is checkpointed; drop the cache even when a round throws,
+      // so failed calls don't pin the graph
+      ew.unpersist(blocking = false)
     }
-    ew.unpersist(blocking = false) // pr is checkpointed; drop the cache
-    pr
   }
 }
