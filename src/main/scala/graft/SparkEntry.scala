@@ -354,6 +354,62 @@ object SparkEntry {
           round(col("s.raw_est"), 4).as("raw_est"),
           round(col("s.estimate"), 4).as("estimate"))
     }),
+    "q46_hll_window" -> ((s, d) => {
+      // the sketch-over-WINDOW pattern completing q37/q38: trailing
+      // 7-day distinct users per observed day, answered from persisted
+      // per-day 256-byte HLL register cells — the range join + merge
+      // touches day-cardinality × 7 sketch cells, never the raw events,
+      // so a 100 TB event log pays one daily sketch pass and every
+      // trailing window after that is register algebra (the exact
+      // trailing COUNT(DISTINCT) rider exists only to expose the error;
+      // production drops it). Merge-of-daily-cells == direct sketch of
+      // the window's union (register max is associative/idempotent),
+      // which is exactly what the oracle's window-level register replay
+      // verifies.
+      import graft.functions.{HllMerge, HllSketch}
+      val e = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val daily = e.groupBy(col("day"))
+        .agg(HllSketch.hllDistinct(col("user_id"), 8).as("sk"))
+      val days = daily.select(col("day").as("d0"))
+      val merged = days
+        .join(daily, col("day").between(date_sub(col("d0"), 6), col("d0")))
+        .groupBy(col("d0"))
+        .agg(HllMerge.hllMerge(col("sk.regs"), 8).as("s"))
+      val exact = days
+        .join(e, col("day").between(date_sub(col("d0"), 6), col("d0")))
+        .groupBy(col("d0"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      merged.join(exact, "d0")
+        .select(col("d0").as("day"), col("n_exact"),
+          col("s.v_zero").as("v_zero"), col("s.z_fix").as("z_fix"),
+          round(col("s.raw_est"), 4).as("raw_est"),
+          round(col("s.estimate"), 4).as("estimate"))
+        .orderBy(col("day"))
+    }),
+    "q47_event_transitions" -> ((s, d) => {
+      // Markov transition mining over per-user event sequences: one
+      // keyed window (lead over the per-user exchange — the same
+      // exchange profile as sessionization) pairs each event with its
+      // successor, then a transition-matrix agg whose cardinality is
+      // |event types|² regardless of log size; p = row-normalized
+      // transition probability. The path-mining primitive behind
+      // next-action prediction and funnel discovery.
+      val e = Tables.events(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val bySrc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src"))
+      e.select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("src"))
+        .withColumn("dst", lead(col("src"), 1).over(w))
+        .filter(col("dst").isNotNull)
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double") /
+          sum(col("n")).over(bySrc).cast("double"), 6))
+        .orderBy(col("src"), col("dst"))
+    }),
     "q39_cms_topk" -> ((s, d) => {
       // Count-Min frequency sketch (Cormode-Muthukrishnan 2005): d·w
       // counters answer ANY key's frequency with one-sided error — the
@@ -2955,6 +3011,50 @@ object SparkEntry {
         |        THEN 256.0 * ln(256.0 / e.v_zero) ELSE e.raw_est END, 4)
         |    AS estimate
         |FROM est e, ex""".stripMargin,
+    "q46_hll_window" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day AS d0 FROM e),
+        |vals AS (SELECT DISTINCT day, user_id AS v FROM e),
+        |h AS (SELECT day,
+        |    ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM vals),
+        |r AS (SELECT day, h % 256 AS bucket,
+        |    CASE WHEN h // 256 = 0 THEN 53
+        |         ELSE 53 - length(bin(h // 256)) END AS rho
+        |  FROM h),
+        |regs AS (SELECT d0, bucket, max(rho) AS r
+        |  FROM days JOIN r ON r.day BETWEEN d0 - 6 AND d0
+        |  GROUP BY d0, bucket),
+        |agg AS (SELECT d0,
+        |    256 - count(*) AS v_zero,
+        |    CAST(sum(1::BIGINT << (53 - r))
+        |      + (256 - count(*)) * 9007199254740992 AS BIGINT) AS z_fix
+        |  FROM regs GROUP BY d0),
+        |est AS (SELECT d0, v_zero, z_fix,
+        |    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |      * 9007199254740992.0 / z_fix AS raw_est
+        |  FROM agg),
+        |ex AS (SELECT d0, count(DISTINCT user_id) AS n_exact
+        |  FROM days JOIN e ON e.day BETWEEN d0 - 6 AND d0 GROUP BY d0)
+        |SELECT est.d0 AS day, ex.n_exact, est.v_zero, est.z_fix,
+        |  round(est.raw_est, 4) AS raw_est,
+        |  round(CASE WHEN est.v_zero > 0 AND est.raw_est <= 640.0
+        |        THEN 256.0 * ln(256.0 / est.v_zero) ELSE est.raw_est END, 4)
+        |    AS estimate
+        |FROM est JOIN ex ON est.d0 = ex.d0
+        |ORDER BY day""".stripMargin,
+    "q47_event_transitions" ->
+      """WITH s AS (SELECT user_id, event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |t AS (SELECT src, dst, count(*) AS n FROM s
+        |  WHERE dst IS NOT NULL GROUP BY src, dst)
+        |SELECT src, dst, n,
+        |  round(CAST(n AS DOUBLE) /
+        |        CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+        |FROM t
+        |ORDER BY src, dst""".stripMargin,
     "q39_cms_topk" ->
       """WITH h AS (SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
         |  FROM lineitem),

@@ -2394,6 +2394,56 @@ class CdcGraphSpec extends SparkSpec {
     }
   }
 
+  test("trailing-window HLL merge == direct sketch of the window union") {
+    import graft.functions.{HllMerge, HllSketch}
+    // three "days" with overlapping member sets: merging the per-day
+    // register cells over a trailing window must equal sketching the
+    // window's union directly (q46's contract)
+    val rows = Seq(
+      (1, (0L until 40L)), (2, (20L until 70L)), (3, (50L until 120L)))
+      .flatMap { case (day, vs) => vs.map(v => (day, v)) }
+      .toDF("day", "v")
+    val daily = rows.groupBy(col("day"))
+      .agg(HllSketch.hllDistinct(col("v"), 8).as("s"))
+    val mergedAll = daily
+      .agg(HllMerge.hllMerge(col("s.regs"), 8).as("s"))
+      .select("s.v_zero", "s.z_fix", "s.estimate").head()
+    val direct = rows
+      .agg(HllSketch.hllDistinct(col("v"), 8).as("s"))
+      .select("s.v_zero", "s.z_fix", "s.estimate").head()
+    assert(mergedAll == direct)
+    // a 2-day trailing window (days 2..3) likewise
+    val merged23 = daily.filter(col("day") >= 2)
+      .agg(HllMerge.hllMerge(col("s.regs"), 8).as("s"))
+      .select("s.v_zero", "s.z_fix", "s.estimate").head()
+    val direct23 = rows.filter(col("day") >= 2)
+      .agg(HllSketch.hllDistinct(col("v"), 8).as("s"))
+      .select("s.v_zero", "s.z_fix", "s.estimate").head()
+    assert(merged23 == direct23)
+  }
+
+  test("event transitions: counts follow the per-user sequences, rows normalize") {
+    val q = SparkEntry.queries("q47_event_transitions")(spark, sf0001)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(q.nonEmpty)
+    // row-normalization: per-src probabilities sum to ~1
+    q.groupBy(_._1).foreach { case (src, rs) =>
+      val tot = rs.map(_._4).sum
+      assert(math.abs(tot - 1.0) < 1e-4, s"$src sums to $tot")
+    }
+    // ground truth from a driver-side replay of the tiny sf0.001 log
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+    val expect = ev.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (e._2.getTime * 1000 + (e._2.getNanos / 1000) % 1000,
+          e._3)).map(_._4).toSeq.sliding(2).toSeq
+        .collect { case Seq(a, b) => (a, b) }
+    }.toSeq.groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val got = q.map(r => ((r._1, r._2), r._3)).toMap
+    assert(got == expect)
+  }
+
   test("label propagation: cliques converge to min id, a bridge doesn't merge them") {
     val c1 = for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong)
     val c2 = for { a <- 11 to 14; b <- 11 to 14 if a < b } yield (a.toLong, b.toLong)
