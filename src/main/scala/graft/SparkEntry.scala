@@ -410,6 +410,57 @@ object SparkEntry {
           sum(col("n")).over(bySrc).cast("double"), 6))
         .orderBy(col("src"), col("dst"))
     }),
+    "q48_histogram_quantiles" -> ((s, d) => {
+      // the quantile member of the sketch-reuse family (q38 cube, q46
+      // window): per-MONTH fixed-edge histogram cells (256 bins over
+      // the table-wide extent — shared edges make cells from any slice
+      // mergeable by plain count ADDITION), rolled up over 1995 into
+      // approximate quantiles with error <= one bin width, no rescan
+      // of the raw orders. est = the chosen bin's upper edge; the
+      // exact two-pass quantile rides along to expose the error. The
+      // extent read is a bounded 2-value sidecar (the q43 pattern);
+      // bin assignment is one floor-of-division both engines compute
+      // bit-identically, and the 256-row cumulative window is bounded
+      // by the bin count, never the data.
+      val o = Tables.orders(s, d).select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_totalprice").as("v"))
+      val ext = o.agg(min(col("v")), max(col("v"))).head()
+      val (lo, hi) = (ext.getDouble(0), ext.getDouble(1))
+      val b = 256
+      val width = (hi - lo) / b
+      val cells = o
+        .withColumn("bin", least(floor((col("v") - lit(lo)) / lit(width)),
+          lit(b - 1L)).cast("long"))
+        .groupBy(col("month"), col("bin"))
+        .agg(count(lit(1)).as("n"))
+      val merged = cells.filter(col("month").startsWith("1995"))
+        .groupBy(col("bin")).agg(sum(col("n")).as("n"))
+      // bounded 256-row frame: a single-partition window is fine here
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cum = merged
+        .withColumn("cum", sum(col("n")).over(w))
+        .crossJoin(merged.agg(sum(col("n")).as("n_total")))
+      val ps = Seq(0.5, 0.9, 0.99)
+      import s.implicits._
+      val chosen = ps.toDF("p").crossJoin(cum)
+        .filter(col("cum") >= ceil(col("p") * col("n_total")))
+        .groupBy(col("p"))
+        .agg(min(col("bin")).as("bucket"), max(col("n_total")).as("n_total"))
+      val exact = Relational.exactQuantiles(
+        o.filter(col("month").startsWith("1995")), "v", ps)
+        .select(col("p"), round(col("value"), 6).as("exact"))
+      chosen
+        .join(cum.select(col("bin").as("bucket"), col("cum").as("cum_n")),
+          "bucket")
+        .join(exact, "p")
+        .select(col("p"), col("bucket"), col("cum_n"), col("n_total"),
+          round(lit(lo) + (col("bucket") + 1) * lit(width), 6).as("est"),
+          col("exact"))
+        .orderBy(col("p"))
+    }),
     "q39_cms_topk" -> ((s, d) => {
       // Count-Min frequency sketch (Cormode-Muthukrishnan 2005): d·w
       // counters answer ANY key's frequency with one-sided error — the
@@ -3055,6 +3106,46 @@ object SparkEntry {
         |        CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
         |FROM t
         |ORDER BY src, dst""".stripMargin,
+    "q48_histogram_quantiles" -> {
+      def leg(p: String) =
+        s"""SELECT CAST($p AS DOUBLE) AS p,
+           |  (SELECT round(max(v), 6) FROM (
+           |     SELECT v FROM o WHERE month LIKE '1995%'
+           |     ORDER BY v
+           |     LIMIT (SELECT CAST(ceil($p * n) AS BIGINT) FROM nn))) AS exact""".stripMargin
+      s"""WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |    CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+         |ext AS (SELECT min(v) AS lo, max(v) AS hi FROM o),
+         |binned AS (SELECT month,
+         |    least(CAST(floor((v - lo) / ((hi - lo) / 256.0)) AS BIGINT),
+         |          255) AS bin
+         |  FROM o, ext),
+         |cells AS (SELECT month, bin, count(*) AS n FROM binned
+         |  GROUP BY month, bin),
+         |merged AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n FROM cells
+         |  WHERE month LIKE '1995%' GROUP BY bin),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM merged),
+         |cum AS (SELECT bin, n,
+         |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum FROM merged),
+         |ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p),
+         |chosen AS (SELECT p, min(bin) AS bucket FROM ps, cum, tot
+         |  WHERE cum >= ceil(p * n_total) GROUP BY p),
+         |nn AS (SELECT count(*) AS n FROM o WHERE month LIKE '1995%'),
+         |exacts AS (
+         |${leg("0.5")}
+         |UNION ALL
+         |${leg("0.9")}
+         |UNION ALL
+         |${leg("0.99")})
+         |SELECT c.p, c.bucket, cum.cum AS cum_n, tot.n_total,
+         |  round(ext.lo + (c.bucket + 1) * ((ext.hi - ext.lo) / 256.0), 6)
+         |    AS est,
+         |  e.exact
+         |FROM chosen c
+         |JOIN cum ON cum.bin = c.bucket
+         |JOIN exacts e ON e.p = c.p, tot, ext
+         |ORDER BY c.p""".stripMargin
+    },
     "q39_cms_topk" ->
       """WITH h AS (SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT AS h
         |  FROM lineitem),

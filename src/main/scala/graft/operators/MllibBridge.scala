@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.ml.linalg.{Vectors => MlVectors}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.ml.stat.Summarizer
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Interop with Spark MLlib's vector stack (BASELINE.json's "batch vector
@@ -70,5 +70,59 @@ object MllibBridge {
   def pcaProjectQuery(pc: Array[Array[Double]], q: Seq[Double]): Array[Double] = {
     val k = pc.headOption.map(_.length).getOrElse(0)
     Array.tabulate(k)(j => pc.indices.iterator.map(i => pc(i)(j) * q(i)).sum)
+  }
+
+  /** Hand-crafted per-document quality features — the input of the
+    * classifier-based quality filter ([[trainQualityLr]]): length
+    * score, distinct-token ratio, alphabetic ratio (the
+    * `TextOps.qualityScore` components, unweighted) plus log1p of the
+    * token count. A narrow codegen projection (ARRAY<DOUBLE> of 4),
+    * shared verbatim by training and scoring so the two can never
+    * featurize differently. */
+  def qualityFeatures(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val toks = TextOps.tokens(t)
+    array(
+      least(length(t).cast("double") / 400.0d, lit(1.0d)),
+      size(array_distinct(toks)).cast("double") /
+        greatest(size(toks), lit(1)).cast("double"),
+      length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") /
+        greatest(length(t), lit(1)).cast("double"),
+      log1p(size(toks).cast("double")))
+  }
+
+  /** CLASSIFIER-BASED quality filtering — the GPT-3/CCNet-style learned
+    * complement of the heuristic `TextOps.qualityScore` gate: fit a
+    * binary logistic regression on [[qualityFeatures]] over a labeled
+    * sample (label 1 = high-quality reference corpus, 0 = raw crawl),
+    * then score the full corpus with the returned (coefficients,
+    * intercept) via [[lrScore]] — which is a pure broadcast-weights
+    * Column expression, so the 100 TB scoring pass is a codegen'd dot
+    * product + sigmoid with NO model object, no shuffle, and no UDF.
+    * Data-dependent weights are not portable to a SQL oracle (L-BFGS
+    * convergence is library-private), so the family is SPEC-gated like
+    * PCA: label recovery on a separable corpus, scoring ≡ MLlib's own
+    * `transform` probabilities, and threshold-filter behavior. */
+  def trainQualityLr(labeled: DataFrame, textCol: String, labelCol: String,
+                     maxIter: Int = 50): (Array[Double], Double) = {
+    val feat = labeled.select(
+      array_to_vector(qualityFeatures(col(textCol))).as("features"),
+      col(labelCol).cast("double").as("label"))
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setMaxIter(maxIter).setStandardization(true)
+    val model = lr.fit(feat)
+    (model.coefficients.toArray, model.intercept)
+  }
+
+  /** Score text with a fitted quality LR: sigmoid(coef · features +
+    * intercept) as a pure Column expression (weights embedded as
+    * literals — the broadcast-free scoring path of
+    * [[trainQualityLr]]). */
+  def lrScore(text: Column, coef: Array[Double], intercept: Double): Column = {
+    val f = qualityFeatures(text)
+    val z = coef.zipWithIndex.map { case (c, i) =>
+      element_at(f, i + 1) * lit(c)
+    }.reduce(_ + _) + lit(intercept)
+    lit(1.0) / (lit(1.0) + exp(-z))
   }
 }

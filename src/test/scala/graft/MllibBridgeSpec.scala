@@ -70,6 +70,40 @@ class MllibBridgeSpec extends SparkSpec {
     val bad = rt.filter(not(col("embedding") === col("back"))).count()
     assert(bad == 0)
   }
+
+  test("LR quality filter: label recovery, column-scoring parity, threshold filter") {
+    // separable corpus: good = varied alphabetic prose, bad = short
+    // repeated junk — the features (length, distinct ratio, alpha
+    // ratio, log tokens) split them on every axis
+    val good = (1 to 60).map(i => (i.toLong,
+      s"the quick brown fox number $i discusses a broad range of topics " +
+        s"with many distinct words like alpha beta gamma delta epsilon " +
+        s"covering document analysis at reasonable length", 1))
+    val bad = (61 to 120).map(i => (i.toLong, "zz zz zz 123 !!!", 0))
+    val docs = spark.createDataFrame(good ++ bad)
+      .toDF("id", "text", "label")
+    val (coef, b) = MllibBridge.trainQualityLr(docs, "text", "label")
+    assert(coef.length == 4)
+    val scored = docs.withColumn("score",
+      MllibBridge.lrScore(col("text"), coef, b))
+    // full label recovery on the separable corpus
+    assert(scored.filter((col("score") >= 0.5) === (col("label") === 1))
+      .count() == 120L)
+    // the Column scorer == driver-side sigmoid over the same features
+    // (catches any weight/feature misalignment in lrScore)
+    val rows = scored
+      .select(col("id"), MllibBridge.qualityFeatures(col("text")).as("f"),
+        col("score"))
+      .as[(Long, Seq[Double], Double)].collect()
+    rows.foreach { case (id, f, s) =>
+      val z = f.zip(coef).map { case (x, c) => x * c }.sum + b
+      val manual = 1.0 / (1.0 + math.exp(-z))
+      assert(math.abs(s - manual) < 1e-9, s"doc $id: $s vs $manual")
+    }
+    // threshold filter keeps exactly the high-quality half
+    assert(scored.filter(col("score") >= 0.5).select("id")
+      .as[Long].collect().toSet == good.map(_._1).toSet)
+  }
 }
 
 class VecStatsNativeSpec extends SparkSpec {
@@ -109,4 +143,5 @@ class VecStatsNativeSpec extends SparkSpec {
     assert(row.getSeq[Double](1) == Seq(1.5d, 2.0d))
     assert(row.getSeq[Double](2) == Seq(3.0d, 2.0d))
   }
+
 }

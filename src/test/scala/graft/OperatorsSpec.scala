@@ -2444,6 +2444,28 @@ class CdcGraphSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("histogram-cell quantiles: exact lands inside the chosen bin") {
+    val q = SparkEntry.queries("q48_histogram_quantiles")(spark, sf0001)
+      .as[(Double, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(q.map(_._1) == Seq(0.5, 0.9, 0.99))
+    // recompute the shared bin width the gate derived from the extent
+    val ext = Tables.orders(spark, sf0001)
+      .agg(min(col("o_totalprice")), max(col("o_totalprice"))).head()
+    val width = (ext.getDouble(1) - ext.getDouble(0)) / 256
+    q.foreach { case (p, bucket, cumN, nTotal, est, exact) =>
+      assert(bucket >= 0 && bucket < 256)
+      assert(cumN >= math.ceil(p * nTotal).toLong,
+        s"p=$p bucket cum $cumN below rank")
+      // est is the bin's upper edge; the exact discrete quantile must
+      // lie inside that bin (the <= one-bin-width error contract)
+      assert(exact <= est + 1e-6, s"p=$p exact $exact above est $est")
+      assert(est - exact <= width + 1e-6,
+        s"p=$p est $est more than a bin above exact $exact")
+    }
+    // monotone in p
+    assert(q.map(_._5) == q.map(_._5).sorted && q.map(_._6) == q.map(_._6).sorted)
+  }
+
   test("label propagation: cliques converge to min id, a bridge doesn't merge them") {
     val c1 = for { a <- 1 to 4; b <- 1 to 4 if a < b } yield (a.toLong, b.toLong)
     val c2 = for { a <- 11 to 14; b <- 11 to 14 if a < b } yield (a.toLong, b.toLong)
