@@ -410,6 +410,19 @@ object SparkEntry {
           sum(col("n")).over(bySrc).cast("double"), 6))
         .orderBy(col("src"), col("dst"))
     }),
+    "q49_sketch_store" -> ((s, d) => {
+      // the STORE-SERVED twin of q46: per-day HLL cells persisted
+      // day-partitioned (staged once per sfDir), trailing 7-day
+      // distinct users served from cells only — same estimate columns,
+      // gated against the same register replay. Append-only ingest
+      // with probe-time register-max healing; range probes prune to
+      // the window's day partitions (ScaleSpec asserts the
+      // PartitionFilters clause).
+      val dir = stagedStore(d, "hllstore", version = 1) { dir =>
+        SketchStore.write(Tables.events(s, d), "ts", "user_id", 8, dir)
+      }
+      SketchStore.probeTrailing(s, dir, 7).orderBy(col("day"))
+    }),
     "q48_histogram_quantiles" -> ((s, d) => {
       // the quantile member of the sketch-reuse family (q38 cube, q46
       // window): per-MONTH fixed-edge histogram cells (256 bins over
@@ -3106,6 +3119,36 @@ object SparkEntry {
         |        CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
         |FROM t
         |ORDER BY src, dst""".stripMargin,
+    "q49_sketch_store" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day AS d0 FROM e),
+        |vals AS (SELECT DISTINCT day, user_id AS v FROM e),
+        |h AS (SELECT day,
+        |    ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM vals),
+        |r AS (SELECT day, h % 256 AS bucket,
+        |    CASE WHEN h // 256 = 0 THEN 53
+        |         ELSE 53 - length(bin(h // 256)) END AS rho
+        |  FROM h),
+        |regs AS (SELECT d0, bucket, max(rho) AS r
+        |  FROM days JOIN r ON r.day BETWEEN d0 - 6 AND d0
+        |  GROUP BY d0, bucket),
+        |agg AS (SELECT d0,
+        |    256 - count(*) AS v_zero,
+        |    CAST(sum(1::BIGINT << (53 - r))
+        |      + (256 - count(*)) * 9007199254740992 AS BIGINT) AS z_fix
+        |  FROM regs GROUP BY d0),
+        |est AS (SELECT d0, v_zero, z_fix,
+        |    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |      * 9007199254740992.0 / z_fix AS raw_est
+        |  FROM agg)
+        |SELECT d0 AS day, v_zero, z_fix,
+        |  round(raw_est, 4) AS raw_est,
+        |  round(CASE WHEN v_zero > 0 AND raw_est <= 640.0
+        |        THEN 256.0 * ln(256.0 / v_zero) ELSE raw_est END, 4)
+        |    AS estimate
+        |FROM est
+        |ORDER BY day""".stripMargin,
     "q48_histogram_quantiles" -> {
       def leg(p: String) =
         s"""SELECT CAST($p AS DOUBLE) AS p,

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{HllMerge, HllSketch}
+
+/** Persistent DAILY-SKETCH STORE — the materialized form of the q46
+  * sketch-over-window pattern (and the distinct-count sibling of the
+  * `TextIndex`/`Similarity` store family): per-day HLL register cells
+  * written once at ingest (one 2^p-byte cell per day, day-partitioned),
+  * so ANY window's distinct count is served by merging day-cardinality
+  * cells with day-level partition pruning — the raw event log is
+  * touched once per ingest batch and never again.
+  *
+  * Ingest is append-only and idempotent-by-algebra: a new batch's
+  * cells land as new files in their day partitions (nothing is
+  * rewritten, no read-modify-write), and a probe merges a day's cells
+  * by register max — so duplicate or PARTIAL cells for the same day
+  * merge to exactly the cell of the union (max is associative,
+  * commutative, idempotent). Late-arriving events for an old day are
+  * therefore just another append; the serving math self-heals.
+  *
+  * At 100 TB: the ingest aggregation is one partial+final exchange
+  * carrying 2^p-byte buffers per (day × map task); the store is
+  * day-cardinality × 2^p bytes regardless of log volume; a range probe
+  * prunes to the window's day partitions (spec-asserted) and a
+  * trailing-window probe joins cells against the tiny day frame —
+  * register algebra, never a rescan. */
+object SketchStore {
+
+  /** Per-day register cells of `events` — the store's row shape
+    * (day STRING yyyy-MM-dd for lexical-order pruning, regs BINARY). */
+  private def cellsOf(events: DataFrame, dayCol: String, keyCol: String,
+                      p: Int): DataFrame =
+    events
+      .select(date_format(col(dayCol), "yyyy-MM-dd").as("day"), col(keyCol))
+      .groupBy(col("day"))
+      .agg(HllSketch.hllDistinct(col(keyCol), p).as("sk"))
+      .select(col("day"), col("sk.regs").as("regs"))
+
+  /** Build the store at `path`: day-partitioned register cells + a
+    * one-row meta sidecar pinning p (probes must merge with the same
+    * register width). */
+  def write(events: DataFrame, dayCol: String, keyCol: String, p: Int,
+            path: String): Unit = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    cellsOf(events, dayCol, keyCol, p)
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    Seq(p).toDF("p").coalesce(1)
+      .write.mode("overwrite").parquet(path + ".meta")
+  }
+
+  /** Append a new batch's cells: touched day partitions gain files,
+    * nothing is rewritten; overlapping days are healed at probe time by
+    * the register-max merge (see object doc). */
+  def append(events: DataFrame, dayCol: String, keyCol: String,
+             path: String): Unit = {
+    val spark = events.sparkSession
+    cellsOf(events, dayCol, keyCol, readP(spark, path))
+      .repartition(col("day"))
+      .write.mode("append").partitionBy("day").parquet(path)
+  }
+
+  private def readP(spark: SparkSession, path: String): Int =
+    spark.read.parquet(path + ".meta").head().getInt(0)
+
+  private def estCols(s: org.apache.spark.sql.Column) = Seq(
+    s.getField("v_zero").as("v_zero"), s.getField("z_fix").as("z_fix"),
+    round(s.getField("raw_est"), 4).as("raw_est"),
+    round(s.getField("estimate"), 4).as("estimate"))
+
+  /** Trailing `windowDays`-day distinct count per stored day, from
+    * cells only: (day DATE, v_zero, z_fix, raw_est, estimate) — the
+    * store-served twin of the q46 inline roll-up (same estimate
+    * columns, hash-gated against the same register replay). */
+  def probeTrailing(spark: SparkSession, path: String,
+                    windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "windowDays must be >= 1")
+    val cells = spark.read.parquet(path)
+      .select(col("day").cast("date").as("day"), col("regs"))
+    val days = cells.select(col("day").as("d0")).distinct()
+    days
+      .join(cells,
+        col("day").between(date_sub(col("d0"), windowDays - 1), col("d0")))
+      .groupBy(col("d0"))
+      .agg(HllMerge.hllMerge(col("regs"), readP(spark, path)).as("s"))
+      .select(col("d0").as("day") +: estCols(col("s")): _*)
+  }
+
+  /** One-row roll-up of [from, to] (inclusive, yyyy-MM-dd): the probe
+    * filter lands in the scan's PartitionFilters, so only the window's
+    * day partitions are read (spec-asserted). */
+  def probeRange(spark: SparkSession, path: String,
+                 from: String, to: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("day") >= from && col("day") <= to)
+      .agg(HllMerge.hllMerge(col("regs"), readP(spark, path)).as("s"))
+      .select(estCols(col("s")): _*)
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{BruteForce, Dedup, IndexBuild, IndexMaintain, IndexSearch, IvfPq, Similarity, Skew, StoreMaintain}
+import graft.operators.{BruteForce, Dedup, IndexBuild, IndexMaintain, IndexSearch, IvfPq, Similarity, SketchStore, Skew, StoreMaintain}
 import graft.sources.Ingest
 
 class ScaleSpec extends SparkSpec {
@@ -817,6 +817,48 @@ class ScaleSpec extends SparkSpec {
     assert(finalPlan.contains("BroadcastHashJoin"),
       "label frame must broadcast into the cached edges")
     e.unpersist(blocking = false)
+  }
+
+  test("daily-sketch store: append heals by register max, range probe prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("graftsketch")
+      .toString + "/store"
+    val e = Tables.events(spark, sf0001)
+    val allDays = e.select(to_date(col("ts")).as("d")).distinct()
+      .orderBy("d").as[java.sql.Date].collect()
+    val cutDay = allDays(allDays.length / 2).toString
+    // build from the first half, append the second half
+    SketchStore.write(e.filter(to_date(col("ts")) <= lit(cutDay)),
+      "ts", "user_id", 8, dir)
+    SketchStore.append(e.filter(to_date(col("ts")) > lit(cutDay)),
+      "ts", "user_id", dir)
+    val incr = SketchStore.probeTrailing(spark, dir, 7)
+      .collect().map(_.toString).sorted.toSeq
+    // one-shot store over everything
+    val dir2 = java.nio.file.Files.createTempDirectory("graftsketch2")
+      .toString + "/store"
+    SketchStore.write(e, "ts", "user_id", 8, dir2)
+    val whole = SketchStore.probeTrailing(spark, dir2, 7)
+      .collect().map(_.toString).sorted.toSeq
+    assert(incr == whole && incr.nonEmpty)
+    // re-appending an already-ingested slice leaves every probe value
+    // unchanged (duplicate cells merge idempotently by register max)
+    SketchStore.append(e.filter(to_date(col("ts")) > lit(cutDay)),
+      "ts", "user_id", dir)
+    val again = SketchStore.probeTrailing(spark, dir, 7)
+      .collect().map(_.toString).sorted.toSeq
+    assert(again == whole)
+    // range probe: day partitions outside the window are pruned
+    val lastDay = e.agg(max(to_date(col("ts")))).head().getDate(0).toString
+    val rp = SketchStore.probeRange(spark, dir, cutDay, lastDay)
+    val plan = rp.queryExecution.executedPlan.toString
+    assert(prunedOn(plan, "day"), s"expected PartitionFilters on day:\n$plan")
+    // ... and equals the inline sketch of the same slice
+    val inline = e.filter(to_date(col("ts")) >= lit(cutDay) &&
+        to_date(col("ts")) <= lit(lastDay))
+      .agg(graft.functions.HllSketch.hllDistinct(col("user_id"), 8).as("s"))
+      .select(col("s.v_zero"), col("s.z_fix"), round(col("s.raw_est"), 4),
+        round(col("s.estimate"), 4)).head()
+    assert(rp.head() == inline)
   }
 
   test("routed IVFADC write: probe-able store, assignment matches sidecar") {
