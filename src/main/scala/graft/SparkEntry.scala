@@ -423,6 +423,22 @@ object SparkEntry {
       }
       SketchStore.probeTrailing(s, dir, 7).orderBy(col("day"))
     }),
+    "q50_histogram_store" -> ((s, d) => {
+      // the STORE-SERVED twin of q48 (and the quantile sibling of the
+      // q49 HLL store): per-month fixed-edge histogram cells persisted
+      // month-partitioned under frozen build edges (staged once per
+      // sfDir), a year's quantiles served by merging cells with count
+      // addition — same (p, bucket, cum_n, n_total, est) columns as
+      // q48 minus the exact rider. Range probes prune to the window's
+      // month partitions (ScaleSpec asserts the PartitionFilters
+      // clause).
+      val dir = stagedStore(d, "histstore", version = 1) { dir =>
+        HistStore.write(Tables.orders(s, d), "o_orderdate",
+          "o_totalprice", 256, dir)
+      }
+      HistStore.probeRange(s, dir, "1995-01", "1995-12",
+        Seq(0.5, 0.9, 0.99))
+    }),
     "q48_histogram_quantiles" -> ((s, d) => {
       // the quantile member of the sketch-reuse family (q38 cube, q46
       // window): per-MONTH fixed-edge histogram cells (256 bins over
@@ -3149,6 +3165,30 @@ object SparkEntry {
         |    AS estimate
         |FROM est
         |ORDER BY day""".stripMargin,
+    "q50_histogram_store" ->
+      """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+        |ext AS (SELECT min(v) AS lo, max(v) AS hi FROM o),
+        |binned AS (SELECT month,
+        |    least(CAST(floor((v - lo) / ((hi - lo) / 256.0)) AS BIGINT),
+        |          255) AS bin
+        |  FROM o, ext),
+        |cells AS (SELECT month, bin, count(*) AS n FROM binned
+        |  GROUP BY month, bin),
+        |merged AS (SELECT bin, CAST(sum(n) AS BIGINT) AS n FROM cells
+        |  WHERE month >= '1995-01' AND month <= '1995-12' GROUP BY bin),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM merged),
+        |cum AS (SELECT bin, n,
+        |    CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum FROM merged),
+        |ps AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS p),
+        |chosen AS (SELECT p, min(bin) AS bucket FROM ps, cum, tot
+        |  WHERE cum >= ceil(p * n_total) GROUP BY p)
+        |SELECT c.p, c.bucket, cum.cum AS cum_n, tot.n_total,
+        |  round(ext.lo + (c.bucket + 1) * ((ext.hi - ext.lo) / 256.0), 6)
+        |    AS est
+        |FROM chosen c
+        |JOIN cum ON cum.bin = c.bucket, tot, ext
+        |ORDER BY c.p""".stripMargin,
     "q48_histogram_quantiles" -> {
       def leg(p: String) =
         s"""SELECT CAST($p AS DOUBLE) AS p,

@@ -66,6 +66,24 @@ object SketchStore {
   private def readP(spark: SparkSession, path: String): Int =
     spark.read.parquet(path + ".meta").head().getInt(0)
 
+  /** OPTIMIZE-style maintenance: rewrite each day partition to ONE
+    * canonical cell (the register-max merge of its accumulated append
+    * cells). Probe results are unchanged — max is associative — but a
+    * day that took n appends is read back as one 2^p-byte row instead
+    * of n. Swap-based (build to a scratch dir, then replace), so a
+    * probe never sees a half-compacted store. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val p = readP(spark, path)
+    val tmp = path + ".compacting"
+    spark.read.parquet(path)
+      .groupBy(col("day"))
+      .agg(HllMerge.hllMerge(col("regs"), p).as("s"))
+      .select(col("day"), col("s.regs").as("regs"))
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(tmp)
+    StoreSwap.replace(spark, tmp, path)
+  }
+
   private def estCols(s: org.apache.spark.sql.Column) = Seq(
     s.getField("v_zero").as("v_zero"), s.getField("z_fix").as("z_fix"),
     round(s.getField("raw_est"), 4).as("raw_est"),

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{BruteForce, Dedup, IndexBuild, IndexMaintain, IndexSearch, IvfPq, Similarity, SketchStore, Skew, StoreMaintain}
+import graft.operators.{BruteForce, Dedup, HistStore, IndexBuild, IndexMaintain, IndexSearch, IvfPq, Similarity, SketchStore, Skew, StoreMaintain}
 import graft.sources.Ingest
 
 class ScaleSpec extends SparkSpec {
@@ -859,6 +859,79 @@ class ScaleSpec extends SparkSpec {
       .select(col("s.v_zero"), col("s.z_fix"), round(col("s.raw_est"), 4),
         round(col("s.estimate"), 4)).head()
     assert(rp.head() == inline)
+    // compaction: each day collapses to ONE cell; every probe value is
+    // unchanged (register max is associative)
+    SketchStore.compact(spark, dir)
+    val cells = spark.read.parquet(dir)
+    assert(cells.count() == cells.select("day").distinct().count())
+    val compacted = SketchStore.probeTrailing(spark, dir, 7)
+      .collect().map(_.toString).sorted.toSeq
+    assert(compacted == whole)
+  }
+
+  test("histogram store: append is additive, compact collapses, range probe prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("grafthist")
+      .toString + "/store"
+    val o = Tables.orders(spark, sf0001)
+      .select(col("o_orderdate"), col("o_totalprice"))
+    val ps = Seq(0.25, 0.5, 0.9)
+    // build from 1995H1... but edges must come from the FULL extent for
+    // parity with the one-shot store, so build on the whole table and
+    // append a disjoint repeat of nothing — instead: build on an
+    // extent-pinning slice (min+max rows included) then append the rest.
+    val ext = o.agg(min(col("o_totalprice")), max(col("o_totalprice"))).head()
+    val isEdge = col("o_totalprice") === ext.getDouble(0) ||
+      col("o_totalprice") === ext.getDouble(1)
+    val firstHalf = o.filter(isEdge || year(col("o_orderdate")) <= 1995)
+    val rest = o.filter(!isEdge && year(col("o_orderdate")) > 1995)
+    HistStore.write(firstHalf, "o_orderdate", "o_totalprice", 64, dir)
+    HistStore.append(rest, "o_orderdate", "o_totalprice", dir)
+    val lastMonth = o.agg(max(date_format(col("o_orderdate"), "yyyy-MM")))
+      .head().getString(0)
+    val incr = HistStore.probeRange(spark, dir, "1990-01", lastMonth, ps)
+      .collect().map(_.toString).toSeq
+    val dir2 = java.nio.file.Files.createTempDirectory("grafthist2")
+      .toString + "/store"
+    HistStore.write(o, "o_orderdate", "o_totalprice", 64, dir2)
+    val whole = HistStore.probeRange(spark, dir2, "1990-01", lastMonth, ps)
+      .collect().map(_.toString).toSeq
+    assert(incr == whole && incr.nonEmpty)
+    // compaction: one cell per (month, bin), probe values unchanged
+    HistStore.compact(spark, dir)
+    val cells = spark.read.parquet(dir)
+    assert(cells.count() ==
+      cells.select("month", "bin").distinct().count())
+    val compacted = HistStore.probeRange(spark, dir, "1990-01", lastMonth, ps)
+      .collect().map(_.toString).toSeq
+    assert(compacted == whole)
+    // range probe prunes to the window's month partitions
+    val rp = HistStore.probeRange(spark, dir, "1995-01", "1995-12", ps)
+    val plan = rp.queryExecution.executedPlan.toString
+    assert(prunedOn(plan, "month"), s"expected PartitionFilters on month:\n$plan")
+    // probe rank contract: est is >= the exact quantile and within one
+    // bin width of it (the one-sided histogram-selection bound)
+    val y95 = o.filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_totalprice").cast("double").as("v"))
+    val n95 = y95.count()
+    val width = (ext.getDouble(1) - ext.getDouble(0)) / 64
+    val exact = ps.map { p =>
+      val r = math.ceil(p * n95).toLong.toInt
+      y95.orderBy(col("v")).limit(r).agg(max(col("v"))).head().getDouble(0)
+    }
+    rp.collect().zip(exact).foreach { case (row, ex) =>
+      val est = row.getAs[Double]("est")
+      assert(est >= ex - 1e-9 && est - ex <= width + 1e-9,
+        s"p=${row.getAs[Double]("p")}: est $est vs exact $ex (width $width)")
+    }
+    // degenerate all-equal build: width 0, everything in bin 0
+    val dir3 = java.nio.file.Files.createTempDirectory("grafthist3")
+      .toString + "/store"
+    HistStore.write(o.withColumn("o_totalprice", lit(7.5)),
+      "o_orderdate", "o_totalprice", 64, dir3)
+    val deg = HistStore.probeRange(spark, dir3, "1990-01", lastMonth,
+      Seq(0.5)).head()
+    assert(deg.getAs[Long]("bucket") == 0L &&
+      deg.getAs[Double]("est") == 7.5)
   }
 
   test("routed IVFADC write: probe-able store, assignment matches sidecar") {
