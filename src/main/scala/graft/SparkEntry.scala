@@ -423,6 +423,27 @@ object SparkEntry {
       }
       SketchStore.probeTrailing(s, dir, 7).orderBy(col("day"))
     }),
+    "q51_freq_store" -> ((s, d) => {
+      // the point-frequency member of the sketch-store trio (q49 HLL
+      // distinct, q50 histogram quantiles): per-day CMS counter cells
+      // persisted day-partitioned (staged once per sfDir), a 14-day
+      // window's frequency estimates served by summing day cells —
+      // counters ADD losslessly across any slicing, so the merged
+      // array is exactly the sketch of the range. The top-10 exact
+      // counts ride along to expose the one-sided error, as in q39.
+      val dir = stagedStore(d, "freqstore", version = 1) { dir =>
+        FreqStore.write(Tables.events(s, d), "ts", "user_id", 4, 9, dir)
+      }
+      val (from, to) = ("2024-01-08", "2024-01-21")
+      val e = Tables.events(s, d)
+        .filter(to_date(col("ts")).between(lit(from), lit(to)))
+      val top = e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+      FreqStore.probeRange(top, "user_id", dir, from, to)
+        .select(col("user_id"), col("n_exact"), col("n_total"), col("est"))
+        .orderBy(col("user_id"))
+    }),
     "q50_histogram_store" -> ((s, d) => {
       // the STORE-SERVED twin of q48 (and the quantile sibling of the
       // q49 HLL store): per-month fixed-edge histogram cells persisted
@@ -3165,6 +3186,27 @@ object SparkEntry {
         |    AS estimate
         |FROM est
         |ORDER BY day""".stripMargin,
+    "q51_freq_store" ->
+      """WITH e AS (SELECT user_id FROM events
+        |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+        |    AND DATE '2024-01-21'),
+        |h AS (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM e),
+        |slices AS (SELECT t.j, (h.h >> (t.j * 9)) & 511 AS bucket
+        |  FROM h, generate_series(0, 3) AS t(j)),
+        |cnt AS (SELECT j, bucket, count(*) AS c FROM slices GROUP BY j, bucket),
+        |n AS (SELECT count(*) AS n_total FROM e),
+        |top AS (SELECT user_id, count(*) AS n_exact FROM e
+        |  GROUP BY user_id ORDER BY n_exact DESC, user_id LIMIT 10),
+        |probe AS (SELECT user_id, n_exact,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM top),
+        |est AS (SELECT p.user_id, p.n_exact, min(c.c) AS est
+        |  FROM probe p, generate_series(0, 3) AS t(j)
+        |  JOIN cnt c ON c.j = t.j AND c.bucket = (p.h >> (t.j * 9)) & 511
+        |  GROUP BY p.user_id, p.n_exact)
+        |SELECT e.user_id, e.n_exact, n.n_total, e.est
+        |FROM est e, n ORDER BY e.user_id""".stripMargin,
     "q50_histogram_store" ->
       """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |    CAST(o_totalprice AS DOUBLE) AS v FROM orders),

@@ -128,6 +128,67 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "sketchbench") {
+      // growth rows for the persisted sketch stores (q49 HLL days, q50
+      // histogram months): ingest must grow ~linearly in event volume,
+      // PROBES must stay flat (they touch day/month-cardinality cells,
+      // never the log). The inline q46-shape window roll-up (7x event
+      // fanout through the range join) rides along as the rescan
+      // alternative the store exists to avoid.
+      import org.apache.spark.sql.functions._
+      import graft.operators.{FreqStore, HistStore, SketchStore}
+      val mult = args.drop(2).find(a => a.nonEmpty && a.forall(_.isDigit))
+        .map(_.toInt).getOrElse(10)
+      val e1 = Tables.events(spark, sfDir)
+        .select(col("ts"), col("user_id"), col("value")).localCheckpoint()
+      def eventsAt(m: Int) =
+        if (m == 1) e1
+        else (0 until m).map { c =>
+          e1.select(col("ts"),
+            (col("user_id") + lit(c * 100000000L)).as("user_id"),
+            col("value"))
+        }.reduce(_ unionByName _).localCheckpoint()
+      def time(label: String)(thunk: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = thunk
+        println(f"$label%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      }
+      for (m <- Seq(1, mult)) {
+        val e = eventsAt(m)
+        println(s"--- events ${m}x: ${e.count()} rows ---")
+        val hdir = java.nio.file.Files.createTempDirectory("skb")
+          .toString + "/hll"
+        time(s"hll ingest ${m}x")({ SketchStore.write(e, "ts", "user_id",
+          8, hdir); 0L })
+        time(s"hll probe trail7 ${m}x")(
+          SketchStore.probeTrailing(spark, hdir, 7).count())
+        time(s"inline window ${m}x")({
+          val days = e.select(to_date(col("ts")).as("d0")).distinct()
+          days.join(e.select(to_date(col("ts")).as("day"), col("user_id")),
+              col("day").between(date_sub(col("d0"), 6), col("d0")))
+            .groupBy(col("d0"))
+            .agg(graft.functions.HllSketch.hllDistinct(col("user_id"), 8))
+            .count()
+        })
+        val gdir = java.nio.file.Files.createTempDirectory("skb")
+          .toString + "/hist"
+        time(s"hist ingest ${m}x")({ HistStore.write(e, "ts", "value",
+          256, gdir); 0L })
+        time(s"hist probe ${m}x")(
+          HistStore.probeRange(spark, gdir, "1990-01", "2099-12",
+            Seq(0.5, 0.9, 0.99)).count())
+        val fdir = java.nio.file.Files.createTempDirectory("skb")
+          .toString + "/freq"
+        time(s"freq ingest ${m}x")({ FreqStore.write(e, "ts", "user_id",
+          4, 9, fdir); 0L })
+        val keys = e.select(col("user_id")).distinct().limit(20)
+          .localCheckpoint()
+        time(s"freq probe ${m}x")(
+          FreqStore.probeRange(keys, "user_id", fdir,
+            "1990-01-01", "2099-12-31").count())
+      }
+      spark.stop(); return
+    }
     if (name == "dedupbench") {
       // Dedup scale-growth probe (judge r2 #5): time the exact-quadratic
       // formulations (d2/d5/d6) against their scale paths (d8/d10/d9) on

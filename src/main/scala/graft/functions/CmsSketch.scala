@@ -150,3 +150,93 @@ object CmsSketch {
     }.reduce(least(_, _))
   }
 }
+
+/** Re-aggregation of PERSISTED CMS counter arrays — the frequency
+  * member of the sketch-cube pattern ([[HllMerge]] is the distinct
+  * member): keep one d·w counter array per (dimension, day) cell,
+  * answer any roll-up's point frequencies by elementwise-SUM-merging
+  * the cells. Sum is associative and commutative — partial cells from
+  * any slicing add to exactly the sketch of the union — but NOT
+  * idempotent: duplicate ingest double-counts (the same exactly-once
+  * contract as additive histogram cells, unlike HLL's self-healing
+  * max). Input rows are `counters` arrays from [[CmsSketch]] (same
+  * d, b); output is the same result struct. */
+case class CmsMerge(child: Expression, d: Int, b: Int,
+                    mutableAggBufferOffset: Int = 0,
+                    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with UnaryLike[Expression] with ImplicitCastInputTypes {
+
+  require(d >= 1 && b >= 1 && d * b <= 60,
+    s"CMS needs d >= 1, b >= 1 and d*b <= 60 slice bits, got d=$d b=$b")
+
+  private def w: Int = 1 << b
+
+  override def inputTypes: Seq[GraftSqlShim.AbstractType] =
+    Seq(ArrayType(LongType))
+
+  override def prettyName: String = "cms_merge"
+  override def nullable: Boolean = false
+  override def dataType: DataType = CmsSketch.resultType
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](d * w)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == d * w,
+        s"cms_merge(d=$d, b=$b) expects ${d * w} counters, " +
+          s"got ${arr.numElements()} — mixed (d, b) sketches")
+      var i = 0
+      while (i < d * w) {
+        // a null or negative slot is not a CmsSketch counter array —
+        // fail loudly rather than merge garbage
+        require(!arr.isNullAt(i), s"cms_merge: null counter at $i")
+        val c = arr.getLong(i)
+        require(c >= 0L, s"cms_merge: negative counter $c at $i")
+        buf(i) += c
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+    CmsSketch.sumInto(x, y)
+
+  override def eval(buf: Array[Long]): Any = {
+    var n = 0L
+    var i = 0
+    while (i < w) { n += buf(i); i += 1 }
+    new GenericInternalRow(Array[Any](n, new GenericArrayData(buf.clone())))
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): CmsMerge =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): CmsMerge =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(c: Expression): CmsMerge =
+    copy(child = c)
+}
+
+object CmsMerge {
+  /** Aggregate column: merge persisted counter arrays —
+    * struct(n_total, counters). */
+  def cmsMerge(counters: Column, d: Int, b: Int): Column =
+    GraftSqlShim.toColumn(
+      CmsMerge(GraftSqlShim.toExpression(counters), d, b)
+        .toAggregateExpression())
+}

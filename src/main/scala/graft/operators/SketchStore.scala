@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{HllMerge, HllSketch}
+import graft.functions.{CmsMerge, CmsSketch, HllMerge, HllSketch}
 
 /** Persistent DAILY-SKETCH STORE — the materialized form of the q46
   * sketch-over-window pattern (and the distinct-count sibling of the
@@ -116,4 +116,105 @@ object SketchStore {
       .filter(col("day") >= from && col("day") <= to)
       .agg(HllMerge.hllMerge(col("regs"), readP(spark, path)).as("s"))
       .select(estCols(col("s")): _*)
+}
+
+/** Persistent DAILY-FREQUENCY STORE — the point-frequency member of the
+  * sketch-store family ([[SketchStore]] = distinct counts from HLL
+  * cells, [[HistStore]] = quantiles from histogram cells): one d·w CMS
+  * counter array per day, day-partitioned, so ANY window's frequency
+  * estimate for ANY key is served by summing day cells and reading the
+  * key's d counters — the raw event log is touched once per ingest
+  * batch and never at probe time.
+  *
+  * Counters ADD (associative, commutative, NOT idempotent): partial
+  * cells from any batch slicing sum to exactly the sketch of the union,
+  * so late data and split days are just appends — but duplicate ingest
+  * double-counts. Exactly-once batches required, same contract as
+  * [[HistStore]]; the one-sided CMS guarantee (est >= true, excess
+  * bounded by e/w · N per Cormode-Muthukrishnan) survives merging
+  * unchanged because the merged array IS the array the union would
+  * have produced.
+  *
+  * At 100 TB: ingest is one map-side-combined aggregation carrying
+  * d·w-long buffers per (day × map task); the store is day-cardinality
+  * × d·w longs regardless of log volume; a range probe prunes to the
+  * window's day partitions, merges a bounded cell set, and answers any
+  * number of keys with one broadcast of the merged row. */
+object FreqStore {
+
+  private def cellsOf(events: DataFrame, dayCol: String, keyCol: String,
+                      d: Int, b: Int): DataFrame =
+    events
+      .select(date_format(col(dayCol), "yyyy-MM-dd").as("day"), col(keyCol))
+      .groupBy(col("day"))
+      .agg(CmsSketch.cmsFreq(col(keyCol), d, b).as("sk"))
+      .select(col("day"), col("sk.n_total").as("n_total"),
+        col("sk.counters").as("counters"))
+
+  /** Build the store at `path`: day-partitioned counter cells + a
+    * one-row meta sidecar pinning (d, b) — probes and appends must
+    * slice the hash identically. */
+  def write(events: DataFrame, dayCol: String, keyCol: String, d: Int,
+            b: Int, path: String): Unit = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    cellsOf(events, dayCol, keyCol, d, b)
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(path)
+    Seq((d, b)).toDF("d", "b").coalesce(1)
+      .write.mode("overwrite").parquet(path + ".meta")
+  }
+
+  /** Append a batch's cells under the frozen (d, b): touched day
+    * partitions gain files, nothing is rewritten. Exactly-once batches
+    * required (counters add — see object doc). */
+  def append(events: DataFrame, dayCol: String, keyCol: String,
+             path: String): Unit = {
+    val spark = events.sparkSession
+    val (d, b) = readMeta(spark, path)
+    cellsOf(events, dayCol, keyCol, d, b)
+      .repartition(col("day"))
+      .write.mode("append").partitionBy("day").parquet(path)
+  }
+
+  private def readMeta(spark: SparkSession, path: String): (Int, Int) = {
+    val m = spark.read.parquet(path + ".meta").head()
+    (m.getInt(0), m.getInt(1))
+  }
+
+  /** Frequency estimates for every row of `keys` over the [from, to]
+    * day range (inclusive, yyyy-MM-dd): (key..., n_total, est) — the
+    * day filter lands in PartitionFilters, the merged sketch row is
+    * broadcast, est is pure Column arithmetic per key. */
+  def probeRange(keys: DataFrame, keyCol: String, path: String,
+                 from: String, to: String): DataFrame = {
+    val spark = keys.sparkSession
+    val (d, b) = readMeta(spark, path)
+    val merged = spark.read.parquet(path)
+      .filter(col("day") >= from && col("day") <= to)
+      .agg(CmsMerge.cmsMerge(col("counters"), d, b).as("s"))
+      .select(col("s.n_total").as("n_total"),
+        col("s.counters").as("_counters"))
+    keys.join(broadcast(merged))
+      .withColumn("est",
+        CmsSketch.cmsEstimate(col("_counters"), col(keyCol), d, b))
+      .drop("_counters")
+  }
+
+  /** OPTIMIZE-style maintenance: rewrite each day partition to ONE
+    * canonical cell (the counter sum of its accumulated append cells).
+    * Probe results are unchanged — addition is associative. Swap-based
+    * via [[StoreSwap]]. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val (d, b) = readMeta(spark, path)
+    val tmp = path + ".compacting"
+    spark.read.parquet(path)
+      .groupBy(col("day"))
+      .agg(CmsMerge.cmsMerge(col("counters"), d, b).as("s"))
+      .select(col("day"), col("s.n_total").as("n_total"),
+        col("s.counters").as("counters"))
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(tmp)
+    StoreSwap.replace(spark, tmp, path)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{BruteForce, Dedup, HistStore, IndexBuild, IndexMaintain, IndexSearch, IvfPq, Similarity, SketchStore, Skew, StoreMaintain}
+import graft.operators.{BruteForce, Dedup, FreqStore, HistStore, IndexBuild, IndexMaintain, IndexSearch, IvfPq, Similarity, SketchStore, Skew, StoreMaintain}
 import graft.sources.Ingest
 
 class ScaleSpec extends SparkSpec {
@@ -867,6 +867,55 @@ class ScaleSpec extends SparkSpec {
     val compacted = SketchStore.probeTrailing(spark, dir, 7)
       .collect().map(_.toString).sorted.toSeq
     assert(compacted == whole)
+  }
+
+  test("frequency store: hash-split append == one-shot, compact collapses, est one-sided") {
+    val dir = java.nio.file.Files.createTempDirectory("graftfreq")
+      .toString + "/store"
+    val e = Tables.events(spark, sf0001)
+    // hash split (not time split): every day gets PARTIAL cells from
+    // both slices, so probe-time counter ADDITION is load-bearing
+    FreqStore.write(e.filter(col("user_id") % 2 === 0),
+      "ts", "user_id", 4, 9, dir)
+    FreqStore.append(e.filter(col("user_id") % 2 === 1),
+      "ts", "user_id", dir)
+    val keys = e.select(col("user_id")).distinct().limit(20)
+      .orderBy(col("user_id")).localCheckpoint()
+    val (from, to) = ("2024-01-01", "2024-01-31")
+    val incr = FreqStore.probeRange(keys, "user_id", dir, from, to)
+      .collect().map(_.toString).sorted.toSeq
+    val dir2 = java.nio.file.Files.createTempDirectory("graftfreq2")
+      .toString + "/store"
+    FreqStore.write(e, "ts", "user_id", 4, 9, dir2)
+    val whole = FreqStore.probeRange(keys, "user_id", dir2, from, to)
+      .collect().map(_.toString).sorted.toSeq
+    assert(incr == whole && incr.nonEmpty)
+    // compaction: one cell per day, probe values unchanged
+    FreqStore.compact(spark, dir)
+    val cells = spark.read.parquet(dir)
+    assert(cells.count() == cells.select("day").distinct().count())
+    val compacted = FreqStore.probeRange(keys, "user_id", dir, from, to)
+      .collect().map(_.toString).sorted.toSeq
+    assert(compacted == whole)
+    // range probe prunes to the window's day partitions
+    val rp = FreqStore.probeRange(keys, "user_id", dir,
+      "2024-01-08", "2024-01-21")
+    val plan = rp.queryExecution.executedPlan.toString
+    assert(prunedOn(plan, "day"), s"expected PartitionFilters on day:\n$plan")
+    // one-sided CMS guarantee on the merged estimates: est >= exact,
+    // n_total == range row count
+    val exact = e.filter(to_date(col("ts"))
+        .between(lit("2024-01-08"), lit("2024-01-21")))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nRange = e.filter(to_date(col("ts"))
+      .between(lit("2024-01-08"), lit("2024-01-21"))).count()
+    rp.collect().foreach { r =>
+      val (k, est) = (r.getAs[Long]("user_id"), r.getAs[Long]("est"))
+      assert(est >= exact.getOrElse(k, 0L),
+        s"user $k: est $est < exact ${exact.getOrElse(k, 0L)}")
+      assert(r.getAs[Long]("n_total") == nRange)
+    }
   }
 
   test("histogram store: append is additive, compact collapses, range probe prunes") {

@@ -740,4 +740,37 @@ class StreamOpsSpec extends SparkSpec {
       assert(byStep == byStep.sorted)
     }
   }
+
+  test("streaming sketch-store ingest: micro-batch appends serve exact window probes") {
+    // events arrive on a real stream split ACROSS days (hash split, not
+    // time split) — each micro-batch appends PARTIAL daily cells, so
+    // the probe-time register-max merge is load-bearing, not just the
+    // duplicate-ingest safety net
+    val base = java.nio.file.Files.createTempDirectory("graftskst").toString
+    val e = Tables.events(spark, sf0001)
+    operators.SketchStore.write(e.filter(col("user_id") % 3 === 0),
+      "ts", "user_id", 8, s"$base/store")
+    val newDir = java.nio.file.Files.createTempDirectory("graftsknew").toString
+    e.filter(col("user_id") % 3 === 1).write.parquet(s"$newDir/part1")
+    e.filter(col("user_id") % 3 === 2).write.parquet(s"$newDir/part2")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$newDir/part1").schema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$newDir/*")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        operators.SketchStore.append(batch, "ts", "user_id", s"$base/store")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = operators.SketchStore.probeTrailing(spark, s"$base/store", 7)
+      .collect().map(_.toString).sorted.toSeq
+    val oneShot = java.nio.file.Files.createTempDirectory("graftskone")
+      .toString + "/store"
+    operators.SketchStore.write(e, "ts", "user_id", 8, oneShot)
+    val want = operators.SketchStore.probeTrailing(spark, oneShot, 7)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+  }
 }
