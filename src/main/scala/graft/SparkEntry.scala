@@ -1295,6 +1295,15 @@ object SparkEntry {
       // flag; tombstones close the previous interval without emitting
       // one. One keyed lead window, no join.
       Relational.scd2History(s, d)),
+    "q52_scd2_asof" -> ((s, d) =>
+      // AS-OF time travel over the q42 history: every user's active
+      // version at one instant — a pure interval filter (at most one
+      // row per key; deleted-and-not-reinserted keys absent). The
+      // lookup the interval build exists for: with the history
+      // persisted, time travel never rescans the changelog.
+      Relational.scd2AsOf(Relational.scd2History(s, d),
+          lit("2024-01-15 12:00:00").cast("timestamp"))
+        .orderBy(col("user_id"))),
     "q43_equidepth" -> ((s, d) =>
       // equi-depth binning without a global sort: 8 buckets whose
       // boundaries are the i/8-quantiles of the deterministic bottom-k
@@ -2611,6 +2620,17 @@ object SparkEntry {
         |FROM c WHERE op <> 'delete'
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
 
+    "q52_scd2_asof" ->
+      """WITH c AS (SELECT user_id, ts, event_id, event_type, value,
+        |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM events)
+        |SELECT user_id, event_id, ts AS valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current, event_type, value
+        |FROM c WHERE op <> 'delete'
+        |  AND ts <= TIMESTAMP '2024-01-15 12:00:00'
+        |  AND (valid_to > TIMESTAMP '2024-01-15 12:00:00' OR valid_to IS NULL)
+        |ORDER BY user_id""".stripMargin,
     "q43_equidepth" ->
       """WITH t AS (
         |  SELECT CAST(l_extendedprice AS DOUBLE) AS v,

@@ -444,6 +444,20 @@ object Relational {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** AS-OF (time-travel) lookup over an [[scd2]] history: the version
+    * of every key that was active at instant `t` — `valid_from <= t`
+    * and (`valid_to > t` or still current). Intervals partition each
+    * key's timeline, so this yields AT MOST one row per key (a
+    * zero-length superseded interval from a same-instant rewrite can
+    * contain no t, by the half-open convention); a key deleted before
+    * t and not yet re-inserted yields none. Duality, spec-pinned:
+    * asOf(history, t) == compactChangelog of the changes with ts <= t.
+    * Shape at scale: a pure filter over the history — with the history
+    * persisted, time travel never touches the changelog. */
+  def scd2AsOf(history: DataFrame, t: Column): DataFrame =
+    history.filter(col("valid_from") <= t &&
+      (col("valid_to") > t || col("valid_to").isNull))
+
   /** The gate instance of [[compactChangelog]] over the events table:
     * each event is a change record for its user — 'error' is the
     * tombstone, everything else upserts (event_type, value). */

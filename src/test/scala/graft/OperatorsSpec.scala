@@ -2377,6 +2377,31 @@ class CdcGraphSpec extends SparkSpec {
     val compacted = Relational.compactChangelog(ch, "k", "ts", "seq", "op", Seq("v"))
       .select("k", "v").as[(Long, Double)].collect().toSeq.sorted
     assert(current == compacted)
+    // as-of duality at EVERY instant t present in the changelog (plus a
+    // point strictly before any change): the interval filter over the
+    // full history == compacting only the changes with ts <= t
+    val hist = Relational.scd2(ch, "k", "ts", "seq", "op", Seq("v"))
+    val instants = "2024-01-01 09:00:00" +:
+      ch.select(col("ts")).distinct().as[java.sql.Timestamp]
+        .collect().toSeq.map(_.toString.stripSuffix(".0"))
+    instants.foreach { t =>
+      val asOf = Relational.scd2AsOf(hist, lit(t).cast("timestamp"))
+        .select("k", "v").as[(Long, Double)].collect().toSeq.sorted
+      val prefix = Relational.compactChangelog(
+          ch.filter(col("ts") <= lit(t).cast("timestamp")),
+          "k", "ts", "seq", "op", Seq("v"))
+        .select("k", "v").as[(Long, Double)].collect().toSeq.sorted
+      assert(asOf == prefix, s"as-of duality broke at t=$t")
+      // at most one active version per key
+      assert(asOf.map(_._1).distinct.size == asOf.size)
+    }
+    // the same-instant rewrite (key 3, t = 10:00): the zero-length
+    // superseded interval contains no t — only seq 7's version is live
+    val t3 = Relational.scd2AsOf(hist,
+        lit("2024-01-01 10:00:00").cast("timestamp"))
+      .filter(col("k") === 3L).select("seq", "v")
+      .as[(Long, Double)].collect().toSeq
+    assert(t3 == Seq((7L, 31.0)))
   }
 
   test("moving average windows never reach past the 7-day frame") {

@@ -289,6 +289,44 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(empty.getLong(0) == 0L && empty.getSeq[Long](1).forall(_ == 0L))
   }
 
+  test("CmsMerge: merge-of-cells == direct sketch, idempotence violation is real, bad input rejected") {
+    import graft.functions.{CmsMerge, CmsSketch}
+    val (d, b) = (4, 9)
+    val df = spark.range(500).toDF("k")
+      .select((col("k") % 100).as("k"), (col("k") % 5).as("cell"))
+    val direct = df.agg(CmsSketch.cmsFreq(col("k"), d, b).as("s"))
+      .select(col("s.n_total"), col("s.counters")).head()
+    // per-cell cells re-aggregated with cms_merge == direct over all
+    val cells = df.groupBy(col("cell"))
+      .agg(CmsSketch.cmsFreq(col("k"), d, b).as("s"))
+      .select(col("s.counters").as("counters")).localCheckpoint()
+    val merged = cells.agg(CmsMerge.cmsMerge(col("counters"), d, b).as("s"))
+      .select(col("s.n_total"), col("s.counters")).head()
+    assert(merged.getLong(0) == direct.getLong(0))
+    assert(merged.getSeq[Long](1) == direct.getSeq[Long](1))
+    // NOT idempotent (the documented exactly-once contract): merging
+    // the cells twice doubles every counter
+    val doubled = cells.union(cells)
+      .agg(CmsMerge.cmsMerge(col("counters"), d, b).as("s"))
+      .select(col("s.counters")).head().getSeq[Long](0)
+    assert(doubled == direct.getSeq[Long](1).map(_ * 2L))
+    // null cells are skipped, like hll_merge
+    val withNull = cells.union(
+        Seq[Option[Seq[Long]]](None).toDF("counters"))
+      .agg(CmsMerge.cmsMerge(col("counters"), d, b).as("s"))
+      .select(col("s.counters")).head().getSeq[Long](0)
+    assert(withNull == direct.getSeq[Long](1))
+    // wrong-size and negative-counter inputs fail loudly, not garbage
+    intercept[Exception] {
+      Seq(Seq(1L, 2L, 3L)).toDF("counters")
+        .agg(CmsMerge.cmsMerge(col("counters"), d, b)).collect()
+    }
+    intercept[Exception] {
+      Seq(Seq.fill(d * (1 << b))(-1L)).toDF("counters")
+        .agg(CmsMerge.cmsMerge(col("counters"), d, b)).collect()
+    }
+  }
+
   test("Misra-Gries candidates: superset of true heavy hitters; exact pass matches brute force") {
     import graft.functions.MisraGries
     import graft.operators.Relational
