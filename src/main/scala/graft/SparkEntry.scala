@@ -1295,6 +1295,26 @@ object SparkEntry {
       // flag; tombstones close the previous interval without emitting
       // one. One keyed lead window, no join.
       Relational.scd2History(s, d)),
+    "q53_point_in_time" -> ((s, d) => {
+      // POINT-IN-TIME JOIN (the feature-store anti-leakage primitive,
+      // per-row twin of q52's as-of): every click event enriched with
+      // the purchase-state version active AT ITS OWN timestamp — an
+      // equi join on user_id with the validity interval as a join
+      // filter (one co-partitioned exchange pair; per-key version
+      // counts bound the match fanout, never fact volume). Clicks
+      // before any purchase or after an error-delete keep NULL
+      // dimension columns: dropping them would bias a training set.
+      val e = Tables.events(s, d)
+      val dim = Relational.scd2(
+        e.filter(col("event_type").isin("purchase", "error"))
+          .withColumn("op", when(col("event_type") === "error",
+            lit("delete")).otherwise(lit("upsert"))),
+        "user_id", "ts", "event_id", "op", Seq("value"))
+      val facts = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      Relational.pointInTimeJoin(facts, "user_id", "ts", dim, "user_id")
+        .orderBy(col("event_id"))
+    }),
     "q52_scd2_asof" -> ((s, d) =>
       // AS-OF time travel over the q42 history: every user's active
       // version at one instant — a pure interval filter (at most one
@@ -2620,6 +2640,24 @@ object SparkEntry {
         |FROM c WHERE op <> 'delete'
         |ORDER BY user_id, valid_from, event_id""".stripMargin,
 
+    "q53_point_in_time" ->
+      """WITH ch AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM events WHERE event_type IN ('purchase', 'error')),
+        |hist AS (SELECT user_id, event_id, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |    op, value FROM ch),
+        |dim AS (SELECT user_id, event_id, valid_from, valid_to, value
+        |  FROM hist WHERE op <> 'delete'),
+        |f AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT f.event_id, f.user_id, f.ts,
+        |  d.valid_from AS dim_valid_from, d.valid_to AS dim_valid_to,
+        |  d.event_id AS dim_event_id, d.value AS dim_value
+        |FROM f LEFT JOIN dim d
+        |  ON d.user_id = f.user_id AND d.valid_from <= f.ts
+        |  AND (d.valid_to > f.ts OR d.valid_to IS NULL)
+        |ORDER BY f.event_id""".stripMargin,
     "q52_scd2_asof" ->
       """WITH c AS (SELECT user_id, ts, event_id, event_type, value,
         |  CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,

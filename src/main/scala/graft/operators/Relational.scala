@@ -458,6 +458,39 @@ object Relational {
     history.filter(col("valid_from") <= t &&
       (col("valid_to") > t || col("valid_to").isNull))
 
+  /** POINT-IN-TIME JOIN — the per-row generalization of [[scd2AsOf]]
+    * and the feature-store primitive that prevents label leakage: each
+    * fact row joins the dimension version that was active AT ITS OWN
+    * timestamp (`valid_from <= fact_ts < valid_to`, open end = still
+    * current). At most one dimension row matches per fact (intervals
+    * partition each key's timeline); facts whose key was deleted or
+    * not yet inserted at their ts survive with NULL dimension columns
+    * (left join — dropping them silently would bias a training set).
+    *
+    * Shape at scale: an EQUI join on the key with the interval
+    * predicate as a join-level filter — one co-partitioned exchange
+    * pair, no range-join explosion, because per-key version counts are
+    * bounded by change frequency, not fact volume. `prefix` namespaces
+    * the dimension's payload columns so fact names never collide. */
+  def pointInTimeJoin(facts: DataFrame, factKey: String, factTs: String,
+                      history: DataFrame, histKey: String,
+                      prefix: String = "dim_"): DataFrame = {
+    val metaCols = Set(histKey, "valid_from", "valid_to", "is_current")
+    val payload = history.columns.filterNot(metaCols.contains)
+    val dim = history.select(
+      col(histKey).as("_pit_key") +:
+        col("valid_from").as(s"${prefix}valid_from") +:
+        col("valid_to").as(s"${prefix}valid_to") +:
+        payload.map(c => col(c).as(s"$prefix$c")): _*)
+    facts.join(dim,
+        facts(factKey) === dim("_pit_key") &&
+          col(s"${prefix}valid_from") <= facts(factTs) &&
+          (col(s"${prefix}valid_to") > facts(factTs) ||
+            col(s"${prefix}valid_to").isNull),
+        "left_outer")
+      .drop("_pit_key")
+  }
+
   /** The gate instance of [[compactChangelog]] over the events table:
     * each event is a change record for its user — 'error' is the
     * tombstone, everything else upserts (event_type, value). */

@@ -2404,6 +2404,38 @@ class CdcGraphSpec extends SparkSpec {
     assert(t3 == Seq((7L, 31.0)))
   }
 
+  test("point-in-time join: each fact gets its own instant's version, leaks nothing") {
+    val ch = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "upsert", 10.0),
+      (1L, ts("2024-01-01 11:00:00"), 2L, "upsert", 11.0),
+      (1L, ts("2024-01-01 12:00:00"), 3L, "delete", 0.0),
+      (2L, ts("2024-01-01 11:00:00"), 4L, "upsert", 20.0)
+    ).toDF("k", "ts", "seq", "op", "v")
+    val hist = Relational.scd2(ch, "k", "ts", "seq", "op", Seq("v"))
+    val facts = Seq(
+      (100L, 1L, ts("2024-01-01 09:30:00")), // before any version -> NULL
+      (101L, 1L, ts("2024-01-01 10:00:00")), // ON the boundary -> v1 (inclusive from)
+      (102L, 1L, ts("2024-01-01 10:59:59")), // mid v1 — v2 must NOT leak back
+      (103L, 1L, ts("2024-01-01 11:30:00")), // mid v2
+      (104L, 1L, ts("2024-01-01 13:00:00")), // after the delete -> NULL
+      (105L, 2L, ts("2024-01-01 12:00:00")), // open-ended current version
+      (106L, 3L, ts("2024-01-01 12:00:00"))  // key never in the dim -> NULL
+    ).toDF("fid", "k", "fts")
+    val got = Relational.pointInTimeJoin(facts, "k", "fts", hist, "k")
+      .select(col("fid"), col("dim_seq"), col("dim_v"))
+      .as[(Long, Option[Long], Option[Double])].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (100L, None, None),
+      (101L, Some(1L), Some(10.0)),
+      (102L, Some(1L), Some(10.0)),
+      (103L, Some(2L), Some(11.0)),
+      (104L, None, None),
+      (105L, Some(4L), Some(20.0)),
+      (106L, None, None)))
+    // exactly one output row per fact (intervals partition the timeline)
+    assert(got.size == facts.count())
+  }
+
   test("moving average windows never reach past the 7-day frame") {
     val rows = Relational.dailyMovingAvg(spark, sf0001)
       .select(col("event_type"), col("total"), col("ma7"))
