@@ -144,6 +144,11 @@ object SparkEntry {
     "q11_brand_sizes" -> ((s, d) => Relational.brandSizes(s, d)),
     "q12_big_spenders" -> ((s, d) => Relational.bigSpenders(s, d)),
     "q13_cube_revenue" -> ((s, d) => Relational.cubeRevenue(s, d)),
+    "q54_grouping_sets" -> ((s, d) =>
+      // explicit GROUPING SETS — the general lattice form q8's rollup
+      // and q13's cube specialize; grouping_id gated alongside so a
+      // set's structural NULL is distinguishable from a data NULL.
+      Relational.groupingSetsRevenue(s, d)),
     "q14_event_pivot" -> ((s, d) => Relational.eventPivot(s, d)),
     "q15_asof_click_view" -> ((s, d) => Relational.clickAfterView(s, d)),
     "q16_percentiles" -> ((s, d) =>
@@ -2565,6 +2570,15 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q54_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+        | count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q14_event_pivot" ->
       """SELECT user_id,
         | count(CASE WHEN event_type = 'click' THEN 1 END) AS click,

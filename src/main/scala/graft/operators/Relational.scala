@@ -193,6 +193,27 @@ object Relational {
         col("o_orderpriority").asc_nulls_first)
   }
 
+  /** Explicit GROUPING SETS (the general form cube/rollup specialize):
+    * a hand-picked lattice of aggregation levels in ONE pass — here
+    * (status, priority), (status), (priority) and the grand total, i.e.
+    * a cube minus nothing but stated explicitly. `grouping_id`
+    * disambiguates a set's structural NULL from a data NULL, and is
+    * part of the gated output. Same exchange profile as cube: one
+    * shuffle of the expanded rows, map-side partials intact. */
+  def groupingSetsRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id(col("o_orderstatus"), col("o_orderpriority"))
+          .cast("bigint").as("gid"),
+        sum(money(col("o_totalprice"))).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
   /** Pivot: event counts per user spread across event-type columns
     * (compiles to conditional aggregation — the oracle states it as CASE
     * sums, which is exactly what Catalyst lowers pivot to). */
