@@ -373,7 +373,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     * so spark.sql users get the same functions the Column API exposes):
     * `vec_distsq(a, b)`, `vec_dot(a, b)`, `vec_stats(id, vec)`,
     * `kmv_sketch(uniform, k)`, `hll_sketch(hash60, p)`,
-    * `hll_merge(regs, p)`, `vec_hamming(a, b)`, `shingles(toks, k)`,
+    * `hll_merge(regs, p)`, `cms_sketch(hash60, d, b)`,
+    * `cms_merge(counters, d, b)`, `vec_hamming(a, b)`, `shingles(toks, k)`,
     * `phrase_count(toks, 'space separated phrase')`,
     * `vec_maxsim(vec, array(...flat query...), subDim)`. */
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -424,6 +425,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"hll_merge(regs, p): p must be an INT literal, got $other")
         }
         graft.functions.HllMerge(args(0), p).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[graft.functions.CmsSketch].getName,
+        "cms_sketch"),
+      (args: Seq[Expression]) => {
+        val (d, b) = (args(1), args(2)) match {
+          case (Literal(dv: Int, _), Literal(bv: Int, _)) => (dv, bv)
+          case other => throw new IllegalArgumentException(
+            s"cms_sketch(hash60, d, b): d and b must be INT literals, got $other")
+        }
+        graft.functions.CmsSketch(args(0), d, b).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_merge"),
+      new ExpressionInfo(classOf[graft.functions.CmsMerge].getName,
+        "cms_merge"),
+      (args: Seq[Expression]) => {
+        val (d, b) = (args(1), args(2)) match {
+          case (Literal(dv: Int, _), Literal(bv: Int, _)) => (dv, bv)
+          case other => throw new IllegalArgumentException(
+            s"cms_merge(counters, d, b): d and b must be INT literals, got $other")
+        }
+        graft.functions.CmsMerge(args(0), d, b).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("vec_hamming"),

@@ -277,6 +277,27 @@ class IndexedVicinityRuleSpec extends SparkSpec {
           org.apache.spark.sql.functions.col("vec_id"), 8).as("s"))
         .selectExpr("s.v_zero", "s.z_fix", "s.estimate").head()
       assert(hll == hllCol)
+      // cms_sketch + cms_merge: SQL counters == Column API counters,
+      // and merging per-group cells recovers the direct sketch
+      val cms = extSpark.sql(
+        """SELECT s.n_total, s.counters FROM (
+          |  SELECT cms_sketch(
+          |    CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10)
+          |      AS BIGINT), 4, 9) AS s
+          |  FROM emb)""".stripMargin).head()
+      val cmsCol = extSpark.table("emb")
+        .agg(graft.functions.CmsSketch.cmsFreq(
+          org.apache.spark.sql.functions.col("vec_id"), 4, 9).as("s"))
+        .selectExpr("s.n_total", "s.counters").head()
+      assert(cms == cmsCol)
+      val cmsMerged = extSpark.sql(
+        """SELECT m.n_total, m.counters FROM (
+          |  SELECT cms_merge(s.counters, 4, 9) AS m FROM (
+          |    SELECT vec_id % 4 AS g, cms_sketch(
+          |      CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10)
+          |        AS BIGINT), 4, 9) AS s
+          |    FROM emb GROUP BY vec_id % 4))""".stripMargin).head()
+      assert(cmsMerged == cms)
     } finally {
       extSpark.catalog.dropTempView("emb")
       SparkSession.setDefaultSession(TestSpark.spark)
