@@ -498,6 +498,12 @@ object Relational {
                       prefix: String = "dim_"): DataFrame = {
     val metaCols = Set(histKey, "valid_from", "valid_to", "is_current")
     val payload = history.columns.filterNot(metaCols.contains)
+    val outDim = (Seq("valid_from", "valid_to") ++ payload)
+      .map(prefix + _) :+ "_pit_key"
+    val clash = facts.columns.toSet.intersect(outDim.toSet)
+    require(clash.isEmpty,
+      s"pointInTimeJoin: fact columns ${clash.mkString(", ")} collide with " +
+        s"prefixed dimension output — pick a different prefix")
     val dim = history.select(
       col(histKey).as("_pit_key") +:
         col("valid_from").as(s"${prefix}valid_from") +:

@@ -2434,6 +2434,12 @@ class CdcGraphSpec extends SparkSpec {
       (106L, None, None)))
     // exactly one output row per fact (intervals partition the timeline)
     assert(got.size == facts.count())
+    // a fact column that would collide with the prefixed dim output
+    // fails loudly instead of emitting ambiguous duplicate names
+    intercept[IllegalArgumentException] {
+      Relational.pointInTimeJoin(
+        facts.withColumn("dim_v", lit(0)), "k", "fts", hist, "k")
+    }
   }
 
   test("moving average windows never reach past the 7-day frame") {
