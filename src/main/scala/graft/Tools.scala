@@ -189,6 +189,53 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "temporalbench") {
+      // growth rows for the SCD2/time-travel family (q42/q52/q53):
+      // replicate events by user_id shift (key count grows, per-key
+      // history length constant — the axis that matters for the keyed
+      // window and the PIT join). All three are one-exchange shapes,
+      // so growth must be ~linear in event volume.
+      import org.apache.spark.sql.functions._
+      import graft.operators.Relational
+      val mult = args.drop(2).find(a => a.nonEmpty && a.forall(_.isDigit))
+        .map(_.toInt).getOrElse(10)
+      val e1 = Tables.events(spark, sfDir)
+        .select(col("ts"), col("user_id"), col("event_id"),
+          col("event_type"), col("value")).localCheckpoint()
+      def eventsAt(m: Int) =
+        if (m == 1) e1
+        else (0 until m).map { c =>
+          e1.select(col("ts"),
+            (col("user_id") + lit(c * 100000000L)).as("user_id"),
+            (col("event_id") + lit(c * 1000000000L)).as("event_id"),
+            col("event_type"), col("value"))
+        }.reduce(_ unionByName _).localCheckpoint()
+      def time(label: String)(thunk: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = thunk
+        println(f"$label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      }
+      for (m <- Seq(1, mult)) {
+        val e = eventsAt(m)
+        println(s"--- events ${m}x: ${e.count()} rows ---")
+        val ch = e.withColumn("op",
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")))
+        def hist = Relational.scd2(ch, "user_id", "ts", "event_id", "op",
+          Seq("event_type", "value"))
+        time(s"scd2 build ${m}x")(hist.count())
+        time(s"as-of ${m}x")(Relational.scd2AsOf(hist,
+          lit("2024-01-15 12:00:00").cast("timestamp")).count())
+        val dim = Relational.scd2(
+          ch.filter(col("event_type").isin("purchase", "error")),
+          "user_id", "ts", "event_id", "op", Seq("value"))
+        val facts = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        time(s"pit join ${m}x")(Relational.pointInTimeJoin(
+          facts, "user_id", "ts", dim, "user_id").count())
+      }
+      spark.stop(); return
+    }
     if (name == "dedupbench") {
       // Dedup scale-growth probe (judge r2 #5): time the exact-quadratic
       // formulations (d2/d5/d6) against their scale paths (d8/d10/d9) on
