@@ -1526,6 +1526,16 @@ object SparkEntry {
         .orderBy(col("pr").desc, col("node"))
         .limit(20)
     }),
+    "q55_kcore" -> ((s, d) =>
+      // k-core over the staged repeat-trade graph (q34/q44's pairs):
+      // synchronous peel rounds with cascade — removing a weak node
+      // can drag a safe neighbor under k next round (5 cascading
+      // rounds at sf0.01). maxRounds=6 exceeds the cascade depth at
+      // both sfs, so this IS the converged 3-core; the oracle unrolls
+      // the same 6 rounds (trailing no-op rounds replay exactly).
+      Graphs.kCore(s.read.parquet(tradePairsDir(s, d)), k = 3,
+          maxRounds = 6)
+        .orderBy(col("node"))),
     "q34_trade_components" -> ((s, d) => {
       // connected components over the REPEAT-trade graph: supplier↔
       // customer pairs with >= 3 distinct orders — unlike the full
@@ -2925,6 +2935,32 @@ object SparkEntry {
         |WHERE hits > 0 ORDER BY doc""".stripMargin,
     "q30_pagerank" -> pageRankOracleSql(5),
     "q32_ppr" -> pprOracleSql(5),
+    "q55_kcore" -> {
+      // 6 unrolled synchronous peel rounds (matching kCore's maxRounds;
+      // rounds past convergence are no-ops, so the replay is exact)
+      // every e_i is referenced 3x by round i+1 — without MATERIALIZED
+      // the CTE inlining copies the base join 3^6 times and the plan
+      // exhausts file handles
+      val rounds = (1 to 6).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT x, count(*) AS n FROM (
+           |    SELECT a AS x FROM e${i - 1}
+           |    UNION ALL SELECT b FROM e${i - 1}) GROUP BY x),
+           |k$i AS MATERIALIZED (SELECT x FROM d$i WHERE n >= 3),
+           |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+           |  WHERE a IN (SELECT x FROM k$i)
+           |    AND b IN (SELECT x FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2
+         |  HAVING count(DISTINCT l_orderkey) >= 3),
+         |e0 AS MATERIALIZED (SELECT a, b FROM pairs),
+         |$rounds
+         |SELECT x AS node, count(*) AS deg FROM (
+         |  SELECT a AS x FROM e6 UNION ALL SELECT b FROM e6)
+         |GROUP BY x ORDER BY node""".stripMargin
+    },
     "q34_trade_components" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT l_suppkey * 2 AS a, o_custkey * 2 + 1 AS b

@@ -189,6 +189,19 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "runq") {
+      // execute named gated queries once and print row counts —
+      // the single-query debugging twin of `explain`
+      val only = args.find(_.startsWith("only="))
+        .map(_.drop(5).split(',').toSet)
+        .getOrElse(sys.error("runq needs only=<query,...>"))
+      SparkEntry.queries.filter(q => only(q._1)).foreach { case (n, fn) =>
+        val t0 = System.nanoTime()
+        val c = fn(spark, sfDir).count()
+        println(f"$n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($c rows)")
+      }
+      spark.stop(); return
+    }
     if (name == "temporalbench") {
       // growth rows for the SCD2/time-travel family (q42/q52/q53):
       // replicate events by user_id shift (key count grows, per-key

@@ -135,6 +135,12 @@ object SketchStore {
   * unchanged because the merged array IS the array the union would
   * have produced.
   *
+  * Streaming note: a `foreachBatch` sink may RE-RUN a batch after a
+  * failure. The HLL store absorbs that (max is idempotent); the
+  * additive stores (this one, [[HistStore]]) do not — a streaming
+  * ingest must gate appends on the batchId (the standard idempotent-
+  * sink discipline) or accept over-count on recovery.
+  *
   * At 100 TB: ingest is one map-side-combined aggregation carrying
   * d·w-long buffers per (day × map task); the store is day-cardinality
   * × d·w longs regardless of log volume; a range probe prunes to the

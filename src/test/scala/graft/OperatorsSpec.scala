@@ -2404,6 +2404,35 @@ class CdcGraphSpec extends SparkSpec {
     assert(t3 == Seq((7L, 31.0)))
   }
 
+  test("k-core: cliques survive, chains cascade away, pendant peel can't break a core") {
+    import graft.operators.Graphs
+    // K4 clique (nodes 1-4) + pendant 5 on node 1 + path 10-11-12-13
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (1L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 13L)
+    ).toDF("a", "b")
+    // 3-core: exactly the clique, every survivor at deg 3 (node 1 loses
+    // its pendant edge but keeps 3 clique edges)
+    val core3 = Graphs.kCore(edges, 3, 10)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(core3 == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    // 2-core: the path CASCADES away end-in (10/13 peel, then 11/12) —
+    // a one-round degree cut would have kept 11-12
+    val core2 = Graphs.kCore(edges, 2, 10)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(core2.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // ...and an insufficient round budget shows the partial peel state
+    val oneRound = Graphs.kCore(edges, 2, 1)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(oneRound.map(_._1) == Seq(1L, 2L, 3L, 4L, 11L, 12L))
+    // early exit: a huge budget equals the converged core
+    assert(Graphs.kCore(edges, 3, 1000)
+      .as[(Long, Long)].collect().toSeq.sorted == core3)
+    // k above the max degree empties the graph
+    assert(Graphs.kCore(edges, 5, 10).count() == 0L)
+  }
+
   test("point-in-time join: each fact gets its own instant's version, leaks nothing") {
     val ch = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "upsert", 10.0),
