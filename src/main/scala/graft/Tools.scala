@@ -1088,6 +1088,30 @@ object Tools {
       val lb = timeLpa(s"lpa 4it ${mult}x", rpAt(mult), 4)
       val lc = timeLpa("lpa 8it 1x", rpAt(1), 8)
       println(f"lpa growth ${mult}x: x${lb / la}%.2f  (iters 2x: x${lc / la}%.2f)")
+      // q55 k-core growth, on the FULL trade pair graph (the repeat-
+      // trade subgraph's 3-core is empty at sf0.1): per peel round one
+      // endpoint-count exchange + two semi joins; disjoint copies
+      // preserve the cascade depth, so time should be ~linear in |E|
+      // at fixed rounds
+      val fp = pairs.select(col("sn").as("a"), col("cn").as("b"))
+        .localCheckpoint()
+      def fpAt(m: Int) =
+        if (m == 1) fp
+        else (0 until m).map { cc =>
+          fp.select((col("a") + lit(cc * 1000000000L)).as("a"),
+            (col("b") + lit(cc * 1000000000L)).as("b"))
+        }.reduce(_ unionByName _).localCheckpoint()
+      def timeKc(label: String, p: org.apache.spark.sql.DataFrame): Double = {
+        val t0 = System.nanoTime()
+        val n = Graphs.kCore(p, 3, 6).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$label%-28s $s%8.2f s  ($n nodes)")
+        s
+      }
+      println(s"full trade pairs 1x=${fp.count()}")
+      val ka = timeKc("kcore k3 1x", fpAt(1))
+      val kb = timeKc(s"kcore k3 ${mult}x", fpAt(mult))
+      println(f"kcore growth ${mult}x: x${kb / ka}%.2f")
       spark.stop(); return
     }
     if (name == "probebench") {

@@ -741,6 +741,44 @@ class StreamOpsSpec extends SparkSpec {
     }
   }
 
+  test("stream-static point-in-time enrichment equals the batch join") {
+    // the online feature-serving shape: a fact STREAM joined
+    // stream-static against the (periodically rebuilt) SCD2 dimension
+    // history — each arriving click gets the version active at its own
+    // timestamp, no state, stream == batch exactly
+    val e = Tables.events(spark, sf0001)
+    val dim = operators.Relational.scd2(
+      e.filter(col("event_type").isin("purchase", "error"))
+        .withColumn("op", when(col("event_type") === "error",
+          lit("delete")).otherwise(lit("upsert"))),
+      "user_id", "ts", "event_id", "op", Seq("value"))
+      .localCheckpoint()
+    val factsDir = java.nio.file.Files.createTempDirectory("graftpit").toString
+    val facts = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    facts.write.parquet(s"$factsDir/p1")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$factsDir/p1").schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$factsDir/*")
+    val q = operators.Relational.pointInTimeJoin(
+        stream, "user_id", "ts", dim, "user_id")
+      .select(col("event_id"), col("dim_event_id"), col("dim_value"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pitstream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("pitstream")
+      .as[(Long, Option[Long], Option[Double])].collect().toSeq.sorted
+    val want = operators.Relational.pointInTimeJoin(
+        facts, "user_id", "ts", dim, "user_id")
+      .select(col("event_id"), col("dim_event_id"), col("dim_value"))
+      .as[(Long, Option[Long], Option[Double])].collect().toSeq.sorted
+    assert(got == want && got.nonEmpty)
+    // the enrichment really fires: some clicks carry a purchase version
+    assert(got.exists(_._2.isDefined) && got.exists(_._2.isEmpty))
+  }
+
   test("streaming sketch-store ingest: micro-batch appends serve exact window probes") {
     // events arrive on a real stream split ACROSS days (hash split, not
     // time split) — each micro-batch appends PARTIAL daily cells, so
