@@ -981,6 +981,27 @@ class ScaleSpec extends SparkSpec {
       Seq(0.5)).head()
     assert(deg.getAs[Long]("bucket") == 0L &&
       deg.getAs[Double]("est") == 7.5)
+    // out-of-extent append clamps to the edge bins: build WITHOUT the
+    // extremes, append them — nothing is lost (total count preserved)
+    // and the clamped values land in bins 0 / bins-1
+    val dir4 = java.nio.file.Files.createTempDirectory("grafthist4")
+      .toString + "/store"
+    val q = o.select(col("o_totalprice").cast("double").as("v")).stat
+      .approxQuantile("v", Array(0.1, 0.9), 0.0)
+    val (qlo, qhi) = (q(0), q(1))
+    val mid = o.filter(col("o_totalprice").cast("double").between(qlo, qhi))
+    val out = o.filter(!col("o_totalprice").cast("double").between(qlo, qhi))
+    HistStore.write(mid, "o_orderdate", "o_totalprice", 64, dir4)
+    HistStore.append(out, "o_orderdate", "o_totalprice", dir4)
+    val probed = HistStore.probeRange(spark, dir4, "1990-01", lastMonth,
+      Seq(1.0)).head()
+    assert(probed.getAs[Long]("n_total") == o.count())
+    val cellBins = spark.read.parquet(dir4)
+      .groupBy(col("bin")).agg(sum(col("n")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nBelow = o.filter(col("o_totalprice").cast("double") < qlo).count()
+    val nAbove = o.filter(col("o_totalprice").cast("double") > qhi).count()
+    assert(cellBins(0L) >= nBelow && cellBins(63L) >= nAbove)
   }
 
   test("routed IVFADC write: probe-able store, assignment matches sidecar") {
