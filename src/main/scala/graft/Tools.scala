@@ -190,15 +190,21 @@ object Tools {
       spark.stop(); return
     }
     if (name == "runq") {
-      // execute named gated queries once and print row counts —
-      // the single-query debugging twin of `explain`
+      // execute named gated queries and print row counts — the
+      // single-query debugging twin of `explain`. reps=N repeats each
+      // query (rep 1 carries JVM/codegen/staging warmup; quote the
+      // warm reps when comparing against recorded bench numbers).
       val only = args.find(_.startsWith("only="))
         .map(_.drop(5).split(',').toSet)
         .getOrElse(sys.error("runq needs only=<query,...>"))
+      val reps = args.find(_.startsWith("reps="))
+        .map(_.drop(5).toInt).getOrElse(1)
       SparkEntry.queries.filter(q => only(q._1)).foreach { case (n, fn) =>
-        val t0 = System.nanoTime()
-        val c = fn(spark, sfDir).count()
-        println(f"$n%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($c rows)")
+        for (r <- 1 to reps) {
+          val t0 = System.nanoTime()
+          val c = fn(spark, sfDir).count()
+          println(f"$n%-28s rep$r ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($c rows)")
+        }
       }
       spark.stop(); return
     }
