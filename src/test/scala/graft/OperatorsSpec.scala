@@ -816,6 +816,41 @@ class BpeSpec extends SparkSpec {
       charTokens.agg(sum(col("n_tokens"))).head().getLong(0))
     assert(withMerges < without, s"$withMerges !< $without")
   }
+
+  test("packing by trained-BPE token counts: tokenizer-faithful bins, replayed") {
+    // the train → segment → pack composition: sequence packing charged
+    // in the REAL training tokenizer's unit (packSequences' pluggable
+    // counter), not whitespace words — the layout a p2-style pack must
+    // use when the model's context budget is subword tokens
+    val docs = Tables.documents(spark, sf0001).limit(200)
+    val merges = Bpe.train(docs, "text", 30)
+    val withCounts = docs.join(
+      Bpe.segment(docs, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens").as("bpe_tokens")),
+      "doc_id")
+    val packed = Pipeline.packSequences(withCounts, "doc_id", "text",
+        capacity = 512, numShards = 4, count = _ => col("bpe_tokens"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("bin"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // bins are charged in BPE tokens, not whitespace words
+    val bpeByDoc = withCounts.select(col("doc_id"), col("bpe_tokens"))
+      .as[(Long, Long)].collect().toMap
+    packed.foreach { case (id, _, n, _) => assert(n == bpeByDoc(id)) }
+    // running-sum replay per shard in id order
+    packed.groupBy(_._2).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, _, n, bin) =>
+        assert(bin == cum / 512, s"bin $bin vs ${cum / 512}")
+        cum += n
+      }
+    }
+    // every bin respects capacity in the charged unit except oversized
+    // single docs (the standard greedy-concat contract)
+    packed.groupBy(r => (r._2, r._4)).foreach { case (_, rows) =>
+      val tot = rows.map(_._3).sum
+      assert(tot <= 512 + rows.map(_._3).max)
+    }
+  }
 }
 
 class TextOpsSpec extends SparkSpec {
