@@ -147,7 +147,13 @@ object Tools {
           e1.select(col("ts"),
             (col("user_id") + lit(c * 100000000L)).as("user_id"),
             col("value"))
-        }.reduce(_ unionByName _).localCheckpoint()
+          // coalesce BEFORE the checkpoint: an m-leg union checkpoints
+          // as m x 32 partitions, and at m = 1000 the 32k near-empty
+          // tasks cost ~80 s of pure scheduling in EVERY timed pass —
+          // measured via `hllab` (the kernels run 100M rows in <2 s on
+          // 32 well-sized partitions); without this the growth rows
+          // measure the test harness, not the operator
+        }.reduce(_ unionByName _).coalesce(32).localCheckpoint()
       def time(label: String)(thunk: => Long): Unit = {
         val t0 = System.nanoTime()
         val n = thunk
@@ -160,6 +166,8 @@ object Tools {
           .toString + "/hll"
         time(s"hll ingest ${m}x")({ SketchStore.write(e, "ts", "user_id",
           8, hdir); 0L })
+        time(s"hll ingest rep2 ${m}x")({ SketchStore.write(e, "ts",
+          "user_id", 8, hdir); 0L })
         time(s"hll probe trail7 ${m}x")(
           SketchStore.probeTrailing(spark, hdir, 7).count())
         time(s"inline window ${m}x")({
@@ -208,6 +216,111 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "hllab") {
+      // micro A/B isolating the q49-ingest cost stack: cmsFreq vs
+      // hllDistinct vs pre-hashed hll vs bare md5 on the same relation
+      import org.apache.spark.sql.functions._
+      import graft.functions.{CmsSketch, HllSketch, PortableHash}
+      val n = args.drop(2).find(a => a.forall(_.isDigit)).map(_.toLong)
+        .getOrElse(100000000L)
+      val e = spark.range(n).select(
+        (col("id") % 30).as("day"), col("id").as("user_id"))
+        .localCheckpoint()
+      println(s"rows ${e.count()} parts ${e.rdd.getNumPartitions}")
+      def time(label: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"$label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      time("cmsFreq")(e.groupBy("day").agg(
+        CmsSketch.cmsFreq(col("user_id"), 4, 9)).count())
+      time("hllDistinct")(e.groupBy("day").agg(
+        HllSketch.hllDistinct(col("user_id"), 8)).count())
+      time("hll prehashed")(e.select(col("day"),
+          PortableHash.md5Long60(col("user_id").cast("string")).as("h"))
+        .groupBy("day").agg(HllSketch.hll(col("h"), 8)).count())
+      time("md5 only")(e.select(
+        PortableHash.md5Long60(col("user_id").cast("string")).as("h"))
+        .agg(sum(col("h"))).count())
+      // the sketchbench shape exactly: TIMESTAMP day column grouped via
+      // date_format, string-cast md5 of the key — isolates which stage
+      // of the store-ingest stack carries the cost
+      val ets = spark.range(n).select(
+        (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+          .cast("timestamp") + expr("make_interval(0, 0, 0, 0, CAST(id % 720 AS INT), 0, 0)"))
+          .as("ts"),
+        col("id").as("user_id"))
+        .localCheckpoint()
+      println(s"ts rows ${ets.count()} parts ${ets.rdd.getNumPartitions}")
+      time("date_format only")(ets.select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .groupBy("day").count().count())
+      time("hll by date_format")(ets.select(
+          date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+        .groupBy("day").agg(HllSketch.hllDistinct(col("user_id"), 8))
+        .count())
+      time("cms by date_format")(ets.select(
+          date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+        .groupBy("day").agg(CmsSketch.cmsFreq(col("user_id"), 4, 9))
+        .count())
+      time("hll by long day")(ets.select(
+          (col("user_id") % 30).as("day"), col("user_id"))
+        .groupBy("day").agg(HllSketch.hllDistinct(col("user_id"), 8))
+        .count())
+      spark.stop(); return
+    }
+    if (name == "hllab2") {
+      // fresh-JVM bisect of the replicated-events agg anomaly
+      import org.apache.spark.sql.functions._
+      import graft.functions.HllSketch
+      val ev1 = Tables.events(spark, sfDir)
+        .select(col("ts"), col("user_id")).localCheckpoint()
+      val ev = (0 until 1000).map { c =>
+        ev1.select(col("ts"),
+          (col("user_id") + lit(c * 100000000L)).as("user_id"))
+      }.reduce(_ unionByName _).coalesce(32).localCheckpoint()
+      println(s"ev rows ${ev.count()} parts ${ev.rdd.getNumPartitions}")
+      def time(label: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); f
+        println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+      for (r <- 1 to 2)
+        time(s"hll agg rep$r")(ev
+          .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+            col("user_id"))
+          .groupBy("day").agg(HllSketch.hllDistinct(col("user_id"), 8))
+          .count())
+      time("count distinct day")(ev
+        .select(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .groupBy("day").count().count())
+      time("sum user_id")(ev.agg(sum(col("user_id"))).count())
+      time("hll by day-long")(ev
+        .select((col("user_id") % 30).as("day"), col("user_id"))
+        .groupBy("day").agg(HllSketch.hllDistinct(col("user_id"), 8))
+        .count())
+      time("hll by to_date")(ev
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy("day").agg(HllSketch.hllDistinct(col("user_id"), 8))
+        .count())
+      time("hll by fmt-of-date")(ev
+        .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"),
+          col("user_id"))
+        .groupBy("day").agg(HllSketch.hllDistinct(col("user_id"), 8))
+        .count())
+      val sdir = java.nio.file.Files.createTempDirectory("hllab2")
+        .toString + "/s"
+      time("SketchStore.write (ev)")(
+        graft.operators.SketchStore.write(ev, "ts", "user_id", 8, sdir))
+      val cdir = java.nio.file.Files.createTempDirectory("hllab2")
+        .toString + "/c"
+      time("cells write no-repart")(ev
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+        .groupBy(col("d"))
+        .agg(HllSketch.hllDistinct(col("user_id"), 8).as("sk"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          col("sk.regs").as("regs"))
+        .write.mode("overwrite").partitionBy("day").parquet(cdir))
+      spark.stop(); return
+    }
     if (name == "temporalbench") {
       // growth rows for the SCD2/time-travel family (q42/q52/q53):
       // replicate events by user_id shift (key count grows, per-key
@@ -228,7 +341,10 @@ object Tools {
             (col("user_id") + lit(c * 100000000L)).as("user_id"),
             (col("event_id") + lit(c * 1000000000L)).as("event_id"),
             col("event_type"), col("value"))
-        }.reduce(_ unionByName _).localCheckpoint()
+          // coalesce before checkpoint — see sketchbench: an m-leg
+          // union otherwise checkpoints as m x 32 near-empty partitions
+          // and the timed passes measure task scheduling, not the op
+        }.reduce(_ unionByName _).coalesce(32).localCheckpoint()
       def time(label: String)(thunk: => Long): Unit = {
         val t0 = System.nanoTime()
         val n = thunk

@@ -59,11 +59,16 @@ object HistStore {
       else greatest(lit(0L),
         least(floor((v - lit(lo)) / lit(width)), lit(bins - 1L)))
         .cast("long")
+    // DateType group key (trunc-to-month), string rendered per result
+    // row — the count agg is codegen'd so this is less critical than
+    // the sketch stores' interpreted path, but formatting a timestamp
+    // per row still costs more than int month-truncation
     df.filter(v.isNotNull)
-      .select(date_format(col(dateCol), "yyyy-MM").as("month"),
-        bin.as("bin"))
-      .groupBy(col("month"), col("bin"))
+      .select(trunc(col(dateCol), "month").as("m"), bin.as("bin"))
+      .groupBy(col("m"), col("bin"))
       .agg(count(lit(1)).as("n"))
+      .select(date_format(col("m"), "yyyy-MM").as("month"), col("bin"),
+        col("n"))
   }
 
   /** Build the store at `path`: month-partitioned cells plus a meta
