@@ -323,13 +323,17 @@ object SparkEntry {
       // by powers of two, so both engines land on identical doubles.
       // Exact count rides along to expose the relative error.
       import graft.functions.HllSketch
+      // DateType group key, month string rendered per RESULT row — an
+      // interpreted date_format(timestamp) key inside the typed
+      // aggregate costs ~30x per row (hllab2 A/B in BASELINE.md)
       Tables.orders(s, d)
-        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        .select(trunc(col("o_orderdate"), "month").as("m"),
           col("o_custkey"))
-        .groupBy(col("month"))
+        .groupBy(col("m"))
         .agg(countDistinct(col("o_custkey")).as("n_exact"),
           HllSketch.hllDistinct(col("o_custkey"), 8).as("sk"))
-        .select(col("month"), col("n_exact"),
+        .select(date_format(col("m"), "yyyy-MM").as("month"),
+          col("n_exact"),
           col("sk.v_zero").as("v_zero"), col("sk.z_fix").as("z_fix"),
           round(col("sk.raw_est"), 4).as("raw_est"),
           round(col("sk.estimate"), 4).as("estimate"))
@@ -344,14 +348,18 @@ object SparkEntry {
       // year-level register computation) verifies. This is the
       // pre-aggregated COUNT(DISTINCT) shape for 100 TB cubes.
       import graft.functions.{HllMerge, HllSketch}
+      // DateType group key and DateType year filter (the q37 fix): no
+      // per-input-row string rendering anywhere in the pipeline
       val orders = Tables.orders(s, d)
-        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        .select(trunc(col("o_orderdate"), "month").as("m"),
           col("o_custkey"))
-      val monthly = orders.groupBy(col("month"))
+      val in1995 = col("m") >= lit("1995-01-01").cast("date") &&
+        col("m") <= lit("1995-12-01").cast("date")
+      val monthly = orders.groupBy(col("m"))
         .agg(HllSketch.hllDistinct(col("o_custkey"), 8).as("sk"))
-      val merged = monthly.filter(col("month").startsWith("1995"))
+      val merged = monthly.filter(in1995)
         .agg(HllMerge.hllMerge(col("sk.regs"), 8).as("s"))
-      val exact = orders.filter(col("month").startsWith("1995"))
+      val exact = orders.filter(in1995)
         .agg(countDistinct(col("o_custkey")).as("n_exact"))
       merged.crossJoin(exact)
         .select(col("n_exact"), col("s.v_zero").as("v_zero"),
