@@ -457,6 +457,18 @@ object SparkEntry {
         .select(col("user_id"), col("n_exact"), col("n_total"), col("est"))
         .orderBy(col("user_id"))
     }),
+    "q56_grouped_sketch_store" -> ((s, d) => {
+      // the CUBE-STORE form of q49 (per-segment DAU): one register
+      // cell per (event_type × day), two partition levels, a window's
+      // per-type distinct users served by register-max merges with
+      // BOTH day- and dim-level pruning (ScaleSpec asserts each).
+      val dir = stagedStore(d, "hllgrouped", version = 1) { dir =>
+        SketchStore.writeGrouped(Tables.events(s, d), "event_type",
+          "ts", "user_id", 8, dir)
+      }
+      SketchStore.probeRangeGrouped(s, dir, "2024-01-08", "2024-01-21")
+        .orderBy(col("dim"))
+    }),
     "q50_histogram_store" -> ((s, d) => {
       // the STORE-SERVED twin of q48 (and the quantile sibling of the
       // q49 HLL store): per-month fixed-edge histogram cells persisted
@@ -3323,6 +3335,36 @@ object SparkEntry {
         |  GROUP BY p.user_id, p.n_exact)
         |SELECT e.user_id, e.n_exact, n.n_total, e.est
         |FROM est e, n ORDER BY e.user_id""".stripMargin,
+    "q56_grouped_sketch_store" ->
+      """WITH e AS (SELECT event_type AS dim, user_id FROM events
+        |  WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08'
+        |    AND DATE '2024-01-21'),
+        |vals AS (SELECT DISTINCT dim, user_id AS v FROM e),
+        |h AS (SELECT dim,
+        |    ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM vals),
+        |r AS (SELECT dim, h % 256 AS bucket,
+        |    CASE WHEN h // 256 = 0 THEN 53
+        |         ELSE 53 - length(bin(h // 256)) END AS rho
+        |  FROM h),
+        |regs AS (SELECT dim, bucket, max(rho) AS r FROM r
+        |  GROUP BY dim, bucket),
+        |agg AS (SELECT dim,
+        |    256 - count(*) AS v_zero,
+        |    CAST(sum(1::BIGINT << (53 - r))
+        |      + (256 - count(*)) * 9007199254740992 AS BIGINT) AS z_fix
+        |  FROM regs GROUP BY dim),
+        |est AS (SELECT dim, v_zero, z_fix,
+        |    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |      * 9007199254740992.0 / z_fix AS raw_est
+        |  FROM agg)
+        |SELECT dim, v_zero, z_fix,
+        |  round(raw_est, 4) AS raw_est,
+        |  round(CASE WHEN v_zero > 0 AND raw_est <= 640.0
+        |        THEN 256.0 * ln(256.0 / v_zero) ELSE raw_est END, 4)
+        |    AS estimate
+        |FROM est
+        |ORDER BY dim""".stripMargin,
     "q50_histogram_store" ->
       """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |    CAST(o_totalprice AS DOUBLE) AS v FROM orders),

@@ -124,6 +124,64 @@ object SketchStore {
       .filter(col("day") >= from && col("day") <= to)
       .agg(HllMerge.hllMerge(col("regs"), readP(spark, path)).as("s"))
       .select(estCols(col("s")): _*)
+
+  // ---- grouped (dimensional) cells: one register array per
+  // ---- (dimension value × day) — the cube-store form of the daily
+  // ---- store. Same algebra (register max: append-only, self-healing,
+  // ---- idempotent), two partition levels (dim, then day) so a probe
+  // ---- for one segment over one window prunes BOTH ways.
+
+  private def groupedCellsOf(events: DataFrame, dimCol: String,
+                             dayCol: String, keyCol: String,
+                             p: Int): DataFrame =
+    events
+      .select(col(dimCol).as("dim"), to_date(col(dayCol)).as("d"),
+        col(keyCol))
+      .groupBy(col("dim"), col("d"))
+      .agg(HllSketch.hllDistinct(col(keyCol), p).as("sk"))
+      .select(col("dim"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("sk.regs").as("regs"))
+
+  /** Build the grouped store: (dim, day)-partitioned register cells +
+    * the p sidecar. Dimension cardinality is assumed partition-sane
+    * (segments, platforms, event types — not user ids). */
+  def writeGrouped(events: DataFrame, dimCol: String, dayCol: String,
+                   keyCol: String, p: Int, path: String): Unit = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    groupedCellsOf(events, dimCol, dayCol, keyCol, p)
+      .repartition(col("dim"), col("day"))
+      .write.mode("overwrite").partitionBy("dim", "day").parquet(path)
+    Seq(p).toDF("p").coalesce(1)
+      .write.mode("overwrite").parquet(path + ".meta")
+  }
+
+  /** Append a batch's grouped cells — same self-healing register-max
+    * contract as [[append]]. */
+  def appendGrouped(events: DataFrame, dimCol: String, dayCol: String,
+                    keyCol: String, path: String): Unit = {
+    val spark = events.sparkSession
+    groupedCellsOf(events, dimCol, dayCol, keyCol, readP(spark, path))
+      .repartition(col("dim"), col("day"))
+      .write.mode("append").partitionBy("dim", "day").parquet(path)
+  }
+
+  /** Per-dimension distinct count over [from, to]: one output row per
+    * dimension value present in the window — (dim, v_zero, z_fix,
+    * raw_est, estimate). The day filter prunes day partitions; pass
+    * `dims` to ALSO prune to those dimension partitions (None = all). */
+  def probeRangeGrouped(spark: SparkSession, path: String, from: String,
+                        to: String,
+                        dims: Option[Seq[String]] = None): DataFrame = {
+    val p = readP(spark, path)
+    val cells = spark.read.parquet(path)
+      .filter(col("day") >= from && col("day") <= to)
+    val picked = dims.fold(cells)(ds => cells.filter(col("dim").isin(ds: _*)))
+    picked
+      .groupBy(col("dim"))
+      .agg(HllMerge.hllMerge(col("regs"), p).as("s"))
+      .select(col("dim") +: estCols(col("s")): _*)
+  }
 }
 
 /** Persistent DAILY-FREQUENCY STORE — the point-frequency member of the

@@ -869,6 +869,47 @@ class ScaleSpec extends SparkSpec {
     assert(compacted == whole)
   }
 
+  test("grouped sketch store: append heals, probes prune on BOTH dim and day") {
+    val dir = java.nio.file.Files.createTempDirectory("graftgrp")
+      .toString + "/store"
+    val e = Tables.events(spark, sf0001)
+    // hash split across users: every (dim, day) cell is PARTIAL in
+    // both slices — probe-time register max is load-bearing
+    SketchStore.writeGrouped(e.filter(col("user_id") % 2 === 0),
+      "event_type", "ts", "user_id", 8, dir)
+    SketchStore.appendGrouped(e.filter(col("user_id") % 2 === 1),
+      "event_type", "ts", "user_id", dir)
+    val (from, to) = ("2024-01-05", "2024-01-25")
+    val incr = SketchStore.probeRangeGrouped(spark, dir, from, to)
+      .collect().map(_.toString).sorted.toSeq
+    val dir2 = java.nio.file.Files.createTempDirectory("graftgrp2")
+      .toString + "/store"
+    SketchStore.writeGrouped(e, "event_type", "ts", "user_id", 8, dir2)
+    val whole = SketchStore.probeRangeGrouped(spark, dir2, from, to)
+      .collect().map(_.toString).sorted.toSeq
+    assert(incr == whole && incr.nonEmpty)
+    // grouped cells merge to the SAME register state as the ungrouped
+    // q49 store over the same window (max over a finer partition of
+    // the same rows) — the cube-consistency contract
+    val flat = java.nio.file.Files.createTempDirectory("graftgrp3")
+      .toString + "/store"
+    SketchStore.write(e, "ts", "user_id", 8, flat)
+    val flatRow = SketchStore.probeRange(spark, flat, from, to).head()
+    val allDims = spark.read.parquet(dir2)
+      .filter(col("day").between(from, to))
+      .agg(graft.functions.HllMerge.hllMerge(col("regs"), 8).as("s"))
+      .select(col("s.v_zero"), col("s.z_fix"), round(col("s.raw_est"), 4),
+        round(col("s.estimate"), 4)).head()
+    assert(allDims == flatRow)
+    // dim + day pruning both land in PartitionFilters
+    val rp = SketchStore.probeRangeGrouped(spark, dir, from, to,
+      dims = Some(Seq("click")))
+    val plan = rp.queryExecution.executedPlan.toString
+    assert(prunedOn(plan, "dim"), s"expected PartitionFilters on dim:\n$plan")
+    assert(prunedOn(plan, "day"), s"expected PartitionFilters on day:\n$plan")
+    assert(rp.count() == 1L)
+  }
+
   test("frequency store: hash-split append == one-shot, compact collapses, est one-sided") {
     val dir = java.nio.file.Files.createTempDirectory("graftfreq")
       .toString + "/store"
