@@ -77,25 +77,13 @@ case class CmsSketch(child: Expression, d: Int, b: Int,
   override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
     CmsSketch.sumInto(x, y)
 
-  override def eval(buf: Array[Long]): Any = {
-    // every row holds the full count once: N = sum of row 0
-    var n = 0L
-    var i = 0
-    while (i < w) { n += buf(i); i += 1 }
-    new GenericInternalRow(Array[Any](n, new GenericArrayData(buf.clone())))
-  }
+  override def eval(buf: Array[Long]): Any = CmsSketch.evalBuffer(buf, w)
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
-    bb.asLongBuffer().put(buf)
-    bb.array()
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    CmsSketch.toBytes(buf)
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](bytes.length / 8)
-    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
-    out
-  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    CmsSketch.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(offset: Int): CmsSketch =
     copy(mutableAggBufferOffset = offset)
@@ -122,6 +110,28 @@ object CmsSketch {
     var i = 0
     while (i < dst.length) { dst(i) += src(i); i += 1 }
     dst
+  }
+
+  // shared by CmsSketch and CmsMerge so the sketch and its
+  // re-aggregation can never diverge in result derivation or wire form
+  private[functions] def evalBuffer(buf: Array[Long], w: Int): Any = {
+    // every row holds the full count once: N = sum of row 0
+    var n = 0L
+    var i = 0
+    while (i < w) { n += buf(i); i += 1 }
+    new GenericInternalRow(Array[Any](n, new GenericArrayData(buf.clone())))
+  }
+
+  private[functions] def toBytes(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  private[functions] def fromBytes(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
   }
 
   /** Aggregate column: CMS counters over a pre-hashed 60-bit column —
@@ -205,24 +215,13 @@ case class CmsMerge(child: Expression, d: Int, b: Int,
   override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
     CmsSketch.sumInto(x, y)
 
-  override def eval(buf: Array[Long]): Any = {
-    var n = 0L
-    var i = 0
-    while (i < w) { n += buf(i); i += 1 }
-    new GenericInternalRow(Array[Any](n, new GenericArrayData(buf.clone())))
-  }
+  override def eval(buf: Array[Long]): Any = CmsSketch.evalBuffer(buf, w)
 
-  override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
-    bb.asLongBuffer().put(buf)
-    bb.array()
-  }
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    CmsSketch.toBytes(buf)
 
-  override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](bytes.length / 8)
-    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
-    out
-  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    CmsSketch.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(offset: Int): CmsMerge =
     copy(mutableAggBufferOffset = offset)

@@ -228,6 +228,9 @@ object Graphs {
         .union(ew.select(col("dst").as("node"))).distinct()
         .localCheckpoint()
       val n = nodes.count()
+      // loud precondition, not a bare / by zero (pageRankPersonalized
+      // guards its seed count the same way)
+      require(n > 0, "pageRank needs a non-empty edge relation")
       val base = (3L * unit) / (20L * n)
       var pr = nodes.withColumn("pr", lit(unit / n))
       for (_ <- 1 to iterations) {

@@ -3,12 +3,21 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Atomic-ish store replacement shared by the sketch-store compactors:
-  * the new layout is fully written to a scratch dir first, then swapped
-  * in with two filesystem renames — a reader opened before the swap
-  * keeps its listing; one opened after sees only the new layout. Uses
-  * the Hadoop FileSystem of the path, so it works on any supported
-  * scheme, not just local disk. */
+/** Store replacement shared by the sketch-store compactors: the new
+  * layout is fully written to a scratch dir first, then swapped in with
+  * two filesystem renames; if installing the new layout fails, the old
+  * layout is rolled back into place so the store is never left missing.
+  * Uses the Hadoop FileSystem of the path, so it works on any supported
+  * scheme, not just local disk.
+  *
+  * Compaction is a MAINTENANCE-WINDOW operation, stated plainly:
+  * (a) an append that commits while the compactor's read/rewrite job is
+  * running lands in the retired layout and is DROPPED by the swap —
+  * writers must pause during compaction (the same single-writer
+  * discipline every OPTIMIZE-style rewrite requires without a table
+  * transaction log); (b) a probe that resolved its file listing just
+  * before the swap can fail with FileNotFoundException mid-scan and
+  * must be retried — the swap is atomic per rename, not versioned. */
 private[operators] object StoreSwap {
   def replace(spark: SparkSession, tmp: String, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -18,7 +27,11 @@ private[operators] object StoreSwap {
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     if (fs.exists(old)) fs.delete(old, true)
     require(fs.rename(dst, old), s"compact: could not retire $dst")
-    require(fs.rename(src, dst), s"compact: could not install $src")
+    if (!fs.rename(src, dst)) {
+      // roll the previous layout back so the store path never vanishes
+      fs.rename(old, dst)
+      sys.error(s"compact: could not install $src — previous layout restored")
+    }
     fs.delete(old, true)
   }
 }
@@ -39,11 +52,18 @@ private[operators] object StoreSwap {
   * exactly-once batches (the usual ledger discipline for additive
   * aggregates). Late batches for old months are still just appends.
   *
-  * At 100 TB: ingest is one map-side-combined count aggregation to at
-  * most months × bins rows; the store is months × bins rows regardless
-  * of fact volume; a range probe prunes to the window's month
-  * partitions (spec-asserted) and runs a bins-bounded cumulative
-  * window — never a rescan, never a global sort. */
+  * At 100 TB: the BUILD is two passes over the batch (a 3-value extent
+  * aggregation to pin the edges, then the map-side-combined cell
+  * count); APPENDS are one pass (edges come from the meta sidecar).
+  * The store is months × bins rows regardless of fact volume; a range
+  * probe prunes to the window's month partitions (spec-asserted) and
+  * runs a bins-bounded cumulative window — never a rescan, never a
+  * global sort.
+  *
+  * Null and non-finite values are EXCLUDED (the percentile-function
+  * discipline: NaN has no rank, ±Infinity has no bin) — a build whose
+  * finite extent is empty fails loudly rather than freezing NaN edges
+  * into the sidecar. */
 object HistStore {
 
   /** Cell rows of `df` under frozen edges: (month yyyy-MM, bin, n).
@@ -63,7 +83,8 @@ object HistStore {
     // row — the count agg is codegen'd so this is less critical than
     // the sketch stores' interpreted path, but formatting a timestamp
     // per row still costs more than int month-truncation
-    df.filter(v.isNotNull)
+    df.filter(v.isNotNull && !isnan(v) &&
+        v =!= Double.PositiveInfinity && v =!= Double.NegativeInfinity)
       .select(trunc(col(dateCol), "month").as("m"), bin.as("bin"))
       .groupBy(col("m"), col("bin"))
       .agg(count(lit(1)).as("n"))
@@ -79,9 +100,15 @@ object HistStore {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     val spark = df.sparkSession
     import spark.implicits._
-    val ext = df.agg(min(col(valueCol).cast("double")),
-      max(col(valueCol).cast("double")), count(col(valueCol))).head()
-    require(ext.getLong(2) > 0L, "histogram store build needs at least one value")
+    // extent over FINITE values only — a single NaN/Inf would
+    // otherwise freeze NaN/Inf edges into the sidecar and poison every
+    // later bin assignment and probe estimate
+    val vd = col(valueCol).cast("double")
+    val finite = df.filter(vd.isNotNull && !isnan(vd) &&
+      vd =!= Double.PositiveInfinity && vd =!= Double.NegativeInfinity)
+    val ext = finite.agg(min(vd), max(vd), count(lit(1))).head()
+    require(ext.getLong(2) > 0L,
+      "histogram store build needs at least one finite value")
     val (lo, hi) = (ext.getDouble(0), ext.getDouble(1))
     cellsOf(df, dateCol, valueCol, lo, (hi - lo) / bins, bins)
       .repartition(col("month"))
@@ -122,19 +149,27 @@ object HistStore {
     val merged = spark.read.parquet(path)
       .filter(col("month") >= from && col("month") <= to)
       .groupBy(col("bin")).agg(sum(col("n")).as("n"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("bin"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    // n_total as a full-frame window over the SAME ≤bins-row sort, not
+    // a crossJoin(merged.agg(...)) — a second merged reference would
+    // re-run the store scan + merge aggregation per probe
+    val wAll = W.orderBy(col("bin"))
+      .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     val cum = merged.withColumn("cum", sum(col("n")).over(w))
-      .crossJoin(merged.agg(sum(col("n")).as("n_total")))
+      .withColumn("n_total", sum(col("n")).over(wAll))
+    // min_by carries (bucket, cum_n) out of ONE pass over cum — a
+    // second cum reference (the earlier join-back formulation) would
+    // re-run the store scan + merge + window per probe
     ps.toDF("p").crossJoin(cum)
       .filter(col("cum") >= ceil(col("p") * col("n_total")))
       .groupBy(col("p"))
-      .agg(min(col("bin")).as("bucket"), max(col("n_total")).as("n_total"))
-      .join(cum.select(col("bin").as("bucket"), col("cum").as("cum_n")),
-        "bucket")
-      .select(col("p"), col("bucket"), col("cum_n"), col("n_total"),
-        round(lit(lo) + (col("bucket") + 1) * lit(width), 6).as("est"))
+      .agg(min_by(struct(col("bin"), col("cum")), col("bin")).as("sel"),
+        max(col("n_total")).as("n_total"))
+      .select(col("p"), col("sel.bin").as("bucket"),
+        col("sel.cum").as("cum_n"), col("n_total"),
+        round(lit(lo) + (col("sel.bin") + 1) * lit(width), 6).as("est"))
       .orderBy(col("p"))
   }
 

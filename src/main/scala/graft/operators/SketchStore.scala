@@ -78,8 +78,9 @@ object SketchStore {
     * canonical cell (the register-max merge of its accumulated append
     * cells). Probe results are unchanged — max is associative — but a
     * day that took n appends is read back as one 2^p-byte row instead
-    * of n. Swap-based (build to a scratch dir, then replace), so a
-    * probe never sees a half-compacted store. */
+    * of n. Swap-based via [[StoreSwap]]; see its doc for the
+    * maintenance-window contract (pause writers; retry a probe that
+    * raced the swap). */
   def compact(spark: SparkSession, path: String): Unit = {
     val p = readP(spark, path)
     val tmp = path + ".compacting"
