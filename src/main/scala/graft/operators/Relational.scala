@@ -222,7 +222,10 @@ object Relational {
     e.groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
       .agg(count(lit(1)))
-      .na.fill(0L)
+      // fill ONLY the pivot columns: an unscoped fill would also
+      // rewrite a NULL user_id group key to 0, conflating it with the
+      // real user 0
+      .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
       .orderBy(col("user_id"))
   }
 
@@ -313,13 +316,19 @@ object Relational {
     val e = Tables.events(spark, sfDir)
     val bucketed = e.select(col("event_type"),
       date_trunc("hour", col("ts")).as("bucket"))
+    // checkpointed: referenced by BOTH the grid's type set and the
+    // dense join — without the break the fact scan + agg would run
+    // twice (the relation is types x buckets rows, trivially small)
     val counts = bucketed.groupBy(col("event_type"), col("bucket"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")).localCheckpoint()
     val grid = bucketed.agg(min(col("bucket")).as("lo"),
         max(col("bucket")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr("INTERVAL 1 HOUR"))).as("bucket"))
-      .crossJoin(bucketed.select(col("event_type")).distinct())
+      // the type set comes from the already-aggregated counts, not a
+      // third scan of the fact table (types with zero rows overall
+      // exist in neither relation, so the grids are identical)
+      .crossJoin(counts.select(col("event_type")).distinct())
     grid.join(counts, Seq("event_type", "bucket"), "left")
       .select(col("event_type"), col("bucket"),
         coalesce(col("n"), lit(0L)).as("n"))
@@ -344,9 +353,16 @@ object Relational {
     * a plain groupBy-then-filter shuffles every distinct key once;
     * this plan's exchanges are O(parts·k) + O(matching rows). The
     * output is EXACT (sketch error never reaches the answer), so the
-    * oracle is plain GROUP BY / HAVING SQL. */
-  def exactHeavyHitters(rows: DataFrame, keyCol: String, k: Int): DataFrame = {
+    * oracle is plain GROUP BY / HAVING SQL.
+    *
+    * NULL keys are dropped up front (the [[exactHeavyHittersByGroup]]
+    * policy): the sketch skips nulls and the string-cast verify filter
+    * is null-unsafe, so without the explicit filter a null key that
+    * cleared the threshold would silently vanish while still inflating
+    * n — dropped from BOTH the candidates and the denominator instead. */
+  def exactHeavyHitters(rows0: DataFrame, keyCol: String, k: Int): DataFrame = {
     import graft.functions.MisraGries
+    val rows = rows0.filter(col(keyCol).isNotNull)
     val first = rows.agg(
       MisraGries.candidates(col(keyCol), k).as("cand"),
       count(lit(1)).as("n")).collect()(0)
@@ -394,6 +410,10 @@ object Relational {
       .groupBy(col("g"), col("ck"))
       .agg(count(lit(1)).as("cnt"), first(col("n")).as("n"))
       .filter(col("cnt") * k > col("n"))
+      // the key returns as STRING — the sketch's key domain and the
+      // verify join's key; cast back at the call site for native-typed
+      // joins (the global path keeps the native type because its
+      // verify filter, not its output, does the string casting)
       .select(col("g").as(groupCol), col("ck").as(keyCol), col("cnt"))
   }
 
@@ -545,12 +565,14 @@ object Relational {
     val e = Tables.events(spark, sfDir)
     val bucketed = e.select(col("event_type"), to_date(col("ts")).as("day"),
       col("value").cast("decimal(14,2)").as("v"))
+    // checkpointed for the same two-reference reason as gapFilledCounts
     val totals = bucketed.groupBy(col("event_type"), col("day"))
-      .agg(sum(col("v")).as("total"))
+      .agg(sum(col("v")).as("total")).localCheckpoint()
     val grid = bucketed.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr("INTERVAL 1 DAY"))).as("day"))
-      .crossJoin(bucketed.select(col("event_type")).distinct())
+      // type set from the aggregated totals — see gapFilledCounts
+      .crossJoin(totals.select(col("event_type")).distinct())
     val dense = grid.join(totals, Seq("event_type", "day"), "left")
       .select(col("event_type"), col("day"),
         coalesce(col("total"), lit(0).cast("decimal(14,2)")).as("total"))
@@ -674,28 +696,6 @@ object Relational {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
-  /** EXACT order statistics at scale via two-pass histogram selection —
-    * the quantile a single-reducer `percentile` agg (q16) answers by
-    * materializing every value in one executor, answered instead with
-    * bounded memory everywhere:
-    *
-    *   pass 1: one aggregation → (min, max, n) + a `buckets`-bin
-    *           equi-width histogram (map-side combined; B counts on
-    *           the driver, B chosen so n/B rows fit one task);
-    *   select: for each p, rank r = ceil(p·n) (1-based, ascending —
-    *           the "smallest value with ≥ r values ≤ it" discrete
-    *           quantile); the cumulative histogram names the ONE
-    *           bucket holding rank r and the in-bucket offset;
-    *   pass 2: per target bucket, a filtered scan (the same floor
-    *           expression that binned pass 1, so boundary rounding
-    *           cannot disagree) → TakeOrdered of the first `offset`
-    *           values → max. Each pass-2 job touches ~n/B rows.
-    *
-    * A production layout would persist the bin as a partition/layout
-    * column so pass 2 prunes at file level; on raw parquet the filter
-    * is still a codegen'd scan, never a global sort. Degenerate width
-    * (all values equal) short-circuits to that value. Returns (p,
-    * value) rows in `ps` order. */
   /** Per-GROUP [[exactQuantiles]] — the per-domain cutoff primitive
     * (p99 doc length per language, price bands per segment) with the
     * same bounded-memory contract: pass 1 is ONE aggregation producing
@@ -756,13 +756,39 @@ object Relational {
     picks.toDF("g", "p", "value")
   }
 
+  /** EXACT order statistics at scale via two-pass histogram selection —
+    * the quantile a single-reducer `percentile` agg (q16) answers by
+    * materializing every value in one executor, answered instead with
+    * bounded memory everywhere:
+    *
+    *   pass 1: one aggregation → (min, max, n) + a `buckets`-bin
+    *           equi-width histogram (map-side combined; B counts on
+    *           the driver, B chosen so n/B rows fit one task);
+    *   select: for each p, rank r = ceil(p·n) (1-based, ascending —
+    *           the "smallest value with ≥ r values ≤ it" discrete
+    *           quantile); the cumulative histogram names the ONE
+    *           bucket holding rank r and the in-bucket offset;
+    *   pass 2: per target bucket, a filtered scan (the same floor
+    *           expression that binned pass 1, so boundary rounding
+    *           cannot disagree) → TakeOrdered of the first `offset`
+    *           values → max. Each pass-2 job touches ~n/B rows.
+    *
+    * A production layout would persist the bin as a partition/layout
+    * column so pass 2 prunes at file level; on raw parquet the filter
+    * is still a codegen'd scan, never a global sort. Degenerate width
+    * (all values equal) short-circuits to that value. Returns (p,
+    * value) rows in `ps` order. */
   def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
                      buckets: Int = 1000): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1))
     val spark = df.sparkSession
     import spark.implicits._
     val v = col(valueCol).cast("double")
+    // checkpointed like the per-group twin: the extent agg, histogram
+    // and every pass-2 probe re-read this relation — pass 2 must not
+    // recompute an expensive (or non-deterministic) upstream per p
     val rows = df.select(v.as("v")).filter(col("v").isNotNull)
+      .localCheckpoint()
     val s = rows.agg(min(col("v")), max(col("v")), count(lit(1))).head()
     val n = s.getLong(2)
     // empty input: min/max are null — check the count BEFORE unboxing them
