@@ -55,6 +55,17 @@ object Pipeline {
     df.filter(hashUniform(col(idCol), salt) < rate)
   }
 
+  /** Scratch-column collision guard: withColumn would silently replace
+    * a caller's same-named column and the trailing drop would delete it
+    * from the promised passthrough output. Case-INSENSITIVE, because
+    * Spark's default resolver is — a caller's 'REP' column would be
+    * replaced by withColumn("rep", ...) just as surely as 'rep'. */
+  private def requireFreeCols(df: DataFrame, op: String,
+                              names: String*): Unit =
+    names.foreach(n => require(
+      !df.columns.exists(_.equalsIgnoreCase(n)),
+      s"$op: input already has a '$n' column (reserved scratch name)"))
+
   /** EXACT-count stratified sample: exactly min(k, |stratum|) rows per
     * stratum — the k smallest hash-uniforms in each group, ties broken
     * by id. Where [[stratifiedSample]] guarantees a RATE in
@@ -63,14 +74,6 @@ object Pipeline {
     * reproducible across runs, engines, and repartitioning. One keyed
     * window whose rank cut Spark pushes map-side (WindowGroupLimit), so
     * no stratum's full membership ever reaches one reducer. */
-  /** Scratch-column collision guard: withColumn would silently replace
-    * a caller's same-named column and the trailing drop would delete it
-    * from the promised passthrough output. */
-  private def requireFreeCols(df: DataFrame, op: String,
-                              names: String*): Unit =
-    names.foreach(n => require(!df.columns.contains(n),
-      s"$op: input already has a '$n' column (reserved scratch name)"))
-
   def stratifiedExactK(df: DataFrame, idCol: String, stratumCol: String,
                        k: Int, salt: String): DataFrame = {
     requireFreeCols(df, "stratifiedExactK", "_rk")
@@ -140,10 +143,13 @@ object Pipeline {
       .select((packKeys ++ carry ++ order.filterNot(_ == idCol))
         .distinct.map(col) ++ Seq(
         col(idCol), (col(idCol) % numShards).as("shard"),
-        // null text counts zero tokens (chunkDocuments' coalesce
-        // discipline) — a null n_tokens would null the running sum and
-        // emit bin = null rows into the shard writers
-        coalesce(count(col(textCol)), lit(0)).as("n_tokens")): _*)
+        // null text counts zero tokens — a null n_tokens would null
+        // the running sum and emit bin = null rows into the shard
+        // writers, and under legacy (non-ANSI) sizeOfNull a counter
+        // built on size() returns -1 instead of null, which would walk
+        // the running sum BACKWARDS: clamp at 0 as well as coalescing
+        greatest(coalesce(count(col(textCol)), lit(0)), lit(0))
+          .as("n_tokens")): _*)
       .withColumn("bin",
         floor((sum(col("n_tokens")).over(w) - col("n_tokens")) /
           capacity).cast("long"))
@@ -340,6 +346,7 @@ object Pipeline {
       expr(s"(size(_graft_ts) - $overlap + ${stride - 1}) div $stride")
         .cast("long"),
       lit(1L))
+    requireFreeCols(docs, "chunkDocuments", "_graft_ts")
     docs
       .withColumn("_graft_ts", toks)
       .withColumn("chunk", explode(sequence(lit(0L), nChunks - 1)))

@@ -1091,6 +1091,22 @@ class TextOpsSpec extends SparkSpec {
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("scratch-column guard is case-insensitive, matching Spark's resolver") {
+    // withColumn("rep", ...) would replace a caller's 'REP' column under
+    // the default case-insensitive resolution — the guard must catch it
+    val docs = Tables.documents(spark, sf0001).limit(5)
+      .withColumn("REP", lit(1))
+    intercept[IllegalArgumentException] {
+      Pipeline.rebalanceRepeat(docs, "doc_id", "lang",
+        Seq("en" -> 1.0), maxRepeat = 2, salt = "g")
+    }
+    intercept[IllegalArgumentException] {
+      Pipeline.chunkDocuments(Tables.documents(spark, sf0001).limit(5)
+          .withColumn("_GRAFT_TS", lit(1)),
+        "doc_id", "text", maxTokens = 8, overlap = 2)
+    }
+  }
+
   test("hash sampling is deterministic, rate-nested, and order-independent") {
     val docs = Tables.documents(spark, sf0001)
     val a = Pipeline.sample(docs, "doc_id", 0.25, "x")
