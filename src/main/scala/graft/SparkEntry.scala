@@ -2360,7 +2360,7 @@ object SparkEntry {
     }.mkString("\n UNION ALL\n ")
     s"""${ShingleCteFrom(src)},
        |xs AS (SELECT doc_id,
-       |  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 1073741824 AS x30
+       |  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % ${Dedup.MinHashP} AS x30
        |  FROM sh),
        |sig AS (SELECT doc_id,
        |  $sigCols

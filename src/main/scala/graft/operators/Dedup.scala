@@ -11,8 +11,9 @@ import graft.functions.VectorFunctions._
   *
   * Cross-engine determinism: every hash is md5 (identical in Spark and
   * DuckDB), so each operator has an exact SQL oracle. The MinHash family
-  * uses lexicographic-min of md5(seed || shingle) — a valid random
-  * permutation family without engine-specific integer hashing.
+  * is (a_j·x + b_j) mod 2^31-1 over the md5-derived shingle integer — a
+  * 2-universal family whose products stay inside a signed 64-bit in
+  * both engines (see [[Dedup.MinHashP]]).
   *
   * Scale notes (100 TB posture):
   *  - token shingling is a narrow map (no shuffle);
@@ -719,24 +720,35 @@ object Dedup {
         size(col("_kept")).cast("long").as("n_kept_tokens"))
   }
 
-  /** Mersenne prime 2^61-1 for the universal hash family. */
-  val MinHashP = 2305843009213693951L
+  /** Mersenne prime 2^31-1 for the universal hash family — the size
+    * class Spark MLlib's own MinHashLSH uses. The PREVIOUS constant
+    * here (2^61-1, with a, b, x all below 2^30) made every product
+    * land UNDER the modulus: h_j never wrapped, was therefore monotone
+    * in x, and every signature slot selected the same minimum-x
+    * shingle — MinHash collapsed to ONE effective permutation and LSH
+    * candidate probability degenerated from 1-(1-s^r)^b to s itself.
+    * With P = 2^31-1 and a, b, x all in [0, P), a·x + b wraps ~2^31
+    * times (a genuinely 2-universal family) while the largest product
+    * stays below 2^62 — safe in a signed 64-bit in BOTH engines, which
+    * is what keeps the oracle replayable. */
+  val MinHashP = 2147483647L
 
-  /** Deterministic (a, b) parameters of the h_j(x) = (a_j·x + b_j) mod P
-    * family; a_j odd, both < 2^30 so a·x30 never overflows a signed 64-bit
-    * (ANSI-safe in Spark, error-free in DuckDB). */
+  /** Deterministic (a, b) parameters of the h_j(x) = (a_j·x + b_j)
+    * mod P family; a_j ∈ [1, P), b_j ∈ [0, P). */
   def minHashParams(n: Int, seed: Long = 99L): Seq[(Long, Long)] = {
     var s = seed
     def next(): Long = {
       s = s * 6364136223846793005L + 1442695040888963407L
-      s >>> 34 // top 30 bits
+      s >>> 3 // top 61 bits — reduced mod P below
     }
-    Seq.fill(n)((next() | 1L, next()))
+    Seq.fill(n)((next() % (MinHashP - 1) + 1, next() % MinHashP))
   }
 
   /** WIDE MinHash signatures (doc, s0..s{n-1}): base integer x =
-    * md5(shingle) hex prefix (15 digits) mod 2^30, sig_j = min over the
-    * doc's distinct k-shingles of (a_j·x + b_j) mod 2^61-1.
+    * md5(shingle) hex prefix (15 digits) mod (2^31-1), sig_j = min over
+    * the doc's distinct k-shingles of (a_j·x + b_j) mod (2^31-1) — the
+    * Spark-MLlib-style 2-universal family (see [[MinHashP]] for why
+    * the modulus must be SMALL enough to actually wrap).
     *
     * Shape: ONE codegen'd md5 per shingle (the hash functions are
     * integer ops), then a single groupBy(doc) computing all n mins as
@@ -753,7 +765,7 @@ object Dedup {
     * re-deriving it from the documents scan. */
   private def minHashSignaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
     val x30 = (conv(substring(md5(col("shingle").cast("binary")), 1, 15),
-      16, 10).cast("long") % (1L << 30)).as("x30")
+      16, 10).cast("long") % MinHashP).as("x30")
     val mins = minHashParams(numHashes).zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("x30") + lit(b)) % MinHashP).as(s"s$j")
     }

@@ -120,6 +120,35 @@ class DedupSpec extends SparkSpec {
     assert(!cands.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("minhash family is non-degenerate: slots select DIFFERENT argmin shingles") {
+    // the 2^61-1 family this replaced never wrapped its modulus, so
+    // every h_j was monotone in x and ALL slots picked the one
+    // minimum-x shingle — MinHash collapsed to a single permutation
+    // (candidate probability s instead of 1-(1-s^r)^b). Pin the fix:
+    // across 16 slots over a many-shingle doc, the argmin shingle must
+    // vary (a monotone family would give exactly one distinct argmin).
+    val params = Dedup.minHashParams(16)
+    val xs = (0 until 200).map(i => math.abs(
+      scala.util.hashing.MurmurHash3.stringHash(s"shingle$i").toLong)
+      % Dedup.MinHashP)
+    val argmins = params.map { case (a, b) =>
+      xs.minBy(x => (a * x + b) % Dedup.MinHashP)
+    }.distinct
+    assert(argmins.size > 4,
+      s"family looks monotone again: ${argmins.size} distinct argmins over 16 slots")
+    // and per-slot collision probability between two half-overlapping
+    // docs now tracks Jaccard per SLOT (independent estimates), which
+    // requires slots to disagree with each other on the same doc pair
+    val da = xs.take(120).toSet
+    val db = xs.drop(60).toSet // Jaccard = 60/180 = 1/3
+    val slotMatches = params.count { case (a, b) =>
+      da.minBy(x => (a * x + b) % Dedup.MinHashP) ==
+        db.minBy(x => (a * x + b) % Dedup.MinHashP)
+    }
+    assert(slotMatches > 0 && slotMatches < 16,
+      s"slots all agree ($slotMatches/16) — single effective permutation")
+  }
+
   test("simhash: identical docs at hamming 0; permutations share tokens") {
     val sh = Dedup.simHash(docs, "doc_id", "text")
       .as[(Long, Int)].collect().toMap
