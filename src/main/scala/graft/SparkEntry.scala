@@ -91,8 +91,8 @@ object SparkEntry {
     * the store is immutable per staging version, and d29 + d30 both
     * probe it. */
   private val shingleStores =
-    scala.collection.concurrent.TrieMap
-      .empty[(Int, String), operators.Dedup.ShingleStore]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, operators.Dedup.ShingleStore]]
   private def shingleStore(s: SparkSession,
                            d: String): operators.Dedup.ShingleStore = {
     val dir = stagedStore(d, "shinglestore", version = 1) { dir =>
@@ -100,8 +100,20 @@ object SparkEntry {
         Tables.documents(s, d).filter(col("doc_id") % 7 =!= 0),
         "doc_id", "text", 3, dir)
     }
-    shingleStores.getOrElseUpdate((System.identityHashCode(s), dir),
-      operators.Dedup.openShingleStore(s, dir))
+    // keyed by the live session REFERENCE (weakly — entries evict once
+    // the session is GC'd), not identityHashCode: hash collisions could
+    // hand a new session a handle whose DataFrames are bound to a
+    // stopped one, and int keys never evict
+    val perSession = shingleStores.synchronized {
+      var m = shingleStores.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap
+          .empty[String, operators.Dedup.ShingleStore]
+        shingleStores.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, operators.Dedup.openShingleStore(s, dir))
   }
 
   /** Okapi BM25 oracle SQL shared by t7 (inline scan) and t11 (store

@@ -7,8 +7,11 @@ import org.apache.spark.sql.functions._
   * layout is fully written to a scratch dir first, then swapped in with
   * two filesystem renames; if installing the new layout fails, the old
   * layout is rolled back into place so the store is never left missing.
-  * Uses the Hadoop FileSystem of the path, so it works on any supported
-  * scheme, not just local disk.
+  * Uses the Hadoop FileSystem of the path. The per-rename atomicity
+  * claim holds only on rename-atomic filesystems (local disk, HDFS,
+  * ABFS); on object stores where rename is copy+delete (S3A) the swap
+  * window is neither atomic nor cheap — run compaction against a
+  * rename-atomic scheme or a table format with a transaction log.
   *
   * Compaction is a MAINTENANCE-WINDOW operation, stated plainly:
   * (a) an append that commits while the compactor's read/rewrite job is
@@ -28,9 +31,15 @@ private[operators] object StoreSwap {
     if (fs.exists(old)) fs.delete(old, true)
     require(fs.rename(dst, old), s"compact: could not retire $dst")
     if (!fs.rename(src, dst)) {
-      // roll the previous layout back so the store path never vanishes
-      fs.rename(old, dst)
-      sys.error(s"compact: could not install $src — previous layout restored")
+      // roll the previous layout back so the store path never vanishes;
+      // if even the rollback rename fails the store IS gone — say so
+      // distinctly (the retired copy survives at `.old` for manual
+      // recovery) instead of falsely claiming it was restored
+      if (fs.rename(old, dst))
+        sys.error(s"compact: could not install $src — previous layout restored")
+      else
+        sys.error(s"compact: could not install $src AND could not restore " +
+          s"the previous layout — store missing at $dst, retired copy at $old")
     }
     fs.delete(old, true)
   }

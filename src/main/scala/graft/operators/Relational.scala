@@ -392,14 +392,17 @@ object Relational {
     * threshold cnt·k > n. Output is EXACT (the sketch only prunes).
     * Exchange: O(groups·k) candidate rows + the candidate-key row
     * subset; the per-domain stopword/top-talker primitive at 100 TB.
-    * NULL groups are dropped up front (the same policy as
-    * [[sampleQuantilesByGroup]] and every membership filter) — without
-    * the explicit filter the null group's candidates would silently
-    * never match the null-unsafe verify join. */
+    * NULL groups AND null keys are dropped up front (the same policy
+    * as [[exactHeavyHitters]], whose doc promises nulls out of both
+    * candidates and denominator) — without the group filter the null
+    * group's candidates would silently never match the null-unsafe
+    * verify join, and without the key filter null-key rows would
+    * inflate each group's denominator n while MisraGries skips them,
+    * making the per-group threshold stricter than the global one. */
   def exactHeavyHittersByGroup(rows0: DataFrame, groupCol: String,
                                keyCol: String, k: Int): DataFrame = {
     require(k >= 2, s"need k >= 2, got $k")
-    val rows = rows0.filter(col(groupCol).isNotNull)
+    val rows = rows0.filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
     val cand = rows.groupBy(col(groupCol).as("g"))
       .agg(graft.functions.MisraGries.candidates(col(keyCol), k).as("cand"),
         count(lit(1)).as("n"))

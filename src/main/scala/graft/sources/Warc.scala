@@ -150,7 +150,29 @@ object Warc {
             "split the archive into standard ~1 GB members")
         val buf =
           if (file.endsWith(".gz")) {
-            val in = new java.util.zip.GZIPInputStream(tfs.open(p))
+            // GZIPInputStream treats a malformed next-member header as
+            // EOF ("ignore any malformed, do not fail" in its trailer
+            // reader) — so a corrupt member boundary or trailing
+            // garbage in a multi-member .warc.gz silently truncates the
+            // record stream. Count the COMPRESSED bytes consumed and
+            // require the whole file was read, upholding this module's
+            // fail-loudly contract.
+            val raw = new java.io.FilterInputStream(tfs.open(p)) {
+              var consumed = 0L
+              override def read(): Int = {
+                val b = super.read(); if (b >= 0) consumed += 1; b
+              }
+              override def read(b: Array[Byte], off: Int,
+                                l: Int): Int = {
+                val n = super.read(b, off, l)
+                if (n > 0) consumed += n
+                n
+              }
+              override def skip(n: Long): Long = {
+                val s = super.skip(n); consumed += s; s
+              }
+            }
+            val in = new java.util.zip.GZIPInputStream(raw)
             try {
               val bos = new java.io.ByteArrayOutputStream()
               val chunk = new Array[Byte](1 << 20)
@@ -163,6 +185,10 @@ object Warc {
                 if (n > 0) bos.write(chunk, 0, n)
                 n = in.read(chunk)
               }
+              require(raw.consumed == len,
+                s"$file: gzip stream ended after ${raw.consumed} of $len " +
+                  "compressed bytes — corrupt member boundary or trailing " +
+                  "garbage would silently truncate the record stream")
               bos.toByteArray
             } finally in.close()
           } else {

@@ -6,8 +6,11 @@ sorted multisets)."""
 import json, subprocess, sys, math
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "sf0.001"
-SFDIR = f"/root/testdata/{SF}"
-OUT = f"/tmp/verify_{SF}"
+# an absolute path selects an ad-hoc dataset dir (e.g. the replicated
+# /root/repo/.sf1 from tools/make_sf1.py); a bare name maps to the
+# driver testdata as before
+SFDIR = SF if SF.startswith("/") else f"/root/testdata/{SF}"
+OUT = f"/tmp/verify_{SF.replace('/', '_')}"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
