@@ -649,6 +649,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("leaf_cnt"),
           count_distinct(col("id")).as("distinct_ids"))
     }),
+    "v17_batch_index_search" -> ((s, d) => {
+      // Q queries through ONE shared frontier descent (the serving shape
+      // at 100×): each level is one scan of the index joined against the
+      // broadcast (qid, childId) frontier — the index twin of a6's
+      // broadcast-queries knnJoin, vs the per-query descents of v5/v8
+      val e = embeddings(s, d)
+      val index = IndexBuild.buildIndex(e, "vec_id", "embedding")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      IndexSearch.searchExactBatch(index, e, "vec_id", "embedding",
+          queries, "qid", "qvec", Radius)
+        .select(col("qid"), col("vec_id"))
+        .orderBy(col("qid"), col("vec_id"))
+    }),
 
     // --- text analysis (training-data pipeline) ---
     "t14_html_extract" -> ((s, d) => {
@@ -3502,6 +3516,13 @@ object SparkEntry {
     "v6_index_leaf_count" ->
       """SELECT count(*) AS leaf_cnt, count(DISTINCT vec_id) AS distinct_ids
         |FROM embeddings""".stripMargin,
+    "v17_batch_index_search" ->
+      s"""SELECT q.vec_id AS qid, e.vec_id
+         |FROM embeddings e
+         |CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+         |WHERE list_distance(CAST(e.embedding AS DOUBLE[]),
+         |                    CAST(q.embedding AS DOUBLE[])) <= $Radius
+         |ORDER BY qid, e.vec_id""".stripMargin,
 
     "t14_html_extract" ->
       """SELECT doc_id,

@@ -76,22 +76,27 @@ object IndexSearch {
     * Shared by the single-index and per-document local walks. */
   private[graft] final case class WalkResult(ids: Seq[Long], nodesVisited: Long)
 
-  private[graft] def walkTree(rows: Iterable[org.apache.spark.sql.Row],
-                              off: Int, q: Seq[Double], domain: Double,
-                              l2: Boolean = false): WalkResult = {
-    final case class N(dim: Integer, mid: Float, low: java.lang.Long,
-                       high: java.lang.Long, ids: mutable.ArrayBuffer[Long],
-                       var internal: Boolean)
-    val byId = mutable.LongMap.empty[N]
+  /** One tree node of the collected walk structure (serializable so the
+    * whole map can be BROADCAST for the batch per-partition walks). */
+  private[graft] final case class WalkNode(
+      dim: Integer, mid: Float, low: java.lang.Long, high: java.lang.Long,
+      ids: mutable.ArrayBuffer[Long], internal: Boolean)
+
+  /** Build the rangeId → node map once; walk it many times
+    * ([[walkMap]]) — the batch path amortizes this across Q queries. */
+  private[graft] def buildWalkMap(rows: Iterable[org.apache.spark.sql.Row],
+                                  off: Int): mutable.LongMap[WalkNode] = {
+    val byId = mutable.LongMap.empty[WalkNode]
     rows.foreach { r =>
       val rangeId = r.getLong(off)
       val n = byId.getOrElseUpdate(rangeId,
-        N(null, 0f, null, null, mutable.ArrayBuffer.empty, internal = false))
+        WalkNode(null, 0f, null, null, mutable.ArrayBuffer.empty,
+          internal = false))
       if (!r.isNullAt(off + 5)) n.ids += r.getLong(off + 5)
       if (!r.isNullAt(off + 3)) {
         // internal row for this rangeId (leaf rows may share the rangeId
         // only under bucket leaves; the ids buffer is carried over)
-        byId.update(rangeId, N(
+        byId.update(rangeId, WalkNode(
           if (r.isNullAt(off + 1)) null else Int.box(r.getInt(off + 1)),
           if (r.isNullAt(off + 2)) 0f else r.getFloat(off + 2),
           Long.box(r.getLong(off + 3)),
@@ -99,6 +104,17 @@ object IndexSearch {
           n.ids, internal = true))
       }
     }
+    byId
+  }
+
+  private[graft] def walkTree(rows: Iterable[org.apache.spark.sql.Row],
+                              off: Int, q: Seq[Double], domain: Double,
+                              l2: Boolean = false): WalkResult =
+    walkMap(buildWalkMap(rows, off), q, domain, l2)
+
+  private[graft] def walkMap(byId: mutable.LongMap[WalkNode],
+                             q: Seq[Double], domain: Double,
+                             l2: Boolean = false): WalkResult = {
     val out = mutable.ArrayBuffer.empty[Long]
     var visited = 0L
     if (l2) {
@@ -279,6 +295,92 @@ object IndexSearch {
          |         CAST(n.mid AS DOUBLE) <= element_at($qArr, n.dimension + 1) + $domain))
          |)
          |SELECT id FROM node WHERE id IS NOT NULL""".stripMargin)
+  }
+
+  /** BATCH box search — Q queries through ONE shared frontier descent
+    * (the serving shape at 100×: per-query descents re-scan the index Q
+    * times; this scans it once per LEVEL regardless of Q). The frontier
+    * holds (qid, qvec, childId) triples — O(Q × level width) rows,
+    * broadcast onto the partitioned index exactly like [[knnJoin]]'s
+    * broadcast-queries shape (`a6`) — so each level is one index scan
+    * joined against a broadcast query frontier, and queries that prune
+    * differently simply stop contributing rows. Pruning is the per-query
+    * L-inf box test (the `DDL.sql:240-249` predicate with `q[dim]` taken
+    * from the ROW's query vector), a candidate superset of each query's
+    * L2 ball; [[searchExactBatch]] re-checks exactly.
+    * Returns (qid, id) candidate pairs. */
+  def searchBoxBatch(index: DataFrame, queries: DataFrame, qidCol: String,
+                     qvecCol: String, domain: Double,
+                     localNodeLimit: Long = 2_000_000L): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    // Fast path when the tree fits a broadcast (it's ~2N tiny rows): ONE
+    // scan of the partitioned queries with the tree map broadcast, each
+    // task walking its queries' L2-budget descents against the shared
+    // in-memory tree — a6's broadcast-small-side principle with the
+    // roles the data sizes dictate (queries partitioned, index
+    // broadcast). No loop, no per-level jobs. The frontier-join loop
+    // below remains the path for indexes too large for any single node.
+    val probe = math.min(localNodeLimit + 1, Int.MaxValue.toLong - 1).toInt
+    if (index.limit(probe).count() <= localNodeLimit) {
+      val nodes = index.select("rangeId", "dimension", "mid", "lowRangeId",
+        "highRangeId", "id").collect()
+      val bc = spark.sparkContext.broadcast(buildWalkMap(nodes, 0))
+      return queries
+        .select(col(qidCol).cast("long").as("qid"),
+          col(qvecCol).cast("array<double>").as("qvec"))
+        .as[(Long, Seq[Double])]
+        .flatMap { case (qid, qv) =>
+          walkMap(bc.value, qv, domain, l2 = true).ids.map(id => (qid, id))
+        }
+        .toDF("qid", "id")
+    }
+    val idx = index.localCheckpoint()
+    val qs = queries.select(col(qidCol).as("qid"),
+      col(qvecCol).cast("array<double>").as("qvec"))
+    var frontier = idx.filter($"rangeId" === 0L).crossJoin(broadcast(qs))
+      .localCheckpoint()
+    var leaves = List.empty[DataFrame]
+    while (!frontier.isEmpty) {
+      leaves = frontier.filter($"id".isNotNull).select($"qid", $"id")
+        .localCheckpoint() :: leaves
+      val qv = element_at($"qvec", $"dimension" + 1)
+      val childIds = frontier.filter($"lowRangeId".isNotNull)
+        .select($"qid", $"qvec", explode(array(
+          when($"dimension".isNull ||
+            $"mid".cast("double") >= qv - domain, $"lowRangeId"),
+          when($"dimension".isNull ||
+            $"mid".cast("double") <= qv + domain, $"highRangeId"))).as("childId"))
+        .filter($"childId".isNotNull)
+        .dropDuplicates("qid", "childId")
+      val next = idx.join(broadcast(childIds), $"rangeId" === $"childId")
+        .drop("childId")
+        .localCheckpoint()
+      IndexBuild.freeCheckpoint(frontier)
+      frontier = next
+    }
+    IndexBuild.freeCheckpoint(frontier)
+    IndexBuild.freeCheckpoint(idx)
+    leaves.reduceOption(_ unionAll _)
+      .getOrElse(spark.emptyDataset[(Long, Long)].toDF("qid", "id"))
+  }
+
+  /** BATCH exact vicinity search: the [[searchBoxBatch]] candidates
+    * re-checked with the true per-query euclidean predicate — equals the
+    * brute-force per-query oracle by construction. Output:
+    * (qid, point id columns...) for every point within `radius` of its
+    * query. */
+  def searchExactBatch(index: DataFrame, points: DataFrame, idCol: String,
+                       vecCol: String, queries: DataFrame, qidCol: String,
+                       qvecCol: String, radius: Double): DataFrame = {
+    val cands = searchBoxBatch(index, queries, qidCol, qvecCol, radius)
+      .withColumnRenamed("id", idCol)
+    val qs = queries.select(col(qidCol).as("qid"),
+      col(qvecCol).as("__qvec"))
+    points.join(cands, idCol)
+      .join(broadcast(qs), "qid")
+      .filter(dist(col(vecCol), col("__qvec")) <= radius)
+      .drop("__qvec")
   }
 
   /** Iterative frontier-join descent for indexes too large to collect. */

@@ -256,4 +256,37 @@ class IndexExtrasSpec extends SparkSpec {
     val m = withIds.select("k", "seq_id").as[(String, Long)].collect().toMap
     assert(m == Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
   }
+
+  test("batch search equals per-query search on both physical paths") {
+    val e = Tables.embeddings(spark, sf0001)
+    val index = IndexBuild.buildIndex(e, "vec_id", "embedding")
+    val queries = e.filter(col("vec_id") < 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val r = QueryConstants.Radius
+    // per-query truth from the existing single-query exact path
+    val want = queries.select("qid").as[Long].collect().sorted.flatMap { q =>
+      val qv = e.filter(col("vec_id") === q)
+        .select(col("embedding").cast("array<double>"))
+        .as[Seq[Double]].head()
+      IndexSearch.searchExact(index, e, "vec_id", "embedding", qv, r)
+        .select("vec_id").as[Long].collect().map(id => (q, id))
+    }.toSet
+    // broadcast-tree fast path
+    val gotLocal = IndexSearch
+      .searchExactBatch(index, e, "vec_id", "embedding", queries,
+        "qid", "qvec", r)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(gotLocal == want)
+    // frontier-join loop forced (localNodeLimit = 0): candidates from
+    // the distributed descent re-checked the same way
+    val cands = IndexSearch.searchBoxBatch(index, queries, "qid", "qvec",
+        r, localNodeLimit = 0L)
+      .withColumnRenamed("id", "vec_id")
+    val gotDist = e.join(cands, "vec_id")
+      .join(queries, "qid")
+      .filter(functions.VectorFunctions.dist(col("embedding"),
+        col("qvec")) <= r)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    assert(gotDist == want)
+  }
 }
