@@ -1063,4 +1063,93 @@ class ScaleSpec extends SparkSpec {
       nprobe = 8, topN = 100, k = 10)
     assert(got.count() == 10)
   }
+
+  /** The executed plan with AQE's "Initial Plan" echo stripped. */
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .takeWhile(!_.contains("Initial Plan")).mkString("\n")
+
+  test("lshVerifiedPairs plan: shingles materialized once, no source re-scan") {
+    // Pins the d7 fix (round 12): the (doc, shingle) relation is
+    // checkpointed once and feeds BOTH the LSH candidate branch and the
+    // exact-verify sets — so the final plan contains ZERO parquet scans
+    // of the documents source. If the materialization is ever dropped,
+    // the source scan (and the tokenize+shingle kernel above it)
+    // reappears at least twice and this fails before the gate slows.
+    val docs = Tables.documents(spark, sf0001)
+    val pairs = Dedup.lshVerifiedPairs(docs, "doc_id", "text", 3, 0.6)
+    pairs.collect()
+    val plan = finalPlanOf(pairs)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"expected no parquet re-scan under the pair relation, got $scans:\n$plan")
+  }
+
+  test("PageRank contrib idiom: persisted hash(dst) edges + broadcast ranks = in-stage dst sum") {
+    // Pins the plan contract Graphs.pageRank/pageRankPersonalized rely
+    // on (the q30/q32 round-12 fix): edges persisted AFTER
+    // repartition(dst) keep hash(dst) as outputPartitioning, the
+    // node-scale rank frame broadcasts into them, and the per-dst
+    // contribution sum then runs IN-STAGE — no Exchange of the
+    // edge-scale relation in any round.
+    // At real scale AQE broadcasts the node-scale rank frame (edges ≫
+    // nodes); at spec scale it can flip the build side and broadcast the
+    // tiny cached edges instead — which only re-routes node-scale
+    // PARTIALS through one exchange, never the edge relation. The hint
+    // pins the at-scale build side so the invariant under test (persisted
+    // hash(dst) partitioning survives the broadcast join into the
+    // in-stage dst sum) is what actually executes.
+    val edges = (1 to 4000).map(i => (i.toLong, (i % 500).toLong))
+      .toDF("src", "dst")
+    val ew = edges
+      .withColumn("outdeg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ew.count()
+    val pr = ew.select(col("src").as("node"))
+      .union(ew.select(col("dst").as("node"))).distinct()
+      .withColumn("pr", lit(1000000L)).localCheckpoint()
+    val contrib = ew
+      .join(broadcast(pr.select(col("node").as("src"), col("pr"))), Seq("src"))
+      .select(col("dst").as("node"), expr("pr div outdeg").as("share"))
+      .groupBy(col("node")).agg(sum(col("share")).as("contrib"))
+    contrib.collect()
+    // strip the InMemoryRelation's echoed BUILD plan (its one-time
+    // REPARTITION/window shuffle is the persist itself, not the round)
+    val plan = finalPlanOf(contrib).linesIterator
+      .takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
+    val roundShuffles = "Exchange hashpartitioning[^\n]*ENSURE_REQUIREMENTS".r
+      .findAllIn(plan).size
+    assert(roundShuffles == 0,
+      s"expected an in-stage per-dst sum, got $roundShuffles shuffles:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "rank frame must broadcast into the cached edges")
+    assert(plan.contains("InMemoryTableScan"),
+      "edges must come from the persisted relation, not be recomputed")
+    ew.unpersist(blocking = false)
+  }
+
+  test("curate plan: dedup lineage computed once under rebalance (p15 shape)") {
+    // Pins the round-12 curate checkpoint: with rebalanceTargets the
+    // split-assigned relation is materialized BEFORE the rebalance
+    // stage, so the caller's final action replays none of the dedup /
+    // decontam / scoring lineage — the final plan shows no parquet
+    // scans and no shingle-join machinery above the checkpoint scan.
+    val docs = Tables.documents(spark, sf0001)
+    val pairs = Dedup.ngramJaccardPrefixPairs(
+        graft.operators.Pipeline.exactDedup(docs, "doc_id", "text"),
+        "doc_id", "text", 3, 0.6)
+      .select(col("a"), col("b"))
+    val curated = graft.operators.Pipeline.curateWith(
+      docs, "doc_id", "text", pairs,
+      evalDocs = Some(docs.filter(col("doc_id") % 23 === 0)),
+      domainCol = Some("lang"),
+      rebalanceTargets = Seq(("en", 0.5), ("de", 0.5)))
+    curated.collect()
+    val plan = finalPlanOf(curated)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"expected the curate output to replay no source lineage, got $scans:\n$plan")
+  }
 }
