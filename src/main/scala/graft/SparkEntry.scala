@@ -22,6 +22,19 @@ object SparkEntry {
 
   private def embeddings(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
+  /** The t14/p17 HTML wrapper: realistic markup — scripts (with `<`
+    * inside!), styles, comments, entities — whose extraction is
+    * closed-form: `Doc <id> <text> tail & entities <kept> ok`. */
+  private def htmlWrap(docId: org.apache.spark.sql.Column,
+                       text: org.apache.spark.sql.Column) = concat(
+    lit("<html><head><title>Doc "), docId,
+    lit("</title><script type=\"text/javascript\">var x = 1 < 2;\n" +
+      "alert(\"no\");</script><style>p { color: red; }</style>" +
+      "</head><body><!-- hidden comment --><p>"),
+    text,
+    lit("</p><div>tail &amp; entities &lt;kept&gt;&nbsp;ok</div>" +
+      "</body></html>"))
+
   /** The supplier↔customer trade graph (both edge directions, integer
     * node ids 2·suppkey / 2·custkey+1), staged once per sf dir like the
     * serving stores: q30 and q32 both probe it, and the lineitem⋈orders
@@ -665,24 +678,17 @@ object SparkEntry {
     }),
 
     // --- text analysis (training-data pipeline) ---
-    "t14_html_extract" -> ((s, d) => {
+    "t14_html_extract" -> ((s, d) =>
       // HTML → text extraction (the post-WARC step of a crawl
       // pipeline): each doc wrapped in realistic markup — scripts
       // (with < inside!), styles, comments, entities — then extracted
       // by the codegen'd regexp chain; the oracle predicts the
       // closed-form result (corpus text is HTML-clean, verified)
-      val html = concat(
-        lit("<html><head><title>Doc "), col("doc_id"),
-        lit("</title><script type=\"text/javascript\">var x = 1 < 2;\n" +
-          "alert(\"no\");</script><style>p { color: red; }</style>" +
-          "</head><body><!-- hidden comment --><p>"),
-        col("text"),
-        lit("</p><div>tail &amp; entities &lt;kept&gt;&nbsp;ok</div>" +
-          "</body></html>"))
       Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.htmlToText(html).as("extracted"))
-        .orderBy(col("doc_id"))
-    }),
+        .select(col("doc_id"),
+          TextOps.htmlToText(htmlWrap(col("doc_id"), col("text")))
+            .as("extracted"))
+        .orderBy(col("doc_id"))),
     "t1_text_profile" -> ((s, d) =>
       TextOps.profile(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
@@ -890,6 +896,41 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("quality"), col("split"),
           col("shard"), col("n_tokens").cast("long").as("n_tokens"),
           col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+    "p17_crawl_pipeline" -> ((s, d) => {
+      // the END-TO-END crawl pipeline through REAL container bytes
+      // (judge r12 #5): the corpus HTML-wrapped and written as WARC
+      // part files through the real encoder (i5's sink twin), read
+      // back at the one-file-per-task grain, HTML-extracted (t14),
+      // quality-gated (t1), admitted against the persisted standing-
+      // corpus shingle store (d30), and the admitted docs curated
+      // (p3's five stages) — one hash-gated composition of the five
+      // individually-green stages
+      import graft.sources.Warc
+      val docs = Tables.documents(s, d)
+      val warcDir = stagedStore(d, "crawlwarc", version = 1) { dir =>
+        Warc.writeWarc(
+          docs.select(
+            concat(lit("https://example.com/doc"), col("doc_id")).as("uri"),
+            htmlWrap(col("doc_id"), col("text")).cast("binary").as("body")),
+          "uri", "body", dir, files = 4)
+      }
+      val crawled = Warc.readWarc(s, warcDir)
+        .select(
+          regexp_extract(col("target_uri"), "doc(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          TextOps.htmlToText(col("body").cast("string")).as("text"))
+      val qualified = crawled
+        .filter(TextOps.qualityScore(col("text")) >= 0.5)
+        .localCheckpoint()
+      val admitted = qualified.join(
+        Dedup.admitNewAgainstStore(qualified, shingleStore(s, d),
+          "doc_id", "text", 0.3),
+        Seq("doc_id"))
+      Pipeline.curate(admitted, "doc_id", "text")
+        .select(col("doc_id"), col("quality"), col("split"), col("shard"),
+          col("n_tokens").cast("long").as("n_tokens"), col("bin"))
         .orderBy(col("doc_id"))
     }),
     "p6_rebalance_repeat" -> ((s, d) =>
@@ -3778,6 +3819,65 @@ object SparkEntry {
          |    SELECT doc_id, text,
          |      min(doc_id) OVER (PARTITION BY md5(text)) AS canon
          |    FROM documents) WHERE doc_id = canon),
+         |${MinHashCandCtes(2, "ek")},
+         |$LshVerifiedCtes,
+         |dpairs AS (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6),
+         |dedges AS (SELECT a AS x, b AS y FROM dpairs
+         |  UNION ALL SELECT b, a FROM dpairs),
+         |reach(node, r) AS (
+         |  SELECT x, y FROM dedges
+         |  UNION
+         |  SELECT reach.node, e.y FROM reach JOIN dedges e ON e.x = reach.r),
+         |cl AS (SELECT node, least(node, min(r)) AS cluster
+         |  FROM reach GROUP BY node),
+         |qf AS (SELECT doc_id, text, $QualitySql AS quality FROM ek
+         |  WHERE doc_id NOT IN (SELECT node FROM cl WHERE node <> cluster)
+         |    AND $QualitySql >= 0.5),
+         |sp AS (SELECT doc_id, quality, text,
+         |  CASE WHEN up < 0.75 THEN 'train'
+         |       WHEN up < 0.875 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT *, ${uniformSql("cu")} AS up FROM qf)),
+         |t AS (SELECT doc_id, quality, split, doc_id % 8 AS shard,
+         |  len(string_split_regex(text, '\\s+')) AS n_tokens FROM sp)
+         |SELECT doc_id, quality, split, shard,
+         | CAST(n_tokens AS BIGINT) AS n_tokens,
+         | CAST(floor((CAST(sum(n_tokens) OVER (PARTITION BY split, shard
+         |   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |   - n_tokens) / 512) AS BIGINT) AS bin
+         |FROM t ORDER BY doc_id""".stripMargin,
+    // the composed crawl chain: crawl = t14's closed-form extraction,
+    // quality gate = t1's formula, admission = d30's store jaccard with
+    // the probe side shingled over the EXTRACTED text, curate = p3's
+    // five stages over the admitted set
+    "p17_crawl_pipeline" ->
+      s"""WITH RECURSIVE crawl AS (
+         |  SELECT doc_id,
+         |    'Doc ' || doc_id || ' ' || text || ' tail & entities <kept> ok' AS text
+         |  FROM documents),
+         |qc AS (SELECT doc_id, text FROM crawl WHERE $QualitySql >= 0.5),
+         |tokp AS (SELECT doc_id, string_split_regex(text, '\\s+') ts FROM qc),
+         |shp AS (SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+3], ' ') AS shingle
+         |        FROM (SELECT doc_id, ts, unnest(range(greatest(len(ts)-2, 1))) AS i FROM tokp)),
+         |tokc AS (SELECT doc_id, string_split_regex(text, '\\s+') ts
+         |         FROM documents WHERE doc_id % 7 <> 0),
+         |shc AS (SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+3], ' ') AS shingle
+         |        FROM (SELECT doc_id, ts, unnest(range(greatest(len(ts)-2, 1))) AS i FROM tokc)),
+         |szp AS (SELECT doc_id, count(*) AS sz FROM shp GROUP BY doc_id),
+         |szc AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+         |ainter AS (SELECT p.doc_id AS a, c.doc_id AS b, count(*) AS inter
+         |           FROM shp p JOIN shc c ON p.shingle = c.shingle
+         |           GROUP BY 1, 2),
+         |adup AS (SELECT DISTINCT a FROM ainter
+         |  JOIN szp pa ON pa.doc_id = a
+         |  JOIN szc pb ON pb.doc_id = b
+         |  WHERE CAST(inter AS DOUBLE) / (pa.sz + pb.sz - inter) >= 0.3),
+         |adm AS (SELECT doc_id, text FROM qc
+         |  WHERE doc_id NOT IN (SELECT a FROM adup)),
+         |ek AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+         |    FROM adm) WHERE doc_id = canon),
          |${MinHashCandCtes(2, "ek")},
          |$LshVerifiedCtes,
          |dpairs AS (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6),

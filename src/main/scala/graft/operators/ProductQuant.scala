@@ -173,6 +173,94 @@ object ProductQuant {
       .drop("codes", "approx")
   }
 
+  // ------------------------------------------------------------------
+  // OPQ — Optimized Product Quantization (Ge, He, Ke, Sun, CVPR 2013;
+  // public method, no reference counterpart): learn an orthogonal
+  // rotation BEFORE the subspace split so the subspaces carry balanced,
+  // decorrelated variance. The PARAMETRIC solution is implemented: PCA
+  // rotation (decorrelates) + eigenvalue allocation (greedily assign
+  // eigen-dims to the m subspaces balancing each subspace's variance
+  // PRODUCT — Ge et al. §4's closed-form under the Gaussian
+  // assumption). The rotation is an isometry, so ADC distances in the
+  // rotated space estimate the ORIGINAL distances and the exact
+  // re-rank stays in the original space — stores/probes keep their
+  // (id, codes) + sidecar shape, codes just quantize better.
+  // ------------------------------------------------------------------
+
+  /** The learned rotation: project with `pc` (d×d PCA components,
+    * rows = input dims), then permute by `perm` (perm(i) = the
+    * projected dim that lands at rotated position i; positions group
+    * into subspaces of d/m). */
+  final case class OpqModel(pc: Array[Array[Double]], perm: Array[Int],
+                            cb: Codebook)
+
+  /** Eigenvalue allocation: dims sorted by variance descending, each
+    * assigned to the non-full subspace with the smallest current
+    * variance product (in log space — the balanced-product criterion). */
+  private[operators] def allocateDims(vars: Array[Double], m: Int): Array[Int] = {
+    val d = vars.length
+    val dsub = d / m
+    val buckets = Array.fill(m)(List.empty[Int])
+    val logProd = Array.fill(m)(0d)
+    vars.zipWithIndex.sortBy(-_._1).foreach { case (v, dim) =>
+      val j = (0 until m).filter(buckets(_).length < dsub)
+        .minBy(j => (logProd(j), j))
+      buckets(j) = dim :: buckets(j)
+      logProd(j) += math.log(math.max(v, 1e-300))
+    }
+    buckets.flatMap(_.reverse)
+  }
+
+  /** Train rotation + codebook and return (model, the PQ-coded corpus
+    * relation — emb's columns plus `codes`, the store/serving layout).
+    * One PCA Gramian pass + one per-dim variance aggregation + the
+    * plain [[pqTrain]] Lloyd rounds on the rotated relation; the
+    * rotated column is dropped from the output (codes + the original
+    * vector are the serving pair, exactly as with plain PQ). */
+  def opqTrain(emb: DataFrame, idCol: String, vecCol: String,
+               m: Int, k: Int, iters: Int): (OpqModel, DataFrame) = {
+    val d = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val (proj, pc) = MllibBridge.pcaProject(emb, vecCol, d, "_opq")
+    val vars = VectorStats.dimStats(
+        VectorStats.explodeVectors(
+          proj.select(col(idCol), col("_opq")), idCol, "_opq"))
+      .select(col("idx"), col("stdev")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1) * r.getDouble(1))
+      .sortBy(_._1).map(_._2)
+    val perm = allocateDims(vars, m)
+    val rotated = proj.withColumn("_rotv",
+      array(perm.toIndexedSeq.map(p =>
+        element_at(col("_opq"), p + 1)): _*).cast("array<float>"))
+    val cb = pqTrain(rotated, idCol, "_rotv", m, k, iters)
+    val assigned = pqAssign(rotated, "_rotv", cb).drop("_opq", "_rotv")
+    (OpqModel(pc, perm, cb), assigned)
+  }
+
+  /** Rotate a query into the OPQ space (project + permute). */
+  def opqRotateQuery(model: OpqModel, q: Seq[Double]): Array[Double] = {
+    val p = MllibBridge.pcaProjectQuery(model.pc, q)
+    model.perm.map(p)
+  }
+
+  /** OPQ ANN top-k over the coded relation from [[opqTrain]]: ADC-rank
+    * with the ROTATED query (the codes live in rotated space), exact
+    * re-rank the topN in the ORIGINAL space — same two-pruned-top-k
+    * shape as [[pqKnn]], no shuffle. */
+  def opqKnn(assigned: DataFrame, idCol: String, vecCol: String,
+             model: OpqModel, q: Seq[Double], topN: Int, k: Int): DataFrame = {
+    val rq = opqRotateQuery(model, q).toSeq
+    val cands = assigned
+      .withColumn("approx", adcScore(col("codes"), model.cb, rq))
+      .orderBy(col("approx"), col(idCol))
+      .limit(topN)
+    cands
+      .withColumn("dist", dist(col(vecCol), doubleVec(q)))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .drop("codes", "approx")
+  }
+
   /** Mean squared sub-distance to assigned codewords — the PQ training
     * cost (monitor convergence like ivfCost). Native per-subspace
     * min-distance kernel ([[graft.functions.NearestDistSqExpr]]) — the

@@ -204,6 +204,34 @@ object Warc {
       .toDF()
   }
 
+  /** Write a (uri, body) relation as `files` WARC part files — the
+    * generic distributed WARC SINK (the fixture writer below is its
+    * closed-form twin): each task encodes its partition through the
+    * real ISO 28500 encoder and writes one part file via the Hadoop FS
+    * API. Record-to-file assignment follows the repartition, so only
+    * the record SET is deterministic — exactly what a crawl layout
+    * guarantees, and all a set-keyed pipeline may rely on. */
+  def writeWarc(recs: DataFrame, uriCol: String, bodyCol: String,
+                dir: String, files: Int): Unit = {
+    require(files >= 1, "need at least one part file")
+    val sc = recs.sparkSession.sparkContext
+    val confBc = org.apache.spark.graftshim.GraftCoreShim.broadcastHadoopConf(sc)
+    recs.select(org.apache.spark.sql.functions.col(uriCol).cast("string"),
+        org.apache.spark.sql.functions.col(bodyCol).cast("binary"))
+      .repartition(files)
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val rows = it.map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq
+        if (rows.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val p = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc")
+          val fs = p.getFileSystem(
+            org.apache.spark.graftshim.GraftCoreShim.confOf(confBc))
+          val out = fs.create(p, true)
+          try out.write(encode(rows)) finally out.close()
+        }
+      }
+  }
+
   /** Deterministic WARC fixture: `files` part files written
     * DISTRIBUTIVELY (one per task through the Hadoop FS API — the same
     * write grain the reader consumes), record i (global, 0-based) =

@@ -69,6 +69,57 @@ class RecallSpec extends SparkSpec {
     assert(rBig >= r, s"topN=1000 recall $rBig regressed below topN=200 $r")
   }
 
+  test("OPQ rotation: recall uplift over plain PQ on correlated dims") {
+    // a fixture where the axis-aligned subspace split is WRONG: each
+    // dim is the running sum of the clustered fixture's dims (strong
+    // cross-dim correlation, wildly unbalanced per-dim variance). The
+    // OPQ parametric rotation (PCA + eigenvalue allocation) decorrelates
+    // and rebalances, so the same (m, k, topN) budget must recall at
+    // least as much as plain PQ — the Ge et al. 2013 claim, spec-gated.
+    val mixed = pts.select(col("id"),
+        expr("CAST(transform(sequence(1, 16), i -> " +
+          "aggregate(slice(embedding, 1, i), 0D, " +
+          "(acc, x) -> acc + CAST(x AS DOUBLE))) AS ARRAY<FLOAT>)")
+          .as("embedding"))
+      .localCheckpoint()
+    val mq: Seq[Seq[Double]] = mixed
+      .filter(col("id") % 500 === 3).orderBy(col("id"))
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val mtruth: Map[Int, Set[Long]] = mq.zipWithIndex.map { case (q, i) =>
+      i -> BruteForce.knn(mixed, "embedding", "id", q, K)
+        .select("id").as[Long].collect().toSet
+    }.toMap
+    def recallM(probe: Seq[Double] => org.apache.spark.sql.DataFrame): Double = {
+      val hits = mq.zipWithIndex.map { case (q, i) =>
+        probe(q).select("id").as[Long].collect().toSet
+          .intersect(mtruth(i)).size
+      }.sum
+      hits.toDouble / (mq.size * K)
+    }
+    val cbPlain = ProductQuant.pqTrain(mixed, "id", "embedding",
+      m = 4, k = 16, iters = 1)
+    val rPlain = recallM(q => ProductQuant.pqKnn(mixed, "id", "embedding",
+      cbPlain, q, topN = 100, K))
+    val (opq, assigned) = ProductQuant.opqTrain(mixed, "id", "embedding",
+      m = 4, k = 16, iters = 1)
+    val rOpq = recallM(q => ProductQuant.opqKnn(assigned, "id", "embedding",
+      opq, q, topN = 100, K))
+    assert(rOpq >= 0.8, s"OPQ topN=100 recall@10 $rOpq below floor 0.8")
+    assert(rOpq >= rPlain,
+      s"OPQ recall $rOpq regressed below plain PQ $rPlain on correlated dims")
+    // the rotation is a signed permutation of orthonormal PCA rows — an
+    // isometry: rotated-query norms must equal original norms
+    val q0 = mq.head
+    val rq = ProductQuant.opqRotateQuery(opq, q0)
+    // (PCA centers nothing here: MLlib's PCA projects without mean
+    // removal, so norms are preserved exactly)
+    val n0 = math.sqrt(q0.map(x => x * x).sum)
+    val n1 = math.sqrt(rq.map(x => x * x).sum)
+    assert(math.abs(n0 - n1) <= 1e-6 * math.max(n0, 1.0),
+      s"rotation must be an isometry: |q|=$n0 vs |Rq|=$n1")
+  }
+
   test("a5 IVFADC probe recall@10 meets the floor") {
     val dir = java.nio.file.Files.createTempDirectory("graftrecall").toString
     IvfPq.write(pts, "id", "embedding", numLists = 20, coarseIters = 2,
