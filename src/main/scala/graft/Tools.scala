@@ -867,6 +867,29 @@ object Tools {
       for (np <- Seq(1, 4, 16); topN <- Seq(100, 1000))
         measure(s"a5 IVFADC nprobe=$np topN=$topN")(q =>
           IvfPq.probe(spark, ivfpqPath, pts, "id", "embedding", q, np, topN, kTop))
+      if (args.contains("graph")) {
+        // graph ANN (Vamana-style build + seeded greedy beam): the
+        // build is the expensive arm (a corpus×corpus bucketed kNN
+        // join) — opt-in via the `graph` flag. Serving is pinned and
+        // driver-local, so s/probe here measures the pure beam walk.
+        // list cap ~256 members: candidate volume = nprobe·cap per node
+        val lists = math.max(16, (n / 256L).toInt)
+        var t0 = System.nanoTime()
+        val (graph, seeds) = GraphAnn.build(pts, "id", "embedding",
+          numLists = lists, nprobe = 2, k = 12, alpha = 1.2,
+          maxDegree = 24)
+        val g = graph.localCheckpoint()
+        val deg = g.select(avg(size(col("nbrs")))).head().getDouble(0)
+        println(f"graph build (lists=$lists nprobe=2 k=12 R=24): " +
+          f"${(System.nanoTime() - t0) / 1e9}%.1f s, avg degree $deg%.1f")
+        t0 = System.nanoTime()
+        val pinned = GraphAnn.pin(g, seeds)
+        println(f"pin: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+          f"(${pinned.size} nodes, ${seeds.length} seeds)")
+        for (ef <- Seq(32, 128))
+          measure(s"graph ANN beam ef=$ef")(q =>
+            GraphAnn.graphKnn(spark, pinned, q, kTop, ef))
+      }
       spark.stop(); return
     }
     if (name == "curatebench") {

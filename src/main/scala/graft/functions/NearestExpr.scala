@@ -328,6 +328,113 @@ case class NearestRoutedExpr(child: Expression,
     copy(child = c)
 }
 
+/** The `n` nearest centroid ids (ordered nearest-first) as ARRAY<LONG>
+  * — the map-only MULTI-probe assignment for corpus-scale fan-out (the
+  * graph-ANN build assigns every corpus row to its nprobe nearest
+  * lists; routing that through the small-query crossJoin+window shape
+  * would materialize an N×C relation). Same O(1)-code-size loop
+  * contract as [[NearestIdExpr]]: one reference-object table, fixed
+  * generated code for any C, left-to-right float64 accumulation,
+  * optional sqrt compare, ties to the earliest (lowest-id) entry via
+  * strict-less insertion over the id-sorted table. */
+case class NearestTopIdsExpr(child: Expression, ids: Array[Long],
+                             cents: Array[Array[Double]], n: Int,
+                             sqrtCompare: Boolean)
+    extends UnaryExpression {
+  require(ids.length == cents.length && ids.nonEmpty,
+    "NearestTopIdsExpr needs one id per centroid")
+  require(n >= 1, "need n >= 1 nearest ids")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_nearest_top"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a float/double array input")
+  }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isFloat = elemIsFloat
+    val m = math.min(n, cents.length)
+    val bd = Array.fill(m)(Double.PositiveInfinity)
+    val bi = new Array[Long](m)
+    var ci = 0
+    while (ci < cents.length) {
+      val cv = cents(ci)
+      if (v.numElements() != cv.length)
+        throw new IllegalArgumentException(
+          s"vector length mismatch: ${v.numElements()} vs ${cv.length}")
+      var acc = 0.0d
+      var k = 0
+      while (k < cv.length) {
+        val diff = (if (isFloat) v.getFloat(k).toDouble else v.getDouble(k)) - cv(k)
+        acc += diff * diff
+        k += 1
+      }
+      val cd = if (sqrtCompare) math.sqrt(acc) else acc
+      if (cd < bd(m - 1)) {
+        var j = m - 1
+        while (j > 0 && cd < bd(j - 1)) { bd(j) = bd(j - 1); bi(j) = bi(j - 1); j -= 1 }
+        bd(j) = cd; bi(j) = ids(ci)
+      }
+      ci += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(bi)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val idsRef = ctx.addReferenceObj("topIds", ids, "long[]")
+    val centsRef = ctx.addReferenceObj("topCents", cents, "double[][]")
+    val cd = if (sqrtCompare) "java.lang.Math.sqrt(acc)" else "acc"
+    val m = math.min(n, cents.length)
+    nullSafeCodeGen(ctx, ev, v => {
+      val bd = ctx.freshName("bd")
+      val bi = ctx.freshName("bi")
+      val ci = ctx.freshName("ci")
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      s"""
+        double[] $bd = new double[$m];
+        long[] $bi = new long[$m];
+        java.util.Arrays.fill($bd, Double.POSITIVE_INFINITY);
+        for (int $ci = 0; $ci < $centsRef.length; $ci++) {
+          double[] cv = $centsRef[$ci];
+          if ($v.numElements() != cv.length) {
+            throw new IllegalArgumentException(
+              "vector length mismatch: " + $v.numElements() + " vs " + cv.length);
+          }
+          double acc = 0.0;
+          for (int $k = 0; $k < cv.length; $k++) {
+            double diff = (double) $v.$get($k) - cv[$k];
+            acc += diff * diff;
+          }
+          double cd = $cd;
+          if (cd < $bd[$m - 1]) {
+            int $j = $m - 1;
+            while ($j > 0 && cd < $bd[$j - 1]) {
+              $bd[$j] = $bd[$j - 1]; $bi[$j] = $bi[$j - 1]; $j--;
+            }
+            $bd[$j] = cd; $bi[$j] = $idsRef[$ci];
+          }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($bi);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object NearestExpr {
   import GraftSqlShim.{toColumn, toExpression}
 
@@ -343,6 +450,15 @@ object NearestExpr {
   /** Min squared distance to any centroid (the k-means cost term). */
   def nearestDistSq(vec: Column, cents: Array[Array[Double]]): Column =
     toColumn(NearestDistSqExpr(toExpression(vec), cents))
+
+  /** The n nearest ids (nearest-first) over a constant (id, centroid)
+    * table — map-only multi-probe assignment. */
+  def nearestTopIds(vec: Column, table: Array[(Long, Array[Double])],
+                    n: Int, sqrtCompare: Boolean): Column = {
+    val sorted = table.sortBy(_._1)
+    toColumn(NearestTopIdsExpr(toExpression(vec), sorted.map(_._1),
+      sorted.map(_._2), n, sqrtCompare))
+  }
 
   /** Routed nearest-id column: supers are a stride sample of the
     * id-sorted table (deterministic), members are each table row routed

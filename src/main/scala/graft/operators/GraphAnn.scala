@@ -1,0 +1,330 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+import scala.collection.mutable
+
+/** Graph-based ANN: Vamana-style bounded-degree neighbour graph
+  * (Subramanya et al., "DiskANN", NeurIPS 2019 — the α-RobustPrune
+  * construction) built distributively, served by greedy best-first beam
+  * search (Malkov & Yashunin, HNSW, TPAMI 2018). Both are public
+  * methods; the reference has no graph index (its in-memory structure
+  * is a trie, MemoryVectorIndex.cs), so this completes the engine's
+  * serving-family breadth beyond the tree / trie / LSH / IVF× paths.
+  *
+  * BUILD — Spark-first, never all-pairs:
+  *   1. candidate kNN graph via IVF bucketing: every point (as a query)
+  *      probes its `nprobe` nearest coarse lists while the corpus is
+  *      scanned ONCE with the map-only primary assignment; candidates
+  *      form on the list_id equi-join, so the pair volume is
+  *      Σ_l |store_l|·|probe_l| ≈ nprobe·N·(N/C) — bounded by the list
+  *      cap when C scales with N, exactly the ivfKnnJoin argument — and
+  *      one per-source window keeps the k nearest (a6's shape with the
+  *      corpus on both sides).
+  *   2. symmetrize (union of both directions; L2 is symmetric, so
+  *      groupBy-min just dedupes).
+  *   3. α-RobustPrune per node (Vamana Algorithm 2): keep the nearest
+  *      surviving candidate, discard every v with α·d(kept, v) ≤
+  *      d(node, v), until `maxDegree` kept — per-node local work over
+  *      its ≤ 2·k·nprobe candidates inside one mapGroups (the degree
+  *      bound is what keeps the pinned graph and the beam search flat).
+  *   4. seed set = each coarse list's leader (member nearest its
+  *      centroid) plus the corpus medoid — the per-query entry points
+  *      that route across graph components (see [[GraphAnn.build]]).
+  *
+  * SERVE: pin the (id → vector, neighbours) graph the way PinnedIndex
+  * pins the tree — collect once (budget: N·(d·4 + degree·8) bytes, the
+  * same serving-RAM contract as pinWithVectors), then answer any number
+  * of queries driver-locally, or broadcast the pin and run a whole
+  * query relation through one distributed flatMap (the searchJoin
+  * shape). Greedy beam: expand the closest unexpanded candidate, keep
+  * the best `ef`, stop when the frontier can no longer improve them —
+  * deterministic ((dist, id) orderings throughout, no RNG).
+  *
+  * Determinism: centroids are ivfTrain's (seeded first-C + Lloyd), the
+  * candidate graph is a windowed top-k with (dist, dst) tie-break, the
+  * prune is a pure function of the sorted candidate list — the whole
+  * build is replayable bit-for-bit (GraphAnnSpec pins this).
+  */
+object GraphAnn {
+
+  /** Directed approximate kNN graph (src, dst, dist) over the corpus —
+    * stage 1 of [[build]], exposed for reuse (it IS the generic
+    * "kNN self-join" operator: near-duplicate graphs, kNN classifiers
+    * over the corpus itself, …). */
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
+               numLists: Int, nprobe: Int, k: Int): DataFrame =
+    knnGraphWith(emb, idCol, vecCol,
+      Similarity.ivfTrain(emb, idCol, vecCol, numLists, iters = 1),
+      nprobe, k)
+
+  private def knnGraphWith(emb: DataFrame, idCol: String, vecCol: String,
+                           cents: Array[(Long, Array[Double])],
+                           nprobe: Int, k: Int): DataFrame = {
+    // MAP-ONLY multi-probe assignment (NearestTopIdsExpr): the small-
+    // query crossJoin+window shape (probeListsJoin) would materialize
+    // an N×C relation when the query side IS the corpus. The per-src
+    // top-k window compiles to Spark's WindowGroupLimit: a partial
+    // top-k runs before the exchange, so the shuffle carries
+    // ≤ nprobe·k rows per src, not the full candidate volume.
+    val probes = emb.select(
+      col(idCol).cast("long").as("src"),
+      col(vecCol).cast("array<float>").as("qv"),
+      explode(graft.functions.NearestExpr.nearestTopIds(
+        col(vecCol), cents, nprobe, sqrtCompare = true)).as("list_id"))
+    emb
+      .select(col(idCol).cast("long").as("dst"),
+        col(vecCol).cast("array<float>").as("dv"),
+        Similarity.ivfListId(col(vecCol), cents).as("list_id"))
+      .join(probes, Seq("list_id"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("dist", dist(col("dv"), col("qv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src"))
+          .orderBy(col("dist").asc_nulls_last, col("dst"))))
+      .filter(col("rn") <= k)
+      .select(col("src"), col("dst"), col("dist"))
+  }
+
+  /** Vamana α-RobustPrune over one node's candidate list
+    * (dst, dstVec, dist-to-node): returns ≤ r neighbour ids. Works on
+    * euclidean distances; the α test compares α·d(kept, v) ≤ d(node, v)
+    * (Algorithm 2's occlusion rule — α > 1 keeps longer "highway"
+    * edges that make greedy search converge). */
+  private[operators] def robustPrune(
+      cands: Array[(Long, Array[Float], Double)],
+      alpha: Double, r: Int): Array[Long] = {
+    val sorted = cands.sortBy(c => (c._3, c._1))
+    val alive = Array.fill(sorted.length)(true)
+    val kept = mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    while (i < sorted.length && kept.length < r) {
+      if (alive(i)) {
+        val (id, v, _) = sorted(i)
+        kept += id
+        var j = i + 1
+        while (j < sorted.length) {
+          if (alive(j)) {
+            val w = sorted(j)
+            if (alpha * l2(v, w._2) <= w._3) alive(j) = false
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    kept.toArray
+  }
+
+  /** Executor-local euclidean distance (same left-to-right float64
+    * fold as the codegen kernel and PinnedIndex.offer). */
+  private def l2(a: Array[Float], b: Array[Float]): Double = {
+    var d2 = 0d; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i); d2 += d * d; i += 1 }
+    math.sqrt(d2)
+  }
+
+  private def l2d(a: Array[Float], q: Array[Double]): Double = {
+    var d2 = 0d; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - q(i); d2 += d * d; i += 1 }
+    math.sqrt(d2)
+  }
+
+  /** Full build: candidate kNN graph → symmetrize → α-RobustPrune.
+    * Returns (graph relation (id, vec ARRAY<FLOAT>, nbrs ARRAY<LONG>),
+    * seed ids). Isolated points (none in practice with nprobe ≥ 1 and
+    * non-trivial lists) keep an empty nbrs array.
+    *
+    * SEEDS, not one entry: a kNN graph over clustered data is
+    * disconnected by construction (no candidate pair ever crosses a
+    * cluster gap, and α-prune can only keep edges it was offered), so a
+    * single medoid entry strands every query outside the medoid's
+    * component — measured recall 0 on the planted-cluster fixture. The
+    * serving fix is the standard IVF-seeded graph search: the seed set
+    * is each coarse list's LEADER (its member nearest the centroid)
+    * plus the global medoid; a query starts the beam from all seeds
+    * (C+1 distance evaluations — the same per-query routing cost IVF
+    * itself pays) and the greedy descends within the right component.
+    * Connectivity inside a component is the kNN graph's job; routing
+    * ACROSS components is the seeds'. */
+  def build(emb: DataFrame, idCol: String, vecCol: String,
+            numLists: Int, nprobe: Int, k: Int,
+            alpha: Double, maxDegree: Int): (DataFrame, Array[Long]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pts = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    val cents = Similarity.ivfTrain(emb, idCol, vecCol, numLists, iters = 1)
+    val knn = knnGraphWith(emb, idCol, vecCol, cents, nprobe, k)
+    // both directions; groupBy-min dedupes the (src,dst)↔(dst,src) echo
+    val undirected = knn
+      .union(knn.select(col("dst").as("src"), col("src").as("dst"),
+        col("dist")))
+      .groupBy(col("src"), col("dst")).agg(min(col("dist")).as("dist"))
+    val pruned = undirected
+      .join(pts.select(col("id").as("dst"), col("vec").as("dvec")), "dst")
+      .select(col("src"), col("dst"), col("dvec"), col("dist"))
+      .as[(Long, Long, Array[Float], Double)]
+      .groupByKey(_._1)
+      .mapGroups { (src, it) =>
+        // candidate count ≤ 2·k·nprobe by the window bound — local sort
+        // + quadratic occlusion test over a bounded list, never corpus²
+        (src, robustPrune(it.map(t => (t._2, t._3, t._4)).toArray,
+          alpha, maxDegree))
+      }
+      .toDF("id", "nbrs")
+    val graph = pts.join(pruned, Seq("id"), "left")
+      .select(col("id"), col("vec"),
+        coalesce(col("nbrs"), array().cast("array<long>")).as("nbrs"))
+    (graph, (leaders(emb, idCol, vecCol, cents) :+ medoid(pts)).distinct)
+  }
+
+  /** Per-list leaders: each coarse list's member nearest its centroid
+    * (ties to the smaller id) — one scan + one C-group window; the
+    * collect is C longs (bounded by the centroid-table contract). */
+  private def leaders(emb: DataFrame, idCol: String, vecCol: String,
+                      cents: Array[(Long, Array[Double])]): Array[Long] = {
+    val centRel = Similarity.centroidRelation(emb.sparkSession, cents)
+      .select(col("list_id").cast("long"),
+        col("cv").cast("array<double>").as("cv"))
+    emb
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"),
+        Similarity.ivfListId(col(vecCol), cents).as("list_id"))
+      .join(broadcast(centRel), Seq("list_id"))
+      .withColumn("cd", dist(col("vec"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("list_id"))
+          .orderBy(col("cd").asc_nulls_last, col("id"))))
+      .filter(col("rn") === 1)
+      .select(col("id")).orderBy(col("id"))
+      .collect().map(_.getLong(0))
+  }
+
+  /** The corpus medoid: argmin distance to the mean vector (ties to the
+    * smaller id). One single-pass Welford aggregation + one scan. */
+  def medoid(pts: DataFrame): Long = {
+    val mean = pts
+      .agg(graft.functions.VecStatsNative.vecStats(col("id"), col("vec"))
+        .as("vs"))
+      .select(col("vs.mean")).head().getSeq[Double](0).toSeq
+    pts.select(col("id"), dist(col("vec"), doubleVec(mean)).as("d"))
+      .orderBy(col("d"), col("id")).limit(1)
+      .head().getLong(0)
+  }
+
+  /** A pinned, broadcastable serving form of the graph — the PinnedIndex
+    * contract for the graph family. PIN BUDGET: N·(d·4 + degree·8)
+    * bytes plus map overhead (1M×96 at degree 32 ≈ 650 MB); beyond it,
+    * shard the corpus and pin per shard (graphs compose by unioning
+    * per-shard top-k, exactly the knnDistributed fallback idea). */
+  final class PinnedGraph private[GraphAnn] (
+      val seeds: Array[Long],
+      val vecs: mutable.LongMap[Array[Float]],
+      val nbrs: mutable.LongMap[Array[Long]]) extends Serializable {
+
+    def size: Int = vecs.size
+
+    /** Greedy best-first beam search seeded at every leader (plus the
+      * medoid): returns the top-k of the best-`ef` pool as (id, dist)
+      * sorted by (dist, id). Deterministic: frontier and pool order by
+      * (dist, id); the stop rule (nearest unexpanded ≥ worst pooled,
+      * pool full) is the standard HNSW searchLayer termination. Seeding
+      * costs |seeds| extra distance evaluations per query — the IVF
+      * routing cost — and is what reaches the right graph component
+      * (see [[build]]'s SEEDS note). */
+    def knn(q: Seq[Double], k: Int, ef: Int): Seq[(Long, Double)] = {
+      if (vecs.isEmpty || k <= 0) return Nil
+      val qa = q.toArray
+      val beam = math.max(ef, k)
+      val visited = mutable.HashSet.empty[Long]
+      // frontier: min-heap by (dist, id)
+      val frontier = mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long).reverse)
+      // pool: max-heap of the best `beam` so far — head = worst kept
+      val pool = mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+      val ss = seeds.filter(vecs.contains) match {
+        case s if s.nonEmpty => s
+        case _ => Array(vecs.keysIterator.min)
+      }
+      ss.foreach { e =>
+        if (!visited.contains(e)) {
+          val ed = l2d(vecs(e), qa)
+          visited += e
+          if (pool.size < beam || ed < pool.head._1) {
+            frontier.enqueue((ed, e)); pool.enqueue((ed, e))
+            if (pool.size > beam) pool.dequeue()
+          }
+        }
+      }
+      while (frontier.nonEmpty) {
+        val (cd, cid) = frontier.dequeue()
+        if (cd > pool.head._1 && pool.size >= beam) {
+          frontier.clear() // nearest unexpanded can't improve the pool
+        } else {
+          nbrs.getOrElse(cid, Array.emptyLongArray).foreach { n =>
+            if (!visited.contains(n)) {
+              visited += n
+              val d = l2d(vecs(n), qa)
+              if (pool.size < beam || d < pool.head._1 ||
+                  (d == pool.head._1 && n < pool.head._2)) {
+                frontier.enqueue((d, n))
+                pool.enqueue((d, n))
+                if (pool.size > beam) pool.dequeue()
+              }
+            }
+          }
+        }
+      }
+      pool.dequeueAll.map((t: (Double, Long)) => (t._2, t._1))
+        .sortBy(t => (t._2, t._1)).take(k).toSeq
+    }
+  }
+
+  /** Collect the graph relation into its pinned form (see PIN BUDGET). */
+  def pin(graph: DataFrame, seeds: Array[Long]): PinnedGraph = {
+    val vecs = mutable.LongMap.empty[Array[Float]]
+    val nbrs = mutable.LongMap.empty[Array[Long]]
+    graph.select(col("id").cast("long"), col("vec").cast("array<float>"),
+        col("nbrs").cast("array<long>"))
+      .collect()
+      .foreach { r =>
+        if (!r.isNullAt(0) && !r.isNullAt(1)) {
+          vecs.update(r.getLong(0), r.getSeq[Float](1).toArray)
+          if (!r.isNullAt(2)) nbrs.update(r.getLong(0), r.getSeq[Long](2).toArray)
+        }
+      }
+    new PinnedGraph(seeds, vecs, nbrs)
+  }
+
+  /** Single-query serving as a relation (the v2/a2 result shape):
+    * (id, dist) rows from the pinned greedy search. */
+  def graphKnn(spark: SparkSession, pinned: PinnedGraph,
+               q: Seq[Double], k: Int, ef: Int): DataFrame = {
+    import spark.implicits._
+    pinned.knn(q, k, ef).toDF("id", "dist")
+  }
+
+  /** Batch serving — every row of a query relation through one
+    * distributed flatMap with the pinned graph broadcast (the
+    * searchJoin shape: no per-query jobs, no driver loop). Returns
+    * (qid, id, dist). */
+  def graphKnnJoin(pinned: PinnedGraph, queries: DataFrame,
+                   qIdCol: String, qVecCol: String,
+                   k: Int, ef: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val pinB = spark.sparkContext.broadcast(pinned)
+    queries
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (qid, qv) =>
+        pinB.value.knn(qv.toSeq, k, ef).map { case (id, d) => (qid, id, d) }
+      }
+      .toDF(qIdCol, "id", "dist")
+  }
+}

@@ -151,4 +151,49 @@ class RecallSpec extends SparkSpec {
       "id", "embedding", planes, q, K))
     assert(r >= 0.5, s"LSH multi-probe recall@10 $r below floor 0.5")
   }
+
+  test("graph ANN (Vamana build + greedy beam) recall@10 meets the floor") {
+    val (graph, seeds) = GraphAnn.build(pts, "id", "embedding",
+      numLists = 20, nprobe = 3, k = 12, alpha = 1.2, maxDegree = 16)
+    val g = graph.localCheckpoint()
+    // degree bound is structural, not statistical; the graph must also
+    // carry real edges (a vacuous all-empty graph passes ≤ bounds)
+    val maxDeg = g.select(max(size(col("nbrs")))).head().getInt(0)
+    assert(maxDeg <= 16, s"RobustPrune degree bound violated: $maxDeg > 16")
+    val avgDeg = g.select(avg(size(col("nbrs")))).head().getDouble(0)
+    assert(avgDeg >= 4, s"graph too sparse to serve: avg degree $avgDeg")
+    val pinned = GraphAnn.pin(g, seeds)
+    assert(pinned.size == 4000, s"pin dropped nodes: ${pinned.size}")
+    val r = recallOf(q => GraphAnn.graphKnn(spark, pinned, q, K, ef = 64))
+    assert(r >= 0.85, s"graph ANN ef=64 recall@10 $r below floor 0.85")
+    // a deeper beam can only help (the pool is monotone in ef)
+    val rDeep = recallOf(q => GraphAnn.graphKnn(spark, pinned, q, K, ef = 256))
+    assert(rDeep >= r, s"ef=256 recall $rDeep regressed below ef=64 $r")
+    // batch serving ≡ the single-query loop, row for row
+    val qdf = pts.filter(col("id") % 500 === 3)
+      .select(col("id").as("qid"), col("embedding").as("qv"))
+    val batch = GraphAnn.graphKnnJoin(pinned, qdf, "qid", "qv", K, ef = 64)
+      .select(col("qid"), col("id"),
+        round(col("dist"), 9).as("dist"))
+      .orderBy(col("qid"), col("dist"), col("id"))
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2)))
+    val qids = pts.filter(col("id") % 500 === 3).orderBy(col("id"))
+      .select(col("id")).collect().map(_.getLong(0))
+    val single = queries.zipWithIndex.flatMap { case (q, i) =>
+      pinned.knn(q, K, 64).map { case (id, d) =>
+        (qids(i), id, math.rint(d * 1e9) / 1e9)
+      }
+    }.sortBy(t => (t._1, t._3, t._2))
+    assert(batch.toSeq == single,
+      "batch graphKnnJoin must equal the per-query pinned search")
+    // the build is a pure function of its inputs: replay → same graph
+    val (graph2, seeds2) = GraphAnn.build(pts, "id", "embedding",
+      numLists = 20, nprobe = 3, k = 12, alpha = 1.2, maxDegree = 16)
+    assert(seeds2.toSeq == seeds.toSeq, "seed set must be deterministic")
+    val h1 = g.select(col("id"), concat_ws(",", col("nbrs")).as("n"))
+      .orderBy(col("id")).collect().map(_.toString).mkString("|").hashCode
+    val h2 = graph2.select(col("id"), concat_ws(",", col("nbrs")).as("n"))
+      .orderBy(col("id")).collect().map(_.toString).mkString("|").hashCode
+    assert(h1 == h2, "graph build must be deterministic")
+  }
 }

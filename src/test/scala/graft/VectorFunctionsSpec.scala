@@ -91,6 +91,49 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(got(300L) == table(7)._1)
   }
 
+  test("NearestTopIdsExpr: ordered top-n ids match a reference sort, ties keep the lower id") {
+    val rnd = new scala.util.Random(21)
+    val dim = 6
+    val table: Array[(Long, Array[Double])] = Array.tabulate(37) { i =>
+      ((i * 3 + 5).toLong, Array.fill(dim)(rnd.nextDouble() * 4 - 2))
+    }
+    // duplicate one centroid under a HIGHER id: the lower id must sort first
+    val dupTable = table :+ (999L, table(7)._2.clone)
+    def ref(v: Array[Double], n: Int): Seq[Long] = dupTable
+      .map { case (lid, cv) =>
+        (math.sqrt(cv.indices.foldLeft(0d) { (a, i) =>
+          val x = v(i) - cv(i); a + x * x }), lid)
+      }
+      .sortBy(identity).take(n).map(_._2).toSeq
+    val rows = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextDouble() * 4 - 2))) :+
+      (200L, table(7)._2.toSeq) // exact dup hit: both copies in the top-n
+    for (n <- Seq(1, 3, 8)) {
+      val got = rows.toDF("id", "v")
+        .select(col("id"), graft.functions.NearestExpr.nearestTopIds(
+          col("v"), dupTable, n, sqrtCompare = true).as("tops"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      rows.foreach { case (id, v) =>
+        assert(got(id) == ref(v.toArray, n), s"row $id n=$n") }
+    }
+    // n=1 must agree with the single-id kernel everywhere
+    val one = rows.toDF("id", "v")
+      .select(col("id"),
+        graft.functions.NearestExpr.nearestTopIds(col("v"), dupTable, 1,
+          sqrtCompare = true).getItem(0).as("t"),
+        graft.functions.NearestExpr.nearestId(col("v"), dupTable,
+          sqrtCompare = true).as("s"))
+      .collect()
+    one.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"top-1 diverged from nearestId on row ${r.getLong(0)}"))
+    // n past the table size truncates to the table size
+    val wide = rows.take(3).toDF("id", "v")
+      .select(graft.functions.NearestExpr.nearestTopIds(col("v"), dupTable,
+        100, sqrtCompare = true).as("tops"))
+      .collect()
+    wide.foreach(r => assert(r.getSeq[Long](0).size == dupTable.length))
+  }
+
   test("NearestDistSqExpr matches a reference min-d2 on random tables") {
     val rnd = new scala.util.Random(7)
     val dim = 5
