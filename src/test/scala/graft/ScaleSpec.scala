@@ -1085,6 +1085,28 @@ class ScaleSpec extends SparkSpec {
       s"expected no parquet re-scan under the pair relation, got $scans:\n$plan")
   }
 
+  test("knnGraph build plan: map-only multi-probe assignment + partial top-k before the window exchange") {
+    // Pins the graph-ANN build contract (round 13): (a) the multi-probe
+    // assignment is the NearestTopIdsExpr projection — NO crossJoin
+    // against a centroid relation (the small-query probeListsJoin shape
+    // would materialize N×C rows when the query side is the corpus);
+    // (b) the per-src top-k window compiles to WindowGroupLimit, whose
+    // PARTIAL mode runs before the exchange so the shuffle carries
+    // ≤ nprobe·k rows per src, not the full candidate volume.
+    val e = Tables.embeddings(spark, sf0001)
+    val kg = graft.operators.GraphAnn.knnGraph(e, "vec_id", "embedding",
+      numLists = 8, nprobe = 2, k = 5)
+    kg.collect()
+    val plan = finalPlanOf(kg)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"assignment must be map-only, found a cross-join shape:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit partial top-k in the build plan:\n$plan")
+    assert(plan.contains("vec_nearest_top"),
+      s"expected the NearestTopIdsExpr projection in the build plan:\n$plan")
+  }
+
   test("PageRank contrib idiom: persisted hash(dst) edges + broadcast ranks = in-stage dst sum") {
     // Pins the plan contract Graphs.pageRank/pageRankPersonalized rely
     // on (the q30/q32 round-12 fix): edges persisted AFTER
