@@ -63,6 +63,18 @@ def type_diff(got_rel, got_cols, exp_rel, exp_cols):
     return [(gc, gt, et) for (gc, gt), (ec, et) in zip(got_t, exp_t)
             if gc == ec and gt != et]
 
+# --skip=a,b: exclude named gates from the oracle replay (the sf1-scale
+# runs exclude deliberately-quadratic ANCHOR oracles like d25 whose
+# DuckDB replay is O(n^2) by design at any scale; their Spark outputs
+# are still written and verified separately — see BASELINE.md round-13)
+skips = set()
+for a in sys.argv:
+    if a.startswith("--skip="):
+        skips = set(a[7:].split(","))
+for s in skips & set(oracle):
+    print(f"SKIP {s} (anchor oracle excluded by --skip)")
+    del oracle[s]
+
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:
