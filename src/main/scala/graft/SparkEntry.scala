@@ -2443,10 +2443,19 @@ object SparkEntry {
 
   /** Shingle CTE chain ending in `sh(doc_id, shingle)`; `src` is the
     * (doc_id, text) relation to shingle — "documents" for the d-family,
-    * a narrowing CTE (e.g. p3's exact-kept set) elsewhere. */
+    * a narrowing CTE (e.g. p3's exact-kept set) elsewhere.
+    *
+    * `AS MATERIALIZED` (here and on the other multi-referenced CTEs
+    * below) is a DuckDB planner HINT with identical semantics: inside a
+    * WITH RECURSIVE block DuckDB inlines non-recursive CTEs per
+    * reference, so a twice-referenced tail (p5's `sp`) duplicated the
+    * ENTIRE upstream chain — shingle explode, LSH band join, recursive
+    * closure — per reference. Measured at the 50k-doc sf1 replay:
+    * p5's oracle spilled >55 GB and ran >15 min un-hinted, 4 s
+    * materialized; rows identical (round-13 scale run). */
   private def ShingleCteFrom(src: String): String =
     s"""toks AS (SELECT doc_id, string_split_regex(text, '\\s+') ts FROM $src),
-       |sh AS (SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+3], ' ') AS shingle
+       |sh AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+3], ' ') AS shingle
        |       FROM (SELECT doc_id, ts, unnest(range(greatest(len(ts)-2, 1))) AS i FROM toks))""".stripMargin
 
   private val ShingleCte = ShingleCteFrom("documents")
@@ -2482,10 +2491,10 @@ object SparkEntry {
        |xs AS (SELECT doc_id,
        |  CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % ${Dedup.MinHashP} AS x30
        |  FROM sh),
-       |sig AS (SELECT doc_id,
+       |sig AS MATERIALIZED (SELECT doc_id,
        |  $sigCols
        |FROM xs GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        | $bandRows),
        |cands AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        | FROM bands x JOIN bands y
@@ -2528,7 +2537,7 @@ object SparkEntry {
   private lazy val DefaultCuratePairCtes: String =
     s"""${MinHashCandCtes(2, "ek")},
        |$LshVerifiedCtes,
-       |dpairs AS (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6)""".stripMargin
+       |dpairs AS MATERIALIZED (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6)""".stripMargin
 
   /** EXACT pair source (p15): brute all-pairs Jaccard over `ek` — the
     * oracle twin of the prefix-filtered exact path (the prefix trick is
@@ -2540,7 +2549,7 @@ object SparkEntry {
        |xinter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
        |  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
        |  GROUP BY 1, 2),
-       |dpairs AS (SELECT a, b FROM xinter
+       |dpairs AS MATERIALIZED (SELECT a, b FROM xinter
        |  JOIN szs sa ON sa.doc_id = a JOIN szs sb ON sb.doc_id = b
        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.6)""".stripMargin
 
@@ -2548,7 +2557,7 @@ object SparkEntry {
       tgtCtes: String = s"tgt(lang, tw) AS (VALUES $RebalanceTargetsSql)",
       pairCtes: String = DefaultCuratePairCtes)
       : String =
-    s"""ek AS (
+    s"""ek AS MATERIALIZED (
        |  SELECT doc_id, lang, text FROM (
        |    SELECT doc_id, lang, text,
        |      min(doc_id) OVER (PARTITION BY md5(text)) AS canon
@@ -2573,12 +2582,12 @@ object SparkEntry {
        |qf AS (SELECT doc_id, lang, text, $QualitySql AS quality FROM dd
        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
        |    AND $QualitySql >= 0.5),
-       |sp AS (SELECT doc_id, lang, quality, text,
+       |sp AS MATERIALIZED (SELECT doc_id, lang, quality, text,
        |  CASE WHEN up < 0.75 THEN 'train'
        |       WHEN up < 0.875 THEN 'val' ELSE 'test' END AS split
        |  FROM (SELECT *, ${uniformSql("cu")} AS up FROM qf)),
        |$tgtCtes,
-       |cnt AS (SELECT tgt.lang, tgt.tw, count(sp.doc_id) AS c
+       |cnt AS MATERIALIZED (SELECT tgt.lang, tgt.tw, count(sp.doc_id) AS c
        |  FROM tgt LEFT JOIN sp ON sp.lang = tgt.lang GROUP BY tgt.lang, tgt.tw),
        |kv AS (SELECT min($kvExpr) AS k FROM cnt)""".stripMargin
 
@@ -3821,7 +3830,7 @@ object SparkEntry {
          |    FROM documents) WHERE doc_id = canon),
          |${MinHashCandCtes(2, "ek")},
          |$LshVerifiedCtes,
-         |dpairs AS (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6),
+         |dpairs AS MATERIALIZED (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6),
          |dedges AS (SELECT a AS x, b AS y FROM dpairs
          |  UNION ALL SELECT b, a FROM dpairs),
          |reach(node, r) AS (
@@ -3854,13 +3863,13 @@ object SparkEntry {
          |  SELECT doc_id,
          |    'Doc ' || doc_id || ' ' || text || ' tail & entities <kept> ok' AS text
          |  FROM documents),
-         |qc AS (SELECT doc_id, text FROM crawl WHERE $QualitySql >= 0.5),
+         |qc AS MATERIALIZED (SELECT doc_id, text FROM crawl WHERE $QualitySql >= 0.5),
          |tokp AS (SELECT doc_id, string_split_regex(text, '\\s+') ts FROM qc),
-         |shp AS (SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+3], ' ') AS shingle
+         |shp AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+3], ' ') AS shingle
          |        FROM (SELECT doc_id, ts, unnest(range(greatest(len(ts)-2, 1))) AS i FROM tokp)),
          |tokc AS (SELECT doc_id, string_split_regex(text, '\\s+') ts
          |         FROM documents WHERE doc_id % 7 <> 0),
-         |shc AS (SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+3], ' ') AS shingle
+         |shc AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+3], ' ') AS shingle
          |        FROM (SELECT doc_id, ts, unnest(range(greatest(len(ts)-2, 1))) AS i FROM tokc)),
          |szp AS (SELECT doc_id, count(*) AS sz FROM shp GROUP BY doc_id),
          |szc AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
@@ -3871,16 +3880,16 @@ object SparkEntry {
          |  JOIN szp pa ON pa.doc_id = a
          |  JOIN szc pb ON pb.doc_id = b
          |  WHERE CAST(inter AS DOUBLE) / (pa.sz + pb.sz - inter) >= 0.3),
-         |adm AS (SELECT doc_id, text FROM qc
+         |adm AS MATERIALIZED (SELECT doc_id, text FROM qc
          |  WHERE doc_id NOT IN (SELECT a FROM adup)),
-         |ek AS (
+         |ek AS MATERIALIZED (
          |  SELECT doc_id, text FROM (
          |    SELECT doc_id, text,
          |      min(doc_id) OVER (PARTITION BY md5(text)) AS canon
          |    FROM adm) WHERE doc_id = canon),
          |${MinHashCandCtes(2, "ek")},
          |$LshVerifiedCtes,
-         |dpairs AS (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6),
+         |dpairs AS MATERIALIZED (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6),
          |dedges AS (SELECT a AS x, b AS y FROM dpairs
          |  UNION ALL SELECT b, a FROM dpairs),
          |reach(node, r) AS (
@@ -4072,7 +4081,7 @@ object SparkEntry {
     "d12_dup_clusters" ->
       s"""WITH RECURSIVE ${MinHashCandCtes(2)},
          |$LshVerifiedCtes,
-         |dpairs AS (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6),
+         |dpairs AS MATERIALIZED (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6),
          |dedges AS (SELECT a AS x, b AS y FROM dpairs
          |  UNION ALL SELECT b, a FROM dpairs),
          |reach(node, r) AS (
@@ -4084,7 +4093,7 @@ object SparkEntry {
     "d21_keep_best" ->
       s"""WITH RECURSIVE ${MinHashCandCtes(2)},
          |$LshVerifiedCtes,
-         |dpairs AS (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6),
+         |dpairs AS MATERIALIZED (SELECT a, b FROM verified WHERE raw_jaccard >= 0.6),
          |dedges AS (SELECT a AS x, b AS y FROM dpairs
          |  UNION ALL SELECT b, a FROM dpairs),
          |reach(node, r) AS (
