@@ -300,7 +300,12 @@ object SparkEntry {
         mBits = 16384)
       val cust = Tables.customer(s, d)
       val probes = cust.select(col("c_custkey").as("probe_key"))
-        .union(cust.select((col("c_custkey") + 10000000L).as("probe_key")))
+        // shift by 10^9: outside the key space of EVERY scale, including
+        // replicated datasets whose replicas offset keys by r·10^7 (the
+        // round-13 sf1 run caught the old +10^7 shift colliding with
+        // replica r+1's real keys — duplicate probes that the oracle's
+        // per-key count conflated)
+        .union(cust.select((col("c_custkey") + 1000000000L).as("probe_key")))
       probes
         .filter(Bloom.mightContain(col("probe_key"), bits, 3, 16384))
         .join(orders.select(col("o_custkey")).distinct(),
@@ -3268,7 +3273,7 @@ object SparkEntry {
          |  FROM pos GROUP BY 1),
          |probes AS (SELECT c_custkey AS probe_key FROM customer
          |  UNION ALL
-         |  SELECT c_custkey + 10000000 FROM customer),
+         |  SELECT c_custkey + 1000000000 FROM customer),
          |cpos AS (SELECT probe_key, ${posSql("probe_key")} AS p
          |  FROM probes, ks),
          |hits AS (SELECT probe_key FROM cpos
