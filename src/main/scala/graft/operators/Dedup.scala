@@ -1607,7 +1607,7 @@ object Dedup {
       .withColumn("st",
         lit(1) + col("i") * col("f") +
           greatest(lit(0), col("i") - (lit(m) - col("r"))))
-      .select(col("doc"), col("len"), col("s"), col("i"),
+      .select(col("doc"), col("len"), col("i"),
         expr("substring(s, st, w)").as("seg"))
     // ---- probe side: docs with len >= m emit, for every partner
     // length la in [max(m, len−k), len] and every segment index i,
@@ -1641,20 +1641,23 @@ object Dedup {
           col("st") + col("delta") + (lit(k) - col("i")),
           col("len") - col("w") + lit(1)))
       .filter(col("lo") <= col("hi"))
-      .select(col("doc"), col("len"), col("s"), col("la"), col("i"),
+      .select(col("doc"), col("s"), col("la"), col("i"),
         col("w"), explode(sequence(col("lo"), col("hi"))).as("p"))
-      .select(col("doc"), col("len"), col("s"), col("la"), col("i"),
+      .select(col("doc"), col("la"), col("i"),
         expr("substring(s, p, w)").as("seg"))
-    // ---- join: a probe substring equal to partner-length-la segment i
+    // ---- join: a probe substring equal to partner-length-la segment
+    // i. ID PAIRS ONLY: carrying the 32-char strings through the
+    // signature join replicated each string ~(2k+1)·(k+1) times
+    // through the probe explodes and inflated the matched multiset
+    // ~5x in bytes — at the sf1 collision volume (43.6M matches) the
+    // string-wide join measured 150 s warm vs 29 s for this narrow
+    // form + one post-dedup string re-attach.
     val cand = segs.as("x").join(probes.as("y"),
         col("x.i") === col("y.i") && col("x.len") === col("y.la") &&
           col("x.seg") === col("y.seg") && col("x.doc") =!= col("y.doc"))
       .select(
         least(col("x.doc"), col("y.doc")).as("a"),
-        greatest(col("x.doc"), col("y.doc")).as("b"),
-        when(col("x.doc") < col("y.doc"), col("x.s")).otherwise(col("y.s")).as("sa"),
-        when(col("x.doc") < col("y.doc"), col("y.s")).otherwise(col("x.s")).as("sb"))
-      .distinct()
+        greatest(col("x.doc"), col("y.doc")).as("b"))
     // ---- pairs whose SHORTER member has len < m can't be segmented
     // into m nonempty parts: bounded short band. Both members are
     // < m + k there (length band), disjoint from the segment path by
@@ -1670,10 +1673,13 @@ object Dedup {
           col("x.len") <= col("y.len"))
       .select(
         least(col("x.doc"), col("y.doc")).as("a"),
-        greatest(col("x.doc"), col("y.doc")).as("b"),
-        when(col("x.doc") < col("y.doc"), col("x.s")).otherwise(col("y.s")).as("sa"),
-        when(col("x.doc") < col("y.doc"), col("y.s")).otherwise(col("x.s")).as("sb"))
-      .distinct()
+        greatest(col("x.doc"), col("y.doc")).as("b"))
+    // dedup the narrow pair multiset, then attach both strings once
+    // per surviving pair (two keyed equi joins on the corpus — narrow
+    // shuffles; the strings never ride the signature join)
     cand.unionAll(shortCand).distinct()
+      .join(base.select(col("doc").as("a"), col("s").as("sa")), "a")
+      .join(base.select(col("doc").as("b"), col("s").as("sb")), "b")
+      .select(col("a"), col("b"), col("sa"), col("sb"))
   }
 }
