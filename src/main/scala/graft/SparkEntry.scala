@@ -933,6 +933,12 @@ object SparkEntry {
         Dedup.admitNewAgainstStore(qualified, shingleStore(s, d),
           "doc_id", "text", 0.3),
         Seq("doc_id"))
+        // curate consumes its input in several passes (exact dedup,
+        // pair signatures, quality, splits) — without this pin each
+        // pass re-runs the store-probe admission join above (the
+        // d7/p15-class double-evaluation; measured 27 -> ~14 s at
+        // sf0.1). ~admitted-corpus rows, bounded.
+        .localCheckpoint()
       Pipeline.curate(admitted, "doc_id", "text")
         .select(col("doc_id"), col("quality"), col("split"), col("shard"),
           col("n_tokens").cast("long").as("n_tokens"), col("bin"))
