@@ -1085,6 +1085,23 @@ class ScaleSpec extends SparkSpec {
       s"expected no parquet re-scan under the pair relation, got $scans:\n$plan")
   }
 
+  test("p17 plan: admission pinned — curate's passes never re-probe the store") {
+    // Pins the round-13 fix: the crawl gate's admitted relation is
+    // localCheckpointed before curate, so curate's several consuming
+    // passes (exact dedup, pair signatures, quality, splits) read the
+    // pinned rows — the final plan contains ZERO parquet scans (the
+    // WARC read, extraction, and store-probe admission all live above
+    // the checkpoint). If the pin is dropped, the shingle-store scan
+    // reappears once per curate pass and this fails before the gate
+    // slows (the d7/p15-class double-evaluation regression).
+    val out = SparkEntry.queries("p17_crawl_pipeline")(spark, sf0001)
+    out.collect()
+    val plan = finalPlanOf(out)
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0,
+      s"expected no parquet scan under the pinned admission, got $scans:\n$plan")
+  }
+
   test("knnGraph build plan: map-only multi-probe assignment + partial top-k before the window exchange") {
     // Pins the graph-ANN build contract (round 13): (a) the multi-probe
     // assignment is the NearestTopIdsExpr projection — NO crossJoin
