@@ -216,6 +216,125 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "admitprof") {
+      // phase timing of the store-admission probe (p17's dominant cost):
+      // current prefix-filtered path vs a single-pass band-join variant
+      import org.apache.spark.sql.functions._
+      import graft.operators._
+      import graft.sources.Warc
+      val docs = Tables.documents(spark, sfDir)
+      val warcDir = s"/tmp/graft_crawlwarc_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/store"
+      val store = Dedup.openShingleStore(spark,
+        s"/tmp/graft_shinglestore_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/store")
+      val crawled = Warc.readWarc(spark, warcDir)
+        .select(
+          regexp_extract(col("target_uri"), "doc(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          TextOps.htmlToText(col("body").cast("string")).as("text"))
+      val qcp = crawled
+        .filter(TextOps.qualityScore(col("text")) >= 0.5).localCheckpoint()
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$label%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+      }
+      val batch = docs.filter(col("doc_id") % 7 === 0).localCheckpoint()
+      for (r <- 1 to 2) {
+        println(s"--- rep $r ---")
+        time("batch prefix")(Dedup.ngramJaccardPairsAgainstStore(
+          batch, store, "doc_id", "text", 0.3).count())
+        time("batch band")(Dedup.ngramJaccardPairsAgainstStoreBand(
+          batch, store, "doc_id", "text", 0.3).count())
+        time("batch band+prune")(Dedup.ngramJaccardPairsAgainstStoreBand(
+          batch, store, "doc_id", "text", 0.3, pruneBuckets = true).count())
+        // current path
+        time("pairs(current)")(Dedup.ngramJaccardPairsAgainstStore(
+          qcp, store, "doc_id", "text", 0.3).count())
+        // single-pass band-join variant, inlined
+        time("pairs(band)    ") {
+          val tau = 0.3
+          val shA = qcp.select(col("doc_id").as("doc"),
+              array_distinct(Dedup.shinglesOf(Dedup.tokens(col("text")),
+                store.k)).as("arr"))
+            .select(col("doc"), size(col("arr")).as("sza"),
+              explode(col("arr")).as("shingle"))
+            .withColumn("pb",
+              pmod(xxhash64(col("shingle")), lit(store.buckets.toLong))
+                .cast("int"))
+            .localCheckpoint()
+          shA.as("x").join(store.post.as("y"),
+              col("x.pb") === col("y.pb") &&
+                col("x.shingle") === col("y.shingle") &&
+                col("y.sz").cast("double") >= lit(tau) * col("x.sza") &&
+                col("x.sza").cast("double") >= lit(tau) * col("y.sz"))
+            .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
+            .agg(count(lit(1)).as("inter"), max(col("y.sz")).as("szb"),
+              max(col("x.sza")).as("sza"))
+            .withColumn("jaccard", col("inter").cast("double") /
+              (col("sza") + col("szb") - col("inter")))
+            .filter(col("jaccard") >= tau)
+            .count()
+        }
+      }
+      spark.stop(); return
+    }
+    if (name == "rtcheck") {
+      // does htmlToText(htmlWrap(text)) == text byte-exactly?
+      import org.apache.spark.sql.functions._
+      import graft.operators.TextOps
+      val docs = Tables.documents(spark, sfDir)
+      val rt = docs.select(col("doc_id"), col("text"),
+        TextOps.htmlToText(SparkEntry.htmlWrapForTest(col("doc_id"),
+          col("text"))).as("rt"))
+      val n = rt.count()
+      val eq = rt.filter(col("rt") === col("text")).count()
+      println(s"roundtrip exact: $eq / $n")
+      rt.filter(col("rt") =!= col("text")).select(col("doc_id"))
+        .show(5, false)
+      rt.filter(col("rt") =!= col("text"))
+        .select(substring(col("text"), 1, 80).as("orig"),
+          substring(col("rt"), 1, 80).as("rt")).show(3, false)
+      spark.stop(); return
+    }
+    if (name == "p17prof") {
+      // stage-by-stage timing of the p17 crawl pipeline (warm: reps=2)
+      import org.apache.spark.sql.functions._
+      import graft.operators._
+      import graft.sources.Warc
+      val reps = args.find(_.startsWith("reps=")).map(_.drop(5).toInt)
+        .getOrElse(2)
+      for (r <- 1 to reps) {
+        def time(label: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"rep$r $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+        }
+        val docs = Tables.documents(spark, sfDir)
+        val warcDir = s"/tmp/graft_crawlwarc_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/store"
+        time("warc read")(Warc.readWarc(spark, warcDir).count())
+        val crawled = Warc.readWarc(spark, warcDir)
+          .select(
+            regexp_extract(col("target_uri"), "doc(\\d+)$", 1)
+              .cast("long").as("doc_id"),
+            TextOps.htmlToText(col("body").cast("string")).as("text"))
+        time("read+extract")(crawled.count())
+        val qualified = crawled
+          .filter(TextOps.qualityScore(col("text")) >= 0.5)
+        time("qualified+cp") { val q = qualified.localCheckpoint(); q.count() }
+        val qcp = qualified.localCheckpoint()
+        val store = Dedup.openShingleStore(spark,
+          s"/tmp/graft_shinglestore_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/store")
+        time("admit") {
+          Dedup.admitNewAgainstStore(qcp, store, "doc_id", "text", 0.3).count()
+        }
+        val admitted = qcp.join(
+          Dedup.admitNewAgainstStore(qcp, store, "doc_id", "text", 0.3),
+          Seq("doc_id")).localCheckpoint()
+        time("admitted+cp")(admitted.count())
+        time("curate")(Pipeline.curate(admitted, "doc_id", "text").count())
+      }
+      spark.stop(); return
+    }
     if (name == "hllab") {
       // micro A/B isolating the q49-ingest cost stack: cmsFreq vs
       // hllDistinct vs pre-hashed hll vs bare md5 on the same relation

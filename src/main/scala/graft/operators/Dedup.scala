@@ -449,19 +449,76 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** [[ngramJaccardPairsAgainstStore]] as ONE size-banded join — no
+    * prefix relation, no candidate distinct, no verify re-join. Every
+    * probe shingle (not just the rarest-first prefix) joins the store's
+    * postings under the size band, and one (a, b) aggregation yields
+    * the intersection directly. Emits the identical final pair set
+    * (both paths end on the exact jaccard ≥ τ filter; the candidate
+    * sets differ only in lossless supersets).
+    *
+    * When each path wins: the prefix path ([[ngramJaccardPairsAgainstStore]])
+    * for a NARROW batch probing a wide Zipfian store — the rarest-first
+    * prefix keeps stop-shingles out of candidate generation and the
+    * verify join touches only candidate pairs. This band path for a
+    * WIDE probe (corpus-scale re-admission, p17's crawl shape) or a
+    * dense vocabulary — there the prefix prunes little (|prefix| ≈
+    * (1−τ)·|sh|), most probe docs are candidates anyway, and the
+    * prefix path's probe-df aggregation + per-doc sort + double store
+    * join are pure overhead (measured 11.5 → 1.8 s warm on the sf0.1
+    * crawl admission, identical 4,732 output rows). */
+  def ngramJaccardPairsAgainstStoreBand(probe: DataFrame,
+                                        store: ShingleStore,
+                                        idCol: String, textCol: String,
+                                        threshold: Double,
+                                        pruneBuckets: Boolean = false): DataFrame = {
+    val shA = probe.select(col(idCol).as("doc"),
+        array_distinct(shinglesOf(tokens(col(textCol)), store.k)).as("arr"))
+      .select(col("doc"), size(col("arr")).as("sza"),
+        explode(col("arr")).as("shingle"))
+      .withColumn("pb",
+        pmod(xxhash64(col("shingle")), lit(store.buckets.toLong)).cast("int"))
+      .localCheckpoint()
+    val post =
+      if (pruneBuckets) {
+        val pbs = shA.select(col("pb")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        store.post.filter(col("pb").isin(pbs: _*))
+      } else store.post
+    shA.as("x").join(post.as("y"),
+        col("x.pb") === col("y.pb") &&
+          col("x.shingle") === col("y.shingle") &&
+          col("y.sz").cast("double") >= lit(threshold) * col("x.sza") &&
+          col("x.sza").cast("double") >= lit(threshold) * col("y.sz"))
+      .groupBy(col("x.doc").as("a"), col("y.doc").as("b"))
+      .agg(count(lit(1)).as("inter"), max(col("y.sz")).as("szb"),
+        max(col("x.sza")).as("sza"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** [[admitNew]] probing a persisted [[ShingleStore]] — the production
     * admission loop is openShingleStore → admitNewAgainstStore →
-    * appendShingleStore(admitted). */
+    * appendShingleStore(admitted). `band = true` selects the one-pass
+    * size-banded probe ([[ngramJaccardPairsAgainstStoreBand]]) — the
+    * right strategy when the probe is corpus-scale (see its doc). */
   def admitNewAgainstStore(probe: DataFrame, store: ShingleStore,
                            idCol: String, textCol: String,
                            threshold: Double,
-                           pruneBuckets: Boolean = false): DataFrame =
+                           pruneBuckets: Boolean = false,
+                           band: Boolean = false): DataFrame = {
+    val pairs =
+      if (band) ngramJaccardPairsAgainstStoreBand(probe, store, idCol,
+        textCol, threshold, pruneBuckets)
+      else ngramJaccardPairsAgainstStore(probe, store, idCol, textCol,
+        threshold, pruneBuckets)
     probe.join(
-        ngramJaccardPairsAgainstStore(probe, store, idCol, textCol,
-          threshold, pruneBuckets)
-          .select(col("a").as(idCol)).distinct(),
+        pairs.select(col("a").as(idCol)).distinct(),
         Seq(idCol), "left_anti")
       .select(col(idCol))
+  }
 
   /** The candidate pairs the prefix filter admits for
     * [[ngramJaccardPrefixPairs]] — exposed so the pruning ratio vs the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -56,9 +56,10 @@ object GraphAnn {
     * "kNN self-join" operator: near-duplicate graphs, kNN classifiers
     * over the corpus itself, …). */
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String,
-               numLists: Int, nprobe: Int, k: Int): DataFrame =
+               numLists: Int, nprobe: Int, k: Int,
+               iters: Int = 1): DataFrame =
     knnGraphWith(emb, idCol, vecCol,
-      Similarity.ivfTrain(emb, idCol, vecCol, numLists, iters = 1),
+      Similarity.ivfTrain(emb, idCol, vecCol, numLists, iters),
       nprobe, k)
 
   private def knnGraphWith(emb: DataFrame, idCol: String, vecCol: String,
@@ -224,7 +225,9 @@ object GraphAnn {
   final class PinnedGraph private[GraphAnn] (
       val seeds: Array[Long],
       val vecs: mutable.LongMap[Array[Float]],
-      val nbrs: mutable.LongMap[Array[Long]]) extends Serializable {
+      val nbrs: mutable.LongMap[Array[Long]],
+      val tomb: mutable.HashSet[Long] = mutable.HashSet.empty[Long])
+      extends Serializable {
 
     def size: Int = vecs.size
 
@@ -251,19 +254,25 @@ object GraphAnn {
         case s if s.nonEmpty => s
         case _ => Array(vecs.keysIterator.min)
       }
+      // DiskANN-style lazy delete: a tombstoned node stays TRAVERSABLE
+      // (it still routes the beam through its neighbourhood) but never
+      // enters the result pool
       ss.foreach { e =>
         if (!visited.contains(e)) {
           val ed = l2d(vecs(e), qa)
           visited += e
           if (pool.size < beam || ed < pool.head._1) {
-            frontier.enqueue((ed, e)); pool.enqueue((ed, e))
-            if (pool.size > beam) pool.dequeue()
+            frontier.enqueue((ed, e))
+            if (!tomb.contains(e)) {
+              pool.enqueue((ed, e))
+              if (pool.size > beam) pool.dequeue()
+            }
           }
         }
       }
       while (frontier.nonEmpty) {
         val (cd, cid) = frontier.dequeue()
-        if (cd > pool.head._1 && pool.size >= beam) {
+        if (pool.size >= beam && cd > pool.head._1) {
           frontier.clear() // nearest unexpanded can't improve the pool
         } else {
           nbrs.getOrElse(cid, Array.emptyLongArray).foreach { n =>
@@ -273,8 +282,10 @@ object GraphAnn {
               if (pool.size < beam || d < pool.head._1 ||
                   (d == pool.head._1 && n < pool.head._2)) {
                 frontier.enqueue((d, n))
-                pool.enqueue((d, n))
-                if (pool.size > beam) pool.dequeue()
+                if (!tomb.contains(n)) {
+                  pool.enqueue((d, n))
+                  if (pool.size > beam) pool.dequeue()
+                }
               }
             }
           }
@@ -326,5 +337,240 @@ object GraphAnn {
         pinB.value.knn(qv.toSeq, k, ef).map { case (id, d) => (qid, id, d) }
       }
       .toDF(qIdCol, "id", "dist")
+  }
+
+  // ===== persisted graph store + FreshDiskANN-style maintenance =====
+  //
+  // Completes the {persisted store, open-once handle, append, remove}
+  // matrix for the graph family (every other serving family has it —
+  // StoreMaintain.scala). Layout:
+  //   path/           (id, vec, nbrs) partitioned by gb = id mod buckets
+  //   path + ".meta"  frozen (alpha, maxDegree, buckets, seeds)
+  //   path + ".tomb"  lazily-deleted ids (append-only; consolidation
+  //                   clears it)
+  // Maintenance semantics follow FreshDiskANN (Singh et al. 2021):
+  //   append = per new point, greedy-search the pinned snapshot for its
+  //     candidate pool, α-RobustPrune to ≤ maxDegree out-edges, then add
+  //     back-edges with RobustPrune repair on overflow — touched
+  //     partitions rewritten, untouched only appended to.
+  //   remove = tombstone (lazy delete): the node stays TRAVERSABLE for
+  //     routing but never enters a result pool.
+  //   consolidate = the StreamingMerge: drop tombstoned rows, and every
+  //     survivor that referenced one re-prunes over its kept neighbours
+  //     ∪ the doomed neighbour's kept neighbours (connect-through), so
+  //     local reachability survives the deletion.
+
+  /** An opened graph store: adjacency relation + frozen build params +
+    * seeds + current tombstones — one listing + two sidecar reads. */
+  final case class GraphStore(rows: DataFrame, seeds: Array[Long],
+                              alpha: Double, maxDegree: Int, buckets: Int,
+                              tombstones: Array[Long])
+
+  private def gbOf(c: Column, buckets: Int): Column =
+    pmod(c, lit(buckets.toLong)).cast("int")
+
+  /** Persist a built graph ([[build]]'s relation + seeds). `buckets`
+    * sizes the maintenance grain: append/consolidate rewrite whole gb
+    * partitions, so at corpus scale size it so one partition's rows fit
+    * an executor (thousands of buckets at 100 TB; 16 at gate scale). */
+  def writeGraph(graph: DataFrame, seeds: Array[Long], path: String,
+                 alpha: Double, maxDegree: Int, buckets: Int = 16): Unit = {
+    val spark = graph.sparkSession
+    import spark.implicits._
+    graph.select(col("id").cast("long"), col("vec").cast("array<float>"),
+        col("nbrs").cast("array<long>"),
+        gbOf(col("id"), buckets).as("gb"))
+      .repartition(col("gb"))
+      .write.mode("overwrite").partitionBy("gb").parquet(path)
+    Seq((alpha, maxDegree, buckets, seeds.toSeq))
+      .toDF("alpha", "max_degree", "buckets", "seeds")
+      .coalesce(1).write.mode("overwrite").parquet(path + ".meta")
+    val fs = new org.apache.hadoop.fs.Path(path + ".tomb")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(path + ".tomb"), true)
+  }
+
+  /** Convenience: [[build]] + [[writeGraph]]. */
+  def buildAndWrite(emb: DataFrame, idCol: String, vecCol: String,
+                    numLists: Int, nprobe: Int, k: Int,
+                    alpha: Double, maxDegree: Int, path: String,
+                    buckets: Int = 16): Unit = {
+    val (graph, seeds) = build(emb, idCol, vecCol, numLists, nprobe, k,
+      alpha, maxDegree)
+    writeGraph(graph, seeds, path, alpha, maxDegree, buckets)
+  }
+
+  def openGraph(spark: SparkSession, path: String): GraphStore = {
+    val m = spark.read.parquet(path + ".meta").head()
+    val tombPath = new org.apache.hadoop.fs.Path(path + ".tomb")
+    val fs = tombPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val tomb =
+      if (fs.exists(tombPath))
+        spark.read.parquet(path + ".tomb").select(col("id").cast("long"))
+          .distinct().collect().map(_.getLong(0))
+      else Array.empty[Long]
+    GraphStore(spark.read.parquet(path), m.getSeq[Long](3).toArray,
+      m.getDouble(0), m.getInt(1), m.getInt(2), tomb)
+  }
+
+  /** Pin an opened store for serving (same PIN BUDGET as [[pin]]);
+    * tombstoned nodes route but are never returned. */
+  def pinStore(store: GraphStore): PinnedGraph = {
+    val p = pin(store.rows, store.seeds)
+    new PinnedGraph(p.seeds, p.vecs, p.nbrs,
+      mutable.HashSet.from(store.tombstones))
+  }
+
+  /** FreshDiskANN insert of a batch: each new point greedy-searches the
+    * PRE-BATCH snapshot (pool of ef candidates; tombstoned nodes are
+    * excluded by the pinned search) and α-RobustPrunes its out-edges;
+    * chosen neighbours gain the back-edge, RobustPruned on overflow.
+    * Batch grain: new→new edges are not formed (every insert sees the
+    * same snapshot — the StoreMaintain batch contract); recall for
+    * intra-batch twins rides their shared pre-batch neighbours. I/O is
+    * O(touched gb partitions): back-edge partitions rewritten, pure
+    * inserts appended. */
+  def appendGraph(spark: SparkSession, path: String, newPts: DataFrame,
+                  idCol: String, vecCol: String, ef: Int = 64): Unit = {
+    import spark.implicits._
+    val store = openGraph(spark, path)
+    val (alpha, maxDeg, buckets) = (store.alpha, store.maxDegree, store.buckets)
+    val pinB = spark.sparkContext.broadcast(pinStore(store))
+    // out-edges: distributed greedy search + prune per new point
+    val newRows = newPts
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .map { case (id, vec) =>
+        val p = pinB.value
+        val pool = p.knn(vec.map(_.toDouble).toSeq, ef, ef)
+        val cands = pool.map { case (cid, d) => (cid, p.vecs(cid), d) }
+        (id, vec, robustPrune(cands.toArray, alpha, maxDeg))
+      }
+      .toDF("id", "vec", "nbrs")
+      .localCheckpoint()
+    // back-edges grouped per target, repaired executor-locally: the
+    // target's old row rides the pinned broadcast, the new vectors ride
+    // the (batch-bounded) rows themselves
+    val updated = newRows
+      .select(col("id").as("n"), col("vec").as("nvec"),
+        explode(col("nbrs")).as("b"))
+      .as[(Long, Array[Float], Long)]
+      .groupByKey(_._3)
+      .mapGroups { (b, it) =>
+        val p = pinB.value
+        val bv = p.vecs(b)
+        val adds = it.map(t => (t._1, t._2)).toArray.sortBy(_._1)
+        val old = p.nbrs.getOrElse(b, Array.emptyLongArray)
+        val merged = old ++ adds.map(_._1).filterNot(old.contains)
+        if (merged.length <= maxDeg) (b, merged)
+        else {
+          val vecOf = adds.toMap
+          val cands = merged.map { m =>
+            val mv = vecOf.getOrElse(m, p.vecs(m))
+            (m, mv, l2(bv, mv))
+          }
+          (b, robustPrune(cands, alpha, maxDeg))
+        }
+      }
+      .toDF("id", "nbrs2")
+      .localCheckpoint()
+    // touched partitions: full new content = old rows with updated
+    // adjacency spliced in + the new rows landing there; untouched
+    // partitions take a pure append
+    val touched = updated.select(gbOf(col("id"), buckets)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.nonEmpty) {
+      val newTouched = newRows
+        .filter(gbOf(col("id"), buckets).isInCollection(touched))
+      val rewritten = store.rows
+        .filter(col("gb").isInCollection(touched))
+        .join(updated, Seq("id"), "left")
+        .select(col("id"), col("vec"),
+          coalesce(col("nbrs2"), col("nbrs")).as("nbrs"), col("gb"))
+        .unionByName(newTouched.withColumn("gb", gbOf(col("id"), buckets)))
+        .localCheckpoint() // never read the files being replaced
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      rewritten.repartition(col("gb"))
+        .write.mode("overwrite").partitionBy("gb").parquet(path)
+    }
+    val newUntouched =
+      if (touched.isEmpty) newRows.withColumn("gb", gbOf(col("id"), buckets))
+      else newRows.filter(!gbOf(col("id"), buckets).isInCollection(touched))
+        .withColumn("gb", gbOf(col("id"), buckets))
+    if (!newUntouched.isEmpty)
+      newUntouched.repartition(col("gb"))
+        .write.mode("append").partitionBy("gb").parquet(path)
+  }
+
+  /** Lazy delete: tombstone the ids (O(batch) sidecar append — no graph
+    * I/O). Serving excludes them immediately; [[consolidateGraph]]
+    * reclaims. */
+  def removeGraph(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("id").coalesce(1).write.mode("append").parquet(path + ".tomb")
+  }
+
+  /** StreamingMerge: physically drop tombstoned rows; every survivor
+    * that referenced one re-prunes over (kept neighbours) ∪ (each doomed
+    * neighbour's kept neighbours) — the connect-through repair that
+    * preserves local reachability. Unaffected rows are copied verbatim
+    * (RobustPrune is idempotent on its own output, so re-pruning them
+    * would be a no-op anyway). Seeds drop their doomed members (medoid
+    * of the survivors if none remain); the tombstone sidecar is
+    * cleared. Full-store rewrite by design — the amortized counterpart
+    * of O(batch) removeGraph. */
+  def consolidateGraph(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val store = openGraph(spark, path)
+    if (store.tombstones.isEmpty) return
+    val doomed = store.tombstones.toSet
+    val survivors = store.rows
+      .filter(!col("id").isInCollection(doomed))
+    // adjacency of the doomed, pre-filtered to their KEPT neighbours
+    val doomedAdj = store.rows
+      .filter(col("id").isInCollection(doomed))
+      .select(col("id").as("d"), explode(col("nbrs")).as("nb2"))
+      .filter(!col("nb2").isInCollection(doomed))
+    val affected = survivors
+      .filter(arrays_overlap(col("nbrs"),
+        lit(store.tombstones).cast("array<long>")))
+      .select(col("id"), col("vec"), col("nbrs"))
+      .localCheckpoint()
+    // candidate edges: kept direct neighbours ∪ connect-through
+    val direct = affected
+      .select(col("id"), explode(col("nbrs")).as("cand"))
+      .filter(!col("cand").isInCollection(doomed))
+    val through = affected
+      .select(col("id"), explode(col("nbrs")).as("d"))
+      .join(doomedAdj, Seq("d"))
+      .select(col("id"), col("nb2").as("cand"))
+      .filter(col("cand") =!= col("id"))
+    val cands = direct.unionByName(through).distinct()
+    val repruned = cands
+      .join(store.rows.select(col("id").as("cand"),
+        col("vec").as("cvec")), Seq("cand"))
+      .join(affected.select(col("id"), col("vec").as("svec")), Seq("id"))
+      .withColumn("d", dist(col("svec"), col("cvec")))
+      .select(col("id"), col("cand"), col("cvec"), col("d"))
+      .as[(Long, Long, Array[Float], Double)]
+      .groupByKey(_._1)
+      .mapGroups { (id, it) =>
+        (id, robustPrune(it.map(t => (t._2, t._3, t._4)).toArray,
+          store.alpha, store.maxDegree))
+      }
+      .toDF("id", "nbrs2")
+    val merged = survivors
+      .join(repruned, Seq("id"), "left")
+      .select(col("id"), col("vec"),
+        when(col("nbrs2").isNotNull, col("nbrs2"))
+          .otherwise(filter(col("nbrs"),
+            n => !n.isInCollection(doomed))).as("nbrs"))
+      .localCheckpoint()
+    val seeds = store.seeds.filterNot(doomed) match {
+      case s if s.nonEmpty => s
+      case _ => Array(medoid(merged.select(col("id"), col("vec"))))
+    }
+    writeGraph(merged, seeds, path, store.alpha, store.maxDegree,
+      store.buckets)
   }
 }

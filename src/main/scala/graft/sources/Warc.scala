@@ -222,12 +222,29 @@ object Warc {
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         val rows = it.map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq
         if (rows.nonEmpty) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val tc = org.apache.spark.TaskContext.get()
+          val pid = tc.partitionId()
           val p = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc")
           val fs = p.getFileSystem(
             org.apache.spark.graftshim.GraftCoreShim.confOf(confBc))
-          val out = fs.create(p, true)
+          // output-commit protocol: write to an attempt-unique temp name
+          // and rename into place — a speculative or zombie attempt of
+          // the same partition then never interleaves bytes with the
+          // winning attempt's file (rename is atomic per attempt; last
+          // completed attempt wins whole-file, which is safe because
+          // every attempt encodes the identical partition)
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            f".part-$pid%05d.warc.attempt-${tc.taskAttemptId()}")
+          val out = fs.create(tmp, true)
           try out.write(encode(rows)) finally out.close()
+          fs.delete(p, false)
+          if (!fs.rename(tmp, p)) {
+            fs.delete(tmp, false)
+            // dest existing means a concurrent attempt of this same
+            // partition already committed its (identical-content) file
+            if (!fs.exists(p))
+              sys.error(s"writeWarc: rename $tmp -> $p failed")
+          }
         }
       }
   }

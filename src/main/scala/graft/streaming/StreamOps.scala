@@ -260,13 +260,15 @@ object StreamOps {
   def admissionStreamAgainstStore(docs: DataFrame,
                                   store: graft.operators.Dedup.ShingleStore,
                                   idCol: String, textCol: String,
-                                  threshold: Double)
+                                  threshold: Double,
+                                  pruneBuckets: Boolean = false,
+                                  band: Boolean = false)
                                  (sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.operators.Dedup.admitNewAgainstStore(
-          batch, store, idCol, textCol, threshold))
+          batch, store, idCol, textCol, threshold, pruneBuckets, band))
       }
 
   /** Incremental index maintenance from a stream: every micro-batch of

@@ -301,11 +301,21 @@ class DedupSpec extends SparkSpec {
           "doc_id", "text", tau)
         .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
       assert(stored == inline, s"tau=$tau")
+      // the one-pass size-banded probe serves the SAME pair relation —
+      // its candidate superset differs but the exact jaccard filter is
+      // the same final cut
+      val banded = Dedup.ngramJaccardPairsAgainstStoreBand(probe, store,
+          "doc_id", "text", tau)
+        .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(banded == inline, s"tau=$tau band")
       val admitted = Dedup.admitNewAgainstStore(probe, store,
           "doc_id", "text", tau).as[Long].collect().toSet
       val want = Dedup.admitNew(probe, standing, "doc_id", "text", 3, tau)
         .as[Long].collect().toSet
       assert(admitted == want, s"tau=$tau admit")
+      val admittedBand = Dedup.admitNewAgainstStore(probe, store,
+          "doc_id", "text", tau, band = true).as[Long].collect().toSet
+      assert(admittedBand == want, s"tau=$tau band admit")
     }
     // maintenance: append half the batch, then the appended docs must be
     // probe-able — store == fresh store over standing ∪ appended

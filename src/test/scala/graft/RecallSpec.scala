@@ -196,4 +196,81 @@ class RecallSpec extends SparkSpec {
       .orderBy(col("id")).collect().map(_.toString).mkString("|").hashCode
     assert(h1 == h2, "graph build must be deterministic")
   }
+
+  test("graph store: roundtrip, FreshDiskANN append, tombstone remove + consolidate") {
+    val dir = java.nio.file.Files.createTempDirectory("graftgstore")
+      .resolve("g").toString
+    // build over 7/8 of the corpus; hold out id % 8 == 5 for the append
+    val base = pts.filter(col("id") % 8 =!= 5)
+    val adds = pts.filter(col("id") % 8 === 5)
+    GraphAnn.buildAndWrite(base, "id", "embedding", numLists = 20,
+      nprobe = 3, k = 12, alpha = 1.2, maxDegree = 16, path = dir)
+    val store = GraphAnn.openGraph(spark, dir)
+    assert(store.alpha == 1.2 && store.maxDegree == 16 &&
+      store.tombstones.isEmpty)
+    // roundtrip: the pinned store serves the same rows the in-memory
+    // pin of the same build serves
+    val (g0, s0) = GraphAnn.build(base, "id", "embedding", 20, 3, 12,
+      1.2, 16)
+    val pinMem = GraphAnn.pin(g0.localCheckpoint(), s0)
+    val pinSt = GraphAnn.pinStore(store)
+    assert(pinSt.size == pinMem.size, "store pin dropped nodes")
+    queries.foreach { q =>
+      assert(pinSt.knn(q, K, 64) == pinMem.knn(q, K, 64),
+        "store probe must equal the in-memory probe")
+    }
+    // append: inserted points must be findable (self-query returns the
+    // point itself first) and overall recall holds the build floor
+    GraphAnn.appendGraph(spark, dir, adds, "id", "embedding", ef = 64)
+    val pinned = GraphAnn.pinStore(GraphAnn.openGraph(spark, dir))
+    assert(pinned.size == 4000, s"append lost rows: ${pinned.size}")
+    val degMax = GraphAnn.openGraph(spark, dir).rows
+      .select(max(size(col("nbrs")))).head().getInt(0)
+    assert(degMax <= 16, s"append violated the degree bound: $degMax")
+    val addIds = adds.select("id").as[Long].collect().toSet
+    val addVecs = adds.orderBy("id")
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq)
+    val selfHits = addVecs.count(v => pinned.knn(v, 1, 64)
+      .headOption.exists(h => addIds.contains(h._1)))
+    assert(selfHits >= (addVecs.length * 0.95).toInt,
+      s"appended points unreachable: $selfHits/${addVecs.length}")
+    val rAfterAppend = recallOf(q =>
+      GraphAnn.graphKnn(spark, pinned, q, K, ef = 64))
+    assert(rAfterAppend >= 0.85,
+      s"recall after append $rAfterAppend below floor 0.85")
+    // remove: tombstoned ids never surface, survivors' recall holds
+    val doomed = pts.filter(col("id") % 10 === 7).select("id")
+      .as[Long].collect()
+    GraphAnn.removeGraph(spark, dir, doomed.toSeq)
+    val pinT = GraphAnn.pinStore(GraphAnn.openGraph(spark, dir))
+    val doomedSet = doomed.toSet
+    queries.foreach { q =>
+      val got = pinT.knn(q, K, 64).map(_._1)
+      assert(!got.exists(doomedSet), "tombstoned id surfaced in results")
+    }
+    // consolidate: rows physically gone, tombstones cleared, recall vs
+    // the SURVIVOR brute-force truth meets the build floor
+    GraphAnn.consolidateGraph(spark, dir)
+    val after = GraphAnn.openGraph(spark, dir)
+    assert(after.tombstones.isEmpty, "consolidate must clear tombstones")
+    assert(after.rows.count() == 4000 - doomed.length)
+    assert(after.rows.filter(col("id").isInCollection(doomedSet)).count() == 0)
+    val refs = after.rows
+      .select(explode(col("nbrs")).as("nb"))
+      .filter(col("nb").isInCollection(doomedSet)).count()
+    assert(refs == 0, s"consolidate left $refs dangling doomed edges")
+    val pinC = GraphAnn.pinStore(after)
+    val survTruth: Map[Int, Set[Long]] = queries.zipWithIndex.map {
+      case (q, i) =>
+        i -> BruteForce.knn(pts.filter(col("id") % 10 =!= 7),
+            "embedding", "id", q, K)
+          .select("id").as[Long].collect().toSet
+    }.toMap
+    val hits = queries.zipWithIndex.map { case (q, i) =>
+      pinC.knn(q, K, 64).map(_._1).toSet.intersect(survTruth(i)).size
+    }.sum
+    val rC = hits.toDouble / (queries.size * K)
+    assert(rC >= 0.85, s"recall after consolidate $rC below floor 0.85")
+  }
 }

@@ -5,7 +5,10 @@ oracle (columns sorted by name, rows compared in emitted order and as
 sorted multisets)."""
 import json, subprocess, sys, math
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "sf0.001"
+# positional args only — a flag like --skip=d25 must not be mistaken
+# for the dataset selector (ADVICE r13)
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF = _pos[0] if _pos else "sf0.001"
 # an absolute path selects an ad-hoc dataset dir (e.g. the replicated
 # /root/repo/.sf1 from tools/make_sf1.py); a bare name maps to the
 # driver testdata as before
