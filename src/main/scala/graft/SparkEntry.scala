@@ -312,6 +312,9 @@ object SparkEntry {
       // (all non-members), so the output carries both the full member
       // recall (one-sided error) and the deterministic false-positive
       // set among the non-members
+      // fixed mBits here because the oracle rebuilds this exact bitset;
+      // production sizing is Bloom.buildSized (~10 bits/key — the fixed
+      // 16384 saturates past ~10k keys, OperatorsSpec "bloom auto-sizing")
       val orders = Tables.orders(s, d)
       val bits = Bloom.build(orders, "o_custkey", k = 3,
         mBits = 16384)

@@ -216,6 +216,65 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "contprof") {
+      // d27/d28 containment verify-stage A/B: exploded 3-way join +
+      // groupBy vs pair-local array_intersect
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      val tau = 0.8
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$label%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+      }
+      for (r <- 1 to 2) {
+        println(s"--- rep $r ---")
+        time("d27 current")(Dedup.containmentPairsPrefix(docs, "doc_id",
+          "text", 3, tau).count())
+        time("d28 current")(Dedup.dropContainedPrefix(docs, "doc_id",
+          "text", 3, tau).count())
+        // array-intersect verify variant for d27, inlined
+        time("d27 arrays") {
+          val sh = docs.select(col("doc_id").as("doc"),
+              array_distinct(Dedup.shinglesOf(Dedup.tokens(col("text")), 3))
+                .as("arr"))
+            .select(col("doc"), col("arr"), size(col("arr")).as("sz"))
+            .filter(col("sz") > 0)
+            .localCheckpoint()
+          val shx = sh.select(col("doc"), explode(col("arr")).as("shingle"),
+            col("sz"))
+          val dfc = shx.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          val pref = shx.join(dfc, "shingle")
+            .groupBy(col("doc"))
+            .agg(max(col("sz")).as("sz"),
+              array_sort(collect_list(struct(col("df"), col("shingle"))))
+                .as("ordered"))
+            .select(col("doc"), col("sz"),
+              explode(slice(col("ordered"), lit(1),
+                (col("sz") - ceil(col("sz") * lit(tau)) + 1).cast("int")))
+                .as("s"))
+            .select(col("doc"), col("sz"), col("s.shingle").as("shingle"))
+          val cand = pref.as("x").join(shx.as("y"),
+              col("x.shingle") === col("y.shingle") &&
+                col("x.doc") =!= col("y.doc") &&
+                col("y.sz").cast("double") >= lit(tau) * col("x.sz"))
+            .select(col("x.doc").as("a"), col("y.doc").as("b")).distinct()
+          cand
+            .join(sh.select(col("doc").as("a"), col("arr").as("arrA"),
+              col("sz").as("sza")), Seq("a"))
+            .join(sh.select(col("doc").as("b"), col("arr").as("arrB")),
+              Seq("b"))
+            .withColumn("inter", size(array_intersect(col("arrA"),
+              col("arrB"))))
+            .withColumn("containment",
+              col("inter").cast("double") / col("sza"))
+            .filter(col("containment") >= tau)
+            .count()
+        }
+      }
+      spark.stop(); return
+    }
     if (name == "admitprof") {
       // phase timing of the store-admission probe (p17's dominant cost):
       // current prefix-filtered path vs a single-pass band-join variant

@@ -63,6 +63,28 @@ object Bloom {
     arr
   }
 
+  /** [[build]] with mBits SIZED FROM THE KEY COUNT — the production
+    * default. A fixed mBits silently saturates when the small side
+    * grows (the round-13 sf1 run: 16384 bits over 150k keys → every
+    * probe passes, a faithful but useless pre-filter); ~10 bits/key at
+    * k = 3 holds FPR ≈ 1.7% at any n. Costs one distinct-count of the
+    * small side (which build's distinct pays anyway). The bitset is a
+    * broadcast literal, so n is require-bounded to keep it ≤ ~32 MiB —
+    * past that the "small side" isn't small and a shuffle join beats a
+    * Bloom broadcast. Returns (words, mBits) — probes need the exact
+    * mBits the build used. */
+  def buildSized(df: DataFrame, valueCol: String, k: Int,
+                 bitsPerKey: Int = 10): (Array[Long], Int) = {
+    val n = df.select(col(valueCol)).distinct().count()
+    val raw = math.max(BitsPerWord.toLong, n * bitsPerKey)
+    require(raw <= (1L << 28),
+      s"bloom small side too large ($n keys x $bitsPerKey bits): " +
+        "past ~32 MiB the broadcast-literal pattern loses to a shuffle join")
+    // round up to whole words so every word index is reachable
+    val mBits = ((raw + BitsPerWord - 1) / BitsPerWord * BitsPerWord).toInt
+    (build(df, valueCol, k, mBits), mBits)
+  }
+
   /** Membership test against a built bitset — a pure codegen projection
     * (k md5s + k literal-array word lookups), no join, no shuffle: the
     * shape that runs at scan speed on the 100-TB side. `mBits` must

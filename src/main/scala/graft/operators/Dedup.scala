@@ -147,28 +147,45 @@ object Dedup {
     * shingle costs fanout only when it lands in some doc's rarity
     * prefix — which rarest-first ordering makes the exception, where
     * the anchor's raw equi-join makes it the rule. */
+  /** Per-doc DISTINCT shingle arrays (doc, arr, sz) — the checkpointed
+    * base both the prefix relation (via explode) and the PAIR-LOCAL
+    * verify derive from. */
+  private def shingleArrays(docs: DataFrame, idCol: String,
+                            textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        array_distinct(shinglesOf(tokens(col(textCol)), k)).as("arr"))
+      .select(col("doc"), col("arr"), size(col("arr")).cast("long").as("sz"))
+      .filter(col("sz") > 0)
+
   def containmentPairsPrefix(docs: DataFrame, idCol: String,
                              textCol: String, k: Int,
                              threshold: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, k).localCheckpoint()
+    val arrs = shingleArrays(docs, idCol, textCol, k).localCheckpoint()
+    val sh = arrs.select(col("doc"), explode(col("arr")).as("shingle"))
     val pref = prefixRelation(sh, threshold)
-    val sizes = pref.select(col("doc"), col("sz")).distinct()
     // size band INSIDE the candidate join: containment ≥ τ forces
     // |A∩B| ≥ τ·|A| and |A∩B| ≤ |B|, so |B| ≥ τ·|A| — candidates with
-    // a too-small B never reach the exact verify (lossless)
-    val shSz = sh.join(sizes.withColumnRenamed("sz", "ysz"), "doc")
+    // a too-small B never reach the exact verify (lossless). The
+    // indexed side carries its size FROM the checkpointed arrays — no
+    // sizes join on the exploded relation
+    val shSz = arrs.select(col("doc"), col("sz").as("ysz"),
+      explode(col("arr")).as("shingle"))
     val cand = pref.as("x").join(shSz.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc") =!= col("y.doc") &&
           col("y.ysz").cast("double") >= lit(threshold) * col("x.sz"))
       .select(col("x.doc").as("a"), col("y.doc").as("b")).distinct()
-    val inter = cand
-      .join(sh.as("l"), col("a") === col("l.doc"))
-      .join(sh.as("r"),
-        col("b") === col("r.doc") && col("l.shingle") === col("r.shingle"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sza"),
-        "a")
+    // PAIR-LOCAL verify (the d25 narrow-join treatment, round-14): the
+    // exploded 3-way join + (a, b) groupBy shuffled every shared-shingle
+    // occurrence of every candidate pair; joining each candidate to its
+    // two (already-distinct) arrays and taking size(array_intersect)
+    // computes the same |A∩B| with verify volume = |cand| rows
+    // (measured 23.5 → 7.5 s warm on the sf1 gate, identical rows)
+    cand
+      .join(arrs.select(col("doc").as("a"), col("arr").as("arra"),
+        col("sz").as("sza")), Seq("a"))
+      .join(arrs.select(col("doc").as("b"), col("arr").as("arrb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("arra"), col("arrb")))
+        .cast("long"))
       .withColumn("containment", col("inter").cast("double") / col("sza"))
       .filter(col("containment") >= threshold)
       .select(col("a"), col("b"), round(col("containment"), 6).as("containment"))
@@ -178,29 +195,29 @@ object Dedup {
     * same survivor set, scale-safe candidate volume. */
   def dropContainedPrefix(docs: DataFrame, idCol: String, textCol: String,
                           k: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, k).localCheckpoint()
+    val arrs = shingleArrays(docs, idCol, textCol, k).localCheckpoint()
+    val sh = arrs.select(col("doc"), explode(col("arr")).as("shingle"))
     val pref = prefixRelation(sh, threshold)
-    val sizes = pref.select(col("doc"), col("sz")).distinct()
     // candidate join carries BOTH lossless bands: the τ size floor AND
     // the keep direction (only a larger-or-tied-with-smaller-id B can
-    // kill A) — each cuts verify volume before the intersection join
-    val shSz = sh.join(sizes.withColumnRenamed("sz", "ysz"), "doc")
+    // kill A) — each cuts verify volume before the intersection join;
+    // the indexed side's size rides the checkpointed arrays
+    val shSz = arrs.select(col("doc"), col("sz").as("ysz"),
+      explode(col("arr")).as("shingle"))
     val cand = pref.as("x").join(shSz.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc") =!= col("y.doc") &&
           col("y.ysz").cast("double") >= lit(threshold) * col("x.sz") &&
           (col("y.ysz") > col("x.sz") ||
             (col("y.ysz") === col("x.sz") && col("y.doc") < col("x.doc"))))
       .select(col("x.doc").as("a"), col("y.doc").as("b")).distinct()
+    // pair-local verify — see containmentPairsPrefix (the keep-direction
+    // band already rode the candidate join, so only the τ test remains)
     val dropped = cand
-      .join(sh.as("l"), col("a") === col("l.doc"))
-      .join(sh.as("r"),
-        col("b") === col("r.doc") && col("l.shingle") === col("r.shingle"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sza"), "a")
-      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "szb"), "b")
-      .filter(col("inter").cast("double") / col("sza") >= threshold &&
-        (col("szb") > col("sza") ||
-          (col("szb") === col("sza") && col("b") < col("a"))))
+      .join(arrs.select(col("doc").as("a"), col("arr").as("arra"),
+        col("sz").as("sza")), Seq("a"))
+      .join(arrs.select(col("doc").as("b"), col("arr").as("arrb")), Seq("b"))
+      .filter(size(array_intersect(col("arra"), col("arrb")))
+        .cast("double") / col("sza") >= threshold)
       .select(col("a").as(idCol)).distinct()
     docs.join(dropped, Seq(idCol), "left_anti").select(col(idCol))
   }

@@ -204,6 +204,103 @@ object IvfPq {
       .drop("codes", "approx")
   }
 
+  // ===== OPQ-composed store (Ge et al., CVPR 2013 composed with IVF —
+  // the Faiss "OPQ pre-transform + IVFPQ" layout) =====
+  //
+  // The rotation is applied FIRST: coarse centroids, residuals and the
+  // PQ codebook all live in ROTATED space, so encode and probe are the
+  // plain IVFADC pipeline over rotated vectors; only the exact re-rank
+  // touches the original space (through the wide vector table, as
+  // always). Rotation arithmetic is the SAME codegen column on every
+  // path — write, append, and the driver-side query rotation all use
+  // the ascending-i float64 fold (ProductQuant.opqRotateCol /
+  // opqRotateQuery) — so append ≡ write-time encode bit-for-bit.
+
+  /** An opened OPQ-IVFADC handle: the plain store + the frozen
+    * rotation sidecar. */
+  final case class OpqStore(store: Store, pc: Array[Array[Double]],
+                            perm: Array[Int]) {
+    private[graft] def rotateQuery(q: Seq[Double]): Seq[Double] =
+      ProductQuant.opqRotateQuery(
+        ProductQuant.OpqModel(pc, perm, store.cb), q).toSeq
+  }
+
+  /** Persist the OPQ-IVFADC layout: train the rotation (PCA +
+    * eigenvalue allocation) on the corpus, rotate, and delegate to the
+    * plain [[write]]; the rotation lands in a `.opq` sidecar (d·d
+    * doubles + the permutation — KB-sized, the codebook contract). */
+  def writeOpq(emb: DataFrame, idCol: String, vecCol: String,
+               numLists: Int, coarseIters: Int, m: Int, k: Int,
+               pqIters: Int, path: String)
+      : (Array[(Long, Array[Double])], Codebook) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (pc, perm, _) = ProductQuant.opqRotation(emb, idCol, vecCol, m)
+    val rotated = emb.withColumn("_rotv",
+      ProductQuant.opqRotateCol(pc, perm, col(vecCol)))
+    val out = write(rotated, idCol, "_rotv", numLists, coarseIters,
+      m, k, pqIters, path)
+    pc.zipWithIndex.map { case (row, i) => (i, row.toSeq, perm(i)) }.toSeq
+      .toDF("i", "prow", "permi")
+      .coalesce(1).write.mode("overwrite").parquet(path + ".opq")
+    out
+  }
+
+  /** Open a persisted OPQ-IVFADC store once (plain open + one rotation
+    * sidecar read). */
+  def openOpq(spark: SparkSession, path: String): OpqStore = {
+    val rows = spark.read.parquet(path + ".opq")
+      .select(col("i"), col("prow"), col("permi"))
+      .collect().sortBy(_.getInt(0))
+    OpqStore(open(spark, path),
+      rows.map(_.getSeq[Double](1).toArray),
+      rows.map(_.getInt(2)))
+  }
+
+  /** INCREMENTAL maintenance of an OPQ store: rotate the new vectors
+    * with the frozen sidecar rotation, then the plain frozen-quantizer
+    * [[append]] — identical codes to a write-time encode of the same
+    * rows (the rotation column is the same arithmetic on both paths). */
+  def appendOpq(spark: SparkSession, path: String, newVecs: DataFrame,
+                idCol: String, vecCol: String): Unit = {
+    val os = openOpq(spark, path)
+    append(spark, path,
+      newVecs.withColumn("_rotv",
+        ProductQuant.opqRotateCol(os.pc, os.perm, col(vecCol))),
+      idCol, "_rotv")
+  }
+
+  /** [[probe]] against an OPQ store: probe-list selection and ADC
+    * scoring run in rotated space (rotated query vs rotated-space
+    * centroids/codes); the exact re-rank runs in the ORIGINAL space
+    * against the wide vector table. */
+  def probeOpq(os: OpqStore, vectors: DataFrame,
+               idCol: String, vecCol: String, q: Seq[Double],
+               nprobe: Int, topN: Int, k: Int): DataFrame = {
+    val store = os.store
+    val rq = os.rotateQuery(q)
+    val byList = store.centroids.toMap
+    val probeLists = Similarity.ivfProbeLists(store.centroids, rq, nprobe)
+    val score = probeLists.map { lid =>
+      val c = byList(lid)
+      val qRes = rq.indices.map(i => rq(i) - c(i))
+      (lid, ProductQuant.adcScore(col("codes"), store.cb, qRes))
+    }.foldLeft(lit(Double.MaxValue)) { case (acc, (lid, s)) =>
+      when(col("list_id") === lid, s).otherwise(acc)
+    }
+    val cands = store.codes
+      .filter(col("list_id").isin(probeLists: _*))
+      .withColumn("approx", score)
+      .orderBy(col("approx"), col(idCol))
+      .limit(topN)
+    vectors.select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .withColumn("dist", dist(col(vecCol), doubleVec(q)))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+      .drop("codes", "approx")
+  }
+
   /** BATCH ADC kNN JOIN over the persisted IVFADC store — the a6 shape
     * for the PQ path: a query RELATION is served in one wave against
     * the narrow (id, codes) store.

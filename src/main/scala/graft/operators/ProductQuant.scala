@@ -219,6 +219,19 @@ object ProductQuant {
     * vector are the serving pair, exactly as with plain PQ). */
   def opqTrain(emb: DataFrame, idCol: String, vecCol: String,
                m: Int, k: Int, iters: Int): (OpqModel, DataFrame) = {
+    val (pc, perm, rotated) = opqRotation(emb, idCol, vecCol, m)
+    val cb = pqTrain(rotated, idCol, "_rotv", m, k, iters)
+    val assigned = pqAssign(rotated, "_rotv", cb).drop("_opq", "_rotv")
+    (OpqModel(pc, perm, cb), assigned)
+  }
+
+  /** Train JUST the OPQ rotation (PCA projection + eigenvalue
+    * allocation): returns (components, permutation, emb with the
+    * rotated `_rotv` column) — the pre-transform the persisted
+    * OPQ-IVFADC store composes in front of the coarse quantizer
+    * ([[IvfPq.writeOpq]]). */
+  def opqRotation(emb: DataFrame, idCol: String, vecCol: String, m: Int)
+      : (Array[Array[Double]], Array[Int], DataFrame) = {
     val d = emb.select(size(col(vecCol)).as("d")).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
     val (proj, pc) = MllibBridge.pcaProject(emb, vecCol, d, "_opq")
@@ -232,9 +245,27 @@ object ProductQuant {
     val rotated = proj.withColumn("_rotv",
       array(perm.toIndexedSeq.map(p =>
         element_at(col("_opq"), p + 1)): _*).cast("array<float>"))
-    val cb = pqTrain(rotated, idCol, "_rotv", m, k, iters)
-    val assigned = pqAssign(rotated, "_rotv", cb).drop("_opq", "_rotv")
-    (OpqModel(pc, perm, cb), assigned)
+    (pc, perm, rotated)
+  }
+
+  /** The OPQ rotation as ONE codegen projection (project + permute) —
+    * for encoding NEW vectors against a frozen persisted rotation
+    * ([[IvfPq.appendOpq]]), where no PCA model object exists. Matches
+    * [[opqRotateQuery]]'s fold exactly: out[jj] = Σ_i pc(i)(perm(jj))·
+    * v(i), i ascending, float64. The d·d literal matrix is KBs — the
+    * codebook-contract size class, never corpus-dependent. */
+  def opqRotateCol(pc: Array[Array[Double]], perm: Array[Int],
+                   vec: Column): Column = {
+    val d = pc.length
+    val k = pc.headOption.map(_.length).getOrElse(0)
+    // flat (i, j)-ordered component literal
+    val pcFlat = array(pc.flatten.map(lit).toIndexedSeq: _*)
+    val v = vec.cast("array<double>")
+    array(perm.toIndexedSeq.map { p =>
+      aggregate(sequence(lit(0), lit(d - 1)), lit(0.0d),
+        (acc, i) => acc + element_at(v, i + 1) *
+          element_at(pcFlat, i * k + p + 1))
+    }: _*).cast("array<float>")
   }
 
   /** Rotate a query into the OPQ space (project + permute). */

@@ -1219,6 +1219,32 @@ class PipelineSpec extends SparkSpec {
     assert(bits.toSeq == bits2.toSeq)
   }
 
+  test("bloom auto-sizing: non-saturated FPR at 150k keys where fixed 16384 saturates") {
+    // the round-13 sf1 lesson: a fixed 16384-bit filter over 150k keys
+    // passes EVERYTHING (faithful, useless); buildSized keeps ~10
+    // bits/key so the FPR stays a pre-filter at any n
+    val members = spark.range(150000).selectExpr("id * 3 AS v")
+    val nonMembers = spark.range(150000).selectExpr("id * 3 + 1 AS v")
+    val fixed = Bloom.build(members, "v", k = 3, mBits = 16384)
+    val fixedFps = nonMembers
+      .filter(Bloom.mightContain(col("v"), fixed, 3, 16384)).count()
+    assert(fixedFps > 149000L, s"expected saturation, fps=$fixedFps")
+    val (sized, mBits) = Bloom.buildSized(members, "v", k = 3)
+    assert(mBits >= 1500000 && mBits % 63 == 0, s"mBits=$mBits")
+    val missed = members
+      .filter(!Bloom.mightContain(col("v"), sized, 3, mBits)).count()
+    assert(missed == 0, "one-sided error violated")
+    val fps = nonMembers
+      .filter(Bloom.mightContain(col("v"), sized, 3, mBits)).count()
+    // (1 - e^(-3/10))^3 ≈ 1.74%; allow 2x
+    assert(fps < 150000 * 0.035, s"auto-sized FPR still saturated: $fps")
+    // the broadcast-literal contract is enforced, not silently blown
+    val huge = spark.range(40000000L).selectExpr("id AS v")
+    intercept[IllegalArgumentException] {
+      Bloom.buildSized(huge, "v", k = 3)
+    }
+  }
+
   test("weightedSamplePerGroup: k per group, weight-proportional, deterministic") {
     val df = spark.range(2000).selectExpr(
       "id AS doc_id", "id % 2 AS grp",

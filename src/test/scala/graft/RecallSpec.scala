@@ -120,6 +120,81 @@ class RecallSpec extends SparkSpec {
       s"rotation must be an isometry: |q|=$n0 vs |Rq|=$n1")
   }
 
+  test("OPQ-IVFADC store: recall holds vs plain IVFADC, frozen-rotation append parity") {
+    // the correlated fixture where the axis-aligned split is wrong
+    val mixed = pts.select(col("id"),
+        expr("CAST(transform(sequence(1, 16), i -> " +
+          "aggregate(slice(embedding, 1, i), 0D, " +
+          "(acc, x) -> acc + CAST(x AS DOUBLE))) AS ARRAY<FLOAT>)")
+          .as("embedding"))
+      .localCheckpoint()
+    val mq: Seq[Seq[Double]] = mixed
+      .filter(col("id") % 500 === 3).orderBy(col("id"))
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
+    val mtruth: Map[Int, Set[Long]] = mq.zipWithIndex.map { case (q, i) =>
+      i -> BruteForce.knn(mixed, "embedding", "id", q, K)
+        .select("id").as[Long].collect().toSet
+    }.toMap
+    def recallM(probe: Seq[Double] => org.apache.spark.sql.DataFrame): Double = {
+      val hits = mq.zipWithIndex.map { case (q, i) =>
+        probe(q).select("id").as[Long].collect().toSet
+          .intersect(mtruth(i)).size
+      }.sum
+      hits.toDouble / (mq.size * K)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graftopq").toString
+    IvfPq.write(mixed, "id", "embedding", numLists = 20, coarseIters = 2,
+      m = 4, k = 16, pqIters = 1, path = s"$dir/plain")
+    val rPlain = recallM(q => IvfPq.probe(spark, s"$dir/plain", mixed,
+      "id", "embedding", q, nprobe = 6, topN = 100, K))
+    IvfPq.writeOpq(mixed, "id", "embedding", numLists = 20,
+      coarseIters = 2, m = 4, k = 16, pqIters = 1, path = s"$dir/opq")
+    val os = IvfPq.openOpq(spark, s"$dir/opq")
+    val rOpq = recallM(q => IvfPq.probeOpq(os, mixed, "id", "embedding",
+      q, nprobe = 6, topN = 100, K))
+    assert(rOpq >= 0.8, s"OPQ store recall@10 $rOpq below floor 0.8")
+    assert(rOpq >= rPlain - 0.02,
+      s"OPQ store recall $rOpq fell below plain IVFADC $rPlain")
+    // the store probe keeps the IVFADC plan shape: partition-pruned
+    // codes scan (PartitionFilters on list_id), no full-store read
+    val plan = IvfPq.probeOpq(os, mixed, "id", "embedding", mq.head,
+      nprobe = 6, topN = 100, K).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id"),
+      "OPQ store probe lost its list_id partition pruning")
+    // append parity: a store built on 7/8 + appendOpq of the rest must
+    // hold the appended rows' codes EQUAL to a write-time encode with
+    // the same frozen rotation + quantizer (same arithmetic both paths)
+    val base = mixed.filter(col("id") % 8 =!= 5)
+    val adds = mixed.filter(col("id") % 8 === 5)
+    IvfPq.writeOpq(base, "id", "embedding", numLists = 20,
+      coarseIters = 2, m = 4, k = 16, pqIters = 1, path = s"$dir/grow")
+    IvfPq.appendOpq(spark, s"$dir/grow", adds, "id", "embedding")
+    val grown = IvfPq.openOpq(spark, s"$dir/grow")
+    assert(grown.store.codes.count() == 4000, "append lost rows")
+    val appended = grown.store.codes
+      .filter(col("id") % 8 === 5)
+      .select(col("id"), col("list_id").cast("long").as("list_id"),
+        col("codes"))
+      .as[(Long, Long, Array[Int])].collect().map(t => (t._1, (t._2, t._3.toSeq))).toMap
+    val expected = IvfPq.assign(
+        adds.withColumn("_rotv", ProductQuant.opqRotateCol(grown.pc,
+          grown.perm, col("embedding"))),
+        "_rotv", grown.store.centroids, grown.store.cb)
+      .select(col("id"), col("list_id").cast("long"), col("codes"))
+      .as[(Long, Long, Array[Int])].collect().map(t => (t._1, (t._2, t._3.toSeq))).toMap
+    assert(appended == expected,
+      "appendOpq codes diverged from a frozen-quantizer re-encode")
+    // appended rows are servable: a query AT an appended point finds it
+    val av = adds.orderBy("id").limit(1)
+      .select(col("id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].head()
+    val hit = IvfPq.probeOpq(grown, mixed, "id", "embedding",
+        av._2.toSeq, nprobe = 6, topN = 100, 1)
+      .select("id").as[Long].head()
+    assert(hit == av._1, s"self-query returned $hit, not ${av._1}")
+  }
+
   test("a5 IVFADC probe recall@10 meets the floor") {
     val dir = java.nio.file.Files.createTempDirectory("graftrecall").toString
     IvfPq.write(pts, "id", "embedding", numLists = 20, coarseIters = 2,
