@@ -900,6 +900,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Pipeline.curate(docs, "doc_id", "text",
           evalDocs = Some(docs.filter(col("doc_id") % 23 === 0)),
+          decontamK = 8,
           domainCol = Some("lang"), rebalanceTargets = RebalanceTargets)
         .select(col("doc_id"), col("lang"), col("quality"), col("split"),
           col("shard"), col("n_tokens").cast("long").as("n_tokens"),
@@ -917,6 +918,7 @@ object SparkEntry {
         .select(col("a"), col("b"))
       Pipeline.curateWith(docs, "doc_id", "text", pairs,
           evalDocs = Some(docs.filter(col("doc_id") % 23 === 0)),
+          decontamK = 8,
           domainCol = Some("lang"), rebalanceTargets = RebalanceTargets)
         .select(col("doc_id"), col("lang"), col("quality"), col("split"),
           col("shard"), col("n_tokens").cast("long").as("n_tokens"),
@@ -960,8 +962,9 @@ object SparkEntry {
         // curate consumes its input in several passes (exact dedup,
         // pair signatures, quality, splits) — without this pin each
         // pass re-runs the store-probe admission join above (the
-        // d7/p15-class double-evaluation; measured 27 -> ~14 s at
-        // sf0.1). ~admitted-corpus rows, bounded.
+        // d7/p15-class double-evaluation). ~admitted-corpus rows,
+        // bounded. Round-14 quiet mark: ~3-5 s warm at sf0.1 (was
+        // 21.4 s before the band-join admission).
         .localCheckpoint()
       Pipeline.curate(admitted, "doc_id", "text")
         .select(col("doc_id"), col("quality"), col("split"), col("shard"),
@@ -999,6 +1002,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Pipeline.curate(docs, "doc_id", "text",
           evalDocs = Some(docs.filter(col("doc_id") % 23 === 0)),
+          decontamK = 8,
           domainCol = Some("lang"), mixtureAlpha = Some(0.5))
         .select(col("doc_id"), col("lang"), col("quality"), col("split"),
           col("shard"), col("n_tokens").cast("long").as("n_tokens"),
@@ -1041,6 +1045,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Pipeline.curate(docs, "doc_id", "text",
           evalDocs = Some(docs.filter(col("doc_id") % 23 === 0)),
+          decontamK = 8,
           domainCol = Some("lang"), rebalanceTargets = RebalanceTargets,
           maxRepeat = 3)
         .select(col("doc_id"), col("rep"), col("lang"), col("quality"),
@@ -2638,9 +2643,12 @@ object SparkEntry {
        |  WHERE doc_id NOT IN (SELECT node FROM cl WHERE node <> cluster)),
        |etoks AS (SELECT string_split_regex(text, '\\s+') ts FROM documents
        |  WHERE doc_id % 23 = 0),
-       |evs AS (SELECT DISTINCT array_to_string(ts[i+1:i+3], ' ') AS shingle
-       |  FROM (SELECT ts, unnest(range(greatest(len(ts)-2, 1))) AS i FROM etoks)),
-       |contam AS (SELECT DISTINCT s.doc_id FROM sh s
+       |evs AS (SELECT DISTINCT array_to_string(ts[i+1:i+8], ' ') AS shingle
+       |  FROM (SELECT ts, unnest(range(greatest(len(ts)-7, 1))) AS i FROM etoks)),
+       |tt8 AS (SELECT doc_id, string_split_regex(text, '\\s+') ts FROM ek),
+       |sh8 AS (SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+8], ' ') AS shingle
+       |  FROM (SELECT doc_id, ts, unnest(range(greatest(len(ts)-7, 1))) AS i FROM tt8)),
+       |contam AS (SELECT DISTINCT s.doc_id FROM sh8 s
        |  JOIN evs e ON e.shingle = s.shingle),
        |qf AS (SELECT doc_id, lang, text, $QualitySql AS quality FROM dd
        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)

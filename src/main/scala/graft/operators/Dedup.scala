@@ -277,21 +277,21 @@ object Dedup {
     // the shingle relation feeds the prefix build AND both sides of
     // the exact verify — materialize the tokenize+shingle pass once
     // (same bounded-materialization discipline as prefixRelation)
-    val sh = shingleRows(docs, idCol, textCol, k).localCheckpoint()
+    val arrs = shingleArrays(docs, idCol, textCol, k).localCheckpoint()
+    val sh = arrs.select(col("doc"), explode(col("arr")).as("shingle"))
     val pref = prefixRelation(sh, threshold)
     val cand = prefixJoin(pref, threshold)
-    // every doc has a non-empty prefix (L = sz − ceil(τ·sz) + 1 ≥ 1),
-    // so per-doc sizes come free from the prefix relation — no second
-    // aggregation over the shingle stream
-    val sizes = pref.select(col("doc"), col("sz")).distinct()
-    val inter = cand
-      .join(sh.as("l"), col("a") === col("l.doc"))
-      .join(sh.as("r"),
-        col("b") === col("r.doc") && col("l.shingle") === col("r.shingle"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc", "a").withColumnRenamed("sz", "sza"), "a")
-      .join(sizes.withColumnRenamed("doc", "b").withColumnRenamed("sz", "szb"), "b")
+    // PAIR-LOCAL verify (the d27/d28 treatment, round-14): each
+    // candidate joins its two checkpointed distinct-shingle arrays and
+    // |A∩B| is one size(array_intersect) — verify volume |cand| rows,
+    // not every shared-shingle occurrence through a 3-way join + groupBy
+    cand
+      .join(arrs.select(col("doc").as("a"), col("arr").as("arra"),
+        col("sz").as("sza")), Seq("a"))
+      .join(arrs.select(col("doc").as("b"), col("arr").as("arrb"),
+        col("sz").as("szb")), Seq("b"))
+      .withColumn("inter", size(array_intersect(col("arra"), col("arrb")))
+        .cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)

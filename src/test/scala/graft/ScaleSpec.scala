@@ -1102,6 +1102,79 @@ class ScaleSpec extends SparkSpec {
       s"expected no parquet scan under the pinned admission, got $scans:\n$plan")
   }
 
+  test("store-probe plans: prefix path scans the store twice pruned, band path once (s2's per-batch shape)") {
+    // Pins the d29/d30/s2 no-recomputation contracts (round 14): the
+    // probe's shingle relation is checkpointed inside the operator, so
+    // the ONLY parquet under either plan is the posting store itself —
+    // exactly twice for the prefix path (candidate join + verify
+    // re-join), exactly ONCE for the one-pass band path (what every s2
+    // micro-batch executes via foreachBatch), and every store scan
+    // carries the pb bucket key as a PartitionFilter. A dropped
+    // checkpoint re-runs tokenize+shingle per consumer and a third scan
+    // appears here before the gates slow.
+    val docs = Tables.documents(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graftplanstore")
+      .resolve("store").toString
+    graft.operators.Dedup.writeShingleStore(
+      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", 3, dir)
+    val store = graft.operators.Dedup.openShingleStore(spark, dir)
+    val batch = docs.filter(col("doc_id") % 7 === 0)
+    val prefix = graft.operators.Dedup.ngramJaccardPairsAgainstStore(
+      batch, store, "doc_id", "text", 0.3)
+    prefix.collect()
+    val pPlan = finalPlanOf(prefix)
+    val pScans = "Scan parquet".r.findAllIn(pPlan).size
+    assert(pScans == 2,
+      s"prefix store probe: expected exactly 2 store scans, got $pScans:\n$pPlan")
+    val band = graft.operators.Dedup.ngramJaccardPairsAgainstStoreBand(
+      batch, store, "doc_id", "text", 0.3)
+    band.collect()
+    val bPlan = finalPlanOf(band)
+    val bScans = "Scan parquet".r.findAllIn(bPlan).size
+    assert(bScans == 1,
+      s"band pairs: expected exactly 1 store scan, got $bScans:\n$bPlan")
+    for ((plan, label) <- Seq((pPlan, "prefix"), (bPlan, "band")))
+      assert(plan.contains("PartitionFilters: [isnotnull(pb"),
+        s"$label store scan lost its pb partition key:\n$plan")
+  }
+
+  test("sketch-store plans: append aggregates only its batch; trailing probe scans the store once, day-pruned") {
+    // Pins s3's per-batch contract: the micro-batch append is one
+    // aggregation of the BATCH relation (zero store scans — appends
+    // never read the store), and the trailing-window probe is ONE
+    // day-pruned store scan (PartitionFilters on day).
+    val e = Tables.events(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("graftplansketch")
+      .resolve("store").toString
+    SketchStore.write(e.filter(col("user_id") % 3 === 0),
+      "ts", "user_id", 8, dir)
+    // the append's input plan (what the write job executes above the
+    // sink): the cells relation append builds reads ONLY the batch
+    val cells = SketchStore.cellsOf(
+      e.filter(col("user_id") % 3 === 1), "ts", "user_id", 8)
+    cells.collect()
+    val aPlan = finalPlanOf(cells)
+    assert(!aPlan.contains("store"),
+      s"append's batch aggregation must not read the store:\n$aPlan")
+    SketchStore.append(e.filter(col("user_id") % 3 === 1),
+      "ts", "user_id", dir)
+    // the all-days trailing roll-up reads the store exactly twice (day
+    // spine + cells range join) — a dropped reuse re-scans per day
+    val probe = SketchStore.probeTrailing(spark, dir, 7)
+    probe.collect()
+    val prPlan = finalPlanOf(probe)
+    val prScans = "Scan parquet".r.findAllIn(prPlan).size
+    assert(prScans == 2,
+      s"trailing probe: expected two store scans, got $prScans:\n$prPlan")
+    // the WINDOWED probe is the day-pruned path: from/to land in
+    // PartitionFilters, only the window's partitions are read
+    val pr = SketchStore.probeRange(spark, dir, "2024-01-01", "2024-01-07")
+    pr.collect()
+    val rPlan = finalPlanOf(pr)
+    assert(rPlan.contains("PartitionFilters") && rPlan.contains("day"),
+      s"probeRange lost its day partition pruning:\n$rPlan")
+  }
+
   test("knnGraph build plan: map-only multi-probe assignment + partial top-k before the window exchange") {
     // Pins the graph-ANN build contract (round 13): (a) the multi-probe
     // assignment is the NearestTopIdsExpr projection — NO crossJoin
