@@ -1178,6 +1178,33 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "p15prof") {
+      // stage timing of the p15 exact-path curation at sfDir
+      import org.apache.spark.sql.functions._
+      import graft.operators.{Dedup, Pipeline}
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+      }
+      for (r <- 1 to 2) {
+        println(s"--- rep $r ---")
+        val docs = Tables.documents(spark, sfDir)
+        val ek = Pipeline.exactDedup(docs, "doc_id", "text")
+        time("exactDedup")(ek.count())
+        val pairs = Dedup.ngramJaccardPrefixPairs(ek, "doc_id", "text", 3, 0.6)
+          .select(col("a"), col("b"))
+        time("pairs")(pairs.count())
+        time("curateWith") {
+          Pipeline.curateWith(docs, "doc_id", "text", pairs,
+            evalDocs = Some(docs.filter(col("doc_id") % 23 === 0)),
+            decontamK = 8,
+            domainCol = Some("lang"),
+            rebalanceTargets = QueryConstants.RebalanceTargets).count()
+        }
+      }
+      spark.stop(); return
+    }
     if (name == "pipedebug") {
       // stage-count probe for the pipebench corpus: where do the rows go?
       import org.apache.spark.sql.functions._
