@@ -30,7 +30,8 @@ object Bench {
         "a17_binary_knn_join", "t11_inverted_bm25", "t13_phrase_store",
         "q30_pagerank", "q34_trade_components", "i5_warc_roundtrip",
         "d29_incremental_pairs", "q49_sketch_store", "q50_histogram_store",
-        "q51_freq_store", "q55_kcore", "q56_grouped_sketch_store")
+        "q51_freq_store", "q55_kcore", "q56_grouped_sketch_store",
+        "p17_crawl_pipeline")
       .foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
