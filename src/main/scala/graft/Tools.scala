@@ -1178,6 +1178,123 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "gdebug") {
+      import org.apache.spark.sql.functions._
+      import graft.operators._
+      val pts = graft.sources.Ingest.randomUniform(spark, 1000, 8)
+        .select(col("id"), col("vector").cast("array<float>").as("embedding"))
+        .localCheckpoint()
+      val dir = java.nio.file.Files.createTempDirectory("gdebug")
+        .resolve("g").toString
+      GraphAnn.buildAndWrite(
+        pts.filter(col("id") % 10 =!= 3), "id", "embedding", numLists = 16,
+        nprobe = 2, k = 8, alpha = 1.2, maxDegree = 12, path = dir)
+      GraphAnn.appendGraph(spark, dir,
+        pts.filter(col("id") % 10 === 3), "id", "embedding")
+      println(s"rows after append: ${GraphAnn.openGraph(spark, dir).rows.count()}")
+      val doomed = ((0L until 1000L by 20L) ++ Seq(3L, 13L, 23L, 103L)).toSeq
+      GraphAnn.removeGraph(spark, dir, doomed)
+      val st = GraphAnn.openGraph(spark, dir)
+      println(s"tomb read: ${st.tombstones.length} sample ${st.tombstones.sorted.take(5).mkString(",")}")
+      val surv = st.rows.filter(!col("id").isInCollection(st.tombstones.toSet))
+      println(s"rows ${st.rows.count()} survivors ${surv.count()}")
+      GraphAnn.consolidateGraph(spark, dir)
+      val after = GraphAnn.openGraph(spark, dir)
+      println(s"after rows ${after.rows.count()} tomb ${after.tombstones.length} " +
+        s"doomed present ${after.rows.filter(col("id").isInCollection(doomed.toSet)).count()}")
+      spark.stop(); return
+    }
+    if (name == "graphmaint") {
+      // graph-ANN store maintenance at scale: build+write n x d
+      // clustered vectors, append batch% more, tombstone+consolidate,
+      // recall spot-checks at each step. Args: n d [batchPct]
+      import org.apache.spark.sql.functions._
+      import graft.operators._
+      val nums = args.drop(1).filter(_.forall(_.isDigit))
+      val n = nums.headOption.map(_.toLong).getOrElse(1000000L)
+      val d = nums.lift(1).map(_.toInt).getOrElse(96)
+      val batchPct = nums.lift(2).map(_.toInt).getOrElse(1)
+      // centers scale with the coarse-list count: the seed set is one
+      // leader per IVF list, so serving recall needs lists ≈ clusters
+      // (a 1000-cluster corpus behind 64 seeds strands whole clusters
+      // regardless of the graph — measured via the MISS diagnostics)
+      val lists = math.max(64, (n / 1000).toInt)
+      val centers = graft.sources.Ingest.randomUniform(spark, lists, d, seed = 7L)
+        .select(col("id").as("cid"), col("vector").as("cvec"))
+      val all = graft.sources.Ingest.randomUniform(spark, n, d)
+        .withColumn("cid", col("id") % lists)
+        .join(broadcast(centers), "cid")
+        .select(col("id"), expr(
+          "CAST(zip_with(vector, cvec, (a, b) -> a * 0.15D + b) AS ARRAY<FLOAT>)")
+          .as("embedding"))
+        .localCheckpoint()
+      val base = all.filter(col("id") % 100 >= batchPct)
+      val adds = all.filter(col("id") % 100 < batchPct).localCheckpoint()
+      val nAdds = adds.count()
+      val dir = java.nio.file.Files.createTempDirectory("graphmaint")
+        .resolve("g").toString
+      def time[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"$label%-22s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+        r
+      }
+      time(s"build+write($n x $d)")(GraphAnn.buildAndWrite(base, "id",
+        "embedding", numLists = lists, nprobe = 2, k = 12, alpha = 1.2,
+        maxDegree = 24, path = dir, buckets = 64))
+      time(s"append($nAdds = $batchPct%)")(GraphAnn.appendGraph(spark, dir,
+        adds, "id", "embedding", ef = 64))
+      val pinned = time("open+pin")(GraphAnn.pinStore(
+        GraphAnn.openGraph(spark, dir)))
+      println(s"pinned ${pinned.size} nodes")
+      // recall spot: 50 appended points self-query + 50 base queries
+      val addQs = adds.orderBy("id").limit(50)
+        .select(col("id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      val t0 = System.nanoTime()
+      val selfHits = addQs.count { case (id, v) =>
+        pinned.knn(v, 10, 64).exists(_._1 == id) }
+      println(f"append self-recall@10: $selfHits/50  (${(System.nanoTime() - t0) / 1e9 / 50}%.4f s/probe)")
+      // diagnose failures: in-degree of the missed node + deep-beam retry
+      val inDeg = scala.collection.mutable.LongMap.empty[Int]
+      pinned.nbrs.foreach { case (_, ns) =>
+        ns.foreach(m => inDeg.update(m, inDeg.getOrElse(m, 0) + 1)) }
+      addQs.foreach { case (id, v) =>
+        if (!pinned.knn(v, 10, 64).exists(_._1 == id)) {
+          val deep = pinned.knn(v, 10, 512).exists(_._1 == id)
+          val holders = pinned.nbrs.iterator
+            .filter(_._2.contains(id)).map(_._1).toSeq
+          val pool = pinned.knn(v, 64, 64).map(_._1)
+          val hInfo = holders.map { h =>
+            val hd = f"${math.sqrt(v.zip(pinned.vecs(h).map(_.toDouble)).map(t => (t._1 - t._2) * (t._1 - t._2)).sum)}%.3f"
+            s"$h(d=$hd rank=${pool.indexOf(h)})"
+          }.mkString(",")
+          println(s"  MISS id=$id inDeg=${inDeg.getOrElse(id, 0)} " +
+            s"outDeg=${pinned.nbrs.getOrElse(id, Array.empty[Long]).length} " +
+            s"deepBeam512=$deep holders=$hInfo")
+        }
+      }
+      val doomed = all.filter(col("id") % lists === 7).select("id")
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+      time(s"remove(${doomed.length})")(GraphAnn.removeGraph(spark, dir,
+        doomed.toSeq))
+      println(s"tombstones after remove: " +
+        s"${GraphAnn.openGraph(spark, dir).tombstones.length}")
+      val pinT = GraphAnn.pinStore(GraphAnn.openGraph(spark, dir))
+      val dset = doomed.toSet
+      val leak = addQs.count { case (_, v) =>
+        pinT.knn(v, 10, 64).exists(t => dset(t._1)) }
+      println(s"tombstone leak check: $leak/50 probes returned doomed ids (want 0)")
+      time("consolidate")(GraphAnn.consolidateGraph(spark, dir))
+      val after = GraphAnn.openGraph(spark, dir)
+      println(s"rows after consolidate: ${after.rows.count()} " +
+        s"(expected ${n - doomed.length}), tombstones ${after.tombstones.length}")
+      println(s"store dir: $dir")
+      println("doomed sample: " + doomed.take(5).mkString(","))
+      println("doomed still present: " + after.rows
+        .filter(col("id").isInCollection(doomed.toSet)).count())
+      spark.stop(); return
+    }
     if (name == "p15prof") {
       // stage timing of the p15 exact-path curation at sfDir
       import org.apache.spark.sql.functions._

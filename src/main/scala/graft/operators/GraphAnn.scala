@@ -381,7 +381,14 @@ object GraphAnn {
         col("nbrs").cast("array<long>"),
         gbOf(col("id"), buckets).as("gb"))
       .repartition(col("gb"))
-      .write.mode("overwrite").partitionBy("gb").parquet(path)
+      // STATIC overwrite pinned per-writer: writeGraph replaces the
+      // WHOLE store. Under a session-level dynamic mode (appendGraph's
+      // old conf leak) a gb partition the caller's data emptied — e.g.
+      // consolidate after a partition-aligned tombstone batch — kept
+      // its old files and resurrected every doomed row (found by the
+      // graphmaint growth run)
+      .write.mode("overwrite").option("partitionOverwriteMode", "static")
+      .partitionBy("gb").parquet(path)
     Seq((alpha, maxDegree, buckets, seeds.toSeq))
       .toDF("alpha", "max_degree", "buckets", "seeds")
       .coalesce(1).write.mode("overwrite").parquet(path + ".meta")
@@ -474,24 +481,99 @@ object GraphAnn {
       }
       .toDF("id", "nbrs2")
       .localCheckpoint()
+    // REACHABILITY GUARANTEE (in-degree ≥ 1): in a dense region a full
+    // list's α-occlusion can prune the new node out of EVERY back-edge
+    // it attempted — in-degree 0 = unreachable by any beam (measured
+    // 14/50 self-recall on the 1000-cluster growth fixture before this
+    // repair; the standard HNSW/FreshDiskANN-implementation guard).
+    // Each orphan is force-kept in its NEAREST chosen neighbour's list;
+    // that list keeps its forced orphans plus its nearest survivors up
+    // to maxDegree. Driver state is O(batch) — the maintenance-batch
+    // contract (same class as StoreMaintain's touched-partition
+    // collect).
+    val reached = updated
+      .select(explode(col("nbrs2")).as("n"))
+      .join(newRows.select(col("id").as("n")), Seq("n"), "left_semi")
+      .distinct().as[Long].collect().toSet
+    val orphans = newRows
+      .select(col("id"), col("vec"), col("nbrs"))
+      .as[(Long, Array[Float], Array[Long])]
+      .collect()
+      .filter(t => t._3.nonEmpty && !reached.contains(t._1))
+    val patched =
+      if (orphans.isEmpty) updated
+      else {
+        // spread orphans across their candidate holders (greedy, id
+        // order, per-holder cap) — clustered batches otherwise pile
+        // every orphan onto one shared nearest neighbour and blow the
+        // degree bound (58 forced into a 16-cap list on the 20-cluster
+        // spec fixture)
+        val cap = math.max(1, maxDeg / 4)
+        val load = mutable.Map.empty[Long, Int]
+        val assigned = orphans.sortBy(_._1).map { o =>
+          val b = o._3.find(h => load.getOrElse(h, 0) < cap)
+            .getOrElse(o._3.minBy(h => (load.getOrElse(h, 0), h)))
+          load(b) = load.getOrElse(b, 0) + 1
+          (b, o._1, o._2)
+        }
+        val byB = assigned.groupBy(_._1)
+          .map { case (b, os) => (b, os.sortBy(_._2).map(o => (o._2, o._3))) }
+        val byBB = spark.sparkContext.broadcast(byB)
+        // a patched list can hold OTHER new nodes too — the distance
+        // lookup needs the whole batch's vectors (batch-bounded)
+        val newVecB = spark.sparkContext.broadcast(
+          newRows.select(col("id"), col("vec"))
+            .as[(Long, Array[Float])].collect().toMap)
+        updated.as[(Long, Array[Long])].map { case (b, nbrs2) =>
+          byBB.value.get(b) match {
+            case None => (b, nbrs2)
+            case Some(os) =>
+              val p = pinB.value
+              val bv = p.vecs(b)
+              val byDist = (ms: Array[Long]) => ms
+                .map(m => (m, l2(bv, newVecB.value.getOrElse(m, p.vecs(m)))))
+                .sortBy(t => (t._2, t._1)).map(_._1)
+              // the degree bound is the harder invariant: an over-cap
+              // forced set (every orphan sharing one single-entry nbr
+              // list) keeps its nearest maxDeg
+              val forced0 = os.map(_._1)
+              val forced =
+                if (forced0.length <= maxDeg) forced0
+                else byDist(forced0).take(maxDeg)
+              // evict OLD members first: a pre-batch node has the full
+              // graph's in-edges, while evicting a batch member here
+              // could orphan IT (its only back-edge may be this list)
+              val rest = nbrs2.filterNot(forced.contains)
+              val (newbies, olds) = rest.partition(newVecB.value.contains)
+              val room = math.max(0, maxDeg - forced.length)
+              val keep =
+                if (newbies.length >= room) byDist(newbies).take(room)
+                else byDist(newbies) ++
+                  byDist(olds).take(room - newbies.length)
+              (b, forced ++ keep)
+          }
+        }.toDF("id", "nbrs2").localCheckpoint()
+      }
     // touched partitions: full new content = old rows with updated
     // adjacency spliced in + the new rows landing there; untouched
     // partitions take a pure append
-    val touched = updated.select(gbOf(col("id"), buckets)).distinct()
+    val touched = patched.select(gbOf(col("id"), buckets)).distinct()
       .collect().map(_.getInt(0)).toSet
     if (touched.nonEmpty) {
       val newTouched = newRows
         .filter(gbOf(col("id"), buckets).isInCollection(touched))
       val rewritten = store.rows
         .filter(col("gb").isInCollection(touched))
-        .join(updated, Seq("id"), "left")
+        .join(patched, Seq("id"), "left")
         .select(col("id"), col("vec"),
           coalesce(col("nbrs2"), col("nbrs")).as("nbrs"), col("gb"))
         .unionByName(newTouched.withColumn("gb", gbOf(col("id"), buckets)))
         .localCheckpoint() // never read the files being replaced
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       rewritten.repartition(col("gb"))
-        .write.mode("overwrite").partitionBy("gb").parquet(path)
+        // per-writer option, not session conf: a leaked session-level
+        // dynamic mode breaks writeGraph's full-replace contract
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("gb").parquet(path)
     }
     val newUntouched =
       if (touched.isEmpty) newRows.withColumn("gb", gbOf(col("id"), buckets))

@@ -314,8 +314,13 @@ class RecallSpec extends SparkSpec {
       GraphAnn.graphKnn(spark, pinned, q, K, ef = 64))
     assert(rAfterAppend >= 0.85,
       s"recall after append $rAfterAppend below floor 0.85")
-    // remove: tombstoned ids never surface, survivors' recall holds
-    val doomed = pts.filter(col("id") % 10 === 7).select("id")
+    // remove: tombstoned ids never surface, survivors' recall holds.
+    // The doomed set is ALIGNED to one gb partition (id % 16 == 7 with
+    // the default 16 buckets): consolidation EMPTIES that partition,
+    // which is the round-14 resurrection regression — writeGraph must
+    // replace the whole store (static overwrite), not just the
+    // partitions its data carries
+    val doomed = pts.filter(col("id") % 16 === 7).select("id")
       .as[Long].collect()
     GraphAnn.removeGraph(spark, dir, doomed.toSeq)
     val pinT = GraphAnn.pinStore(GraphAnn.openGraph(spark, dir))
@@ -338,7 +343,7 @@ class RecallSpec extends SparkSpec {
     val pinC = GraphAnn.pinStore(after)
     val survTruth: Map[Int, Set[Long]] = queries.zipWithIndex.map {
       case (q, i) =>
-        i -> BruteForce.knn(pts.filter(col("id") % 10 =!= 7),
+        i -> BruteForce.knn(pts.filter(col("id") % 16 =!= 7),
             "embedding", "id", q, K)
           .select("id").as[Long].collect().toSet
     }.toMap
