@@ -301,6 +301,71 @@ object IvfPq {
       .drop("codes", "approx")
   }
 
+  /** [[probeBatch]] against an OPQ store — completing the
+    * {single, batch} × {plain, OPQ} serving matrix: the query relation
+    * is rotated ONCE as a codegen projection (the same rotation column
+    * encode used), probe-list selection + per-(qid, list) ADC LUTs run
+    * in rotated space, and the exact re-rank joins the original-space
+    * vector table with the ORIGINAL query vectors. Plan shape identical
+    * to probeBatch (pruned codes scan, broadcast LUT rows, window
+    * top-k). */
+  def probeBatchOpq(os: OpqStore, vectors: DataFrame,
+                    idCol: String, vecCol: String,
+                    queries: DataFrame, qIdCol: String, qVecCol: String,
+                    nprobe: Int, topN: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val store = os.store
+    val cb: Codebook = store.cb
+    val m = cb.length
+    val kCodes = cb(0).length
+    val dsub = cb(0)(0).length
+    val cbFlat = array(cb.flatten.flatten.map(lit).toIndexedSeq: _*)
+    val centRel = store.centRel
+      .select(col("list_id").cast("long"),
+        col("cv").cast("array<double>").as("cv"))
+    val qProbe = queries
+      .select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).cast("array<double>").as("qv"),
+        ProductQuant.opqRotateCol(os.pc, os.perm, col(qVecCol))
+          .cast("array<double>").as("rqv"))
+      .crossJoin(broadcast(centRel))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(dist(col("rqv"), col("cv")), col("list_id"))))
+      .filter(col("rn") <= nprobe)
+      .withColumn("qres", zip_with(col("rqv"), col("cv"), (a, b) => a - b))
+      .withColumn("lut", flatten(
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(sequence(lit(0), lit(kCodes - 1)), c =>
+            aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0d),
+              (acc, s) => {
+                val d = element_at(col("qres"), j * dsub + s + 1) -
+                  element_at(cbFlat, (j * kCodes + c) * dsub + s + 1)
+                acc + d * d
+              })))))
+      .select(col("qid"), col("qv"), col("list_id"), col("lut"))
+      .localCheckpoint()
+    val lists = qProbe.select("list_id").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val approx = (0 until m).map { j =>
+      element_at(col("lut"), lit(j * kCodes) + element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val cands = store.codes
+      .filter(col("list_id").isin(lists: _*))
+      .join(broadcast(qProbe), Seq("list_id"))
+      .withColumn("approx", approx)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("approx"), col(idCol))))
+      .filter(col("rn") <= topN)
+      .select(col("qid"), col("qv"), col(idCol), col("approx"))
+    vectors.select(col(idCol), col(vecCol))
+      .join(broadcast(cands), Seq(idCol))
+      .withColumn("dist", dist(col(vecCol), col("qv")))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("dist"), col(idCol))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("dist"))
+  }
+
   /** BATCH ADC kNN JOIN over the persisted IVFADC store — the a6 shape
     * for the PQ path: a query RELATION is served in one wave against
     * the narrow (id, codes) store.

@@ -271,6 +271,23 @@ object StreamOps {
           batch, store, idCol, textCol, threshold, pruneBuckets, band))
       }
 
+  /** Incremental GRAPH-ANN maintenance from a stream: every micro-batch
+    * of new points runs the FreshDiskANN insert against the persisted
+    * graph store (GraphAnn.appendGraph — greedy-search out-edges +
+    * back-edge repair). The per-batch snapshot pin is re-opened per
+    * trigger, so each batch sees every prior batch's inserts — the
+    * continuous-ingest serving loop (batch ≡ the same appends applied
+    * sequentially, StreamOpsSpec). */
+  def graphAppendStream(newPoints: DataFrame, path: String,
+                        idCol: String, vecCol: String, ef: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newPoints.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.GraphAnn.appendGraph(batch.sparkSession, path,
+            batch, idCol, vecCol, ef)
+      }
+
   /** Incremental index maintenance from a stream: every micro-batch of
     * new points is routed + merged into the index via
     * IndexMaintain.addPoints (foreachBatch — the reference's add path

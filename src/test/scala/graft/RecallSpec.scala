@@ -193,6 +193,28 @@ class RecallSpec extends SparkSpec {
         av._2.toSeq, nprobe = 6, topN = 100, 1)
       .select("id").as[Long].head()
     assert(hit == av._1, s"self-query returned $hit, not ${av._1}")
+    // batch probe ≡ the single-query loop, row for row (the a8 parity
+    // contract, OPQ store edition)
+    val qdf = mixed.filter(col("id") % 500 === 3)
+      .select(col("id").as("qid"), col("embedding").as("qv"))
+    val batchRows = IvfPq.probeBatchOpq(os, mixed, "id", "embedding",
+        qdf, "qid", "qv", nprobe = 6, topN = 100, K)
+      .select(col("qid"), col("id"), round(col("dist"), 9).as("dist"))
+      .orderBy(col("qid"), col("dist"), col("id"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val qids = mixed.filter(col("id") % 500 === 3).orderBy("id")
+      .select("id").as[Long].collect()
+    val singleRows = qids.zip(mq).flatMap { case (qid, q) =>
+      IvfPq.probeOpq(os, mixed, "id", "embedding", q, nprobe = 6,
+          topN = 100, K)
+        .select(col("id"), round(graft.functions.VectorFunctions.dist(
+          col("embedding"),
+          graft.functions.VectorFunctions.doubleVec(q)), 9).as("dist"))
+        .as[(Long, Double)].collect()
+        .map { case (id, dd) => (qid, id, dd) }
+    }.sortBy(t => (t._1, t._3, t._2)).toSeq
+    assert(batchRows == singleRows,
+      "probeBatchOpq must equal the per-query probeOpq loop")
   }
 
   test("a5 IVFADC probe recall@10 meets the floor") {
