@@ -1581,9 +1581,14 @@ object SparkEntry {
       // oracle replays assignment, probes, and the ranked self-join;
       // iters = 0 pins the seed centroids (the a6 contract — the
       // production build's Lloyd pass is spec-gated in GraphAnnSpec)
+      // numLists = 64 (not the a6 gates' 16): the candidate volume is
+      // nprobe·N²/C, so the gate's C must stay proportionally high for
+      // the sf1 tier (C=16 measured 102 s at 20k vectors; C=64 keeps
+      // ~300 rows/list at sf1 — the density the production build's
+      // C ∝ N contract maintains)
       val e = embeddings(s, d)
       GraphAnn.knnGraph(e, "vec_id", "embedding",
-          numLists = 16, nprobe = 2, k = 4, iters = 0)
+          numLists = 64, nprobe = 2, k = 4, iters = 0)
         .select(col("src"), col("dst"))
         .orderBy(col("src"), col("dst"))
     }),
@@ -4593,7 +4598,7 @@ object SparkEntry {
          |) WHERE rn <= 5 ORDER BY qid, vec_id""".stripMargin,
     "a25_knn_graph" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c AS (SELECT vec_id AS list_id, v AS centroid FROM e ORDER BY vec_id LIMIT 16),
+         |c AS (SELECT vec_id AS list_id, v AS centroid FROM e ORDER BY vec_id LIMIT 64),
          |assigned AS (
          |  SELECT vec_id, list_id FROM (
          |    SELECT e.vec_id, c.list_id,
