@@ -1228,8 +1228,13 @@ object Tools {
           "CAST(zip_with(vector, cvec, (a, b) -> a * 0.15D + b) AS ARRAY<FLOAT>)")
           .as("embedding"))
         .localCheckpoint()
-      val base = all.filter(col("id") % 100 >= batchPct)
-      val adds = all.filter(col("id") % 100 < batchPct).localCheckpoint()
+      // batch slice COPRIME to the cluster id (97 vs lists): a slice
+      // aligned with clusters puts WHOLE clusters into one batch, and
+      // batch-snapshot inserts form no new->new edges — that scenario
+      // (a brand-new content domain arriving at once) is the
+      // documented chunked/streaming-append case, not this probe's
+      val base = all.filter(col("id") % 97 >= batchPct)
+      val adds = all.filter(col("id") % 97 < batchPct).localCheckpoint()
       val nAdds = adds.count()
       val dir = java.nio.file.Files.createTempDirectory("graphmaint")
         .resolve("g").toString
@@ -1242,6 +1247,16 @@ object Tools {
       time(s"build+write($n x $d)")(GraphAnn.buildAndWrite(base, "id",
         "embedding", numLists = lists, nprobe = 2, k = 12, alpha = 1.2,
         maxDegree = 24, path = dir, buckets = 64))
+      // base-serving sanity BEFORE append: self-queries of 50 BASE
+      // points on the base pin isolate a serving-config failure (pool
+      // degenerate at this n/d/lists) from an append-path failure
+      val basePin = GraphAnn.pinStore(GraphAnn.openGraph(spark, dir))
+      val baseQs = base.orderBy("id").limit(50)
+        .select(col("id"), col("embedding").cast("array<double>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      val baseSelf = baseQs.count { case (id, v) =>
+        basePin.knn(v, 1, 64).headOption.exists(_._1 == id) }
+      println(s"base self-recall@1: $baseSelf/50")
       time(s"append($nAdds = $batchPct%)")(GraphAnn.appendGraph(spark, dir,
         adds, "id", "embedding", ef = 64))
       val pinned = time("open+pin")(GraphAnn.pinStore(
@@ -1269,9 +1284,12 @@ object Tools {
             val hd = f"${math.sqrt(v.zip(pinned.vecs(h).map(_.toDouble)).map(t => (t._1 - t._2) * (t._1 - t._2)).sum)}%.3f"
             s"$h(d=$hd rank=${pool.indexOf(h)})"
           }.mkString(",")
+          val drv = basePin.knn(v, 64, 64).take(3)
+            .map(t => f"${t._1}:${t._2}%.3f").mkString(",")
           println(s"  MISS id=$id inDeg=${inDeg.getOrElse(id, 0)} " +
             s"outDeg=${pinned.nbrs.getOrElse(id, Array.empty[Long]).length} " +
-            s"deepBeam512=$deep holders=$hInfo")
+            s"deepBeam512=$deep holders=$hInfo driverPool3=$drv " +
+            s"storedNbrs=${pinned.nbrs.getOrElse(id, Array.empty[Long]).mkString(",")}")
         }
       }
       val doomed = all.filter(col("id") % lists === 7).select("id")

@@ -434,9 +434,14 @@ object GraphAnn {
     * chosen neighbours gain the back-edge, RobustPruned on overflow.
     * Batch grain: new→new edges are not formed (every insert sees the
     * same snapshot — the StoreMaintain batch contract); recall for
-    * intra-batch twins rides their shared pre-batch neighbours. I/O is
-    * O(touched gb partitions): back-edge partitions rewritten, pure
-    * inserts appended. */
+    * intra-batch twins rides their shared pre-batch neighbours. The
+    * degenerate case is a batch containing an entire NEW cluster (a
+    * brand-new content domain): its members have no pre-batch
+    * neighbours to ride and stay mutually invisible — split such
+    * ingests into sequential sub-batches (each append sees the prior
+    * ones; [[graft.streaming.StreamOps.graphAppendStream]] gives this
+    * per micro-batch for free). I/O is O(touched gb partitions):
+    * back-edge partitions rewritten, pure inserts appended. */
   def appendGraph(spark: SparkSession, path: String, newPts: DataFrame,
                   idCol: String, vecCol: String, ef: Int = 64): Unit = {
     import spark.implicits._
