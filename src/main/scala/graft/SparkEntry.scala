@@ -1221,6 +1221,17 @@ object SparkEntry {
           "doc_id", "text", 0.3)
         .orderBy(col("a"), col("b"))
     }),
+    "d31_incremental_pairs_band" -> ((s, d) => {
+      // the BAND store probe's pair relation hash-gated first-class
+      // (d29's one-pass twin): identical output to the prefix path by
+      // construction — the oracle below IS d29's SQL — so both store
+      // strategies are pinned against the same replay at every scale
+      val docs = Tables.documents(s, d)
+      Dedup.ngramJaccardPairsAgainstStoreBand(
+          docs.filter(col("doc_id") % 7 === 0), shingleStore(s, d),
+          "doc_id", "text", 0.3)
+        .orderBy(col("a"), col("b"))
+    }),
     "d30_admit_new" -> ((s, d) => {
       // the admission filter over the persisted dedup index: batch docs
       // with NO near-dup in the corpus (the rows the ingest appends
@@ -4220,6 +4231,21 @@ object SparkEntry {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT a FROM dropped)
          |ORDER BY doc_id""".stripMargin,
+    "d31_incremental_pairs_band" ->
+      s"""WITH $ShingleCte,
+         |sa AS (SELECT * FROM sh WHERE doc_id % 7 = 0),
+         |sb AS (SELECT * FROM sh WHERE doc_id % 7 <> 0),
+         |sizesa AS (SELECT doc_id, count(*) AS sz FROM sa GROUP BY doc_id),
+         |sizesb AS (SELECT doc_id, count(*) AS sz FROM sb GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+         |          FROM sa x JOIN sb y ON x.shingle = y.shingle
+         |          GROUP BY 1, 2)
+         |SELECT a, b,
+         |  round(CAST(inter AS DOUBLE) / (pa.sz + pb.sz - inter), 6) AS jaccard
+         |FROM inter JOIN sizesa pa ON pa.doc_id = a
+         |  JOIN sizesb pb ON pb.doc_id = b
+         |WHERE CAST(inter AS DOUBLE) / (pa.sz + pb.sz - inter) >= 0.3
+         |ORDER BY a, b""".stripMargin,
     "d29_incremental_pairs" ->
       s"""WITH $ShingleCte,
          |sa AS (SELECT * FROM sh WHERE doc_id % 7 = 0),

@@ -1178,32 +1178,6 @@ object Tools {
       }
       spark.stop(); return
     }
-    if (name == "gdebug") {
-      import org.apache.spark.sql.functions._
-      import graft.operators._
-      val pts = graft.sources.Ingest.randomUniform(spark, 1000, 8)
-        .select(col("id"), col("vector").cast("array<float>").as("embedding"))
-        .localCheckpoint()
-      val dir = java.nio.file.Files.createTempDirectory("gdebug")
-        .resolve("g").toString
-      GraphAnn.buildAndWrite(
-        pts.filter(col("id") % 10 =!= 3), "id", "embedding", numLists = 16,
-        nprobe = 2, k = 8, alpha = 1.2, maxDegree = 12, path = dir)
-      GraphAnn.appendGraph(spark, dir,
-        pts.filter(col("id") % 10 === 3), "id", "embedding")
-      println(s"rows after append: ${GraphAnn.openGraph(spark, dir).rows.count()}")
-      val doomed = ((0L until 1000L by 20L) ++ Seq(3L, 13L, 23L, 103L)).toSeq
-      GraphAnn.removeGraph(spark, dir, doomed)
-      val st = GraphAnn.openGraph(spark, dir)
-      println(s"tomb read: ${st.tombstones.length} sample ${st.tombstones.sorted.take(5).mkString(",")}")
-      val surv = st.rows.filter(!col("id").isInCollection(st.tombstones.toSet))
-      println(s"rows ${st.rows.count()} survivors ${surv.count()}")
-      GraphAnn.consolidateGraph(spark, dir)
-      val after = GraphAnn.openGraph(spark, dir)
-      println(s"after rows ${after.rows.count()} tomb ${after.tombstones.length} " +
-        s"doomed present ${after.rows.filter(col("id").isInCollection(doomed.toSet)).count()}")
-      spark.stop(); return
-    }
     if (name == "graphmaint") {
       // graph-ANN store maintenance at scale: build+write n x d
       // clustered vectors, append batch% more, tombstone+consolidate,
