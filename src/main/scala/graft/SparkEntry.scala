@@ -1086,6 +1086,19 @@ object SparkEntry {
     "d6_cosine_pairs" -> ((s, d) =>
       Dedup.cosinePairs(embeddings(s, d), "vec_id", "embedding", 0.4)
         .orderBy(col("a"), col("b"))),
+    "p18_semantic_dedup" -> ((s, d) => {
+      // SemDeDup (Abbas et al. 2023): embedding near-dup removal with
+      // pair comparisons ONLY within a k-means cluster — the scale
+      // path of d6's quadratic cosine dedup (Σ_c |c|² work, cluster id
+      // as the shuffle key). Seed centroids (iters = 0, the a6
+      // contract) keep the assignment oracle-replayable; keep-first
+      // (min id) per duplicate neighbourhood
+      val e = embeddings(s, d)
+      Dedup.semanticDedup(e, "vec_id", "embedding",
+          Similarity.ivfTrain(e, "vec_id", "embedding", 16, iters = 0),
+          threshold = 0.4)
+        .orderBy(col("vec_id"))
+    }),
     "d7_keep_first" -> ((s, d) => {
       // production-shaped path: LSH candidates + exact Jaccard re-check
       // on candidates only (no quadratic hot-shingle self-join); the
@@ -4517,6 +4530,24 @@ object SparkEntry {
         |SELECT vec_id, list_id FROM assigned
         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
         |ORDER BY vec_id""".stripMargin,
+    "p18_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS list_id, v AS centroid FROM e ORDER BY vec_id LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, v, list_id FROM (
+         |    SELECT e.vec_id, e.v, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY list_distance(e.v, c.centroid), c.list_id) AS rn
+         |    FROM e CROSS JOIN c
+         |  ) WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT y.vec_id FROM assigned x
+         |  JOIN assigned y ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+         |  WHERE list_dot_product(x.v, y.v) /
+         |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) > 0.4)
+         |SELECT vec_id FROM embeddings
+         |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+         |ORDER BY vec_id""".stripMargin,
     "d6_cosine_pairs" ->
       """SELECT a, b, round(cos, 6) AS cos FROM (
         | SELECT x.vec_id AS a, y.vec_id AS b,

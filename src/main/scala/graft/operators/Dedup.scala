@@ -1007,6 +1007,43 @@ object Dedup {
     * The small side should be broadcast by the caller at scale; this is
     * the exact quadratic form — the LSH-bucketed path for embeddings
     * lives in Similarity. */
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * embedding-space near-duplicate REMOVAL made scale-safe by
+    * comparing pairs only WITHIN a k-means cluster — the paper's
+    * observation that semantic duplicates co-locate, which turns the
+    * quadratic cosine dedup into Σ_c |c|² work with |c| bounded by the
+    * C ∝ N centroid contract (the ivfKnnJoin argument; at 100 TB the
+    * cluster id is also the shuffle key, so each cluster dedupes
+    * executor-locally after one exchange). Keep rule: a row is dropped
+    * iff a SMALLER-id same-cluster row has cosine > τ (keep-first, the
+    * d24/dropContained direction — deterministic, min-id survivor per
+    * duplicate neighbourhood, no iterative closure). Returns the
+    * SURVIVING ids. `centroids` is the frozen coarse set
+    * ([[Similarity.ivfTrain]]); pass iters = 0 for an oracle-replayable
+    * seed assignment. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    centroids: Array[(Long, Array[Double])],
+                    threshold: Double): DataFrame = {
+    val assigned = emb.select(col(idCol),
+        col(vecCol).as("v"),
+        norm(col(vecCol)).as("n"),
+        Similarity.ivfListId(col(vecCol), centroids).as("list_id"))
+      .localCheckpoint() // feeds both join sides — one assignment pass
+    val a = assigned.select(col("list_id"), col(idCol).as("a"),
+      col("v").as("va"), col("n").as("na"))
+    val b = assigned.select(col("list_id"), col(idCol).as("b"),
+      col("v").as("vb"), col("n").as("nb"))
+    val dropped = a.join(b, Seq("list_id"))
+      .filter(col("a") < col("b"))
+      .withColumn("cos",
+        when(col("na") * col("nb") === 0d, lit(0d))
+          .otherwise(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .filter(col("cos") > threshold)
+      .select(col("b").as(idCol)).distinct()
+    emb.join(dropped, Seq(idCol), "left_anti").select(col(idCol))
+  }
+
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
     // Precompute each side's norm ONCE (n rows) instead of per pair

@@ -594,6 +594,37 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(0L, 2L))
   }
 
+  test("semanticDedup: keep set equals the within-cluster keep-first oracle") {
+    // SemDeDup's contract: b dropped iff a same-cluster smaller id has
+    // cosine > tau — recomputed here via the independent cosinePairs +
+    // exact assignment; and the kept set always contains each
+    // duplicate neighbourhood's min id
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding", 8, iters = 0)
+    val kept = Dedup.semanticDedup(emb, "vec_id", "embedding", cents, 0.4)
+      .as[Long].collect().toSet
+    val assigned = emb.select(col("vec_id"),
+        Similarity.ivfListId(col("embedding"), cents).as("list_id"))
+      .as[(Long, Long)].collect().toMap
+    val dupPairs = Dedup.cosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select("a", "b").as[(Long, Long)].collect()
+    val droppedWant = dupPairs
+      .filter { case (a, b) => assigned(a) == assigned(b) }
+      .map(_._2).toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    assert(kept == all -- droppedWant,
+      "semanticDedup keep set diverged from the within-cluster oracle")
+    // min id of every same-cluster duplicate pair survives
+    assert(dupPairs.filter(p => assigned(p._1) == assigned(p._2))
+      .forall(p => kept(p._1) || droppedWant(p._1)))
+    // the pair join is cluster-keyed: no cross-cluster comparison shape
+    val plan = Dedup.semanticDedup(emb, "vec_id", "embedding", cents, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"semanticDedup must join on the cluster key, not all-pairs:\n$plan")
+  }
+
   test("clusterIds computes the transitive closure of the pair graph") {
     // chain 10-11-12-13, triangle-by-shared-partner 1-3 / 2-3, pair 20-21
     val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L),
