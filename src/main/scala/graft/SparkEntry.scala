@@ -22,13 +22,14 @@ object SparkEntry {
 
   private def embeddings(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
 
-  /** The t14/p17 HTML wrapper: realistic markup — scripts (with `<`
-    * inside!), styles, comments, entities — whose extraction is
-    * closed-form: `Doc <id> <text> tail & entities <kept> ok`. */
   /** Dev-tool visibility for Tools rtcheck. */
   def htmlWrapForTest(docId: org.apache.spark.sql.Column,
                       text: org.apache.spark.sql.Column) =
     htmlWrap(docId, text)
+
+  /** The t14/p17 HTML wrapper: realistic markup — scripts (with `<`
+    * inside!), styles, comments, entities — whose extraction is
+    * closed-form: `Doc <id> <text> tail & entities <kept> ok`. */
 
   /** Remove a gate's temp working tree once its result is pinned off
     * the files (s2/s3 stream sinks) — repeated gate runs must not
