@@ -27,10 +27,6 @@ object SparkEntry {
                       text: org.apache.spark.sql.Column) =
     htmlWrap(docId, text)
 
-  /** The t14/p17 HTML wrapper: realistic markup — scripts (with `<`
-    * inside!), styles, comments, entities — whose extraction is
-    * closed-form: `Doc <id> <text> tail & entities <kept> ok`. */
-
   /** Remove a gate's temp working tree once its result is pinned off
     * the files (s2/s3 stream sinks) — repeated gate runs must not
     * accumulate temp dirs. */
@@ -46,6 +42,9 @@ object SparkEntry {
     }
   }
 
+  /** The t14/p17 HTML wrapper: realistic markup — scripts (with `<`
+    * inside!), styles, comments, entities — whose extraction is
+    * closed-form: `Doc <id> <text> tail & entities <kept> ok`. */
   private def htmlWrap(docId: org.apache.spark.sql.Column,
                        text: org.apache.spark.sql.Column) = concat(
     lit("<html><head><title>Doc "), docId,

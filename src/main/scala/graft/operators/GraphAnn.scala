@@ -448,10 +448,21 @@ object GraphAnn {
     val store = openGraph(spark, path)
     val (alpha, maxDeg, buckets) = (store.alpha, store.maxDegree, store.buckets)
     val pinB = spark.sparkContext.broadcast(pinStore(store))
+    // IDEMPOTENT under at-least-once delivery (ADVICE r14): a retried
+    // micro-batch (graphAppendStream's foreachBatch) or a crash between
+    // the back-edge rewrite and the row append re-runs the whole insert
+    // — ids already present in the store are dropped here (free: the
+    // pin already holds the id set), so a replay inserts only the rows
+    // the failed attempt never landed, and re-applied back-edges are
+    // no-ops (the merge below dedupes). Note a TOMBSTONED id still
+    // occupies its store row, so re-adding it needs consolidateGraph
+    // first — the FreshDiskANN delete-then-reinsert contract.
     // out-edges: distributed greedy search + prune per new point
     val newRows = newPts
       .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .dropDuplicates(Seq(idCol))
       .as[(Long, Array[Float])]
+      .filter(t => !pinB.value.vecs.contains(t._1))
       .map { case (id, vec) =>
         val p = pinB.value
         val pool = p.knn(vec.map(_.toDouble).toSeq, ef, ef)
@@ -460,6 +471,7 @@ object GraphAnn {
       }
       .toDF("id", "vec", "nbrs")
       .localCheckpoint()
+    if (newRows.isEmpty) return // pure replay — nothing left to insert
     // back-edges grouped per target, repaired executor-locally: the
     // target's old row rides the pinned broadcast, the new vectors ride
     // the (batch-bounded) rows themselves
@@ -496,40 +508,64 @@ object GraphAnn {
     // to maxDegree. Driver state is O(batch) — the maintenance-batch
     // contract (same class as StoreMaintain's touched-partition
     // collect).
-    val reached = updated
-      .select(explode(col("nbrs2")).as("n"))
-      .join(newRows.select(col("id").as("n")), Seq("n"), "left_semi")
-      .distinct().as[Long].collect().toSet
-    val orphans = newRows
+    // ITERATED repair (ADVICE r14): a single patch pass can itself
+    // re-orphan a newbie — when forced orphans crowd a list, `keep`
+    // trims unforced newbies to the remaining room, and an evicted
+    // newbie whose only back-edge was that list is unreachable again.
+    // So recompute the reached set AFTER each patch and repair again,
+    // with every previously-forced newbie PROTECTED (it re-enters its
+    // list's forced set on any later patch of the same list). The
+    // protected set grows by ≥ 1 orphan per pass and is bounded by the
+    // batch, so the loop terminates; the pass bound is a backstop for
+    // the degenerate single-holder livelock (> maxDeg orphans whose
+    // only candidate list is the same one — then the final pass keeps
+    // the nearest maxDeg, which is today's single-pass behaviour).
+    val allNew = newRows
       .select(col("id"), col("vec"), col("nbrs"))
       .as[(Long, Array[Float], Array[Long])]
-      .collect()
-      .filter(t => t._3.nonEmpty && !reached.contains(t._1))
-    val patched =
-      if (orphans.isEmpty) updated
+      .collect() // O(batch) — the maintenance-batch contract
+    // a patched list can hold OTHER new nodes too — the distance
+    // lookup needs the whole batch's vectors (batch-bounded)
+    val newVecB = spark.sparkContext.broadcast(
+      allNew.map(t => (t._1, t._2)).toMap)
+    val protectedByList = mutable.Map.empty[Long, Array[(Long, Array[Float])]]
+    var patched = updated
+    var pass = 0
+    var repaired = false
+    while (!repaired && pass < 8) {
+      val reached = patched
+        .select(explode(col("nbrs2")).as("n"))
+        .join(newRows.select(col("id").as("n")), Seq("n"), "left_semi")
+        .distinct().as[Long].collect().toSet
+      val orphans = allNew.filter(t => t._3.nonEmpty && !reached.contains(t._1))
+      if (orphans.isEmpty) repaired = true
       else {
+        pass += 1
         // spread orphans across their candidate holders (greedy, id
-        // order, per-holder cap) — clustered batches otherwise pile
-        // every orphan onto one shared nearest neighbour and blow the
-        // degree bound (58 forced into a 16-cap list on the 20-cluster
-        // spec fixture)
+        // order, per-holder cap COUNTING already-protected members) —
+        // clustered batches otherwise pile every orphan onto one shared
+        // nearest neighbour and blow the degree bound (58 forced into a
+        // 16-cap list on the 20-cluster spec fixture)
         val cap = math.max(1, maxDeg / 4)
         val load = mutable.Map.empty[Long, Int]
+        def held(h: Long) = load.getOrElse(h, 0) +
+          protectedByList.get(h).map(_.length).getOrElse(0)
         val assigned = orphans.sortBy(_._1).map { o =>
-          val b = o._3.find(h => load.getOrElse(h, 0) < cap)
-            .getOrElse(o._3.minBy(h => (load.getOrElse(h, 0), h)))
+          val b = o._3.find(h => held(h) < cap)
+            .getOrElse(o._3.minBy(h => (held(h), h)))
           load(b) = load.getOrElse(b, 0) + 1
           (b, o._1, o._2)
         }
-        val byB = assigned.groupBy(_._1)
-          .map { case (b, os) => (b, os.sortBy(_._2).map(o => (o._2, o._3))) }
-        val byBB = spark.sparkContext.broadcast(byB)
-        // a patched list can hold OTHER new nodes too — the distance
-        // lookup needs the whole batch's vectors (batch-bounded)
-        val newVecB = spark.sparkContext.broadcast(
-          newRows.select(col("id"), col("vec"))
-            .as[(Long, Array[Float])].collect().toMap)
-        updated.as[(Long, Array[Long])].map { case (b, nbrs2) =>
+        assigned.groupBy(_._1).foreach { case (b, os) =>
+          val prev = protectedByList.getOrElse(b,
+            Array.empty[(Long, Array[Float])])
+          val prevIds = prev.map(_._1).toSet
+          protectedByList(b) = prev ++
+            os.filterNot(o => prevIds(o._2)).sortBy(_._2)
+              .map(o => (o._2, o._3))
+        }
+        val byBB = spark.sparkContext.broadcast(protectedByList.toMap)
+        patched = updated.as[(Long, Array[Long])].map { case (b, nbrs2) =>
           byBB.value.get(b) match {
             case None => (b, nbrs2)
             case Some(os) =>
@@ -547,7 +583,8 @@ object GraphAnn {
                 else byDist(forced0).take(maxDeg)
               // evict OLD members first: a pre-batch node has the full
               // graph's in-edges, while evicting a batch member here
-              // could orphan IT (its only back-edge may be this list)
+              // could orphan IT (its only back-edge may be this list —
+              // the iteration above catches and re-forces it)
               val rest = nbrs2.filterNot(forced.contains)
               val (newbies, olds) = rest.partition(newVecB.value.contains)
               val room = math.max(0, maxDeg - forced.length)
@@ -559,6 +596,7 @@ object GraphAnn {
           }
         }.toDF("id", "nbrs2").localCheckpoint()
       }
+    }
     // touched partitions: full new content = old rows with updated
     // adjacency spliced in + the new rows landing there; untouched
     // partitions take a pure append

@@ -228,22 +228,29 @@ object Warc {
           val fs = p.getFileSystem(
             org.apache.spark.graftshim.GraftCoreShim.confOf(confBc))
           // output-commit protocol: write to an attempt-unique temp name
-          // and rename into place — a speculative or zombie attempt of
-          // the same partition then never interleaves bytes with the
-          // winning attempt's file (rename is atomic per attempt; last
+          // and rename into place WITH OVERWRITE in one filesystem op —
+          // a speculative or zombie attempt of the same partition then
+          // never interleaves bytes with the winning attempt's file, and
+          // (unlike delete-then-rename) there is no window where a
+          // half-dead attempt has deleted the winner's committed file
+          // without putting its own in place (ADVICE r14). Last
           // completed attempt wins whole-file, which is safe because
-          // every attempt encodes the identical partition)
+          // every attempt encodes the identical partition.
           val tmp = new org.apache.hadoop.fs.Path(dir,
             f".part-$pid%05d.warc.attempt-${tc.taskAttemptId()}")
           val out = fs.create(tmp, true)
           try out.write(encode(rows)) finally out.close()
-          fs.delete(p, false)
-          if (!fs.rename(tmp, p)) {
+          val conf = org.apache.spark.graftshim.GraftCoreShim.confOf(confBc)
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.makeQualified(p).toUri, conf)
+          try fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          catch { case e: java.io.IOException =>
             fs.delete(tmp, false)
             // dest existing means a concurrent attempt of this same
             // partition already committed its (identical-content) file
             if (!fs.exists(p))
-              sys.error(s"writeWarc: rename $tmp -> $p failed")
+              sys.error(s"writeWarc: rename $tmp -> $p failed: $e")
           }
         }
       }

@@ -277,7 +277,11 @@ object StreamOps {
     * back-edge repair). The per-batch snapshot pin is re-opened per
     * trigger, so each batch sees every prior batch's inserts — the
     * continuous-ingest serving loop (batch ≡ the same appends applied
-    * sequentially, StreamOpsSpec). */
+    * sequentially, StreamOpsSpec). foreachBatch is at-least-once;
+    * appendGraph is idempotent under replay (ids already in the store
+    * are dropped against the snapshot pin, re-applied back-edges merge
+    * as no-ops — ADVICE r14), so a retried trigger cannot duplicate
+    * rows or double-rewrite adjacency. */
   def graphAppendStream(newPoints: DataFrame, path: String,
                         idCol: String, vecCol: String, ef: Int = 64)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
