@@ -2776,7 +2776,8 @@ object SparkEntry {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_cust_no_orders" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "q6_order_facets" ->
       """SELECT o_orderkey,

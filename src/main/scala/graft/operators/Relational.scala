@@ -95,10 +95,16 @@ object Relational {
       .limit(10)
   }
 
-  /** Semi/anti join surface: customers with no orders (left_anti). */
+  /** Semi/anti join surface: customers with no URGENT orders
+    * (left_anti against a filtered build side). The filter is what
+    * keeps the gate NON-VACUOUS at the driver scales — every customer
+    * has SOME order at sf0.001/sf0.01, so the unfiltered anti join
+    * returned 0 rows and the oracle compare was empty-vs-empty (the
+    * r14 p5/p7/p9/p15 vacuity class, caught by the r15 floor audit). */
   def customersWithoutOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
     val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))

@@ -33,6 +33,22 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
+# Vacuity floors (judge r14 #2): an empty-vs-empty (or tiny-vs-tiny)
+# oracle compare passes even when a broken upstream pipeline emptied
+# BOTH sides — r14 found four gates vacuous for rounds. Every gate must
+# emit at least its recorded minimum row count (tools/gate_floors.json,
+# regenerated via tools/gen_floors.py after intentional output changes);
+# scale_overrides relax named scales where a smaller output is correct.
+import os
+_floors_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "gate_floors.json")
+_fl = json.load(open(_floors_path)) if os.path.exists(_floors_path) else {}
+_sf_over = _fl.get("scale_overrides", {}).get(SF, {})
+def floor_of(name):
+    if name in _sf_over:
+        return _sf_over[name]
+    return _fl.get("floors", {}).get(name, _fl.get("default", 1))
+
 def norm(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -110,6 +126,11 @@ for name, sql in sorted(oracle.items()):
             only_e = [x for x in se if x not in sg][:3]
             if only_g: print(f"   only-got {only_g}")
             if only_e: print(f"   only-exp {only_e}")
+        fails += 1
+    elif len(got) < floor_of(name):
+        print(f"FAIL {name}: VACUOUS {len(got)} rows < floor {floor_of(name)}"
+              f" — empty/near-empty output matched an equally empty oracle;"
+              f" fix the pipeline or regenerate tools/gate_floors.json")
         fails += 1
     else:
         print(f"OK   {name} ({len(got)} rows)")
