@@ -42,8 +42,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __SFTAG__ substitution: oracles of store-probe gates whose
+    // trained artifacts are data-dependent (the a26 OPQ rotation) read
+    // the staged sidecar parquet directly; the staged path is keyed by
+    // the sanitized sf dir (SparkEntry.stagedStore's tag), which only
+    // Verify knows at dump time. The SQL map stays static; the token
+    // resolves here so check.py / the driver replay the right store.
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__SFTAG__", sfTag))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -375,4 +375,110 @@ class RecallSpec extends SparkSpec {
     val rC = hits.toDouble / (queries.size * K)
     assert(rC >= 0.85, s"recall after consolidate $rC below floor 0.85")
   }
+
+  test("distributed beam search over the store: recall, pinned parity, tombstones") {
+    // the de-pinned serving path (judge r15): same store, no driver pin
+    val dir = java.nio.file.Files.createTempDirectory("graftgdist")
+      .resolve("g").toString
+    GraphAnn.buildAndWrite(pts, "id", "embedding", numLists = 20,
+      nprobe = 3, k = 12, alpha = 1.2, maxDegree = 16, dir, buckets = 8)
+    val store = GraphAnn.openGraph(spark, dir)
+    val qdf = pts.filter(col("id") % 500 === 3)
+      .select(col("id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+      .localCheckpoint()
+    val qids = pts.filter(col("id") % 500 === 3).orderBy(col("id"))
+      .select(col("id")).as[Long].collect()
+    def resultsOf(st: GraphAnn.GraphStore, ef: Int): Map[Long, Set[Long]] =
+      GraphAnn.graphKnnDistributed(st, qdf, "qid", "qv", K, ef)
+        .select(col("qid"), col("id")).as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val byQ = resultsOf(store, 64)
+    val rec = qids.zipWithIndex.map { case (qid, i) =>
+      byQ.getOrElse(qid, Set.empty[Long]).intersect(truth(i)).size
+    }.sum.toDouble / (qids.length * K)
+    assert(rec >= 0.85, s"distributed beam recall@10 $rec below floor 0.85")
+    // parity with the pinned greedy search: same seeds, same pool rule,
+    // same beam width — only the expansion ORDER differs (round-
+    // synchronous vs one-at-a-time), so the contract is result-set
+    // parity, not bit order; the a27 oracle pins the distributed
+    // relation bit-exactly against unrolled SQL rounds
+    val pinned = GraphAnn.pinStore(store)
+    val overlap = qids.zipWithIndex.map { case (qid, i) =>
+      val p = pinned.knn(queries(i), K, 64).map(_._1).toSet
+      byQ.getOrElse(qid, Set.empty[Long]).intersect(p).size
+    }.sum.toDouble / (qids.length * K)
+    assert(overlap >= 0.9,
+      s"distributed vs pinned result overlap $overlap below floor 0.9")
+    // a deeper beam can only help
+    val byQDeep = resultsOf(store, 256)
+    val recDeep = qids.zipWithIndex.map { case (qid, i) =>
+      byQDeep.getOrElse(qid, Set.empty[Long]).intersect(truth(i)).size
+    }.sum.toDouble / (qids.length * K)
+    assert(recDeep >= rec, s"ef=256 recall $recDeep regressed below $rec")
+    // tombstoned ids stay traversable but never surface, and every
+    // query still fills its k from the survivors
+    val doomed = byQ.values.flatten.toSeq.distinct.sorted.take(3)
+    GraphAnn.removeGraph(spark, dir, doomed)
+    val dres2 = GraphAnn.graphKnnDistributed(GraphAnn.openGraph(spark, dir),
+      qdf, "qid", "qv", K, ef = 64).localCheckpoint()
+    assert(dres2.filter(col("id").isInCollection(doomed)).isEmpty,
+      "tombstoned ids must never surface in distributed results")
+    val underK = dres2.groupBy(col("qid")).count()
+      .filter(col("count") < K).count()
+    assert(underK == 0, "every query must still fill k after tombstoning")
+  }
+
+  test("appendGraphDistributed: insert without the store pin, pinned-path parity") {
+    val root = java.nio.file.Files.createTempDirectory("graftgappd")
+    val (dirP, dirD) = (root.resolve("p").toString, root.resolve("d").toString)
+    val base = pts.filter(col("id") % 8 =!= 5).localCheckpoint()
+    val adds = pts.filter(col("id") % 8 === 5).localCheckpoint()
+    val nAdds = adds.count()
+    // the build is deterministic (spec-pinned above), so two writes of
+    // the same base give identical pre-append stores
+    GraphAnn.buildAndWrite(base, "id", "embedding", numLists = 20,
+      nprobe = 3, k = 12, alpha = 1.2, maxDegree = 16, dirP, buckets = 8)
+    GraphAnn.buildAndWrite(base, "id", "embedding", numLists = 20,
+      nprobe = 3, k = 12, alpha = 1.2, maxDegree = 16, dirD, buckets = 8)
+    GraphAnn.appendGraph(spark, dirP, adds, "id", "embedding", ef = 64)
+    GraphAnn.appendGraphDistributed(spark, dirD, adds, "id", "embedding",
+      ef = 64)
+    val sp = GraphAnn.openGraph(spark, dirP)
+    val sd = GraphAnn.openGraph(spark, dirD)
+    assert(sd.rows.count() == sp.rows.count(),
+      "distributed append must land the same row set as the pinned path")
+    assert(sd.rows.select(max(size(col("nbrs")))).head().getInt(0) <= 16,
+      "RobustPrune degree bound must hold after distributed append")
+    // idempotency: a full replay of the same batch is a no-op
+    GraphAnn.appendGraphDistributed(spark, dirD, adds, "id", "embedding",
+      ef = 64)
+    assert(GraphAnn.openGraph(spark, dirD).rows.count() == sp.rows.count(),
+      "replaying the batch must not duplicate rows")
+    // reachability: appended points find themselves through the beam —
+    // measured through the SAME serving path on both stores, so the
+    // delta isolates the APPEND machinery (out-edge pools and back-edge
+    // repair differ in expansion order between the two paths, so the
+    // contract is parity, not bit equality)
+    val qdf = adds.select(col("id").as("qid"),
+      col("embedding").cast("array<double>").as("qv"))
+    def selfRecall(dir: String): Long =
+      GraphAnn.graphKnnDistributed(GraphAnn.openGraph(spark, dir),
+          qdf, "qid", "qv", k = 1, ef = 64)
+        .filter(col("qid") === col("id")).count()
+    val selfP = selfRecall(dirP)
+    val selfD = selfRecall(dirD)
+    assert(selfD >= selfP - (nAdds * 0.03).toLong,
+      s"distributed-append self-recall $selfD/$nAdds fell behind pinned $selfP")
+    assert(selfD >= (nAdds * 0.8).toLong,
+      s"self-recall after distributed append: $selfD/$nAdds below 80%")
+    // serving parity between the two appended stores on the standard
+    // query set (same beam, structurally equivalent graphs)
+    val pinP = GraphAnn.pinStore(sp)
+    val pinD = GraphAnn.pinStore(sd)
+    val rP = recallOf(q => GraphAnn.graphKnn(spark, pinP, q, K, ef = 64))
+    val rD = recallOf(q => GraphAnn.graphKnn(spark, pinD, q, K, ef = 64))
+    assert(rD >= rP - 0.05,
+      s"distributed-append store recall $rD fell behind pinned-path $rP")
+  }
 }
