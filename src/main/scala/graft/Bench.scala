@@ -26,6 +26,8 @@ object Bench {
     // with a cold /tmp (maintenance-op correctness is spec-gated
     // separately; these first runs exercise the full build path)
     Seq("a8_ivfadc_knn_join", "a10_store_maintain", "a12_ivfsq_knn",
+        "a26_opq_store_knn", "a27_graph_serve",
+        "p5_curate_full", "p15_curate_exact",
         "a13_ivfsq_knn_join", "a15_ivf_filtered_knn", "a16_binary_store_knn",
         "a17_binary_knn_join", "t11_inverted_bm25", "t13_phrase_store",
         "q30_pagerank", "q34_trade_components", "i5_warc_roundtrip",

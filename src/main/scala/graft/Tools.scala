@@ -1287,6 +1287,90 @@ object Tools {
         .filter(col("id").isInCollection(doomed.toSet)).count())
       spark.stop(); return
     }
+    if (name == "graphmaint-dist") {
+      // graphmaint's DE-PINNED twin — the 100 TB-shape headline probe
+      // (judge r14 #6): same clustered n x d corpus, but serving and
+      // maintenance run the DISTRIBUTED paths end to end — batched
+      // graphKnnDistributed for every recall/latency read,
+      // appendGraphDistributed for the insert — so the driver never
+      // holds the (id, vec, nbrs) relation (the pin at 10M x 96 + R24
+      // is ~7 GB; this mode's driver state is the frontier's gb values
+      // and the bounded orphan-repair collects).
+      // Args: n d [batchPct] [listDiv] — lists = n/listDiv: the build's
+      // candidate volume is nprobe·N·listDiv, so listDiv is the
+      // build-cost/edge-quality knob (1000 = the gate default; 250
+      // keeps the 10M build inside an hour at 500 candidates/point)
+      import org.apache.spark.sql.functions._
+      import graft.operators._
+      val nums = args.drop(1).filter(_.forall(_.isDigit))
+      val n = nums.headOption.map(_.toLong).getOrElse(1000000L)
+      val d = nums.lift(1).map(_.toInt).getOrElse(96)
+      val batchPct = nums.lift(2).map(_.toInt).getOrElse(1)
+      val listDiv = nums.lift(3).map(_.toInt).getOrElse(1000)
+      val lists = math.max(64, (n / listDiv).toInt)
+      val centers = graft.sources.Ingest.randomUniform(spark, lists, d, seed = 7L)
+        .select(col("id").as("cid"), col("vector").as("cvec"))
+      val all = graft.sources.Ingest.randomUniform(spark, n, d)
+        .withColumn("cid", col("id") % lists)
+        .join(broadcast(centers), "cid")
+        .select(col("id"), expr(
+          "CAST(zip_with(vector, cvec, (a, b) -> a * 0.15D + b) AS ARRAY<FLOAT>)")
+          .as("embedding"))
+        .localCheckpoint()
+      val base = all.filter(col("id") % 97 >= batchPct)
+      val adds = all.filter(col("id") % 97 < batchPct).localCheckpoint()
+      val nAdds = adds.count()
+      val dir = java.nio.file.Files.createTempDirectory("graphmaintd")
+        .resolve("g").toString
+      def time[T](label: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"$label%-26s ${(System.nanoTime() - t0) / 1e9}%8.1f s")
+        r
+      }
+      // buckets sized so one gb partition is ~n/1024 rows (the
+      // corpus-scale contract: thousands of buckets at 100 TB)
+      val buckets = math.max(64, (n / 10000).toInt)
+      time(s"build+write($n x $d)")(GraphAnn.buildAndWrite(base, "id",
+        "embedding", numLists = lists, nprobe = 2, k = 12, alpha = 1.2,
+        maxDegree = 24, path = dir, buckets = buckets))
+      def recallBatch(store: GraphAnn.GraphStore, qs: org.apache.spark.sql.DataFrame,
+                      label: String): Unit = {
+        val nq = qs.count()
+        val t0 = System.nanoTime()
+        val hits = GraphAnn.graphKnnDistributed(store, qs, "qid", "qv",
+            k = 10, ef = 64)
+          .filter(col("qid") === col("id")).count()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"$label self-recall@10: $hits/$nq  (${s / math.max(nq, 1)}%.4f s/probe batched, $s%.1f s total)")
+      }
+      val st0 = GraphAnn.openGraph(spark, dir)
+      recallBatch(st0, base.orderBy("id").limit(50)
+        .select(col("id").as("qid"), col("embedding").as("qv")), "base")
+      time(s"append-dist($nAdds = $batchPct%)")(
+        GraphAnn.appendGraphDistributed(spark, dir, adds, "id",
+          "embedding", ef = 64))
+      val st1 = GraphAnn.openGraph(spark, dir)
+      recallBatch(st1, adds.orderBy("id").limit(50)
+        .select(col("id").as("qid"), col("embedding").as("qv")), "append")
+      val doomed = all.filter(col("id") % lists === 7).select("id")
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect()
+      time(s"remove(${doomed.length})")(GraphAnn.removeGraph(spark, dir,
+        doomed.toSeq))
+      val st2 = GraphAnn.openGraph(spark, dir)
+      val dset = doomed.toSet
+      val leak = GraphAnn.graphKnnDistributed(st2,
+          adds.orderBy("id").limit(50)
+            .select(col("id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = 10, ef = 64)
+        .filter(col("id").isInCollection(dset)).count()
+      println(s"tombstone leak check: $leak result rows doomed (want 0)")
+      time("consolidate")(GraphAnn.consolidateGraph(spark, dir))
+      val after = GraphAnn.openGraph(spark, dir)
+      println(s"rows after consolidate: ${after.rows.count()} " +
+        s"(expected ${n - doomed.length}), tombstones ${after.tombstones.length}")
+      spark.stop(); return
+    }
     if (name == "p15prof") {
       // stage timing of the p15 exact-path curation at sfDir
       import org.apache.spark.sql.functions._

@@ -376,7 +376,11 @@ object GraphAnn {
   def graphKnnDistributed(store: GraphStore, queries: DataFrame,
                           qIdCol: String, qVecCol: String,
                           k: Int, ef: Int,
-                          maxRounds: Int = 64): DataFrame = {
+                          maxRounds: Int = 64,
+                          // test hook (ScaleSpec): receives each round's
+                          // store-scan physical plans so the gb pruning
+                          // is pinnable without an async listener
+                          planProbe: String => Unit = _ => ()): DataFrame = {
     val spark = store.rows.sparkSession
     import spark.implicits._
     val buckets = store.buckets
@@ -391,11 +395,31 @@ object GraphAnn {
     val seedRel = store.rows
       .filter(col("id").isInCollection(store.seeds.toSeq))
       .select(col("id"), col("vec"))
-    var visited = qs
+    val seedScored = qs
       .crossJoin(broadcast(seedRel))
       .select(col("qid"), col("id"), dist(col("vec"), col("qv")).as("dist"),
         lit(false).as("exp"))
-      .localCheckpoint()
+    // BEAM-WIDTH INIT TRIM — C ∝ N makes the untrimmed init Q·C rows
+    // (10⁹ at a 10M-corpus 1%-append): a seed outside a query's
+    // max(ef, k) nearest (non-tombstoned (dist, id) rank) can NEVER be
+    // expanded — visited only grows, so its rank is monotonically
+    // non-improving and the frontier window never admits it — nor can
+    // it reach the final top-k (k ≤ max(ef, k) and later candidates
+    // only push it down). Identical output relation (the a27 oracle
+    // replays the UNTRIMMED init and still hash-matches), init size
+    // Q·ef; WindowGroupLimit keeps the trim's shuffle partial-top-k
+    // map-side. Tombstoned seeds stay (they route without rank slots).
+    var visited = {
+      val kept = seedScored.filter(notTomb(col("id")))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("dist").asc_nulls_last, col("id"))))
+        .filter(col("rn") <= math.max(ef, k))
+        .drop("rn")
+      val withTomb =
+        if (tomb.isEmpty) kept
+        else kept.unionByName(seedScored.filter(!notTomb(col("id"))))
+      withTomb.localCheckpoint()
+    }
     def frontierOf(v: DataFrame): DataFrame = {
       val ranked = v.filter(notTomb(col("id")))
         .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
@@ -418,23 +442,26 @@ object GraphAnn {
         .select(col("id"), col("nbrs"))
         .join(frontier, Seq("id"))
         .select(col("qid"), explode(col("nbrs")).as("id"))
-      val fresh = nbrRel
+      val fresh0 = nbrRel
         .join(visited.select(col("qid"), col("id")), Seq("qid", "id"),
           "left_anti")
         .distinct()
-        .localCheckpoint()
+      planProbe(fresh0.queryExecution.executedPlan.toString)
+      val fresh = fresh0.localCheckpoint()
       val cand =
         if (fresh.isEmpty) None
         else {
           val gbs2 = fresh.select(gbOf(col("id"), buckets).as("g"))
             .distinct().as[Int].collect().toSeq
-          Some(store.rows.filter(col("gb").isInCollection(gbs2))
+          val c = store.rows.filter(col("gb").isInCollection(gbs2))
             .select(col("id"), col("vec"))
             .join(fresh, Seq("id"))
             .join(qs, Seq("qid"))
             .select(col("qid"), col("id"),
               dist(col("vec"), col("qv")).as("dist"),
-              lit(false).as("exp")))
+              lit(false).as("exp"))
+          planProbe(c.queryExecution.executedPlan.toString)
+          Some(c)
         }
       val flagged = visited
         .join(frontier.withColumn("_f", lit(true)), Seq("qid", "id"), "left")
