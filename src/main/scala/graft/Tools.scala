@@ -1331,9 +1331,13 @@ object Tools {
       // buckets sized so one gb partition is ~n/1024 rows (the
       // corpus-scale contract: thousands of buckets at 100 TB)
       val buckets = math.max(64, (n / 10000).toInt)
-      time(s"build+write($n x $d)")(GraphAnn.buildAndWrite(base, "id",
-        "embedding", numLists = lists, nprobe = 2, k = 12, alpha = 1.2,
-        maxDegree = 24, path = dir, buckets = buckets))
+      // MERGED per-list build (buildMerged): the flat build's two
+      // corpus-wide vector shuffles (~200 GB transient at 10M×96×k12)
+      // exceed this box's disk; the merged build shuffles vectors once
+      // (nprobe·N rows) and prunes inside each list partition
+      time(s"build+write($n x $d, merged)")(GraphAnn.buildAndWriteMerged(
+        base, "id", "embedding", numLists = lists, nprobe = 2, k = 12,
+        alpha = 1.2, maxDegree = 24, path = dir, buckets = buckets))
       def recallBatch(store: GraphAnn.GraphStore, qs: org.apache.spark.sql.DataFrame,
                       label: String): Unit = {
         val nq = qs.count()
@@ -1369,6 +1373,35 @@ object Tools {
       val after = GraphAnn.openGraph(spark, dir)
       println(s"rows after consolidate: ${after.rows.count()} " +
         s"(expected ${n - doomed.length}), tombstones ${after.tombstones.length}")
+      spark.stop(); return
+    }
+    if (name == "pprprof") {
+      // q32 round-cost decomposition (judge r14 #7): time
+      // pageRankPersonalized at iterations 0..5 on the staged trade
+      // graph and fit t(i) = fixed + perRound·i — evidence for (or
+      // against) the iteration-bound reading of the sf1 53.8 s mark.
+      // iterations=0 measures the fixed part alone: edge cache build
+      // (distinct + window outdeg + repartition), node relation, seed
+      // join. Three reps per point, min taken (quiet-box protocol).
+      import org.apache.spark.sql.functions._
+      import graft.operators.Graphs
+      val pairs = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") * 2).as("sn"),
+          (col("o_custkey") * 2 + 1).as("cn"))
+        .distinct()
+      val edges = pairs.select(col("sn").as("src"), col("cn").as("dst"))
+        .unionAll(pairs.select(col("cn").as("src"), col("sn").as("dst")))
+        .localCheckpoint()
+      println(s"edges: ${edges.count()}")
+      val seeds = spark.range(3).select((col("id") * 2).as("node"))
+      for (iters <- Seq(0, 1, 2, 3, 5); rep <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n = Graphs.pageRankPersonalized(edges, seeds,
+          iterations = iters).count()
+        println(f"iters=$iters rep=$rep  ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n nodes)")
+      }
       spark.stop(); return
     }
     if (name == "p15prof") {

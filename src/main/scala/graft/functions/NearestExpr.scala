@@ -435,6 +435,140 @@ case class NearestTopIdsExpr(child: Expression, ids: Array[Long],
     copy(child = c)
 }
 
+/** Routed top-n nearest ids — [[NearestTopIdsExpr]]'s O(√C) form for
+  * corpus-scale centroid counts: rank ALL supers, take the
+  * `supersProbed` nearest, exact top-n insertion over their members.
+  * Same strict-< insertion as the exact kernel (first-seen wins ties);
+  * member scan order is supers in rank order then stored member order,
+  * so the result is deterministic. */
+case class NearestTopIdsRoutedExpr(child: Expression,
+                                   superCents: Array[Array[Double]],
+                                   memberIds: Array[Array[Long]],
+                                   memberCents: Array[Array[Array[Double]]],
+                                   n: Int, supersProbed: Int,
+                                   sqrtCompare: Boolean)
+    extends UnaryExpression {
+  require(superCents.length == memberIds.length &&
+    memberIds.length == memberCents.length && superCents.nonEmpty,
+    "NearestTopIdsRoutedExpr needs aligned super/member tables")
+  require(memberIds.forall(_.nonEmpty), "every super needs at least one member")
+  require(n >= 1 && supersProbed >= 1 && supersProbed <= superCents.length,
+    "need n >= 1 and 1 <= supersProbed <= supers")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_nearest_top_routed"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a float/double array input")
+  }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(NearestTopIdsRoutedExpr.topIdsRouted(
+        v, elemIsFloat, superCents, memberIds, memberCents, n,
+        supersProbed, sqrtCompare))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the kernel lives in ONE static helper shared with nullSafeEval —
+    // the generated call stays inside whole-stage codegen (a static
+    // invoke, no virtual dispatch) and the top-n/selection logic isn't
+    // duplicated as string-templated Java
+    val supersRef = ctx.addReferenceObj("rtSupers", superCents, "double[][]")
+    val idsRef = ctx.addReferenceObj("rtMemberIds", memberIds, "long[][]")
+    val centsRef = ctx.addReferenceObj("rtMemberCents", memberCents,
+      "double[][][]")
+    val isFloat = elemIsFloat
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(
+            graft.functions.NearestTopIdsRoutedExpr.topIdsRouted(
+              $v, $isFloat, $supersRef, $idsRef, $centsRef, $n,
+              $supersProbed, $sqrtCompare));
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object NearestTopIdsRoutedExpr {
+  /** The routed top-n kernel (called from both eval and codegen). */
+  def topIdsRouted(v: ArrayData, isFloat: Boolean,
+                   supers: Array[Array[Double]],
+                   memberIds: Array[Array[Long]],
+                   memberCents: Array[Array[Array[Double]]],
+                   n: Int, supersProbed: Int,
+                   sqrtCompare: Boolean): Array[Long] = {
+    def d2To(cv: Array[Double]): Double = {
+      if (v.numElements() != cv.length)
+        throw new IllegalArgumentException(
+          s"vector length mismatch: ${v.numElements()} vs ${cv.length}")
+      var acc = 0.0d
+      var k = 0
+      while (k < cv.length) {
+        val diff = (if (isFloat) v.getFloat(k).toDouble else v.getDouble(k)) - cv(k)
+        acc += diff * diff
+        k += 1
+      }
+      acc
+    }
+    // rank the supers: top-supersProbed by raw d2, strict-< insertion
+    val sp = supersProbed
+    val sd = Array.fill(sp)(Double.PositiveInfinity)
+    val sidx = new Array[Int](sp)
+    var si = 0
+    while (si < supers.length) {
+      val dd = d2To(supers(si))
+      if (dd < sd(sp - 1)) {
+        var j = sp - 1
+        while (j > 0 && dd < sd(j - 1)) { sd(j) = sd(j - 1); sidx(j) = sidx(j - 1); j -= 1 }
+        sd(j) = dd; sidx(j) = si
+      }
+      si += 1
+    }
+    // exact top-n over the probed supers' members
+    var total = 0
+    var p = 0
+    while (p < sp) { if (sd(p) < Double.PositiveInfinity) total += memberIds(sidx(p)).length; p += 1 }
+    // every probed super is real (sp ≤ supers, every member list is
+    // non-empty), so total ≥ 1 and all m slots fill — no id-0 garbage
+    val m = math.min(n, total)
+    val bd = Array.fill(m)(Double.PositiveInfinity)
+    val bi = new Array[Long](m)
+    p = 0
+    while (p < sp) {
+      if (sd(p) < Double.PositiveInfinity) {
+        val mids = memberIds(sidx(p))
+        val mcents = memberCents(sidx(p))
+        var ci = 0
+        while (ci < mcents.length) {
+          val acc = d2To(mcents(ci))
+          val cd = if (sqrtCompare) math.sqrt(acc) else acc
+          if (cd < bd(m - 1)) {
+            var j = m - 1
+            while (j > 0 && cd < bd(j - 1)) { bd(j) = bd(j - 1); bi(j) = bi(j - 1); j -= 1 }
+            bd(j) = cd; bi(j) = mids(ci)
+          }
+          ci += 1
+        }
+      }
+      p += 1
+    }
+    bi
+  }
+}
+
 object NearestExpr {
   import GraftSqlShim.{toColumn, toExpression}
 
@@ -473,6 +607,18 @@ object NearestExpr {
                       sqrtCompare: Boolean, fanout: Int = 0,
                       routePrep: Option[(Array[(Long, Array[Double])],
                         Array[Array[Double]]) => Array[Int]] = None): Column = {
+    val (supers, mids, mcents) = routedTables(table, fanout, routePrep)
+    toColumn(NearestRoutedExpr(toExpression(vec), supers, mids, mcents,
+      sqrtCompare))
+  }
+
+  /** Shared two-level table construction for the routed kernels:
+    * supers are a stride sample of the id-sorted table (deterministic),
+    * members are each table row routed to its nearest super. */
+  private def routedTables(table: Array[(Long, Array[Double])], fanout: Int,
+                           routePrep: Option[(Array[(Long, Array[Double])],
+                             Array[Array[Double]]) => Array[Int]])
+      : (Array[Array[Double]], Array[Array[Long]], Array[Array[Array[Double]]]) = {
     val sorted = table.sortBy(_._1)
     val c = sorted.length
     val s = if (fanout > 0) math.min(fanout, c)
@@ -509,7 +655,23 @@ object NearestExpr {
       if (buf.nonEmpty) buf.toArray
       else Array(sorted(math.min(si * step, c - 1)))
     }
-    toColumn(NearestRoutedExpr(toExpression(vec), supers,
-      filled.map(_.map(_._1)), filled.map(_.map(_._2)), sqrtCompare))
+    (supers, filled.map(_.map(_._1)), filled.map(_.map(_._2)))
+  }
+
+  /** Routed top-n ids — [[nearestTopIds]]'s O(√C) twin: rank the
+    * supers, then exact top-n over the members of the `supersProbed`
+    * nearest supers (2 by default — the multi-probe boundary
+    * mitigation: n = nprobe lists usually straddle at most two super
+    * cells). Approximate at super boundaries like every routed kernel;
+    * deterministic (supers scanned in rank order, members in stored
+    * ascending-id order, strict-< insertion keeps the earliest). */
+  def nearestTopIdsRouted(vec: Column, table: Array[(Long, Array[Double])],
+                          n: Int, sqrtCompare: Boolean, fanout: Int = 0,
+                          supersProbed: Int = 2,
+                          routePrep: Option[(Array[(Long, Array[Double])],
+                            Array[Array[Double]]) => Array[Int]] = None): Column = {
+    val (supers, mids, mcents) = routedTables(table, fanout, routePrep)
+    toColumn(NearestTopIdsRoutedExpr(toExpression(vec), supers, mids, mcents,
+      n, math.min(supersProbed, supers.length), sqrtCompare))
   }
 }

@@ -183,18 +183,158 @@ object GraphAnn {
     (graph, (leaders(emb, idCol, vecCol, cents) :+ medoid(pts)).distinct)
   }
 
+  /** MERGED per-list build — the corpus-scale twin of [[build]]
+    * (DiskANN's merged-Vamana architecture, Subramanya et al. NeurIPS
+    * 2019 §4: build on overlapping shards, union the adjacency). The
+    * flat build ships every candidate edge's target VECTOR through two
+    * corpus-wide shuffles (join + groupByKey ≈ 2·N·k rows × ~420 B — a
+    * ~200 GB transient at 10M×96×k12, the round-15 disk wall); here the
+    * VECTORS are shuffled exactly once — each row goes to its `nprobe`
+    * nearest coarse lists (routed O(√C) multi-probe assignment, the
+    * corpus-scale default) and each list partition runs the WHOLE local
+    * pipeline in memory: exact within-list kNN, local symmetrize, and
+    * the α-RobustPrune per member. Only the pruned (src, dst, dist)
+    * edges (24 B) leave the partition; the cross-list merge dedupes by
+    * min-dist and caps each node at its `maxDegree` nearest kept edges
+    * (the published union-then-truncate merge; within-shard highway
+    * edges survive their own shard's prune). Approximations vs [[build]]
+    * (both documented DiskANN trades): routed assignment at super
+    * boundaries, and the cross-list cap is distance-ordered rather than
+    * a second α-prune (the second prune would re-ship vectors).
+    * List sizing is the caller's C ∝ N contract — a list's members must
+    * fit one task's memory (2·N/C rows × d floats) and its m² local kNN
+    * is the dominant compute. */
+  def buildMerged(emb: DataFrame, idCol: String, vecCol: String,
+                  numLists: Int, nprobe: Int, k: Int,
+                  alpha: Double, maxDegree: Int): (DataFrame, Array[Long]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pts = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    val routedAssign = (v: Column, c: Array[(Long, Array[Double])]) =>
+      Similarity.ivfListIdRouted(v, c, routeSpark = Some(spark))
+    val cents = Similarity.ivfTrain(emb, idCol, vecCol, numLists, iters = 1,
+      assign = routedAssign)
+    val parts = pts.select(col("id"), col("vec"),
+      explode(graft.functions.NearestExpr.nearestTopIdsRouted(
+        col("vec"), cents, nprobe, sqrtCompare = true,
+        // 2·nprobe supers cover the multi-probe boundary: 47→49/50
+        // base self-recall at 200k×96 (probing more supers measured no
+        // further gain; the residual miss is the merged-build trade)
+        supersProbed = math.max(2, nprobe * 2),
+        routePrep = Some(Similarity.routeCentroids(spark) _))).as("list_id"))
+    val edges = parts
+      .select(col("list_id"), col("id"), col("vec"))
+      .as[(Long, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        // deterministic local order: groupByKey iterators are not
+        val members = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        val m = members.length
+        val kk = math.min(k, math.max(m - 1, 0))
+        if (kk == 0) Iterator.empty
+        else {
+          // exact within-list kNN, strict-< insertion (ties to the
+          // earlier = smaller id)
+          val nbrD = Array.ofDim[Double](m, kk)
+          val nbrI = Array.ofDim[Int](m, kk)
+          var i = 0
+          while (i < m) { java.util.Arrays.fill(nbrD(i), Double.PositiveInfinity); i += 1 }
+          i = 0
+          while (i < m) {
+            var j = i + 1
+            while (j < m) {
+              val dd = l2(members(i)._2, members(j)._2)
+              def insert(row: Int, cand: Int): Unit = {
+                val bd = nbrD(row); val bi = nbrI(row)
+                if (dd < bd(kk - 1)) {
+                  var p = kk - 1
+                  while (p > 0 && dd < bd(p - 1)) { bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1 }
+                  bd(p) = dd; bi(p) = cand
+                }
+              }
+              insert(i, j); insert(j, i)
+              j += 1
+            }
+            i += 1
+          }
+          // local symmetrize: candidate set of i = knn(i) ∪ {j : i ∈ knn(j)}
+          val cands = Array.fill(m)(mutable.LongMap.empty[Double])
+          i = 0
+          while (i < m) {
+            var p = 0
+            while (p < kk && nbrD(i)(p) < Double.PositiveInfinity) {
+              val j = nbrI(i)(p); val dd = nbrD(i)(p)
+              cands(i).getOrElseUpdate(j, dd)
+              cands(j).getOrElseUpdate(i, dd)
+              p += 1
+            }
+            i += 1
+          }
+          (0 until m).iterator.flatMap { s =>
+            val arr = cands(s).iterator
+              .map { case (j, dd) => (members(j.toInt)._1, members(j.toInt)._2, dd) }
+              .toArray
+            // rank = position in the kept order: robustPrune keeps by
+            // ascending distance AMONG survivors of the occlusion test,
+            // so a low rank marks an edge the α-prune judged essential
+            // (nearest neighbours AND the long highway edges occlusion
+            // spared) — the merge cap must respect it, not raw distance
+            robustPrune(arr, alpha, maxDegree).zipWithIndex.map {
+              case (keptId, rank) =>
+                (members(s)._1, keptId, arr.find(_._1 == keptId).get._3, rank)
+            }
+          }
+        }
+      }
+      .toDF("src", "dst", "dist", "rank")
+    // cross-list merge: dedupe the (≤ nprobe·N·R)-row edge relation by
+    // best (rank, dist), then each node keeps its maxDegree best edges
+    // by PRUNE RANK (distance-ordered capping would evict exactly the
+    // highway edges α-prune kept — measured 47/50 vs 50/50 base
+    // self-recall at 200k×96): rank interleaves each list's kept order,
+    // so every list's local highway structure survives proportionally
+    val mergedNbrs = edges
+      .groupBy(col("src"), col("dst"))
+      .agg(min(col("rank")).as("rank"), min(col("dist")).as("dist"))
+      .withColumn("rn", row_number().over(Window.partitionBy(col("src"))
+        .orderBy(col("rank"), col("dist").asc_nulls_last, col("dst"))))
+      .filter(col("rn") <= maxDegree)
+      .groupBy(col("src"))
+      .agg(transform(array_sort(collect_list(struct(col("dist"), col("dst")))),
+        e => e.getField("dst")).as("nbrs"))
+      .select(col("src").as("id"), col("nbrs"))
+    val graph = pts.join(mergedNbrs, Seq("id"), "left")
+      .select(col("id"), col("vec"),
+        coalesce(col("nbrs"), array().cast("array<long>")).as("nbrs"))
+    (graph, (leaders(emb, idCol, vecCol, cents,
+      assign = routedAssign) :+ medoid(pts)).distinct)
+  }
+
+  /** [[buildMerged]] + [[writeGraph]]. */
+  def buildAndWriteMerged(emb: DataFrame, idCol: String, vecCol: String,
+                          numLists: Int, nprobe: Int, k: Int,
+                          alpha: Double, maxDegree: Int, path: String,
+                          buckets: Int = 16): Unit = {
+    val (graph, seeds) = buildMerged(emb, idCol, vecCol, numLists, nprobe,
+      k, alpha, maxDegree)
+    writeGraph(graph, seeds, path, alpha, maxDegree, buckets)
+  }
+
   /** Per-list leaders: each coarse list's member nearest its centroid
     * (ties to the smaller id) — one scan + one C-group window; the
     * collect is C longs (bounded by the centroid-table contract). */
   private def leaders(emb: DataFrame, idCol: String, vecCol: String,
-                      cents: Array[(Long, Array[Double])]): Array[Long] = {
+                      cents: Array[(Long, Array[Double])],
+                      assign: (Column, Array[(Long, Array[Double])]) => Column =
+                        Similarity.ivfListId): Array[Long] = {
     val centRel = Similarity.centroidRelation(emb.sparkSession, cents)
       .select(col("list_id").cast("long"),
         col("cv").cast("array<double>").as("cv"))
     emb
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"),
-        Similarity.ivfListId(col(vecCol), cents).as("list_id"))
+        assign(col(vecCol), cents).as("list_id"))
       .join(broadcast(centRel), Seq("list_id"))
       .withColumn("cd", dist(col("vec"), col("cv")))
       .withColumn("rn", row_number().over(

@@ -294,6 +294,34 @@ class RecallSpec extends SparkSpec {
     assert(h1 == h2, "graph build must be deterministic")
   }
 
+  test("merged per-list graph build: recall floor, degree bound, determinism") {
+    // buildMerged — the corpus-scale build (vectors shuffled once into
+    // nprobe list partitions, local Vamana per list, rank-ordered
+    // cross-list merge). Same contracts as the flat build, with the
+    // documented merged-index recall trade (floor 0.80 vs flat 0.85).
+    val (graph, seeds) = GraphAnn.buildMerged(pts, "id", "embedding",
+      numLists = 20, nprobe = 3, k = 12, alpha = 1.2, maxDegree = 16)
+    val g = graph.localCheckpoint()
+    val maxDeg = g.select(max(size(col("nbrs")))).head().getInt(0)
+    assert(maxDeg <= 16, s"merge degree cap violated: $maxDeg > 16")
+    val avgDeg = g.select(avg(size(col("nbrs")))).head().getDouble(0)
+    assert(avgDeg >= 4, s"merged graph too sparse to serve: avg degree $avgDeg")
+    val pinned = GraphAnn.pin(g, seeds)
+    assert(pinned.size == 4000, s"pin dropped nodes: ${pinned.size}")
+    val r = recallOf(q => GraphAnn.graphKnn(spark, pinned, q, K, ef = 64))
+    assert(r >= 0.80, s"merged-build ef=64 recall@10 $r below floor 0.80")
+    // deterministic replay (routed assignment + local sort + rank merge
+    // are all order-pinned)
+    val (graph2, seeds2) = GraphAnn.buildMerged(pts, "id", "embedding",
+      numLists = 20, nprobe = 3, k = 12, alpha = 1.2, maxDegree = 16)
+    assert(seeds2.toSeq == seeds.toSeq, "merged seed set must be deterministic")
+    val h1 = g.select(col("id"), concat_ws(",", col("nbrs")).as("n"))
+      .orderBy(col("id")).collect().map(_.toString).mkString("|").hashCode
+    val h2 = graph2.select(col("id"), concat_ws(",", col("nbrs")).as("n"))
+      .orderBy(col("id")).collect().map(_.toString).mkString("|").hashCode
+    assert(h1 == h2, "merged graph build must be deterministic")
+  }
+
   test("graph store: roundtrip, FreshDiskANN append, tombstone remove + consolidate") {
     val dir = java.nio.file.Files.createTempDirectory("graftgstore")
       .resolve("g").toString
