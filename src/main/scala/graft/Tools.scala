@@ -1320,8 +1320,13 @@ object Tools {
       val base = all.filter(col("id") % 97 >= batchPct)
       val adds = all.filter(col("id") % 97 < batchPct).localCheckpoint()
       val nAdds = adds.count()
-      val dir = java.nio.file.Files.createTempDirectory("graphmaintd")
-        .resolve("g").toString
+      // SPARK_GRAFT_DIST_DIR reuses an already-built store (resume a
+      // long probe after an interrupted maintenance phase — the store
+      // write is atomic-per-phase, so a kill during append leaves the
+      // built store intact); build + base-recall are skipped
+      val reuse = sys.env.get("SPARK_GRAFT_DIST_DIR").filter(_.nonEmpty)
+      val dir = reuse.getOrElse(java.nio.file.Files
+        .createTempDirectory("graphmaintd").resolve("g").toString)
       def time[T](label: String)(f: => T): T = {
         val t0 = System.nanoTime()
         val r = f
@@ -1331,13 +1336,6 @@ object Tools {
       // buckets sized so one gb partition is ~n/1024 rows (the
       // corpus-scale contract: thousands of buckets at 100 TB)
       val buckets = math.max(64, (n / 10000).toInt)
-      // MERGED per-list build (buildMerged): the flat build's two
-      // corpus-wide vector shuffles (~200 GB transient at 10M×96×k12)
-      // exceed this box's disk; the merged build shuffles vectors once
-      // (nprobe·N rows) and prunes inside each list partition
-      time(s"build+write($n x $d, merged)")(GraphAnn.buildAndWriteMerged(
-        base, "id", "embedding", numLists = lists, nprobe = 2, k = 12,
-        alpha = 1.2, maxDegree = 24, path = dir, buckets = buckets))
       def recallBatch(store: GraphAnn.GraphStore, qs: org.apache.spark.sql.DataFrame,
                       label: String): Unit = {
         val nq = qs.count()
@@ -1348,9 +1346,18 @@ object Tools {
         val s = (System.nanoTime() - t0) / 1e9
         println(f"$label self-recall@10: $hits/$nq  (${s / math.max(nq, 1)}%.4f s/probe batched, $s%.1f s total)")
       }
-      val st0 = GraphAnn.openGraph(spark, dir)
-      recallBatch(st0, base.orderBy("id").limit(50)
-        .select(col("id").as("qid"), col("embedding").as("qv")), "base")
+      if (reuse.isEmpty) {
+        // MERGED per-list build (buildMerged): the flat build's two
+        // corpus-wide vector shuffles (~200 GB transient at 10M×96×k12)
+        // exceed this box's disk; the merged build shuffles vectors once
+        // (nprobe·N rows) and prunes inside each list partition
+        time(s"build+write($n x $d, merged)")(GraphAnn.buildAndWriteMerged(
+          base, "id", "embedding", numLists = lists, nprobe = 2, k = 12,
+          alpha = 1.2, maxDegree = 24, path = dir, buckets = buckets))
+        val st0 = GraphAnn.openGraph(spark, dir)
+        recallBatch(st0, base.orderBy("id").limit(50)
+          .select(col("id").as("qid"), col("embedding").as("qv")), "base")
+      } else println(s"reusing store: $dir")
       time(s"append-dist($nAdds = $batchPct%)")(
         GraphAnn.appendGraphDistributed(spark, dir, adds, "id",
           "embedding", ef = 64))

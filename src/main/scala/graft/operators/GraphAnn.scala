@@ -517,10 +517,26 @@ object GraphAnn {
                           qIdCol: String, qVecCol: String,
                           k: Int, ef: Int,
                           maxRounds: Int = 64,
+                          // visited-set cap per query (0 = unbounded,
+                          // the exact protocol the a27 oracle replays).
+                          // Unbounded, `visited` holds every node a
+                          // query ever scored — at a 10M-corpus 1%
+                          // append (103k queries × deg-24 expansions)
+                          // that's >300M cached rows by round 4 and an
+                          // OOM at 64 g (measured round-15). A cap ≥ ef
+                          // keeps the frontier window exact; a dropped
+                          // EXPANDED node can be re-scored later
+                          // (wasted work, never a wrong pool — it can
+                          // only re-enter by ranking inside the cap it
+                          // was evicted from). Pool searches (append)
+                          // pass 8·ef; serving gates keep 0.
+                          visitedCap: Int = 0,
                           // test hook (ScaleSpec): receives each round's
                           // store-scan physical plans so the gb pruning
                           // is pinnable without an async listener
                           planProbe: String => Unit = _ => ()): DataFrame = {
+    require(visitedCap == 0 || visitedCap >= math.max(ef, k),
+      s"visitedCap $visitedCap would trim the beam window (ef=$ef, k=$k)")
     val spark = store.rows.sparkSession
     import spark.implicits._
     val buckets = store.buckets
@@ -535,10 +551,6 @@ object GraphAnn {
     val seedRel = store.rows
       .filter(col("id").isInCollection(store.seeds.toSeq))
       .select(col("id"), col("vec"))
-    val seedScored = qs
-      .crossJoin(broadcast(seedRel))
-      .select(col("qid"), col("id"), dist(col("vec"), col("qv")).as("dist"),
-        lit(false).as("exp"))
     // BEAM-WIDTH INIT TRIM — C ∝ N makes the untrimmed init Q·C rows
     // (10⁹ at a 10M-corpus 1%-append): a seed outside a query's
     // max(ef, k) nearest (non-tombstoned (dist, id) rank) can NEVER be
@@ -546,18 +558,39 @@ object GraphAnn {
     // non-improving and the frontier window never admits it — nor can
     // it reach the final top-k (k ≤ max(ef, k) and later candidates
     // only push it down). Identical output relation (the a27 oracle
-    // replays the UNTRIMMED init and still hash-matches), init size
-    // Q·ef; WindowGroupLimit keeps the trim's shuffle partial-top-k
-    // map-side. Tombstoned seeds stay (they route without rank slots).
+    // replays the UNTRIMMED init and still hash-matches). The
+    // selection runs as the CONSTANT-TABLE top-ids kernel — a map-only
+    // projection per query (same strict-< ascending-id tie-break and
+    // ascending-i float64 fold as the window form it replaces) — NOT a
+    // crossJoin + window: even with WindowGroupLimit's partial top-k,
+    // the Q·C join output must be sorted per partition first, a ~33 GB
+    // spill at 103k×10001 that filled the disk (measured round-15).
+    // The seed table collect is C+1 rows of (id, vec) — the documented
+    // centroid-sidecar size class, never the corpus. Tombstoned seeds
+    // join back in full (they route without occupying rank slots).
     var visited = {
-      val kept = seedScored.filter(notTomb(col("id")))
-        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
-          .orderBy(col("dist").asc_nulls_last, col("id"))))
-        .filter(col("rn") <= math.max(ef, k))
-        .drop("rn")
+      val seedTable = seedRel
+        .filter(notTomb(col("id")))
+        .select(col("id"), col("vec").cast("array<double>"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val m = math.max(ef, k)
+      val kept =
+        if (seedTable.isEmpty) // every seed tombstoned: routing only
+          qs.select(col("qid"), lit(0L).as("id"), lit(0d).as("dist"),
+            lit(false).as("exp")).filter(lit(false))
+        else qs.select(col("qid"), col("qv"),
+            explode(graft.functions.NearestExpr.nearestTopIds(
+              col("qv"), seedTable, m, sqrtCompare = true)).as("id"))
+          .join(broadcast(seedRel), Seq("id"))
+          .select(col("qid"), col("id"),
+            dist(col("vec"), col("qv")).as("dist"), lit(false).as("exp"))
       val withTomb =
         if (tomb.isEmpty) kept
-        else kept.unionByName(seedScored.filter(!notTomb(col("id"))))
+        else kept.unionByName(qs
+          .crossJoin(broadcast(seedRel.filter(!notTomb(col("id")))))
+          .select(col("qid"), col("id"),
+            dist(col("vec"), col("qv")).as("dist"), lit(false).as("exp")))
       withTomb.localCheckpoint()
     }
     def frontierOf(v: DataFrame): DataFrame = {
@@ -607,7 +640,13 @@ object GraphAnn {
         .join(frontier.withColumn("_f", lit(true)), Seq("qid", "id"), "left")
         .select(col("qid"), col("id"), col("dist"),
           (col("exp") || coalesce(col("_f"), lit(false))).as("exp"))
-      val next = cand.fold(flagged)(flagged.unionByName(_)).localCheckpoint()
+      val next0 = cand.fold(flagged)(flagged.unionByName(_))
+      val next = (if (visitedCap > 0)
+        next0.withColumn("_vc", row_number().over(
+            Window.partitionBy(col("qid"))
+              .orderBy(col("dist").asc_nulls_last, col("id"))))
+          .filter(col("_vc") <= visitedCap).drop("_vc")
+      else next0).localCheckpoint()
       IndexBuild.freeCheckpoint(visited)
       IndexBuild.freeCheckpoint(frontier)
       IndexBuild.freeCheckpoint(fresh)
@@ -967,7 +1006,16 @@ object GraphAnn {
     * spec-gated (RecallSpec). */
   def appendGraphDistributed(spark: SparkSession, path: String,
                              newPts: DataFrame, idCol: String,
-                             vecCol: String, ef: Int = 64): Unit = {
+                             vecCol: String, ef: Int = 64,
+                             // pool-search round cap: a batch insert's
+                             // beam doesn't need exact convergence (the
+                             // pool feeds an α-prune, not a result set),
+                             // and the uncapped 64-round ceiling lets a
+                             // few straggler queries serialize an extra
+                             // hour of round-synchronous supersteps at
+                             // 10M×1% (measured round-15) — 16 rounds
+                             // reach graph-diameter depth
+                             maxRounds: Int = 16): Unit = {
     import spark.implicits._
     val store = openGraph(spark, path)
     val (alpha, maxDeg, buckets) = (store.alpha, store.maxDegree, store.buckets)
@@ -983,7 +1031,7 @@ object GraphAnn {
     // the pinned search), candidate vectors joined, per-point prune
     val pools = graphKnnDistributed(store,
       incoming.select(col("id").as("nid"), col("vec")), "nid", "vec",
-      k = ef, ef = ef)
+      k = ef, ef = ef, maxRounds = maxRounds, visitedCap = 8 * ef)
     val prunedOut = pools
       .join(store.rows.select(col("id"), col("vec").as("cvec")), Seq("id"))
       .select(col("nid"), col("id").as("cid"), col("cvec"), col("dist"))

@@ -39,8 +39,12 @@ def main():
     else:
         print(f"sf1 dataset present at {SF1} (use --fresh to rebuild)")
 
-    # oracle replay — capture check.py's per-gate lines
-    r = run([sys.executable, "tools/check.py", SF1, f"--skip={SKIPS}"],
+    # oracle replay — capture check.py's per-gate lines. --no-run
+    # passes through: re-parse an existing /tmp/verify_* dump (e.g.
+    # after re-running graft.Verify for a crashed subset) without
+    # re-running the whole engine pass.
+    extra = [a for a in sys.argv if a == "--no-run"]
+    r = run([sys.executable, "tools/check.py", SF1, f"--skip={SKIPS}"] + extra,
             capture_output=True, text=True)
     print(r.stdout[-4000:])
     if r.stderr:
