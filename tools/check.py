@@ -43,7 +43,13 @@ import os
 _floors_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "gate_floors.json")
 _fl = json.load(open(_floors_path)) if os.path.exists(_floors_path) else {}
-_sf_over = _fl.get("scale_overrides", {}).get(SF, {})
+# override keys are PORTABLE scale tags (ADVICE r15): an absolute
+# dataset path like /some/checkout/.sf1 normalizes to its basename tag
+# "sf1", so the committed gate_floors.json works at any checkout path
+_sf_key = SF if not SF.startswith("/") else (
+    os.path.basename(SF.rstrip("/")).lstrip(".") or SF)
+_sf_over = {**_fl.get("scale_overrides", {}).get(SF, {}),
+            **_fl.get("scale_overrides", {}).get(_sf_key, {})}
 def floor_of(name):
     if name in _sf_over:
         return _sf_over[name]

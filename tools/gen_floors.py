@@ -31,6 +31,16 @@ import duckdb
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCALES = ["sf0.001", "sf0.01"]
 
+# Gates ADJUDICATED to legitimately shrink below their cross-scale floor
+# at the sf1 tier (rationale lives in GATE_ROWS.md): share-threshold
+# heavy hitters thin out at 10x the distinct keys (q24/q45) and the
+# sparser 10x repeat-trade graph has an empty 3-core (q55). Any OTHER
+# gate coming in under floor at sf1 is a regression, not an
+# adjudication — this tool fails loudly instead of silently writing a
+# self-relaxing override (ADVICE r15).
+SF1_ADJUDICATED = {"q24_heavy_hitters", "q45_group_heavy_hitters",
+                   "q55_kcore"}
+
 
 def counts_for(scale):
     out = f"/tmp/verify_{scale}"
@@ -57,8 +67,10 @@ def main():
                 sf1[k] = v["spark_rows"]
 
     floors, overrides = {}, {s: {} for s in SCALES}
-    # the sf1 tier runs check.py with the dataset PATH as its scale key
-    sf1_key = os.path.join(REPO, ".sf1")
+    # PORTABLE scale tag: check.py normalizes an absolute dataset path
+    # (e.g. <checkout>/.sf1) to its basename tag, so the committed
+    # override key works at any checkout path (ADVICE r15)
+    sf1_key = "sf1"
     overrides[sf1_key] = {}
     for g in gates:
         obs = [per_scale[s][g] for s in SCALES if g in per_scale[s]]
@@ -70,11 +82,20 @@ def main():
             if g in per_scale[s] and per_scale[s][g] < floor:
                 overrides[s][g] = per_scale[s][g]
         # a gate whose sf1 output is legitimately SMALLER than the gate
-        # floor (e.g. share-threshold heavy hitters that thin out as the
-        # corpus grows, a k-core that empties in the sparser 10x graph)
-        # gets its verified sf1 count as the sf1-scale override — the
-        # adjudication the vacuity policy requires lives in GATE_ROWS.md
+        # floor gets its verified sf1 count as the sf1-scale override —
+        # but ONLY if a human adjudicated it onto SF1_ADJUDICATED (the
+        # rationale lives in GATE_ROWS.md). Anything else under floor at
+        # sf1 is a silent-regression candidate: fail loudly rather than
+        # self-relax the very protection the floors exist for.
         if g in sf1 and sf1[g] < floor:
+            if g not in SF1_ADJUDICATED:
+                sys.exit(
+                    f"REFUSING to write floors: gate {g} is under its "
+                    f"floor at sf1 ({sf1[g]} < {floor}) and is NOT on "
+                    "the adjudicated allowlist (SF1_ADJUDICATED in this "
+                    "tool). Investigate the regression; if the smaller "
+                    "output is genuinely correct, add the gate to the "
+                    "allowlist WITH a GATE_ROWS.md rationale, then rerun.")
             overrides[sf1_key][g] = sf1[g]
 
     data = {
