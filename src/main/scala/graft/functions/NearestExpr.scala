@@ -541,8 +541,6 @@ object NearestTopIdsRoutedExpr {
     var total = 0
     var p = 0
     while (p < sp) { if (sd(p) < Double.PositiveInfinity) total += memberIds(sidx(p)).length; p += 1 }
-    // every probed super is real (sp ≤ supers, every member list is
-    // non-empty), so total ≥ 1 and all m slots fill — no id-0 garbage
     val m = math.min(n, total)
     val bd = Array.fill(m)(Double.PositiveInfinity)
     val bi = new Array[Long](m)
@@ -556,16 +554,35 @@ object NearestTopIdsRoutedExpr {
           val acc = d2To(mcents(ci))
           val cd = if (sqrtCompare) math.sqrt(acc) else acc
           if (cd < bd(m - 1)) {
-            var j = m - 1
-            while (j > 0 && cd < bd(j - 1)) { bd(j) = bd(j - 1); bi(j) = bi(j - 1); j -= 1 }
-            bd(j) = cd; bi(j) = mids(ci)
+            // DEDUP BY ID (ADVICE r15): routedTables' empty-super
+            // fallback can hand the same (id, vec) to two probed supers
+            // (a stride pick routed to an equal-distance earlier super);
+            // a second insertion would displace a genuine distinct id.
+            // The twin carries the identical vector, hence the identical
+            // cd, so it can only sit among slots with bd == cd — scan
+            // the occupied ascending prefix up to cd and skip on a hit.
+            var dup = false
+            var q = 0
+            while (!dup && q < m && bd(q) <= cd) {
+              if (bi(q) == mids(ci) && bd(q) == cd) dup = true
+              q += 1
+            }
+            if (!dup) {
+              var j = m - 1
+              while (j > 0 && cd < bd(j - 1)) { bd(j) = bd(j - 1); bi(j) = bi(j - 1); j -= 1 }
+              bd(j) = cd; bi(j) = mids(ci)
+            }
           }
           ci += 1
         }
       }
       p += 1
     }
-    bi
+    // skipped twins can leave trailing unfilled slots (total counted the
+    // fallback copy); trim so no +inf/id-0 garbage row is ever emitted
+    var filled = m
+    while (filled > 0 && bd(filled - 1) == Double.PositiveInfinity) filled -= 1
+    if (filled == m) bi else java.util.Arrays.copyOf(bi, filled)
   }
 }
 

@@ -132,4 +132,41 @@ class KernelParitySpec extends SparkSpec {
       .filter(col("k") =!= col("c")).count() // bit-equal, no tolerance
     assert(diff == 0)
   }
+
+  test("top_m_by_dist aggregate == window (dist, id) rank, ties included") {
+    val rnd = new scala.util.Random(7)
+    // coarse dist grid forces plenty of (dist) ties so the id tie-break
+    // is actually exercised; several groups, sizes straddling m
+    val rows = (0 until 4000).map { i =>
+      (i % 37L, rnd.nextInt(5000).toLong, rnd.nextInt(12).toDouble / 4d)
+    }.toDF("g", "id", "d").dropDuplicates("g", "id").localCheckpoint()
+    val m = 9
+    val agg = rows.groupBy(col("g"))
+      .agg(graft.functions.TopMByDist.topM(col("id"), col("d"), m).as("t"))
+      .select(col("g"), posexplode(col("t")).as(Seq("rn", "s")))
+      .select(col("g"), col("rn"), col("s.id").as("id"), col("s.dist").as("d"))
+    val win = rows.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("d"), col("id"))) - 1)
+      .filter(col("rn") < m)
+      .select(col("g"), col("rn"), col("id"), col("d"))
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty,
+      "bounded top-m aggregate must equal the window rank bit-for-bit")
+  }
+
+  test("routed top-ids kernel: empty-super fallback twin never duplicates an id") {
+    // two identical vectors: the stride picks both as supers, both rows
+    // route to the earlier one, and super1's empty list falls back to a
+    // COPY of row 1 — pre-fix (ADVICE r15) probing both supers emitted
+    // id 1 twice and left a +inf/id-0 garbage slot when n > distinct
+    val u = Array(1.0, 2.0)
+    val table = Array((0L, u), (1L, u))
+    val out = Seq(Tuple1(Seq(0.5, 0.25))).toDF("v")
+      .select(graft.functions.NearestExpr.nearestTopIdsRouted(
+        col("v"), table, n = 3, sqrtCompare = true, fanout = 2,
+        supersProbed = 2).as("ids"))
+      .head().getSeq[Long](0)
+    assert(out == Seq(0L, 1L),
+      s"expected the two distinct ids exactly once each, got $out")
+  }
 }

@@ -457,6 +457,41 @@ class RecallSpec extends SparkSpec {
     assert(underK == 0, "every query must still fill k after tombstoning")
   }
 
+  test("visitedCap on a tombstoned store: dead rows never evict live beam candidates") {
+    // ADVICE r15: the eviction window must rank LIVE rows only —
+    // tombstoned rows sit at the very top of (dist, id) when the
+    // deleted points were the query's nearest, and pre-fix they
+    // consumed cap slots and evicted live nodes whose live-rank was
+    // inside ef. With the fix, any cap >= max(ef, k) is invisible:
+    // capped output == uncapped output, tombstones present or not.
+    val dir = java.nio.file.Files.createTempDirectory("graftgcap")
+      .resolve("g").toString
+    GraphAnn.buildAndWrite(pts, "id", "embedding", numLists = 20,
+      nprobe = 3, k = 12, alpha = 1.2, maxDegree = 16, dir, buckets = 8)
+    val qdf = pts.filter(col("id") % 500 === 3)
+      .select(col("id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+      .localCheckpoint()
+    val ef = 24
+    // tombstone each query's nearest hits so dead rows dominate the
+    // top of every query's (dist, id) ranking
+    val doomed = GraphAnn.graphKnnDistributed(
+        GraphAnn.openGraph(spark, dir), qdf, "qid", "qv", 3, ef)
+      .select(col("id")).distinct().as[Long].collect().toSeq
+    GraphAnn.removeGraph(spark, dir, doomed)
+    val st = GraphAnn.openGraph(spark, dir)
+    def setOf(cap: Int): Set[(Long, Long)] =
+      GraphAnn.graphKnnDistributed(st, qdf, "qid", "qv", K, ef,
+          visitedCap = cap)
+        .select(col("qid"), col("id")).as[(Long, Long)].collect().toSet
+    val uncapped = setOf(0)
+    val capped = setOf(ef) // the tightest legal cap
+    assert(capped == uncapped,
+      s"cap=$ef diverged from the unbounded protocol on a tombstoned " +
+        s"store: only-capped=${(capped -- uncapped).take(5)} " +
+        s"only-uncapped=${(uncapped -- capped).take(5)}")
+  }
+
   test("appendGraphDistributed: insert without the store pin, pinned-path parity") {
     val root = java.nio.file.Files.createTempDirectory("graftgappd")
     val (dirP, dirD) = (root.resolve("p").toString, root.resolve("d").toString)
