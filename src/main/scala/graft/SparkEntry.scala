@@ -1511,6 +1511,26 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"))
         .orderBy(col("qid"), col("vec_id"))
     }),
+    "a28_opq_single_knn" -> ((s, d) => {
+      // the SINGLE OPQ-IVFADC probe (judge r15 #6): a26 gates the
+      // batch; this gates probeOpq — driver-side query rotation in
+      // FULL double (no float32 round, unlike the batch's encode-path
+      // rotation column), probe-list selection on the rotated-space
+      // centroids, per-list ADC when-chain over the pruned codes scan,
+      // original-space re-rank. Reuses a26's staged store + sidecars,
+      // so the oracle replays the identical trained artifacts; batch ≡
+      // single parity is separately spec-pinned (RecallSpec).
+      val e = embeddings(s, d)
+      val dir = stagedStore(d, "a26", version = 1) { dir =>
+        IvfPq.writeOpq(e, "vec_id", "embedding", numLists = 16,
+          coarseIters = 2, m = 8, k = 16, pqIters = 2, dir)
+      }
+      val os = IvfPq.openOpq(s, dir)
+      IvfPq.probeOpq(os, e, "vec_id", "embedding", Q64,
+          nprobe = 2, topN = 10, k = 5)
+        .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+        .orderBy(col("vec_id"))
+    }),
     "a27_graph_serve" -> ((s, d) => {
       // Graph-ANN SERVING, hash-gated (judge r14 #4): a25 gates the
       // build's candidate kNN graph; this gates the beam search itself
@@ -2609,6 +2629,67 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
        |  FROM rer) WHERE rn <= 5
        |ORDER BY qid, vec_id""".stripMargin
+  }
+
+  /** a28's DuckDB oracle: replay the SINGLE OPQ probe (probeOpq)
+    * against a26's staged artifacts. Differences from the batch
+    * oracle: the rotated query stays FULL DOUBLE (probeOpq rotates
+    * driver-side via opqRotateQuery — no float32 round), so the
+    * rotation sum is an ORDERED aggregate (ascending input dim — the
+    * exact pcaProjectQuery fold) instead of leaning on a float cast to
+    * absorb sum-order ulps. ADC folds and tie-breaks mirror adcScore:
+    * per-subspace ascending sub-dim fold, subspaces summed ascending,
+    * (approx, id) then (dist, id) cuts. */
+  private def opqSingleKnnSql: String = {
+    val store = "/tmp/graft_a26___SFTAG__/store"
+    val valExpr = (1 to 8).map { sSub =>
+      val idx = s"w.j*8+$sSub"
+      s"((r.rqv[$idx] - p.centroid[$idx]) - w.word[$sSub]) * " +
+        s"((r.rqv[$idx] - p.centroid[$idx]) - w.word[$sSub])"
+    }.mkString(" + ")
+    val piv = (0 until 8).map(j =>
+      s"max(CASE WHEN j = $j THEN val END) AS v$j").mkString(",\n        ")
+    val approx = (0 until 8).map(j => s"v$j").mkString(" + ")
+    s"""WITH q AS (SELECT $Q64Sql AS qv),
+       |opq AS (SELECT i, prow, permi FROM read_parquet('$store.opq/*.parquet')),
+       |rotq AS (
+       |  SELECT o.i AS jj,
+       |    (SELECT sum(q.qv[x.i+1] * x.prow[o.permi+1] ORDER BY x.i)
+       |     FROM opq x, q) AS rv
+       |  FROM opq o),
+       |rq AS (SELECT list(rv ORDER BY jj) AS rqv FROM rotq),
+       |c AS (SELECT CAST(list_id AS BIGINT) AS list_id, centroid
+       |      FROM read_parquet('$store.centroids/*.parquet')),
+       |cb AS (SELECT j, code, word FROM read_parquet('$store.codebook/*.parquet')),
+       |codes AS (SELECT vec_id, codes, CAST(list_id AS BIGINT) AS list_id
+       |          FROM read_parquet('$store/*/*.parquet', hive_partitioning=true)),
+       |probe AS (
+       |  SELECT list_id, centroid FROM (
+       |    SELECT c.list_id, c.centroid,
+       |      row_number() OVER (
+       |        ORDER BY list_distance(r.rqv, c.centroid), c.list_id) AS rn
+       |    FROM c CROSS JOIN rq r) WHERE rn <= 2),
+       |sc AS (
+       |  SELECT k.vec_id, w.j, $valExpr AS val
+       |  FROM codes k
+       |  JOIN probe p ON p.list_id = k.list_id
+       |  CROSS JOIN rq r
+       |  JOIN cb w ON w.code = k.codes[w.j+1]),
+       |piv AS (SELECT vec_id,
+       |        $piv
+       |        FROM sc GROUP BY vec_id),
+       |topn AS (SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (
+       |      ORDER BY $approx, vec_id) AS rn FROM piv) WHERE rn <= 10),
+       |rer AS (SELECT t.vec_id,
+       |          list_distance(CAST(e.embedding AS DOUBLE[]),
+       |                        (SELECT qv FROM q)) AS dist
+       |        FROM topn t JOIN embeddings e ON e.vec_id = t.vec_id)
+       |SELECT vec_id, round(dist, 6) AS dist FROM (
+       |  SELECT vec_id, dist,
+       |    row_number() OVER (ORDER BY dist, vec_id) AS rn
+       |  FROM rer) WHERE rn <= 5
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** a27's DuckDB oracle: replay graphKnnDistributed's round-synchronous
@@ -4905,6 +4986,7 @@ object SparkEntry {
     "a5_ivfpq" -> ivfPqCodesSql,
     "a8_ivfadc_knn_join" -> ivfAdcJoinSql,
     "a26_opq_store_knn" -> opqStoreKnnSql,
+    "a28_opq_single_knn" -> opqSingleKnnSql,
     "a27_graph_serve" -> graphServeSql,
     "a10_store_maintain" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
