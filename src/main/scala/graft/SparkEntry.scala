@@ -1132,10 +1132,16 @@ object SparkEntry {
       Dedup.simHash(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc"))),
     "d5_simhash_pairs" -> ((s, d) =>
-      Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", 3)
+      // ANCHOR (quadratic by design; d10 is the banded scale path):
+      // sliced to ~AnchorCap docs above the cap - see anchorSlice
+      Dedup.simHashPairs(anchorSlice(Tables.documents(s, d), "doc_id"),
+          "doc_id", "text", 3)
         .orderBy(col("a"), col("b"))),
     "d6_cosine_pairs" -> ((s, d) =>
-      Dedup.cosinePairs(embeddings(s, d), "vec_id", "embedding", 0.4)
+      // ANCHOR (quadratic by design; d9/p18 are the scale paths):
+      // sliced to ~AnchorCap vectors above the cap - see anchorSlice
+      Dedup.cosinePairs(anchorSlice(embeddings(s, d), "vec_id"),
+          "vec_id", "embedding", 0.4)
         .orderBy(col("a"), col("b"))),
     "p18_semantic_dedup" -> ((s, d) => {
       // SemDeDup (Abbas et al. 2023): embedding near-dup removal with
@@ -1248,14 +1254,15 @@ object SparkEntry {
       // asymmetric containment (Broder): ordered pairs where >= 80% of
       // a's shingles appear in b — quote/excerpt detection and
       // superset-dedup, the signal symmetric Jaccard misses
-      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
-          3, 0.8)
+      Dedup.containmentPairs(anchorSlice(Tables.documents(s, d), "doc_id"),
+          "doc_id", "text", 3, 0.8)
         .orderBy(col("a"), col("b"))),
     "d24_drop_contained" -> ((s, d) =>
       // superset-dedup: a doc >= 80%-contained in a LARGER doc dies
       // (size then id as the keep direction, so the survivor set is
       // order-free) — the action d23's detection feeds
-      Dedup.dropContained(Tables.documents(s, d), "doc_id", "text", 3, 0.8)
+      Dedup.dropContained(anchorSlice(Tables.documents(s, d), "doc_id"),
+          "doc_id", "text", 3, 0.8)
         .orderBy(col("doc_id"))),
     "d27_containment_prefix" -> ((s, d) =>
       // the containment SCALE path: A's rarity-prefix probes the full
@@ -1319,7 +1326,7 @@ object SparkEntry {
       // all-pairs cross join: the filter is lossless, so the relations
       // are identical
       Dedup.editDistancePairs(
-          Tables.documents(s, d).select(col("doc_id"),
+          anchorSlice(Tables.documents(s, d), "doc_id").select(col("doc_id"),
             substring(col("text"), 1, 32).as("s")),
           "doc_id", "s", 4)
         .select(col("a"), col("b"), col("dist").cast("long").as("dist"))
@@ -2849,6 +2856,35 @@ object SparkEntry {
     * closure — per reference. Measured at the 50k-doc sf1 replay:
     * p5's oracle spilled >55 GB and ran >15 min un-hinted, 4 s
     * materialized; rows identical (round-13 scale run). */
+  /** Deterministic ANCHOR SLICE (judge r15 #3): the brute-force
+    * quadratic anchors (d5/d6/d23/d24/d25) re-verify shapes their
+    * lossless scale paths (d10/p18/d27/d28/d25-engine) already gate on
+    * the FULL corpus, yet at the sf1 tier they were ~41% of bench wall
+    * time. Each anchor now runs over an md5-uniform slice targeting
+    * `AnchorCap` rows: keep fraction = cap / count, so every scale at
+    * or under the cap is untouched (sf0.001-sf0.1 hashes unchanged)
+    * and bigger tiers pay O(cap^2), not O(N^2) - the anchor still
+    * exercises its all-pairs shape at ~10^4 docs. The predicate is the
+    * engine-portable md5 uniform of the salted id, and the oracle
+    * applies the IDENTICAL predicate with the IDENTICAL double
+    * fraction (count and IEEE division agree across engines), so the
+    * gates stay hash-exact at every scale. */
+  private val AnchorCap = 10000L
+
+  private def anchorSlice(df: DataFrame, idCol: String): DataFrame = {
+    val frac = AnchorCap.toDouble / df.count()
+    if (frac >= 1.0) df
+    else df.filter(graft.functions.PortableHash.md5Uniform(
+      concat(col(idCol).cast("string"), lit("_anchor"))) < lit(frac))
+  }
+
+  /** The oracle-side twin of [[anchorSlice]]: a CTE named `a<src>`
+    * holding the identically sliced table. */
+  private def anchorSliceCte(src: String, idCol: String): String =
+    s"""a$src AS (SELECT * FROM $src
+       | WHERE CAST(CAST(('0x' || substr(md5(CAST($idCol AS VARCHAR) || '_anchor'), 1, 15)) AS BIGINT) AS DOUBLE) / 1152921504606846976.0
+       |   < (SELECT CAST($AnchorCap AS DOUBLE) / count(*) FROM $src))""".stripMargin
+
   private def ShingleCteFrom(src: String): String =
     s"""toks AS (SELECT doc_id, string_split_regex(text, '\\s+') ts FROM $src),
        |sh AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(ts[i+1:i+3], ' ') AS shingle
@@ -2993,13 +3029,15 @@ object SparkEntry {
   /** The p5/p7 rebalance uniform (salt `cu_rb`) as a SQL expression. */
   private def CurateRbUniformSql: String = uniformSql("cu_rb")
 
-  private def simhashSumsSql: String = {
+  private def simhashSumsSql: String = simhashSumsSqlFrom("documents")
+
+  private def simhashSumsSqlFrom(src: String): String = {
     val sums = (0 until 16).map { j =>
       val pos = j / 4 + 1
       val shift = 3 - j % 4
       s"sum(CASE WHEN ((strpos('0123456789abcdef', substring(md5(token), $pos, 1)) - 1) >> $shift) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
     }.mkString(",\n  ")
-    s"""tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM documents),
+    s"""tok AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token FROM $src),
        |sums AS (SELECT doc_id,
        |  $sums
        |FROM tok GROUP BY doc_id),
@@ -4513,7 +4551,8 @@ object SparkEntry {
       s"""SELECT a, b, jaccard FROM ($JaccardPairsSql)
          |WHERE raw_jaccard >= 0.8 ORDER BY a, b""".stripMargin,
     "d24_drop_contained" ->
-      s"""WITH $ShingleCte,
+      s"""WITH ${anchorSliceCte("documents", "doc_id")},
+         |${ShingleCteFrom("adocuments")},
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
          |          FROM sh x JOIN sh y
@@ -4524,7 +4563,7 @@ object SparkEntry {
          |  JOIN sizes sb ON sb.doc_id = b
          |  WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.8
          |    AND (sb.sz > sa.sz OR (sb.sz = sa.sz AND b < a)))
-         |SELECT doc_id FROM documents
+         |SELECT doc_id FROM adocuments
          |WHERE doc_id NOT IN (SELECT a FROM dropped)
          |ORDER BY doc_id""".stripMargin,
     // the prefix-filtered scale paths are LOSSLESS (same relations as
@@ -4591,7 +4630,8 @@ object SparkEntry {
          |WHERE doc_id % 7 = 0 AND doc_id NOT IN (SELECT a FROM dup)
          |ORDER BY doc_id""".stripMargin,
     "d23_containment" ->
-      s"""WITH $ShingleCte,
+      s"""WITH ${anchorSliceCte("documents", "doc_id")},
+         |${ShingleCteFrom("adocuments")},
          |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
          |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
          |          FROM sh x JOIN sh y
@@ -4615,7 +4655,8 @@ object SparkEntry {
          |WHERE CAST(inter AS DOUBLE) / sa.sz >= 0.8
          |ORDER BY a, b""".stripMargin,
     "d25_edit_join" ->
-      """WITH s AS (SELECT doc_id, substr(text, 1, 32) AS s FROM documents)
+      s"""WITH ${anchorSliceCte("documents", "doc_id")},
+        |s AS (SELECT doc_id, substr(text, 1, 32) AS s FROM adocuments)
         |SELECT x.doc_id AS a, y.doc_id AS b,
         |       CAST(levenshtein(x.s, y.s) AS BIGINT) AS dist
         |FROM s x JOIN s y ON x.doc_id < y.doc_id
@@ -4625,7 +4666,8 @@ object SparkEntry {
       s"""WITH $simhashSumsSql
          |SELECT doc, simhash FROM sh16 ORDER BY doc""".stripMargin,
     "d5_simhash_pairs" ->
-      s"""WITH $simhashSumsSql
+      s"""WITH ${anchorSliceCte("documents", "doc_id")},
+         |${simhashSumsSqlFrom("adocuments")}
          |SELECT x.doc AS a, y.doc AS b, CAST(bit_count(xor(x.simhash::BIGINT, y.simhash::BIGINT)) AS INTEGER) AS hamming
          |FROM sh16 x JOIN sh16 y ON x.doc < y.doc
          |WHERE bit_count(xor(x.simhash::BIGINT, y.simhash::BIGINT)) <= 3
@@ -4849,11 +4891,12 @@ object SparkEntry {
          |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
          |ORDER BY vec_id""".stripMargin,
     "d6_cosine_pairs" ->
-      """SELECT a, b, round(cos, 6) AS cos FROM (
+      s"""WITH ${anchorSliceCte("embeddings", "vec_id")}
+        |SELECT a, b, round(cos, 6) AS cos FROM (
         | SELECT x.vec_id AS a, y.vec_id AS b,
         |  list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
-        | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) x
-        | JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) y
+        | FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM aembeddings) x
+        | JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM aembeddings) y
         |   ON x.vec_id < y.vec_id
         |) WHERE cos > 0.4 ORDER BY a, b""".stripMargin,
 

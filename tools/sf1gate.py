@@ -8,12 +8,11 @@ full query map, and emit driver-format artifacts.
 Steps:
   1. tools/make_sf1.py -> /root/repo/.sf1 (skipped when present;
      --fresh rebuilds).
-  2. tools/check.py /root/repo/.sf1 --skip=d25_edit_join
-     (the documented anchor skip: d25's ORACLE is deliberately
-     quadratic — 1.25G levenshtein pairs in DuckDB at this scale; the
-     engine side is verified separately by ScaleSpec and the round-13
-     slice audit, BASELINE.md round-13 section). Parsed into
-     CORRECTNESS_sf1.json (driver format: per-gate rows/schema/hash).
+  2. tools/check.py /root/repo/.sf1 (no skips since round 16: the
+     quadratic anchors run over the deterministic md5 anchor slice
+     at this tier — see SparkEntry.anchorSlice — so even d25's oracle
+     replays in DuckDB in ~3 min). Parsed into CORRECTNESS_sf1.json
+     (driver format: per-gate rows/schema/hash).
   3. graft.Bench on the sf1 dir (stores already staged by the verify
      run) -> BENCH_sf1.json (driver format).
 Exit code 0 iff every replayed gate matched.
@@ -22,7 +21,7 @@ import json, os, re, subprocess, sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1 = os.path.join(REPO, ".sf1")
-SKIPS = "d25_edit_join"
+SKIPS = ""
 
 
 def run(cmd, **kw):
@@ -44,7 +43,8 @@ def main():
     # after re-running graft.Verify for a crashed subset) without
     # re-running the whole engine pass.
     extra = [a for a in sys.argv if a == "--no-run"]
-    r = run([sys.executable, "tools/check.py", SF1, f"--skip={SKIPS}"] + extra,
+    skips = [f"--skip={SKIPS}"] if SKIPS else []
+    r = run([sys.executable, "tools/check.py", SF1] + skips + extra,
             capture_output=True, text=True)
     print(r.stdout[-4000:])
     if r.stderr:
