@@ -351,16 +351,20 @@ object GraphAnn {
     // by PRUNE RANK (distance-ordered capping would evict exactly the
     // highway edges α-prune kept — measured 47/50 vs 50/50 base
     // self-recall at 200k×96): rank interleaves each list's kept order,
-    // so every list's local highway structure survives proportionally
+    // so every list's local highway structure survives proportionally.
+    // ONE bounded keyed aggregate (round 16): the dedupe + rank cap +
+    // serving sort run inside TopEdgesByRank's O(maxDegree) mergeable
+    // buffer, so the map side combines each list partition's edges to
+    // one partial row per src BEFORE the exchange — the prior
+    // dedupe-agg → per-src window sort → collect_list plan shuffled
+    // the full nprobe·N·R edge relation twice and sorted it once
+    // (28% of the 10M×96 build, mergedprof r16). Exactness of the
+    // capped buffer + the equal-dist dedupe invariant: TopEdgesByRank
+    // scaladoc; agg ≡ window-plan parity: KernelParitySpec.
     val mergedNbrs0 = edgesF
-      .groupBy(col("src"), col("dst"))
-      .agg(min(col("rank")).as("rank"), min(col("dist")).as("dist"))
-      .withColumn("rn", row_number().over(Window.partitionBy(col("src"))
-        .orderBy(col("rank"), col("dist").asc_nulls_last, col("dst"))))
-      .filter(col("rn") <= maxDegree)
       .groupBy(col("src"))
-      .agg(transform(array_sort(collect_list(struct(col("dist"), col("dst")))),
-        e => e.getField("dst")).as("nbrs"))
+      .agg(graft.functions.TopEdgesByRank.topEdges(
+        col("dst"), col("dist"), col("rank"), maxDegree).as("nbrs"))
       .select(col("src").as("id"), col("nbrs"))
     val mergedNbrs = stageProbe.fold(mergedNbrs0)(_ =>
       tstage("merge: dedupe + rank cap + collect_list")(
@@ -373,13 +377,47 @@ object GraphAnn {
         assign = routedAssign) :+ medoid(pts)).distinct))
   }
 
+  /** Execution conf for a corpus-scale merged build (the unit of work
+    * is a LIST, so the right task grain is a handful of lists):
+    * shuffle partitions scaled to numLists/8 (never below the session
+    * setting) bound every stage's per-task state — the merge
+    * aggregate's object-hash map holds (srcs per task) ≈ 8 lists ×
+    * members entries instead of N/32 — and the object-hash fallback
+    * threshold is raised so TopEdgesByRank never degrades to the
+    * per-partition sort (whose pointer-array growth OOMs when the
+    * edges localCheckpoint holds the storage pool — observed at
+    * 2M×96 under the 32-partition session default). Set/restored
+    * around the build's own actions only; tiny direct buildMerged
+    * callers (specs) run under the session conf unchanged. */
+  private def withMergedBuildConf[T](spark: SparkSession, numLists: Int)
+                                    (f: => T): T = {
+    val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val spKey = "spark.sql.shuffle.partitions"
+    val prevFb = spark.conf.getOption(fbKey)
+    val prevSp = spark.conf.getOption(spKey)
+    // C/8 lists per task bounds per-task state, but past ~64 waves of
+    // the available cores the extra partitions only fragment the
+    // shuffle files (10M×96 local[32]: 5000 partitions ran the edges
+    // stage ~20% slower than 32 without changing the merge win) — a
+    // real cluster raises the ceiling through defaultParallelism
+    val pBig = math.max(spark.conf.get(spKey).toInt,
+      math.min(numLists / 8, spark.sparkContext.defaultParallelism * 64))
+    spark.conf.set(fbKey, (1 << 22).toString)
+    spark.conf.set(spKey, pBig.toString)
+    try f
+    finally {
+      prevFb.fold(spark.conf.unset(fbKey))(v => spark.conf.set(fbKey, v))
+      prevSp.fold(spark.conf.unset(spKey))(v => spark.conf.set(spKey, v))
+    }
+  }
+
   /** [[buildMerged]] + [[writeGraph]]. */
   def buildAndWriteMerged(emb: DataFrame, idCol: String, vecCol: String,
                           numLists: Int, nprobe: Int, k: Int,
                           alpha: Double, maxDegree: Int, path: String,
                           buckets: Int = 16,
                           stageProbe: Option[(String, Double) => Unit] = None)
-      : Unit = {
+      : Unit = withMergedBuildConf(emb.sparkSession, numLists) {
     val (graph, seeds) = buildMerged(emb, idCol, vecCol, numLists, nprobe,
       k, alpha, maxDegree, stageProbe)
     stageProbe match {

@@ -193,6 +193,50 @@ class KernelParitySpec extends SparkSpec {
       "bounded top-m aggregate must equal the window rank bit-for-bit")
   }
 
+  test("top-edges aggregate == dedupe-agg + window rank + collect_list plan") {
+    // the buildMerged cross-list merge contract (GraphAnn.scala): edges
+    // (src, dst, dist, rank) arrive once per list containing both
+    // endpoints — dist is a pure function of (src, dst) (the invariant
+    // TopEdgesByRank's keyed min leans on), rank differs per list.
+    // Fabricate a multi-list relation with duplicate pairs, rank ties,
+    // dist ties, and more distinct dsts than the cap (forces eviction),
+    // then re-check under an adversarial partitioning so partial
+    // buffers evict entries the merge must not lose.
+    val rnd = new scala.util.Random(7)
+    val rows = (for {
+      src <- 0L until 40L
+      list <- 0 until 3
+      e <- 0 until (5 + rnd.nextInt(20))
+    } yield {
+      val dst = rnd.nextInt(30).toLong + 100
+      // dist keyed on the PAIR only; coarse grid to manufacture ties
+      val dist = ((src * 31 + dst * 17) % 7).toDouble / 2.0
+      (src, dst, dist, rnd.nextInt(6))
+    }).toDF("src", "dst", "dist", "rank")
+    for ((df, tag) <- Seq((rows, "as-built"),
+        (rows.repartition(13, col("dst")), "dst-partitioned"))) {
+      for (m <- Seq(3, 8, 64)) {
+        val agg = df.groupBy(col("src"))
+          .agg(graft.functions.TopEdgesByRank.topEdges(
+            col("dst"), col("dist"), col("rank"), m).as("nbrs"))
+        val win = df.groupBy(col("src"), col("dst"))
+          .agg(min(col("rank")).as("rank"), min(col("dist")).as("dist"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+              .orderBy(col("rank"), col("dist").asc_nulls_last, col("dst"))))
+          .filter(col("rn") <= m)
+          .groupBy(col("src"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("dist"), col("dst")))),
+            e => e.getField("dst")).as("nbrs"))
+        val a = agg.orderBy(col("src")).collect().map(_.toString)
+        val w = win.orderBy(col("src")).collect().map(_.toString)
+        assert(a.toSeq == w.toSeq,
+          s"top_edges_by_rank(m=$m, $tag) diverged from the window plan")
+      }
+    }
+  }
+
   test("routed top-ids kernel: empty-super fallback twin never duplicates an id") {
     // two identical vectors: the stride picks both as supers, both rows
     // route to the earlier one, and super1's empty list falls back to a
