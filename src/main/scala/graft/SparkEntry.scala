@@ -1193,6 +1193,17 @@ object SparkEntry {
           "doc_id", "text", 3)
         .orderBy(col("doc"))
     }),
+    "d32_semantic_decontam" -> ((s, d) => {
+      // embedding-level decontamination (the semantic twin of d13's
+      // lexical probe): drop training vectors whose cosine against any
+      // (vec_id % 23 == 0) eval vector exceeds 0.4 — eval broadcast,
+      // map-only anti probe, zero shuffles
+      val e = embeddings(s, d)
+      Dedup.semanticDecontam(
+          e.filter(col("vec_id") % 23 =!= 0), "vec_id", "embedding",
+          e.filter(col("vec_id") % 23 === 0), "embedding", 0.4)
+        .orderBy(col("vec_id"))
+    }),
     "d14_semdedup" -> ((s, d) =>
       // SemDeDup: IVF-cluster embeddings (deterministic first-16
       // centroids), drop the larger id of every intra-cluster pair
@@ -4786,6 +4797,18 @@ object SparkEntry {
         |FROM (SELECT doc_id AS doc FROM documents WHERE doc_id % 23 <> 0) t
         |LEFT JOIN hits h ON h.doc = t.doc
         |ORDER BY t.doc""".stripMargin,
+    "d32_semantic_decontam" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |t AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |  FROM e WHERE vec_id % 23 <> 0),
+        |ev AS (SELECT v, sqrt(list_dot_product(v, v)) AS nrm
+        |  FROM e WHERE vec_id % 23 = 0)
+        |SELECT t.vec_id FROM t WHERE NOT EXISTS (
+        |  SELECT 1 FROM ev WHERE
+        |    CASE WHEN t.nrm * ev.nrm = 0 THEN 0
+        |         ELSE list_dot_product(t.v, ev.v) / (t.nrm * ev.nrm)
+        |    END > 0.4)
+        |ORDER BY t.vec_id""".stripMargin,
     "d20_line_dedup" ->
       s"""WITH docs AS (${lineCorpusSql(500)}),
          |lls AS (SELECT doc_id AS doc, string_split(text, chr(10)) AS ls FROM docs),

@@ -1044,6 +1044,33 @@ object Dedup {
     emb.join(dropped, Seq(idCol), "left_anti").select(col(idCol))
   }
 
+  /** Embedding-level benchmark decontamination — the SEMANTIC twin of
+    * [[contaminationProfile]]'s lexical shingle probe: drop every
+    * training row whose embedding's cosine against ANY eval row
+    * exceeds `threshold` (paraphrased eval leakage survives lexical
+    * decontamination; this is the standard embedding-similarity
+    * sweep over the training corpus). The eval set is bounded by
+    * contract (a benchmark, not a corpus), so the plan is the one
+    * you want at 100 TB: eval broadcast once, a map-only
+    * BroadcastNestedLoopJoin anti probe over the training scan —
+    * N·E codegen'd dot products, zero shuffles, no driver collect.
+    * Train-side norms computed once per row (the [[cosinePairs]]
+    * precompute), zero-norm rows cos-0 like every cosine op here.
+    * Returns the SURVIVORS (the decontaminated training ids). */
+  def semanticDecontam(train: DataFrame, idCol: String, vecCol: String,
+                       eval: DataFrame, evalVecCol: String,
+                       threshold: Double): DataFrame = {
+    val t = train.select(col(idCol), col(vecCol).as("_tv"),
+      norm(col(vecCol)).as("_tn"))
+    val e = eval.select(col(evalVecCol).as("_ev"),
+      norm(col(evalVecCol)).as("_en"))
+    val contaminated =
+      when(col("_tn") * col("_en") === 0d, lit(0d))
+        .otherwise(dot(col("_tv"), col("_ev")) /
+          (col("_tn") * col("_en"))) > threshold
+    t.join(broadcast(e), contaminated, "left_anti").select(col(idCol))
+  }
+
   def cosinePairs(emb: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
     // Precompute each side's norm ONCE (n rows) instead of per pair

@@ -625,6 +625,38 @@ class DedupSpec extends SparkSpec {
       s"semanticDedup must join on the cluster key, not all-pairs:\n$plan")
   }
 
+  test("semanticDecontam: survivors equal the brute cosine sweep; eval broadcast, map-only") {
+    // contract: a training row is dropped iff its cosine against ANY
+    // eval row exceeds tau — recomputed brutally here; survivors ∪
+    // dropped partition the training set
+    val emb = Tables.embeddings(spark, sf0001)
+    val train = emb.filter(col("vec_id") % 23 =!= 0)
+    val eval = emb.filter(col("vec_id") % 23 === 0)
+    val surv = Dedup.semanticDecontam(train, "vec_id", "embedding",
+      eval, "embedding", 0.4)
+    val got = surv.as[Long].collect().toSet
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d, na, nb = 0d; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na * nb == 0) 0d else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val evalVs = vecs.filter(_._1 % 23 == 0).values.toArray
+    val want = vecs.keySet.filter(_ % 23 != 0)
+      .filterNot(id => evalVs.exists(ev => cos(vecs(id), ev) > 0.4))
+    assert(got == want, "semanticDecontam survivors diverged from brute sweep")
+    assert(got.nonEmpty && got.size < vecs.count(_._1 % 23 != 0),
+      "fixture is vacuous: nothing dropped or nothing kept")
+    // scale shape: eval broadcast into a map-only anti probe — no
+    // exchange of the training side, no cartesian
+    val plan = surv.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct") &&
+      !"Exchange hashpartitioning".r.findFirstIn(plan).isDefined,
+      s"semanticDecontam must broadcast eval over a map-only train scan:\n$plan")
+  }
+
   test("clusterIds computes the transitive closure of the pair graph") {
     // chain 10-11-12-13, triangle-by-shared-partner 1-3 / 2-3, pair 20-21
     val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L),
