@@ -251,6 +251,26 @@ object StreamOps {
           batch, corpus, idCol, textCol, k, threshold))
       }
 
+  /** Streaming semantic decontamination — d32's embedding admission
+    * run continuously: each micro-batch of training candidates is
+    * swept against the STATIC eval embedding set
+    * (`Dedup.semanticDecontam`: eval broadcast once, map-only
+    * BroadcastNestedLoopJoin anti probe). Decontamination is per-row
+    * INDEPENDENT (a candidate is judged only against the eval set,
+    * never against other candidates), so the union of per-batch
+    * survivors equals the one-shot batch sweep EXACTLY — stream ≡
+    * batch with zero state, the admissionStream contract. */
+  def semanticDecontamStream(rows: DataFrame, eval: DataFrame,
+                             idCol: String, vecCol: String,
+                             evalVecCol: String, threshold: Double)
+                            (sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup.semanticDecontam(
+          batch, idCol, vecCol, eval, evalVecCol, threshold))
+      }
+
   /** [[admissionStream]] against the PERSISTED shingle store (d30's
     * serving shape run continuously): each micro-batch probes the
     * bucket-pruned postings — the standing corpus is never re-shingled

@@ -117,6 +117,33 @@ class StreamOpsSpec extends SparkSpec {
       s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
   }
 
+  test("streaming semantic decontamination == batch sweep (per-row independence)") {
+    val e = Tables.embeddings(spark, sf0001)
+    val train = e.filter(col("vec_id") % 23 =!= 0).select("vec_id", "embedding")
+    val eval = e.filter(col("vec_id") % 23 === 0)
+      .select("vec_id", "embedding").localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graftsdecon")
+    train.repartition(3).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(train.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    val kept = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Long]())
+    val q = StreamOps.semanticDecontamStream(stream, eval, "vec_id",
+        "embedding", "embedding", 0.4) { surv =>
+        surv.collect().foreach(r => kept.add(r.getLong(0)))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    import scala.jdk.CollectionConverters._
+    val got = kept.asScala.toSet
+    val want = graft.operators.Dedup.semanticDecontam(train, "vec_id",
+        "embedding", eval, "embedding", 0.4)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(got.nonEmpty && got.size < train.count(), "vacuous fixture")
+  }
+
   test("foreachBatch incremental indexing keeps search exact") {
     import java.util.concurrent.atomic.AtomicReference
     val e = Tables.embeddings(spark, sf0001)
