@@ -46,23 +46,23 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // The headline line FIRST and SHORT: the driver tail-captures stdout
-    // and the full 140+-query map exceeds its buffer (BENCH_r11.json
-    // recorded "parsed": null because the total lived inside the same
-    // giant line). The full per-query map follows on its own line and is
-    // also written to a sidecar file for post-hoc reads.
+    // The driver tail-captures stdout (2000 chars) and parses the FINAL
+    // line as JSON. So: stdout carries exactly ONE short headline line
+    // (the 184-entry map would blow the tail buffer and truncate
+    // mid-line, which is how BENCH_r11–r16 recorded "parsed": null).
+    // The full per-query map goes ONLY to sidecar files: one in /tmp
+    // for ad-hoc tooling, one in the repo (BENCH_FULL.json) that the
+    // driver's end-of-round commit archives, giving per-query
+    // round-over-round diffs from the committed artifacts.
     val n = results.size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"sf":"$sfDir"}""")
     val full = s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"sf":"$sfDir"}"""
-    println(full)
-    try {
-      val p = java.nio.file.Paths.get("/tmp/graft_bench_last.json")
-      java.nio.file.Files.write(p, full.getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
-    // ... and LAST too: r11's capture kept the END of stdout (it lost
-    // the head of the giant line), so a trailing short line guarantees a
-    // parseable total regardless of which end the capture keeps.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"sf":"$sfDir"}""")
+    for (path <- Seq("/tmp/graft_bench_last.json", "/root/repo/BENCH_FULL.json")) {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path), (full + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries_sidecar":"BENCH_FULL.json","sf":"$sfDir"}""")
   }
 }

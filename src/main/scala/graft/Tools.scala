@@ -1497,21 +1497,31 @@ object Tools {
       // not quadruple it. Args: d listDiv followed by N values.
       import org.apache.spark.sql.functions._
       import graft.operators.GraphAnn
-      val nums = args.drop(1).filter(_.forall(_.isDigit)).map(_.toInt)
+      val nums = args.drop(1).filter(a => a.nonEmpty && a.forall(_.isDigit))
+        .map(_.toInt)
       val d = nums.headOption.getOrElse(16)
       val listDiv = nums.lift(1).getOrElse(250)
       val ns: Seq[Int] =
         if (nums.length > 2) nums.drop(2).toSeq
         else Seq(50000, 100000, 200000)
+      val nMin = ns.min
       for ((n, i) <- ns.zipWithIndex) {
         val c = math.max(16, n / listDiv)
         val e = graft.sources.Ingest.randomUniform(spark, n, d, seed = 5L)
           .select(col("id").as("vec_id"),
             expr("CAST(vector AS ARRAY<FLOAT>)").as("embedding"))
           .localCheckpoint()
-        // warmup once at the smallest point (JIT + codegen settle)
-        if (i == 0) GraphAnn.knnGraph(e, "vec_id", "embedding",
-          numLists = c, nprobe = 2, k = 4, iters = 0).count()
+        // warmup once, at the smallest point regardless of arg order
+        // (JIT + codegen settle)
+        if (i == 0) {
+          val ew = if (n == nMin) e
+            else graft.sources.Ingest.randomUniform(spark, nMin, d, seed = 5L)
+              .select(col("id").as("vec_id"),
+                expr("CAST(vector AS ARRAY<FLOAT>)").as("embedding"))
+          GraphAnn.knnGraph(ew, "vec_id", "embedding",
+            numLists = math.max(16, nMin / listDiv), nprobe = 2, k = 4,
+            iters = 0).count()
+        }
         val t0 = System.nanoTime()
         val rows = GraphAnn.knnGraph(e, "vec_id", "embedding",
           numLists = c, nprobe = 2, k = 4, iters = 0).count()

