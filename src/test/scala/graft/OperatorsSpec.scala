@@ -657,6 +657,57 @@ class DedupSpec extends SparkSpec {
       s"semanticDecontam must broadcast eval over a map-only train scan:\n$plan")
   }
 
+  test("semanticDecontamStore == semanticDecontam (exact bound-pruned probe)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val train = emb.filter(col("vec_id") % 23 =!= 0)
+    val eval = emb.filter(col("vec_id") % 23 === 0)
+      .select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graftevalstore")
+      .toString + "/store"
+    Dedup.writeEvalStore(eval, "vec_id", "embedding", 16, dir)
+    val store = Dedup.openEvalStore(spark, dir)
+    for (tau <- Seq(0.4, 0.9)) {
+      val got = Dedup.semanticDecontamStore(train, "vec_id", "embedding",
+        store, tau).as[Long].collect().toSet
+      val want = Dedup.semanticDecontam(train, "vec_id", "embedding",
+        eval, "embedding", tau).as[Long].collect().toSet
+      assert(got == want,
+        s"tau=$tau missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    }
+    // candidate formation is list-keyed against the store rows, not an
+    // all-pairs sweep of the eval set: a hash semi-join on the list key
+    // must appear, and nothing cartesian
+    val plan = Dedup.semanticDecontamStore(train, "vec_id", "embedding",
+      store, 0.4).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi") && !plan.contains("CartesianProduct"),
+      s"store probe must semi-join store rows on the list key:\n$plan")
+  }
+
+  test("semanticDecontamStore: zero-norm rows follow the cos-0 convention") {
+    // a zero train vector survives (cos defined 0 <= any nonneg tau);
+    // a zero eval vector contaminates nothing
+    val train = Seq(
+      (1L, Array(0f, 0f, 0f)), (2L, Array(1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val eval = Seq((100L, Array(2f, 0f, 0f)), (101L, Array(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graftevalstore0")
+      .toString + "/store"
+    Dedup.writeEvalStore(eval, "vec_id", "embedding", 4, dir)
+    val store = Dedup.openEvalStore(spark, dir)
+    val got = Dedup.semanticDecontamStore(train, "vec_id", "embedding",
+      store, 0.5).as[Long].collect().toSet
+    assert(got == Set(1L, 3L), s"got $got")  // id 2 is cos-1 with eval 100
+    val want = Dedup.semanticDecontam(train, "vec_id", "embedding",
+      eval.select("embedding"), "embedding", 0.5)
+      .as[Long].collect().toSet
+    assert(got == want, "zero-norm parity with the broadcast path broke")
+    intercept[IllegalArgumentException] {
+      Dedup.semanticDecontamStore(train, "vec_id", "embedding", store, -0.1)
+    }
+  }
+
   test("clusterIds computes the transitive closure of the pair graph") {
     // chain 10-11-12-13, triangle-by-shared-partner 1-3 / 2-3, pair 20-21
     val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L),
