@@ -1342,6 +1342,28 @@ object GraphAnn {
     ids.toDF("id").coalesce(1).write.mode("append").parquet(path + ".tomb")
   }
 
+  /** [[consolidateGraph]] gated on tombstone pressure: runs the
+    * StreamingMerge only once distinct tombstones reach `ratio` of the
+    * stored rows (FreshDiskANN's delete amortization — removes stay
+    * O(batch) sidecar appends until the lazy-deleted fraction is worth
+    * a full rewrite). The probe is two footer-metadata counts plus the
+    * tiny sidecar read; returns whether the merge ran. Deterministic in
+    * (store state, ratio), so a streaming caller and a batch twin
+    * applying the same delete batches consolidate at the same points
+    * (StreamOpsSpec pins stream ≡ batch on the full store state). */
+  def consolidateGraphIfNeeded(spark: SparkSession, path: String,
+                               ratio: Double): Boolean = {
+    require(ratio > 0, "consolidation ratio must be positive")
+    val tomb =
+      try spark.read.parquet(path + ".tomb").select("id").distinct().count()
+      catch { case _: Throwable => 0L }
+    if (tomb == 0) return false
+    val rows = spark.read.parquet(path).count()
+    if (rows > 0 && tomb.toDouble / rows >= ratio) {
+      consolidateGraph(spark, path); true
+    } else false
+  }
+
   /** StreamingMerge: physically drop tombstoned rows; every survivor
     * that referenced one re-prunes over (kept neighbours) ∪ (each doomed
     * neighbour's kept neighbours) — the connect-through repair that
