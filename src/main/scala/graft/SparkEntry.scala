@@ -2067,6 +2067,38 @@ object SparkEntry {
         .select(col("id"), posexplode(col("vector")).as(Seq("idx", "value")))
         .orderBy(col("id"), col("idx"))
     }),
+    "i6_hdf5_roundtrip" -> ((s, d) => {
+      // the HDF5 SOURCE (S3, VectorIndex.MainTest/Program.cs:183-260)
+      // gated end-to-end: the md5-portable generator's vectors land as
+      // a float32 and a float64 contiguous rank-2 dataset (bounded
+      // driver-side collect: 240×12 floats — the writer is a fixture/
+      // export tool, the READER is the distributed path), then each is
+      // read back through the splittable byte-range reader with a
+      // forced 4-way split. float32 binary round-trip is exact and the
+      // f64 upcast of a float32 is exact, so the oracle recomputes
+      // every component from the generator formula for both encodings.
+      val rows = graft.sources.Ingest.randomUniformPortable(s, 240, 12)
+        .orderBy(col("id")).collect()
+        .map(_.getSeq[Float](1).toArray)
+      val base = java.nio.file.Paths.get(
+        s"/tmp/graft_i6_${d.replaceAll("[^A-Za-z0-9.]", "_")}")
+      java.nio.file.Files.createDirectories(base)
+      val f32 = base.resolve("pts.h5").toString
+      val f64 = base.resolve("pts64.h5").toString
+      graft.sources.Hdf5Lite.write(f32, Seq("train" -> rows))
+      graft.sources.Hdf5Lite.write(f64, Seq("train" -> rows),
+        doubles = true)
+      val r32 = graft.sources.Hdf5Lite
+        .readHdf5(s, f32, "train", minPartitions = 4)
+        .select(lit("f32").as("enc"), col("id"),
+          posexplode(col("vector")).as(Seq("idx", "value")))
+      val r64 = graft.sources.Hdf5Lite
+        .readHdf5(s, f64, "train", minPartitions = 4)
+        .select(lit("f64").as("enc"), col("id"),
+          posexplode(col("vector")).as(Seq("idx", "value")))
+        .withColumn("value", col("value").cast("float"))
+      r32.unionByName(r64).orderBy(col("enc"), col("id"), col("idx"))
+    }),
 
     // --- sessionization (batch twin of the streaming path) ---
     "s1_sessions" -> ((s, d) =>
@@ -5313,6 +5345,12 @@ object SparkEntry {
         |   / 1152921504606846976.0) * 2 - 1 AS FLOAT) AS value
         |FROM range(200) t(id), range(8) s(i)
         |ORDER BY id, idx""".stripMargin,
+    "i6_hdf5_roundtrip" ->
+      """SELECT enc, id, CAST(i AS INTEGER) AS idx,
+        | CAST((CAST(CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || '_' || CAST(i AS VARCHAR) || '_42'), 1, 15)) AS BIGINT) AS DOUBLE)
+        |   / 1152921504606846976.0) * 2 - 1 AS FLOAT) AS value
+        |FROM range(240) t(id), range(12) s(i), (VALUES ('f32'), ('f64')) e(enc)
+        |ORDER BY enc, id, idx""".stripMargin,
     "v10_index_depth_profile" ->
       """SELECT count(*) AS total_leaf_rows, CAST(1 AS BIGINT) AS root_nodes,
         | CAST(0 AS BIGINT) AS overfull_depths, CAST(0 AS BIGINT) AS overdeep_depths

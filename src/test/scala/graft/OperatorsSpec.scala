@@ -2095,6 +2095,50 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("hdf5-lite source: contiguous rank-2 float datasets round-trip") {
+    import graft.sources.Hdf5Lite
+    val dir = java.nio.file.Files.createTempDirectory("grafthdf5")
+    val dim = 5
+    val n = 37 // odd count so range splits are uneven
+    val rows = Array.tabulate(n, dim)((r, i) => r + i * 0.5f)
+    // two datasets in one file exercises the name-ordered SNOD walk;
+    // the second one also covers multi-entry local-heap name offsets
+    val small = Array.tabulate(3, 2)((r, i) => (r * 10 + i).toFloat)
+    val f = dir.resolve("pts.h5").toString
+    Hdf5Lite.write(f, Seq("train" -> rows, "aux" -> small))
+    // metadata-only extent probe (the reference's GetHdf5DatasetSize)
+    assert(Hdf5Lite.datasetSize(spark, f, "train") == (n.toLong, dim))
+    assert(Hdf5Lite.datasetSize(spark, f, "aux") == (3L, 2))
+    // distributed read with a forced multi-partition split
+    val got = Hdf5Lite.readHdf5(spark, f, "train", minPartitions = 4)
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(got.length == n)
+    got.foreach { case (id, v) =>
+      assert(v == (0 until dim).map(i => id + i * 0.5f), s"row $id")
+    }
+    assert(Hdf5Lite.readHdf5(spark, f, "aux")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1).map(_._2.sum).toSeq
+      == Seq(1f, 21f, 41f))
+    // float64 path: values upcast exactly from the float32 fixture
+    val f64 = dir.resolve("pts64.h5").toString
+    Hdf5Lite.write(f64, Seq("train" -> rows), doubles = true)
+    val got64 = Hdf5Lite.readHdf5(spark, f64, "train", minPartitions = 3)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    assert(got64.length == n)
+    got64.foreach { case (id, v) =>
+      assert(v == (0 until dim).map(i => (id + i * 0.5f).toDouble), s"row $id")
+    }
+    // loud failures: missing dataset, non-HDF5 bytes
+    val miss = intercept[RuntimeException](
+      Hdf5Lite.datasetSize(spark, f, "nope"))
+    assert(miss.getMessage.contains("not found"))
+    val bad = dir.resolve("bad.h5")
+    java.nio.file.Files.write(bad, Array.fill[Byte](128)(7))
+    val sig = intercept[IllegalArgumentException](
+      Hdf5Lite.datasetSize(spark, bad.toString, "train"))
+    assert(sig.getMessage.contains("signature"))
+  }
+
   test("csv points sink round trip") {
     val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString
     val pts = Ingest.grid(spark, 5)
