@@ -1430,6 +1430,124 @@ object Tools {
       emit(f"  TOTAL build+write ${(System.nanoTime() - t0) / 1e9}%9.1f s")
       spark.stop(); return
     }
+    if (name == "knnkernel") {
+      // Single-JVM A/B of the merged-build within-list kNN kernel
+      // (judge r16 #3): the box runs CPU-bound stages with run-to-run
+      // swings of 1.5–3x, so build-level A/Bs of a kernel change are
+      // noise-dominated — this times the r16 single-chain kernel and
+      // the r17 flat four-lane kernel over the SAME lists, alternating
+      // reps in one process, and cross-checks the neighbour sets.
+      // Args: m d lists reps — default 500 96 64 5 (the 10M contract
+      // grain: 500-member lists at d=96).
+      val nums = args.drop(1).filter(a => a.nonEmpty && a.forall(_.isDigit))
+        .map(_.toInt)
+      val m = nums.headOption.getOrElse(500)
+      val d = nums.lift(1).getOrElse(96)
+      val nLists = nums.lift(2).getOrElse(64)
+      val reps = nums.lift(3).getOrElse(5)
+      val kk = 12
+      val rng = new scala.util.Random(17L)
+      // clustered like mergedprof: center + 0.15-scaled uniform noise
+      val listsData = Array.fill(nLists) {
+        val center = Array.fill(d)(rng.nextFloat())
+        val flat = new Array[Float](m * d)
+        var x = 0
+        while (x < flat.length) {
+          flat(x) = center(x % d) + rng.nextFloat() * 0.15f; x += 1
+        }
+        flat
+      }
+      // the r16 kernel: per-row boxed vectors, ONE accumulator chain,
+      // same 16-dim-block early exit (verbatim measurement twin of the
+      // pre-r17 flatMapGroups body)
+      def oldKernel(rows: Array[Array[Float]]): (Array[Array[Double]], Array[Array[Int]]) = {
+        val mm = rows.length
+        val nbrD = Array.ofDim[Double](mm, kk)
+        val nbrI = Array.ofDim[Int](mm, kk)
+        var i = 0
+        while (i < mm) { java.util.Arrays.fill(nbrD(i), Double.PositiveInfinity); i += 1 }
+        i = 0
+        while (i < mm) {
+          val vi = rows(i)
+          val bdI = nbrD(i)
+          var j = i + 1
+          while (j < mm) {
+            val vj = rows(j)
+            val cut = math.max(bdI(kk - 1), nbrD(j)(kk - 1))
+            var bail = false
+            var acc = 0d
+            if (cut == Double.PositiveInfinity) {
+              var x = 0
+              while (x < vi.length) {
+                val df = vi(x).toDouble - vj(x); acc += df * df; x += 1
+              }
+            } else {
+              val cut2 = cut * cut
+              val lim = cut2 + 4 * math.ulp(cut2)
+              var x = 0
+              val len = vi.length
+              while (x < len && !bail) {
+                val end = math.min(x + 16, len)
+                while (x < end) {
+                  val df = vi(x).toDouble - vj(x); acc += df * df; x += 1
+                }
+                if (acc > lim) bail = true
+              }
+            }
+            if (!bail) {
+              val dd = math.sqrt(acc)
+              def insert(row: Int, cand: Int): Unit = {
+                val bd = nbrD(row); val bi = nbrI(row)
+                if (dd < bd(kk - 1)) {
+                  var p = kk - 1
+                  while (p > 0 && dd < bd(p - 1)) { bd(p) = bd(p - 1); bi(p) = bi(p - 1); p -= 1 }
+                  bd(p) = dd; bi(p) = cand
+                }
+              }
+              insert(i, j); insert(j, i)
+            }
+            j += 1
+          }
+          i += 1
+        }
+        (nbrD, nbrI)
+      }
+      val rowsData = listsData.map { flat =>
+        Array.tabulate(m)(r => java.util.Arrays.copyOfRange(flat, r * d, (r + 1) * d))
+      }
+      // warmup both paths (JIT)
+      oldKernel(rowsData(0)); graft.operators.GraphAnn.listKnn(listsData(0), d, m, kk)
+      var oldBest = Double.MaxValue; var newBest = Double.MaxValue
+      for (rep <- 1 to reps) {
+        val t0 = System.nanoTime()
+        var l = 0
+        while (l < nLists) { oldKernel(rowsData(l)); l += 1 }
+        val tOld = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        l = 0
+        while (l < nLists) {
+          graft.operators.GraphAnn.listKnn(listsData(l), d, m, kk); l += 1
+        }
+        val tNew = (System.nanoTime() - t1) / 1e9
+        oldBest = math.min(oldBest, tOld); newBest = math.min(newBest, tNew)
+        println(f"rep $rep: old $tOld%7.3f s  new $tNew%7.3f s  (${tOld / tNew}%4.2fx)")
+      }
+      // neighbour-set agreement (indices may differ only at FP near-
+      // ties where the lane fold rounds differently): report, not assert
+      var same = 0; var diff = 0
+      for (l <- 0 until math.min(nLists, 8)) {
+        val (_, oi) = oldKernel(rowsData(l))
+        val (_, ni) = graft.operators.GraphAnn.listKnn(listsData(l), d, m, kk)
+        for (r <- 0 until m) {
+          val nr = java.util.Arrays.copyOfRange(ni, r * kk, (r + 1) * kk)
+          if (java.util.Arrays.equals(oi(r), nr)) same += 1 else diff += 1
+        }
+      }
+      println(f"best: old $oldBest%7.3f s  new $newBest%7.3f s  " +
+        f"speedup ${oldBest / newBest}%4.2fx  " +
+        f"nbr-set agreement $same/${same + diff}")
+      spark.stop(); return
+    }
     if (name == "seedbench") {
       // seed-init growth probe (judge r15 #1): time graphKnnDistributed's
       // INIT shape — Q queries x C seeds exact top-m — as (a) the
