@@ -252,4 +252,71 @@ class KernelParitySpec extends SparkSpec {
     assert(out == Seq(0L, 1L),
       s"expected the two distinct ids exactly once each, got $out")
   }
+
+  // --- merged-build local kNN kernel (GraphAnn.listKnn, round 17) ---
+
+  /** Independent reference of the kernel's documented fold: element x
+    * feeds lane x%4 over the stride-4 prefix, tail into lane 0, final
+    * (a0+a1)+(a2+a3). */
+  private def laneSqDist(flat: Array[Float], oa: Int, ob: Int,
+                         dim: Int): Double = {
+    var a0 = 0d; var a1 = 0d; var a2 = 0d; var a3 = 0d
+    var x = 0
+    while (x + 3 < dim) {
+      val e0 = flat(oa + x).toDouble - flat(ob + x)
+      val e1 = flat(oa + x + 1).toDouble - flat(ob + x + 1)
+      val e2 = flat(oa + x + 2).toDouble - flat(ob + x + 2)
+      val e3 = flat(oa + x + 3).toDouble - flat(ob + x + 3)
+      a0 += e0 * e0; a1 += e1 * e1; a2 += e2 * e2; a3 += e3 * e3
+      x += 4
+    }
+    while (x < dim) {
+      val df = flat(oa + x).toDouble - flat(ob + x); a0 += df * df; x += 1
+    }
+    (a0 + a1) + (a2 + a3)
+  }
+
+  test("listKnn == brute-force (d², idx) oracle, ties to the smaller index") {
+    val rnd = new scala.util.Random(41)
+    // dims cover: multiple of 16, multiple of 4 only, neither, tiny
+    for ((m, dim, kk) <- Seq((60, 96, 12), (37, 20, 5), (25, 7, 3),
+                             (9, 1, 2), (3, 13, 2))) {
+      val flat = Array.fill(m * dim)(rnd.nextFloat())
+      // plant exact duplicates → d² = 0 ties exercise the tie rule
+      System.arraycopy(flat, 0, flat, dim, dim)
+      if (m > 4) System.arraycopy(flat, 0, flat, 4 * dim, dim)
+      val (d2, idx) = graft.operators.GraphAnn.listKnn(flat, dim, m, kk)
+      for (r <- 0 until m) {
+        val want = (0 until m).filter(_ != r)
+          .map(o => (laneSqDist(flat, r * dim, o * dim, dim), o))
+          .sortBy(identity) // (d² asc, idx asc) — the strict-< tie rule
+          .take(kk)
+        val gotPairs = (0 until math.min(kk, m - 1))
+          .map(p => (d2(r * kk + p), idx(r * kk + p)))
+        assert(gotPairs == want,
+          s"m=$m dim=$dim kk=$kk row $r: got $gotPairs want $want")
+        // +∞ padding beyond the m-1 available neighbours
+        for (p <- (m - 1) until kk)
+          assert(d2(r * kk + p).isPosInfinity, s"pad at row $r pos $p")
+      }
+    }
+  }
+
+  test("sqDistBounded: bail never flips a ≤ lim decision; pass-through is bit-exact") {
+    val rnd = new scala.util.Random(43)
+    val dim = 96
+    val flat = Array.fill(8 * dim)(rnd.nextFloat() * 2f - 1f)
+    for (a <- 0 until 8; b <- 0 until 8 if a != b) {
+      val exact = laneSqDist(flat, a * dim, b * dim, dim)
+      for (lim <- Seq(0d, exact / 2, exact * 0.999, exact,
+                      exact * 1.001, exact * 2, Double.PositiveInfinity)) {
+        val got = graft.operators.GraphAnn.sqDistBounded(
+          flat, a * dim, b * dim, dim, lim)
+        assert((got <= lim) == (exact <= lim),
+          s"bound decision flipped at lim=$lim: got=$got exact=$exact")
+        if (exact <= lim)
+          assert(got == exact, s"non-bailed value must be the exact d²")
+      }
+    }
+  }
 }
