@@ -353,7 +353,7 @@ object GraphAnn {
     val graph = pts.join(pruned, Seq("id"), "left")
       .select(col("id"), col("vec"),
         coalesce(col("nbrs"), array().cast("array<long>")).as("nbrs"))
-    (graph, (leaders(emb, idCol, vecCol, cents) :+ medoid(pts)).distinct)
+    (graph, seedIds(emb, idCol, vecCol, cents))
   }
 
   /** MERGED per-list build — the corpus-scale twin of [[build]]
@@ -572,8 +572,7 @@ object GraphAnn {
       .select(col("id"), col("vec"),
         coalesce(col("nbrs"), array().cast("array<long>")).as("nbrs"))
     (graph, tstage("seeds: leaders + medoid")(
-      (leaders(emb, idCol, vecCol, cents,
-        assign = routedAssign) :+ medoid(pts)).distinct))
+      seedIds(emb, idCol, vecCol, cents, assign = routedAssign)))
   }
 
   /** Execution conf for a corpus-scale merged build (the unit of work
@@ -638,28 +637,54 @@ object GraphAnn {
     }
   }
 
-  /** Per-list leaders: each coarse list's member nearest its centroid
-    * (ties to the smaller id) — one scan + one C-group window; the
-    * collect is C longs (bounded by the centroid-table contract). */
-  private def leaders(emb: DataFrame, idCol: String, vecCol: String,
+  /** Seed set = per-list leaders (each coarse list's member nearest
+    * its centroid, ties to the smaller id) + the corpus medoid, in TWO
+    * corpus passes instead of four (round 17). Pass 1 is the light
+    * Welford mean; pass 2 scores each row's assigned-centroid distance
+    * AND its mean distance in ONE scan — the per-list argmin then runs
+    * as a map-side-combined `min_by` aggregate (≈C partial rows cross
+    * the exchange) instead of the old `row_number` window, which
+    * shuffled the ENTIRE corpus — vectors included, ~4 GB at 10M×96 —
+    * just to keep one row per list; the medoid's argmin rides the same
+    * scan as a per-list `min(struct(md, id))` reduced over list mins
+    * on the driver (rows partition exactly into lists, so the min of
+    * per-list mins IS the global min). Selection is bit-identical to
+    * the old leaders-window + medoid-scan pair: per-list min by
+    * (cd, id), global min by (md, id) — both (…, id)-total orders over
+    * the same float-cast vectors, with `assign` applied to the RAW
+    * vector column exactly as the old window form did. The driver
+    * collect is C (leader, medoid-candidate) rows — bounded by the
+    * centroid-table contract, never ·d. */
+  private[graft] def seedIds(emb: DataFrame, idCol: String, vecCol: String,
                       cents: Array[(Long, Array[Double])],
                       assign: (Column, Array[(Long, Array[Double])]) => Column =
                         Similarity.ivfListId): Array[Long] = {
+    val mean = emb
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .agg(graft.functions.VecStatsNative.vecStats(col("id"), col("vec"))
+        .as("vs"))
+      .select(col("vs.mean")).head().getSeq[Double](0).toSeq
     val centRel = Similarity.centroidRelation(emb.sparkSession, cents)
       .select(col("list_id").cast("long"),
         col("cv").cast("array<double>").as("cv"))
-    emb
+    val perList = emb
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"),
         assign(col(vecCol), cents).as("list_id"))
       .join(broadcast(centRel), Seq("list_id"))
-      .withColumn("cd", dist(col("vec"), col("cv")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("list_id"))
-          .orderBy(col("cd").asc_nulls_last, col("id"))))
-      .filter(col("rn") === 1)
-      .select(col("id")).orderBy(col("id"))
-      .collect().map(_.getLong(0))
+      .select(col("id"), col("list_id"),
+        dist(col("vec"), col("cv")).as("cd"),
+        dist(col("vec"), doubleVec(mean)).as("md"))
+      .groupBy(col("list_id"))
+      .agg(min_by(col("id"), struct(col("cd"), col("id"))).as("leader"),
+        min(struct(col("md").as("md"), col("id").as("id"))).as("mc"))
+      .collect()
+    val leaders = perList.map(_.getLong(1)).sorted
+    val med = perList.iterator.map { r =>
+      val s = r.getStruct(2); (s.getDouble(0), s.getLong(1))
+    }.min
+    (leaders :+ med._2).distinct
   }
 
   /** The corpus medoid: argmin distance to the mean vector (ties to the

@@ -319,4 +319,39 @@ class KernelParitySpec extends SparkSpec {
       }
     }
   }
+
+  test("seedIds == leaders-window + medoid-scan composition, bit-exact") {
+    // The r17 two-pass seed selection (one scored scan feeding a
+    // map-side-combined min_by per list, medoid reduced over per-list
+    // mins) must pick the IDENTICAL id set the old four-pass form did:
+    // per-list argmin by (cd, id) via row_number, then the corpus
+    // medoid by (md, id). Composition reimplemented here verbatim.
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.dist
+    import graft.operators.{GraphAnn, Similarity}
+    val emb = Tables.embeddings(spark, sf0001)
+    val cents = Similarity.ivfTrain(emb, "vec_id", "embedding",
+      numLists = 16, iters = 1)
+    val centRel = Similarity.centroidRelation(spark, cents)
+      .select(col("list_id").cast("long"),
+        col("cv").cast("array<double>").as("cv"))
+    val oldLeaders = emb
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("vec"),
+        Similarity.ivfListId(col("embedding"), cents).as("list_id"))
+      .join(broadcast(centRel), Seq("list_id"))
+      .withColumn("cd", dist(col("vec"), col("cv")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("list_id"))
+          .orderBy(col("cd").asc_nulls_last, col("id"))))
+      .filter(col("rn") === 1)
+      .select(col("id")).orderBy(col("id"))
+      .collect().map(_.getLong(0))
+    val oldSeeds = (oldLeaders :+ GraphAnn.medoid(
+      emb.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("vec")))).distinct
+    val got = GraphAnn.seedIds(emb, "vec_id", "embedding", cents)
+    assert(got.toSeq == oldSeeds.toSeq,
+      s"seed selection diverged: got=${got.toSeq} want=${oldSeeds.toSeq}")
+  }
 }
