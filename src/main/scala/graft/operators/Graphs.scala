@@ -158,9 +158,11 @@ object Graphs {
           .select(col("node"), col("seed"),
             (when(col("seed"), lit(base)).otherwise(lit(0L)) +
               expr("(17 * coalesce(contrib, 0L)) div 20")).as("pr"))
-          .localCheckpoint()
+        // lazily chained like pageRank (round 17): one consumer per
+        // round, so the whole personalized fixpoint is a single job
       }
-      pr.select(col("node"), col("pr"))
+      // eager at loop end while the edge cache is alive — see pageRank
+      pr.select(col("node"), col("pr")).localCheckpoint()
     } finally {
       // pr is checkpointed; drop the cache even when the seed check or
       // a round throws, so failed calls don't pin the graph
@@ -242,14 +244,24 @@ object Graphs {
           .join(contrib, Seq("node"), "left_outer")
           .select(col("node"),
             (lit(base) + expr("(17 * coalesce(contrib, 0L)) div 20")).as("pr"))
-          // EAGER by design (no-arg localCheckpoint): each round
-          // materializes the tiny (node, pr) relation — |V| rows — so the
-          // next round's broadcast join reads a flat scan instead of
-          // re-deriving the whole prior lineage, and plan depth stays
-          // constant across rounds
-          .localCheckpoint()
+        // NO per-round localCheckpoint (round 17): each round's pr feeds
+        // exactly ONE consumer (the next round's contribution join), so
+        // lazy chaining computes every round exactly once inside a
+        // single action — the fixpoint is ONE multi-stage job instead of
+        // one eager materialization job per round (the a27 job-fusion
+        // lesson applied to the Pregel loop; plan depth grows linearly
+        // in `iterations`, which Catalyst handles fine at loop scale —
+        // kCore keeps its per-round checkpoint because its edge set is
+        // consumed THREE times per round). AQE sizes each round's tiny
+        // (node, pr) shuffle at runtime, so the contribution join stays
+        // a broadcast join exactly as the eager form planned it.
       }
-      pr
+      // ONE eager materialization at loop END, while the edge cache is
+      // still alive: the finally below unpersists ew, so returning the
+      // lazy chain would hand the caller a plan that re-derives the
+      // graph (parquet scan + degree window) once per round when it
+      // finally executes — the single-shuffle-per-graph design paid 5×.
+      pr.localCheckpoint()
     } finally {
       // pr is checkpointed; drop the cache even when a round throws,
       // so failed calls don't pin the graph

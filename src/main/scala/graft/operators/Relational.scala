@@ -709,10 +709,10 @@ object Relational {
     * (p99 doc length per language, price bands per segment) with the
     * same bounded-memory contract: pass 1 is ONE aggregation producing
     * per-group stats and the per-(group, bin) histogram; the
-    * per-group selection then runs a small filtered TakeOrdered per
-    * (group, quantile). Group cardinality is assumed BOUNDED (domains,
-    * languages, flags — the driver holds G stats rows and schedules
-    * G·|ps| selection jobs); unbounded-key quantiles belong to the
+    * per-group selection then runs as ONE fused job over the target
+    * (group, bin) cells. Group cardinality is assumed BOUNDED (domains,
+    * languages, flags — the driver holds G stats rows and G·|ps|
+    * selection targets); unbounded-key quantiles belong to the
     * single-reducer `percentile` per group (q16), which shuffles by
     * key instead. Returns (group, p, value) in group-then-ps order. */
   def exactQuantilesByGroup(df: DataFrame, groupCol: String,
@@ -744,23 +744,47 @@ object Relational {
       .agg(count(lit(1)).as("c"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val picks = stats.keys.toSeq.sorted.flatMap { g =>
+    // FUSED pass 2 (round 17): the old form scheduled one filtered
+    // TakeOrdered job per (group, quantile) — G·|ps| scans of the binned
+    // relation (each re-paying the broadcast stats join). All targets
+    // now share ONE job: semi-filter to the target (g, bin) cells, rank
+    // each cell ascending, pick each target's offset-th smallest (the
+    // same multiset order statistic "max of the first `offset` ordered
+    // values" computed; tie order cannot change it). Memory contract
+    // unchanged — one cell's ~n/B rows sort in one spillable task.
+    val gs = stats.keys.toSeq.sorted
+    val targets = gs.flatMap { g =>
       val (lo, hi, n) = stats(g)
-      ps.map { p =>
-        if (hi == lo) (g, p, lo)
-        else {
-          val cum = (0L until buckets.toLong).scanLeft(0L) {
-            (acc, b) => acc + hist.getOrElse((g, b), 0L)
-          }
+      if (hi == lo) Nil
+      else {
+        val cum = (0L until buckets.toLong).scanLeft(0L) {
+          (acc, b) => acc + hist.getOrElse((g, b), 0L)
+        }
+        ps.map { p =>
           val r = math.ceil(p * n).toLong.max(1L)
           val b = (0L until buckets.toLong).find(b => cum((b + 1).toInt) >= r).get
-          val offset = r - cum(b.toInt)
-          val value = binned.filter(col("g") === g && col("bin") === b)
-            .orderBy(col("v")).limit(offset.toInt)
-            .agg(max(col("v"))).head().getDouble(0)
-          (g, p, value)
+          (g, p, b, (r - cum(b.toInt)).toInt)
         }
       }
+    }
+    val fused: Map[(String, Double), Double] =
+      if (targets.isEmpty) Map.empty
+      else {
+        val keyDf = broadcast(
+          targets.map(t => (t._1, t._3)).distinct.toDF("g", "bin"))
+        val tDf = broadcast(targets.toDF("_tg", "p", "_tb", "_off"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g"), col("bin")).orderBy(col("v"))
+        binned.join(keyDf, Seq("g", "bin"), "left_semi")
+          .withColumn("_rn", row_number().over(w))
+          .join(tDf, col("g") === col("_tg") && col("bin") === col("_tb") &&
+            col("_rn") === col("_off"))
+          .select(col("g"), col("p"), col("v")).collect()
+          .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      }
+    val picks = gs.flatMap { g =>
+      val (lo, hi, _) = stats(g)
+      ps.map(p => (g, p, if (hi == lo) lo else fused((g, p))))
     }
     picks.toDF("g", "p", "value")
   }
@@ -777,10 +801,11 @@ object Relational {
     *           the "smallest value with ≥ r values ≤ it" discrete
     *           quantile); the cumulative histogram names the ONE
     *           bucket holding rank r and the in-bucket offset;
-    *   pass 2: per target bucket, a filtered scan (the same floor
+    *   pass 2: ONE fused job over all target buckets (the same floor
     *           expression that binned pass 1, so boundary rounding
-    *           cannot disagree) → TakeOrdered of the first `offset`
-    *           values → max. Each pass-2 job touches ~n/B rows.
+    *           cannot disagree): rank each target bin ascending and
+    *           keep each target's offset-th smallest value. The job
+    *           touches ~|ps|·n/B rows, one spillable sort per bin.
     *
     * A production layout would persist the bin as a partition/layout
     * column so pass 2 prunes at file level; on raw parquet the filter
@@ -813,16 +838,30 @@ object Relational {
     val cum = (0L until buckets.toLong).scanLeft(0L) {
       (acc, b) => acc + hist.getOrElse(b, 0L)
     } // cum(b) = rows in bins < b
-    val picks = ps.map { p =>
+    val targets = ps.map { p =>
       val r = math.ceil(p * n).toLong.max(1L)
       val b = (0L until buckets.toLong).find(b => cum((b + 1).toInt) >= r).get
-      val offset = r - cum(b.toInt) // rank within bin b, 1-based
-      val value = rows.filter(binExpr === b)
-        .orderBy(col("v")).limit(offset.toInt)
-        .agg(max(col("v"))).head().getDouble(0)
-      (p, value)
+      (p, b, (r - cum(b.toInt)).toInt) // rank within bin b, 1-based
     }
-    picks.toDF("p", "value")
+    // FUSED pass 2 (round 17): the old form ran one filtered TakeOrdered
+    // job per quantile — |ps| separate scans of the checkpointed
+    // relation. All selections now share ONE job: scan only the target
+    // bins, rank each bin ascending, keep each target's offset-th
+    // smallest value. Identical to "max of the first `offset` ordered
+    // values": the offset-th smallest of a bin is a multiset order
+    // statistic, so tie order cannot change it. Memory contract
+    // unchanged — one bin's ~n/B rows sort in one (spillable) task.
+    val bins = targets.map(_._2).distinct
+    val tDf = broadcast(targets.toDF("p", "_tb", "_off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bin")).orderBy(col("v"))
+    val picked = rows.withColumn("_bin", binExpr)
+      .filter(col("_bin").isin(bins: _*))
+      .withColumn("_rn", row_number().over(w))
+      .join(tDf, col("_bin") === col("_tb") && col("_rn") === col("_off"))
+      .select(col("p"), col("v")).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    ps.map(p => (p, picked(p))).toDF("p", "value")
   }
 
   /** ONE-PASS approximate quantiles by deterministic bottom-k sampling:
