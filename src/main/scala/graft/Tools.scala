@@ -383,11 +383,16 @@ object Tools {
         val qcp = qualified.localCheckpoint()
         val store = Dedup.openShingleStore(spark,
           s"/tmp/graft_shinglestore_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/store")
+        // band = true — the path the p17 gate actually runs (the
+        // corpus-wide crawl re-admission shape); the prefix path here
+        // was stale tooling measuring a join the gate no longer uses
         time("admit") {
-          Dedup.admitNewAgainstStore(qcp, store, "doc_id", "text", 0.3).count()
+          Dedup.admitNewAgainstStore(qcp, store, "doc_id", "text", 0.3,
+            band = true).count()
         }
         val admitted = qcp.join(
-          Dedup.admitNewAgainstStore(qcp, store, "doc_id", "text", 0.3),
+          Dedup.admitNewAgainstStore(qcp, store, "doc_id", "text", 0.3,
+            band = true),
           Seq("doc_id")).localCheckpoint()
         time("admitted+cp")(admitted.count())
         time("curate")(Pipeline.curate(admitted, "doc_id", "text").count())
