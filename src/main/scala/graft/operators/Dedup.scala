@@ -1302,13 +1302,21 @@ object Dedup {
       // label rides along as olab so convergence detection is a plain
       // filter+count over next's cached blocks — no second join against
       // the previous labels relation.
+      // the convergence count rides the checkpoint job as an observed
+      // metric (the a27 cpWithGbs pattern, round 17): count(when(...))
+      // over the rows as they materialize — same value as the old
+      // trailing filter+count job, one scheduler round-trip less per
+      // round (2 jobs/round, was 3)
+      val obs = org.apache.spark.sql.Observation()
       val next = stepped
         .join(stepped.select(col("node").as("lab"), col("lab").as("lab2")),
           Seq("lab"), "left")
         .select(col("node"), col("olab"),
           coalesce(col("lab2"), col("lab")).as("lab"))
+        .observe(obs,
+          count(when(col("lab") =!= col("olab"), 1)).as("chg"))
         .localCheckpoint()
-      val changed = next.filter(col("lab") =!= col("olab")).count()
+      val changed = obs.get("chg").asInstanceOf[Long]
       IndexBuild.freeCheckpoint(stepped)
       IndexBuild.freeCheckpoint(labels)
       labels = next.select(col("node"), col("lab"))

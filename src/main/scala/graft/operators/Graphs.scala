@@ -315,12 +315,17 @@ object Graphs {
         .unionAll(e.select(col("b").as("x")))
         .groupBy(col("x")).agg(count(lit(1)).as("n"))
       val keep = deg.filter(col("n") >= k).select(col("x"))
+      // the fixpoint count rides the checkpoint job as an observed
+      // metric (the a27 cpWithGbs pattern, round 17): one job per
+      // round instead of checkpoint + trailing count
+      val obs = org.apache.spark.sql.Observation()
       val ne = e
         .join(keep.withColumnRenamed("x", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("x", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint() // eager: materializes the round, flat plan
-      val nn = ne.count()
+      val nn = obs.get("n").asInstanceOf[Long]
       // edge sets only shrink: same count == same set == fixpoint
       converged = nn == n
       e = ne
