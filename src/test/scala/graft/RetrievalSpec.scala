@@ -142,6 +142,28 @@ class RetrievalSpec extends SparkSpec {
     assert(pr("x") == 500000000000L && pr("y") == 500000000000L)
   }
 
+  test("pageRank/PPR return a MATERIALIZED relation (r17 lazy-chained loop)") {
+    // The r17 round fusion chains iterations lazily and materializes
+    // ONCE at loop end, while the edge cache is still persisted; the
+    // finally block then unpersists it. If the loop-end checkpoint were
+    // dropped, the returned plan would re-derive the whole graph
+    // (source scan + degree window) once per round when the CALLER
+    // first executes it — after the cache is gone. Pin: the returned
+    // relation's executed plan is a flat checkpoint scan, not a
+    // join/window tree.
+    val e = (1 to 20).map(i => (i.toLong, ((i % 20) + 1).toLong))
+      .toDF("src", "dst")
+    for (df <- Seq(
+        Graphs.pageRank(e, iterations = 3),
+        Graphs.pageRankPersonalized(e, Seq(1L).toDF("node"),
+          iterations = 3))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("Scan ExistingRDD"), plan)
+      assert(!plan.contains("Join") && !plan.contains("Window") &&
+        !plan.contains("Exchange"), plan)
+    }
+  }
+
   test("maxSim rerank: stage-2 scores equal the full-scan scores on the candidate set") {
     val e = Tables.embeddings(spark, sf0001)
     val q = QueryConstants.Q64
@@ -220,6 +242,34 @@ class QuantileSpec extends SparkSpec {
     val one = operators.Relational.exactQuantiles(vals.toDF("x"), "x",
       Seq(0.5), buckets = 1).head().getDouble(1)
     assert(one == truth(vals, 0.5))
+  }
+
+  test("fused pass-2 selection: quantiles sharing one bin stay exact (r17)") {
+    // The r17 fusion runs ALL selections as one ranked job; when two
+    // targets land in the SAME bin they join the same ranked rows at
+    // different offsets — the path a per-p TakeOrdered never exercised.
+    // buckets = 1 forces every p into bin 0; heavy ties on purpose.
+    val rnd = new scala.util.Random(23)
+    val vals = Seq.fill(400)(rnd.nextInt(50) * 1.5)
+    val ps = Seq(0.3, 0.5, 0.9, 0.91)
+    val got = operators.Relational.exactQuantiles(vals.toDF("x"), "x", ps,
+        buckets = 1)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    ps.foreach(p => assert(got(p) == truth(vals, p), s"p=$p"))
+    // group variant: shared (g, bin) cells across two real groups plus
+    // a degenerate (all-equal) group that must bypass the fused job
+    val rows = (for { g <- Seq("a", "b"); i <- 0 until 300 }
+      yield (g, (i % 40) * 0.5 + (if (g == "b") 100.0 else 0.0))) ++
+      Seq.fill(10)(("c", 7.0))
+    val gps = Seq(0.5, 0.52, 0.99)
+    val gotG = operators.Relational.exactQuantilesByGroup(
+        rows.toDF("grp", "x"), "grp", "x", gps, buckets = 2)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    for (g <- Seq("a", "b", "c"); p <- gps) {
+      val gv = rows.filter(_._1 == g).map(_._2)
+      assert(gotG((g, p)) == truth(gv, p), s"g=$g p=$p")
+    }
   }
 
   test("sampleQuantiles: k >= n degenerates to exact; deterministic; close at k < n") {
