@@ -1667,9 +1667,16 @@ object SparkEntry {
       // pipeline): cluster cohesion — a chain-shaped dedup component
       // is not a clique, and transitive deletion is only safe in the
       // latter
+      // the pair relation feeds all THREE legs of the triangle
+      // enumeration's two self-joins — pin it once (r17 plan audit:
+      // the unpinned initial plan carried three copies of the full
+      // band+verify subtree in one 119-operator tree; exchange reuse
+      // usually dedups them at runtime — warm time is unchanged at
+      // sf0.1 — but the pin makes single evaluation a contract
+      // instead of a reuse-heuristic outcome, per the d7/p15 lesson)
       Graphs.triangles(
         Dedup.lshVerifiedPairs(Tables.documents(s, d), "doc_id",
-          "text", 3, 0.3).select(col("a"), col("b")))
+          "text", 3, 0.3).select(col("a"), col("b")).localCheckpoint())
         .orderBy(col("a"), col("b"), col("c"))),
     "q27_mad_outliers" -> ((s, d) =>
       // robust per-type anomaly flags: |value − median| > 3·MAD — the
