@@ -56,13 +56,28 @@ object Bench {
     // round-over-round diffs from the committed artifacts.
     val n = results.size
     val full = s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$qs,"sf":"$sfDir"}"""
-    for (path <- Seq("/tmp/graft_bench_last.json", "/root/repo/BENCH_FULL.json")) {
+    // Sidecars are written per core count (BENCH_FULL_c$cpus.json): the
+    // driver runs the bench at 32 AND 8 cores, and a single filename
+    // means the second run destroys the first — exactly what erased the
+    // round-17 32-core per-query data. The unsuffixed BENCH_FULL.json is
+    // kept for existing tooling, and the repo path is derived from the
+    // working directory rather than hardcoded.
+    val repoDir = sys.props.getOrElse("user.dir", ".")
+    for (path <- Seq("/tmp/graft_bench_last.json",
+                     s"$repoDir/BENCH_FULL.json",
+                     s"$repoDir/BENCH_FULL_c$cpus.json")) {
       try {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(path), (full + "\n").getBytes("UTF-8"))
       } catch { case _: Throwable => () }
     }
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries_sidecar":"BENCH_FULL.json","sf":"$sfDir"}""")
+    // Headline carries the top-8 slowest entries under the "queries" key:
+    // small enough to survive the driver's 2000-char stdout tail intact,
+    // so the parsed line always has at least the hot tail even if every
+    // sidecar is lost.
+    val top = results.toSeq.sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":$n,"queries":$top,"queries_sidecar":"BENCH_FULL_c$cpus.json","sf":"$sfDir"}""")
   }
 }
