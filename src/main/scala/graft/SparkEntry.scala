@@ -1673,11 +1673,20 @@ object SparkEntry {
       // band+verify subtree in one 119-operator tree; exchange reuse
       // usually dedups them at runtime — warm time is unchanged at
       // sf0.1 — but the pin makes single evaluation a contract
-      // instead of a reuse-heuristic outcome, per the d7/p15 lesson)
-      Graphs.triangles(
-        Dedup.lshVerifiedPairs(Tables.documents(s, d), "doc_id",
-          "text", 3, 0.3).select(col("a"), col("b")).localCheckpoint())
-        .orderBy(col("a"), col("b"), col("c"))),
+      // instead of a reuse-heuristic outcome, per the d7/p15 lesson).
+      // The pair checkpoint is FREED once the (much smaller) triangle
+      // relation is materialized (ADVICE r17: locally-checkpointed
+      // blocks are non-evictable, and an unfreed pin accumulates
+      // across a 186-query session); the declared output is the same
+      // ordered triangle relation.
+      {
+        val pairs = Dedup.lshVerifiedPairs(Tables.documents(s, d),
+          "doc_id", "text", 3, 0.3).select(col("a"), col("b"))
+          .localCheckpoint()
+        val tri = Graphs.triangles(pairs).localCheckpoint()
+        operators.IndexBuild.freeCheckpoint(pairs)
+        tri.orderBy(col("a"), col("b"), col("c"))
+      }),
     "q27_mad_outliers" -> ((s, d) =>
       // robust per-type anomaly flags: |value − median| > 3·MAD — the
       // median/MAD pair doesn't move with the outliers a mean/stdev

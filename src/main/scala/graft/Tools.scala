@@ -197,6 +197,51 @@ object Tools {
       }
       spark.stop(); return
     }
+    if (name == "prchain") {
+      // Dump the INTERIOR plan of the pageRank fixpoint chain (round-18
+      // diagnostic): the gate's returned plan is a flat checkpoint scan,
+      // so the per-round join strategy/exchange structure is invisible
+      // in `Tools explain` — this rebuilds the same loop body over the
+      // staged trade graph WITHOUT the loop-end materialization and
+      // explains the lazy chain, which is exactly the plan the single
+      // fixpoint job executes.
+      import org.apache.spark.sql.functions._
+      val edges = spark.read.parquet(
+        s"/tmp/graft_tradegraph_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/store")
+      val ew = edges.select(col("src"), col("dst"))
+        .withColumn("outdeg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+        .repartition(col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ew.count()
+      val nodes = ew.select(col("src").as("node"))
+        .union(ew.select(col("dst").as("node"))).distinct()
+        .localCheckpoint()
+      val n = nodes.count()
+      val unit = 1000000000000L
+      val base = (3L * unit) / (20L * n)
+      // default: the r17 LAZY chain (the regression shape); `eager`
+      // materializes each round like the shipped loop and explains the
+      // last round's body — the plan each per-round job executes
+      val eager = args.contains("eager")
+      val maybeB = (df: org.apache.spark.sql.DataFrame) =>
+        if (eager) broadcast(df) else df
+      var pr = nodes.withColumn("pr", lit(unit / n))
+      for (i <- 1 to 5) {
+        val contrib = ew
+          .join(maybeB(pr.withColumnRenamed("node", "src")), Seq("src"))
+          .select(col("dst").as("node"), expr("pr div outdeg").as("share"))
+          .groupBy(col("node")).agg(sum(col("share")).as("contrib"))
+        pr = nodes
+          .join(maybeB(contrib), Seq("node"), "left_outer")
+          .select(col("node"),
+            (lit(base) + expr("(17 * coalesce(contrib, 0L)) div 20")).as("pr"))
+        if (eager && i < 5) pr = pr.localCheckpoint()
+      }
+      pr.explain("formatted")
+      ew.unpersist(blocking = false)
+      spark.stop(); return
+    }
     if (name == "runq") {
       // execute named gated queries and print row counts — the
       // single-query debugging twin of `explain`. reps=N repeats each

@@ -1316,7 +1316,7 @@ object Dedup {
         .observe(obs,
           count(when(col("lab") =!= col("olab"), 1)).as("chg"))
         .localCheckpoint()
-      val changed = obs.get("chg").asInstanceOf[Long]
+      val changed = Observe.value(obs, "chg").asInstanceOf[Long]
       IndexBuild.freeCheckpoint(stepped)
       IndexBuild.freeCheckpoint(labels)
       labels = next.select(col("node"), col("lab"))

@@ -1053,7 +1053,7 @@ object GraphAnn {
     def cpWithGbs(df: DataFrame, gbExpr: Column): (DataFrame, Seq[Int]) = {
       val obs = org.apache.spark.sql.Observation()
       val cp = df.observe(obs, collect_set(gbExpr).as("g")).localCheckpoint()
-      val g = obs.get("g") match {
+      val g = Observe.value(obs, "g") match {
         case s: scala.collection.Seq[_] =>
           s.iterator.map(_.asInstanceOf[Int]).toSeq
         case other => sys.error(s"unexpected gb metric shape: $other")

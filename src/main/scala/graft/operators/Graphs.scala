@@ -10,6 +10,20 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Node-count ceiling for HINTING the (node, pr) frame into the
+    * fixpoint joins as a broadcast (pageRank / pageRankPersonalized).
+    * Each round's contribution join keys the CACHED graph on src and
+    * the per-dst sum needs the cache's hash(dst) partitioning intact —
+    * the pr frame must broadcast or the graph re-shuffles per round.
+    * The planner cannot see that a checkpointed pr is tiny (an RDD
+    * scan reports the default size estimate, so the initial plan is a
+    * sort-merge join and even AQE's runtime demotion first pays the
+    * graph-side shuffle map write). We KNOW the node count exactly, so
+    * the hint is size-gated here instead: 8M nodes ≈ a few hundred MB
+    * built — inside broadcast budget; above it the hint is withheld
+    * and the join degrades honestly to the shuffled form. */
+  private val broadcastMaxNodes = 8L << 20
+
   /** TRIANGLE ENUMERATION — all (a < b < c) with the three edges
     * (a,b), (b,c), (a,c) present. Triangles measure cluster COHESION:
     * a dedup component that is a chain of borderline pairs (zero
@@ -146,23 +160,29 @@ object Graphs {
       val nSeeds = nodes.filter(col("seed")).count()
       require(nSeeds > 0, "personalized PageRank needs at least one seed in the graph")
       val base = (3L * unit) / (20L * nSeeds)
+      // size-gated broadcast hint — see pageRank (node count is exact
+      // here because the seed join preserves the node relation 1:1)
+      val nNodes = nodes.count()
+      val maybeB = (df: DataFrame) =>
+        if (nNodes <= broadcastMaxNodes) broadcast(df) else df
       var pr = nodes.withColumn("pr",
         when(col("seed"), lit(unit / nSeeds)).otherwise(lit(0L)))
       for (_ <- 1 to iterations) {
         val contrib = ew
-          .join(pr.select(col("node").as("src"), col("pr")), Seq("src"))
+          .join(maybeB(pr.select(col("node").as("src"), col("pr"))), Seq("src"))
           .select(col("dst").as("node"), expr("pr div outdeg").as("share"))
           .groupBy(col("node")).agg(sum(col("share")).as("contrib"))
         pr = nodes
-          .join(contrib, Seq("node"), "left_outer")
+          .join(maybeB(contrib), Seq("node"), "left_outer")
           .select(col("node"), col("seed"),
             (when(col("seed"), lit(base)).otherwise(lit(0L)) +
               expr("(17 * coalesce(contrib, 0L)) div 20")).as("pr"))
-        // lazily chained like pageRank (round 17): one consumer per
-        // round, so the whole personalized fixpoint is a single job
+          // per-round eager materialization, restored in round 18 for
+          // the same plan-verified reason as pageRank: the lazy chain
+          // re-shuffles the cached graph twice per round
+          .localCheckpoint()
       }
-      // eager at loop end while the edge cache is alive — see pageRank
-      pr.select(col("node"), col("pr")).localCheckpoint()
+      pr.select(col("node"), col("pr"))
     } finally {
       // pr is checkpointed; drop the cache even when the seed check or
       // a round throws, so failed calls don't pin the graph
@@ -234,34 +254,46 @@ object Graphs {
       // guards its seed count the same way)
       require(n > 0, "pageRank needs a non-empty edge relation")
       val base = (3L * unit) / (20L * n)
+      // size-gated broadcast hint (round 18): the per-round pr frame is
+      // a checkpoint whose size the planner reports as the default
+      // estimate, so unhinted rounds start as sort-merge joins and pay
+      // the graph-side shuffle map write before AQE demotes them. We
+      // know |nodes| exactly — hint the pr/contrib side while it is
+      // provably broadcast-sized, withhold the hint (honest shuffle
+      // degrade) above broadcastMaxNodes.
+      val maybeB = (df: DataFrame) =>
+        if (n <= broadcastMaxNodes) broadcast(df) else df
       var pr = nodes.withColumn("pr", lit(unit / n))
       for (_ <- 1 to iterations) {
         val contrib = ew
-          .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+          .join(maybeB(pr.withColumnRenamed("node", "src")), Seq("src"))
           .select(col("dst").as("node"), expr("pr div outdeg").as("share"))
           .groupBy(col("node")).agg(sum(col("share")).as("contrib"))
         pr = nodes
-          .join(contrib, Seq("node"), "left_outer")
+          .join(maybeB(contrib), Seq("node"), "left_outer")
           .select(col("node"),
             (lit(base) + expr("(17 * coalesce(contrib, 0L)) div 20")).as("pr"))
-        // NO per-round localCheckpoint (round 17): each round's pr feeds
-        // exactly ONE consumer (the next round's contribution join), so
-        // lazy chaining computes every round exactly once inside a
-        // single action — the fixpoint is ONE multi-stage job instead of
-        // one eager materialization job per round (the a27 job-fusion
-        // lesson applied to the Pregel loop; plan depth grows linearly
-        // in `iterations`, which Catalyst handles fine at loop scale —
-        // kCore keeps its per-round checkpoint because its edge set is
-        // consumed THREE times per round). AQE sizes each round's tiny
-        // (node, pr) shuffle at runtime, so the contribution join stays
-        // a broadcast join exactly as the eager form planned it.
+          // PER-ROUND eager materialization, RESTORED in round 18. Round
+          // 17 lazily chained the rounds into one job on the claim that
+          // AQE would keep each round's contribution join a broadcast;
+          // the sf1 plan dump (plans/r18/q30_pagerank_before_interior.txt)
+          // refutes that: the chained plan sort-merge-joins the CACHED
+          // edge relation with an Exchange on src EVERY round, then pays
+          // a second full exchange for each round's per-dst sum — the
+          // graph (358 MiB at sf1) re-shuffles twice per round where
+          // this form moves only the tiny (node, pr) frame. Measured at
+          // sf1 (alternating warm runq, calm windows): lazy chain
+          // 11.2–12.9 s, this form 7.3–7.6 s. The per-round checkpoint
+          // gives the planner a MATERIALIZED, known-size pr, so the
+          // contribution join broadcasts it and the per-dst sum runs
+          // in-stage on the cache's hash(dst) partitioning — zero
+          // exchanges of the graph per round, which is the contract
+          // that matters at 100 TB; one small driver job per round is
+          // the price, and it also bounds plan depth at any iteration
+          // count (ADVICE r17).
+          .localCheckpoint()
       }
-      // ONE eager materialization at loop END, while the edge cache is
-      // still alive: the finally below unpersists ew, so returning the
-      // lazy chain would hand the caller a plan that re-derives the
-      // graph (parquet scan + degree window) once per round when it
-      // finally executes — the single-shuffle-per-graph design paid 5×.
-      pr.localCheckpoint()
+      pr
     } finally {
       // pr is checkpointed; drop the cache even when a round throws,
       // so failed calls don't pin the graph
@@ -325,7 +357,7 @@ object Graphs {
         .select(col("a"), col("b"))
         .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint() // eager: materializes the round, flat plan
-      val nn = obs.get("n").asInstanceOf[Long]
+      val nn = Observe.value(obs, "n").asInstanceOf[Long]
       // edge sets only shrink: same count == same set == fixpoint
       converged = nn == n
       e = ne

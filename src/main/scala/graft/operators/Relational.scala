@@ -811,7 +811,17 @@ object Relational {
     * column so pass 2 prunes at file level; on raw parquet the filter
     * is still a codegen'd scan, never a global sort. Degenerate width
     * (all values equal) short-circuits to that value. Returns (p,
-    * value) rows in `ps` order. */
+    * value) rows in `ps` order.
+    *
+    * SKEW NOTE (ADVICE r17): pass 2 ranks each target bin in one
+    * window task, so its memory/latency contract is "one bin's rows
+    * sort in one spillable task" — with equi-width bins, a heavy-tailed
+    * distribution whose extent is stretched by outliers can land most
+    * of n in ONE bin, turning that task into a near-full sort (correct,
+    * spills, slow). Raise `buckets` so n/B stays task-sized on such
+    * data; the old per-p TakeOrdered path had the same single-bin scan
+    * cost but a bounded heap, so extreme skew favors more buckets, not
+    * a different algorithm. */
   def exactQuantiles(df: DataFrame, valueCol: String, ps: Seq[Double],
                      buckets: Int = 1000): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1))

@@ -143,14 +143,15 @@ class RetrievalSpec extends SparkSpec {
   }
 
   test("pageRank/PPR return a MATERIALIZED relation (r17 lazy-chained loop)") {
-    // The r17 round fusion chains iterations lazily and materializes
-    // ONCE at loop end, while the edge cache is still persisted; the
-    // finally block then unpersists it. If the loop-end checkpoint were
-    // dropped, the returned plan would re-derive the whole graph
-    // (source scan + degree window) once per round when the CALLER
-    // first executes it — after the cache is gone. Pin: the returned
-    // relation's executed plan is a flat checkpoint scan, not a
-    // join/window tree.
+    // Round 18 restored the per-round eager checkpoint (the lazy chain
+    // re-shuffled the cached graph twice per round — see the loop
+    // comment in Graphs.pageRank), but this pin is form-independent and
+    // still load-bearing: the finally block unpersists the edge cache,
+    // so if the last round's materialization were ever dropped, the
+    // returned plan would re-derive the whole graph (source scan +
+    // degree window) per round when the CALLER first executes it —
+    // after the cache is gone. Pin: the returned relation's executed
+    // plan is a flat checkpoint scan, not a join/window tree.
     val e = (1 to 20).map(i => (i.toLong, ((i % 20) + 1).toLong))
       .toDF("src", "dst")
     for (df <- Seq(
