@@ -242,6 +242,101 @@ object Tools {
       ew.unpersist(blocking = false)
       spark.stop(); return
     }
+    if (name == "bloomprof") {
+      // Growth-row A/B for the probe-side Bloom prefilter (judge r17
+      // #4): simulate the 100 TB admission shape — batch too big to
+      // broadcast (autoBroadcastJoinThreshold=-1 forces the shuffle
+      // join) probing a store it is narrow relative to — and measure
+      // the band probe with the prefilter off vs on. Also reports the
+      // default bench shape (broadcast on; the filter must self-disable
+      // and change nothing).
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      val batch = docs.filter(col("doc_id") % 29 === 0)
+      val storeDir =
+        s"/tmp/graft_shinglestore_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/store"
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(storeDir + ".meta"))) {
+        println(s"staging shingle store at $storeDir")
+        Dedup.writeShingleStore(docs.filter(col("doc_id") % 7 =!= 0),
+          "doc_id", "text", 3, storeDir)
+      }
+      val store = Dedup.openShingleStore(spark, storeDir)
+      def run(label: String, bloom: Boolean): Unit = {
+        spark.conf.set("graft.dedup.bloomPrefilter", bloom.toString)
+        val t0 = System.nanoTime()
+        val n = Dedup.ngramJaccardPairsAgainstStoreBand(batch, store,
+          "doc_id", "text", 0.3).count()
+        println(f"$label%-40s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n pairs)")
+      }
+      // selectivity: what fraction of store POSTING ROWS pass a Bloom
+      // over the batch's shingles (df-weighted — hot shingles count
+      // once per posting)? This is the quantity that decides whether
+      // the prefilter can pay at any scale on this corpus.
+      val shingles = batch.select(
+        explode(array_distinct(Dedup.shinglesOf(Dedup.tokens(col("text")),
+          store.k))).as("shingle"))
+      val bf = shingles.stat.bloomFilter("shingle", shingles.count(), 0.01)
+      val bfB = spark.sparkContext.broadcast(bf)
+      val mc = udf((s: String) => s != null && bfB.value.mightContainString(s))
+      val total = store.post.count()
+      val pass = store.post.filter(mc(col("shingle"))).count()
+      println(f"selectivity: $pass of $total postings pass (${100.0 * pass / total}%.1f%%)")
+      for (r <- 1 to 3) {
+        println(s"--- rep $r ---")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        run("scale shape (no broadcast), bloom OFF", bloom = false)
+        run("scale shape (no broadcast), bloom ON", bloom = true)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          (64 * 1024 * 1024).toString)
+        run("bench shape (broadcast), bloom enabled", bloom = true)
+      }
+      spark.conf.unset("graft.dedup.bloomPrefilter")
+      spark.stop(); return
+    }
+    if (name == "d29prof") {
+      // stage decomposition of the d29/d31 store probes (judge r17 #7):
+      // where do ~3.6 s warm go — batch shingling, prefix relation,
+      // store scan, candidate join, or verify join?
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      val docs = Tables.documents(spark, sfDir)
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+      val storePath = s"/tmp/graft_shinglestore_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/store"
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"$label%-34s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+      }
+      for (r <- 1 to 3) {
+        println(s"--- rep $r ---")
+        val store = Dedup.openShingleStore(spark, storePath)
+        time("store open+postings count")(store.post.count())
+        time("batch shingle+cp (band shape)") {
+          val sh = batch.select(col("doc_id").as("doc"),
+              array_distinct(Dedup.shinglesOf(Dedup.tokens(col("text")),
+                store.k)).as("arr"))
+            .select(col("doc"), size(col("arr")).as("sza"),
+              explode(col("arr")).as("shingle"))
+            .localCheckpoint()
+          val n = sh.count()
+          graft.operators.IndexBuild.freeCheckpoint(sh); n
+        }
+        time("d29 full (prefix path)")(
+          Dedup.ngramJaccardPairsAgainstStore(batch, store, "doc_id",
+            "text", 0.3).count())
+        time("d29 candidates only")(
+          Dedup.storePrefixCandidates(batch, store, "doc_id",
+            "text", 0.3).count())
+        time("d31 full (band path)")(
+          Dedup.ngramJaccardPairsAgainstStoreBand(batch, store, "doc_id",
+            "text", 0.3).count())
+        time("d30 full (admit, band)")(
+          Dedup.admitNewAgainstStore(batch, store, "doc_id", "text", 0.3,
+            band = true).count())
+      }
+      spark.stop(); return
+    }
     if (name == "runq") {
       // execute named gated queries and print row counts — the
       // single-query debugging twin of `explain`. reps=N repeats each

@@ -162,7 +162,8 @@ object Dedup {
                              threshold: Double): DataFrame = {
     val arrs = shingleArrays(docs, idCol, textCol, k).localCheckpoint()
     val sh = arrs.select(col("doc"), explode(col("arr")).as("shingle"))
-    val pref = prefixRelation(sh, threshold)
+    // lazy: the candidate join is pref's ONLY consumer here
+    val pref = prefixRelation(sh, threshold, materialize = false)
     // size band INSIDE the candidate join: containment ≥ τ forces
     // |A∩B| ≥ τ·|A| and |A∩B| ≤ |B|, so |B| ≥ τ·|A| — candidates with
     // a too-small B never reach the exact verify (lossless). The
@@ -197,7 +198,8 @@ object Dedup {
                           k: Int, threshold: Double): DataFrame = {
     val arrs = shingleArrays(docs, idCol, textCol, k).localCheckpoint()
     val sh = arrs.select(col("doc"), explode(col("arr")).as("shingle"))
-    val pref = prefixRelation(sh, threshold)
+    // lazy: the candidate join is pref's ONLY consumer here
+    val pref = prefixRelation(sh, threshold, materialize = false)
     // candidate join carries BOTH lossless bands: the τ size floor AND
     // the keep direction (only a larger-or-tied-with-smaller-id B can
     // kill A) — each cuts verify volume before the intersection join;
@@ -427,6 +429,9 @@ object Dedup {
     val shA = shingleRows(probe, idCol, textCol, store.k).localCheckpoint()
     val bucketOf = (c: Column) =>
       pmod(xxhash64(c), lit(store.buckets.toLong)).cast("int")
+    // materialized: pref feeds the candidate join AND sizesA (two
+    // consumers; the lazy form re-measured SLOWER in round 18 —
+    // 4.7–5.6 vs 3.8–4.7 s warm — the df aggregation re-runs per branch)
     val pref = prefixRelation(shA, threshold)
       .withColumn("pb", bucketOf(col("shingle")))
     // pruneBuckets: pin the probe's bucket set as a LITERAL partition
@@ -436,12 +441,17 @@ object Dedup {
     // bucket. Spark's dynamic partition pruning makes the same cut
     // when its heuristics fire; the literal form guarantees it for a
     // narrow batch probing a wide store — the 100 TB admission shape.
-    val post =
+    val pruned =
       if (pruneBuckets) {
         val pbs = shA.select(bucketOf(col("shingle")).as("pb"))
           .distinct().collect().map(_.getInt(0)).toSeq
         store.post.filter(col("pb").isin(pbs: _*))
       } else store.post
+    // lossless for BOTH post consumers below: the candidate join matches
+    // prefix shingles ⊆ batch shingles, and the verify join's condition
+    // includes l.shingle === r.shingle with l from the batch — every
+    // store row either join can keep carries a batch shingle
+    val post = bloomPrefilterPost(shA, pruned, store)
     val cand = pref.as("x").join(post.as("y"),
         col("x.pb") === col("y.pb") &&
           col("x.shingle") === col("y.shingle") &&
@@ -449,6 +459,16 @@ object Dedup {
           col("x.sz").cast("double") >= lit(threshold) * col("y.sz"))
       .select(col("x.doc").as("a"), col("y.doc").as("b")).distinct()
     val sizesA = pref.select(col("doc"), col("sz")).distinct()
+    // Verify shape note (round 18, Tools d29prof): the d27-style
+    // pair-local array_intersect verify was BUILT AND MEASURED here and
+    // is SLOWER (5.8 vs 4.2 s warm at sf0.1) — at this path's candidate
+    // selectivity (186k candidate pairs → 57 true pairs; hot store docs
+    // recur in thousands of pairs) attaching both ~2 KB shingle arrays
+    // to every pair moves far more bytes than the exploded posting join
+    // below (7.4M 16-byte rows). The exploded join + aggregation IS the
+    // right verify at store-probe selectivity; the real lever on this
+    // path is candidate REDUCTION (positional prefixes in the store
+    // layout), not verify mechanics.
     val shAp = shA.withColumn("pb", bucketOf(col("shingle")))
     val inter = cand
       .join(shAp.as("l"), col("a") === col("l.doc"))
@@ -496,12 +516,13 @@ object Dedup {
       .withColumn("pb",
         pmod(xxhash64(col("shingle")), lit(store.buckets.toLong)).cast("int"))
       .localCheckpoint()
-    val post =
+    val pruned =
       if (pruneBuckets) {
         val pbs = shA.select(col("pb")).distinct()
           .collect().map(_.getInt(0)).toSeq
         store.post.filter(col("pb").isin(pbs: _*))
       } else store.post
+    val post = bloomPrefilterPost(shA, pruned, store)
     shA.as("x").join(post.as("y"),
         col("x.pb") === col("y.pb") &&
           col("x.shingle") === col("y.shingle") &&
@@ -514,6 +535,54 @@ object Dedup {
         col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** PROBE-SIDE BLOOM PREFILTER for the store-probe joins (guide §3.2;
+    * judge r17 #4 — the s2/d30/d31 100 TB admission shape). While the
+    * batch's shingle relation fits the session's broadcast budget, the
+    * store join is a broadcast-hash join and the postings are never
+    * shuffled — a prefilter would be pure per-row overhead, so it
+    * SELF-DISABLES (the sf0.1 bench shape). Past the broadcast budget
+    * the join degrades to a shuffle of the ENTIRE posting store; there,
+    * a Bloom filter built over the batch's shingles drops
+    * definitely-non-matching postings BEFORE that exchange. Lossless by
+    * construction: no false negatives, and false positives only add
+    * candidate rows the exact join condition rejects — the output
+    * relation is bit-identical (spec-pinned with the filter forced).
+    *
+    * Second gate: a corpus-scale probe whose shingle set approaches the
+    * store's passes nearly every posting — the filter is withheld
+    * unless the batch's posting-row count is ≤ 1/8 of the store's
+    * (store rows estimated from its parquet bytes at the measured
+    * ~10 B/posting-row — comparing rows to rows, not in-memory bytes
+    * to compressed bytes). Filter size is ~10 bits per batch shingle
+    * row at fpp 1%, broadcast once per probe. */
+  private def bloomPrefilterPost(shA: DataFrame, post: DataFrame,
+                                 store: ShingleStore): DataFrame = {
+    val spark = shA.sparkSession
+    // the batch side is an eager checkpoint: its row count is exact and
+    // cached-cheap; ~64 B/posting-row is the estimate the planner's own
+    // broadcast decision would see
+    val nRows = shA.count()
+    val batchBytes = nRows * 64L
+    val thr = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val storeBytes =
+      store.post.queryExecution.optimizedPlan.stats.sizeInBytes
+    val storeRowsEst = storeBytes / 10
+    val exceedsBroadcast = thr <= 0 || batchBytes > thr
+    // session kill-switch (also the A/B lever for Tools bloomprof):
+    // graft.dedup.bloomPrefilter=false forces the unfiltered join
+    val enabled = spark.conf
+      .getOption("graft.dedup.bloomPrefilter").forall(_.toBoolean)
+    if (!enabled || !exceedsBroadcast || BigInt(nRows * 8) >= storeRowsEst)
+      post
+    else {
+      val bf = shA.stat.bloomFilter("shingle", math.max(nRows, 1L), 0.01)
+      val bfB = spark.sparkContext.broadcast(bf)
+      val mightContain =
+        udf((s: String) => s != null && bfB.value.mightContainString(s))
+      post.filter(mightContain(col("shingle")))
+    }
   }
 
   /** [[admitNew]] probing a persisted [[ShingleStore]] — the production
@@ -537,6 +606,27 @@ object Dedup {
       .select(col(idCol))
   }
 
+  /** The candidate stage of [[ngramJaccardPairsAgainstStore]] in
+    * isolation — a PROFILING surface (Tools d29prof): lets the stage
+    * table split candidate generation from the verify re-join. Same
+    * construction as the full path's `cand`. */
+  private[graft] def storePrefixCandidates(probe: DataFrame,
+                                           store: ShingleStore,
+                                           idCol: String, textCol: String,
+                                           threshold: Double): DataFrame = {
+    val shA = shingleRows(probe, idCol, textCol, store.k).localCheckpoint()
+    val bucketOf = (c: Column) =>
+      pmod(xxhash64(c), lit(store.buckets.toLong)).cast("int")
+    val pref = prefixRelation(shA, threshold, materialize = false)
+      .withColumn("pb", bucketOf(col("shingle")))
+    pref.as("x").join(store.post.as("y"),
+        col("x.pb") === col("y.pb") &&
+          col("x.shingle") === col("y.shingle") &&
+          col("y.sz").cast("double") >= lit(threshold) * col("x.sz") &&
+          col("x.sz").cast("double") >= lit(threshold) * col("y.sz"))
+      .select(col("x.doc").as("a"), col("y.doc").as("b")).distinct()
+  }
+
   /** The candidate pairs the prefix filter admits for
     * [[ngramJaccardPrefixPairs]] — exposed so the pruning ratio vs the
     * quadratic n·(n−1)/2 is itself testable/benchable. Guaranteed a
@@ -556,9 +646,19 @@ object Dedup {
     * lineage cut Spark would recompute the df aggregation and the
     * doc aggregation twice (measured 8.9 s → ~4 s on the sf0.1 gate).
     * Same bounded-materialization discipline as [[clusterIds]]. */
-  private def prefixRelation(sh: DataFrame, threshold: Double): DataFrame = {
+  // `materialize`: the eager checkpoint is load-bearing when the prefix
+  // relation feeds MORE than one consumer (the Jaccard self-join's both
+  // sides, d29's candidate join + sizes) — without it the df aggregation
+  // and per-doc sort would run once per consumer. With a SINGLE
+  // consumer (d27/d28's candidate join) the checkpoint is pure
+  // overhead: it pays an extra materialization job and severs the chain
+  // the planner would otherwise fuse into the candidate join (measured
+  // round 18, Tools contprof: d27 5.7 s materialized vs 2.5–3.4 s
+  // lazy, identical 512 rows).
+  private def prefixRelation(sh: DataFrame, threshold: Double,
+                             materialize: Boolean = true): DataFrame = {
     val dfc = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    sh.join(dfc, "shingle")
+    val pref = sh.join(dfc, "shingle")
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("sz"),
         array_sort(collect_list(struct(col("df"), col("shingle"))))
@@ -568,7 +668,7 @@ object Dedup {
           (col("sz") - ceil(col("sz") * lit(threshold)) + 1).cast("int")))
           .as("s"))
       .select(col("doc"), col("s.shingle").as("shingle"), col("sz"))
-      .localCheckpoint()
+    if (materialize) pref.localCheckpoint() else pref
   }
 
   /** Prefix self-join: candidates share a prefix shingle and pass the

@@ -354,6 +354,43 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSet == unpruned)
   }
 
+  test("store probes: forced probe-side Bloom prefilter is lossless (r18)") {
+    // the Bloom prefilter self-disables while the probe fits the
+    // broadcast budget (the bench shape); force the scale shape by
+    // shrinking the budget to 1 byte and pin that both store paths
+    // still serve the identical pair relation — no false negatives,
+    // false positives rejected by the exact join
+    // a NARROW probe (1/29 of docs) vs the whole standing corpus so the
+    // batch:store byte ratio passes the helper's 1:8 gate at sf0.001
+    val corpus = Tables.documents(spark, sf0001)
+    val probe = corpus.filter(col("doc_id") % 29 === 0)
+    val standing = corpus.filter(col("doc_id") % 29 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graftshbl")
+      .resolve("store").toString
+    Dedup.writeShingleStore(standing, "doc_id", "text", 3, dir, buckets = 16)
+    val store = Dedup.openShingleStore(spark, dir)
+    val inline = Dedup.ngramJaccardPairsAgainst(probe, standing,
+        "doc_id", "text", 3, 0.3)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "1")
+    try {
+      val band = Dedup.ngramJaccardPairsAgainstStoreBand(probe, store,
+        "doc_id", "text", 0.3)
+      // the filter must actually be IN the forced plan (a scalar-udf
+      // Filter over the store scan), not just not break anything
+      assert(band.queryExecution.executedPlan.toString.contains("UDF("),
+        "forced Bloom prefilter missing from the band probe plan")
+      assert(band.select("a", "b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet == inline, "band+bloom")
+      val pref = Dedup.ngramJaccardPairsAgainstStore(probe, store,
+          "doc_id", "text", 0.3)
+        .select("a", "b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(pref == inline, "prefix+bloom")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("prefix-filtered jaccard candidate volume stays below quadratic") {
     // rarest-first prefixes must exclude the hot-shingle explosion: on
     // the real corpus the prefix self-join's candidate count is a small
