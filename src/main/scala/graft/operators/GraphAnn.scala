@@ -403,14 +403,30 @@ object GraphAnn {
       Similarity.ivfListIdRouted(v, c, routeSpark = Some(spark))
     val cents = tstage("train")(Similarity.ivfTrain(emb, idCol, vecCol,
       numLists, iters = 1, assign = routedAssign))
-    val parts = pts.select(col("id"), col("vec"),
-      explode(graft.functions.NearestExpr.nearestTopIdsRouted(
-        col("vec"), cents, nprobe, sqrtCompare = true,
-        // 2·nprobe supers cover the multi-probe boundary: 47→49/50
-        // base self-recall at 200k×96 (probing more supers measured no
-        // further gain; the residual miss is the merged-build trade)
-        supersProbed = math.max(2, nprobe * 2),
-        routePrep = Some(Similarity.routeCentroids(spark) _))).as("list_id"))
+    // ROUTE ONCE (round 18): the O(√C·d)-per-row routed assignment is
+    // ~200 s of the 10M×96 build and used to run TWICE against the
+    // final centroids — once under the list explode feeding the edges
+    // shuffle, once inside seedIds' scoring pass. One checkpointed
+    // (id, vec, lists) relation now serves both: the edges stage
+    // explodes it, and seeds take rank-0 (the nearest list among the
+    // probed supers — a strictly better-routed assignment than the
+    // 1-super ivfListIdRouted the seeds pass previously recomputed;
+    // both are the documented approximate-at-super-boundaries class,
+    // and no oracle gate builds on buildMerged). The checkpoint is
+    // freed as soon as the merge output is materialized below.
+    val routed = tstage("route: nprobe lists per row")(
+      pts.select(col("id"), col("vec"),
+        graft.functions.NearestExpr.nearestTopIdsRouted(
+          col("vec"), cents, nprobe, sqrtCompare = true,
+          // 2·nprobe supers cover the multi-probe boundary: 47→49/50
+          // base self-recall at 200k×96 (probing more supers measured
+          // no further gain; the residual miss is the merged-build
+          // trade)
+          supersProbed = math.max(2, nprobe * 2),
+          routePrep = Some(Similarity.routeCentroids(spark) _)).as("lists"))
+        .localCheckpoint())
+    val parts = routed.select(col("id"), col("vec"),
+      explode(col("lists")).as("list_id"))
     val edges = parts
       .select(col("list_id"), col("id"), col("vec"))
       .as[(Long, Long, Array[Float])]
@@ -565,14 +581,25 @@ object GraphAnn {
       .agg(graft.functions.TopEdgesByRank.topEdges(
         col("dst"), col("dist"), col("rank"), maxDegree).as("nbrs"))
       .select(col("src").as("id"), col("nbrs"))
-    val mergedNbrs = stageProbe.fold(mergedNbrs0)(_ =>
-      tstage("merge: dedupe + rank cap + collect_list")(
-        mergedNbrs0.localCheckpoint()))
+    // always materialized (round 18): single consumer, but pinning the
+    // ~200 B/node merge output lets the 4+ GB routed checkpoint be
+    // FREED before the write join runs
+    val mergedNbrs = tstage("merge: dedupe + rank cap + collect_list")(
+      mergedNbrs0.localCheckpoint())
+    // seeds ride the routed checkpoint's rank-0 assignment — no second
+    // O(√C·d) routing pass over the corpus (round 18; was ~200 s of the
+    // 10M×96 build)
+    val seeds = tstage("seeds: leaders + medoid")(
+      seedIds(emb, idCol, vecCol, cents,
+        preAssigned = Some(routed.select(col("id"), col("vec"),
+          element_at(col("lists"), 1).as("list_id")))))
+    // merge output + seeds are materialized; release the routed blocks
+    // before the write join (they are non-evictable otherwise)
+    IndexBuild.freeCheckpoint(routed)
     val graph = pts.join(mergedNbrs, Seq("id"), "left")
       .select(col("id"), col("vec"),
         coalesce(col("nbrs"), array().cast("array<long>")).as("nbrs"))
-    (graph, tstage("seeds: leaders + medoid")(
-      seedIds(emb, idCol, vecCol, cents, assign = routedAssign)))
+    (graph, seeds)
   }
 
   /** Execution conf for a corpus-scale merged build (the unit of work
@@ -601,8 +628,10 @@ object GraphAnn {
                                     (f: => T): T = {
     val fbKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val spKey = "spark.sql.shuffle.partitions"
+    val smjKey = "spark.sql.join.preferSortMergeJoin"
     val prevFb = spark.conf.getOption(fbKey)
     val prevSp = spark.conf.getOption(spKey)
+    val prevSmj = spark.conf.getOption(smjKey)
     // C/8 lists per task bounds per-task state, but past ~64 waves of
     // the available cores the extra partitions only fragment the
     // shuffle files (10M×96 local[32]: 5000 partitions ran the edges
@@ -612,10 +641,17 @@ object GraphAnn {
       math.min(numLists / 8, spark.sparkContext.defaultParallelism * 64))
     spark.conf.set(fbKey, (1 << 22).toString)
     spark.conf.set(spKey, pBig.toString)
+    // the write join attaches ~200 B of adjacency to each ~400 B vector
+    // row on the unique id key — a shuffled-hash join skips sorting
+    // both multi-GB sides (guide: prefer SHJ when a per-partition build
+    // side fits; here it is bounded by pBig partitions of the small
+    // adjacency relation)
+    spark.conf.set(smjKey, "false")
     try f
     finally {
       prevFb.fold(spark.conf.unset(fbKey))(v => spark.conf.set(fbKey, v))
       prevSp.fold(spark.conf.unset(spKey))(v => spark.conf.set(spKey, v))
+      prevSmj.fold(spark.conf.unset(smjKey))(v => spark.conf.set(smjKey, v))
     }
   }
 
@@ -658,20 +694,26 @@ object GraphAnn {
   private[graft] def seedIds(emb: DataFrame, idCol: String, vecCol: String,
                       cents: Array[(Long, Array[Double])],
                       assign: (Column, Array[(Long, Array[Double])]) => Column =
-                        Similarity.ivfListId): Array[Long] = {
-    val mean = emb
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<float>").as("vec"))
+                        Similarity.ivfListId,
+                      // round 18: a caller that already computed each
+                      // row's assignment (buildMerged's routed
+                      // checkpoint) hands it in as (id, vec, list_id)
+                      // and skips the per-row re-assignment — selection
+                      // over a GIVEN assignment is unchanged (per-list
+                      // argmin by (cd, id), medoid by (md, id))
+                      preAssigned: Option[DataFrame] = None): Array[Long] = {
+    val base = preAssigned.getOrElse(
+      emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"),
+        assign(col(vecCol), cents).as("list_id")))
+    val mean = base
       .agg(graft.functions.VecStatsNative.vecStats(col("id"), col("vec"))
         .as("vs"))
       .select(col("vs.mean")).head().getSeq[Double](0).toSeq
     val centRel = Similarity.centroidRelation(emb.sparkSession, cents)
       .select(col("list_id").cast("long"),
         col("cv").cast("array<double>").as("cv"))
-    val perList = emb
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<float>").as("vec"),
-        assign(col(vecCol), cents).as("list_id"))
+    val perList = base
       .join(broadcast(centRel), Seq("list_id"))
       .select(col("id"), col("list_id"),
         dist(col("vec"), col("cv")).as("cd"),
